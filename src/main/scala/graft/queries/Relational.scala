@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / analytical query pack over the synthetic star schema.
+  *
+  * Each query has a DuckDB oracle (same column names, same rounding, same
+  * deterministic ORDER BY). Design notes for 100 TB scale:
+  *  - dimension joins are broadcast (region/nation/customer/supplier/part
+  *    are tiny relative to facts);
+  *  - window specs always carry a total order (orderkey, linenumber) so
+  *    results are deterministic under any partitioning;
+  *  - double aggregates are rounded in BOTH engines to absorb summation
+  *    order differences.
+  */
+object Relational {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 style: full scan + hash agg (map-side partial agg for free).
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_revenue"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multi-way join: fact joined to broadcast dims, revenue per nation.
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"), r("r_name"))
+        .agg(
+          r2(sum(li("l_extendedprice") * (lit(1) - li("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // Top-k by aggregated revenue; deterministic tiebreak on key.
+    "q03_top_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      li.groupBy(col("l_orderkey"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("revenue"), o("o_orderstatus").as("o_orderstatus"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Window: per-supplier running quantity; total order inside partition.
+    "q04_running_quantity" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          r2(sum(col("l_quantity")).over(w)).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // lead() lookahead — the CDXJ "length from next record offset" shape
+    // (reference: fastwarc-py/fastwarc/cli.py:277-283).
+    "q05_next_ship_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          datediff(lead(col("l_shipdate"), 1).over(w), col("l_shipdate")).as("gap_days"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Selective filter (pushed to parquet) + single agg (TPC-H Q6 style).
+    "q06_forecast_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+                col("l_quantity") < 24)
+        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // Semi/anti join: customers with vs without orders, by segment.
+    "q07_customer_activity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+      val idle = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_idle"))
+      active.join(idle, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_idle"), lit(0L)).as("n_idle"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Event-time bucketing (streaming-shaped agg run in batch).
+    "q08_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Sessionization: gap > 30 min starts a new session (lag + running sum).
+    "q09_event_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // JSON projection from the props payload column.
+    "q10_events_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+         round(avg(l_quantity), 2) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, r_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name ORDER BY n_name, r_name""",
+    "q03_top_orders" ->
+      """SELECT l_orderkey, revenue, o_orderstatus FROM (
+           SELECT l_orderkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY l_orderkey) agg
+         JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q04_running_quantity" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         round(sum(l_quantity) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q05_next_ship_gap" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(date_diff('day', l_shipdate, lead(l_shipdate, 1) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber)) AS INT) AS gap_days
+         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate <  TIMESTAMP '1996-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""",
+    "q07_customer_activity" ->
+      """SELECT c_mktsegment,
+         count(*) FILTER (WHERE has_order) AS n_active,
+         count(*) FILTER (WHERE NOT has_order) AS n_idle
+         FROM (SELECT c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+               FROM customer) t
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q08_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q09_event_sessions" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+               FROM (SELECT user_id, ts,
+                       lag(ts, 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_ts
+                     FROM events) a) b
+         GROUP BY user_id ORDER BY user_id""",
+    "q10_events_json" ->
+      """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+         count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the same
+parquet tables, sorts columns by name + rows by value, and compares.
+NOT part of the Scala library — dev tooling only.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: timestamps -> utc-naive usec, floats stay
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.floor("us")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+        try:
+            spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            duck_df = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: cols {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            n_fail += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1; continue
+        ok = True
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            try:
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    equal = ((a.isna() & b.isna()) |
+                             (abs(a.astype(float) - b.astype(float)) < 1e-9)).all()
+                else:
+                    equal = a.astype(str).equals(b.astype(str))
+            except Exception as e:
+                equal = False
+            if not equal:
+                mism = (a.astype(str) != b.astype(str))
+                idx = mism[mism].index[:3].tolist()
+                print(f"FAIL {name}: col {c} differs at rows {idx}")
+                for i in idx:
+                    print(f"    spark={a.iloc[i]!r} duck={b.iloc[i]!r}")
+                ok = False
+                break
+        if ok:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
