@@ -17,8 +17,12 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.Documents.queries ++
+    graft.queries.Embeddings.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++
+    graft.queries.Documents.oracleSql ++
+    graft.queries.Embeddings.oracleSql
 }

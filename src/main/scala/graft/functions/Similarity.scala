@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `array<float>` embedding columns.
+  *
+  * All math is done in double (cast once) with sequential index-order
+  * summation so results are bit-reproducible across engines; expressed
+  * with `zip_with`/`aggregate` which stay inside Catalyst (no UDF).
+  */
+object Similarity {
+
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Rounded cosine for deterministic cross-engine ordering/compares. */
+  def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
+    round(cosine(a, b), scale)
+
+  /** Sign-random-projection bucket key for LSH-style ANN: the sign bits
+    * of `planes` pseudo-random hyperplane projections. The hyperplanes
+    * are deterministic functions of (plane index, dimension index) so the
+    * same bucketing is computable on any engine with no shared state:
+    * plane p, dim d weight = ((d * 2654435761 + p * 40503) mod 1024 -
+    * 511.5) / 1024 — an integer-hash-derived quasi-random value.
+    */
+  def srpBucket(v: Column, planes: Int): Column = {
+    val terms = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+          x * ((d * lit(2654435761L) + lit(p * 40503L)) % 1024 - lit(511.5)) / 1024.0),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _).cast("long")
+  }
+}

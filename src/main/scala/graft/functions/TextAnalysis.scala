@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting,
+  * shingling, MinHash and SimHash.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._`
+  * (codegen'd, whole-stage-compatible) — no Scala UDFs on the hot path.
+  * Hash primitives use md5 (hex string) so DuckDB oracles can reproduce
+  * signatures bit-for-bit: min/comparisons over fixed-length lowercase hex
+  * strings order identically to the underlying 128-bit integers.
+  *
+  * Reference precedent: content-hash dedup via SHA-1 line hashes
+  * (resiliparse-py/resiliparse/cli.py:295-334), hashed n-gram language
+  * vectors (resiliparse-py/resiliparse/parse/lang.pyx:32-102).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the reference's lang/dedup ops are
+    * whitespace/char-gram based, not linguistic).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+      / length(text), 6)
+
+  private[graft] val StopWords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Count of stopword tokens. Built via a lambda filter on the token
+    * array — stays inside codegen.
+    */
+  def stopwordCountCol(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(StopWords))).cast("long")
+
+  def stopwordRatio(text: Column): Column =
+    round(stopwordCountCol(text).cast("double") / tokenCount(text), 6)
+
+  /** Mean token length = non-whitespace chars / token count. */
+  def avgTokenLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text), 6)
+
+  /** Composite quality score in [0,1]: rewards stopword density (natural
+    * language), penalizes punctuation noise, saturating length bonus.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * least(lit(1.0), stopwordCountCol(text).cast("double") * 10 / tokenCount(text)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio(text) * 10)) +
+      lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / 100.0), 6)
+
+  /** Document fingerprint: md5 over whitespace-normalized, lower-cased
+    * text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Character n-gram shingles (default trigrams). Empty array for texts
+    * shorter than n (sequence() would otherwise count DOWN from 1).
+    */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** Word w-shingles: sliding windows of `w` consecutive tokens joined by
+    * a single space.
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(w))))
+  }
+
+  /** One MinHash signature component: min over shingles of
+    * md5(seed ":" shingle). Hex-string min == numeric min (fixed length,
+    * lowercase).
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(s"$seed:"), sh))))
+
+  /** k-component MinHash signature as array<string>. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingles, _)): _*)
+
+  /** LSH band keys: md5 over `rows` consecutive signature components.
+    * Docs sharing any band key are near-dup candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+    }: _*)
+
+  /** 16-bit SimHash over tokens: bit j of the hash is the sign of the
+    * sum over tokens of ±1, where the ±1 is the parity of hex digit j of
+    * md5(token). Same construction as Charikar SimHash with a 16-bit
+    * projection; reproducible in SQL (see [[simhash16DuckSql]]).
+    */
+  def simhash16Expr(textCol: String): Column = {
+    val terms = (0 until 16).map { j =>
+      s"""(CASE WHEN aggregate(transform(split(trim($textCol), '\\\\s+'),
+            t -> CASE WHEN instr('13579bdf', substring(md5(t), ${j + 1}, 1)) > 0
+                      THEN 1 ELSE -1 END), 0, (a, x) -> a + x) > 0
+          THEN ${1 << (15 - j)} ELSE 0 END)"""
+    }
+    expr(s"CAST((${terms.mkString(" + ")}) AS BIGINT)")
+  }
+
+  /** DuckDB rendition of [[simhash16Expr]] for oracle SQL. */
+  def simhash16DuckSql(textCol: String): String = {
+    val terms = (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(regexp_split_to_array(trim($textCol), '\\s+'),
+            t -> CASE WHEN strpos('13579bdf', substring(md5(t), ${j + 1}, 1)) > 0
+                      THEN 1 ELSE -1 END)) > 0
+          THEN ${1 << (15 - j)} ELSE 0 END)"""
+    }
+    s"CAST((${terms.mkString(" + ")}) AS BIGINT)"
+  }
+}

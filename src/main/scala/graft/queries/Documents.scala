@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysis._
+
+/** Training-data-pipeline operators over the `documents` table: token
+  * stats, quality scoring, language-ID, fingerprinting, exact dedup,
+  * MinHash + LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale notes: every query is a single scan + hash-aggregate (or a
+  * key-local self-join); LSH candidate generation groups by band key so
+  * the shuffle is on the (small) signature, never on raw text; nothing
+  * collects to the driver.
+  */
+object Documents {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Language marker words; scoring = count of marker tokens per language,
+    * argmax with fixed priority order (en,de,es,fr,zh), 'und' if all zero.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "我"),
+  )
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+
+  def langIdCol(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> markerCount(text, ws) }
+    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
+    // argmax as nested CASE: en wins if >= all others, else de if >= remaining, ...
+    def caseFor(i: Int): Column = {
+      if (i == scores.length - 1) lit(scores(i)._1)
+      else {
+        val mine = scores(i)._2
+        val rest = scores.drop(i + 1).map(_._2)
+        when(rest.map(mine >= _).reduce(_ && _), lit(scores(i)._1)).otherwise(caseFor(i + 1))
+      }
+    }
+    when(allZero, lit("und")).otherwise(caseFor(0))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // — text analysis —
+    "t01_token_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t02_quality_score" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text")).as("stopword_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t03_lang_confusion" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), langIdCol(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // — dedup family —
+    "d01_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+        .orderBy(col("fp"))
+    }),
+
+    "d02_minhash_sig" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          minhash(toks, 0).as("mh0"), minhash(toks, 1).as("mh1"),
+          minhash(toks, 2).as("mh2"), minhash(toks, 3).as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d03_lsh_buckets" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val sig = docs(s, dir).select(col("doc_id"),
+        minhash(toks, 0).as("mh0"), minhash(toks, 1).as("mh1"),
+        minhash(toks, 2).as("mh2"), minhash(toks, 3).as("mh3"))
+      val b0 = sig.select(lit(0).as("band_id"),
+        md5(concat_ws("|", col("mh0"), col("mh1"))).as("band_key"))
+      val b1 = sig.select(lit(1).as("band_id"),
+        md5(concat_ws("|", col("mh2"), col("mh3"))).as("band_key"))
+      b0.unionAll(b1)
+        .groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("band_id"), col("band_key"))
+    }),
+
+    "d04_ngram_jaccard" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), array_distinct(charNgrams(col("text"), 3)).as("grams"))
+      val a = g.alias("a")
+      val b = g.alias("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+                size(array_union(col("a.grams"), col("b.grams"))), 6).as("jaccard"))
+        .orderBy(col("doc_a"))
+    }),
+
+    "d05_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), simhash16Expr("text").as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
+
+  private def markerCountSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter($tokSqlDuck, t -> t IN ($set))) AS BIGINT)"
+  }
+
+  private val langPredSql: String = {
+    val scoreExprs = langMarkers.map { case (l, ws) => l -> s"s_$l" }
+    val defs = langMarkers.map { case (l, ws) => s"${markerCountSql(ws)} AS s_$l" }.mkString(", ")
+    def caseFor(i: Int): String = {
+      if (i == langMarkers.length - 1) s"'${langMarkers(i)._1}'"
+      else {
+        val mine = s"s_${langMarkers(i)._1}"
+        val rest = langMarkers.drop(i + 1).map(x => s"$mine >= s_${x._1}").mkString(" AND ")
+        s"CASE WHEN $rest THEN '${langMarkers(i)._1}' ELSE ${caseFor(i + 1)} END"
+      }
+    }
+    val allZero = langMarkers.map(x => s"s_${x._1} = 0").mkString(" AND ")
+    s"""SELECT lang, CASE WHEN $allZero THEN 'und' ELSE ${caseFor(0)} END AS pred_lang
+        FROM (SELECT lang, $defs FROM documents) scored"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(len($tokSqlDuck) AS BIGINT) AS n_tokens,
+          round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / len($tokSqlDuck), 6) AS avg_token_len
+          FROM documents ORDER BY doc_id""",
+    "t02_quality_score" ->
+      s"""SELECT doc_id,
+          round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                / length(text), 6) AS punct_ratio,
+          round(CAST(len(list_filter($tokSqlDuck,
+                  t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                / len($tokSqlDuck), 6) AS stopword_ratio,
+          round(0.4 * least(1.0, CAST(len(list_filter($tokSqlDuck,
+                  t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) * 10
+                / len($tokSqlDuck))
+              + 0.3 * (1.0 - least(1.0,
+                  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                        / length(text), 6) * 10))
+              + 0.3 * least(1.0, CAST(len($tokSqlDuck) AS DOUBLE) / 100.0), 6) AS quality
+          FROM documents ORDER BY doc_id""",
+    "t03_lang_confusion" ->
+      s"""SELECT lang, pred_lang, count(*) AS n FROM ($langPredSql) p
+          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    "d01_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "d02_minhash_sig" ->
+      s"""SELECT doc_id,
+          list_aggregate(list_transform($tokSqlDuck, t -> md5('0:' || t)), 'min') AS mh0,
+          list_aggregate(list_transform($tokSqlDuck, t -> md5('1:' || t)), 'min') AS mh1,
+          list_aggregate(list_transform($tokSqlDuck, t -> md5('2:' || t)), 'min') AS mh2,
+          list_aggregate(list_transform($tokSqlDuck, t -> md5('3:' || t)), 'min') AS mh3
+          FROM documents ORDER BY doc_id""",
+    "d03_lsh_buckets" ->
+      s"""WITH sig AS (SELECT doc_id,
+            list_aggregate(list_transform($tokSqlDuck, t -> md5('0:' || t)), 'min') AS mh0,
+            list_aggregate(list_transform($tokSqlDuck, t -> md5('1:' || t)), 'min') AS mh1,
+            list_aggregate(list_transform($tokSqlDuck, t -> md5('2:' || t)), 'min') AS mh2,
+            list_aggregate(list_transform($tokSqlDuck, t -> md5('3:' || t)), 'min') AS mh3
+            FROM documents),
+          bands AS (
+            SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+            UNION ALL
+            SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key FROM sig)
+          SELECT band_id, band_key, count(*) AS n_docs FROM bands
+          GROUP BY band_id, band_key HAVING count(*) > 1
+          ORDER BY band_id, band_key""",
+    "d04_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+           list_distinct(CASE WHEN length(text) >= 3
+             THEN list_transform(range(1, length(text) - 1), i -> substring(text, CAST(i AS INT), 3))
+             ELSE [] END) AS grams
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""",
+    "d05_simhash" ->
+      s"""SELECT doc_id, ${graft.functions.TextAnalysis.simhash16DuckSql("text")} AS simhash
+          FROM documents ORDER BY doc_id""",
+  )
+}
