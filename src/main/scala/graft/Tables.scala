@@ -19,6 +19,11 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
     * for; read it as raw long nanos and truncate to micros (integer div —
     * a double division would lose precision on 1.7e18-scale epochs).
+    *
+    * nanosAsLong is ALSO set at session build in Verify/Bench; the set here
+    * is a safety net for externally-built sessions. It only affects
+    * TIMESTAMP(NANOS) parquet columns (none of the other tables have any),
+    * so it cannot change semantics of other reads.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -101,16 +101,23 @@ object TextAnalysis {
     * sum over tokens of ±1, where the ±1 is the parity of hex digit j of
     * md5(token). Same construction as Charikar SimHash with a 16-bit
     * projection; reproducible in SQL (see [[simhash16DuckSql]]).
+    *
+    * One-pass: md5 is computed ONCE per token (round 1 recomputed it per
+    * bit — 16× the hashing work); a single fold accumulates all 16 bit
+    * counters as an array, then the sign vector packs into the hash.
     */
-  def simhash16Expr(textCol: String): Column = {
-    val terms = (0 until 16).map { j =>
-      s"""(CASE WHEN aggregate(transform(split(trim($textCol), '\\\\s+'),
-            t -> CASE WHEN instr('13579bdf', substring(md5(t), ${j + 1}, 1)) > 0
-                      THEN 1 ELSE -1 END), 0, (a, x) -> a + x) > 0
-          THEN ${1 << (15 - j)} ELSE 0 END)"""
-    }
-    expr(s"CAST((${terms.mkString(" + ")}) AS BIGINT)")
-  }
+  def simhash16Expr(textCol: String): Column =
+    expr(s"""CAST(aggregate(
+        zip_with(
+          aggregate(
+            transform(split(trim($textCol), '\\\\s+'), t -> md5(t)),
+            array_repeat(0, 16),
+            (acc, h) -> zip_with(acc, sequence(1, 16), (a, j) ->
+              a + (CASE WHEN instr('13579bdf', substring(h, j, 1)) > 0
+                        THEN 1 ELSE -1 END))),
+          sequence(15, 0, -1),
+          (cnt, p) -> CASE WHEN cnt > 0 THEN shiftleft(1, p) ELSE 0 END),
+        0, (a, x) -> a + x) AS BIGINT)""")
 
   /** DuckDB rendition of [[simhash16Expr]] for oracle SQL. */
   def simhash16DuckSql(textCol: String): String = {

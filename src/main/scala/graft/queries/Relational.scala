@@ -203,7 +203,7 @@ object Relational {
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q09_event_sessions" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM (SELECT user_id,
                  CASE WHEN prev_ts IS NULL
                         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
@@ -214,7 +214,7 @@ object Relational {
                      FROM events) a) b
          GROUP BY user_id ORDER BY user_id""",
     "q10_events_json" ->
-      """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
   )
