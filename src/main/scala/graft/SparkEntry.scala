@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Documents.queries ++
-    graft.queries.Embeddings.queries
+    graft.queries.Embeddings.queries ++
+    graft.queries.Warc.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
     graft.queries.Documents.oracleSql ++
-    graft.queries.Embeddings.oracleSql
+    graft.queries.Embeddings.oracleSql ++
+    graft.queries.Warc.oracleSql
 }

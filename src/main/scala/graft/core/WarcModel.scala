@@ -92,8 +92,21 @@ final case class WarcRecord(
   def blockDigestOk: Option[Boolean] =
     headers.get("WARC-Block-Digest").map(Digests.verify(_, content))
 
+  /** None when unverifiable: no digest header, or the payload is HTTP but
+    * was not isolated (parse_http off / no split found) — verifying the
+    * digest against bytes that still include the HTTP header would yield
+    * a spurious verdict (reference: verify_payload_digest returns False
+    * only for a real mismatch of the isolated payload, warc.pyx:1000-1024).
+    */
   def payloadDigestOk: Option[Boolean] =
-    headers.get("WARC-Payload-Digest").map { d =>
-      Digests.verify(d, http.map(_.body).getOrElse(content))
+    headers.get("WARC-Payload-Digest").flatMap { d =>
+      http match {
+        case Some(m) => Some(Digests.verify(d, m.body))
+        case None =>
+          val isHttpCt = headers.get("Content-Type")
+            .exists(_.trim.toLowerCase.startsWith("application/http"))
+          if (isHttpCt) None // HTTP payload not isolated -> unverifiable
+          else Some(Digests.verify(d, content))
+      }
     }
 }

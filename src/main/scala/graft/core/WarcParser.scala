@@ -22,7 +22,13 @@ final case class WarcParseOptions(
     parseHttp: Boolean = true,
     keepMetaOverMax: Boolean = false,
     strict: Boolean = false,
-    maxHeaderBytes: Int = 1 << 20)
+    maxHeaderBytes: Int = 1 << 20,
+    /** false = envelope-only scan: payloads are skipped, never buffered —
+      * the column-pruning analog of the reference's early-exit header
+      * parse (warc.pyx:1216-1230). Set by the Spark scan when no
+      * content/http/digest column is required.
+      */
+    readPayload: Boolean = true)
 
 /** Streaming WARC record parser: the scan inner loop
   * (reference semantics: warc.pyx:1172-1262, record.rs:973-1040).
@@ -75,20 +81,27 @@ final class WarcParser(
       }
 
       // 2. header block
-      val headers = parseHeaderBlock()
+      val (headers, headersTruncated) = parseHeaderBlock()
       val contentLength = headers.get("Content-Length").flatMap(s => Try(s.trim.toLong).toOption)
       val recType = headers.get("WARC-Type").map(_.trim.toLowerCase).getOrElse("unknown")
       val mask = RecordType.mask(recType)
+
+      // Oversized header blocks surface as an error flag rather than a
+      // silently-truncated HeaderMap (indistinguishable from well-formed).
+      def withTruncFlag(r: WarcRecord): WarcRecord =
+        if (headersTruncated && r.error.isEmpty)
+          r.copy(error = Some("header block truncated: exceeds max_header_bytes"))
+        else r
 
       contentLength match {
         case None =>
           // Missing Content-Length (clueweb-style quirk): emit envelope
           // with error, then resync at the next version line.
           if (RecordType.matches(mask, opts.recordTypeMask)) {
-            return WarcRecord(filename, offset, reader.position - offset,
+            return withTruncFlag(WarcRecord(filename, offset, reader.position - offset,
               headers.get("WARC-Record-ID"), recType, mask,
               parseDate(headers), -1L, headers, Array.emptyByteArray, None,
-              Some("missing Content-Length"))
+              Some("missing Content-Length")))
           }
         case Some(len) =>
           // 3. cheap pushed-down filters, evaluated before touching payload
@@ -99,16 +112,16 @@ final class WarcParser(
             reader.skipFully(len) // skip, never buffer
           } else if (!maxOk) {
             reader.skipFully(len)
-            return WarcRecord(filename, offset, reader.position - offset,
+            return withTruncFlag(WarcRecord(filename, offset, reader.position - offset,
               headers.get("WARC-Record-ID"), recType, mask,
               parseDate(headers), len, headers, Array.emptyByteArray, None,
-              Some("payload dropped: exceeds max_content_length"))
+              Some("payload dropped: exceeds max_content_length")))
           } else {
             // `length` spans version line through content end; the full
             // on-stream footprint incl. the \r\n\r\n separator is
             // lead(offset) - offset (CDXJ window query).
-            return readContent(offset, headers, recType, mask, len)
-              .copy(length = reader.position - offset)
+            return withTruncFlag(readContent(offset, headers, recType, mask, len)
+              .copy(length = reader.position - offset))
           }
       }
     }
@@ -118,6 +131,13 @@ final class WarcParser(
   private def readContent(
       offset: Long, headers: HeaderMap, recType: String,
       mask: Int, len: Long): WarcRecord = {
+    if (!opts.readPayload) {
+      val complete = reader.skipFully(len)
+      return WarcRecord(filename, offset, reader.position - offset,
+        headers.get("WARC-Record-ID"), recType, mask, parseDate(headers),
+        len, headers, Array.emptyByteArray, None,
+        if (complete) None else Some("truncated record: stream ended mid-payload"))
+    }
     if (len > Int.MaxValue - 8) {
       reader.skipFully(len)
       return WarcRecord(filename, offset, reader.position - offset,
@@ -143,10 +163,14 @@ final class WarcParser(
 
   /** `Key: value` lines until the empty line; continuation lines (leading
     * space/tab) folded with a single space (record.rs:546-555); UTF-8.
+    * Returns (headers, truncated): lines past maxHeaderBytes are consumed
+    * but not kept, and the truncation is reported so the record carries an
+    * error flag instead of masquerading as well-formed.
     */
-  private def parseHeaderBlock(): HeaderMap = {
+  private def parseHeaderBlock(): (HeaderMap, Boolean) = {
     var entries = Vector.empty[(String, String)]
     var total = 0
+    var truncated = false
     var done = false
     while (!done) {
       reader.readLine() match {
@@ -165,10 +189,10 @@ final class WarcParser(
                 entries = entries :+ (s.substring(0, colon).trim -> s.substring(colon + 1).trim)
               // lines without ':' outside a continuation are dropped (tolerant)
             }
-          }
+          } else truncated = true
       }
     }
-    HeaderMap(entries)
+    (HeaderMap(entries), truncated)
   }
 
   private def parseDate(headers: HeaderMap): Option[Instant] =

@@ -2,7 +2,7 @@ package graft.core
 
 import java.io.{BufferedInputStream, EOFException, InputStream}
 import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
-import net.jpountz.lz4.LZ4FrameInputStream
+import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream
 
 /** Buffered byte reader over a (possibly decompressed) WARC stream with
   * the primitives the record parser needs: CRLF line reads, bounded fully
@@ -10,22 +10,36 @@ import net.jpountz.lz4.LZ4FrameInputStream
   * (the reference's BufferedReader, stream_io.pyx:861-1126, re-thought
   * for the JVM; position ≈ stream_pos, warc.pyx:712-719).
   */
-final class WarcByteReader(in: InputStream, bufSize: Int = 64 * 1024) {
+final class WarcByteReader(in: InputStream, bufSize: Int = 64 * 1024,
+    baseOffset: Long = 0L) {
   private val buf = new Array[Byte](bufSize)
   private var lo = 0
   private var hi = 0
-  private var consumed: Long = 0L
+  private var consumed: Long = baseOffset
   private var eof = false
 
   /** Bytes consumed from the (decompressed) stream so far. */
   def position: Long = consumed
+
+  /** Set when the underlying stream died mid-read (e.g. a truncated gzip
+    * member): the reader reports EOF and the parser emits the partial
+    * record with an error column — a corrupt archive must not fail the
+    * task (exc_loop doctrine, itertools.pyx:37-63).
+    */
+  private var _streamError: Option[String] = None
+  def streamError: Option[String] = _streamError
 
   private def fill(): Boolean = {
     if (lo < hi) return true
     if (eof) return false
     lo = 0
     hi = 0
-    val n = in.read(buf)
+    val n =
+      try in.read(buf)
+      catch { case e: java.io.IOException =>
+        _streamError = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1
+      }
     if (n <= 0) { eof = true; false }
     else { hi = n; true }
   }
@@ -139,7 +153,10 @@ object WarcCodecs {
     buffered.reset()
     sniff(java.util.Arrays.copyOf(head, n)) match {
       case Some(Gzip) => (new GzipCompressorInputStream(buffered, true), Gzip)
-      case Some(Lz4)  => (new LZ4FrameInputStream(buffered), Lz4)
+      // commons-compress (not lz4-java): frames with DEPENDENT blocks —
+      // which real WARC-LZ4 corpora use — need the 64 KiB history window
+      // the lz4-java frame reader refuses to keep.
+      case Some(Lz4)  => (new FramedLZ4CompressorInputStream(buffered, true), Lz4)
       case _          => (buffered, Raw)
     }
   }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Oracle-checked queries over the reference's own WARC fixture corpus
+  * (/root/reference/tests/data — 50 Common Crawl records, see FIXTURES.md).
+  *
+  * These exercise the `spark.read.format("warc")` DataSource V2 end to
+  * end: codec sniffing (raw/gzip/LZ4), envelope parse, HTTP split, digest
+  * verification, and the CDXJ lead()-window index shape. The oracles are
+  * static literals independently derived from the raw fixture bytes (NOT
+  * from this parser), so they cross-check the whole scan pipeline.
+  * Expected values match the reference's own test pins
+  * (tests/fastwarc/test_warc.py:21-22 NUM_RECORDS=50 etc.).
+  */
+object Warc {
+
+  /** Fixture corpus location (read-only). */
+  val FixtureDir = "/root/reference/tests/data"
+
+  private def scan(s: SparkSession, file: String): DataFrame =
+    s.read.format("warc").load(s"$FixtureDir/$file")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Record-type histogram over the gzip variant (codec auto-detect +
+    // envelope-only scan: column pruning must keep payloads unread).
+    "w01_warc_types" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .groupBy(col("record_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("record_type"))
+    }),
+
+    // HTTP response projection: status + media type derivations.
+    "w02_warc_http" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .groupBy(col("http_status"), col("http_content_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("http_status"), col("http_content_type"))
+    }),
+
+    // Digest verification summary (reference `verify_digests` report,
+    // fastwarc-py/fastwarc/tools.pyx:155-197).
+    "w03_warc_digests" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .agg(
+          count(lit(1)).as("n_records"),
+          count(col("block_digest_ok")).as("n_block_present"),
+          sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_block_ok"),
+          count(col("payload_digest_ok")).as("n_payload_present"),
+          sum(when(col("payload_digest_ok"), 1L).otherwise(0L)).as("n_payload_ok"))
+    }),
+
+    // Offset accounting across the decompressed stream (stream_pos
+    // semantics, warc.pyx:712-719): first five records.
+    "w04_warc_offsets" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .select(col("offset"), col("record_type"), col("content_length"))
+        .orderBy(col("offset")).limit(5)
+    }),
+
+    // All three codec variants decode to the identical record stream.
+    "w05_warc_codecs" -> ((s, _) => {
+      s.read.format("warc")
+        .load(s"$FixtureDir/warcfile.warc",
+              s"$FixtureDir/warcfile.warc.gz",
+              s"$FixtureDir/warcfile.warc.lz4")
+        .groupBy(regexp_extract(col("filename"), "([^/]+)$", 1).as("file"))
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("content_length")).as("sum_content_length"))
+        .orderBy(col("file"))
+    }),
+
+    // Charset extraction from the HTTP Content-Type parameter.
+    "w06_warc_charsets" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .groupBy(coalesce(col("http_charset"), lit("none")).as("http_charset"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("http_charset"))
+    }),
+
+    // CDXJ index rows: length of a record = next record's offset − its own
+    // (one-record lookahead, fastwarc-py/fastwarc/cli.py:277-283) as a
+    // lead() window partitioned by file — the scan's scale-safe shape.
+    "w07_warc_cdxj" -> ((s, _) => {
+      val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
+      scan(s, "warcfile.warc")
+        .select(col("offset"), col("record_type"), col("filename"))
+        .withColumn("length",
+          coalesce(lead(col("offset"), 1).over(w), lit(550336L)) - col("offset"))
+        .select(col("offset"), col("length"), col("record_type"))
+        .orderBy(col("offset"))
+    }),
+
+    // Pushdown path: record_types option + min_content_length reach the
+    // parser, so filtered payloads are skipped, never buffered.
+    "w08_warc_pushdown" -> ((s, _) => {
+      s.read.format("warc")
+        .option("record_types", "response")
+        .option("min_content_length", 20000)
+        .load(s"$FixtureDir/warcfile.warc.gz")
+        .agg(count(lit(1)).as("n"), sum(col("content_length")).as("total_bytes"))
+    }),
+  )
+
+  /** Ground truth derived independently from the fixture bytes (python
+    * reference parse over warcfile.warc; see FIXTURES.md). DuckDB just
+    * SELECTs the literals — the compare still checks schema + row hashes.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "w01_warc_types" ->
+      """SELECT record_type, CAST(n AS BIGINT) AS n FROM (VALUES
+         ('metadata', 16), ('request', 17), ('response', 16), ('warcinfo', 1))
+         t(record_type, n) ORDER BY record_type""",
+    "w02_warc_http" ->
+      """SELECT CAST(200 AS INT) AS http_status, 'text/html' AS http_content_type,
+         CAST(16 AS BIGINT) AS n""",
+    "w03_warc_digests" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(16 AS BIGINT) AS n_block_present, CAST(16 AS BIGINT) AS n_block_ok,
+         CAST(16 AS BIGINT) AS n_payload_present, CAST(16 AS BIGINT) AS n_payload_ok""",
+    "w04_warc_offsets" ->
+      """SELECT CAST("offset" AS BIGINT) AS "offset", record_type,
+         CAST(content_length AS BIGINT) AS content_length FROM (VALUES
+         (0, 'warcinfo', 501), (764, 'request', 310), (1428, 'response', 36578),
+         (38592, 'metadata', 201), (39175, 'request', 252))
+         t("offset", record_type, content_length) ORDER BY "offset"""",
+    "w05_warc_codecs" ->
+      """SELECT file, CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS sum_content_length FROM (VALUES
+         ('warcfile.warc'), ('warcfile.warc.gz'), ('warcfile.warc.lz4')) t(file)
+         ORDER BY file""",
+    // NB: one response carries TWO HTTP Content-Type headers; the
+    // reference's Python-facing lookup takes the LAST occurrence
+    // (warc.pyx:302-314), which has no charset param — hence none=9.
+    "w06_warc_charsets" ->
+      """SELECT http_charset, CAST(n AS BIGINT) AS n FROM (VALUES
+         ('gb2312', 2), ('none', 9), ('utf-8', 4), ('windows-1251', 1))
+         t(http_charset, n) ORDER BY http_charset""",
+    "w07_warc_cdxj" ->
+      """SELECT CAST("offset" AS BIGINT) AS "offset", CAST(length AS BIGINT) AS length,
+         record_type FROM (VALUES
+         (0,764,'warcinfo'),(764,664,'request'),(1428,37164,'response'),
+         (38592,583,'metadata'),(39175,600,'request'),(39775,105492,'response'),
+         (145267,583,'metadata'),(145850,649,'request'),(146499,16048,'response'),
+         (162547,601,'metadata'),(163148,585,'request'),(163733,8926,'response'),
+         (172659,657,'metadata'),(173316,674,'request'),(173990,15869,'response'),
+         (189859,586,'metadata'),(190445,690,'request'),(191135,38667,'response'),
+         (229802,596,'metadata'),(230398,654,'request'),(231052,24027,'response'),
+         (255079,602,'metadata'),(255681,643,'request'),(256324,15943,'response'),
+         (272267,686,'metadata'),(272953,733,'request'),(273686,34435,'response'),
+         (308121,795,'metadata'),(308916,715,'request'),(309631,37561,'response'),
+         (347192,699,'metadata'),(347891,675,'request'),(348566,36154,'response'),
+         (384720,614,'metadata'),(385334,626,'request'),(385960,11757,'response'),
+         (397717,763,'metadata'),(398480,622,'request'),(399102,109080,'response'),
+         (508182,679,'metadata'),(508861,703,'request'),(509564,11549,'response'),
+         (521113,602,'metadata'),(521715,693,'request'),(522408,16829,'response'),
+         (539237,595,'metadata'),(539832,640,'request'),(540472,8644,'response'),
+         (549116,596,'metadata'),(549712,624,'request'))
+         t("offset", length, record_type) ORDER BY "offset"""",
+    "w08_warc_pushdown" ->
+      """SELECT CAST(8 AS BIGINT) AS n, CAST(417729 AS BIGINT) AS total_bytes""",
+  )
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Spark-level contract of `spark.read.format("warc")`: schema, codec
+  * auto-detect, pushdown options, column pruning, and raw-file range
+  * splitting (split ownership by record start offset).
+  */
+class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val DataDir = "/root/reference/tests/data"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("warc-source-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("scan reads 50 records from every codec variant") {
+    for (f <- Seq("warcfile.warc", "warcfile.warc.gz", "warcfile.warc.lz4")) {
+      assert(spark.read.format("warc").load(s"$DataDir/$f").count() == 50L, f)
+    }
+  }
+
+  test("schema exposes the full WARC row") {
+    val df = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+    val names = df.schema.fieldNames.toSeq
+    assert(names.contains("record_type") && names.contains("headers") &&
+      names.contains("http_status") && names.contains("content") &&
+      names.contains("block_digest_ok") && names.contains("error"))
+  }
+
+  test("catalyst filter on record_type returns exactly the responses") {
+    val n = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .filter("record_type = 'response'").count()
+    assert(n == 16L)
+  }
+
+  test("record_types option prunes at the parser") {
+    val n = spark.read.format("warc").option("record_types", "request,metadata")
+      .load(s"$DataDir/warcfile.warc").count()
+    assert(n == 33L) // 17 requests + 16 metadata
+  }
+
+  test("envelope-only projection still yields correct lengths") {
+    import org.apache.spark.sql.functions._
+    val total = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+      .agg(sum("content_length")).head.getLong(0)
+    assert(total == 527846L)
+  }
+
+  test("raw files split into byte-range partitions without losing records") {
+    val df = spark.read.format("warc")
+      .option("max_partition_bytes", 64 * 1024) // force ~9 splits of 550KB
+      .load(s"$DataDir/warcfile.warc")
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.count() == 50L)
+    // identical offsets to the unsplit read (no dup, no loss at boundaries)
+    val split = df.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    val whole = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+      .select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(split == whole)
+  }
+
+  test("compressed files never split (start>0 ranges yield nothing twice)") {
+    val df = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(s"$DataDir/warcfile.warc.gz")
+    assert(df.count() == 50L)
+  }
+
+  test("headers column preserves order and duplicate keys") {
+    import org.apache.spark.sql.functions._
+    val row = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+      .filter("record_type = 'warcinfo'")
+      .select(expr("filter(headers, h -> lower(h.key) = 'content-type')[0].value"))
+      .head
+    assert(row.getString(0) == "application/warc-fields")
+  }
+
+  test("clipped archive yields rows with error set instead of failing the job") {
+    val recs = spark.read.format("warc").load(s"$DataDir/clipped.warc.gz")
+      .select("error").collect().map(r => Option(r.getString(0)))
+    assert(recs.nonEmpty)
+    assert(recs.flatten.exists(_.contains("truncated")))
+  }
+}
