@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import graft.core.{Encodings, HttpDecode}
+
+/** Column functions for noisy web payloads: charset detection, resilient
+  * decoding, MIME sniffing, HTTP body decompression.
+  *
+  * These are Scala UDFs by design: each wraps a JVM library kernel (ICU
+  * charset detection, java.util.zip) that has no Catalyst-expression
+  * equivalent, and each is a per-row pure function on a binary column —
+  * the Spark analog of the reference's per-document nogil kernels
+  * (encoding.pyx, warc.pyx:785-837). They sit AFTER pushdown/pruning in
+  * any sane plan, so the codegen break costs one virtual call per row on
+  * already-filtered data.
+  */
+object Web {
+
+  /** detect_encoding(content) -> canonical charset name (never null:
+    * utf-8 fallback). Head/tail-sampled at 128 KiB like the reference.
+    */
+  val detectEncoding: Column => Column = {
+    val f = udf((data: Array[Byte]) =>
+      if (data == null) null
+      else Encodings.detectEncoding(data, fromHtmlMeta = true).orNull)
+    c => f(c)
+  }
+
+  /** detect_mime(content) -> MIME type by magic bytes. */
+  val detectMime: Column => Column = {
+    val f = udf((data: Array[Byte]) =>
+      if (data == null) null else Encodings.detectMime(data))
+    c => f(c)
+  }
+
+  /** bytes_to_str(content, charset) -> string via the resilient decode
+    * ladder (never fails; BOM stripped; utf-8/cp1252 fallbacks).
+    */
+  val bytesToStr: (Column, Column) => Column = {
+    val f = udf((data: Array[Byte], enc: String) =>
+      if (data == null) null
+      else Encodings.bytesToStr(data, Option(enc).getOrElse("utf-8")))
+    (c, e) => f(c, e)
+  }
+
+  /** Decode content per the charset detected from the content itself. */
+  def decodeText(content: Column): Column =
+    bytesToStr(content, detectEncoding(content))
+
+  /** decode_http_body(body, content_encoding, transfer_encoding) ->
+    * struct(body binary, applied array<string>, failed string).
+    * Encodings applied in reverse chain order; failures surface in
+    * `failed`, never as task errors.
+    */
+  val decodeHttpBody: (Column, Column, Column) => Column = {
+    val f = udf((data: Array[Byte], ce: String, te: String) =>
+      if (data == null) null
+      else HttpDecode.decodeBody(data, Option(ce), Option(te)))
+    (b, ce, te) => f(b, ce, te)
+  }
+
+  /** dechunk(body) -> binary (null if not parseable as chunked). */
+  val dechunk: Column => Column = {
+    val f = udf((data: Array[Byte]) =>
+      if (data == null) null else HttpDecode.dechunk(data).orNull)
+    c => f(c)
+  }
+}

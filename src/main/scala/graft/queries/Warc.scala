@@ -105,6 +105,37 @@ object Warc {
         .load(s"$FixtureDir/warcfile.warc.gz")
         .agg(count(lit(1)).as("n"), sum(col("content_length")).as("total_bytes"))
     }),
+
+    // MIME sniffing over the decoded HTTP bodies (detect_mime,
+    // encoding.pyx:370-406): magic bytes + XHTML refinement.
+    "w09_warc_mime" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .groupBy(graft.functions.Web.detectMime(col("http_body")).as("mime"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("mime"))
+    }),
+
+    // Charset detection (meta probe + ICU statistics + WHATWG remap,
+    // encoding.pyx:196-258) over response bodies; cross-checkable against
+    // the HTTP charset headers (cp1251 page declares windows-1251).
+    "w10_warc_encodings" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .groupBy(graft.functions.Web.detectEncoding(col("http_body")).as("enc"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("enc"))
+    }),
+
+    // Full decode pipeline: bytes -> detected charset -> resilient decode
+    // ladder; total decoded char count is deterministic.
+    "w11_warc_decoded_text" -> ((s, _) => {
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .agg(sum(length(graft.functions.Web.decodeText(col("http_body"))))
+               .as("total_chars"),
+             count(lit(1)).as("n"))
+    }),
   )
 
   /** Ground truth derived independently from the fixture bytes (python
@@ -164,5 +195,18 @@ object Warc {
          t("offset", length, record_type) ORDER BY "offset"""",
     "w08_warc_pushdown" ->
       """SELECT CAST(8 AS BIGINT) AS n, CAST(417729 AS BIGINT) AS total_bytes""",
+    // w09-w11 pin the deterministic output of the ICU+WHATWG pipeline on
+    // the fixture (regression oracle; sanity cross-checked against the
+    // HTTP charset headers — see w06).
+    "w09_warc_mime" ->
+      """SELECT mime, CAST(n AS BIGINT) AS n FROM (VALUES
+         ('application/octet-stream', 2), ('application/xhtml+xml', 9),
+         ('text/html', 4), ('text/plain', 1)) t(mime, n) ORDER BY mime""",
+    "w10_warc_encodings" ->
+      """SELECT enc, CAST(n AS BIGINT) AS n FROM (VALUES
+         ('cp1251', 1), ('cp1252', 2), ('gbk', 6), ('utf-8', 7)) t(enc, n)
+         ORDER BY enc""",
+    "w11_warc_decoded_text" ->
+      """SELECT CAST(471175 AS BIGINT) AS total_chars, CAST(16 AS BIGINT) AS n""",
   )
 }
