@@ -171,15 +171,26 @@ object Encodings {
     else raw.map(_.toLowerCase)
   }
 
+  private def hasUtf16Bom(data: Array[Byte]): Boolean =
+    data.length >= 2 &&
+      (((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xfe) ||
+       ((data(0) & 0xff) == 0xfe && (data(1) & 0xff) == 0xff))
+
   private def stripBomBytes(data: Array[Byte], canonical: String): Array[Byte] = {
     def drop(n: Int) = java.util.Arrays.copyOfRange(data, n, data.length)
     if (canonical == "utf-8" && data.length >= 3 &&
         (data(0) & 0xff) == 0xef && (data(1) & 0xff) == 0xbb && (data(2) & 0xff) == 0xbf) drop(3)
-    else if (canonical.startsWith("utf-16") && data.length >= 2 &&
-        (((data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xfe) ||
-         ((data(0) & 0xff) == 0xfe && (data(1) & 0xff) == 0xff))) drop(2)
-    else data
+    else data // utf-16 BOMs are consumed by the BOM-aware UTF-16 decoder
   }
+
+  /** A utf-16 payload carrying a BOM must decode per the BOM, not the
+    * labeled endianness (the reference gets this via Python's 'utf-16'
+    * codec — __map_utf, encoding.pyx:309-320).
+    */
+  private def effectiveCharset(canonical: String, data: Array[Byte]): Option[Charset] =
+    if (canonical.startsWith("utf-16") && hasUtf16Bom(data))
+      Try(Charset.forName("UTF-16")).toOption
+    else javaCharset(canonical)
 
   private def decodeStrict(data: Array[Byte], cs: Charset): Option[String] = {
     val dec = cs.newDecoder()
@@ -201,7 +212,7 @@ object Encodings {
     val candidates = (primary +: fallbackEncodings.map(f =>
       mapToHtml5(f, fallbackUtf8 = false).getOrElse(f))).distinct
     candidates.foreach { canon =>
-      javaCharset(canon).foreach { cs =>
+      effectiveCharset(canon, data).foreach { cs =>
         val d = if (stripBom) stripBomBytes(data, canon) else data
         decodeStrict(d, cs) match {
           case Some(s) => return s
@@ -209,7 +220,7 @@ object Encodings {
         }
       }
     }
-    val cs = javaCharset(primary).getOrElse(StandardCharsets.UTF_8)
+    val cs = effectiveCharset(primary, data).getOrElse(StandardCharsets.UTF_8)
     val d = if (stripBom) stripBomBytes(data, primary) else data
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.IGNORE)

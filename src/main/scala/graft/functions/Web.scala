@@ -67,4 +67,45 @@ object Web {
       if (data == null) null else HttpDecode.dechunk(data).orNull)
     c => f(c)
   }
+
+  // — HTML (graft.html parser; DOM stays inside the expression,
+  //   results come out as scalar columns — SURVEY §1.4) —
+
+  /** html_title(content, charset) -> document title. */
+  val htmlTitle: (Column, Column) => Column = {
+    val f = udf((data: Array[Byte], charset: String) =>
+      if (data == null) null
+      else graft.html.HtmlTree.parseFromBytes(data, charset).title)
+    (c, cs) => f(c, cs)
+  }
+
+  /** select_css(content, charset, selector) -> array<string> of the
+    * matched elements' text contents (document order).
+    */
+  val selectCssText: (Column, Column, String) => Column = {
+    val f = udf((data: Array[Byte], charset: String, selector: String) =>
+      if (data == null) null
+      else graft.html.HtmlTree.parseFromBytes(data, charset)
+        .body.querySelectorAll(selector).map(_.text))
+    (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
+  }
+
+  /** css_matches(content, charset, selector) -> boolean: any element in
+    * the body subtree matches.
+    */
+  val cssMatches: (Column, Column, String) => Column = {
+    val f = udf((data: Array[Byte], charset: String, selector: String) =>
+      if (data == null) false
+      else graft.html.HtmlTree.parseFromBytes(data, charset).body.matches(selector))
+    (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
+  }
+
+  /** count_css(content, charset, selector) -> int matched-element count. */
+  val countCss: (Column, Column, String) => Column = {
+    val f = udf((data: Array[Byte], charset: String, selector: String) =>
+      if (data == null) 0
+      else graft.html.HtmlTree.parseFromBytes(data, charset)
+        .body.querySelectorAll(selector).size)
+    (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
+  }
 }

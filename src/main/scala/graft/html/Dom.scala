@@ -1,0 +1,253 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** Node types mirroring the reference's DOM surface
+  * (resiliparse-py/resiliparse/parse/html.pyx:522-958; WHATWG-style trait
+  * hierarchy resiliparse/src/parse/html/dom/traits.rs:180-688).
+  */
+object NodeType extends Enumeration {
+  val Document, DocumentType, Element, Text, Comment = Value
+}
+
+/** A mutable DOM node (linked-list siblings, parent pointer) — the
+  * ephemeral per-document tree the engine materializes INSIDE expressions;
+  * never a Spark column (SURVEY §1.4).
+  */
+final class DomNode(val nodeType: NodeType.Value, val tag: String) {
+
+  /** Text/comment content; null for non-character nodes. */
+  var value: String = _
+
+  var parent: DomNode = _
+  var firstChild: DomNode = _
+  var lastChild: DomNode = _
+  var next: DomNode = _
+  var prev: DomNode = _
+
+  /** Ordered attribute map (elements only). */
+  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+
+  def isElement: Boolean = nodeType == NodeType.Element
+  def isText: Boolean = nodeType == NodeType.Text
+
+  def getattr(name: String): Option[String] = attrs.get(name.toLowerCase)
+  def hasattr(name: String): Boolean = attrs.contains(name.toLowerCase)
+  def setattr(name: String, v: String): Unit = attrs(name.toLowerCase) = v
+  def id: String = getattr("id").getOrElse("")
+  def className: String = getattr("class").getOrElse("")
+  def classList: Seq[String] = className.split("\\s+").filter(_.nonEmpty).toSeq
+
+  def childNodes: Vector[DomNode] = {
+    val b = Vector.newBuilder[DomNode]
+    var c = firstChild
+    while (c != null) { b += c; c = c.next }
+    b.result()
+  }
+
+  def firstElementChild: DomNode = {
+    var c = firstChild
+    while (c != null && !c.isElement) c = c.next
+    c
+  }
+  def lastElementChild: DomNode = {
+    var c = lastChild
+    while (c != null && !c.isElement) c = c.prev
+    c
+  }
+  def nextElement: DomNode = {
+    var c = next
+    while (c != null && !c.isElement) c = c.next
+    c
+  }
+  def prevElement: DomNode = {
+    var c = prev
+    while (c != null && !c.isElement) c = c.prev
+    c
+  }
+
+  def appendChild(c: DomNode): DomNode = {
+    if (c.parent != null) c.parent.removeChild(c)
+    c.parent = this
+    c.prev = lastChild
+    c.next = null
+    if (lastChild != null) lastChild.next = c else firstChild = c
+    lastChild = c
+    c
+  }
+
+  def insertBefore(c: DomNode, ref: DomNode): DomNode = {
+    if (ref == null) return appendChild(c)
+    if (c.parent != null) c.parent.removeChild(c)
+    c.parent = this
+    c.next = ref
+    c.prev = ref.prev
+    if (ref.prev != null) ref.prev.next = c else firstChild = c
+    ref.prev = c
+    c
+  }
+
+  def removeChild(c: DomNode): DomNode = {
+    require(c.parent eq this, "not a child of this node")
+    if (c.prev != null) c.prev.next = c.next else firstChild = c.next
+    if (c.next != null) c.next.prev = c.prev else lastChild = c.prev
+    c.parent = null; c.prev = null; c.next = null
+    c
+  }
+
+  def replaceChild(newChild: DomNode, oldChild: DomNode): DomNode = {
+    insertBefore(newChild, oldChild)
+    removeChild(oldChild)
+  }
+
+  /** Concatenated descendant text (Element.text semantics,
+    * html.pyx:714-746).
+    */
+  def text: String = {
+    if (isText || nodeType == NodeType.Comment) return if (value == null) "" else value
+    val sb = new StringBuilder
+    DomTraversal.preOrder(this) { n =>
+      if (n.isText && n.value != null) sb.append(n.value)
+      true
+    }
+    sb.toString
+  }
+
+  /** Serialized outer HTML. */
+  def html: String = {
+    val sb = new StringBuilder
+    Serializer.serialize(this, sb)
+    sb.toString
+  }
+
+  /** Pre-order iterator over this subtree (node itself included),
+    * matching the reference's stepwise traversal (html.pyx:117-151).
+    */
+  def iterateSubtree: Iterator[DomNode] = {
+    val b = Vector.newBuilder[DomNode]
+    DomTraversal.preOrder(this) { n => b += n; true }
+    b.result().iterator
+  }
+
+  /** All element descendants (strict: this node excluded). */
+  def descendantElements: Vector[DomNode] = {
+    val b = Vector.newBuilder[DomNode]
+    DomTraversal.preOrder(this) { n =>
+      if ((n ne this) && n.isElement) b += n
+      true
+    }
+    b.result()
+  }
+
+  // — selection (reference surface html.pyx:1071-1214) —
+  def querySelector(selector: String): Option[DomNode] =
+    CssSelector.parse(selector).firstMatch(this)
+  def querySelectorAll(selector: String): Vector[DomNode] =
+    CssSelector.parse(selector).allMatches(this)
+  /** True if ANY element in the subtree matches (html.pyx:1109-1123). */
+  def matches(selector: String): Boolean =
+    CssSelector.parse(selector).firstMatch(this).isDefined
+
+  def getElementById(idv: String): Option[DomNode] =
+    descendantElements.find(_.getattr("id").contains(idv))
+  def getElementsByTagName(t: String): Vector[DomNode] =
+    descendantElements.filter(_.tag == t.toLowerCase)
+  def getElementsByClassName(cls: String): Vector[DomNode] =
+    if (cls.isEmpty) Vector.empty
+    else descendantElements.filter(_.classList.contains(cls))
+  def getElementsByAttr(name: String, v: String): Vector[DomNode] =
+    descendantElements.filter(_.getattr(name).contains(v))
+
+  override def toString: String = nodeType match {
+    case NodeType.Element => s"<$tag>"
+    case NodeType.Text => if (value == null) "" else value
+    case NodeType.Comment => s"<!--$value-->"
+    case NodeType.Document => "[HTML Document]"
+    case NodeType.DocumentType => "<!DOCTYPE html>"
+  }
+}
+
+object DomTraversal {
+  /** Pre-order walk; `visit` returns false to skip the node's subtree. */
+  def preOrder(root: DomNode)(visit: DomNode => Boolean): Unit = {
+    def rec(n: DomNode): Unit = {
+      if (visit(n)) {
+        var c = n.firstChild
+        while (c != null) { rec(c); c = c.next }
+      }
+    }
+    rec(root)
+  }
+
+  /** Stepwise traversal with start/end callbacks and depth tracking —
+    * the reference's traverse_dom / next_node with end-tag flag
+    * (html.pyx:117-151,1885-1935). `start` returns false to skip the
+    * subtree (the end callback still fires for the skipped node).
+    */
+  def traverse(root: DomNode)(
+      start: (DomNode, Int) => Boolean, end: (DomNode, Int) => Unit): Unit = {
+    def rec(n: DomNode, depth: Int): Unit = {
+      val descend = start(n, depth)
+      if (descend) {
+        var c = n.firstChild
+        while (c != null) { rec(c, depth + 1); c = c.next }
+      }
+      end(n, depth)
+    }
+    rec(root, 0)
+  }
+}
+
+object Serializer {
+  /** Void elements per HTML5 (no end tag). */
+  val VoidElements: Set[String] = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+
+  def escapeText(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def escapeAttr(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '"' => sb.append("&quot;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def serialize(n: DomNode, sb: StringBuilder): Unit = n.nodeType match {
+    case NodeType.Document =>
+      var c = n.firstChild
+      while (c != null) { serialize(c, sb); c = c.next }
+    case NodeType.DocumentType =>
+      sb.append("<!DOCTYPE ").append(if (n.value == null) "html" else n.value).append('>')
+    case NodeType.Comment =>
+      sb.append("<!--").append(if (n.value == null) "" else n.value).append("-->")
+    case NodeType.Text =>
+      // script/style contents serialize raw
+      val rawParent = n.parent != null &&
+        (n.parent.tag == "script" || n.parent.tag == "style")
+      sb.append(if (rawParent) n.value else escapeText(if (n.value == null) "" else n.value))
+    case NodeType.Element =>
+      sb.append('<').append(n.tag)
+      n.attrs.foreach { case (k, v) =>
+        sb.append(' ').append(k)
+        if (v != null) sb.append("=\"").append(escapeAttr(v)).append('"')
+      }
+      sb.append('>')
+      if (!VoidElements.contains(n.tag)) {
+        var c = n.firstChild
+        while (c != null) { serialize(c, sb); c = c.next }
+        sb.append("</").append(n.tag).append('>')
+      }
+  }
+}

@@ -1,0 +1,279 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** Tolerant HTML5-ish tokenizer + tree builder.
+  *
+  * Scope: the behaviors the reference's own tests pin
+  * (tests/resiliparse/parse/test_html.py:60-115 quirks, structure
+  * enforcement, RCDATA/raw-text elements) — not a spec-complete HTML5
+  * parser (reference backend is lexbor; SURVEY §7 Phase 3 scopes parity
+  * to the pipeline-used surface). Guarantees:
+  *  - a document ALWAYS has html/head/body elements;
+  *  - head-content elements before the body start go to head, everything
+  *    else to body (unclosed head handled);
+  *  - void elements never take children; raw-text (script/style) and
+  *    RCDATA (title/textarea) contents are never tokenized as markup;
+  *  - common implicit-close rules (p before block, li/dt/dd/tr/td/th,
+  *    option) so real-world tag soup nests sanely;
+  *  - never throws: any byte sequence yields a tree.
+  */
+object HtmlParser {
+
+  private val HeadContent = Set("title", "base", "link", "meta", "style", "script", "noscript", "template")
+  private val RawText = Set("script", "style", "xmp", "noframes")
+  private val RcData = Set("title", "textarea")
+
+  /** Elements whose start tag implicitly closes an open <p>. */
+  private val ClosesP = Set("address", "article", "aside", "blockquote", "details",
+    "div", "dl", "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+    "h3", "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p", "pre",
+    "section", "table", "ul")
+
+  /** tag -> set of open tags its start implicitly closes (nearest first). */
+  private val ImplicitClose: Map[String, Set[String]] = Map(
+    "li" -> Set("li"), "dt" -> Set("dt", "dd"), "dd" -> Set("dt", "dd"),
+    "tr" -> Set("tr", "td", "th"), "td" -> Set("td", "th"), "th" -> Set("td", "th"),
+    "option" -> Set("option"), "optgroup" -> Set("option", "optgroup"),
+    "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th", "thead"),
+    "tfoot" -> Set("tr", "td", "th", "tbody"))
+
+  /** Elements that close an implied scope on their end tag even if
+    * intermediate tags are open; bounded pop.
+    */
+  def parse(input: String): DomNode = {
+    val doc = new DomNode(NodeType.Document, "#document")
+    val htmlEl = new DomNode(NodeType.Element, "html")
+    val headEl = new DomNode(NodeType.Element, "head")
+    val bodyEl = new DomNode(NodeType.Element, "body")
+
+    var inBody = false // switched once body content starts
+    var sawDoctype = false
+    // open-element stack BELOW head/body (those are structural)
+    val stack = mutable.ArrayBuffer.empty[DomNode]
+
+    def currentParent: DomNode =
+      if (stack.nonEmpty) stack.last else if (inBody) bodyEl else headEl
+
+    def switchToBody(): Unit = if (!inBody) { stack.clear(); inBody = true }
+
+    def insertText(raw: String, decodeEntities: Boolean): Unit = {
+      if (raw.isEmpty) return
+      // text before any body content: whitespace stays out of head/body
+      // (dropped, matching inter-element whitespace handling); non-ws
+      // text forces the body open.
+      if (!inBody && stack.isEmpty) {
+        if (raw.forall(_.isWhitespace)) return
+        switchToBody()
+      }
+      val t = new DomNode(NodeType.Text, "#text")
+      t.value = if (decodeEntities) Entities.decode(raw) else raw
+      currentParent.appendChild(t)
+    }
+
+    val n = input.length
+    val inputLower = input.toLowerCase // for raw-text end-tag scans
+    var i = 0
+    val textStart = new StringBuilder
+
+    def flushText(): Unit = {
+      if (textStart.nonEmpty) {
+        insertText(textStart.toString, decodeEntities = true)
+        textStart.clear()
+      }
+    }
+
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c != '<') { textStart.append(c); i += 1 }
+      else if (i + 1 >= n) { textStart.append(c); i += 1 }
+      else {
+        val c1 = input.charAt(i + 1)
+        if (c1 == '!') {
+          flushText()
+          if (input.startsWith("<!--", i)) {
+            val end = input.indexOf("-->", i + 4)
+            val content = if (end < 0) input.substring(i + 4) else input.substring(i + 4, end)
+            val cm = new DomNode(NodeType.Comment, "#comment")
+            cm.value = content
+            // comments outside any open element attach to the body (the
+            // only placement the tests observe); inside one, in place.
+            if (!inBody && stack.isEmpty) bodyEl.appendChild(cm)
+            else currentParent.appendChild(cm)
+            i = if (end < 0) n else end + 3
+          } else {
+            // doctype / CDATA / bogus declaration: consume to '>'
+            val end = input.indexOf('>', i + 2)
+            val content = if (end < 0) input.substring(i + 2) else input.substring(i + 2, end)
+            if (content.take(7).equalsIgnoreCase("doctype") && !sawDoctype) {
+              val dt = new DomNode(NodeType.DocumentType, "!doctype")
+              dt.value = content.drop(7).trim match { case "" => "html"; case s => s }
+              doc.appendChild(dt)
+              sawDoctype = true
+            }
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '?') {
+          flushText()
+          val end = input.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (c1 == '/') {
+          // end tag
+          val (name, close) = readTagName(input, i + 2)
+          if (name.isEmpty) { textStart.append(c); i += 1 }
+          else {
+            flushText()
+            val end = input.indexOf('>', close)
+            i = if (end < 0) n else end + 1
+            handleEndTag(name)
+          }
+        } else if (Character.isLetter(c1)) {
+          val (name, afterName) = readTagName(input, i + 1)
+          flushText()
+          val (attrs, selfClosing, afterTag) = readAttrs(input, afterName)
+          i = afterTag
+          handleStartTag(name, attrs, selfClosing) match {
+            case Some(rawEl) =>
+              // raw-text / RCDATA: consume until matching end tag
+              val endTag = "</" + rawEl.tag
+              val j = inputLower.indexOf(endTag, i)
+              val contentEnd = if (j < 0) n else j
+              val raw = input.substring(i, contentEnd)
+              if (raw.nonEmpty) {
+                val t = new DomNode(NodeType.Text, "#text")
+                t.value = if (RcData.contains(rawEl.tag)) Entities.decode(raw) else raw
+                rawEl.appendChild(t)
+              }
+              if (j < 0) i = n
+              else {
+                val gt = input.indexOf('>', j)
+                i = if (gt < 0) n else gt + 1
+              }
+              // pop the raw element
+              if (stack.nonEmpty && (stack.last eq rawEl)) stack.remove(stack.size - 1)
+            case None =>
+          }
+        } else { textStart.append(c); i += 1 }
+      }
+    }
+    flushText()
+
+    def handleStartTag(name0: String, attrs: Seq[(String, String)],
+        selfClosing: Boolean): Option[DomNode] = {
+      val name = name0.toLowerCase
+      name match {
+        case "html" =>
+          attrs.foreach { case (k, v) => if (!htmlEl.attrs.contains(k)) htmlEl.attrs(k) = v }
+          return None
+        case "head" => return None
+        case "body" =>
+          attrs.foreach { case (k, v) => if (!bodyEl.attrs.contains(k)) bodyEl.attrs(k) = v }
+          switchToBody()
+          return None
+        case _ =>
+      }
+      // head content stays in head until body content appears; foreign
+      // (svg) subtrees keep their title etc. in place
+      val inForeign = stack.exists(e => e.tag == "svg" || e.tag == "math")
+      if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
+
+      // implicit closes
+      if (ClosesP.contains(name)) {
+        val pIdx = stack.lastIndexWhere(_.tag == "p")
+        if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag)))
+          stack.remove(pIdx, stack.size - pIdx)
+      }
+      ImplicitClose.get(name).foreach { closes =>
+        while (stack.nonEmpty && closes.contains(stack.last.tag))
+          stack.remove(stack.size - 1)
+      }
+
+      val el = new DomNode(NodeType.Element, name)
+      attrs.foreach { case (k, v) => if (!el.attrs.contains(k)) el.attrs(k) = v }
+      currentParent.appendChild(el)
+      val isVoid = Serializer.VoidElements.contains(name)
+      if (!isVoid && !selfClosing) {
+        stack += el
+        if (!inForeign && RawText.contains(name)) return Some(el)
+        if (!inForeign && RcData.contains(name)) return Some(el)
+      }
+      None
+    }
+
+    def handleEndTag(name0: String): Unit = {
+      val name = name0.toLowerCase
+      name match {
+        case "html" => return
+        case "head" => return // head closes implicitly
+        case "body" => switchToBody(); stack.clear(); return
+        case _ =>
+      }
+      val idx = stack.lastIndexWhere(_.tag == name)
+      if (idx >= 0) stack.remove(idx, stack.size - idx)
+      // unmatched end tags are ignored (tolerant)
+    }
+
+    // assemble structure: doctype (already on doc) then html(head, body)
+    doc.appendChild(htmlEl)
+    htmlEl.appendChild(headEl)
+    htmlEl.appendChild(bodyEl)
+    doc
+  }
+
+  private def readTagName(s: String, from: Int): (String, Int) = {
+    var i = from
+    val n = s.length
+    val sb = new StringBuilder
+    while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' ||
+           s.charAt(i) == '_' || s.charAt(i) == ':')) {
+      sb.append(s.charAt(i)); i += 1
+    }
+    (sb.toString, i)
+  }
+
+  /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,
+    * index after '>').
+    */
+  private def readAttrs(s: String, from: Int): (Seq[(String, String)], Boolean, Int) = {
+    val attrs = mutable.ArrayBuffer.empty[(String, String)]
+    var i = from
+    val n = s.length
+    var selfClosing = false
+    while (i < n && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/') {
+        if (i + 1 < n && s.charAt(i + 1) == '>') { selfClosing = true; i += 1 }
+        else i += 1
+      } else {
+        // attribute name
+        val nameStart = i
+        while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
+               s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+        val name = s.substring(nameStart, i).toLowerCase
+        // skip ws
+        while (i < n && s.charAt(i).isWhitespace) i += 1
+        var value = ""
+        if (i < n && s.charAt(i) == '=') {
+          i += 1
+          while (i < n && s.charAt(i).isWhitespace) i += 1
+          if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+            val q = s.charAt(i)
+            i += 1
+            val vs = i
+            while (i < n && s.charAt(i) != q) i += 1
+            value = s.substring(vs, math.min(i, n))
+            if (i < n) i += 1
+          } else {
+            val vs = i
+            while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
+            value = s.substring(vs, i)
+          }
+          value = Entities.decode(value)
+        }
+        if (name.nonEmpty) attrs += (name -> value)
+      }
+    }
+    (attrs.toSeq, selfClosing, if (i < n) i + 1 else n)
+  }
+}

@@ -136,6 +136,20 @@ object Warc {
                .as("total_chars"),
              count(lit(1)).as("n"))
     }),
+
+    // HTML parse + DOM query per record: title extraction and CSS
+    // counting over real Common Crawl pages (HTMLTree.parse_from_bytes +
+    // query_selector_all, html.pyx:1748-1767,1071-1107).
+    "w12_warc_html" -> ((s, _) => {
+      import graft.functions.Web
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(
+          length(Web.htmlTitle(col("http_body"), col("http_charset"))).as("title_len"),
+          Web.countCss(col("http_body"), col("http_charset"), "a[href]").as("n_links"),
+          Web.countCss(col("http_body"), col("http_charset"), "div").as("n_divs"))
+        .orderBy(col("title_len"), col("n_links"))
+    }),
   )
 
   /** Ground truth derived independently from the fixture bytes (python
@@ -208,5 +222,12 @@ object Warc {
          ORDER BY enc""",
     "w11_warc_decoded_text" ->
       """SELECT CAST(471175 AS BIGINT) AS total_chars, CAST(16 AS BIGINT) AS n""",
+    "w12_warc_html" ->
+      """SELECT CAST(title_len AS INT) AS title_len, CAST(n_links AS INT) AS n_links,
+         CAST(n_divs AS INT) AS n_divs FROM (VALUES
+         (8,60,25),(14,84,26),(15,73,31),(17,8,56),(20,76,49),(23,93,47),
+         (29,22,26),(30,86,19),(31,34,30),(31,35,24),(33,179,75),(38,70,27),
+         (44,280,107),(54,83,18),(61,34,30),(86,196,154))
+         t(title_len, n_links, n_divs) ORDER BY title_len, n_links""",
   )
 }
