@@ -108,4 +108,19 @@ object Web {
         .body.querySelectorAll(selector).size)
     (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
   }
+
+  /** extract_plain_text(content, charset, main_content) -> string — the
+    * flagship compound operator (decode -> HTML parse -> classifier ->
+    * serializer), defaults matching the reference (basic formatting,
+    * bullets, alt texts).
+    */
+  def extractPlainText(content: Column, charset: Column,
+      mainContent: Boolean = false): Column = {
+    val f = udf((data: Array[Byte], cs: String, mc: Boolean) =>
+      if (data == null) null
+      else graft.html.Html2Text.extract(
+        graft.html.HtmlTree.parseFromBytes(data, cs),
+        graft.html.Html2Text.Options(mainContent = mc)))
+    f(content, charset, org.apache.spark.sql.functions.lit(mainContent))
+  }
 }

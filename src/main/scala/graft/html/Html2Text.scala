@@ -1,0 +1,546 @@
+package graft.html
+
+import scala.collection.mutable
+import java.util.regex.Pattern
+
+/** `extract_plain_text` — the reference's flagship compound operator
+  * (resiliparse-py/resiliparse/extract/html2text.pyx:736-933), pinned by
+  * its golden tests (tests/resiliparse/extract/test_html2text.py).
+  *
+  * Pipeline: skip-list CSS blacklist resolved once → optional
+  * main-content root narrowing (only on a UNIQUE match) → pre-order DOM
+  * walk with end-tag visits collecting flat ExtractNodes → rule-based
+  * main-content classifier per node → serializer with margin collapsing,
+  * list numbering/bullets, 2-space list indents, `<pre>` preservation
+  * and minimal-HTML tag re-emission.
+  */
+object Html2Text {
+
+  val FormatOff = 0
+  val FormatBasic = 1
+  val FormatMinimalHtml = 2
+
+  final case class Options(
+      formatting: Int = FormatBasic,
+      mainContent: Boolean = false,
+      listBullets: Boolean = true,
+      altTexts: Boolean = true,
+      links: Boolean = false,
+      formFields: Boolean = false,
+      noscript: Boolean = false,
+      comments: Boolean = true,
+      postMeta: Boolean = true,
+      hiddenElements: Boolean = false,
+      skipElements: Seq[String] = Nil)
+
+  /** Block-level tags (resiliparse-py/resiliparse/parse/html.h:22-58). */
+  private val BlockElements: Set[String] = Set("address", "article", "aside",
+    "blockquote", "br", "center", "details", "dd", "dt", "div", "dl", "fieldset",
+    "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hgroup", "hr", "li", "main", "nav", "ol", "p", "pre", "section",
+    "table", "tr", "ul")
+
+  private val BigBlock = Set("p", "h1", "h2", "h3", "h4")
+  private val ListBullet = "•"
+
+  private final class ExtractNode(
+      val referenceNode: DomNode,
+      val tag: String,
+      val depth: Int,
+      val isEndTag: Boolean) {
+    var preDepth: Int = 0
+    var spaceAfter: Boolean = false
+    var collapseMargins: Boolean = true
+    var makeBlock: Boolean = true
+    var makeBigBlock: Boolean = false
+    var escapeTextContents: Boolean = false
+    var textContents: StringBuilder = _
+    def ensureText(): StringBuilder = {
+      if (textContents == null) textContents = new StringBuilder
+      textContents
+    }
+  }
+
+  def extract(tree: HtmlTree, opts: Options): String = extract(tree.body, opts)
+
+  /** Extract from a subtree root (normally the body). */
+  def extract(rootIn: DomNode, opts: Options): String = {
+    if (rootIn == null) return ""
+    var root = rootIn
+
+    // skip-list selector (html2text.pyx:806-815). NB the reference
+    // accidentally concatenates 'embed' and 'img' into one selector
+    // ('embedimg'); behaviorally identical here because neither element
+    // can carry text children and alt emission is gated on opts.altTexts.
+    val skip = mutable.Set("script", "style", "iframe", "frame", "template")
+    skip ++= opts.skipElements
+    if (!opts.altTexts) skip ++= Seq("object", "video", "audio", "embed", "img",
+      "area", "svg", "figcaption", "figure")
+    if (!opts.noscript) skip += "noscript"
+    if (!opts.formFields) skip ++= Seq("textarea", "input", "button", "select",
+      "option", "label")
+
+    // main-content root narrowing: used only on a unique match
+    // (html2text.pyx:879-889)
+    if (opts.mainContent) {
+      val candidates = root.querySelectorAll(
+        ".article-body, .articleBody, .contentBody, .article-text," +
+        ".main-content, .postcontent, .post-content, .single-post,[role=\"main\"]")
+      if (candidates.size == 1) root = candidates.head
+    }
+
+    val blacklist = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DomNode, java.lang.Boolean]())
+    root.querySelectorAll(skip.mkString(", ")).foreach(blacklist.add)
+
+    // depth of root below body (body_depth = depth + base_depth)
+    var baseDepth = 0
+    var p = root
+    while (p.tag != "body" && p.parent != null) { baseDepth += 1; p = p.parent }
+
+    val nodes = mutable.ArrayBuffer.empty[ExtractNode]
+    var charsExtracted = 0
+
+    // pre-order walk with end-tag visits (next_node semantics,
+    // html.pyx:117-151): end visits fire only for elements we descended
+    // into; skipped subtrees get no end visit.
+    def walk(n: DomNode, depth: Int): Unit = {
+      val isCharData = n.isText
+      if (!isCharData && !n.isElement) return
+      if (blacklist.contains(n)) return
+      if (opts.mainContent &&
+          !isMainContentNode(n, depth + baseDepth, opts.comments, opts.postMeta,
+            opts.hiddenElements))
+        return
+      extractCb(nodes, n, depth, isEndTag = false, opts)
+      recordChars()
+      if (n.isElement && n.firstChild != null) {
+        var c = n.firstChild
+        while (c != null) { walk(c, depth + 1); c = c.next }
+        extractCb(nodes, n, depth, isEndTag = true, opts)
+        recordChars()
+      }
+    }
+    def recordChars(): Unit =
+      if (nodes.nonEmpty && nodes.last.textContents != null)
+        charsExtracted += nodes.last.textContents.length
+
+    // the root itself is visited first (matches reference: ctx.node
+    // starts at root)
+    walk(root, 0)
+
+    rstrip(serialize(nodes, opts))
+  }
+
+  // — extraction callback (html2text.pyx:163-259) —
+
+  private def extractCb(nodes: mutable.ArrayBuffer[ExtractNode], n: DomNode,
+      depth: Int, isEndTag: Boolean, opts: Options): Unit = {
+    val last = nodes.lastOption.orNull
+    var current = last
+
+    val isBlock = n.isElement && BlockElements.contains(n.tag)
+
+    if (last == null || isBlock || depth < last.depth ||
+        (opts.links && n.tag == "a") || n.tag == "textarea") {
+      current = new ExtractNode(n, if (n.isElement) n.tag else "", depth, isEndTag)
+      current.makeBlock = isBlock
+      current.makeBigBlock = BigBlock.contains(n.tag)
+      current.preDepth = if (last != null) last.preDepth else 0
+      if (n.tag == "pre" || n.tag == "textarea")
+        current.preDepth += (if (!isEndTag) 1 else -1)
+      current.escapeTextContents = opts.formatting == FormatMinimalHtml
+      nodes += current
+    }
+
+    if (n.isText) {
+      var text = if (n.value == null) "" else n.value
+      if (current.tag == "a" && opts.formatting >= FormatMinimalHtml)
+        text = escapeHtml(text)
+      current.ensureText()
+      if (text.nonEmpty) current.textContents.append(text)
+    } else if (!n.isElement) {
+      ()
+    } else if (n.tag == "br" && opts.formatting == FormatBasic) {
+      current.ensureText()
+      current.collapseMargins = false
+    } else if (opts.links && n.tag == "a") {
+      val href = n.getattr("href").getOrElse("").trim
+      current.ensureText()
+      current.makeBlock = false
+      if (opts.formatting == FormatMinimalHtml) {
+        if (!isEndTag) current.textContents.append("<a href=\"").append(escapeHtml(href)).append("\">")
+        else current.textContents.append("</a>")
+        current.escapeTextContents = false
+      } else if (isEndTag) {
+        current.textContents.append(" (").append(href).append(')')
+      }
+    } else if (opts.altTexts && (n.tag == "img" || n.tag == "area")) {
+      current.ensureText()
+      val alt = n.getattr("alt").getOrElse("")
+      if (alt.nonEmpty) current.textContents.append(alt)
+    } else if (opts.formFields && (n.tag == "textarea" || n.tag == "button")) {
+      current.ensureText()
+      current.textContents.append(if (!isEndTag) "[ " else " ] ")
+    } else if (opts.formFields && n.tag == "input") {
+      val typ = n.getattr("type").getOrElse("").trim
+      if (typ.isEmpty || !Set("checkbox", "color", "file", "hidden", "radio",
+          "reset").contains(typ)) {
+        var v = n.getattr("value").getOrElse("").trim
+        if (v.isEmpty) v = n.getattr("placeholder").getOrElse("").trim
+        if (v.nonEmpty) current.ensureText().append("[ ").append(v).append(" ] ")
+      }
+    }
+  }
+
+  // — serializer (html2text.pyx:282-437) —
+
+  private def serialize(nodes: mutable.ArrayBuffer[ExtractNode], opts: Options): String = {
+    val output = new StringBuilder
+    var elementTextPrefix = ""
+    var bulletInserted = false
+    var listDepth = 0
+    var marginSize = 0
+    var uncollapsedMarginCount = 0
+    val listNumbering = mutable.ArrayBuffer.empty[Int]
+
+    def makeIndent(depth: Int): Unit = {
+      if (depth <= 0) return
+      if (opts.formatting == FormatOff) rstripInPlace(output)
+      output.append(" " * (depth * 2))
+    }
+
+    def makeMargin(node: ExtractNode): Unit = {
+      if (marginSize == 0) return
+      if (node.preDepth == 0 || opts.formatting == FormatOff) rstripInPlace(output)
+      if (opts.formatting == FormatOff && output.nonEmpty) output.append(' ')
+      else if (opts.formatting >= FormatBasic && output.nonEmpty)
+        output.append("\n" * marginSize)
+      marginSize = 0
+    }
+
+    nodes.foreach { node =>
+      var makeBlock = node.makeBlock
+
+      if (opts.formatting >= FormatBasic) {
+        if (makeBlock && !node.collapseMargins) uncollapsedMarginCount += 1
+
+        // list tags
+        if (node.tag == "ul" || node.tag == "ol" ||
+            (node.tag == "li" && listDepth == 0)) {
+          if (node.isEndTag) {
+            if (listDepth > 0) { listDepth -= 1; listNumbering.remove(listNumbering.size - 1) }
+            bulletInserted = false
+            elementTextPrefix = ""
+          } else {
+            listDepth += 1
+            listNumbering += (if (node.tag == "ol") 1 else 0)
+          }
+        }
+
+        // list item tags
+        if (opts.listBullets && node.tag == "li") {
+          if (opts.formatting == FormatBasic) {
+            if (listNumbering.nonEmpty && listNumbering.last == 0)
+              elementTextPrefix = ListBullet + " "
+            else if (listNumbering.nonEmpty) {
+              elementTextPrefix = s"${listNumbering.last}. "
+              if (!node.isEndTag) listNumbering(listNumbering.size - 1) += 1
+            }
+            bulletInserted = !node.isEndTag
+          } else if (opts.formatting == FormatMinimalHtml) {
+            makeMargin(node)
+            if (!node.isEndTag) {
+              output.append(" " * (2 * listDepth))
+              output.append("<li>")
+              marginSize = 0
+              makeBlock = false
+            } else {
+              if (node.preDepth == 0) rstripInPlace(output)
+              output.append("</li>\n")
+            }
+          }
+        }
+      }
+
+      if (opts.formatting == FormatMinimalHtml) {
+        if (node.tag == "pre") {
+          if (!node.isEndTag) makeMargin(node)
+          output.append(if (node.isEndTag) "</pre>" else "<pre>")
+          marginSize = 0
+        }
+        if (node.preDepth > 0) makeBlock = false
+        if (node.tag == "br") output.append("<br>")
+
+        // re-emit select start/end tags
+        if (node.referenceNode != null && node.referenceNode.firstChild != null &&
+            (Set("h1", "h2", "h3", "h4", "h5", "h6", "p").contains(node.tag) ||
+             ((node.tag == "ul" || node.tag == "ol") && opts.listBullets))) {
+          if ((!node.isEndTag && node.preDepth == 0) ||
+              (uncollapsedMarginCount > 0 && node.collapseMargins)) {
+            if (node.collapseMargins)
+              marginSize = math.max(marginSize,
+                b2i(makeBlock) + b2i(node.makeBigBlock))
+            else
+              marginSize += b2i(makeBlock) + b2i(node.makeBigBlock)
+            makeMargin(node)
+            makeBlock = false
+            uncollapsedMarginCount = 0
+          }
+          if (opts.listBullets) {
+            val adj = if (listDepth > 0 && !node.isEndTag &&
+              (node.tag == "ul" || node.tag == "ol")) 1 else 0
+            makeIndent(listDepth - adj)
+          }
+          output.append('<')
+          if (node.isEndTag) output.append('/')
+          output.append(node.tag).append('>')
+          if (output.nonEmpty && (node.tag == "ul" || node.tag == "ol") &&
+              !node.isEndTag && node.preDepth == 0)
+            output.append('\n')
+        }
+      }
+
+      // record-size follow-up margins
+      if (makeBlock) {
+        if (node.collapseMargins)
+          marginSize = math.max(marginSize,
+            if (node.makeBigBlock && node.preDepth == 0) 2 else 1)
+        else
+          marginSize += (if (node.makeBigBlock) 2 else 1)
+      }
+
+      if (node.textContents != null) {
+        var elementText = node.textContents.toString
+        if (node.preDepth == 0 || opts.formatting == FormatOff) {
+          elementText = collapseWhitespace(elementText)
+          if (makeBlock || (output.nonEmpty && output.last.isWhitespace))
+            elementText = lstrip(elementText)
+        }
+        if (elementText.nonEmpty) {
+          if (node.escapeTextContents) elementText = escapeHtml(elementText)
+
+          makeMargin(node)
+          uncollapsedMarginCount = 0
+
+          if (listDepth > 0 && opts.formatting == FormatBasic) {
+            makeIndent(listDepth +
+              (if (opts.listBullets && !bulletInserted) 1 else 0))
+            bulletInserted = false
+          }
+
+          if (opts.formatting >= FormatBasic && (node.tag == "td" || node.tag == "th")) {
+            if (output.nonEmpty && output.last != '\n') output.append("\t\t")
+          }
+
+          output.append(elementTextPrefix)
+          elementTextPrefix = ""
+          output.append(elementText)
+        }
+      }
+    }
+
+    output.toString
+  }
+
+  private def b2i(b: Boolean): Int = if (b) 1 else 0
+
+  // — main-content classifier (html2text.pyx:440-733) —
+
+  /** 19 class/id regexes (html2text.pyx:469-489), java.util.regex
+    * (the RE2 syntax used is compatible), all case-insensitive.
+    */
+  private def ci(p: String) = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
+  private val articleClsRe = ci("(?:^|[\\s_-])(?:article|entry|post|story|single[_-]?post|(?:main[_-])?content|body|text|page)?(?:$|[\\s_-])")
+  private val navClsRe = ci("(?:^|\\s)(?:(?:l|m|wp|main|site|page|sub|article|global|sticky|main)[_-]*)?(?:nav(?:igation)?|menu(?:[_-]item)?|drop[_-]?down|bread[_-]?crumbs?)|(?:links?[_-]?(?:bar|box|list|container|section|wrapp(?:er))?)(?:$|[\\s_-])")
+  private val recommendedClsRe = ci("(?:^|[\\s_-])(?:trends|trending|recommended|featured|popular|editors?[_-]picks|related|read-next|(?:related|more|other)[_-]?(?:links|articles|posts|guides|stories))(?:$|[\\s_-])")
+  private val landmarkIdRe = ci("^(?:(?:l|wp|global|page|site|full|sticky)[_-]*)?(?:(?:head|foot)(?:er)?|right)$")
+  private val headerClsRe = ci("(?:^|\\s)(?:l|m|wp|global|page|site|full|sticky)[_-]*header(?:[_-]?wrap(?:per)?|bar)?(?:$|\\s)")
+  private val footerClsRe = ci("(?:^|[\\s_-])(?:global|page|site|copyright)?(?:footer|copyright|cookie|consent|legal|fcontainer)(?:$|[\\s_-])")
+  private val postMetaClsRe = ci("(?:^|[\\s_-])(?:(?:post|entry|article(?:page)?|content|story|section)[_-]*(?:text[_-]*)?(?:footer|teaser|meta(?:[_-]?data)?|subline|sidebar|author(?:name)?|published|timestamp|date|posted[_-]?on|info|labels?|tags?|keywords|category)|by[_-]?line|date[_-]?line|author-date|submitted(?:-by)?)|meta[_-]?data(?:$|[\\s_-])")
+  private val sidebarClsRe = ci("(?:^|\\s)(?:(?:l|wp|right|left|global|sticky)[_-]*)?(?:(?:side|sticky)[_-]?(?:bars?|box)|one-third)(?:$|[\\s_-])")
+  private val searchClsRe = ci("(?:^|[\\s_-])search(?:[_-]?(?:bar|facility|box))?(?:$|\\s)")
+  private val skipLinkClsRe = ci("(?:^|\\s)(?:link[_-]?)?(?:skip(?:[_-]?(?:to|link))?|scroll[_-]?(?:up|down)|next|prev(?:ious)?|permalink|pagination|skip-to-(?:main-)?content)(?:$|\\s|[_-]?(?:post|article))")
+  private val displayClsRe = ci("(?:^|\\s)(?:(?:is|visually)[_-])?(?:display-none|hidden|invisible|collapsed|h-0|nocontent|expandable)(?:-xs|-sm|-lg|-2?xl)?(?:$|\\s)")
+  private val displayCssRe = ci("(?:^|;\\s*)(?:display\\s?:\\s?none|visibility\\s?:\\s?hidden)(?:$|\\s?;)")
+  private val modalClsRe = ci("(?:^|\\s)(?:wp-|p-|-l)?(?:modal|popup|lightbox)(?:[_-]*(?:window|pane|box))?(?:$|[\\s_-])")
+  private val galleryClsRe = ci("(?:^|[\\s_-])(?:gallery|carousel)(?:$|[\\s_-])")
+  private val signinClsRe = ci("(?:^|[\\s_-])(?:(?:log[_-]?in|sign[_-]?(?:in|up)|account)|user[_-](?:info|profile|settings|actions))(?:$|[\\s_-])")
+  private val adsClsRe = ci("(?:^|\\s)(?:(?:google|wide)[_-]?ads?|ad(?:vert|vertise(?:ment|link)?|$|_[a-f0-9]+)|sponsor(?:ed)?|promoted|paid|(?:wide)?banner|donate)(?:$|[\\s_-])")
+  private val socialClsRe = ci("(?:^|\\s|__|--|mobile-|desktop-|l-|m-|c-)(?:social(?:media|search)?|share(?:daddy)?|syndication|newsletter|sharing|follow|email|likes?|(?:give[_-]?)?feedback|(?:brand[_-])?engagement|facebook|twitter|subscribe|wa|jp|aptf-follow)(?:[_-]?(?:post|links?|section|icons?|btn|buttons?|target))?(?:$|[\\s_-])")
+  private val commentsClsRe = ci("(?:^|[\\s_-])(?:(?:article|user|post)[_-]*)?(?:(?:no[_-]?)?comments?|comment[_-]?list|reply)(?:$|[\\s_-])")
+  private val logoClsRe = ci("(?:brand(?:ing)?[_-]*)?logo(?:$|\\s)")
+  private val printClsRe = ci("(?:^|\\s)print[_-]")
+  private val otherJunkClsRe = Pattern.compile("(?:^|\\s)short-view-count|spinner(?:$|[\\s_-])")
+
+  private val BlacklistAriaRoles = Set("alert", "banner", "checkbox", "comment",
+    "complementary", "contentinfo", "dialog", "img", "menu", "menubar", "menuitem",
+    "navigation", "presentation", "radio", "search", "searchbox", "separator",
+    "tab", "toolbar", "tooltip")
+
+  private def found(s: String, p: Pattern): Boolean =
+    s.nonEmpty && p.matcher(s).find()
+
+  /** Whether a node's text is a single unprintable private-use-area code
+    * point or a pilcrow (anchor link / icon font) — html2text.pyx:440-463.
+    */
+  private def isUnprintablePua(n: DomNode): Boolean = {
+    if (n.firstChild != null && (n.firstChild.next != null || !n.firstChild.isText))
+      return false
+    if (n.firstChild == null && !n.isText) return false
+    val t = n.text.trim
+    if (t == "¶") return true
+    if (t.length == 1) {
+      val c = t.charAt(0).toInt
+      // BMP private use area U+E000..U+F8FF (the reference checks the
+      // UTF-8 byte pattern 0xee8080..0xefa3bf = U+E000..U+E8FF window)
+      if (c >= 0xe000 && c <= 0xf8ff) return true
+    }
+    false
+  }
+
+  /** Link-text chars / total chars heuristic (html2text.pyx:498-520). */
+  private def isLinkCluster(n: DomNode, maxLinkRatio: Double, maxLength: Int): Boolean = {
+    val elementText = collapseWhitespace(n.text)
+    if (maxLength > 0 && elementText.length > maxLength) return false
+    var linkLen = 0
+    n.getElementsByTagName("a").foreach(a => linkLen += collapseWhitespace(a.text).length)
+    linkLen > 0 && elementText.nonEmpty &&
+      linkLen.toDouble / elementText.length > maxLinkRatio
+  }
+
+  private def isMainContentNode(n: DomNode, bodyDepth: Int, keepComments: Boolean,
+      keepPostMeta: Boolean, keepHidden: Boolean): Boolean = {
+    if (n.isText) return !isUnprintablePua(n)
+    if (!n.isElement) return true
+
+    // — Section 1: tag names —
+    n.tag match {
+      case "body" | "main" | "h1" => return true
+      case "footer" =>
+        if (bodyDepth < 3 || isLinkCluster(n, 0.2, 0)) return false
+        // keep only if the footer is the recursive last element node of a
+        // direct body child (html2text.pyx:556-569)
+        var pnode = n
+        while (pnode != null && pnode.parent != null && pnode.parent.tag != "body") {
+          var cur = pnode
+          if (cur.next != null && cur.next.isText) cur = cur.next
+          if (cur.next != null) return true
+          pnode = pnode.parent
+        }
+        return false
+      case "ul" =>
+        if (bodyDepth < 4 || isLinkCluster(n, 0.2, 0)) return false
+      case "article" =>
+        if (bodyDepth > 2 && isLinkCluster(n, 0.2, 500)) return false
+      case "nav" | "aside" | "audio" | "video" | "time" => return false
+      case _ =>
+    }
+
+    // — Section 2: rel / ARIA attributes —
+    if (n.hasattr("hidden")) return false
+    val rel = n.getattr("rel").getOrElse("").trim
+    if (Set("author", "icon", "search", "prev", "next", "tag").contains(rel) && rel.nonEmpty)
+      return false
+    val itemprop = n.getattr("itemprop").getOrElse("").trim
+    if (Set("datePublished", "author", "url").contains(itemprop) && itemprop.nonEmpty)
+      return false
+    if (n.getattr("aria-hidden").exists(_.trim == "true")) return false
+    if (n.getattr("aria-expanded").exists(_.trim == "false")) return false
+
+    // — Section 3: class/id matching —
+    val cls = n.getattr("class").getOrElse("")
+    val idAttr = n.getattr("id").getOrElse("")
+    if (cls.isEmpty && idAttr.isEmpty) {
+      if (n.tag == "div")
+        return bodyDepth <= 5 || !isLinkCluster(n, 0.6, 800)
+      return true
+    }
+    val clsAndId = if (cls.nonEmpty) cls + " " + idAttr else idAttr
+
+    if ((!keepHidden && found(cls, displayClsRe)) ||
+        found(n.getattr("style").getOrElse(""), displayCssRe)) return false
+
+    if ((n.tag == "a" || n.tag == "div" || n.tag == "li") &&
+        found(clsAndId, skipLinkClsRe)) return false
+
+    if (bodyDepth > 2) {
+      if (found(cls, signinClsRe)) return false
+      if (!keepPostMeta && found(cls, postMetaClsRe)) return false
+      if (found(cls, socialClsRe)) return false
+    }
+
+    if (found(clsAndId, logoClsRe)) return false
+    if (found(clsAndId, adsClsRe) || n.hasattr("data-ad") ||
+        n.hasattr("data-advertisement") || n.hasattr("data-text-ad")) return false
+    if (found(cls, otherJunkClsRe)) return false
+
+    // — Section 4: block elements only —
+    if (!BlockElements.contains(n.tag) && n.tag != "td") return true
+
+    val role = n.getattr("role").getOrElse("").trim
+    if (rel == "main") return true
+    if (role.nonEmpty && BlacklistAriaRoles.contains(role)) return false
+
+    if (found(clsAndId, articleClsRe)) return true
+    if (found(idAttr, landmarkIdRe)) return false
+    if (found(clsAndId, headerClsRe)) return false
+    if (found(clsAndId, footerClsRe)) return false
+    if (found(clsAndId, navClsRe)) return false
+    if (found(clsAndId, recommendedClsRe)) return false
+    if (!keepComments && found(clsAndId, commentsClsRe)) return false
+    if (found(clsAndId, searchClsRe)) return false
+    if (found(clsAndId, sidebarClsRe)) return false
+    if (found(clsAndId, modalClsRe)) return false
+    if (found(clsAndId, galleryClsRe)) return false
+    if (found(clsAndId, printClsRe)) return false
+    if (bodyDepth > 2 && n.tag == "div" && isLinkCluster(n, 0.6, 1500)) return false
+
+    true
+  }
+
+  // — string helpers (resiliparse_common/string_util semantics) —
+
+  /** Collapse every whitespace run to a single space (html2text.pyx:110-126). */
+  private[html] def collapseWhitespace(s: String): String = {
+    if (s.isEmpty) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.isEmpty || !Character.isWhitespace(sb.last)) sb.append(' ')
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def escapeHtml(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '"' => sb.append("&quot;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def lstrip(s: String): String = {
+    var i = 0
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    s.substring(i)
+  }
+
+  private[html] def rstrip(s: String): String = {
+    var i = s.length
+    while (i > 0 && Character.isWhitespace(s.charAt(i - 1))) i -= 1
+    s.substring(0, i)
+  }
+
+  private def rstripInPlace(sb: StringBuilder): Unit = {
+    while (sb.nonEmpty && Character.isWhitespace(sb.last)) sb.setLength(sb.length - 1)
+  }
+}

@@ -57,7 +57,8 @@ object HtmlParser {
 
     def switchToBody(): Unit = if (!inBody) { stack.clear(); inBody = true }
 
-    def insertText(raw: String, decodeEntities: Boolean): Unit = {
+    def insertText(raw0: String, decodeEntities: Boolean): Unit = {
+      var raw = raw0
       if (raw.isEmpty) return
       // text before any body content: whitespace stays out of head/body
       // (dropped, matching inter-element whitespace handling); non-ws
@@ -66,9 +67,18 @@ object HtmlParser {
         if (raw.forall(_.isWhitespace)) return
         switchToBody()
       }
+      val parent = currentParent
+      // HTML5: a single newline immediately after a pre/textarea/listing
+      // start tag is dropped
+      if (parent.firstChild == null &&
+          (parent.tag == "pre" || parent.tag == "textarea" || parent.tag == "listing")) {
+        if (raw.startsWith("\r\n")) raw = raw.substring(2)
+        else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
+        if (raw.isEmpty) return
+      }
       val t = new DomNode(NodeType.Text, "#text")
       t.value = if (decodeEntities) Entities.decode(raw) else raw
-      currentParent.appendChild(t)
+      parent.appendChild(t)
     }
 
     val n = input.length
@@ -138,7 +148,12 @@ object HtmlParser {
               val endTag = "</" + rawEl.tag
               val j = inputLower.indexOf(endTag, i)
               val contentEnd = if (j < 0) n else j
-              val raw = input.substring(i, contentEnd)
+              var raw = input.substring(i, contentEnd)
+              // HTML5: drop the single newline right after <textarea>
+              if (rawEl.tag == "textarea") {
+                if (raw.startsWith("\r\n")) raw = raw.substring(2)
+                else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
+              }
               if (raw.nonEmpty) {
                 val t = new DomNode(NodeType.Text, "#text")
                 t.value = if (RcData.contains(rawEl.tag)) Entities.decode(raw) else raw

@@ -150,6 +150,21 @@ object Warc {
           Web.countCss(col("http_body"), col("http_charset"), "div").as("n_divs"))
         .orderBy(col("title_len"), col("n_links"))
     }),
+
+    // The flagship compound operator end-to-end: decode -> parse ->
+    // extract_plain_text, full page vs main-content classifier
+    // (html2text.pyx:736-933) over real Common Crawl pages.
+    "w13_warc_extract" -> ((s, _) => {
+      import graft.functions.Web
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(
+          length(Web.extractPlainText(col("http_body"), col("http_charset")))
+            .as("full_len"),
+          length(Web.extractPlainText(col("http_body"), col("http_charset"),
+            mainContent = true)).as("main_len"))
+        .orderBy(col("full_len"))
+    }),
   )
 
   /** Ground truth derived independently from the fixture bytes (python
@@ -229,5 +244,12 @@ object Warc {
          (29,22,26),(30,86,19),(31,34,30),(31,35,24),(33,179,75),(38,70,27),
          (44,280,107),(54,83,18),(61,34,30),(86,196,154))
          t(title_len, n_links, n_divs) ORDER BY title_len, n_links""",
+    "w13_warc_extract" ->
+      """SELECT CAST(full_len AS INT) AS full_len, CAST(main_len AS INT) AS main_len
+         FROM (VALUES
+         (503,209),(890,377),(1427,1286),(1507,866),(1514,1180),(1527,302),
+         (1587,192),(1726,880),(1790,584),(2331,1968),(2762,2308),(3716,239),
+         (3748,2850),(6421,6393),(6685,6493),(13033,1482))
+         t(full_len, main_len) ORDER BY full_len""",
   )
 }
