@@ -151,6 +151,42 @@ object Warc {
         .orderBy(col("title_len"), col("n_links"))
     }),
 
+    // Write path round-trip: scan -> Dataset.write.format("warc") with
+    // member-per-record gzip + recomputed digests -> re-scan -> verify
+    // (reference WarcRecord.write + check_warc_integrity,
+    // warc.pyx:840-938, test_warc.py:455-468).
+    "w14_warc_roundtrip" -> ((s, _) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_roundtrip"
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id"), col("record_type"), col("record_date"),
+          col("headers"), col("content"))
+        .coalesce(1)
+        .write.format("warc").option("checksum", "true").mode("append").save(out)
+      s.read.format("warc").load(out)
+        .agg(count(lit(1)).as("n"),
+          sum(col("content_length")).as("total_bytes"),
+          sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"),
+          count(graft.functions.WarcCols.targetUri(col("headers"))).as("n_with_uri"))
+    }),
+
+    // Request<->response pairing via WARC-Concurrent-To — the one real
+    // join the reference's data model implies (is_concurrent,
+    // warc.pyx:1336-1344). In this corpus responses point AT their
+    // request (and metadata at its response); broadcast-friendly
+    // equi-join on record ids.
+    "w15_warc_req_resp" -> ((s, _) => {
+      import graft.functions.WarcCols
+      val recs = scan(s, "warcfile.warc.gz")
+      val responses = recs.filter(col("record_type") === "response")
+        .select(WarcCols.concurrentTo(col("headers")).as("req_id"),
+          col("content_length").as("resp_bytes"))
+      val requests = recs.filter(col("record_type") === "request")
+        .select(col("record_id").as("request_id"))
+      responses.join(broadcast(requests), col("req_id") === col("request_id"), "left_semi")
+        .agg(count(lit(1)).as("n_paired"), sum(col("resp_bytes")).as("paired_bytes"))
+    }),
+
     // The flagship compound operator end-to-end: decode -> parse ->
     // extract_plain_text, full page vs main-content classifier
     // (html2text.pyx:736-933) over real Common Crawl pages.
@@ -251,5 +287,10 @@ object Warc {
          (1587,192),(1726,880),(1790,584),(2331,1968),(2762,2308),(3716,239),
          (3748,2850),(6421,6393),(6685,6493),(13033,1482))
          t(full_len, main_len) ORDER BY full_len""",
+    "w14_warc_roundtrip" ->
+      """SELECT CAST(16 AS BIGINT) AS n, CAST(518445 AS BIGINT) AS total_bytes,
+         CAST(16 AS BIGINT) AS n_digest_ok, CAST(16 AS BIGINT) AS n_with_uri""",
+    "w15_warc_req_resp" ->
+      """SELECT CAST(16 AS BIGINT) AS n_paired, CAST(518445 AS BIGINT) AS paired_bytes""",
   )
 }

@@ -58,7 +58,9 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new WarcTable(new CaseInsensitiveStringMap(properties))
-  override def supportsExternalMetadata(): Boolean = false
+  // write path: accept the incoming DataFrame's schema (a subset of the
+  // scan schema) instead of requiring all 20 columns
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object WarcSchema {
@@ -102,14 +104,21 @@ object WarcSchema {
     "content", "http_body", "block_digest_ok", "payload_digest_ok") ++ httpCols
 }
 
-class WarcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class WarcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc(${WarcInput.paths(options).mkString(",")})"
   override def schema(): StructType = WarcSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcWriteBuilder(info, new CaseInsensitiveStringMap(
+      (options.asScala ++ info.options().asScala).asJava))
 }
 
 object WarcInput {
@@ -369,4 +378,131 @@ object WarcRowEncoder {
     }
     new GenericInternalRow(vals)
   }
+}
+
+// — write path (Dataset[warc rows].write.format("warc").mode("append")) —
+
+/** One output file per task, ONE compression member per record (gzip/lz4)
+  * so the result is record-addressable — the reference writer's layout
+  * (warc.pyx:900-903). Tasks write to a temp file and rename on commit
+  * (rename-based task commit; idempotent under task retry because the
+  * final name is deterministic per partition).
+  */
+class WarcWriteBuilder(
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        val path = Option(options.get("path"))
+          .orElse(WarcInput.paths(options).headOption)
+          .getOrElse(throw new IllegalArgumentException("warc write requires a path"))
+        val codec = Option(options.get("compression")).getOrElse("gzip")
+        val checksum = options.getBoolean("checksum", false)
+        new WarcBatchWrite(path, codec, checksum, info.schema())
+      }
+    }
+}
+
+case class WarcCommitMessage(file: String, records: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
+    schema: StructType) extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val fsProps = conf.iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }.toMap
+    // ensure the output directory exists before tasks run
+    val p = new Path(path)
+    p.getFileSystem(conf).mkdirs(p)
+    new WarcWriterFactory(path, codec, checksum, schema, fsProps)
+  }
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+}
+
+class WarcWriterFactory(path: String, codec: String, checksum: Boolean,
+    schema: StructType, fsProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new WarcDataWriter(path, codec, checksum, schema, fsProps, partitionId, taskId)
+}
+
+class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
+    schema: StructType, fsProps: Map[String, String], partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val codec = WarcWriter.codecFor(codecName)
+  private val ext = codec match {
+    case WarcWriter.Gzip => ".warc.gz"
+    case WarcWriter.Lz4 => ".warc.lz4"
+    case _ => ".warc"
+  }
+  private val conf = {
+    val c = new Configuration()
+    fsProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val finalPath = new Path(dir, f"part-$partitionId%05d$ext")
+  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.tmp")
+  private val fs = finalPath.getFileSystem(conf)
+  private val out = fs.create(tmpPath, true)
+  private val writer = new WarcWriter.RecordStreamWriter(out, codec, checksum)
+
+  private val idx = schema.fieldNames.zipWithIndex.toMap
+  private def str(row: InternalRow, col: String): Option[String] =
+    idx.get(col).filter(!row.isNullAt(_)).map(i => row.getUTF8String(i).toString)
+
+  override def write(row: InternalRow): Unit = {
+    val content: Array[Byte] = idx.get("content").filter(!row.isNullAt(_))
+      .map(row.getBinary).getOrElse(Array.emptyByteArray)
+    val headerEntries: Vector[(String, String)] = idx.get("headers")
+      .filter(!row.isNullAt(_)).map { i =>
+        val arr = row.getArray(i)
+        (0 until arr.numElements()).map { j =>
+          val s = arr.getStruct(j, 2)
+          (s.getUTF8String(0).toString, s.getUTF8String(1).toString)
+        }.toVector
+      }.getOrElse(Vector.empty)
+    var headers = HeaderMap(headerEntries)
+    val recType = str(row, "record_type")
+      .orElse(headers.get("WARC-Type")).getOrElse("resource")
+    if (headers.get("WARC-Type").isEmpty)
+      headers = headers.updated("WARC-Type", recType)
+    str(row, "record_id").foreach(id => headers = headers.updated("WARC-Record-ID", id))
+    idx.get("record_date").filter(!row.isNullAt(_)).foreach { i =>
+      val micros = row.getLong(i)
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+      headers = headers.updated("WARC-Date",
+        java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst))
+    }
+    val rec = WarcRecord("", -1L, -1L, headers.get("WARC-Record-ID"), recType,
+      RecordType.mask(recType), None, content.length.toLong, headers, content,
+      None, None)
+    writer.write(rec)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    fs.delete(finalPath, false)
+    fs.rename(tmpPath, finalPath)
+    WarcCommitMessage(finalPath.toString, writer.recordsWritten)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }
