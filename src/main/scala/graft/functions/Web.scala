@@ -123,4 +123,57 @@ object Web {
         graft.html.Html2Text.Options(mainContent = mc)))
     f(content, charset, org.apache.spark.sql.functions.lit(mainContent))
   }
+
+  // — language detection (detect_fast, lang.pyx:111-175) —
+
+  /** detect_lang(text) -> struct<lang:string, rank:int>. */
+  val detectLang: Column => Column = {
+    val f = udf((text: String) =>
+      if (text == null) null else {
+        val (l, r) = graft.core.LangDetect.detectFast(text)
+        (l, r)
+      })
+    c => f(c).cast("struct<lang:string,rank:int>")
+  }
+
+  /** detect_lang restricted to a language set. */
+  def detectLangIn(text: Column, langs: Set[String]): Column = {
+    val f = udf((t: String) =>
+      if (t == null) null
+      else graft.core.LangDetect.detectFast(t, langs = Some(langs))._1)
+    f(text)
+  }
+
+  /** train_language_examples as a typed Aggregator: per-group elementwise
+    * mean of hashed n-gram vectors (lang.pyx:196-226) — partial-agg
+    * friendly (sum vectors + count merge associatively; divide at finish).
+    */
+  val trainLangVector: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val agg = new Aggregator[String, (Array[Long], Long), Array[Int]] {
+      def zero: (Array[Long], Long) = (new Array[Long](graft.core.LangDetect.VecSize), 0L)
+      def reduce(b: (Array[Long], Long), text: String): (Array[Long], Long) = {
+        if (text == null) return b
+        val v = graft.core.LangDetect.strToVec(text)
+        var i = 0
+        while (i < v.length) { b._1(i) += v(i); i += 1 }
+        (b._1, b._2 + 1)
+      }
+      def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+      def finish(b: (Array[Long], Long)): Array[Int] =
+        if (b._2 == 0) new Array[Int](graft.core.LangDetect.VecSize)
+        else Array.tabulate(graft.core.LangDetect.VecSize)(i =>
+          math.min(255L, b._1(i) / b._2).toInt)
+      def bufferEncoder: Encoder[(Array[Long], Long)] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+      def outputEncoder: Encoder[Array[Int]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    }
+    org.apache.spark.sql.functions.udaf(agg)
+  }
 }

@@ -85,6 +85,34 @@ object Documents {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    // Real 101-language hashed-n-gram detector over the documents table.
+    // NB the synthetic corpus is random token soup, not natural language,
+    // so predictions scatter — the matrix is a deterministic regression
+    // pin; real-text accuracy is demonstrated by w16 on the WARC corpus.
+    "t04_lang_detect" -> ((s, dir) => {
+      import graft.functions.Web
+      docs(s, dir)
+        .select(col("lang"),
+          Web.detectLang(col("text")).getField("lang").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // train_language_examples as a distributed typed Aggregator
+    // (lang.pyx:196-226): per-language mean n-gram vector; partial
+    // aggregation (vector sum + count) merges associatively, so the
+    // shuffle carries one 256-dim vector per (partition, lang).
+    "t05_train_vectors" -> ((s, dir) => {
+      import graft.functions.Web
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(Web.trainLangVector(col("text")).as("vec"))
+        .select(col("lang"), expr("vec[0]").as("v0"), expr("vec[1]").as("v1"),
+          expr("CAST(aggregate(vec, 0, (a, x) -> a + x) AS BIGINT)").as("vsum"))
+        .orderBy(col("lang"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -180,6 +208,25 @@ object Documents {
     "t03_lang_confusion" ->
       s"""SELECT lang, pred_lang, count(*) AS n FROM ($langPredSql) p
           GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    // t04/t05 pin the deterministic output of the ported 101-language
+    // detector / trainer on the synthetic corpus (regression oracle).
+    "t04_lang_detect" ->
+      """SELECT lang, pred_lang, CAST(n AS BIGINT) AS n FROM (VALUES
+         ('de','da',12),('de','en',40),('de','lb',1),('de','no',9),('de','sc',1),
+         ('de','sv',7),('en','br',2),('en','da',15),('en','en',116),('en','es',2),
+         ('en','fo',1),('en','fr',2),('en','fy',3),('en','ga',1),('en','is',1),
+         ('en','lb',7),('en','no',45),('en','sq',1),('en','sv',22),('es','br',1),
+         ('es','da',5),('es','en',38),('es','fr',3),('es','is',1),('es','ku',1),
+         ('es','lb',2),('es','no',16),('es','ro',1),('es','sv',5),('fr','da',5),
+         ('fr','en',37),('fr','fo',1),('fr','id',1),('fr','lb',1),('fr','no',10),
+         ('fr','sv',9),('zh','da',7),('zh','en',43),('zh','lb',1),('zh','nl',1),
+         ('zh','no',16),('zh','sv',7))
+         t(lang, pred_lang, n) ORDER BY lang, pred_lang""",
+    "t05_train_vectors" ->
+      """SELECT lang, CAST(v0 AS INT) AS v0, CAST(v1 AS INT) AS v1,
+         CAST(vsum AS BIGINT) AS vsum FROM (VALUES
+         ('de',3,3,1029),('en',3,3,1027),('es',3,3,1021),('fr',2,3,1021),
+         ('zh',3,2,1022)) t(lang, v0, v1, vsum) ORDER BY lang""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs

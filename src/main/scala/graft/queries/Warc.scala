@@ -187,6 +187,19 @@ object Warc {
         .agg(count(lit(1)).as("n_paired"), sum(col("resp_bytes")).as("paired_bytes"))
     }),
 
+    // Real 101-language detection (detect_fast, lang.pyx:111-175) over
+    // the main content of real pages: the Chinese/Korean/Russian pages
+    // of the fixture corpus detect as such.
+    "w16_warc_langs" -> ((s, _) => {
+      import graft.functions.Web
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .groupBy(Web.detectLang(Web.extractPlainText(col("http_body"),
+          col("http_charset"), mainContent = true)).getField("lang").as("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // The flagship compound operator end-to-end: decode -> parse ->
     // extract_plain_text, full page vs main-content classifier
     // (html2text.pyx:736-933) over real Common Crawl pages.
@@ -292,5 +305,9 @@ object Warc {
          CAST(16 AS BIGINT) AS n_digest_ok, CAST(16 AS BIGINT) AS n_with_uri""",
     "w15_warc_req_resp" ->
       """SELECT CAST(16 AS BIGINT) AS n_paired, CAST(518445 AS BIGINT) AS paired_bytes""",
+    "w16_warc_langs" ->
+      """SELECT lang, CAST(n AS BIGINT) AS n FROM (VALUES
+         ('de', 2), ('en', 1), ('ko', 2), ('nl', 1), ('ru', 1), ('zh', 9))
+         t(lang, n) ORDER BY lang""",
   )
 }
