@@ -158,6 +158,63 @@ object Documents {
         .select(col("doc_id"), simhash16Expr("text").as("simhash"))
         .orderBy(col("doc_id"))
     }),
+
+    // 64-bit SimHash (corpus-scale fingerprint width): md5 once per
+    // token, one fold into 64 counters projected ONCE, then sign-packed
+    // into a 16-hex-char fingerprint.
+    "d06_simhash64" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("cnt", simhash64Counts("text"))
+        .select(col("doc_id"), simhash64Hex("cnt").as("simhash64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end near-dup pipeline: word 3-shingles -> 8-component
+    // MinHash -> 4x2 banded LSH (single scan, posexplode) -> candidate
+    // pairs by band-key equi-join (shuffle carries 32-char keys, never
+    // text) -> verify candidates with true token Jaccard -> keeper =
+    // lower doc_id -> survivors via anti-join. The 100 TB shape: no
+    // all-pairs stage anywhere; every join is a key-local hash join.
+    "d07_neardup_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // banding is consumed twice (self-join) and candidates feed four
+      // downstream aggregates: persist the small intermediates so the
+      // expensive minhash lineage runs ONCE (at 100 TB these would be
+      // checkpointed tables; re-deriving the full hash pipeline per
+      // consumer is the real cost, not the storage)
+      // project shingles AND the signature behind barriers: inlining the
+      // sig subtree into lshBands' 8 element_at references would compute
+      // the full 8-component minhash 8 times over (and the shingle
+      // subtree 64 times)
+      val bands = d.withColumn("shingles", wordShingles(col("text"), 3))
+        .withColumn("sig", minhashSignature(col("shingles"), 8))
+        .select(col("doc_id"),
+          posexplode(lshBands(col("sig"), 4, 2)).as(Seq("band_id", "band_key")))
+        .persist()
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .persist()
+      val grams = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("g"))
+      val dups = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+           size(array_union(col("ga"), col("gb")))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .persist()
+      val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
+      val survivors = d.join(removed, Seq("doc_id"), "left_anti")
+      d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    }),
   )
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
@@ -265,5 +322,60 @@ object Documents {
     "d05_simhash" ->
       s"""SELECT doc_id, ${graft.functions.TextAnalysis.simhash16DuckSql("text")} AS simhash
           FROM documents ORDER BY doc_id""",
+    "d06_simhash64" ->
+      """WITH c AS (
+           SELECT doc_id,
+             list_transform(range(0, 64), j ->
+               list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+                 CASE WHEN ((strpos('0123456789abcdef',
+                       substring(md5(t), CAST(j // 4 + 1 AS INT), 1)) - 1)
+                     // CAST(pow(2, j % 4) AS INT)) % 2 = 1
+                   THEN 1 ELSE -1 END))) AS cnt
+           FROM documents)
+         SELECT doc_id,
+           array_to_string(list_transform(range(0, 16), k ->
+             substring('0123456789abcdef',
+               CAST(1 + (CASE WHEN cnt[CAST(k*4+1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN cnt[CAST(k*4+2 AS INT)] > 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN cnt[CAST(k*4+3 AS INT)] > 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN cnt[CAST(k*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
+               1)), '') AS simhash64
+         FROM c ORDER BY doc_id""",
+    "d07_neardup_pipeline" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+             i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')) AS shingles
+           FROM toks),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 8),
+             s -> list_aggregate(list_transform(shingles,
+                    x -> md5(CAST(s AS VARCHAR) || ':' || x)), 'min')) AS sig
+           FROM sh),
+         bands AS (
+           SELECT doc_id, bb.b AS band_id,
+             md5(sig[CAST(bb.b*2+1 AS INT)] || '|' || sig[CAST(bb.b*2+2 AS INT)]) AS band_key
+           FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band_id = b.band_id
+             AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         grams AS (SELECT doc_id, list_distinct(tk) AS g FROM toks),
+         verified AS (
+           SELECT doc_a, doc_b,
+             CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+               / len(list_distinct(list_concat(ga.g, gb.g))) AS jac
+           FROM cand
+           JOIN grams ga ON ga.doc_id = doc_a
+           JOIN grams gb ON gb.doc_id = doc_b),
+         dups AS (SELECT * FROM verified WHERE jac >= 0.5),
+         removed AS (SELECT DISTINCT doc_b FROM dups)
+         SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM dups) AS n_dup_pairs,
+           (SELECT count(*) FROM removed) AS n_removed,
+           (SELECT count(*) FROM documents
+            WHERE doc_id NOT IN (SELECT doc_b FROM removed)) AS n_survivors""",
   )
 }

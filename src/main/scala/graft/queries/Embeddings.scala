@@ -56,6 +56,44 @@ object Embeddings {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("bucket"))
     }),
+
+    // Scale-safe kNN: same result set as e01, but top-k via a typed
+    // partial-aggregating Aggregator — each map task keeps <= k pairs per
+    // query, so the shuffle is k rows per (partition, query) instead of
+    // ALL |Q|x|C| similarity rows through |Q| window partitions (the
+    // round-1 e01 skew bottleneck at 100x).
+    "e04_knn_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = emb.select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+        .filter(col("q_vec_id") < 5)
+      val c = emb.select(col("vec_id").as("n_vec_id"), col("v").as("cv"))
+      val sims = c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      sims.groupBy(col("q_vec_id"))
+        .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), explode(col("top")).as("t"))
+        .select(col("q_vec_id"), col("t._2").as("n_vec_id"), col("t._1").as("sim"))
+        .orderBy(col("q_vec_id"), col("sim").desc, col("n_vec_id"))
+    }),
+
+    // Full 64-dim centroids via explode -> (label, dim) partial agg ->
+    // regroup; elementwise array aggregation without any driver-side
+    // loop (the round-1 e02 hand-rolled only dims 0-3).
+    "e05_centroids_full" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      val perDim = e.groupBy(col("label"), col("pos"))
+        .agg(avg(col("x")).as("c"), count(lit(1)).as("n"))
+      perDim.groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          round(sum(round(col("c"), 6)), 4).as("centroid_sum"),
+          round(max(when(col("pos") === 0, col("c"))), 6).as("c0"),
+          round(max(when(col("pos") === 63, col("c"))), 6).as("c63"))
+        .orderBy(col("label"))
+    }),
   )
 
   private val dotSql =
@@ -98,5 +136,34 @@ object Embeddings {
             FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e)
           SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket"""
     },
+    // e04 = e01's result computed through the aggregate path: same oracle.
+    "e04_knn_topk" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+          c AS (SELECT vec_id AS n_vec_id, v AS cv FROM emb),
+          sims AS (
+            SELECT q_vec_id, n_vec_id,
+                   round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM q CROSS JOIN c WHERE q_vec_id <> n_vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+            FROM sims)
+          SELECT q_vec_id, n_vec_id, sim FROM ranked WHERE rn <= 3
+          ORDER BY q_vec_id, sim DESC, n_vec_id""",
+    "e05_centroids_full" ->
+      """WITH e AS (
+           SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings),
+         per_dim AS (
+           SELECT label, pos, avg(x) AS c, count(*) AS n
+           FROM e GROUP BY label, pos)
+         SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           round(sum(round(c, 6)), 4) AS centroid_sum,
+           round(max(CASE WHEN pos = 0 THEN c END), 6) AS c0,
+           round(max(CASE WHEN pos = 63 THEN c END), 6) AS c63
+         FROM per_dim GROUP BY label ORDER BY label""",
   )
 }
