@@ -187,6 +187,34 @@ object Warc {
         .agg(count(lit(1)).as("n_paired"), sum(col("resp_bytes")).as("paired_bytes"))
     }),
 
+    // Scan throughput vs BASELINE (gzip ~10.4k records/s/core,
+    // BASELINE.md:11): envelope-only scan of a generated 10k-record
+    // multi-member gzip corpus (10 files in parallel). Column pruning
+    // means payloads are skipped, never buffered — records/s for this
+    // query's bench timing is the comparable number.
+    "w17_warc_scan10k" -> ((s, _) => {
+      val dir = graft.sources.BenchCorpus.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
+        files = 16, copiesPerFile = 100)
+      s.read.format("warc").load(dir)
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("content_length")).as("total_bytes"))
+    }),
+
+    // Same corpus with record-type pushdown + full HTTP parse of the kept
+    // records (the reference benchmark's parse_http=true shape).
+    "w18_warc_scan10k_http" -> ((s, _) => {
+      val dir = graft.sources.BenchCorpus.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
+        files = 16, copiesPerFile = 100)
+      s.read.format("warc")
+        .option("record_types", "response")
+        .load(dir)
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_200"),
+             sum(length(col("http_body"))).as("body_bytes"))
+    }),
+
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
     // the main content of real pages: the Chinese/Korean/Russian pages
     // of the fixture corpus detect as such.
@@ -309,5 +337,12 @@ object Warc {
       """SELECT lang, CAST(n AS BIGINT) AS n FROM (VALUES
          ('de', 2), ('en', 1), ('ko', 2), ('nl', 1), ('ru', 1), ('zh', 9))
          t(lang, n) ORDER BY lang""",
+    // 1600 copies of the 50-record fixture: 80,000 records.
+    "w17_warc_scan10k" ->
+      """SELECT CAST(80000 AS BIGINT) AS n_records,
+         CAST(844553600 AS BIGINT) AS total_bytes""",
+    "w18_warc_scan10k_http" ->
+      """SELECT CAST(25600 AS BIGINT) AS n, CAST(25600 AS BIGINT) AS n_200,
+         CAST(821160000 AS BIGINT) AS body_bytes""",
   )
 }
