@@ -20,11 +20,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Documents.queries ++
     graft.queries.Embeddings.queries ++
-    graft.queries.Warc.queries
+    graft.queries.Warc.queries ++
+    graft.queries.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
     graft.queries.Documents.oracleSql ++
     graft.queries.Embeddings.oracleSql ++
-    graft.queries.Warc.oracleSql
+    graft.queries.Warc.oracleSql ++
+    graft.queries.Multimodal.oracleSql
 }

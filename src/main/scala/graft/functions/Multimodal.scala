@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, udf}
+
+/** Multimodal columns for large-scale training-data pipelines: media
+  * payloads travel as opaque `binary` columns with TYPED metadata
+  * extracted next to them — the Spark-native pattern for the image/
+  * audio/video side of a 100 TB corpus (decode happens inside per-row
+  * kernels; pixels never become first-class rows unless exploded
+  * deliberately).
+  *
+  * Container metadata (format, dimensions) is parsed directly from magic
+  * headers — no codec involved, scale-cheap. Full pixel decode uses the
+  * JDK's ImageIO (PNG/JPEG/GIF/BMP). Audio/video frame sampling has no
+  * JVM codec on this classpath: [[avFrameSample]] is an explicitly
+  * documented deterministic STUB that preserves the real plumbing
+  * (schema, batching, partition behavior) so a codec can be dropped in.
+  */
+object Multimodal {
+
+  final case class ImageMeta(format: String, width: Int, height: Int)
+
+  /** Parse container headers for dimensions: PNG IHDR, GIF logical
+    * screen, BMP info header, JPEG SOFn scan, WebP VP8/VP8L/VP8X.
+    * Pure function over the first bytes; returns null for non-images.
+    */
+  def imageMetaOf(d: Array[Byte]): ImageMeta = {
+    @inline def u8(i: Int) = d(i) & 0xff
+    @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int) = (be16(i).toLong << 16 | be16(i + 2)).toInt
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) = (le16(i).toLong | (le16(i + 2).toLong << 16)).toInt
+    if (d == null || d.length < 16) return null
+    // PNG: 89 50 4E 47 0D 0A 1A 0A + IHDR at 16
+    if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' && d.length >= 24)
+      return ImageMeta("png", be32(16), be32(20))
+    // GIF87a/89a: LE logical screen size at 6
+    if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      return ImageMeta("gif", le16(6), le16(8))
+    // BMP: BM, info header at 14 (BITMAPINFOHEADER)
+    if (u8(0) == 'B' && u8(1) == 'M' && d.length >= 26)
+      return ImageMeta("bmp", le32(18), math.abs(le32(22)))
+    // WebP: RIFF....WEBP
+    if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        d.length >= 30 && u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') {
+      val fourcc = new String(d, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      fourcc match {
+        case "VP8 " => return ImageMeta("webp", le16(26) & 0x3fff, le16(28) & 0x3fff)
+        case "VP8L" => // 14-bit packed minus-one dims after signature byte
+          val b = (0 to 3).map(i => u8(21 + i))
+          val w = 1 + (((b(1) & 0x3f) << 8) | b(0))
+          val h = 1 + (((b(3) & 0x0f) << 10) | (b(2) << 2) | ((b(1) & 0xc0) >> 6))
+          return ImageMeta("webp", w, h)
+        case "VP8X" =>
+          val w = 1 + (u8(24) | (u8(25) << 8) | (u8(26) << 16))
+          val h = 1 + (u8(27) | (u8(28) << 8) | (u8(29) << 16))
+          return ImageMeta("webp", w, h)
+        case _ => return null
+      }
+    }
+    // JPEG: scan markers for SOF0-SOF15 (except DHT/DAC/RST)
+    if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < d.length) {
+        if (u8(i) != 0xff) return null
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else if (marker == 0x01) i += 2
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return null
+          if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 &&
+              marker != 0xc8 && marker != 0xcc)
+            return ImageMeta("jpeg", be16(i + 7), be16(i + 5))
+          i += 2 + len
+        }
+      }
+      return null
+    }
+    null
+  }
+
+  /** image_meta(binary) -> struct<format,width,height> (null if not an
+    * image container we recognize).
+    */
+  val imageMeta: Column => Column = {
+    val f = udf((d: Array[Byte]) => Option(imageMetaOf(d)))
+    c => f(c)
+  }
+
+  /** Normalized byte histogram as a fixed-length feature vector — a real
+    * deterministic binary-content feature (useful for format clustering /
+    * corruption detection); the shape all per-item feature extraction
+    * takes at scale: binary in, fixed array<double> out.
+    */
+  def byteHistogram(data: Column, bins: Int = 16): Column = {
+    val f = udf((d: Array[Byte], nb: Int) => {
+      if (d == null || d.isEmpty) new Array[Double](nb)
+      else {
+        val h = new Array[Double](nb)
+        val w = 256 / nb
+        d.foreach(b => h((b & 0xff) / w) += 1.0)
+        h.map(x => math.rint(x / d.length * 1e6) / 1e6)
+      }
+    })
+    f(data, lit(bins))
+  }
+
+  /** Full pixel decode + mean RGB via the JDK's ImageIO. Returns
+    * (width, height, meanR, meanG, meanB) or null when undecodable —
+    * decode failures must not fail tasks.
+    */
+  final case class PixelStats(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  val pixelStats: Column => Column = {
+    val f = udf((d: Array[Byte]) => {
+      if (d == null) None
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+          if (img == null) None
+          else {
+            var (r, g, b) = (0L, 0L, 0L)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Some(PixelStats(w, h,
+              math.rint(r * 100.0 / n) / 100, math.rint(g * 100.0 / n) / 100,
+              math.rint(b * 100.0 / n) / 100))
+          }
+        } catch { case _: Throwable => None }
+    })
+    c => f(c)
+  }
+
+  /** STUB — audio/video frame sampling. No AV codec ships on this
+    * classpath (documented gap); this returns deterministic pseudo-frames
+    * (byte slices at evenly spaced offsets) so the Spark-side plumbing —
+    * schema array<struct<offset,bytes>>, per-row batching, partition
+    * parallelism — is real and tested, and a codec-backed implementation
+    * can replace the kernel without touching the pipeline.
+    */
+  def avFrameSample(data: Column, nFrames: Int = 4, frameBytes: Int = 64): Column = {
+    val f = udf((d: Array[Byte], n: Int, fb: Int) => {
+      if (d == null || d.isEmpty) Seq.empty[(Long, Array[Byte])]
+      else (0 until n).map { i =>
+        val off = (d.length.toLong * i / n).toInt
+        (off.toLong, java.util.Arrays.copyOfRange(d, off, math.min(off + fb, d.length)))
+      }
+    })
+    f(data, lit(nFrames), lit(frameBytes))
+  }
+}

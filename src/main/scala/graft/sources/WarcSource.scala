@@ -110,7 +110,7 @@ class WarcTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = WarcSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava))
@@ -256,14 +256,18 @@ class WarcScan(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Ship only filesystem-relevant hadoop conf entries (serializable,
-    // small); local/file and default FS need nothing beyond defaults.
+  /** Ship only filesystem-relevant hadoop conf entries (serializable,
+    * small); local/file and default FS need nothing beyond defaults.
+    */
+  private def fsProps: Map[String, String] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-    val fsProps = conf.iterator().asScala
+    conf.iterator().asScala
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }
       .toMap
+  }
+
+  private def parseOpts: WarcParseOptions = {
     val needed = required.fieldNames.toSet
     val baseOpts = WarcParseOptions(
       parseHttp = options.getBoolean("parse_http", true) &&
@@ -276,9 +280,15 @@ class WarcScan(
       recordTypeMask = Option(options.get("record_types"))
         .map(s => RecordType.maskOf(s.split(",").map(_.trim).filter(_.nonEmpty)))
         .getOrElse(RecordType.AnyType))
-    val parseOpts = WarcPushdown.toParseOptions(baseOpts, filters)
-    new WarcReaderFactory(parseOpts, required, fsProps)
+    WarcPushdown.toParseOptions(baseOpts, filters)
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(parseOpts, required, fsProps)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(options, parseOpts, required, fsProps)
 }
 
 class WarcReaderFactory(
@@ -505,4 +515,56 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
   }
 
   override def close(): Unit = ()
+}
+
+// — streaming read path (spark.readStream.format("warc")) —
+
+/** Micro-batch WARC stream over a landing directory (the Beam source's
+  * distributed-scan semantics lifted to Structured Streaming; event time
+  * = record_date per beam/warcio.py:155-157). An offset is the count of
+  * files in lexicographic order that have been consumed: new archives
+  * must arrive under new names (append-only landing dir — the standard
+  * object-store pattern). Each batch plans the newly-arrived files with
+  * the same partition reader as the batch scan.
+  */
+class WarcMicroBatchStream(
+    options: CaseInsensitiveStringMap,
+    parseOpts: WarcParseOptions,
+    required: StructType,
+    fsProps: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"fileCount":$n}"""
+  }
+
+  private def conf: Configuration = {
+    val c = new Configuration()
+    fsProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def listSorted(): Seq[FileStatus] =
+    WarcInput.listFiles(WarcInput.paths(options), conf)
+      .sortBy(_.getPath.toString)
+
+  override def latestOffset(): Offset = FileCountOffset(listSorted().size)
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    listSorted().slice(s, e).map(st =>
+      WarcInputPartition(st.getPath.toString, 0L, Long.MaxValue, st.getLen)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(parseOpts, required, fsProps)
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming WARC source (micro-batch over a landing directory) and
+  * event-time operators.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("warc-streaming-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("readStream format warc consumes newly landed archives per batch") {
+    val landing = Files.createTempDirectory("warc-landing")
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    Files.copy(src, landing.resolve("batch-a.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = spark.readStream.format("warc").load(landing.toString)
+    assert(stream.isStreaming)
+    val query = stream
+      .groupBy(col("record_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("warc_stream_counts")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val n1 = spark.sql("SELECT sum(n) FROM warc_stream_counts").head.getLong(0)
+      assert(n1 == 50L)
+      // land a second archive: the next micro-batch picks up ONLY the new file
+      Files.copy(src, landing.resolve("batch-b.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+      query.processAllAvailable()
+      val n2 = spark.sql("SELECT sum(n) FROM warc_stream_counts").head.getLong(0)
+      assert(n2 == 100L)
+      val types = spark.sql("SELECT record_type, n FROM warc_stream_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(types("response") == 32L && types("request") == 34L)
+    } finally query.stop()
+  }
+
+  test("windowed type counts with watermark run on the streaming source") {
+    val landing = Files.createTempDirectory("warc-landing2")
+    Files.copy(Paths.get("/root/reference/tests/data/warcfile.warc.gz"),
+      landing.resolve("a.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.format("warc").load(landing.toString)
+    val query = EventTime.startToMemory(stream, "warc_windowed")
+    try {
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT record_type, n_records FROM warc_windowed").collect()
+      assert(rows.nonEmpty)
+      // all 50 records fall in the same crawl hour
+      assert(rows.map(_.getLong(1)).sum == 50L)
+    } finally query.stop()
+  }
+
+  test("event-time transforms give identical results on batch frames") {
+    val batch = spark.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc.gz")
+    val counts = EventTime.windowedTypeCounts(batch, "1 hour")
+      .orderBy(col("window.start"), col("record_type"))
+      .collect()
+    assert(counts.map(_.getAs[Long]("n_records")).sum == 50L)
+    // fixture spans 16:54 - 18:39 UTC -> 3 distinct hours
+    assert(counts.map(_.getStruct(0).getTimestamp(0)).distinct.length == 3)
+  }
+
+  test("per-host stateful progress on batch frames") {
+    val batch = spark.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc")
+      .filter(col("record_type") === "response")
+    val hosts = EventTime.hostProgress(batch).collect()
+    assert(hosts.nonEmpty)
+    assert(hosts.map(_.nRecords).sum == 16L)
+    assert(hosts.forall(_.host.nonEmpty))
+  }
+}
