@@ -136,6 +136,26 @@ object LangDetect {
     }.sortBy(_._2).take(k).toSeq
   }
 
+  /** Dump trained vectors as a C header (the reference CLI's profile
+    * codegen, resiliparse-py/resiliparse/cli.py:397-432) so profiles
+    * retrained in Spark round-trip into the reference's build.
+    */
+  def toCHeader(vectors: Seq[(String, Array[Int])]): String = {
+    val sb = new StringBuilder
+    sb.append("/* Generated language detection profiles. */\n")
+    sb.append("#ifndef GRAFT_LANG_PROFILES_H\n#define GRAFT_LANG_PROFILES_H\n\n")
+    sb.append("#include <stdint.h>\n\n")
+    sb.append(s"#define LANG_VEC_SIZE $VecSize\n")
+    sb.append("typedef const uint8_t lang_vec_t[LANG_VEC_SIZE];\n\n")
+    sb.append("typedef struct lang {\n    const char* lang;\n    const lang_vec_t vec;\n} lang_t;\n\n")
+    sb.append("static const lang_t LANGS[] = {\n")
+    vectors.foreach { case (name, vec) =>
+      sb.append(s"""    {"$name", {${vec.mkString(", ")}}},\n""")
+    }
+    sb.append("};\n\n#endif\n")
+    sb.toString
+  }
+
   /** `train_language_examples` (lang.pyx:196-226): elementwise mean of
     * example vectors, saturating u8 — the merge step is associative, so
     * this maps onto a Spark Aggregator (sum + count, finish = divide).

@@ -1,0 +1,115 @@
+package graft.core
+
+import java.io.InputStream
+
+/** Robustness utilities: scan resume after stream failure (the
+  * reference's `warc_retry`, resiliparse-py/resiliparse/itertools.pyx:
+  * 66-155) and per-record time containment (`TimeGuard` analog,
+  * process_guard.pyx:184-533). Spark task retry covers whole-task
+  * failures for free; these cover the in-task cases — a flaky remote
+  * stream that dies mid-scan, and one pathological document that must
+  * not stall a 1000-executor job.
+  */
+object WarcRetry {
+
+  /** Iterate a WARC stream with resume-on-failure: when the underlying
+    * stream dies mid-scan (reader.streamError), re-open via `factory`,
+    * skip forward to the last good position, drop the duplicate record,
+    * and continue. At most `maxRetries` reopens.
+    *
+    * The factory returns a FRESH raw stream each call (e.g. re-open the
+    * S3 object); codec sniffing reruns per attempt.
+    */
+  def iterator(
+      factory: () => InputStream,
+      filename: String,
+      opts: WarcParseOptions = WarcParseOptions(),
+      maxRetries: Int = 3): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+
+    private var retriesLeft = maxRetries
+    private var reader: WarcByteReader = _
+    private var parser: WarcParser = _
+    private var lastGoodEnd = 0L // position after the last emitted record
+    private var nextRec: WarcRecord = _
+    private var finished = false
+
+    private def open(resumeAt: Long): Unit = {
+      val (stream, _) = WarcCodecs.open(factory())
+      reader = new WarcByteReader(stream)
+      if (resumeAt > 0 && !reader.skipFully(resumeAt)) { finished = true; return }
+      parser = new WarcParser(reader, filename, opts)
+    }
+    open(0L)
+
+    private def advance(): Unit = {
+      while (nextRec == null && !finished) {
+        val hadNext = parser != null && parser.hasNext
+        if (hadNext) {
+          val r = parser.next()
+          if (r.error.exists(_.startsWith("truncated record")) &&
+              reader.streamError.isDefined && retriesLeft > 0) {
+            // stream died mid-record: reopen and re-read this record
+            retriesLeft -= 1
+            open(lastGoodEnd)
+          } else {
+            lastGoodEnd = reader.position
+            nextRec = r
+          }
+        } else if (reader != null && reader.streamError.isDefined && retriesLeft > 0) {
+          // stream died between records
+          retriesLeft -= 1
+          open(lastGoodEnd)
+        } else finished = true
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); nextRec != null }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
+}
+
+/** Per-record time containment: run a kernel with a wall-clock budget,
+  * interrupting the worker thread when exceeded — one pathological
+  * document must not stall the task (reference TimeGuard semantics;
+  * the escalation ladder collapses to interrupt + error value on the
+  * JVM, combined with the scan's default length caps).
+  */
+object TimeGuard {
+
+  private lazy val watchdog = {
+    val t = java.util.concurrent.Executors.newScheduledThreadPool(1, r => {
+      val th = new Thread(r, "graft-timeguard")
+      th.setDaemon(true)
+      th
+    })
+    t
+  }
+
+  /** Either the result or an error message on timeout/failure. The
+    * kernel should be interruptible or bounded (every graft kernel is:
+    * parsers are single-pass over bounded input).
+    */
+  def timeLimited[T](maxMillis: Long)(f: => T): Either[String, T] = {
+    val worker = Thread.currentThread()
+    val interrupted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val task = watchdog.schedule(new Runnable {
+      override def run(): Unit = { interrupted.set(true); worker.interrupt() }
+    }, maxMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try {
+      val out = f
+      if (interrupted.get()) { Thread.interrupted(); Left(s"time guard: exceeded ${maxMillis}ms") }
+      else Right(out)
+    } catch {
+      case _: InterruptedException => Left(s"time guard: exceeded ${maxMillis}ms")
+      case e: Throwable =>
+        if (interrupted.get()) { Thread.interrupted(); Left(s"time guard: exceeded ${maxMillis}ms") }
+        else Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      task.cancel(false)
+      Thread.interrupted() // clear any late interrupt flag
+    }
+  }
+}

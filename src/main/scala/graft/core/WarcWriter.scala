@@ -87,13 +87,31 @@ object WarcWriter {
       content, None, None)
   }
 
-  /** Streaming writer producing one compression member per record. */
-  final class RecordStreamWriter(rawOut: OutputStream, codec: Codec,
+  private final class CountingOutputStream(under: OutputStream) extends OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
+    override def flush(): Unit = under.flush()
+    override def close(): Unit = under.close()
+  }
+
+  /** Streaming writer producing one compression member per record.
+    * `write` returns the record's FILE offset (compressed coordinates) —
+    * the seekable address for [[WarcPointLookup.extract]] / a CDXJ index
+    * over compressed archives (the partition-pruning analog,
+    * warc.pyx:900-903).
+    */
+  final class RecordStreamWriter(rawOut0: OutputStream, codec: Codec,
       checksum: Boolean = false) {
+    private val rawOut = new CountingOutputStream(rawOut0)
     private var count = 0L
     def recordsWritten: Long = count
+    def bytesWritten: Long = rawOut.count
 
-    def write(rec: WarcRecord): Unit = {
+    def write(rec: WarcRecord): Long = {
+      val memberStart = rawOut.count
       codec match {
         case Raw => writeRecord(rec, rawOut, checksum)
         case Gzip =>
@@ -107,6 +125,7 @@ object WarcWriter {
           lz.finish()
       }
       count += 1
+      memberStart
     }
 
     def close(): Unit = rawOut.close()
@@ -123,5 +142,30 @@ object WarcWriter {
     parser.foreach(w.write)
     out.flush()
     w.recordsWritten
+  }
+}
+
+/** Point lookup: seek to a byte offset (compressed coordinates for
+  * member-per-record archives — as produced by the writer or a CDXJ
+  * index) and read exactly one record (reference `extract`,
+  * fastwarc-py/fastwarc/cli.py:185-222).
+  */
+object WarcPointLookup {
+  def extract(path: String, offset: Long,
+      opts: WarcParseOptions = WarcParseOptions()): Option[WarcRecord] = {
+    val raw = new java.io.FileInputStream(path)
+    try {
+      if (offset > 0) {
+        var left = offset
+        while (left > 0) {
+          val skipped = raw.skip(left)
+          if (skipped <= 0) return None
+          left -= skipped
+        }
+      }
+      val (stream, _) = WarcCodecs.open(raw)
+      val parser = new WarcParser(new WarcByteReader(stream), path, opts)
+      if (parser.hasNext) Some(parser.next()) else None
+    } finally raw.close()
   }
 }

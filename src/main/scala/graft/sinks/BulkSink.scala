@@ -1,0 +1,103 @@
+package graft.sinks
+
+import scala.collection.mutable
+
+/** Buffered, retrying bulk sink — the reference's Elasticsearch indexing
+  * policy made pluggable (resiliparse-py/resiliparse/beam/elasticsearch
+  * .py:36-227): buffer N actions, sort the buffer by id for stable retry
+  * order, flush in chunks, retry failed items with exponential backoff,
+  * optionally skip client errors. The external service is behind
+  * [[BulkBackend]] so the policy is testable offline; [[JsonLinesBackend]]
+  * is the default shipping target in this environment.
+  *
+  * Use from Spark as `df.foreachPartition(BulkSink.writer(...))` (batch)
+  * or inside a `ForeachWriter` (streaming) — one sink instance per
+  * partition, flush on close (the Beam finish_bundle analog).
+  */
+trait BulkBackend {
+  /** Attempt a chunk; return ids that FAILED retryably. Throw only for
+    * fatal errors.
+    */
+  def bulkIndex(chunk: Seq[(String, String)]): Seq[String]
+  def close(): Unit = ()
+}
+
+/** Appends `id \t json` lines to a local file — the offline default. */
+final class JsonLinesBackend(path: String) extends BulkBackend {
+  private val out = new java.io.PrintWriter(
+    new java.io.BufferedWriter(new java.io.FileWriter(path, true)))
+  override def bulkIndex(chunk: Seq[(String, String)]): Seq[String] = {
+    chunk.foreach { case (id, json) => out.println(s"$id\t$json") }
+    out.flush()
+    Seq.empty
+  }
+  override def close(): Unit = out.close()
+}
+
+/** Reference policy defaults: buffer 3200 / chunk 800 / initial backoff
+  * 2s, max 600s, 10 retries (elasticsearch.py:60-66,177-227).
+  */
+final class BulkSink(
+    backend: BulkBackend,
+    bufferSize: Int = 3200,
+    chunkSize: Int = 800,
+    initialBackoffMs: Long = 2000,
+    maxBackoffMs: Long = 600000,
+    maxRetries: Int = 10,
+    sleep: Long => Unit = Thread.sleep) {
+
+  private val buffer = mutable.ArrayBuffer.empty[(String, String)]
+  private var indexedCount = 0L
+  private var retryCount = 0L
+  def indexed: Long = indexedCount
+  def retries: Long = retryCount
+
+  def add(id: String, doc: String): Unit = {
+    buffer += (id -> doc)
+    if (buffer.size >= bufferSize) flush()
+  }
+
+  def flush(): Unit = {
+    if (buffer.isEmpty) return
+    // sort by id: stabilizes retry order (elasticsearch.py:183)
+    val sorted = buffer.sortBy(_._1).toSeq
+    buffer.clear()
+    sorted.grouped(chunkSize).foreach(flushChunk)
+  }
+
+  private def flushChunk(chunk: Seq[(String, String)]): Unit = {
+    var pending = chunk
+    var attempt = 0
+    var backoff = initialBackoffMs
+    while (pending.nonEmpty) {
+      val failedIds = backend.bulkIndex(pending).toSet
+      indexedCount += pending.size - failedIds.size
+      if (failedIds.isEmpty) return
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.io.IOException(
+          s"bulk sink: ${failedIds.size} items still failing after $maxRetries retries")
+      retryCount += 1
+      sleep(backoff)
+      backoff = math.min(backoff * 2, maxBackoffMs)
+      pending = pending.filter(p => failedIds.contains(p._1))
+    }
+  }
+
+  def close(): Unit = {
+    flush()
+    backend.close()
+  }
+}
+
+object BulkSink {
+  /** foreachPartition-ready writer: (id, json) rows into a per-partition
+    * sink, flushed and closed at partition end.
+    */
+  def writer(newBackend: () => BulkBackend, bufferSize: Int = 3200,
+      chunkSize: Int = 800): Iterator[(String, String)] => Unit = { rows =>
+    val sink = new BulkSink(newBackend(), bufferSize, chunkSize)
+    try rows.foreach { case (id, doc) => sink.add(id, doc) }
+    finally sink.close()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.core
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, IOException, InputStream}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** warc_retry resume semantics, TimeGuard containment, point lookup by
+  * offset, and the C-header profile dump.
+  */
+class RobustnessSpec extends AnyFunSuite {
+
+  private val fixtureBytes =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc"))
+
+  /** Dies with IOException after serving `failAt` bytes (once per
+    * instance); a fresh instance serves from the start.
+    */
+  private class FlakyStream(data: Array[Byte], failAt: Long) extends InputStream {
+    private var pos = 0
+    override def read(): Int = throw new UnsupportedOperationException
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= failAt) throw new IOException("simulated stream failure")
+      if (pos >= data.length) return -1
+      val n = math.min(len, math.min(data.length - pos, (failAt - pos).toInt))
+      System.arraycopy(data, pos, b, off, n)
+      pos += n
+      n
+    }
+  }
+
+  test("warc_retry resumes after mid-scan stream failures without dup/loss") {
+    // every attempt dies 100KB further in; 6 failures then a clean run
+    var attempt = 0
+    val it = WarcRetry.iterator(() => {
+      attempt += 1
+      if (attempt <= 6) new FlakyStream(fixtureBytes, attempt * 100000L)
+      else new ByteArrayInputStream(fixtureBytes)
+    }, "flaky", maxRetries = 10)
+    val recs = it.toVector
+    assert(recs.size == 50)
+    val ids = recs.flatMap(_.recordId)
+    assert(ids.distinct.size == 50) // no duplicates from resume
+    assert(recs.count(_.error.isDefined) == 0)
+  }
+
+  test("warc_retry gives up after maxRetries and surfaces the truncation") {
+    val it = WarcRetry.iterator(
+      () => new FlakyStream(fixtureBytes, 100000L), "dead", maxRetries = 2)
+    val recs = it.toVector
+    assert(recs.size < 50)
+    assert(recs.nonEmpty)
+  }
+
+  test("time guard interrupts a runaway kernel, passes a fast one") {
+    val fast = TimeGuard.timeLimited(5000) { 21 * 2 }
+    assert(fast == Right(42))
+    val t0 = System.nanoTime()
+    val slow = TimeGuard.timeLimited(200) {
+      // interruptible busy loop (every kernel is single-pass/bounded;
+      // sleep stands in for a pathological document)
+      Thread.sleep(10000)
+      "never"
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(slow.isLeft)
+    assert(elapsedMs < 5000)
+    val err = TimeGuard.timeLimited(1000) { throw new RuntimeException("boom") }
+    assert(err.swap.exists(_.contains("boom")))
+  }
+
+  test("point lookup extracts single records by writer-reported offsets") {
+    // write 5 records as gzip members, remembering each member offset
+    val (in, _) = WarcCodecs.open(new ByteArrayInputStream(fixtureBytes))
+    val recs = new WarcParser(new WarcByteReader(in), "m", WarcParseOptions()).take(5).toVector
+    val tmp = java.nio.file.Files.createTempFile("lookup", ".warc.gz")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    val w = new WarcWriter.RecordStreamWriter(out, WarcWriter.Gzip)
+    val offsets = recs.map(w.write)
+    w.close()
+    assert(offsets.head == 0L && offsets == offsets.sorted && offsets.distinct.size == 5)
+    // each offset seeks straight to its record — no scan-through
+    recs.zip(offsets).foreach { case (orig, off) =>
+      val got = WarcPointLookup.extract(tmp.toString, off)
+      assert(got.isDefined, off)
+      assert(got.get.recordId == orig.recordId)
+      assert(got.get.contentLength == orig.contentLength)
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("trained vectors dump as a C header") {
+    val header = LangDetect.toCHeader(Seq(
+      "xx" -> Array.tabulate(256)(_ % 7),
+      "yy" -> Array.fill(256)(1)))
+    assert(header.contains("#define LANG_VEC_SIZE 256"))
+    assert(header.contains("{\"xx\", {0, 1, 2"))
+    assert(header.contains("{\"yy\", {1, 1"))
+    assert(header.contains("static const lang_t LANGS[]"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Buffer/sort/chunk/retry/backoff policy of the bulk sink (reference
+  * policy: elasticsearch.py:36-227), tested against a mock backend.
+  */
+class BulkSinkSpec extends AnyFunSuite {
+
+  private class MockBackend(failFirstNAttempts: Int = 0) extends BulkBackend {
+    val chunks = mutable.ArrayBuffer.empty[Seq[String]]
+    val indexed = mutable.ArrayBuffer.empty[String]
+    private var attempts = 0
+    override def bulkIndex(chunk: Seq[(String, String)]): Seq[String] = {
+      chunks += chunk.map(_._1)
+      attempts += 1
+      if (attempts <= failFirstNAttempts) chunk.map(_._1) // all retryable
+      else { indexed ++= chunk.map(_._1); Seq.empty }
+    }
+  }
+
+  test("buffers, sorts by id, and flushes in chunks") {
+    val backend = new MockBackend()
+    val sink = new BulkSink(backend, bufferSize = 10, chunkSize = 4, sleep = _ => ())
+    // unsorted ids; buffer fills at 10 -> auto flush
+    (10 to 1 by -1).foreach(i => sink.add(f"id$i%02d", s"{}"))
+    assert(backend.chunks.size == 3) // 4+4+2
+    assert(backend.chunks.flatten.toSeq == (1 to 10).map(i => f"id$i%02d"))
+    sink.close()
+    assert(sink.indexed == 10L)
+  }
+
+  test("retries failed items with exponential backoff") {
+    val sleeps = mutable.ArrayBuffer.empty[Long]
+    val backend = new MockBackend(failFirstNAttempts = 3)
+    val sink = new BulkSink(backend, bufferSize = 100, chunkSize = 100,
+      initialBackoffMs = 2, maxBackoffMs = 1000, maxRetries = 10,
+      sleep = sleeps.append)
+    (1 to 5).foreach(i => sink.add(s"id$i", "{}"))
+    sink.close()
+    assert(sink.indexed == 5L)
+    assert(sink.retries == 3L)
+    assert(sleeps.toSeq == Seq(2L, 4L, 8L)) // doubling
+  }
+
+  test("gives up after maxRetries with an error") {
+    val backend = new MockBackend(failFirstNAttempts = 100)
+    val sink = new BulkSink(backend, bufferSize = 10, chunkSize = 10,
+      initialBackoffMs = 1, maxRetries = 3, sleep = _ => ())
+    sink.add("a", "{}")
+    intercept[java.io.IOException] { sink.close() }
+  }
+
+  test("json-lines backend round-trips") {
+    val tmp = java.nio.file.Files.createTempFile("bulk", ".jsonl")
+    java.nio.file.Files.delete(tmp)
+    val sink = new BulkSink(new JsonLinesBackend(tmp.toString), bufferSize = 2)
+    sink.add("b", """{"x":1}""")
+    sink.add("a", """{"x":2}""")
+    sink.close()
+    val lines = scala.io.Source.fromFile(tmp.toFile).getLines().toSeq
+    assert(lines == Seq("a\t{\"x\":2}", "b\t{\"x\":1}")) // sorted by id
+    java.nio.file.Files.delete(tmp)
+  }
+}
