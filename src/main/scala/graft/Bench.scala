@@ -11,6 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-reader initialization otherwise
+    // lands entirely on whichever query happens to run first (it inflated
+    // round-1 t03 by ~3s)
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      spark.read.format("warc")
+        .load("/root/reference/tests/data/warcfile.warc.gz").count()
+    } catch { case _: Throwable => }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
