@@ -92,6 +92,61 @@ object TextAnalysis {
   def minhashSignature(shingles: Column, k: Int): Column =
     array((0 until k).map(minhash(shingles, _)): _*)
 
+  /** Carter-Wegman MinHash signature over word w-shingles as ONE compiled
+    * kernel (tokenize -> shingle -> md5 -> k mins in a single pass):
+    * ONE md5 per shingle, h1/h2 = its first two 32-bit halves, component
+    * i = min over shingles of (h1 + i*h2) mod p, p = 4294967311 (prime >
+    * 2^32) — the textbook 2-universal family. Bit-identical to the
+    * DuckDB SQL rendition (JVM md5 == SQL md5), so oracles reproduce it.
+    *
+    * Deliberately a Scala UDF, not higher-order Catalyst functions, for
+    * two measured reasons on the d07 pipeline: (a) HOFs are not
+    * whole-stage-codegen'd and their interpreted per-element lambda
+    * machinery is ~10x slower than this loop; (b) a chain of HOF
+    * projections below a Generate (posexplode) gets inlined into the
+    * generator expression, re-evaluating the whole signature once per
+    * element_at reference (8x). "Functions, not UDFs" applies to
+    * codegen'd functions; for hash kernels the compiled loop wins.
+    */
+  def minhashShingleSigCW(text: Column, w: Int, k: Int): Column = {
+    val f = udf((t: String, wN: Int, kN: Int) => {
+      if (t == null) null
+      else {
+        val toks = t.trim.split("\\s+")
+        val nSh = math.max(toks.length - wN + 1, 1)
+        val mins = Array.fill(kN)(Long.MaxValue)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(64)
+        var s = 0
+        while (s < nSh) {
+          sb.setLength(0)
+          var j = 0
+          while (j < wN && s + j < toks.length) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          md.reset()
+          val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first/second 4 bytes big-endian, as unsigned 32-bit
+          val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                   ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+                   ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          var i = 0
+          while (i < kN) {
+            val v = (h1 + i * h2) % 4294967311L
+            if (v < mins(i)) mins(i) = v
+            i += 1
+          }
+          s += 1
+        }
+        mins
+      }
+    })
+    f(text, lit(w), lit(k))
+  }
+
   /** LSH band keys: md5 over `rows` consecutive signature components.
     * Docs sharing any band key are near-dup candidates.
     */

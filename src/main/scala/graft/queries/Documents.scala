@@ -182,12 +182,12 @@ object Documents {
       // expensive minhash lineage runs ONCE (at 100 TB these would be
       // checkpointed tables; re-deriving the full hash pipeline per
       // consumer is the real cost, not the storage)
-      // project shingles AND the signature behind barriers: inlining the
-      // sig subtree into lshBands' 8 element_at references would compute
-      // the full 8-component minhash 8 times over (and the shingle
-      // subtree 64 times)
-      val bands = d.withColumn("shingles", wordShingles(col("text"), 3))
-        .withColumn("sig", minhashSignature(col("shingles"), 8))
+      // project shingle hashes AND the signature behind barriers:
+      // inlining the sig subtree into lshBands' 8 element_at references
+      // would recompute the full signature 8 times over. The signature
+      // itself is Carter-Wegman over ONE md5 per shingle.
+      val bands = d
+        .withColumn("sig", minhashShingleSigCW(col("text"), 3, 8))
         .select(col("doc_id"),
           posexplode(lshBands(col("sig"), 4, 2)).as(Seq("band_id", "band_key")))
         .persist()
@@ -348,14 +348,19 @@ object Documents {
            SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
              i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')) AS shingles
            FROM toks),
+         hashed AS (
+           SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hashes FROM sh),
          sig AS (
            SELECT doc_id, list_transform(range(0, 8),
-             s -> list_aggregate(list_transform(shingles,
-                    x -> md5(CAST(s AS VARCHAR) || ':' || x)), 'min')) AS sig
-           FROM sh),
+             i -> list_aggregate(list_transform(hashes, h ->
+               (CAST(('0x' || substring(h, 1, 8)) AS BIGINT)
+                + i * CAST(('0x' || substring(h, 9, 8)) AS BIGINT)) % 4294967311),
+               'min')) AS sig
+           FROM hashed),
          bands AS (
            SELECT doc_id, bb.b AS band_id,
-             md5(sig[CAST(bb.b*2+1 AS INT)] || '|' || sig[CAST(bb.b*2+2 AS INT)]) AS band_key
+             md5(CAST(sig[CAST(bb.b*2+1 AS INT)] AS VARCHAR) || '|' ||
+                 CAST(sig[CAST(bb.b*2+2 AS INT)] AS VARCHAR)) AS band_key
            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

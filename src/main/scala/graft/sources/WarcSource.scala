@@ -238,8 +238,17 @@ class WarcScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"WarcScan[cols=${required.fieldNames.mkString(",")}, pushed=${filters.mkString(",")}]"
+  override def description(): String = {
+    val o = parseOpts
+    val eff = Seq(
+      if (o.recordTypeMask != RecordType.AnyType) Some(s"typeMask=${o.recordTypeMask}") else None,
+      if (o.minContentLength >= 0) Some(s"minLen=${o.minContentLength}") else None,
+      if (o.maxContentLength >= 0) Some(s"maxLen=${o.maxContentLength}") else None,
+      if (!o.parseHttp) Some("httpParse=off") else None,
+      if (!o.readPayload) Some("payload=skipped") else None).flatten
+    s"WarcScan[cols=${required.fieldNames.mkString(",")}, " +
+      s"pushed=[${filters.mkString(",")}], effective=[${eff.mkString(",")}]]"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
