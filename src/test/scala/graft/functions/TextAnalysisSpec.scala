@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Edge cases for the text-analysis kernels that the synthetic-corpus
+  * oracles never exercise (empty/short/whitespace-only documents), plus
+  * a cross-check of the compiled Carter-Wegman MinHash against an
+  * independent reimplementation of its math.
+  */
+class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").appName("textanalysis-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def onTexts(texts: Seq[String]) = {
+    val ss = spark; import ss.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("kernels never throw on empty/short/whitespace text") {
+    val df = onTexts(Seq("", " ", "one", "two words", "a b c d e", "x\n\ny \t z"))
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.tokenCount(col("text")).as("ntok"),
+      TextAnalysis.charNgrams(col("text"), 3).as("grams"),
+      TextAnalysis.wordShingles(col("text"), 3).as("shingles"),
+      TextAnalysis.minhashShingleSigCW(col("text"), 3, 8).as("sig"),
+      TextAnalysis.simhash16Expr("text").as("sh16"))
+      .collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getSeq[Long](5).size == 8) // sig always k components
+    }
+    // short text: single partial shingle
+    val shingles = out(3).getSeq[String](4)
+    assert(shingles == Seq("two words"))
+  }
+
+  test("compiled CW minhash matches an independent reimplementation") {
+    def reference(text: String, w: Int, k: Int): Seq[Long] = {
+      val toks = text.trim.split("\\s+")
+      val shingles = (0 until math.max(toks.length - w + 1, 1))
+        .map(i => toks.slice(i, i + w).mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val perShingle = shingles.map { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        (h1, h2)
+      }
+      (0 until k).map(i => perShingle.map { case (h1, h2) =>
+        (h1 + i * h2) % 4294967311L }.min)
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "single", "repeat repeat repeat repeat")
+    val df = onTexts(texts)
+    val got = df.select(col("doc_id"),
+        TextAnalysis.minhashShingleSigCW(col("text"), 3, 8).as("sig"))
+      .orderBy("doc_id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i).getSeq[Long](1) == reference(t, 3, 8), t)
+    }
+  }
+
+  test("lsh bands derive from consecutive signature components") {
+    val ss = spark; import ss.implicits._
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("sig")
+    val bands = df.select(TextAnalysis.lshBands(col("sig"), 2, 2).as("b"))
+      .head.getSeq[String](0)
+    assert(bands.size == 2)
+    assert(bands.distinct.size == 2)
+    // same sig -> same band keys (deterministic md5 of "1|2", "3|4")
+    val again = df.select(TextAnalysis.lshBands(col("sig"), 2, 2).as("b"))
+      .head.getSeq[String](0)
+    assert(bands == again)
+  }
+
+  test("identical documents share full signatures; different ones do not") {
+    val df = onTexts(Seq(
+      "shared text body for near duplicate detection purposes",
+      "shared text body for near duplicate detection purposes",
+      "completely different content with other words entirely"))
+    val sigs = df.select(TextAnalysis.minhashShingleSigCW(col("text"), 3, 8).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+}
