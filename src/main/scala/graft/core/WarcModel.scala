@@ -83,9 +83,20 @@ final case class WarcRecord(
     headers: HeaderMap,
     content: Array[Byte],
     http: Option[HttpMessage],
-    error: Option[String] = None) {
+    error: Option[String] = None,
+    /** The record's version line, e.g. "WARC/1.0" (warc.pyx:1276-1290). */
+    version: String = "") {
 
   def isHttp: Boolean = http.isDefined
+
+  def isWarc10: Boolean = version == "WARC/1.0"
+  def isWarc11: Boolean = version == "WARC/1.1"
+  def hasBlockDigest: Boolean = headers.contains("WARC-Block-Digest")
+  def hasPayloadDigest: Boolean = headers.contains("WARC-Payload-Digest")
+  /** Has a WARC-Concurrent-To link (request<->response pairing,
+    * warc.pyx:1336-1344).
+    */
+  def isConcurrent: Boolean = headers.contains("WARC-Concurrent-To")
 
   def targetUri: Option[String] = headers.get("WARC-Target-URI")
 

@@ -79,6 +79,7 @@ final class WarcParser(
           // else: garbage / blank between records — keep scanning
         }
       }
+      val versionStr = new String(versionLine, StandardCharsets.US_ASCII).trim
 
       // 2. header block
       val (headers, headersTruncated) = parseHeaderBlock()
@@ -87,11 +88,14 @@ final class WarcParser(
       val mask = RecordType.mask(recType)
 
       // Oversized header blocks surface as an error flag rather than a
-      // silently-truncated HeaderMap (indistinguishable from well-formed).
-      def withTruncFlag(r: WarcRecord): WarcRecord =
+      // silently-truncated HeaderMap (indistinguishable from well-formed);
+      // every emitted record carries its version line.
+      def withTruncFlag(r0: WarcRecord): WarcRecord = {
+        val r = r0.copy(version = versionStr)
         if (headersTruncated && r.error.isEmpty)
           r.copy(error = Some("header block truncated: exceeds max_header_bytes"))
         else r
+      }
 
       contentLength match {
         case None =>

@@ -41,4 +41,11 @@ object WarcCols {
     * reference implies via `is_concurrent`, warc.pyx:1336-1344).
     */
   def concurrentTo(headers: Column): Column = header(headers, "WARC-Concurrent-To")
+
+  // — header predicates (warc.pyx:1276-1344) —
+  def isWarc10(version: Column): Column = version === "WARC/1.0"
+  def isWarc11(version: Column): Column = version === "WARC/1.1"
+  def hasBlockDigest(headers: Column): Column = hasHeader(headers, "WARC-Block-Digest")
+  def hasPayloadDigest(headers: Column): Column = hasHeader(headers, "WARC-Payload-Digest")
+  def isConcurrent(headers: Column): Column = hasHeader(headers, "WARC-Concurrent-To")
 }

@@ -92,7 +92,8 @@ object WarcSchema {
     StructField("http_body", BinaryType),
     StructField("block_digest_ok", BooleanType),
     StructField("payload_digest_ok", BooleanType),
-    StructField("error", StringType)))
+    StructField("error", StringType),
+    StructField("warc_version", StringType)))
 
   /** Columns whose evaluation requires the HTTP header split. */
   val httpCols: Set[String] = Set(
@@ -391,6 +392,7 @@ object WarcRowEncoder {
         case "block_digest_ok" => r.blockDigestOk.map(Boolean.box).orNull
         case "payload_digest_ok" => r.payloadDigestOk.map(Boolean.box).orNull
         case "error" => r.error.map(utf8).orNull
+        case "warc_version" => utf8(r.version)
         case other => throw new IllegalArgumentException(s"unknown warc column: $other")
       }
       i += 1

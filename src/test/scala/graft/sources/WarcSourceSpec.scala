@@ -78,6 +78,17 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 50L)
   }
 
+  test("version column and header predicates") {
+    import graft.functions.WarcCols
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+    assert(df.filter(WarcCols.isWarc10(col("warc_version"))).count() == 50L)
+    assert(df.filter(WarcCols.isWarc11(col("warc_version"))).count() == 0L)
+    assert(df.filter(WarcCols.hasBlockDigest(col("headers"))).count() == 16L)
+    assert(df.filter(WarcCols.hasPayloadDigest(col("headers"))).count() == 16L)
+    assert(df.filter(WarcCols.isConcurrent(col("headers"))).count() == 32L) // 16 resp + 16 meta
+  }
+
   test("headers column preserves order and duplicate keys") {
     import org.apache.spark.sql.functions._
     val row = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
