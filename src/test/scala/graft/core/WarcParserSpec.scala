@@ -104,12 +104,22 @@ class WarcParserSpec extends AnyFunSuite {
     assert(recs.init.forall(_.error.isEmpty))
   }
 
-  test("clueweb quirks: legacy version lines and missing Content-Length survive") {
+  test("clueweb quirks: legacy version lines and LF-only HTTP headers") {
+    // reference pins (test_warc.py:830-858): 30 records, all with ids,
+    // strictly increasing offsets
     val recs = parse("clueweb-quirk.warc.gz")
-    assert(recs.nonEmpty)
-    // tolerant mode recovers records; any missing-Content-Length records
-    // carry an error instead of killing the scan
-    assert(recs.forall(r => r.error.isDefined || r.contentLength >= 0))
+    assert(recs.size == 30)
+    assert(recs.flatMap(_.recordId).distinct.size == 30)
+    val offsets = recs.map(_.offset)
+    assert(offsets == offsets.sorted && offsets.distinct.size == 30)
+    assert(recs.forall(_.version == "WARC/0.18")) // legacy ClueWeb09
+    assert(recs.count(_.error.isDefined) == 0)
+    // INTENTIONAL divergence: the reference's HTTP parser requires CRLF
+    // and yields http_content_type=None on these LF-only headers; ours
+    // tolerates LF and recovers 29 content types — strictly more data.
+    assert(recs.flatMap(_.http.flatMap(_.contentType)).size == 29)
+    // strict mode drops the legacy version lines entirely
+    assert(parse("clueweb-quirk.warc.gz", WarcParseOptions(strict = true)).isEmpty)
   }
 
   test("block-sized records aligned to the reader buffer parse cleanly") {
