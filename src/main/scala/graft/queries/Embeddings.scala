@@ -79,6 +79,50 @@ object Embeddings {
         .orderBy(col("q_vec_id"), col("sim").desc, col("n_vec_id"))
     }),
 
+    // IVF approximate kNN — the similarity-search scale path: the label
+    // centroids act as the coarse codebook (IVF cells). Each query probes
+    // its top-2 nearest cells and runs exact cosine ONLY against vectors
+    // in those cells (~2/10 of the corpus), then top-k. At 100 TB the
+    // probe join is a broadcast of (query x cell) pairs against a
+    // cell-partitioned table — candidate generation never scans the
+    // full corpus per query.
+    "e06_ivf_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      // codebook: per-cell (label) mean vector via explode/regroup;
+      // components rounded so probe ranking is bit-identical across
+      // engines (double avg is summation-order sensitive)
+      val centroids = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("cell"), expr("transform(pc, p -> p.c)").as("cv"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      // probe selection: top-2 cells by centroid cosine
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cell"))
+      val probes = queries.crossJoin(broadcast(centroids))
+        .select(col("q_vec_id"), col("qv"), col("cell"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+        .select(col("q_vec_id"), col("qv"), col("cell"))
+      // exact search inside probed cells only
+      val cands = emb.select(col("vec_id").as("n_vec_id"), col("label").as("cell"),
+        col("v").as("cv"))
+      val sims = cands.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      sims.groupBy(col("q_vec_id"))
+        .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), explode(col("top")).as("t"))
+        .select(col("q_vec_id"), col("t._2").as("n_vec_id"), col("t._1").as("sim"))
+        .orderBy(col("q_vec_id"), col("sim").desc, col("n_vec_id"))
+    }),
+
     // Full 64-dim centroids via explode -> (label, dim) partial agg ->
     // regroup; elementwise array aggregation without any driver-side
     // loop (the round-1 e02 hand-rolled only dims 0-3).
@@ -136,6 +180,32 @@ object Embeddings {
             FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e)
           SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket"""
     },
+    "e06_ivf_knn" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (
+            SELECT label AS cell, pos, round(avg(x), 6) AS c FROM (
+              SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM emb) e
+            GROUP BY label, pos),
+          centv AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY cell),
+          q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+          probes AS (
+            SELECT q_vec_id, qv, cell FROM (
+              SELECT q.q_vec_id, q.qv, c.cell, c.cv,
+                row_number() OVER (PARTITION BY q.q_vec_id
+                  ORDER BY $dotSql / ($qNormSql * $cNormSql) DESC, c.cell) AS rn
+              FROM q CROSS JOIN centv c) p WHERE rn <= 2),
+          sims AS (
+            SELECT p.q_vec_id, e.vec_id AS n_vec_id,
+              round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM (SELECT q_vec_id, qv, cell FROM probes) p
+            JOIN (SELECT vec_id, label, v AS cv FROM emb) e
+              ON e.label = p.cell AND e.vec_id <> p.q_vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+            FROM sims)
+          SELECT q_vec_id, n_vec_id, sim FROM ranked WHERE rn <= 3
+          ORDER BY q_vec_id, sim DESC, n_vec_id""",
     // e04 = e01's result computed through the aggregate path: same oracle.
     "e04_knn_topk" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

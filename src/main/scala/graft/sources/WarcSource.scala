@@ -228,9 +228,19 @@ object WarcPushdown {
 /** A byte range of one file. `start > 0` only for uncompressed archives;
   * the reader resyncs to the first record starting at/after `start` and
   * stops at the first record starting at/after `end`.
+  *
+  * `memberOffsets` non-empty = a member-aligned slice of a compressed
+  * archive (offsets from a member index — CDXJ or the writer's log):
+  * the reader seeks each compressed member offset and decodes that
+  * member alone, which parallelizes a single large gzip archive — the
+  * Beam-dynamic-splitting analog the plain gzip path can't have.
+  * Record offsets then report COMPRESSED member coordinates (the
+  * reference's stream_pos semantics for compressed inputs, and the
+  * seekable address for point lookups).
   */
 case class WarcInputPartition(
-    path: String, start: Long, end: Long, fileSize: Long) extends InputPartition
+    path: String, start: Long, end: Long, fileSize: Long,
+    memberOffsets: Seq[Long] = Nil) extends InputPartition
 
 class WarcScan(
     options: CaseInsensitiveStringMap,
@@ -256,10 +266,46 @@ class WarcScan(
     val files = WarcInput.listFiles(WarcInput.paths(options), conf)
     val split = options.getBoolean("split_uncompressed", true)
     val maxPart = options.getLong("max_partition_bytes", 128L * 1024 * 1024)
+    // member index: JSON-lines {"filename": ..., "offset": <compressed>}
+    // (a CDXJ over compressed coordinates); keyed by basename
+    val memberIndex: Map[String, Seq[Long]] =
+      Option(options.get("member_index")).map { idxPath =>
+        val p = new Path(idxPath)
+        val in = p.getFileSystem(conf).open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+                    finally in.close()
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        lines.filter(_.nonEmpty).map { l =>
+          val node = m.readTree(l)
+          val f = node.get("filename").asText()
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          base -> node.get("offset").asLong()
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      }.getOrElse(Map.empty)
+
     files.flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
-      if (split && len > maxPart && WarcInput.looksUncompressed(st.getPath.getName)) {
+      val indexed = memberIndex.get(st.getPath.getName)
+      if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
+        // chunk member offsets into ~maxPart compressed-byte slices
+        val offs = indexed.get
+        val bounds = offs :+ len
+        val parts = Vector.newBuilder[WarcInputPartition]
+        var groupStart = 0
+        var i = 0
+        while (i < offs.size) {
+          if (bounds(i + 1) - offs(groupStart) > maxPart && i > groupStart) {
+            parts += WarcInputPartition(p, offs(groupStart), offs(i), len,
+              offs.slice(groupStart, i))
+            groupStart = i
+          }
+          i += 1
+        }
+        parts += WarcInputPartition(p, offs(groupStart), len, len,
+          offs.slice(groupStart, offs.size))
+        parts.result()
+      } else if (split && len > maxPart && WarcInput.looksUncompressed(st.getPath.getName)) {
         (0L until len by maxPart).map(s =>
           WarcInputPartition(p, s, math.min(s + maxPart, len), len))
       } else Seq(WarcInputPartition(p, 0L, Long.MaxValue, len))
@@ -322,38 +368,56 @@ class WarcPartitionReader(
   private val hPath = new Path(part.path)
   private val fs: FileSystem = hPath.getFileSystem(conf)
   private val rawIn = fs.open(hPath)
-  private val isRangeRead = part.start > 0
-  if (isRangeRead) rawIn.seek(part.start)
 
-  private val (stream, codec) = WarcCodecs.open(rawIn)
-  // A mid-file range of a file that sniffs as compressed yields no rows:
-  // the partition at start=0 reads the whole member chain instead.
-  private val rangeInvalid = isRangeRead && codec != WarcCodecs.Raw
-
-  // Range reads resync for free: the parser's version-line search skips
-  // mid-record bytes until the next "WARC/" line (same recovery the
-  // reference's quirks mode uses, warc.pyx:1184-1207).
-  private val reader = new WarcByteReader(stream, baseOffset = part.start)
   private val parser: Iterator[WarcRecord] =
-    if (rangeInvalid) Iterator.empty
-    else new WarcParser(reader, part.path, parseOpts)
+    if (part.memberOffsets.nonEmpty) memberIterator()
+    else {
+      val isRangeRead = part.start > 0
+      if (isRangeRead) rawIn.seek(part.start)
+      val (stream, codec) = WarcCodecs.open(rawIn)
+      // A mid-file range of a file that sniffs as compressed yields no
+      // rows: the partition at start=0 reads the whole member chain
+      // instead. Range reads of raw files resync for free: the parser's
+      // version-line search skips mid-record bytes until the next
+      // "WARC/" line (warc.pyx:1184-1207 recovery).
+      if (isRangeRead && codec != WarcCodecs.Raw) Iterator.empty
+      else new WarcParser(new WarcByteReader(stream, baseOffset = part.start),
+        part.path, parseOpts)
+        // split ownership: a record belongs to the split containing its start
+        .takeWhile(_.offset < part.end)
+    }
+
+  /** Member-aligned scan: seek each compressed member offset, decode that
+    * member alone (bounded to the next boundary), and rebase record
+    * offsets to compressed member coordinates — the reference's
+    * stream_pos semantics for compressed inputs, seekable by
+    * WarcPointLookup.
+    */
+  private def memberIterator(): Iterator[WarcRecord] = {
+    val bounds = part.memberOffsets :+ part.end
+    part.memberOffsets.indices.iterator.flatMap { i =>
+      val memberStart = bounds(i)
+      val memberEnd = bounds(i + 1)
+      rawIn.seek(memberStart)
+      val bounded = new org.apache.commons.compress.utils.BoundedInputStream(
+        rawIn, memberEnd - memberStart)
+      val (stream, _) = WarcCodecs.open(bounded)
+      new WarcParser(new WarcByteReader(stream), part.path, parseOpts)
+        .map(r => r.copy(offset = memberStart + r.offset))
+        .toVector // materialize before the next seek invalidates the stream
+    }
+  }
 
   private var current: WarcRecord = _
 
   override def next(): Boolean = {
-    if (parser.hasNext) {
-      val r = parser.next()
-      // split ownership: a record belongs to the split containing its start
-      if (r.offset < part.end) { current = r; true }
-      else { current = null; false }
-    } else false
+    if (parser.hasNext) { current = parser.next(); true }
+    else { current = null; false }
   }
 
   override def get(): InternalRow = WarcRowEncoder.encode(current, required)
 
-  override def close(): Unit = {
-    stream.close()
-  }
+  override def close(): Unit = rawIn.close()
 }
 
 /** WarcRecord -> InternalRow projection for an arbitrary pruned schema. */

@@ -89,6 +89,40 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(WarcCols.isConcurrent(col("headers"))).count() == 32L) // 16 resp + 16 meta
   }
 
+  test("member-indexed gzip archives split into parallel partitions") {
+    import graft.core._
+    // build a member-per-record archive + its compressed-offset index
+    val (in, _) = WarcCodecs.open(
+      new java.io.FileInputStream(s"$DataDir/warcfile.warc"))
+    val recs = try new WarcParser(new WarcByteReader(in), "m",
+      WarcParseOptions()).toVector finally in.close()
+    val dir = java.nio.file.Files.createTempDirectory("member-split")
+    val gz = dir.resolve("indexed.warc.gz")
+    val out = java.nio.file.Files.newOutputStream(gz)
+    val w = new WarcWriter.RecordStreamWriter(out, WarcWriter.Gzip)
+    val offsets = recs.map(w.write)
+    w.close()
+    val idx = dir.resolve("members.jsonl")
+    java.nio.file.Files.write(idx, offsets.map(o =>
+      s"""{"filename": "${gz.toString}", "offset": $o}""").mkString("\n").getBytes)
+
+    val df = spark.read.format("warc")
+      .option("member_index", idx.toString)
+      .option("max_partition_bytes", 16 * 1024) // force many slices
+      .load(gz.toString)
+    assert(df.rdd.getNumPartitions > 1, "expected parallel member slices")
+    assert(df.count() == 50L)
+    // offsets are COMPRESSED member coordinates == the writer's log
+    val got = df.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == offsets.sorted)
+    // and each is point-lookup seekable
+    val lookedUp = WarcPointLookup.extract(gz.toString, got(10))
+    assert(lookedUp.isDefined)
+    // without the index: unsplittable, same records, decompressed offsets
+    val plain = spark.read.format("warc").load(gz.toString)
+    assert(plain.count() == 50L)
+  }
+
   test("headers column preserves order and duplicate keys") {
     import org.apache.spark.sql.functions._
     val row = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
