@@ -20,13 +20,21 @@ object WarcCols {
   def headerAll(headers: Column, name: String): Column =
     transform(filter(headers, h => matches(h, name)), _.getField("value"))
 
-  /** Last-occurrence lookup (the semantics the reference's tests pin). */
+  private def native(headers: Column, name: String, first: Boolean): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.WarcHeaderGet(
+        org.apache.spark.sql.GraftColumnBridge.expression(headers),
+        name, first))
+
+  /** Last-occurrence lookup (the semantics the reference's tests pin) —
+    * a native codegen'd expression (see [[graft.plans.WarcHeaderGet]]).
+    */
   def header(headers: Column, name: String): Column =
-    element_at(headerAll(headers, name), -1)
+    native(headers, name, first = false)
 
   /** First-occurrence lookup (Rust-side `get`). */
   def headerFirst(headers: Column, name: String): Column =
-    get(headerAll(headers, name), lit(0))
+    native(headers, name, first = true)
 
   def hasHeader(headers: Column, name: String): Column =
     exists(headers, h => matches(h, name))
