@@ -152,7 +152,8 @@ object WarcCodecs {
     }
     buffered.reset()
     sniff(java.util.Arrays.copyOf(head, n)) match {
-      case Some(Gzip) => (new GzipCompressorInputStream(buffered, true), Gzip)
+      case Some(Gzip) => (GzipCompressorInputStream.builder()
+        .setInputStream(buffered).setDecompressConcatenated(true).get(), Gzip)
       // commons-compress (not lz4-java): frames with DEPENDENT blocks —
       // which real WARC-LZ4 corpora use — need the 64 KiB history window
       // the lz4-java frame reader refuses to keep.

@@ -133,6 +133,18 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // Multi-level aggregation: ROLLUP subtotals + grand total in one
+    // pass (Spark expands grouping sets map-side; one shuffle).
+    "q11_revenue_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // JSON projection from the props payload column.
     "q10_events_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -217,5 +229,12 @@ object Relational {
       """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q11_revenue_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_rows,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
   )
 }

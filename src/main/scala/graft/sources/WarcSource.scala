@@ -399,8 +399,11 @@ class WarcPartitionReader(
       val memberStart = bounds(i)
       val memberEnd = bounds(i + 1)
       rawIn.seek(memberStart)
-      val bounded = new org.apache.commons.compress.utils.BoundedInputStream(
-        rawIn, memberEnd - memberStart)
+      val bounded = org.apache.commons.io.input.BoundedInputStream.builder()
+        .setInputStream(rawIn)
+        .setMaxCount(memberEnd - memberStart)
+        .setPropagateClose(false)
+        .get()
       val (stream, _) = WarcCodecs.open(bounded)
       new WarcParser(new WarcByteReader(stream), part.path, parseOpts)
         .map(r => r.copy(offset = memberStart + r.offset))
