@@ -99,6 +99,35 @@ object Documents {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    // Per-class precision/recall/F1 from the detector's predictions
+    // (reference language evaluation, resiliparse-py/resiliparse/cli.py:
+    // 446-526) — window-free arithmetic over one grouped pass.
+    "t06_lang_metrics" -> ((s, dir) => {
+      import graft.functions.Web
+      val pred = docs(s, dir)
+        .select(col("lang"), Web.detectLang(col("text")).getField("lang").as("pred_lang"))
+      val perClass = pred
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("support"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("tp"))
+      val predCounts = pred.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_pred"))
+      perClass
+        .join(predCounts, col("lang") === col("pred_lang"), "left")
+        .select(col("lang"), col("support"), col("tp"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .withColumn("precision",
+          round(when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred"))
+            .otherwise(0.0), 6))
+        .withColumn("recall", round(col("tp").cast("double") / col("support"), 6))
+        .withColumn("f1",
+          round(when(col("precision") + col("recall") > 0,
+            lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+            .otherwise(0.0), 6))
+        .select(col("lang"), col("support"), col("tp"), col("n_pred"),
+          col("precision"), col("recall"), col("f1"))
+        .orderBy(col("lang"))
+    }),
+
     // train_language_examples as a distributed typed Aggregator
     // (lang.pyx:196-226): per-language mean n-gram vector; partial
     // aggregation (vector sum + count) merges associatively, so the
@@ -284,6 +313,18 @@ object Documents {
          CAST(vsum AS BIGINT) AS vsum FROM (VALUES
          ('de',3,3,1029),('en',3,3,1027),('es',3,3,1021),('fr',2,3,1021),
          ('zh',3,2,1022)) t(lang, v0, v1, vsum) ORDER BY lang""",
+    // derived from the pinned t04 confusion matrix (synthetic token soup:
+    // only 'en' has real support in the detector's output)
+    "t06_lang_metrics" ->
+      """SELECT lang, CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
+         CAST(n_pred AS BIGINT) AS n_pred, CAST(precision AS DOUBLE) AS precision,
+         CAST(recall AS DOUBLE) AS recall, CAST(f1 AS DOUBLE) AS f1 FROM (VALUES
+         ('de', 70, 0, 0, 0.0, 0.0, 0.0),
+         ('en', 218, 116, 274, 0.423358, 0.53211, 0.471545),
+         ('es', 73, 0, 2, 0.0, 0.0, 0.0),
+         ('fr', 64, 0, 5, 0.0, 0.0, 0.0),
+         ('zh', 75, 0, 0, 0.0, 0.0, 0.0))
+         t(lang, support, tp, n_pred, precision, recall, f1) ORDER BY lang""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs
