@@ -220,7 +220,18 @@ object Documents {
         .select(col("doc_id"),
           posexplode(lshBands(col("sig"), 4, 2)).as(Seq("band_id", "band_key")))
         .persist()
-      val cand = bands.alias("a").join(bands.alias("b"),
+      // skew guard: drop degenerate buckets before the self-join — at
+      // corpus scale one viral boilerplate text puts millions of docs in
+      // a single band bucket, turning the join quadratic. Oversized
+      // buckets carry no near-dup signal worth a cross product (handled
+      // by exact dedup / explicit clustering instead).
+      val maxBucket = 64
+      val safeBuckets = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket)
+        .select(col("band_id"), col("band_key"))
+      val safeBands = bands.join(safeBuckets, Seq("band_id", "band_key"))
+      val cand = safeBands.alias("a").join(safeBands.alias("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -403,9 +414,15 @@ object Documents {
              md5(CAST(sig[CAST(bb.b*2+1 AS INT)] AS VARCHAR) || '|' ||
                  CAST(sig[CAST(bb.b*2+2 AS INT)] AS VARCHAR)) AS band_key
            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         safe AS (
+           SELECT band_id, band_key FROM bands
+           GROUP BY band_id, band_key HAVING count(*) <= 64),
+         sbands AS (
+           SELECT b.* FROM bands b JOIN safe s
+             ON b.band_id = s.band_id AND b.band_key = s.band_key),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b ON a.band_id = b.band_id
+           FROM sbands a JOIN sbands b ON a.band_id = b.band_id
              AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          grams AS (SELECT doc_id, list_distinct(tk) AS g FROM toks),
          verified AS (
