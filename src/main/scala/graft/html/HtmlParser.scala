@@ -38,9 +38,14 @@ object HtmlParser {
     "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th", "thead"),
     "tfoot" -> Set("tr", "td", "th", "tbody"))
 
-  /** Elements that close an implied scope on their end tag even if
-    * intermediate tags are open; bounded pop.
+  /** Open-element depth cap (browsers clamp around 512): beyond it, new
+    * elements attach flat at the cap instead of nesting deeper. Keeps
+    * every recursive consumer (text, serialize, traversal, selectors)
+    * within stack bounds — a 100k-deep <div> bomb must not kill a task
+    * with a StackOverflowError (Error, so no catch saves it).
     */
+  private val MaxDepth = 512
+
   def parse(input: String): DomNode = {
     val doc = new DomNode(NodeType.Document, "#document")
     val htmlEl = new DomNode(NodeType.Element, "html")
@@ -208,7 +213,9 @@ object HtmlParser {
       currentParent.appendChild(el)
       val isVoid = Serializer.VoidElements.contains(name)
       if (!isVoid && !selfClosing) {
-        stack += el
+        if (stack.size < MaxDepth) stack += el
+        // beyond MaxDepth: element stays in the tree but children attach
+        // flat at the cap (tolerant, bounded)
         if (!inForeign && RawText.contains(name)) return Some(el)
         if (!inForeign && RcData.contains(name)) return Some(el)
       }

@@ -240,6 +240,20 @@ class HtmlSpec extends AnyFunSuite {
     assert(t.body.querySelectorAll("p").map(_.text) == Vector("para1", "para2"))
   }
 
+  test("pathological nesting is depth-capped, never a StackOverflowError") {
+    val bomb = "<div>" * 100000 + "deep text"
+    val t = HtmlTree.parse(bomb)
+    assert(t.body.text.endsWith("deep text"))
+    // every recursive consumer stays within stack bounds
+    assert(t.body.html.nonEmpty)
+    assert(t.body.querySelectorAll("div").nonEmpty)
+    assert(Html2Text.extract(t, Html2Text.Options()).contains("deep text"))
+    var depth = 0
+    var n = t.body
+    while (n != null) { depth += 1; n = n.firstChild }
+    assert(depth <= 600, s"tree depth $depth exceeds the cap")
+  }
+
   test("parse_from_bytes with charset and detection") {
     val t = HtmlTree.parseFromBytes(html.getBytes("UTF-16"), "utf-16")
     assert(t.title == "Example page")
