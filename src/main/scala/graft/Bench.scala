@@ -16,20 +16,26 @@ object Bench {
     // round-1 t03 by ~3s)
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("noop").mode("overwrite").save()
       spark.read.format("warc")
         .load("/root/reference/tests/data/warcfile.warc.gz").count()
     } catch { case _: Throwable => }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // materialize EVERY column via the noop sink: a bare count() lets
+      // Catalyst prune un-referenced projected kernels (simhash, minhash,
+      // extract_plain_text, ...) so their cost would never be timed
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         // a failed query must NOT silently report its elapsed time as a
         // success — record it so the bench line shows the breakage
         errors ::= (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
+      name -> sec
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""

@@ -31,6 +31,19 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000L")))
   }
-  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+  /** The per-document/per-embedding kernels (simhash, minhash, lang
+    * detect, ANN) are CPU-bound, but the test corpus is ONE small parquet
+    * file with ONE row group — an unsplittable single-partition scan that
+    * serializes every kernel onto one core. Spread such inputs across the
+    * cluster; when the scan already carries >= defaultParallelism splits
+    * (any real-scale input), this is skipped and no shuffle is added.
+    */
+  private def spreadIfTiny(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(s: SparkSession, dir: String): DataFrame =
+    spreadIfTiny(s, s.read.parquet(s"$dir/documents.parquet"))
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    spreadIfTiny(s, s.read.parquet(s"$dir/embeddings.parquet"))
 }

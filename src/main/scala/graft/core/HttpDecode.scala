@@ -60,25 +60,59 @@ object HttpDecode {
     -1
   }
 
-  private def readAll(in: java.io.InputStream): Array[Byte] = {
+  /** MemGuard analog (reference process_guard.pyx:184-533 doctrine): a
+    * decompression bomb must surface as an error value, never an executor
+    * OOM. Default cap: 1 GiB of decoded output per body.
+    */
+  val DefaultMaxDecoded: Long = 1L << 30
+
+  /** Thrown internally when decoded output exceeds the cap. */
+  private final class DecodedTooLarge extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private def readAll(in: java.io.InputStream, maxBytes: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
     val buf = new Array[Byte](1 << 16)
+    var total = 0L
     var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n > 0) {
+      total += n
+      if (total > maxBytes) throw new DecodedTooLarge
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 
-  /** gzip / x-gzip member(s). */
-  def gunzip(data: Array[Byte]): Option[Array[Byte]] =
-    Try(readAll(new GZIPInputStream(new ByteArrayInputStream(data)))).toOption
+  private def gunzipE(data: Array[Byte], maxBytes: Long): Either[String, Array[Byte]] =
+    try Right(readAll(new GZIPInputStream(new ByteArrayInputStream(data)), maxBytes))
+    catch {
+      case _: DecodedTooLarge => Left("max-decoded-length: gzip")
+      case _: Throwable => Left("gzip")
+    }
 
   /** deflate — zlib-wrapped per RFC, but many servers send raw deflate:
     * try zlib first, then raw (the tolerance every browser implements).
     */
-  def inflate(data: Array[Byte]): Option[Array[Byte]] =
-    Try(readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater(false))))
-      .orElse(Try(readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater(true)))))
-      .toOption
+  private def inflateE(data: Array[Byte], maxBytes: Long): Either[String, Array[Byte]] =
+    try Right(readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater(false)), maxBytes))
+    catch {
+      case _: DecodedTooLarge => Left("max-decoded-length: deflate")
+      case _: Throwable =>
+        try Right(readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater(true)), maxBytes))
+        catch {
+          case _: DecodedTooLarge => Left("max-decoded-length: deflate")
+          case _: Throwable => Left("deflate")
+        }
+    }
+
+  /** gzip / x-gzip member(s), decoded output bounded by `maxBytes`. */
+  def gunzip(data: Array[Byte], maxBytes: Long = DefaultMaxDecoded): Option[Array[Byte]] =
+    gunzipE(data, maxBytes).toOption
+
+  def inflate(data: Array[Byte], maxBytes: Long = DefaultMaxDecoded): Option[Array[Byte]] =
+    inflateE(data, maxBytes).toOption
 
   /** Decode result: body plus what was (not) applied. */
   final case class Decoded(body: Array[Byte], applied: Seq[String], failed: Option[String])
@@ -86,26 +120,32 @@ object HttpDecode {
   /** Apply the encoding chain in reverse (outermost encoding first —
     * warc.pyx:819-837). Unsupported/undecodable steps stop the chain and
     * report the failing encoding; bytes decoded so far are returned.
+    * Failure labels are distinct per cause: `unsupported-encoding: br`
+    * (the reference decodes brotli, warc.pyx:826 — no JVM codec on this
+    * classpath), `max-decoded-length: <enc>` (bomb guard), plain `<enc>`
+    * for undecodable input.
     */
   def decodeBody(data: Array[Byte],
-      contentEncoding: Option[String], transferEncoding: Option[String]): Decoded = {
+      contentEncoding: Option[String], transferEncoding: Option[String],
+      maxDecoded: Long = DefaultMaxDecoded): Decoded = {
     val chain = encodingChain(contentEncoding, transferEncoding)
     var cur = data
     var applied = List.empty[String]
     chain.reverseIterator.foreach { enc =>
-      val step: Option[Array[Byte]] = enc match {
-        case "gzip" | "x-gzip" => gunzip(cur)
-        case "deflate" => inflate(cur)
-        case "chunked" => dechunk(cur)
-        case "identity" | "none" => Some(cur)
-        case _ => None // br (no JVM codec), compress, unknown
+      val step: Either[String, Array[Byte]] = enc match {
+        case "gzip" | "x-gzip" => gunzipE(cur, maxDecoded)
+        case "deflate" => inflateE(cur, maxDecoded)
+        case "chunked" => dechunk(cur).toRight(enc) // output <= input: no cap needed
+        case "identity" | "none" => Right(cur)
+        case "br" => Left("unsupported-encoding: br")
+        case other => Left(other) // compress, unknown
       }
       step match {
-        case Some(next) =>
+        case Right(next) =>
           cur = next
           if (enc != "identity" && enc != "none") applied ::= enc
-        case None =>
-          return Decoded(cur, applied.reverse, Some(enc))
+        case Left(reason) =>
+          return Decoded(cur, applied.reverse, Some(reason))
       }
     }
     Decoded(cur, applied.reverse, None)

@@ -94,22 +94,31 @@ object TimeGuard {
     */
   def timeLimited[T](maxMillis: Long)(f: => T): Either[String, T] = {
     val worker = Thread.currentThread()
-    val interrupted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the monitor makes interrupt delivery and the final flag-clear
+    // mutually exclusive: once `done` is set under the lock, the watchdog
+    // can never interrupt this (by then possibly unrelated) task thread
+    val lock = new Object
+    var done = false
+    var fired = false
     val task = watchdog.schedule(new Runnable {
-      override def run(): Unit = { interrupted.set(true); worker.interrupt() }
+      override def run(): Unit = lock.synchronized {
+        if (!done) { fired = true; worker.interrupt() }
+      }
     }, maxMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def firedNow: Boolean = lock.synchronized(fired)
     try {
       val out = f
-      if (interrupted.get()) { Thread.interrupted(); Left(s"time guard: exceeded ${maxMillis}ms") }
+      if (firedNow) Left(s"time guard: exceeded ${maxMillis}ms")
       else Right(out)
     } catch {
       case _: InterruptedException => Left(s"time guard: exceeded ${maxMillis}ms")
       case e: Throwable =>
-        if (interrupted.get()) { Thread.interrupted(); Left(s"time guard: exceeded ${maxMillis}ms") }
+        if (firedNow) Left(s"time guard: exceeded ${maxMillis}ms")
         else Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
+      lock.synchronized { done = true }
       task.cancel(false)
-      Thread.interrupted() // clear any late interrupt flag
+      Thread.interrupted() // clear any interrupt that landed before `done`
     }
   }
 }

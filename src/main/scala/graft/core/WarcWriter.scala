@@ -5,7 +5,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.time.Instant
 import java.time.format.DateTimeFormatter
-import java.util.zip.GZIPOutputStream
 
 /** WARC serialization — reference `WarcRecord.write`
   * (fastwarc-py/fastwarc/warc.pyx:840-938, record.rs:1206-1332):
@@ -51,7 +50,11 @@ object WarcWriter {
     }
 
     val sb = new StringBuilder(256)
-    sb.append("WARC/1.1\r\n")
+    // preserve the record's own version line (reference WarcRecord.write
+    // keeps the original status line, warc.pyx:840-938) — a WARC/1.0
+    // record must not silently upgrade to 1.1 on recompress/round-trip;
+    // WARC/1.1 only for records built fresh (no version yet)
+    sb.append(if (rec.version.nonEmpty) rec.version else "WARC/1.1").append("\r\n")
     headers.entries.foreach { case (k, v) =>
       sb.append(HeaderMap.sanitizeKey(k)).append(": ")
         .append(HeaderMap.sanitizeValue(v)).append("\r\n")
@@ -97,6 +100,55 @@ object WarcWriter {
     override def close(): Unit = under.close()
   }
 
+  /** Gzip member framing over ONE reused Deflater. A fresh
+    * `GZIPOutputStream` per record leaks a native zlib Deflater (~hundreds
+    * of KB off-heap) until finalization — member-per-record archives write
+    * millions of members, so the deflater must be explicit: reset per
+    * member, end() exactly once at close.
+    */
+  private final class MemberGzip(out: OutputStream) {
+    private val deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32()
+    private val buf = new Array[Byte](64 * 1024)
+    private var size = 0L
+    // RFC 1952 member header: magic, CM=deflate, no flags/mtime/XFL, OS=unknown
+    private val header = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+
+    private def drain(): Unit = {
+      var n = deflater.deflate(buf)
+      while (n > 0) { out.write(buf, 0, n); n = deflater.deflate(buf) }
+    }
+
+    val memberStream: OutputStream = new OutputStream {
+      override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        crc.update(b, off, len)
+        size += len
+        deflater.setInput(b, off, len)
+        while (!deflater.needsInput()) drain()
+      }
+    }
+
+    def beginMember(): Unit = {
+      deflater.reset(); crc.reset(); size = 0L
+      out.write(header)
+    }
+
+    def finishMember(): Unit = {
+      deflater.finish()
+      while (!deflater.finished()) drain()
+      val trailer = new Array[Byte](8)
+      val c = crc.getValue; val s = size & 0xffffffffL
+      var i = 0
+      while (i < 4) { trailer(i) = ((c >>> (8 * i)) & 0xff).toByte; i += 1 }
+      while (i < 8) { trailer(i) = ((s >>> (8 * (i - 4))) & 0xff).toByte; i += 1 }
+      out.write(trailer)
+    }
+
+    def end(): Unit = deflater.end()
+  }
+
   /** Streaming writer producing one compression member per record.
     * `write` returns the record's FILE offset (compressed coordinates) —
     * the seekable address for [[WarcPointLookup.extract]] / a CDXJ index
@@ -107,6 +159,7 @@ object WarcWriter {
       checksum: Boolean = false) {
     private val rawOut = new CountingOutputStream(rawOut0)
     private var count = 0L
+    private lazy val gzip = new MemberGzip(rawOut)
     def recordsWritten: Long = count
     def bytesWritten: Long = rawOut.count
 
@@ -115,10 +168,11 @@ object WarcWriter {
       codec match {
         case Raw => writeRecord(rec, rawOut, checksum)
         case Gzip =>
-          // member per record: a full gzip stream finished per record
-          val gz = new GZIPOutputStream(rawOut, 64 * 1024)
-          writeRecord(rec, gz, checksum)
-          gz.finish()
+          // member per record: a full gzip member finished per record,
+          // shared deflater reset between members (no native leak)
+          gzip.beginMember()
+          writeRecord(rec, gzip.memberStream, checksum)
+          gzip.finishMember()
         case Lz4 =>
           val lz = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(rawOut)
           writeRecord(rec, lz, checksum)
@@ -128,7 +182,10 @@ object WarcWriter {
       memberStart
     }
 
-    def close(): Unit = rawOut.close()
+    def close(): Unit = {
+      if (codec == Gzip) gzip.end()
+      rawOut.close()
+    }
   }
 
   /** `recompress_warc` (fastwarc-py/fastwarc/tools.pyx:91-152): stream a

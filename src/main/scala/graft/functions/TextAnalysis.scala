@@ -204,6 +204,53 @@ object TextAnalysis {
               acc + (CASE WHEN element_at($countsCol, CAST(k * 4 + b + 1 AS INT)) > 0
                      THEN CAST(pow(2, b) AS INT) ELSE 0 END)) AS INT), 1)), '')""")
 
+  /** Compiled 64-bit SimHash kernel: bit-identical to
+    * [[simhash64Counts]] + [[simhash64Hex]] (the SQL-expressible
+    * rendition kept above for the cross-engine oracle and the parity
+    * spec), but ONE md5 per token and a tight counter loop.
+    *
+    * Justified UDF (same doctrine as [[minhashShingleSigCW]]): the HOF
+    * form runs interpreted — 64 zip_with lambda evals per token with
+    * conv/pow/cast inside — measured at >300 s for ~5k documents on the
+    * round-3 bench once the noop sink stopped Catalyst from pruning it;
+    * this loop does the identical math in milliseconds.
+    */
+  def simhash64(text: Column): Column = {
+    val f = udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = t.trim.split("\\s+")
+        val counts = new Array[Int](64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var ti = 0
+        while (ti < toks.length) {
+          md.reset()
+          val d = md.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 64) {
+            val q = j >> 2 // hex digit index of the md5 string
+            val b = d(q >> 1) & 0xff
+            val digit = if ((q & 1) == 0) b >>> 4 else b & 0xf
+            counts(j) += (if (((digit >> (j & 3)) & 1) == 1) 1 else -1)
+            j += 1
+          }
+          ti += 1
+        }
+        val sb = new java.lang.StringBuilder(16)
+        var k = 0
+        while (k < 16) {
+          var v = 0
+          var b = 0
+          while (b < 4) { if (counts(4 * k + b) > 0) v |= 1 << b; b += 1 }
+          sb.append("0123456789abcdef".charAt(v))
+          k += 1
+        }
+        sb.toString
+      }
+    })
+    f(text)
+  }
+
   /** DuckDB rendition of [[simhash16Expr]] for oracle SQL. */
   def simhash16DuckSql(textCol: String): String = {
     val terms = (0 until 16).map { j =>

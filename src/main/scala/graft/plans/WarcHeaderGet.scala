@@ -65,7 +65,9 @@ case class WarcHeaderGet(child: Expression, name: String, first: Boolean)
       val n = ctx.freshName("n")
       val kv = ctx.freshName("kv")
       val k = ctx.freshName("k")
-      val breakOnFirst = if (first) s"if (!${ev.isNull}) break;" else ""
+      // break unconditionally on the first key match (even a null value)
+      // so codegen matches nullSafeEval, which returns immediately there
+      val breakOnFirst = if (first) "break;" else ""
       s"""
         |${ev.isNull} = true;
         |int $n = $arr.numElements();

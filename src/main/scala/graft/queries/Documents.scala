@@ -188,13 +188,13 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
-    // 64-bit SimHash (corpus-scale fingerprint width): md5 once per
-    // token, one fold into 64 counters projected ONCE, then sign-packed
-    // into a 16-hex-char fingerprint.
+    // 64-bit SimHash (corpus-scale fingerprint width): compiled kernel,
+    // one md5 per token — bit-identical to the SQL-expressible
+    // counts+hex construction the DuckDB oracle runs (parity-locked in
+    // TextAnalysisSpec).
     "d06_simhash64" -> ((s, dir) => {
       docs(s, dir)
-        .withColumn("cnt", simhash64Counts("text"))
-        .select(col("doc_id"), simhash64Hex("cnt").as("simhash64"))
+        .select(col("doc_id"), simhash64(col("text")).as("simhash64"))
         .orderBy(col("doc_id"))
     }),
 

@@ -20,8 +20,11 @@ object Embeddings {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-3 for query vectors vec_id < 5.
-    "e01_knn_cosine" -> ((s, dir) => {
+    // Brute-force cosine top-3 for query vectors vec_id < 5. Named
+    // _baseline deliberately: the final window shuffles ALL |Q|x|C| sim
+    // rows into |Q| partitions — the pedagogical correctness reference
+    // that e04 (partial-agg top-k) supersedes at scale.
+    "e01_knn_cosine_baseline" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val q = emb.select(col("vec_id").as("q_vec_id"), col("v").as("qv")).filter(col("q_vec_id") < 5)
@@ -148,7 +151,7 @@ object Embeddings {
     "sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])))"
 
   val oracleSql: Map[String, String] = Map(
-    "e01_knn_cosine" ->
+    "e01_knn_cosine_baseline" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
           c AS (SELECT vec_id AS n_vec_id, v AS cv FROM emb),

@@ -157,6 +157,9 @@ object Warc {
     // warc.pyx:840-938, test_warc.py:455-468).
     "w14_warc_roundtrip" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_roundtrip"
+      // append-mode writes accumulate across jobs (by design); this query
+      // wants a fresh round-trip, so clear the scratch dir first
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       scan(s, "warcfile.warc.gz")
         .filter(col("record_type") === "response")
         .select(col("record_id"), col("record_type"), col("record_date"),
@@ -213,6 +216,31 @@ object Warc {
         .agg(count(lit(1)).as("n"),
              sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_200"),
              sum(length(col("http_body"))).as("body_bytes"))
+    }),
+
+    // Content-/Transfer-Encoding decode chain end-to-end through the scan
+    // (auto_decode + chunked decode, warc.pyx:785-837, parse/http.pyx:
+    // 28-63): a generated fixture with gzip/deflate/chunked+gzip/brotli
+    // response bodies. The oracle recomputes the decoded digests itself
+    // (DuckDB md5 over the same known plaintexts) — not a self-pin.
+    "w20_warc_encoded_bodies" -> ((s, _) => {
+      import graft.functions.{Web, WarcCols}
+      val dir = graft.sources.BenchCorpus.ensureEncodedBodies(
+        s"${System.getProperty("java.io.tmpdir")}/graft_w20_encoded")
+      val decoded = Web.decodeHttpBody(col("http_body"),
+        WarcCols.header(col("http_headers"), "Content-Encoding"),
+        WarcCols.header(col("http_headers"), "Transfer-Encoding"))
+      s.read.format("warc").load(dir)
+        .filter(col("record_type") === "response")
+        .select(
+          regexp_extract(WarcCols.targetUri(col("headers")), "([^/]+)$", 1).as("enc"),
+          decoded.as("d"))
+        .select(col("enc"),
+          array_join(col("d.applied"), ",").as("applied"),
+          coalesce(col("d.failed"), lit("none")).as("failed"),
+          length(col("d.body")).cast("int").as("decoded_len"),
+          md5(col("d.body")).as("decoded_md5"))
+        .orderBy(col("enc"))
     }),
 
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
@@ -337,6 +365,17 @@ object Warc {
       """SELECT lang, CAST(n AS BIGINT) AS n FROM (VALUES
          ('de', 2), ('en', 1), ('ko', 2), ('nl', 1), ('ru', 1), ('zh', 9))
          t(lang, n) ORDER BY lang""",
+    // the oracle RECOMPUTES the decoded digests from the same plaintext
+    // constructions the fixture writer uses — a drift in any decode step
+    // (gunzip, inflate, dechunk, chain order) breaks the hash compare
+    "w20_warc_encoded_bodies" ->
+      """SELECT enc, applied, failed, CAST(decoded_len AS INT) AS decoded_len,
+                decoded_md5 FROM (VALUES
+         ('br', '', 'unsupported-encoding: br', 14, md5('pretend-brotli')),
+         ('chunked-gzip', 'chunked,gzip', 'none', 570, md5(repeat('chunked then gzip. ', 30))),
+         ('deflate', 'deflate', 'none', 760, md5(repeat('deflate payload x. ', 40))),
+         ('gzip', 'gzip', 'none', 950, md5(repeat('gzip body content. ', 50))))
+         t(enc, applied, failed, decoded_len, decoded_md5) ORDER BY enc""",
     // 1600 copies of the 50-record fixture: 80,000 records.
     "w17_warc_scan10k" ->
       """SELECT CAST(80000 AS BIGINT) AS n_records,

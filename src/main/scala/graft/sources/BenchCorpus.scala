@@ -39,4 +39,73 @@ object BenchCorpus {
 
   def totalRecords(files: Int = 10, copiesPerFile: Int = 20): Long =
     files.toLong * copiesPerFile * RecordsPerCopy
+
+  // — encoded-bodies fixture (w20): gzip / deflate / chunked+gzip / br —
+
+  private def gz(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(data); d.close()
+    bos.toByteArray
+  }
+
+  /** Chunked transfer encoding split into two chunks. */
+  private def chunk(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val half = data.length / 2
+    def one(off: Int, len: Int): Unit = {
+      bos.write(s"${len.toHexString}\r\n".getBytes("ascii"))
+      bos.write(data, off, len)
+      bos.write("\r\n".getBytes("ascii"))
+    }
+    one(0, half); one(half, data.length - half)
+    bos.write("0\r\n\r\n".getBytes("ascii"))
+    bos.toByteArray
+  }
+
+  private def httpResponse(body: Array[Byte], extraHeaders: Seq[String]): Array[Byte] = {
+    val head = (Seq("HTTP/1.1 200 OK", "Content-Type: text/plain") ++
+      extraHeaders :+ s"Content-Length: ${body.length}").mkString("", "\r\n", "\r\n\r\n")
+    head.getBytes("ascii") ++ body
+  }
+
+  /** Fixture WARC whose response bodies exercise every decode-chain step
+    * (reference auto_decode, warc.pyx:785-837): gzip, deflate,
+    * chunked-then-gzip, and brotli (the documented unsupported-codec gap).
+    * Plaintexts are `repeat`-constructions an oracle can recompute.
+    */
+  def ensureEncodedBodies(dir: String): String = synchronized {
+    val d = Paths.get(dir)
+    val marker = d.resolve("READY")
+    if (Files.exists(marker)) return dir
+    Files.createDirectories(d)
+    val date = java.time.Instant.parse("2020-08-08T16:00:00Z")
+    val recs = Seq(
+      ("gzip", httpResponse(gz(("gzip body content. " * 50).getBytes("ascii")),
+        Seq("Content-Encoding: gzip"))),
+      ("deflate", httpResponse(deflate(("deflate payload x. " * 40).getBytes("ascii")),
+        Seq("Content-Encoding: deflate"))),
+      ("chunked-gzip", httpResponse(chunk(gz(("chunked then gzip. " * 30).getBytes("ascii"))),
+        Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"))),
+      ("br", httpResponse("pretend-brotli".getBytes("ascii"),
+        Seq("Content-Encoding: br"))))
+    val tmp = d.resolve(".encoded.tmp")
+    val out = Files.newOutputStream(tmp)
+    val w = new graft.core.WarcWriter.RecordStreamWriter(out, graft.core.WarcWriter.Gzip)
+    try recs.foreach { case (label, content) =>
+      w.write(graft.core.WarcWriter.buildRecord("response", content,
+        targetUri = Some(s"http://example.com/$label"), date = date,
+        contentType = Some("application/http; msgtype=response")))
+    } finally { w.close() }
+    Files.move(tmp, d.resolve("encoded.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    Files.write(marker, Array.emptyByteArray)
+    dir
+  }
 }

@@ -395,6 +395,11 @@ class WarcPartitionReader(
     */
   private def memberIterator(): Iterator[WarcRecord] = {
     val bounds = part.memberOffsets :+ part.end
+    // Strictly sequential member consumption, O(one record) memory: the
+    // flatMap body (and its seek) runs only once the PREVIOUS member's
+    // iterator is exhausted — Iterator.flatMap never interleaves inner
+    // iterators — so no seek can invalidate a stream still being read,
+    // and a multi-hundred-MB member is never materialized at once.
     part.memberOffsets.indices.iterator.flatMap { i =>
       val memberStart = bounds(i)
       val memberEnd = bounds(i + 1)
@@ -407,7 +412,6 @@ class WarcPartitionReader(
       val (stream, _) = WarcCodecs.open(bounded)
       new WarcParser(new WarcByteReader(stream), part.path, parseOpts)
         .map(r => r.copy(offset = memberStart + r.offset))
-        .toVector // materialize before the next seek invalidates the stream
     }
   }
 
@@ -492,7 +496,7 @@ class WarcWriteBuilder(
           .getOrElse(throw new IllegalArgumentException("warc write requires a path"))
         val codec = Option(options.get("compression")).getOrElse("gzip")
         val checksum = options.getBoolean("checksum", false)
-        new WarcBatchWrite(path, codec, checksum, info.schema())
+        new WarcBatchWrite(path, codec, checksum, info.schema(), info.queryId())
       }
     }
 }
@@ -501,7 +505,8 @@ case class WarcCommitMessage(file: String, records: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
-    schema: StructType) extends org.apache.spark.sql.connector.write.BatchWrite {
+    schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
@@ -511,22 +516,24 @@ class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
     // ensure the output directory exists before tasks run
     val p = new Path(path)
     p.getFileSystem(conf).mkdirs(p)
-    new WarcWriterFactory(path, codec, checksum, schema, fsProps)
+    new WarcWriterFactory(path, codec, checksum, schema, fsProps, queryId)
   }
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
 }
 
 class WarcWriterFactory(path: String, codec: String, checksum: Boolean,
-    schema: StructType, fsProps: Map[String, String])
+    schema: StructType, fsProps: Map[String, String], queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new WarcDataWriter(path, codec, checksum, schema, fsProps, partitionId, taskId)
+    new WarcDataWriter(path, codec, checksum, schema, fsProps, partitionId,
+      taskId, queryId)
 }
 
 class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
-    schema: StructType, fsProps: Map[String, String], partitionId: Int, taskId: Long)
+    schema: StructType, fsProps: Map[String, String], partitionId: Int,
+    taskId: Long, queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val codec = WarcWriter.codecFor(codecName)
@@ -540,8 +547,12 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
     fsProps.foreach { case (k, v) => c.set(k, v) }
     c
   }
-  private val finalPath = new Path(dir, f"part-$partitionId%05d$ext")
-  private val tmpPath = new Path(dir, f".part-$partitionId%05d-$taskId.tmp")
+  // the per-write queryId keeps successive writes into the same directory
+  // from colliding (append accumulates instead of silently overwriting);
+  // the name stays deterministic per (write, partition) so task RETRIES of
+  // the same write are still idempotent under the rename commit
+  private val finalPath = new Path(dir, f"part-$queryId-$partitionId%05d$ext")
+  private val tmpPath = new Path(dir, f".part-$queryId-$partitionId%05d-$taskId.tmp")
   private val fs = finalPath.getFileSystem(conf)
   private val out = fs.create(tmpPath, true)
   private val writer = new WarcWriter.RecordStreamWriter(out, codec, checksum)
@@ -576,14 +587,19 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
     }
     val rec = WarcRecord("", -1L, -1L, headers.get("WARC-Record-ID"), recType,
       RecordType.mask(recType), None, content.length.toLong, headers, content,
-      None, None)
+      None, None,
+      // preserve the record's own version line on round-trips (a scanned
+      // WARC/1.0 record must not re-serialize as WARC/1.1)
+      version = str(row, "warc_version").getOrElse(""))
     writer.write(rec)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
     fs.delete(finalPath, false)
-    fs.rename(tmpPath, finalPath)
+    if (!fs.rename(tmpPath, finalPath))
+      throw new java.io.IOException(
+        s"warc write commit failed: rename $tmpPath -> $finalPath returned false")
     WarcCommitMessage(finalPath.toString, writer.recordsWritten)
   }
 
@@ -599,11 +615,12 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
 
 /** Micro-batch WARC stream over a landing directory (the Beam source's
   * distributed-scan semantics lifted to Structured Streaming; event time
-  * = record_date per beam/warcio.py:155-157). An offset is the count of
-  * files in lexicographic order that have been consumed: new archives
-  * must arrive under new names (append-only landing dir — the standard
-  * object-store pattern). Each batch plans the newly-arrived files with
-  * the same partition reader as the batch scan.
+  * = record_date per beam/warcio.py:155-157). An offset is the SET of
+  * consumed file names (checkpointable JSON array): a batch is exactly
+  * `end.files -- start.files`, so a late file whose name sorts before
+  * already-consumed ones is still picked up, and re-listing races cannot
+  * skip or double-read a file. Each batch plans the newly-arrived files
+  * with the same partition reader as the batch scan.
   */
 class WarcMicroBatchStream(
     options: CaseInsensitiveStringMap,
@@ -614,8 +631,11 @@ class WarcMicroBatchStream(
 
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FileCountOffset(n: Int) extends Offset {
-    override def json(): String = s"""{"fileCount":$n}"""
+  private case class FileSetOffset(files: Set[String]) extends Offset {
+    override def json(): String = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.writeValueAsString(files.toArray.sorted)
+    }
   }
 
   private def conf: Configuration = {
@@ -628,17 +648,27 @@ class WarcMicroBatchStream(
     WarcInput.listFiles(WarcInput.paths(options), conf)
       .sortBy(_.getPath.toString)
 
-  override def latestOffset(): Offset = FileCountOffset(listSorted().size)
-  override def initialOffset(): Offset = FileCountOffset(0)
-  override def deserializeOffset(json: String): Offset =
-    FileCountOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def latestOffset(): Offset =
+    FileSetOffset(listSorted().map(_.getPath.toString).toSet)
+  override def initialOffset(): Offset = FileSetOffset(Set.empty)
+  override def deserializeOffset(json: String): Offset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    if (node.isArray) {
+      val it = node.elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      FileSetOffset(b.result())
+    } else FileSetOffset(Set.empty) // unrecognized legacy offset -> restart
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n
-    val e = end.asInstanceOf[FileCountOffset].n
-    listSorted().slice(s, e).map(st =>
+    val s = start.asInstanceOf[FileSetOffset].files
+    val e = end.asInstanceOf[FileSetOffset].files
+    val fresh = e -- s
+    listSorted().filter(st => fresh.contains(st.getPath.toString)).map(st =>
       WarcInputPartition(st.getPath.toString, 0L, Long.MaxValue, st.getLen)
         : InputPartition).toArray
   }

@@ -62,8 +62,34 @@ class HttpDecodeSpec extends AnyFunSuite {
   test("unsupported encoding stops the chain, reports failure, keeps bytes") {
     val data = "brotli-bytes".getBytes
     val d = HttpDecode.decodeBody(data, Some("br"), None)
-    assert(d.failed.contains("br"))
+    // brotli is a DISTINCT gap (reference decodes it, warc.pyx:826; no JVM
+    // codec here) — not a generic decode failure
+    assert(d.failed.contains("unsupported-encoding: br"))
     assert(d.body.sameElements(data))
+  }
+
+  test("decompression bomb hits the output cap as an error value, not OOM") {
+    // 64 MiB of zeros gzips to ~64 KiB; cap decoded output at 1 MiB
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    val zeros = new Array[Byte](1 << 20)
+    (0 until 64).foreach(_ => gz.write(zeros))
+    gz.close()
+    val bomb = out.toByteArray
+    assert(bomb.length < (1 << 20)) // genuinely a bomb
+    val d = HttpDecode.decodeBody(bomb, Some("gzip"), None, maxDecoded = 1 << 20)
+    assert(d.failed.contains("max-decoded-length: gzip"))
+    assert(d.body.sameElements(bomb)) // input returned untouched
+    // same guard on the deflate path
+    val defOut = new java.io.ByteArrayOutputStream()
+    val df = new java.util.zip.DeflaterOutputStream(defOut)
+    (0 until 64).foreach(_ => df.write(zeros))
+    df.close()
+    val d2 = HttpDecode.decodeBody(defOut.toByteArray, Some("deflate"), None, maxDecoded = 1 << 20)
+    assert(d2.failed.contains("max-decoded-length: deflate"))
+    // an in-cap body still decodes with the same cap active
+    val ok = HttpDecode.decodeBody(gzipped("fits"), Some("gzip"), None, maxDecoded = 1 << 20)
+    assert(new String(ok.body) == "fits" && ok.failed.isEmpty)
   }
 
   test("identity/none are pass-through; corrupt gzip fails soft") {

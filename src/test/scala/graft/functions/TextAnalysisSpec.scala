@@ -72,6 +72,24 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compiled simhash64 kernel is bit-identical to the SQL construction") {
+    // the DuckDB oracle reproduces the counts+hex SQL form; the compiled
+    // kernel must never drift from it
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a", "", "  ", "Ein zwei drei vier fünf",
+      "repeated repeated repeated tokens tokens",
+      (1 to 200).map(i => s"tok$i").mkString(" "))
+    val df = onTexts(texts)
+    val both = df
+      .withColumn("cnt", TextAnalysis.simhash64Counts("text"))
+      .select(
+        TextAnalysis.simhash64Hex("cnt").as("sql_form"),
+        TextAnalysis.simhash64(col("text")).as("kernel"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("lsh bands derive from consecutive signature components") {
     val ss = spark; import ss.implicits._
     val df = Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("sig")

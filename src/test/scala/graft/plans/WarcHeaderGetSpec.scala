@@ -50,6 +50,23 @@ class WarcHeaderGetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(WarcCols.header(col("headers"), "missing")).head.isNullAt(0))
   }
 
+  test("first=true stops at a null-valued first match (codegen == interpreted)") {
+    import graft.functions.WarcCols
+    // first occurrence of the key carries a NULL value; a later one doesn't.
+    // headerFirst must return null from the FIRST match in both execution
+    // modes, not keep scanning to the later non-null value.
+    val df = spark.sql(
+      """SELECT array(named_struct('key', 'k', 'value', CAST(NULL AS STRING)),
+                      named_struct('key', 'K', 'value', 'later')) AS headers""")
+    val withCodegen = df.select(WarcCols.headerFirst(col("headers"), "k")).head
+    assert(withCodegen.isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(WarcCols.headerFirst(col("headers"), "k")).head
+      assert(interpreted.isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("registered SQL functions work via the session extension") {
     spark.read.format("warc").load(s"$DataDir/warcfile.warc")
       .createOrReplaceTempView("warc_recs")

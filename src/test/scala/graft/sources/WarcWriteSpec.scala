@@ -62,6 +62,27 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("block_digest_ok")).count() == 50L)
   }
 
+  test("round-trip preserves the original WARC version line") {
+    // the fixture is WARC/1.0 (Common Crawl): a write must not upgrade it
+    val out = tmpDir("warc-version")
+    spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+      .select("record_type", "record_date", "headers", "content", "warc_version")
+      .coalesce(1).write.format("warc").mode("append").save(out)
+    val back = spark.read.format("warc").load(out)
+    val versions = back.select("warc_version").collect().map(_.getString(0)).distinct
+    assert(versions.toSeq == Seq("WARC/1.0"))
+  }
+
+  test("append-mode writes into the same directory accumulate (no overwrite)") {
+    val out = tmpDir("warc-append")
+    val five = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+      .limit(5).select("record_type", "headers", "content").coalesce(1)
+    five.write.format("warc").mode("append").save(out)
+    five.write.format("warc").mode("append").save(out)
+    // second job must land new part files, not replace the first job's
+    assert(spark.read.format("warc").load(out).count() == 10L)
+  }
+
   test("recompress gzip -> lz4 -> raw preserves the record stream") {
     val lz4Out = Files.createTempFile("recompress", ".warc.lz4")
     val n1 = WarcWriter.recompress(

@@ -42,9 +42,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       query.processAllAvailable()
       val n2 = spark.sql("SELECT sum(n) FROM warc_stream_counts").head.getLong(0)
       assert(n2 == 100L)
+      // a LATE file whose name sorts before the consumed ones must still be
+      // picked up (the offset is the consumed-file SET, not a count)
+      Files.copy(src, landing.resolve("0-late.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+      query.processAllAvailable()
+      val n3 = spark.sql("SELECT sum(n) FROM warc_stream_counts").head.getLong(0)
+      assert(n3 == 150L)
       val types = spark.sql("SELECT record_type, n FROM warc_stream_counts").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(types("response") == 32L && types("request") == 34L)
+      assert(types("response") == 48L && types("request") == 51L)
     } finally query.stop()
   }
 
