@@ -204,58 +204,94 @@ object Documents {
     // text) -> verify candidates with true token Jaccard -> keeper =
     // lower doc_id -> survivors via anti-join. The 100 TB shape: no
     // all-pairs stage anywhere; every join is a key-local hash join.
-    "d07_neardup_pipeline" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // banding is consumed twice (self-join) and candidates feed four
-      // downstream aggregates: persist the small intermediates so the
-      // expensive minhash lineage runs ONCE (at 100 TB these would be
-      // checkpointed tables; re-deriving the full hash pipeline per
-      // consumer is the real cost, not the storage)
-      // project shingle hashes AND the signature behind barriers:
-      // inlining the sig subtree into lshBands' 8 element_at references
-      // would recompute the full signature 8 times over. The signature
-      // itself is Carter-Wegman over ONE md5 per shingle.
-      val bands = d
-        .withColumn("sig", minhashShingleSigCW(col("text"), 3, 8))
-        .select(col("doc_id"),
-          posexplode(lshBands(col("sig"), 4, 2)).as(Seq("band_id", "band_key")))
-        .persist()
-      // skew guard: drop degenerate buckets before the self-join — at
-      // corpus scale one viral boilerplate text puts millions of docs in
-      // a single band bucket, turning the join quadratic. Oversized
-      // buckets carry no near-dup signal worth a cross product (handled
-      // by exact dedup / explicit clustering instead).
-      val maxBucket = 64
-      val safeBuckets = bands.groupBy(col("band_id"), col("band_key"))
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= maxBucket)
-        .select(col("band_id"), col("band_key"))
-      val safeBands = bands.join(safeBuckets, Seq("band_id", "band_key"))
-      val cand = safeBands.alias("a").join(safeBands.alias("b"),
-          col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .persist()
-      val grams = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("g"))
-      val dups = cand
-        .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-        .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-           size(array_union(col("ga"), col("gb")))).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .persist()
-      val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
-      val survivors = d.join(removed, Seq("doc_id"), "left_anti")
-      d.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
-        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
-        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    "d07_neardup_pipeline" -> ((s, dir) => neardupSummary(docs(s, dir))),
+
+    // Skewed-corpus stress for the near-dup pipeline: the documents
+    // table plus a generated 10k-doc viral boilerplate cluster (the
+    // Common Crawl failure mode: one template page with per-page noise).
+    // The near-identical cluster lands in mega band-buckets that the
+    // skew guard drops BEFORE the self-join, so the candidate set stays
+    // linear instead of picking up ~10k^2/2 pairs from one template;
+    // n_mega_buckets in the output proves the guard fired and the base
+    // corpus's near-dup results are unchanged by the cluster's presence.
+    "d08_neardup_skewed" -> ((s, dir) => {
+      val viral = s.range(ViralDocs)
+        .select((col("id") + 1000000L).as("doc_id"),
+          concat(lit(ViralTemplate), col("id").cast("string")).as("text"))
+      neardupSummary(docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(viral))
     }),
   )
+
+  /** 10k near-identical docs: identical 21-token template, one trailing
+    * per-doc token — dodges exact dedup (distinct fingerprints) but
+    * floods LSH buckets, which is precisely what the guard is for.
+    */
+  private val ViralDocs = 10000
+  private[queries] val ViralTemplate =
+    "limited offer click here to win a free prize today " +
+    "subscribe now for daily deals delivered straight to you v"
+
+  /** End-to-end near-dup pipeline: word 3-shingles -> 8-component
+    * MinHash -> 4x2 banded LSH (single scan, posexplode) -> skew guard ->
+    * candidate pairs by band-key equi-join (shuffle carries 32-char
+    * keys, never text) -> verify candidates with true token Jaccard ->
+    * keeper = lower doc_id -> survivors via anti-join. The 100 TB shape:
+    * no all-pairs stage anywhere; every join is a key-local hash join.
+    */
+  private def neardupSummary(d: DataFrame): DataFrame = {
+    // banding is consumed twice (self-join) and candidates feed four
+    // downstream aggregates: persist the small intermediates so the
+    // expensive minhash lineage runs ONCE (at 100 TB these would be
+    // checkpointed tables; re-deriving the full hash pipeline per
+    // consumer is the real cost, not the storage)
+    // project shingle hashes AND the signature behind barriers:
+    // inlining the sig subtree into lshBands' 8 element_at references
+    // would recompute the full signature 8 times over. The signature
+    // itself is Carter-Wegman over ONE md5 per shingle.
+    val bands = d
+      .withColumn("sig", minhashShingleSigCW(col("text"), 3, 8))
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), 4, 2)).as(Seq("band_id", "band_key")))
+      .persist()
+    // skew guard: drop degenerate buckets before the self-join — at
+    // corpus scale one viral boilerplate text puts millions of docs in
+    // a single band bucket, turning the join quadratic. Oversized
+    // buckets carry no near-dup signal worth a cross product (handled
+    // by exact dedup / explicit clustering instead).
+    val maxBucket = 64
+    val bucketSizes = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .persist()
+    val megaBuckets = bucketSizes.filter(col("bucket_n") > maxBucket)
+    val safeBuckets = bucketSizes.filter(col("bucket_n") <= maxBucket)
+      .select(col("band_id"), col("band_key"))
+    val safeBands = bands.join(safeBuckets, Seq("band_id", "band_key"))
+    val cand = safeBands.alias("a").join(safeBands.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist()
+    val grams = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("g"))
+    val dups = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+         size(array_union(col("ga"), col("gb")))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .persist()
+    val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
+    val survivors = d.join(removed, Seq("doc_id"), "left_anti")
+    d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(megaBuckets.agg(count(lit(1)).as("n_mega_buckets")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
+      .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+  }
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
 
@@ -394,8 +430,20 @@ object Documents {
                1)), '') AS simhash64
          FROM c ORDER BY doc_id""",
     "d07_neardup_pipeline" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      neardupOracleSql("SELECT doc_id, text FROM documents"),
+    "d08_neardup_skewed" ->
+      neardupOracleSql(
+        s"""SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT 1000000 + i AS doc_id, '$ViralTemplate' || i AS text
+            FROM range(10000) t(i)"""),
+  )
+
+  /** DuckDB rendition of [[neardupSummary]] over an arbitrary corpus. */
+  private def neardupOracleSql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
          sh AS (
            SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
              i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')) AS shingles
@@ -414,6 +462,9 @@ object Documents {
              md5(CAST(sig[CAST(bb.b*2+1 AS INT)] AS VARCHAR) || '|' ||
                  CAST(sig[CAST(bb.b*2+2 AS INT)] AS VARCHAR)) AS band_key
            FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         mega AS (
+           SELECT band_id, band_key FROM bands
+           GROUP BY band_id, band_key HAVING count(*) > 64),
          safe AS (
            SELECT band_id, band_key FROM bands
            GROUP BY band_id, band_key HAVING count(*) <= 64),
@@ -434,11 +485,11 @@ object Documents {
            JOIN grams gb ON gb.doc_id = doc_b),
          dups AS (SELECT * FROM verified WHERE jac >= 0.5),
          removed AS (SELECT DISTINCT doc_b FROM dups)
-         SELECT (SELECT count(*) FROM documents) AS n_docs,
+         SELECT (SELECT count(*) FROM corpus) AS n_docs,
+           (SELECT count(*) FROM mega) AS n_mega_buckets,
            (SELECT count(*) FROM cand) AS n_candidates,
            (SELECT count(*) FROM dups) AS n_dup_pairs,
            (SELECT count(*) FROM removed) AS n_removed,
-           (SELECT count(*) FROM documents
-            WHERE doc_id NOT IN (SELECT doc_b FROM removed)) AS n_survivors""",
-  )
+           (SELECT count(*) FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_b FROM removed)) AS n_survivors"""
 }

@@ -218,6 +218,24 @@ object Warc {
              sum(length(col("http_body"))).as("body_bytes"))
     }),
 
+    // Extraction throughput vs BASELINE (HTML parse ~1,150 docs/s/core,
+    // docs/man/parse/html.rst:481-492): decode -> parse -> extract_plain_
+    // text over 25,600 real Common Crawl pages (the bench corpus's 1600
+    // fixture copies x 16 responses). This query's bench timing / 25600
+    // is the comparable docs/s number; w12/w13 are too small to time.
+    "w19_html_extract10k" -> ((s, _) => {
+      import graft.functions.Web
+      val dir = graft.sources.BenchCorpus.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
+        files = 16, copiesPerFile = 100)
+      s.read.format("warc")
+        .option("record_types", "response")
+        .load(dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(Web.extractPlainText(col("http_body"), col("http_charset"))))
+            .as("total_len"))
+    }),
+
     // Content-/Transfer-Encoding decode chain end-to-end through the scan
     // (auto_decode + chunked decode, warc.pyx:785-837, parse/http.pyx:
     // 28-63): a generated fixture with gzip/deflate/chunked+gzip/brotli
@@ -365,6 +383,11 @@ object Warc {
       """SELECT lang, CAST(n AS BIGINT) AS n FROM (VALUES
          ('de', 2), ('en', 1), ('ko', 2), ('nl', 1), ('ru', 1), ('zh', 9))
          t(lang, n) ORDER BY lang""",
+    // derived from w13's independently-derived per-page goldens: 1600
+    // corpus copies x (16 docs, 51,167 extracted chars) per copy
+    "w19_html_extract10k" ->
+      """SELECT CAST(25600 AS BIGINT) AS n_docs,
+         CAST(81867200 AS BIGINT) AS total_len""",
     // the oracle RECOMPUTES the decoded digests from the same plaintext
     // constructions the fixture writer uses — a drift in any decode step
     // (gunzip, inflate, dechunk, chain order) breaks the hash compare
