@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput workload: parallel scavenge beats G1 by ~6% on the
+  // allocation-heavy extraction kernels (measured on w19)
+  "-XX:+UseParallelGC",
 )

@@ -23,17 +23,31 @@ object CssSelector {
 
   /** One compound selector (e.g. `p.foo[bar=baz]`). */
   case class Compound(simples: Seq[Simple]) {
-    def matches(n: DomNode): Boolean = n.isElement && simples.forall {
+    // array form: element-match runs per DOM node per selector — keep the
+    // inner loop free of Seq iterators and closures
+    private[this] val arr: Array[Simple] = simples.toArray
+
+    def matches(n: DomNode): Boolean = {
+      if (!n.isElement) return false
+      var i = 0
+      while (i < arr.length) {
+        if (!matchSimple(arr(i), n)) return false
+        i += 1
+      }
+      true
+    }
+
+    private def matchSimple(s: Simple, n: DomNode): Boolean = s match {
       case Tag(t) => n.tag == t
       case Universal => true
       case Id(v) => n.getattr("id").contains(v)
-      case Cls(v) => n.classList.contains(v)
+      case Cls(v) => n.hasClassToken(v)
       case Attr(name, None, _) => n.hasattr(name)
       case Attr(name, Some(op), Some(v)) =>
         n.getattr(name).exists { av =>
           op match {
             case "=" => av == v
-            case "~=" => av.split("\\s+").contains(v)
+            case "~=" => DomNode.hasToken(av, v)
             case "^=" => v.nonEmpty && av.startsWith(v)
             case "$=" => v.nonEmpty && av.endsWith(v)
             case "*=" => v.nonEmpty && av.contains(v)
@@ -104,13 +118,38 @@ object CssSelector {
   }
 
   case class Group(chains: Seq[Chain]) {
+    // Pure-tag-name groups (e.g. the html2text skip list: "script, style,
+    // iframe, ...") reduce to one hash lookup per node instead of
+    // per-chain structural matching.
+    private[this] val tagOnly: java.util.HashSet[String] = {
+      val all = chains.forall(c => c.parts.length == 1 && (c.parts.head._2.simples match {
+        case Seq(Tag(_)) => true
+        case _ => false
+      }))
+      if (!all) null
+      else {
+        val s = new java.util.HashSet[String]()
+        chains.foreach(c => s.add(c.parts.head._2.simples.head.asInstanceOf[Tag].name))
+        s
+      }
+    }
+
+    @inline private def anyMatch(n: DomNode): Boolean =
+      if (tagOnly != null) tagOnly.contains(n.tag)
+      else {
+        var i = 0
+        var hit = false
+        while (!hit && i < chains.length) { hit = chains(i).matches(n); i += 1 }
+        hit
+      }
+
     /** All STRICT-descendant elements of root matching any chain, in
       * document order, deduplicated.
       */
     def allMatches(root: DomNode): Vector[DomNode] = {
       val out = Vector.newBuilder[DomNode]
       DomTraversal.preOrder(root) { n =>
-        if ((n ne root) && n.isElement && chains.exists(_.matches(n))) out += n
+        if ((n ne root) && n.isElement && anyMatch(n)) out += n
         true
       }
       out.result()
@@ -119,7 +158,7 @@ object CssSelector {
     def firstMatch(root: DomNode): Option[DomNode] = {
       var found: DomNode = null
       DomTraversal.preOrder(root) { n =>
-        if (found == null && (n ne root) && n.isElement && chains.exists(_.matches(n)))
+        if (found == null && (n ne root) && n.isElement && anyMatch(n))
           found = n
         found == null // stop descending once found
       }

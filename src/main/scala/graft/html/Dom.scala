@@ -25,18 +25,51 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) {
   var next: DomNode = _
   var prev: DomNode = _
 
-  /** Ordered attribute map (elements only). */
-  val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  /** Ordered attribute map (elements only), allocated on first use —
+    * text nodes (the majority of most documents) never pay for one.
+    */
+  private var _attrs: mutable.LinkedHashMap[String, String] = _
+  def attrs: mutable.LinkedHashMap[String, String] = {
+    if (_attrs == null) _attrs = mutable.LinkedHashMap.empty
+    _attrs
+  }
+
+  private[html] def attrsOrNull: mutable.LinkedHashMap[String, String] = _attrs
 
   def isElement: Boolean = nodeType == NodeType.Element
   def isText: Boolean = nodeType == NodeType.Text
 
-  def getattr(name: String): Option[String] = attrs.get(name.toLowerCase)
-  def hasattr(name: String): Boolean = attrs.contains(name.toLowerCase)
+  def getattr(name: String): Option[String] =
+    if (_attrs == null) None else _attrs.get(name.toLowerCase)
+  def hasattr(name: String): Boolean =
+    _attrs != null && _attrs.contains(name.toLowerCase)
   def setattr(name: String, v: String): Unit = attrs(name.toLowerCase) = v
   def id: String = getattr("id").getOrElse("")
   def className: String = getattr("class").getOrElse("")
-  def classList: Seq[String] = className.split("\\s+").filter(_.nonEmpty).toSeq
+  def classList: Seq[String] = {
+    val s = className
+    if (s.isEmpty) return Nil
+    val b = List.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) b += s.substring(start, i)
+    }
+    b.result()
+  }
+
+  /** Whitespace-token membership over the class attribute without
+    * tokenizing (selector-match hot path: no regex, no allocation).
+    */
+  def hasClassToken(token: String): Boolean = {
+    if (_attrs == null || token.isEmpty) return false
+    val s = _attrs.getOrElse("class", null)
+    if (s == null) return false
+    DomNode.hasToken(s, token)
+  }
 
   def childNodes: Vector[DomNode] = {
     val b = Vector.newBuilder[DomNode]
@@ -167,6 +200,24 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) {
   }
 }
 
+object DomNode {
+  /** Whether `s` contains `token` as a whitespace-delimited word. */
+  def hasToken(s: String, token: String): Boolean = {
+    val n = s.length
+    val m = token.length
+    if (m == 0 || m > n) return false
+    var i = 0
+    while (i <= n - m) {
+      if (s.startsWith(token, i) &&
+          (i == 0 || Character.isWhitespace(s.charAt(i - 1))) &&
+          (i + m == n || Character.isWhitespace(s.charAt(i + m))))
+        return true
+      i += 1
+    }
+    false
+  }
+}
+
 object DomTraversal {
   /** Pre-order walk; `visit` returns false to skip the node's subtree. */
   def preOrder(root: DomNode)(visit: DomNode => Boolean): Unit = {
@@ -239,7 +290,8 @@ object Serializer {
       sb.append(if (rawParent) n.value else escapeText(if (n.value == null) "" else n.value))
     case NodeType.Element =>
       sb.append('<').append(n.tag)
-      n.attrs.foreach { case (k, v) =>
+      val as = n.attrsOrNull
+      if (as != null) as.foreach { case (k, v) =>
         sb.append(' ').append(k)
         if (v != null) sb.append("=\"").append(escapeAttr(v)).append('"')
       }

@@ -63,6 +63,70 @@ object Html2Text {
 
   def extract(tree: HtmlTree, opts: Options): String = extract(tree.body, opts)
 
+  /** Per-element collapsed-text / link-text lengths, precomputed in one
+    * post-order pass so the main-content classifier's link-cluster
+    * heuristic is O(1) per node instead of O(subtree) (which made the
+    * whole extraction O(n·depth): every bare <div> past depth 5 re-built
+    * its subtree's text).
+    *
+    * `clen` is exactly `collapseWhitespace(n.text).length`: collapsed
+    * lengths compose over concatenation by merging a trailing whitespace
+    * run with a leading one. `linkLen` is the sum of `clen` over strict
+    * `<a>` descendants — the same set `getElementsByTagName("a")` yields.
+    */
+  private final class TextStats {
+    var clen = 0
+    var startsWs = false
+    var endsWs = false
+    var empty = true
+    var linkLen = 0
+  }
+
+  private def buildTextStats(root: DomNode): java.util.IdentityHashMap[DomNode, TextStats] = {
+    val m = new java.util.IdentityHashMap[DomNode, TextStats]()
+    def rec(n: DomNode): TextStats = {
+      val st = new TextStats
+      if (n.isText) {
+        val v = n.value
+        if (v != null && v.nonEmpty) {
+          st.empty = false
+          st.startsWs = Character.isWhitespace(v.charAt(0))
+          st.endsWs = Character.isWhitespace(v.charAt(v.length - 1))
+          var i = 0
+          var c = 0
+          var inWs = false
+          while (i < v.length) {
+            if (Character.isWhitespace(v.charAt(i))) {
+              if (!inWs) { c += 1; inWs = true }
+            } else { c += 1; inWs = false }
+            i += 1
+          }
+          st.clen = c
+        }
+      } else if (n.nodeType != NodeType.Comment) {
+        var ch = n.firstChild
+        while (ch != null) {
+          val cs = rec(ch)
+          if (!cs.empty) {
+            if (st.empty) {
+              st.clen = cs.clen; st.startsWs = cs.startsWs
+              st.endsWs = cs.endsWs; st.empty = false
+            } else {
+              st.clen += cs.clen - (if (st.endsWs && cs.startsWs) 1 else 0)
+              st.endsWs = cs.endsWs
+            }
+          }
+          st.linkLen += cs.linkLen + (if (ch.isElement && ch.tag == "a") cs.clen else 0)
+          ch = ch.next
+        }
+        if (n.isElement) m.put(n, st)
+      }
+      st
+    }
+    rec(root)
+    m
+  }
+
   /** Extract from a subtree root (normally the body). */
   def extract(rootIn: DomNode, opts: Options): String = {
     if (rootIn == null) return ""
@@ -100,6 +164,7 @@ object Html2Text {
 
     val nodes = mutable.ArrayBuffer.empty[ExtractNode]
     var charsExtracted = 0
+    val textStats = if (opts.mainContent) buildTextStats(root) else null
 
     // pre-order walk with end-tag visits (next_node semantics,
     // html.pyx:117-151): end visits fire only for elements we descended
@@ -110,7 +175,7 @@ object Html2Text {
       if (blacklist.contains(n)) return
       if (opts.mainContent &&
           !isMainContentNode(n, depth + baseDepth, opts.comments, opts.postMeta,
-            opts.hiddenElements))
+            opts.hiddenElements, textStats))
         return
       extractCb(nodes, n, depth, isEndTag = false, opts)
       recordChars()
@@ -399,18 +464,28 @@ object Html2Text {
     false
   }
 
-  /** Link-text chars / total chars heuristic (html2text.pyx:498-520). */
-  private def isLinkCluster(n: DomNode, maxLinkRatio: Double, maxLength: Int): Boolean = {
-    val elementText = collapseWhitespace(n.text)
-    if (maxLength > 0 && elementText.length > maxLength) return false
-    var linkLen = 0
-    n.getElementsByTagName("a").foreach(a => linkLen += collapseWhitespace(a.text).length)
-    linkLen > 0 && elementText.nonEmpty &&
-      linkLen.toDouble / elementText.length > maxLinkRatio
+  /** Link-text chars / total chars heuristic (html2text.pyx:498-520),
+    * answered from the precomputed per-node stats; the direct
+    * O(subtree) computation remains as the uncached fallback (callers
+    * outside `extract`'s walk).
+    */
+  private def isLinkCluster(n: DomNode, maxLinkRatio: Double, maxLength: Int,
+      stats: java.util.IdentityHashMap[DomNode, TextStats]): Boolean = {
+    val st = if (stats != null) stats.get(n) else null
+    val (len, linkLen) =
+      if (st != null) (st.clen, st.linkLen)
+      else {
+        var ll = 0
+        n.getElementsByTagName("a").foreach(a => ll += collapseWhitespace(a.text).length)
+        (collapseWhitespace(n.text).length, ll)
+      }
+    if (maxLength > 0 && len > maxLength) return false
+    linkLen > 0 && len > 0 && linkLen.toDouble / len > maxLinkRatio
   }
 
   private def isMainContentNode(n: DomNode, bodyDepth: Int, keepComments: Boolean,
-      keepPostMeta: Boolean, keepHidden: Boolean): Boolean = {
+      keepPostMeta: Boolean, keepHidden: Boolean,
+      stats: java.util.IdentityHashMap[DomNode, TextStats]): Boolean = {
     if (n.isText) return !isUnprintablePua(n)
     if (!n.isElement) return true
 
@@ -418,7 +493,7 @@ object Html2Text {
     n.tag match {
       case "body" | "main" | "h1" => return true
       case "footer" =>
-        if (bodyDepth < 3 || isLinkCluster(n, 0.2, 0)) return false
+        if (bodyDepth < 3 || isLinkCluster(n, 0.2, 0, stats)) return false
         // keep only if the footer is the recursive last element node of a
         // direct body child (html2text.pyx:556-569)
         var pnode = n
@@ -430,9 +505,9 @@ object Html2Text {
         }
         return false
       case "ul" =>
-        if (bodyDepth < 4 || isLinkCluster(n, 0.2, 0)) return false
+        if (bodyDepth < 4 || isLinkCluster(n, 0.2, 0, stats)) return false
       case "article" =>
-        if (bodyDepth > 2 && isLinkCluster(n, 0.2, 500)) return false
+        if (bodyDepth > 2 && isLinkCluster(n, 0.2, 500, stats)) return false
       case "nav" | "aside" | "audio" | "video" | "time" => return false
       case _ =>
     }
@@ -453,7 +528,7 @@ object Html2Text {
     val idAttr = n.getattr("id").getOrElse("")
     if (cls.isEmpty && idAttr.isEmpty) {
       if (n.tag == "div")
-        return bodyDepth <= 5 || !isLinkCluster(n, 0.6, 800)
+        return bodyDepth <= 5 || !isLinkCluster(n, 0.6, 800, stats)
       return true
     }
     val clsAndId = if (cls.nonEmpty) cls + " " + idAttr else idAttr
@@ -494,7 +569,7 @@ object Html2Text {
     if (found(clsAndId, modalClsRe)) return false
     if (found(clsAndId, galleryClsRe)) return false
     if (found(clsAndId, printClsRe)) return false
-    if (bodyDepth > 2 && n.tag == "div" && isLinkCluster(n, 0.6, 1500)) return false
+    if (bodyDepth > 2 && n.tag == "div" && isLinkCluster(n, 0.6, 1500, stats)) return false
 
     true
   }

@@ -87,7 +87,6 @@ object HtmlParser {
     }
 
     val n = input.length
-    val inputLower = input.toLowerCase // for raw-text end-tag scans
     var i = 0
     val textStart = new StringBuilder
 
@@ -150,8 +149,12 @@ object HtmlParser {
           handleStartTag(name, attrs, selfClosing) match {
             case Some(rawEl) =>
               // raw-text / RCDATA: consume until matching end tag
+              // (ASCII-case-insensitive scan; avoids lowercasing a copy of
+              // the whole input, which both costs a full-document
+              // allocation and can shift offsets for locale-sensitive
+              // uppercase code points like U+0130)
               val endTag = "</" + rawEl.tag
-              val j = inputLower.indexOf(endTag, i)
+              val j = indexOfAsciiIgnoreCase(input, endTag, i)
               val contentEnd = if (j < 0) n else j
               var raw = input.substring(i, contentEnd)
               // HTML5: drop the single newline right after <textarea>
@@ -242,15 +245,40 @@ object HtmlParser {
     doc
   }
 
+  /** Find `target` (lowercase ASCII) in `s` from `from`, matching ASCII
+    * letters case-insensitively. Offsets stay valid for `s` itself.
+    */
+  private def indexOfAsciiIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length
+    val m = target.length
+    if (m == 0) return from
+    val t0 = target.charAt(0)
+    var i = math.max(from, 0)
+    val last = n - m
+    while (i <= last) {
+      var c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c == t0) {
+        var k = 1
+        var ok = true
+        while (ok && k < m) {
+          var ck = s.charAt(i + k)
+          if (ck >= 'A' && ck <= 'Z') ck = (ck + 32).toChar
+          if (ck != target.charAt(k)) ok = false else k += 1
+        }
+        if (ok) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   private def readTagName(s: String, from: Int): (String, Int) = {
     var i = from
     val n = s.length
-    val sb = new StringBuilder
     while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' ||
-           s.charAt(i) == '_' || s.charAt(i) == ':')) {
-      sb.append(s.charAt(i)); i += 1
-    }
-    (sb.toString, i)
+           s.charAt(i) == '_' || s.charAt(i) == ':')) i += 1
+    (s.substring(from, i), i)
   }
 
   /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,
