@@ -8,8 +8,8 @@ import scala.util.Try
 /** HTTP payload decoding: chunked transfer decoding
   * (resiliparse-py/resiliparse/parse/http.pyx:28-63) and the
   * Content-/Transfer-Encoding decode chain applied in reverse order
-  * (fastwarc-py/fastwarc/warc.pyx:785-837). Brotli has no JVM codec on
-  * this classpath — documented gap, surfaces as a decode failure.
+  * (fastwarc-py/fastwarc/warc.pyx:785-837), including Brotli via the
+  * from-scratch [[Brotli]] decoder.
   *
   * All entry points are total: on malformed input they return the bytes
   * decoded so far (or the input unchanged) rather than throwing — a
@@ -120,10 +120,9 @@ object HttpDecode {
   /** Apply the encoding chain in reverse (outermost encoding first —
     * warc.pyx:819-837). Unsupported/undecodable steps stop the chain and
     * report the failing encoding; bytes decoded so far are returned.
-    * Failure labels are distinct per cause: `unsupported-encoding: br`
-    * (the reference decodes brotli, warc.pyx:826 — no JVM codec on this
-    * classpath), `max-decoded-length: <enc>` (bomb guard), plain `<enc>`
-    * for undecodable input.
+    * Failure labels are distinct per cause: `max-decoded-length: <enc>`
+    * (bomb guard, all codecs including brotli), plain `<enc>` for
+    * undecodable input or unsupported codings (`compress`).
     */
   def decodeBody(data: Array[Byte],
       contentEncoding: Option[String], transferEncoding: Option[String],
@@ -137,7 +136,14 @@ object HttpDecode {
         case "deflate" => inflateE(cur, maxDecoded)
         case "chunked" => dechunk(cur).toRight(enc) // output <= input: no cap needed
         case "identity" | "none" => Right(cur)
-        case "br" => Left("unsupported-encoding: br")
+        case "br" =>
+          try Right(Brotli.decode(cur, maxDecoded))
+          catch {
+            case e: Brotli.BrotliException if e.getMessage != null &&
+                e.getMessage.startsWith("decoded output exceeds") =>
+              Left("max-decoded-length: br")
+            case _: Throwable => Left("br")
+          }
         case other => Left(other) // compress, unknown
       }
       step match {

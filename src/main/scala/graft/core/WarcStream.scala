@@ -119,7 +119,9 @@ final class WarcByteReader(in: InputStream, bufSize: Int = 64 * 1024,
 /** Compression negotiation by magic bytes — gzip `1f 8b`, LZ4 frame
   * `04 22 4d 18`, raw `WARC/` — mirroring the reference's stream
   * auto-detection (stream_io.pyx:890-917) with JVM codecs:
-  * commons-compress multi-member gzip and lz4-java frame streams.
+  * commons-compress multi-member gzip and lz4-java frame streams, plus
+  * the from-scratch [[Brotli]] decoder. Brotli has no magic bytes, so it
+  * is selected by file extension (`.br`), matching the reference CLI.
   */
 object WarcCodecs {
 
@@ -127,6 +129,7 @@ object WarcCodecs {
   case object Raw extends Codec { val name = "none" }
   case object Gzip extends Codec { val name = "gzip" }
   case object Lz4 extends Codec { val name = "lz4" }
+  case object Br extends Codec { val name = "brotli" }
 
   def sniff(head: Array[Byte]): Option[Codec] = {
     if (head.length >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) Some(Gzip)
@@ -135,6 +138,15 @@ object WarcCodecs {
     else if (head.length >= 5 && head.startsWith("WARC/".getBytes)) Some(Raw)
     else None
   }
+
+  /** `open` with extension-based brotli selection: `.br` / `.warc.br`
+    * files decode through [[BrotliInputStream]] (no magic to sniff);
+    * everything else goes through magic-byte detection.
+    */
+  def openWithName(raw: InputStream, fileName: String): (InputStream, Codec) =
+    if (fileName != null && fileName.toLowerCase.endsWith(".br"))
+      (new BrotliInputStream(new BufferedInputStream(raw, 64 * 1024)), Br)
+    else open(raw)
 
   /** Wrap a raw input stream in the detected decompressor. Unknown magic
     * falls back to raw passthrough (tolerant mode — the parser will

@@ -64,10 +64,17 @@ object Warc {
 
     // All three codec variants decode to the identical record stream.
     "w05_warc_codecs" -> ((s, _) => {
+      // the brotli variant lives in resources (the reference fixture dir
+      // is read-only and predates the from-scratch Brotli decoder);
+      // identical aggregates across all four codecs prove codec
+      // equivalence of the whole parse
+      val brPath = graft.sources.BenchCorpus.ensureBrotliFixture(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_br")
       s.read.format("warc")
         .load(s"$FixtureDir/warcfile.warc",
               s"$FixtureDir/warcfile.warc.gz",
-              s"$FixtureDir/warcfile.warc.lz4")
+              s"$FixtureDir/warcfile.warc.lz4",
+              brPath)
         .groupBy(regexp_extract(col("filename"), "([^/]+)$", 1).as("file"))
         .agg(count(lit(1)).as("n_records"),
              sum(col("content_length")).as("sum_content_length"))
@@ -315,7 +322,8 @@ object Warc {
     "w05_warc_codecs" ->
       """SELECT file, CAST(50 AS BIGINT) AS n_records,
          CAST(527846 AS BIGINT) AS sum_content_length FROM (VALUES
-         ('warcfile.warc'), ('warcfile.warc.gz'), ('warcfile.warc.lz4')) t(file)
+         ('warcfile.warc'), ('warcfile.warc.br'), ('warcfile.warc.gz'),
+         ('warcfile.warc.lz4')) t(file)
          ORDER BY file""",
     // NB: one response carries TWO HTTP Content-Type headers; the
     // reference's Python-facing lookup takes the LAST occurrence
@@ -390,11 +398,12 @@ object Warc {
          CAST(81867200 AS BIGINT) AS total_len""",
     // the oracle RECOMPUTES the decoded digests from the same plaintext
     // constructions the fixture writer uses — a drift in any decode step
-    // (gunzip, inflate, dechunk, chain order) breaks the hash compare
+    // (gunzip, inflate, brotli, dechunk, chain order) breaks the hash
+    // compare
     "w20_warc_encoded_bodies" ->
       """SELECT enc, applied, failed, CAST(decoded_len AS INT) AS decoded_len,
                 decoded_md5 FROM (VALUES
-         ('br', '', 'unsupported-encoding: br', 14, md5('pretend-brotli')),
+         ('br', 'br', 'none', 945, md5(repeat('brotli body payload. ', 45))),
          ('chunked-gzip', 'chunked,gzip', 'none', 570, md5(repeat('chunked then gzip. ', 30))),
          ('deflate', 'deflate', 'none', 760, md5(repeat('deflate payload x. ', 40))),
          ('gzip', 'gzip', 'none', 950, md5(repeat('gzip body content. ', 50))))

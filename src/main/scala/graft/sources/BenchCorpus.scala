@@ -40,6 +40,25 @@ object BenchCorpus {
   def totalRecords(files: Int = 10, copiesPerFile: Int = 20): Long =
     files.toLong * copiesPerFile * RecordsPerCopy
 
+  /** Materialize the brotli-compressed fixture archive (a resource — the
+    * reference's fixture dir is read-only) so the `warc` source can scan
+    * it by path; returns the file path.
+    */
+  def ensureBrotliFixture(dir: String): String = synchronized {
+    val d = Paths.get(dir)
+    val f = d.resolve("warcfile.warc.br")
+    if (!Files.exists(f)) {
+      Files.createDirectories(d)
+      val in = getClass.getResourceAsStream("/graft/warcfile.warc.br")
+      require(in != null, "missing warcfile.warc.br resource")
+      val bytes = try in.readAllBytes() finally in.close()
+      val tmp = d.resolve(".warcfile.warc.br.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+    }
+    f.toString
+  }
+
   // — encoded-bodies fixture (w20): gzip / deflate / chunked+gzip / br —
 
   private def gz(data: Array[Byte]): Array[Byte] = {
@@ -78,12 +97,12 @@ object BenchCorpus {
 
   /** Fixture WARC whose response bodies exercise every decode-chain step
     * (reference auto_decode, warc.pyx:785-837): gzip, deflate,
-    * chunked-then-gzip, and brotli (the documented unsupported-codec gap).
+    * chunked-then-gzip, and brotli (from-scratch [[graft.core.Brotli]]).
     * Plaintexts are `repeat`-constructions an oracle can recompute.
     */
   def ensureEncodedBodies(dir: String): String = synchronized {
     val d = Paths.get(dir)
-    val marker = d.resolve("READY")
+    val marker = d.resolve("READY-v2") // v2: real brotli body
     if (Files.exists(marker)) return dir
     Files.createDirectories(d)
     val date = java.time.Instant.parse("2020-08-08T16:00:00Z")
@@ -94,7 +113,10 @@ object BenchCorpus {
         Seq("Content-Encoding: deflate"))),
       ("chunked-gzip", httpResponse(chunk(gz(("chunked then gzip. " * 30).getBytes("ascii"))),
         Seq("Content-Encoding: gzip", "Transfer-Encoding: chunked"))),
-      ("br", httpResponse("pretend-brotli".getBytes("ascii"),
+      // real brotli stream of "brotli body payload. " x 45 (pre-compressed
+      // with the reference C encoder at q9; the JVM side only decodes)
+      ("br", httpResponse(java.util.Base64.getDecoder.decode(
+        "G7ADAMRtbF3Han6lEwRGdIoKo5pVra8Lcj6G32YGAA=="),
         Seq("Content-Encoding: br"))))
     val tmp = d.resolve(".encoded.tmp")
     val out = Files.newOutputStream(tmp)

@@ -374,7 +374,7 @@ class WarcPartitionReader(
     else {
       val isRangeRead = part.start > 0
       if (isRangeRead) rawIn.seek(part.start)
-      val (stream, codec) = WarcCodecs.open(rawIn)
+      val (stream, codec) = WarcCodecs.openWithName(rawIn, part.path)
       // A mid-file range of a file that sniffs as compressed yields no
       // rows: the partition at start=0 reads the whole member chain
       // instead. Range reads of raw files resync for free: the parser's

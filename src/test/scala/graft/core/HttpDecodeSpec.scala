@@ -60,11 +60,18 @@ class HttpDecodeSpec extends AnyFunSuite {
   }
 
   test("unsupported encoding stops the chain, reports failure, keeps bytes") {
-    val data = "brotli-bytes".getBytes
+    val data = "compressed-with-lzw".getBytes
+    val d = HttpDecode.decodeBody(data, Some("compress"), None)
+    assert(d.failed.contains("compress"))
+    assert(d.body.sameElements(data))
+  }
+
+  test("corrupt brotli body fails soft with the br label") {
+    // NB brotli has no magic bytes, so SOME garbage parses as a valid
+    // stream; this pattern provably does not
+    val data = Array.fill[Byte](64)(0x55)
     val d = HttpDecode.decodeBody(data, Some("br"), None)
-    // brotli is a DISTINCT gap (reference decodes it, warc.pyx:826; no JVM
-    // codec here) — not a generic decode failure
-    assert(d.failed.contains("unsupported-encoding: br"))
+    assert(d.failed.contains("br"))
     assert(d.body.sameElements(data))
   }
 
