@@ -142,6 +142,14 @@ object Documents {
         .orderBy(col("lang"))
     }),
 
+    // supported_langs (#36, lang.pyx:96-108): the detector's language
+    // inventory as data — oracle lists the same 101 ISO codes (auditable
+    // against the reference's public table; regen via tools/regen_pins).
+    "t07_supported_langs" -> ((s, _) => {
+      import s.implicits._
+      graft.core.LangDetect.supportedLangs.toDF("lang").orderBy(col("lang"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -372,6 +380,20 @@ object Documents {
          ('fr', 64, 0, 5, 0.0, 0.0, 0.0),
          ('zh', 75, 0, 0, 0.0, 0.0, 0.0))
          t(lang, support, tp, n_pred, precision, recall, f1) ORDER BY lang""",
+    "t07_supported_langs" ->
+      """SELECT lang FROM (VALUES
+         ('af'),('ar'),('as'),('az'),('ba'),('be'),('bg'),('bn'),('bo'),('br'),
+         ('ca'),('ce'),('cs'),('cv'),('cy'),('da'),('de'),('dv'),('el'),('en'),
+         ('eo'),('es'),('et'),('eu'),('fa'),('fi'),('fo'),('fr'),('fy'),('ga'),
+         ('gd'),('gl'),('gu'),('ha'),('he'),('hi'),('hr'),('hu'),('hy'),('id'),
+         ('io'),('is'),('it'),('ja'),('jv'),('ka'),('kk'),('km'),('kn'),('ko'),
+         ('ku'),('ky'),('la'),('lb'),('lt'),('lv'),('mg'),('mk'),('ml'),('mn'),
+         ('mr'),('mt'),('my'),('ne'),('nl'),('no'),('or'),('pa'),('pl'),('ps'),
+         ('pt'),('rm'),('ro'),('ru'),('sa'),('sc'),('sd'),('si'),('sk'),('sl'),
+         ('so'),('sq'),('sr'),('sv'),('sw'),('ta'),('te'),('tg'),('th'),('tk'),
+         ('tl'),('tr'),('tt'),('ug'),('uk'),('ur'),('uz'),('vi'),('vo'),('yi'),
+         ('zh'))
+         t(lang) ORDER BY lang""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs

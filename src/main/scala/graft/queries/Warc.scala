@@ -268,6 +268,64 @@ object Warc {
         .orderBy(col("enc"))
     }),
 
+    // ReadFromText analog (#9): Spark's Hadoop-split text source over a
+    // deterministic 1000-line fixture (Beam ReadFromText semantics,
+    // resiliparse SURVEY §2; the oracle RECOMPUTES the totals from
+    // generate_series, nothing pinned).
+    "w21_text_source" -> ((s, _) => {
+      val f = graft.sources.BenchCorpus.ensureTextFixture(
+        s"${System.getProperty("java.io.tmpdir")}/graft_text_fixture")
+      s.read.text(f)
+        .agg(count(lit(1)).as("n_lines"),
+             sum(length(col("value"))).as("total_chars"))
+    }),
+
+    // Point lookup by compressed member offset (#12, reference `extract`,
+    // fastwarc cli.py:185-222): re-member the fixture with the writer,
+    // then extract every record by its reported offset as a distributed
+    // map over the offset list; totals must equal the full-scan numbers
+    // (independent python parse, FIXTURES.md).
+    "w22_point_lookup" -> ((s, _) => {
+      import s.implicits._
+      val (path, offsets) = graft.sources.BenchCorpus.ensureMemberArchive(
+        s"${System.getProperty("java.io.tmpdir")}/graft_members")
+      s.createDataset(offsets)
+        .repartition(4)
+        .map { off =>
+          graft.core.WarcPointLookup.extract(path, off)
+            .map(_.contentLength).getOrElse(-1L)
+        }
+        .toDF("content_length")
+        .agg(sum(when(col("content_length") >= 0, 1L).otherwise(0L)).as("n_found"),
+             sum(col("content_length")).as("sum_content_length"))
+    }),
+
+    // recompress_warc (#15, tools.pyx:91-152): gzip -> LZ4 stream
+    // recompression, then a full re-scan with digest verification —
+    // the re-encoded archive must parse identically.
+    "w23_recompress" -> ((s, _) => {
+      val path = graft.sources.BenchCorpus.ensureRecompressed(
+        s"${System.getProperty("java.io.tmpdir")}/graft_recompressed")
+      s.read.format("warc").load(path)
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("content_length")).as("sum_content_length"),
+             sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"))
+    }),
+
+    // Header predicates (#24: is_warc_10/11, has_*_digest, is_concurrent
+    // — warc.pyx:1276-1344) over the native codegen'd header lookups;
+    // ground truth from the independent python parse of the fixture
+    // (50 x WARC/1.0, 16 digested responses, 32 concurrent-to links).
+    "w24_header_predicates" -> ((s, _) => {
+      import graft.functions.WarcCols
+      scan(s, "warcfile.warc.gz").agg(
+        sum(when(WarcCols.isWarc10(col("warc_version")), 1L).otherwise(0L)).as("n_warc10"),
+        sum(when(WarcCols.isWarc11(col("warc_version")), 1L).otherwise(0L)).as("n_warc11"),
+        sum(when(WarcCols.hasBlockDigest(col("headers")), 1L).otherwise(0L)).as("n_block_digest"),
+        sum(when(WarcCols.hasPayloadDigest(col("headers")), 1L).otherwise(0L)).as("n_payload_digest"),
+        sum(when(WarcCols.isConcurrent(col("headers")), 1L).otherwise(0L)).as("n_concurrent"))
+    }),
+
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
     // the main content of real pages: the Chinese/Korean/Russian pages
     // of the fixture corpus detect as such.
@@ -408,6 +466,22 @@ object Warc {
          ('deflate', 'deflate', 'none', 760, md5(repeat('deflate payload x. ', 40))),
          ('gzip', 'gzip', 'none', 950, md5(repeat('gzip body content. ', 50))))
          t(enc, applied, failed, decoded_len, decoded_md5) ORDER BY enc""",
+    // recomputed totals: 1000 lines "line-<i>", not pinned
+    "w21_text_source" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(length('line-' || CAST(i AS VARCHAR))) AS BIGINT) AS total_chars
+         FROM generate_series(0, 999) t(i)""",
+    "w22_point_lookup" ->
+      """SELECT CAST(50 AS BIGINT) AS n_found,
+         CAST(527846 AS BIGINT) AS sum_content_length""",
+    "w23_recompress" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS sum_content_length,
+         CAST(16 AS BIGINT) AS n_digest_ok""",
+    "w24_header_predicates" ->
+      """SELECT CAST(50 AS BIGINT) AS n_warc10, CAST(0 AS BIGINT) AS n_warc11,
+         CAST(16 AS BIGINT) AS n_block_digest, CAST(16 AS BIGINT) AS n_payload_digest,
+         CAST(32 AS BIGINT) AS n_concurrent""",
     // 1600 copies of the 50-record fixture: 80,000 records.
     "w17_warc_scan10k" ->
       """SELECT CAST(80000 AS BIGINT) AS n_records,

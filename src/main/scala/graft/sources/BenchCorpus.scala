@@ -40,6 +40,67 @@ object BenchCorpus {
   def totalRecords(files: Int = 10, copiesPerFile: Int = 20): Long =
     files.toLong * copiesPerFile * RecordsPerCopy
 
+  /** Deterministic line-oriented text fixture for the ReadFromText
+    * analog (w21): 1000 lines `line-<i>`.
+    */
+  def ensureTextFixture(dir: String): String = synchronized {
+    val d = Paths.get(dir)
+    val f = d.resolve("lines.txt")
+    if (!Files.exists(f)) {
+      Files.createDirectories(d)
+      val tmp = d.resolve(".lines.tmp")
+      val sb = new StringBuilder
+      (0 until 1000).foreach(i => sb.append("line-").append(i).append('\n'))
+      Files.write(tmp, sb.toString.getBytes("ascii"))
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+    }
+    f.toString
+  }
+
+  /** Member-per-record gzip archive of the fixture plus the writer's
+    * reported member offsets (sidecar), for the point-lookup oracle
+    * (w22). Returns (archive path, member offsets).
+    */
+  def ensureMemberArchive(dir: String): (String, Seq[Long]) = synchronized {
+    val d = Paths.get(dir)
+    val f = d.resolve("members.warc.gz")
+    val side = d.resolve("members.offsets")
+    if (!Files.exists(side)) {
+      Files.createDirectories(d)
+      val in = Files.newInputStream(Paths.get(FixtureGz))
+      val (stream, _) = graft.core.WarcCodecs.open(in)
+      val parser = new graft.core.WarcParser(
+        new graft.core.WarcByteReader(stream), "",
+        graft.core.WarcParseOptions(parseHttp = false))
+      val tmp = d.resolve(".members.tmp")
+      val out = Files.newOutputStream(tmp)
+      val w = new graft.core.WarcWriter.RecordStreamWriter(
+        out, graft.core.WarcWriter.Gzip)
+      val offsets = try parser.map(w.write).toVector finally { w.close(); in.close() }
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+      Files.write(side, offsets.mkString("\n").getBytes("ascii"))
+    }
+    val offsets = new String(Files.readAllBytes(side), "ascii")
+      .split('\n').toSeq.filter(_.nonEmpty).map(_.toLong)
+    (f.toString, offsets)
+  }
+
+  /** Fixture archive recompressed gzip -> LZ4 (`recompress_warc`, w23). */
+  def ensureRecompressed(dir: String): String = synchronized {
+    val d = Paths.get(dir)
+    val f = d.resolve("recompressed.warc.lz4")
+    if (!Files.exists(f)) {
+      Files.createDirectories(d)
+      val tmp = d.resolve(".recompressed.tmp")
+      val in = Files.newInputStream(Paths.get(FixtureGz))
+      val out = Files.newOutputStream(tmp)
+      try graft.core.WarcWriter.recompress(in, out, graft.core.WarcWriter.Lz4)
+      finally { out.close(); in.close() }
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+    }
+    f.toString
+  }
+
   /** Materialize the brotli-compressed fixture archive (a resource — the
     * reference's fixture dir is read-only) so the `warc` source can scan
     * it by path; returns the file path.
