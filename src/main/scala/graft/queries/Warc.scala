@@ -326,6 +326,23 @@ object Warc {
         sum(when(WarcCols.isConcurrent(col("headers")), 1L).otherwise(0L)).as("n_concurrent"))
     }),
 
+    // Resilience semantics (#11 warc_retry resync + #53 exc_loop error
+    // column): a damaged archive — garbage lines between records and a
+    // final record truncated mid-payload — yields every intact record,
+    // skips the garbage silently (reference resync, warc.pyx:1184-1207),
+    // and surfaces the truncation as an error ROW, not a task failure.
+    // All 50 envelopes (content lengths from the intact headers) total
+    // the independently-derived 527,846 bytes.
+    "w25_resilience" -> ((s, _) => {
+      val path = graft.sources.BenchCorpus.ensureCorrupted(
+        s"${System.getProperty("java.io.tmpdir")}/graft_corrupted")
+      s.read.format("warc").load(path)
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("error").isNull, 1L).otherwise(0L)).as("n_ok"),
+             sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_error"),
+             sum(col("content_length")).as("sum_content_length"))
+    }),
+
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
     // the main content of real pages: the Chinese/Korean/Russian pages
     // of the fixture corpus detect as such.
@@ -482,6 +499,10 @@ object Warc {
       """SELECT CAST(50 AS BIGINT) AS n_warc10, CAST(0 AS BIGINT) AS n_warc11,
          CAST(16 AS BIGINT) AS n_block_digest, CAST(16 AS BIGINT) AS n_payload_digest,
          CAST(32 AS BIGINT) AS n_concurrent""",
+    "w25_resilience" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(49 AS BIGINT) AS n_ok,
+         CAST(1 AS BIGINT) AS n_error,
+         CAST(527846 AS BIGINT) AS sum_content_length""",
     // 1600 copies of the 50-record fixture: 80,000 records.
     "w17_warc_scan10k" ->
       """SELECT CAST(80000 AS BIGINT) AS n_records,

@@ -85,6 +85,56 @@ object BenchCorpus {
     (f.toString, offsets)
   }
 
+  /** Deliberately damaged raw archive for the resilience oracle (w25):
+    * inter-record garbage lines (must be skipped silently, reference
+    * resync warc.pyx:1184-1207) and a final record truncated mid-payload
+    * (must surface as an error row, exc_loop doctrine). Built
+    * deterministically from the fixture so the oracle's totals are
+    * independently known.
+    */
+  def ensureCorrupted(dir: String): String = synchronized {
+    val d = Paths.get(dir)
+    val f = d.resolve("corrupted.warc")
+    if (!Files.exists(f)) {
+      Files.createDirectories(d)
+      val in = Files.newInputStream(Paths.get(FixtureGz))
+      val (stream, _) = graft.core.WarcCodecs.open(in)
+      val parser = new graft.core.WarcParser(
+        new graft.core.WarcByteReader(stream), "",
+        graft.core.WarcParseOptions(parseHttp = false))
+      // serialize each record individually (raw codec) to splice bytes
+      val serialized = try parser.map { rec =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val w = new graft.core.WarcWriter.RecordStreamWriter(
+          bos, graft.core.WarcWriter.Raw)
+        w.write(rec); w.close()
+        bos.toByteArray
+      }.toVector finally in.close()
+      val out = new java.io.ByteArrayOutputStream()
+      serialized.take(10).foreach(out.write)
+      out.write("#garbage, not a WARC line\r\nstill not one\r\n".getBytes("ascii"))
+      serialized.slice(10, 49).foreach(out.write)
+      // final record: keep the full header block plus 10 payload bytes
+      val last = serialized(49)
+      val headerEnd = {
+        var i = 0
+        var at = -1
+        while (at < 0 && i < last.length - 3) {
+          if (last(i) == '\r' && last(i + 1) == '\n' &&
+              last(i + 2) == '\r' && last(i + 3) == '\n') at = i + 4
+          i += 1
+        }
+        require(at > 0, "no header terminator in serialized record")
+        at
+      }
+      out.write(last, 0, headerEnd + 10)
+      val tmp = d.resolve(".corrupted.tmp")
+      Files.write(tmp, out.toByteArray)
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+    }
+    f.toString
+  }
+
   /** Fixture archive recompressed gzip -> LZ4 (`recompress_warc`, w23). */
   def ensureRecompressed(dir: String): String = synchronized {
     val d = Paths.get(dir)
