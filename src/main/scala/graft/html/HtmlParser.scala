@@ -99,7 +99,14 @@ object HtmlParser {
 
     while (i < n) {
       val c = input.charAt(i)
-      if (c != '<') { textStart.append(c); i += 1 }
+      if (c != '<') {
+        // bulk-append the whole text run up to the next tag open — the
+        // per-char path made this loop the parser's hottest line
+        var j = input.indexOf('<', i)
+        if (j < 0) j = n
+        textStart.underlying.append(input, i, j)
+        i = j
+      }
       else if (i + 1 >= n) { textStart.append(c); i += 1 }
       else {
         val c1 = input.charAt(i + 1)
