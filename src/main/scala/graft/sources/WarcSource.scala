@@ -422,13 +422,20 @@ class WarcPartitionReader(
     else { current = null; false }
   }
 
-  override def get(): InternalRow = WarcRowEncoder.encode(current, required)
+  private val rowEncoder = new WarcRowEncoder(required)
+
+  override def get(): InternalRow = rowEncoder.encode(current)
 
   override def close(): Unit = rawIn.close()
 }
 
-/** WarcRecord -> InternalRow projection for an arbitrary pruned schema. */
-object WarcRowEncoder {
+/** WarcRecord -> InternalRow projection for an arbitrary pruned schema.
+  * Column dispatch is resolved ONCE per reader into an extractor array
+  * (the per-record per-column string match showed up at 80k-record scan
+  * scale), and low-cardinality strings (record type, version, the
+  * per-partition-constant filename) are interned as UTF8Strings.
+  */
+final class WarcRowEncoder(schema: StructType) {
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def headersData(h: HeaderMap): GenericArrayData =
     new GenericArrayData(h.entries.map { case (k, v) =>
@@ -437,35 +444,49 @@ object WarcRowEncoder {
   private def micros(i: java.time.Instant): Long =
     Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
 
-  def encode(r: WarcRecord, schema: StructType): InternalRow = {
-    val vals = new Array[Any](schema.length)
+  private val interned = new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+  private def intern(s: String): UTF8String = {
+    var v = interned.get(s)
+    if (v == null) {
+      v = UTF8String.fromString(s)
+      if (interned.size < 64) interned.put(s, v)
+    }
+    v
+  }
+
+  private val extractors: Array[WarcRecord => Any] = schema.fields.map { f =>
+    f.name match {
+      case "filename" => r => intern(r.filename)
+      case "offset" => r => r.offset
+      case "length" => r => r.length
+      case "record_id" => r => r.recordId.map(utf8).orNull
+      case "record_type" => r => intern(r.recordType)
+      case "record_type_mask" => r => r.recordTypeMask
+      case "record_date" => r => r.recordDate.map(micros).map(Long.box).orNull
+      case "content_length" => r => r.contentLength
+      case "headers" => r => headersData(r.headers)
+      case "is_http" => r => WarcParser.isHttpRecord(r.headers)
+      case "http_status" => r => r.http.flatMap(_.status).map(Int.box).orNull
+      case "http_content_type" => r => r.http.flatMap(_.contentType).map(utf8).orNull
+      case "http_charset" => r => r.http.flatMap(_.charset).map(utf8).orNull
+      case "http_date" => r => r.http.flatMap(_.headers.get("Date"))
+        .flatMap(WarcParser.parseHttpDate).map(micros).map(Long.box).orNull
+      case "http_headers" => r => r.http.map(m => headersData(m.headers)).orNull
+      case "content" => r => r.content
+      case "http_body" => r => r.http.map(_.body).orNull
+      case "block_digest_ok" => r => r.blockDigestOk.map(Boolean.box).orNull
+      case "payload_digest_ok" => r => r.payloadDigestOk.map(Boolean.box).orNull
+      case "error" => r => r.error.map(utf8).orNull
+      case "warc_version" => r => intern(r.version)
+      case other => throw new IllegalArgumentException(s"unknown warc column: $other")
+    }
+  }
+
+  def encode(r: WarcRecord): InternalRow = {
+    val vals = new Array[Any](extractors.length)
     var i = 0
-    while (i < schema.length) {
-      vals(i) = schema(i).name match {
-        case "filename" => utf8(r.filename)
-        case "offset" => r.offset
-        case "length" => r.length
-        case "record_id" => r.recordId.map(utf8).orNull
-        case "record_type" => utf8(r.recordType)
-        case "record_type_mask" => r.recordTypeMask
-        case "record_date" => r.recordDate.map(micros).map(Long.box).orNull
-        case "content_length" => r.contentLength
-        case "headers" => headersData(r.headers)
-        case "is_http" => WarcParser.isHttpRecord(r.headers)
-        case "http_status" => r.http.flatMap(_.status).map(Int.box).orNull
-        case "http_content_type" => r.http.flatMap(_.contentType).map(utf8).orNull
-        case "http_charset" => r.http.flatMap(_.charset).map(utf8).orNull
-        case "http_date" => r.http.flatMap(_.headers.get("Date"))
-          .flatMap(WarcParser.parseHttpDate).map(micros).map(Long.box).orNull
-        case "http_headers" => r.http.map(m => headersData(m.headers)).orNull
-        case "content" => r.content
-        case "http_body" => r.http.map(_.body).orNull
-        case "block_digest_ok" => r.blockDigestOk.map(Boolean.box).orNull
-        case "payload_digest_ok" => r.payloadDigestOk.map(Boolean.box).orNull
-        case "error" => r.error.map(utf8).orNull
-        case "warc_version" => utf8(r.version)
-        case other => throw new IllegalArgumentException(s"unknown warc column: $other")
-      }
+    while (i < extractors.length) {
+      vals(i) = extractors(i)(r)
       i += 1
     }
     new GenericInternalRow(vals)
