@@ -118,8 +118,8 @@ object Web {
       mainContent: Boolean = false): Column = {
     val f = udf((data: Array[Byte], cs: String, mc: Boolean) =>
       if (data == null) null
-      else graft.html.Html2Text.extract(
-        graft.html.HtmlTree.parseFromBytes(data, cs),
+      else graft.html.Html2Text.extractFromHtml(
+        graft.html.HtmlTree.decodeForParse(data, cs),
         graft.html.Html2Text.Options(mainContent = mc)))
     f(content, charset, org.apache.spark.sql.functions.lit(mainContent))
   }

@@ -10,11 +10,26 @@ object NodeType extends Enumeration {
   val Document, DocumentType, Element, Text, Comment = Value
 }
 
+/** Minimal node surface the html2text extraction callback reads — lets
+  * the DOM walk and the streaming (DOM-free) tokenizer share the same
+  * callback verbatim.
+  */
+trait NodeView {
+  def isText: Boolean
+  def isElement: Boolean
+  def tag: String
+  def value: String
+  def getattr(name: String): Option[String]
+  /** Backing DOM node when one exists (serializer's minimal-html checks). */
+  def domOrNull: DomNode
+}
+
 /** A mutable DOM node (linked-list siblings, parent pointer) — the
   * ephemeral per-document tree the engine materializes INSIDE expressions;
   * never a Spark column (SURVEY §1.4).
   */
-final class DomNode(val nodeType: NodeType.Value, val tag: String) {
+final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeView {
+  def domOrNull: DomNode = this
 
   /** Text/comment content; null for non-character nodes. */
   var value: String = _

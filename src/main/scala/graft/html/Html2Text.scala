@@ -43,7 +43,7 @@ object Html2Text {
   private val BigBlock = Set("p", "h1", "h2", "h3", "h4")
   private val ListBullet = "•"
 
-  private final class ExtractNode(
+  private[html] final class ExtractNode(
       val referenceNode: DomNode,
       val tag: String,
       val depth: Int,
@@ -62,6 +62,14 @@ object Html2Text {
   }
 
   def extract(tree: HtmlTree, opts: Options): String = extract(tree.body, opts)
+
+  /** Extract straight from markup: DOM-free streaming walk when the
+    * option set allows it (see [[Html2TextStream.eligible]]), DOM parse +
+    * walk otherwise. Identical output either way.
+    */
+  def extractFromHtml(html: String, opts: Options): String =
+    if (Html2TextStream.eligible(opts)) Html2TextStream.extract(html, opts)
+    else extract(HtmlTree.parse(html), opts)
 
   /** Per-element collapsed-text / link-text lengths, precomputed in one
     * post-order pass so the main-content classifier's link-cluster
@@ -199,7 +207,7 @@ object Html2Text {
 
   // — extraction callback (html2text.pyx:163-259) —
 
-  private def extractCb(nodes: mutable.ArrayBuffer[ExtractNode], n: DomNode,
+  private[html] def extractCb(nodes: mutable.ArrayBuffer[ExtractNode], n: NodeView,
       depth: Int, isEndTag: Boolean, opts: Options): Unit = {
     val last = nodes.lastOption.orNull
     var current = last
@@ -208,7 +216,7 @@ object Html2Text {
 
     if (last == null || isBlock || depth < last.depth ||
         (opts.links && n.tag == "a") || n.tag == "textarea") {
-      current = new ExtractNode(n, if (n.isElement) n.tag else "", depth, isEndTag)
+      current = new ExtractNode(n.domOrNull, if (n.isElement) n.tag else "", depth, isEndTag)
       current.makeBlock = isBlock
       current.makeBigBlock = BigBlock.contains(n.tag)
       current.preDepth = if (last != null) last.preDepth else 0
@@ -260,7 +268,7 @@ object Html2Text {
 
   // — serializer (html2text.pyx:282-437) —
 
-  private def serialize(nodes: mutable.ArrayBuffer[ExtractNode], opts: Options): String = {
+  private[html] def serialize(nodes: mutable.ArrayBuffer[ExtractNode], opts: Options): String = {
     val output = new StringBuilder
     var elementTextPrefix = ""
     var bulletInserted = false

@@ -1,0 +1,280 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** DOM-free `extract_plain_text`: the tokenizer drives
+  * [[Html2Text.extractCb]] directly, so full-page extraction never
+  * materializes a DOM — the dominant allocation source on the hot path
+  * (per-node objects + per-text substrings), and the reason parallel
+  * extraction was memory-bandwidth-bound.
+  *
+  * Event order and depths replicate what [[HtmlParser.parse]] +
+  * [[Html2Text.extract]]'s pre-order walk produce for the SAME input —
+  * the two paths share the tag tables, the extraction callback, and the
+  * serializer, and `Html2TextStreamSpec` diffs them over every fixture
+  * page, golden input and option combination. Walk semantics mirrored:
+  *  - only body content is visited (head-phase content is suppressed
+  *    exactly as the parser routes it to head);
+  *  - skip-list subtrees produce no events and no end visits;
+  *  - end visits fire only for elements that acquired a child (text,
+  *    element or comment), innermost-first on every pop (explicit end
+  *    tags, implicit closes, body reset, EOF unwind);
+  *  - depth = 1 + open-element count below body, as in the DOM walk.
+  *
+  * Only valid for option sets the streaming walk can express:
+  * no main-content classification (needs ancestry + subtree stats), no
+  * minimal-HTML (serializer consults the DOM), tag-name-only skip lists.
+  * [[eligible]] gates dispatch; callers fall back to the DOM path.
+  */
+object Html2TextStream {
+
+  import Html2Text.{ExtractNode, Options}
+  import HtmlParser._
+
+  def eligible(opts: Options): Boolean =
+    !opts.mainContent &&
+      opts.formatting != Html2Text.FormatMinimalHtml &&
+      opts.skipElements.forall(_.matches("[a-zA-Z][a-zA-Z0-9-]*"))
+
+  /** Mutable view handed to the shared extraction callback. */
+  private final class EvView extends NodeView {
+    var isTextV = false
+    var tagV = ""
+    var valueV: String = _
+    var attrsV: Seq[(String, String)] = Nil
+    def isText: Boolean = isTextV
+    def isElement: Boolean = !isTextV
+    def tag: String = tagV
+    def value: String = valueV
+    def getattr(name: String): Option[String] = {
+      val k = name.toLowerCase
+      attrsV.collectFirst { case (ak, av) if ak == k => av }
+    }
+    def domOrNull: DomNode = null
+  }
+
+  private final class Open(
+      val tag: String,
+      val depth: Int,
+      val attrs: Seq[(String, String)],
+      val visited: Boolean) { // start visit emitted (not suppressed/skipped)
+    var hadChild = false
+  }
+
+  def extract(input: String, opts: Options): String = {
+    val skip = mutable.Set("script", "style", "iframe", "frame", "template")
+    skip ++= opts.skipElements.map(_.toLowerCase)
+    if (!opts.altTexts) skip ++= Seq("object", "video", "audio", "embed", "img",
+      "area", "svg", "figcaption", "figure")
+    if (!opts.noscript) skip += "noscript"
+    if (!opts.formFields) skip ++= Seq("textarea", "input", "button", "select",
+      "option", "label")
+
+    val nodes = mutable.ArrayBuffer.empty[ExtractNode]
+    val ev = new EvView
+
+    def emitText(text: String, depth: Int): Unit = {
+      ev.isTextV = true
+      ev.tagV = ""
+      ev.valueV = text
+      ev.attrsV = Nil
+      Html2Text.extractCb(nodes, ev, depth, isEndTag = false, opts)
+    }
+    def emitTag(tag: String, attrs: Seq[(String, String)], depth: Int,
+        isEnd: Boolean): Unit = {
+      ev.isTextV = false
+      ev.tagV = tag
+      ev.valueV = null
+      ev.attrsV = attrs
+      Html2Text.extractCb(nodes, ev, depth, isEnd, opts)
+    }
+
+    var inBody = false
+    var bodyHadChild = false
+    val stack = mutable.ArrayBuffer.empty[Open]
+    // the DOM walk visits the body root first, unconditionally
+    emitTag("body", Nil, 0, isEnd = false)
+
+    def markChild(): Unit =
+      if (stack.nonEmpty) stack.last.hadChild = true else bodyHadChild = true
+
+    /** Whether events from the current position are suppressed (inside a
+      * skipped subtree, or still in the head).
+      */
+    def suppressed: Boolean =
+      (!inBody && stack.isEmpty) || (stack.nonEmpty && !stack.last.visited)
+
+    def switchToBody(): Unit = if (!inBody) { popAll(); inBody = true }
+
+    /** Pop the top element, firing its end visit when the DOM walk would
+      * (start was emitted and it acquired a child).
+      */
+    def popOne(): Unit = {
+      val o = stack.remove(stack.size - 1)
+      if (o.visited && o.hadChild) emitTag(o.tag, o.attrs, o.depth, isEnd = true)
+    }
+    def popAll(): Unit = while (stack.nonEmpty) popOne()
+
+    def insertText(raw0: String, decodeEntities: Boolean): Unit = {
+      var raw = raw0
+      if (raw.isEmpty) return
+      if (!inBody && stack.isEmpty) {
+        if (raw.forall(_.isWhitespace)) return
+        switchToBody()
+      }
+      // single newline after a pre/textarea/listing start tag is dropped
+      if (stack.nonEmpty && !stack.last.hadChild &&
+          (stack.last.tag == "pre" || stack.last.tag == "textarea" ||
+           stack.last.tag == "listing")) {
+        if (raw.startsWith("\r\n")) raw = raw.substring(2)
+        else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
+        if (raw.isEmpty) return
+      }
+      val wasSuppressed = suppressed
+      markChild()
+      if (!wasSuppressed)
+        emitText(if (decodeEntities) Entities.decode(raw) else raw,
+          stack.size + 1)
+    }
+
+    /** Returns the open raw-text element (to consume its contents) when
+      * the started element is RAWTEXT/RCDATA, like the parser.
+      */
+    def handleStartTag(name0: String, attrs: Seq[(String, String)],
+        selfClosing: Boolean): Option[Open] = {
+      val name = name0.toLowerCase
+      name match {
+        case "html" | "head" => return None
+        case "body" => switchToBody(); return None
+        case _ =>
+      }
+      val inForeign = stack.exists(e => e.tag == "svg" || e.tag == "math")
+      if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
+
+      if (ClosesP.contains(name)) {
+        val pIdx = stack.lastIndexWhere(_.tag == "p")
+        if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag)))
+          while (stack.size > pIdx) popOne()
+      }
+      ImplicitClose.get(name).foreach { closes =>
+        while (stack.nonEmpty && closes.contains(stack.last.tag)) popOne()
+      }
+
+      val parentSuppressed = suppressed
+      markChild()
+      val visited = !parentSuppressed && !skip.contains(name)
+      val depth = stack.size + 1
+      if (visited) emitTag(name, attrs, depth, isEnd = false)
+
+      val isVoid = Serializer.VoidElements.contains(name)
+      if (!isVoid && !selfClosing) {
+        val o = new Open(name, depth, attrs, visited)
+        if (stack.size < MaxDepth) stack += o
+        // beyond MaxDepth the DOM attaches children flat at the cap: the
+        // element is childless forever, so no push and no end visit
+        if (!inForeign && (RawText.contains(name) || RcData.contains(name)))
+          return Some(o)
+      }
+      None
+    }
+
+    def handleEndTag(name0: String): Unit = {
+      val name = name0.toLowerCase
+      name match {
+        case "html" | "head" => return
+        case "body" => switchToBody(); popAll(); return
+        case _ =>
+      }
+      val idx = stack.lastIndexWhere(_.tag == name)
+      if (idx >= 0) while (stack.size > idx) popOne()
+    }
+
+    // — tokenizer main loop (mirrors HtmlParser.parse) —
+    val n = input.length
+    var i = 0
+    val textStart = new StringBuilder
+    def flushText(): Unit =
+      if (textStart.nonEmpty) {
+        insertText(textStart.toString, decodeEntities = true)
+        textStart.clear()
+      }
+
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c != '<') {
+        var j = input.indexOf('<', i)
+        if (j < 0) j = n
+        textStart.underlying.append(input, i, j)
+        i = j
+      } else if (i + 1 >= n) { textStart.append(c); i += 1 }
+      else {
+        val c1 = input.charAt(i + 1)
+        if (c1 == '!') {
+          flushText()
+          if (input.startsWith("<!--", i)) {
+            val end = input.indexOf("-->", i + 4)
+            // comments attach (marking the parent) but are never visited;
+            // before the body they attach to the body element
+            if (!inBody && stack.isEmpty) bodyHadChild = true else markChild()
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = input.indexOf('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '?') {
+          flushText()
+          val end = input.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (c1 == '/') {
+          val (name, close) = readTagName(input, i + 2)
+          if (name.isEmpty) { textStart.append(c); i += 1 }
+          else {
+            flushText()
+            val end = input.indexOf('>', close)
+            i = if (end < 0) n else end + 1
+            handleEndTag(name)
+          }
+        } else if (Character.isLetter(c1)) {
+          val (name, afterName) = readTagName(input, i + 1)
+          flushText()
+          val (attrs, selfClosing, afterTag) = readAttrs(input, afterName)
+          i = afterTag
+          handleStartTag(name, attrs, selfClosing) match {
+            case Some(rawEl) =>
+              val endTag = "</" + rawEl.tag
+              val j = indexOfAsciiIgnoreCase(input, endTag, i)
+              val contentEnd = if (j < 0) n else j
+              var raw = input.substring(i, contentEnd)
+              if (rawEl.tag == "textarea") {
+                if (raw.startsWith("\r\n")) raw = raw.substring(2)
+                else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
+              }
+              if (raw.nonEmpty) {
+                rawEl.hadChild = true
+                if (rawEl.visited)
+                  emitText(if (RcData.contains(rawEl.tag)) Entities.decode(raw) else raw,
+                    rawEl.depth + 1)
+              }
+              if (j < 0) i = n
+              else {
+                val gt = input.indexOf('>', j)
+                i = if (gt < 0) n else gt + 1
+              }
+              if (stack.nonEmpty && (stack.last eq rawEl)) popOne()
+              // beyond the depth cap the element was never pushed, but the
+              // DOM still gives it the text child and hence an end visit
+              else if (rawEl.visited && rawEl.hadChild)
+                emitTag(rawEl.tag, rawEl.attrs, rawEl.depth, isEnd = true)
+            case None =>
+          }
+        } else { textStart.append(c); i += 1 }
+      }
+    }
+    flushText()
+    // EOF: unwind still-open elements, then the body's own end visit
+    popAll()
+    if (bodyHadChild) emitTag("body", Nil, 0, isEnd = true)
+
+    Html2Text.rstrip(Html2Text.serialize(nodes, opts))
+  }
+}

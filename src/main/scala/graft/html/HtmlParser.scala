@@ -20,18 +20,18 @@ import scala.collection.mutable
   */
 object HtmlParser {
 
-  private val HeadContent = Set("title", "base", "link", "meta", "style", "script", "noscript", "template")
-  private val RawText = Set("script", "style", "xmp", "noframes")
-  private val RcData = Set("title", "textarea")
+  private[html] val HeadContent = Set("title", "base", "link", "meta", "style", "script", "noscript", "template")
+  private[html] val RawText = Set("script", "style", "xmp", "noframes")
+  private[html] val RcData = Set("title", "textarea")
 
   /** Elements whose start tag implicitly closes an open <p>. */
-  private val ClosesP = Set("address", "article", "aside", "blockquote", "details",
+  private[html] val ClosesP = Set("address", "article", "aside", "blockquote", "details",
     "div", "dl", "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
     "h3", "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p", "pre",
     "section", "table", "ul")
 
   /** tag -> set of open tags its start implicitly closes (nearest first). */
-  private val ImplicitClose: Map[String, Set[String]] = Map(
+  private[html] val ImplicitClose: Map[String, Set[String]] = Map(
     "li" -> Set("li"), "dt" -> Set("dt", "dd"), "dd" -> Set("dt", "dd"),
     "tr" -> Set("tr", "td", "th"), "td" -> Set("td", "th"), "th" -> Set("td", "th"),
     "option" -> Set("option"), "optgroup" -> Set("option", "optgroup"),
@@ -44,7 +44,7 @@ object HtmlParser {
     * within stack bounds — a 100k-deep <div> bomb must not kill a task
     * with a StackOverflowError (Error, so no catch saves it).
     */
-  private val MaxDepth = 512
+  private[html] val MaxDepth = 512
 
   def parse(input: String): DomNode = {
     val doc = new DomNode(NodeType.Document, "#document")
@@ -255,7 +255,7 @@ object HtmlParser {
   /** Find `target` (lowercase ASCII) in `s` from `from`, matching ASCII
     * letters case-insensitively. Offsets stay valid for `s` itself.
     */
-  private def indexOfAsciiIgnoreCase(s: String, target: String, from: Int): Int = {
+  private[html] def indexOfAsciiIgnoreCase(s: String, target: String, from: Int): Int = {
     val n = s.length
     val m = target.length
     if (m == 0) return from
@@ -280,7 +280,7 @@ object HtmlParser {
     -1
   }
 
-  private def readTagName(s: String, from: Int): (String, Int) = {
+  private[html] def readTagName(s: String, from: Int): (String, Int) = {
     var i = from
     val n = s.length
     while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' ||
@@ -291,7 +291,7 @@ object HtmlParser {
   /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,
     * index after '>').
     */
-  private def readAttrs(s: String, from: Int): (Seq[(String, String)], Boolean, Int) = {
+  private[html] def readAttrs(s: String, from: Int): (Seq[(String, String)], Boolean, Int) = {
     val attrs = mutable.ArrayBuffer.empty[(String, String)]
     var i = from
     val n = s.length

@@ -51,14 +51,20 @@ object HtmlTree {
   /** Parse from a string; never throws. */
   def parse(html: String): HtmlTree = new HtmlTree(HtmlParser.parse(html))
 
-  /** Decode bytes (charset given or detected, WHATWG-remapped, resilient
-    * ladder) then parse (html.pyx:1748-1767 semantics).
+  /** Charset resolve + resilient decode, the byte-input front half of
+    * `parse_from_bytes` (html.pyx:1748-1767 semantics).
     */
-  def parseFromBytes(data: Array[Byte], charset: String = null): HtmlTree = {
+  def decodeForParse(data: Array[Byte], charset: String = null): String = {
     val enc = Option(charset).filter(_.nonEmpty)
       .flatMap(c => Encodings.mapToHtml5(c, fallbackUtf8 = false))
       .orElse(Encodings.detectEncoding(data, fromHtmlMeta = true))
       .getOrElse("utf-8")
-    parse(Encodings.bytesToStr(data, enc))
+    Encodings.bytesToStr(data, enc)
   }
+
+  /** Decode bytes (charset given or detected, WHATWG-remapped, resilient
+    * ladder) then parse (html.pyx:1748-1767 semantics).
+    */
+  def parseFromBytes(data: Array[Byte], charset: String = null): HtmlTree =
+    parse(decodeForParse(data, charset))
 }

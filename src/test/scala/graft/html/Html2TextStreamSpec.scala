@@ -1,0 +1,140 @@
+package graft.html
+
+import org.scalatest.funsuite.AnyFunSuite
+import Html2Text.{FormatBasic, FormatOff, Options}
+
+/** Differential spec: the DOM-free streaming extractor must produce
+  * byte-identical output to the DOM walk for every eligible option set,
+  * over the golden-test document, every fixture page, adversarial tag
+  * soup, and random option combinations. This parity IS the streaming
+  * path's correctness argument — both paths share the extraction
+  * callback and serializer, so any drift is a walk-semantics bug.
+  */
+class Html2TextStreamSpec extends AnyFunSuite {
+
+  private val optionSets: Seq[(String, Options)] = Seq(
+    "defaults" -> Options(),
+    "format off" -> Options(formatting = FormatOff),
+    "no alt texts" -> Options(altTexts = false),
+    "links" -> Options(links = true),
+    "form fields" -> Options(formFields = true),
+    "noscript" -> Options(noscript = true),
+    "no bullets" -> Options(listBullets = false),
+    "skip custom tags" -> Options(skipElements = Seq("nav", "footer")),
+    "everything on" -> Options(links = true, formFields = true,
+      noscript = true, altTexts = true),
+    "off + links + fields" -> Options(formatting = FormatOff, links = true,
+      formFields = true),
+  )
+
+  private def diff(name: String, html: String): Unit =
+    optionSets.foreach { case (optName, o) =>
+      assert(Html2TextStream.eligible(o), optName)
+      val dom = Html2Text.extract(HtmlTree.parse(html), o)
+      val streamed = Html2TextStream.extract(html, o)
+      assert(streamed == dom,
+        s"[$name / $optName]\n--- dom ---\n$dom\n--- stream ---\n$streamed")
+    }
+
+  test("golden-test document matches the DOM path under all option sets") {
+    diff("golden", GoldenDoc.html)
+  }
+
+  test("all fixture pages match the DOM path under all option sets") {
+    val (in, _) = graft.core.WarcCodecs.open(new java.io.FileInputStream(
+      "/root/reference/tests/data/warcfile.warc"))
+    val parser = new graft.core.WarcParser(
+      new graft.core.WarcByteReader(in), "")
+    parser.filter(_.recordType == "response").zipWithIndex.foreach {
+      case (rec, idx) =>
+        rec.http.foreach { h =>
+          val html = HtmlTree.decodeForParse(h.body, h.charset.orNull)
+          diff(s"fixture page $idx", html)
+        }
+    }
+    in.close()
+  }
+
+  test("adversarial tag soup matches the DOM path") {
+    val soups = Seq(
+      "", "   ", "plain text only",
+      "<p>unclosed <b>bold <i>italic",
+      "<ul><li>a<li>b<ol><li>1<li>2</ul>after",
+      "<table><tr><td>a<td>b<tr><td>c</table>",
+      "<div><p>para<div>closes p</div>",
+      "<pre>\nkeep  spacing\n  here</pre>",
+      "<textarea>\nraw <b>not bold</b></textarea>",
+      "<script>var a = '<p>not content</p>';</script>visible",
+      "<title>head title</title>body text",
+      "<head><style>x{}</style></head><body>real</body>trailing",
+      "<body>first</body><p>after body close",
+      "<p>a<!-- comment -->b",
+      "<!-- only a comment -->",
+      "<svg><title>svg title</title><circle/></svg>text",
+      "<p>ent&amp;ities &lt;kept&gt; &#65;&#x42;",
+      "<a href='x'>link text</a> tail",
+      "<img alt='standalone image'>",
+      "<input type='text' value='v' placeholder='p'>",
+      "<option>opt</option><select><option>a</option></select>",
+      "<br><br><hr><p></p><div></div>empty blocks",
+      "<p>" + "deep<div>" * 600 + "bottom", // beyond the depth cap
+      "<noscript><p>noscript content</p></noscript>shown",
+      "<h1>h</h1><blockquote>q</blockquote><dd>d</dd><dt>t</dt>",
+      "a<b>b</b ", // truncated end tag
+      "<p att=>empty attr</p><p att='>unclosed quote",
+    )
+    soups.zipWithIndex.foreach { case (s, i) => diff(s"soup $i", s) }
+  }
+
+  test("eligibility gates the DOM-only options") {
+    assert(!Html2TextStream.eligible(Options(mainContent = true)))
+    assert(!Html2TextStream.eligible(Options(formatting = Html2Text.FormatMinimalHtml)))
+    assert(!Html2TextStream.eligible(Options(skipElements = Seq(".cls"))))
+    assert(Html2TextStream.eligible(Options(skipElements = Seq("nav"))))
+  }
+}
+
+/** The reference's golden-test document (test_html2text.py:53-87), shared
+  * with Html2TextSpec's pinned outputs.
+  */
+private[html] object GoldenDoc {
+  val html: String = """<!doctype html>
+<head>
+    <title>Foo</title>
+    <meta charset="utf-8">
+    <style>* { margin: 0; }</style>
+</head>
+<body>
+    <section id="wrapper">
+        <nav>
+            <ul>
+                <li>Nav 1</li>
+                <li>
+                    <p>Nav 2</p>
+                    <ul>
+                        <li><p>Nav 3</p></li>
+                    </ul>
+                </li>
+            </ul>
+        </nav>
+        <main>
+            foo <a href="#foo" hidden>bar</a>
+
+            <p>baz<br>bar</p>
+
+            <button aria-hidden="true">Click here</button>
+            <input type="hidden" value="foo">
+            <input type="text" value="Some text" placeholder="Insert text">
+            <input type="text" placeholder="Insert text">
+            <img src="" alt="Some image">
+            <object data="" class="some-class hidden">Cannot display object</object>
+        </main>
+        <script language="vbscript" type="text/vbscript">MsgBox("Hello World!")</script>
+        <noscript>Sorry, your browser doesn't support VB Script!</noscript>
+        <div><div><div><footer id="global-footer">
+            Copyright (C) 2021 Foo Bar
+        </footer></div></div></div>
+    </section>
+</body>
+</html>"""
+}

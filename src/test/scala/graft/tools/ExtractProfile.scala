@@ -87,5 +87,24 @@ object ExtractProfile {
         k += 1
       }
     }
+    time("extract(streaming)") {
+      var k = 0
+      while (k < reps) {
+        decoded.foreach(h => graft.html.Html2TextStream.extract(h,
+          graft.html.Html2Text.Options()))
+        k += 1
+      }
+    }
+    time("e2e streaming") {
+      var k = 0
+      while (k < reps) {
+        pages.foreach { case (b, cs) =>
+          graft.html.Html2Text.extractFromHtml(
+            graft.html.HtmlTree.decodeForParse(b, cs),
+            graft.html.Html2Text.Options())
+        }
+        k += 1
+      }
+    }
   }
 }
