@@ -150,6 +150,26 @@ object Documents {
       graft.core.LangDetect.supportedLangs.toDF("lang").orderBy(col("lang"))
     }),
 
+    // Token-repetition quality metrics (the Gopher/C4-style repetition
+    // filters a training-data pipeline runs before dedup): distinct-token
+    // ratio and most-frequent-token mass per document. The scalable
+    // shape: explode -> (doc, token) count -> per-doc aggregate; the
+    // shuffle carries (doc_id, token) pairs, never documents.
+    "t08_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+             count(lit(1)).as("n_distinct"),
+             max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+          round(col("top_count").cast("double") / col("n_tokens"), 6).as("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -394,6 +414,19 @@ object Documents {
          ('tl'),('tr'),('tt'),('ug'),('uk'),('ur'),('uz'),('vi'),('vo'),('yi'),
          ('zh'))
          t(lang) ORDER BY lang""",
+    "t08_repetition" ->
+      s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+          round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_token_frac
+          FROM (
+            SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                   max(c) AS top_count
+            FROM (
+              SELECT doc_id, x, count(*) AS c
+              FROM (SELECT doc_id, unnest($tokSqlDuck) AS x FROM documents)
+              GROUP BY doc_id, x)
+            GROUP BY doc_id)
+          ORDER BY doc_id""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs

@@ -126,6 +126,26 @@ object Embeddings {
         .orderBy(col("q_vec_id"), col("sim").desc, col("n_vec_id"))
     }),
 
+    // Symmetric int8 quantization (the storage lever for a 100 TB
+    // embedding corpus: 4x smaller vectors + cheap SIMD dot products):
+    // per-vector absmax scale, q = round(x * 127 / scale), plus the
+    // dequantization error that decides whether recall holds. One scan,
+    // no shuffle; at scale the quantized column writes back to parquet.
+    "e07_quantize_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      e.withColumn("scale",
+          expr("greatest(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-12d)"))
+        .withColumn("q", expr("transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          expr("CAST(aggregate(q, 0, (a, x) -> greatest(a, abs(x))) AS INT)").as("max_q"),
+          round(expr(
+            "aggregate(zip_with(v, q, (x, qq) -> abs(x - qq * scale / 127.0)), " +
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / size(v)"), 6).as("mean_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Full 64-dim centroids via explode -> (label, dim) partial agg ->
     // regroup; elementwise array aggregation without any driver-side
     // loop (the round-1 e02 hand-rolled only dims 0-3).
@@ -151,6 +171,20 @@ object Embeddings {
     "sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])))"
 
   val oracleSql: Map[String, String] = Map(
+    "e07_quantize_int8" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+                 FROM emb),
+         qz AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(x * 127.0 / scale + 0.5)) AS q
+                 FROM sc)
+         SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS max_q,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+             i -> abs(v[CAST(i AS INT)] - q[CAST(i AS INT)] * scale / 127.0))) / len(v), 6)
+             AS mean_abs_err
+         FROM qz ORDER BY vec_id""",
     "e01_knn_cosine_baseline" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
