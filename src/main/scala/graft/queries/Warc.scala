@@ -343,6 +343,23 @@ object Warc {
              sum(col("content_length")).as("sum_content_length"))
     }),
 
+    // Host-level crawl statistics (the per-host bucketing every crawl
+    // pipeline starts from — politeness grouping, per-host dedup,
+    // frequency caps): WARC-Target-URI -> host via parse_url, grouped.
+    // Ground truth from the independent python parse of the fixture
+    // URIs: 16 responses over 15 hosts, densest host 2 pages.
+    "w26_host_stats" -> ((s, _) => {
+      import graft.functions.WarcCols
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(WarcCols.targetUri(col("headers")).as("uri"))
+        .select(lower(expr("parse_url(uri, 'HOST')")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_responses"),
+             count(lit(1)).as("n_hosts"),
+             max(col("n")).as("max_per_host"))
+    }),
+
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
     // the main content of real pages: the Chinese/Korean/Russian pages
     // of the fixture corpus detect as such.
@@ -503,6 +520,9 @@ object Warc {
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(49 AS BIGINT) AS n_ok,
          CAST(1 AS BIGINT) AS n_error,
          CAST(527846 AS BIGINT) AS sum_content_length""",
+    "w26_host_stats" ->
+      """SELECT CAST(16 AS BIGINT) AS n_responses, CAST(15 AS BIGINT) AS n_hosts,
+         CAST(2 AS BIGINT) AS max_per_host""",
     // 1600 copies of the 50-record fixture: 80,000 records.
     "w17_warc_scan10k" ->
       """SELECT CAST(80000 AS BIGINT) AS n_records,
