@@ -235,7 +235,6 @@ object Brotli {
           // one virtual zero byte of padding is tolerated so final
           // meta-block flags ending mid-byte can complete
           eof = true
-          bitBuf |= 0L << bitCnt
           bitCnt += 8
         } else {
           bitBuf |= (b.toLong & 0xff) << bitCnt

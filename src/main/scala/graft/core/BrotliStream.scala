@@ -70,10 +70,11 @@ final class BrotliInputStream(in: InputStream, maxOutput: Long = -1L)
   private var pending: Array[Byte] = _ // transformed dictionary word
   private var pendingPos = 0
 
+  private val oneByte = new Array[Byte](1)
+
   override def read(): Int = {
-    val one = new Array[Byte](1)
-    val n = read(one, 0, 1)
-    if (n < 0) -1 else one(0) & 0xff
+    val n = read(oneByte, 0, 1)
+    if (n < 0) -1 else oneByte(0) & 0xff
   }
 
   override def read(buf: Array[Byte], off: Int, len: Int): Int = {

@@ -133,6 +133,32 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // Backward as-of join (click -> purchase attribution): for each
+    // purchase, the user's most recent click at or before it. Spark has
+    // no native ASOF operator; the scalable sort-merge-asof shape is
+    // tag-union -> ONE shuffle on the key -> per-key time sort -> a
+    // running last-click carried by a window. No range explosion, no
+    // per-probe lookups; ties at equal ts resolve click-first (tag 0)
+    // matching ASOF's <= bound. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q12_asof_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_event_id",
+          last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Multi-level aggregation: ROLLUP subtotals + grand total in one
     // pass (Spark expands grouping sets map-side; one shuffle).
     "q11_revenue_rollup" -> ((s, dir) => {
@@ -229,6 +255,14 @@ object Relational {
       """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q12_asof_attribution" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+         c.event_id AS click_event_id,
+         CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     "q11_revenue_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
