@@ -135,6 +135,8 @@ final class BrotliInputStream(in: InputStream, maxOutput: Long = -1L)
         skip |= bits << (i * 8)
         i += 1
       }
+      // the field encodes MSKIPLEN - 1 (RFC 7932 §9.2); zero bytes = skip 0
+      if (mskipBytes > 0) skip += 1
       br.alignToByte()
       val junk = new Array[Byte](math.min(skip, 4096))
       var remaining = skip

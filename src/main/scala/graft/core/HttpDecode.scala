@@ -4,6 +4,7 @@ import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, Inflater, InflaterInputStream}
 import scala.util.Try
+import scala.util.control.NonFatal
 
 /** HTTP payload decoding: chunked transfer decoding
   * (resiliparse-py/resiliparse/parse/http.pyx:28-63) and the
@@ -89,7 +90,7 @@ object HttpDecode {
     try Right(readAll(new GZIPInputStream(new ByteArrayInputStream(data)), maxBytes))
     catch {
       case _: DecodedTooLarge => Left("max-decoded-length: gzip")
-      case _: Throwable => Left("gzip")
+      case NonFatal(_) => Left("gzip")
     }
 
   /** deflate — zlib-wrapped per RFC, but many servers send raw deflate:
@@ -99,11 +100,11 @@ object HttpDecode {
     try Right(readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater(false)), maxBytes))
     catch {
       case _: DecodedTooLarge => Left("max-decoded-length: deflate")
-      case _: Throwable =>
+      case NonFatal(_) =>
         try Right(readAll(new InflaterInputStream(new ByteArrayInputStream(data), new Inflater(true)), maxBytes))
         catch {
           case _: DecodedTooLarge => Left("max-decoded-length: deflate")
-          case _: Throwable => Left("deflate")
+          case NonFatal(_) => Left("deflate")
         }
     }
 
@@ -142,7 +143,7 @@ object HttpDecode {
             case e: Brotli.BrotliException if e.getMessage != null &&
                 e.getMessage.startsWith("decoded output exceeds") =>
               Left("max-decoded-length: br")
-            case _: Throwable => Left("br")
+            case NonFatal(_) => Left("br")
           }
         case other => Left(other) // compress, unknown
       }

@@ -108,11 +108,27 @@ object TextAnalysis {
     * element_at reference (8x). "Functions, not UDFs" applies to
     * codegen'd functions; for hash kernels the compiled loop wins.
     */
+  /** Tokenize with EXACTLY the SQL construction's semantics —
+    * `split(trim(text), '\\s+')`: trim strips SPACES only (not \t/\n,
+    * unlike java's String.trim), and Spark's split keeps leading and
+    * trailing empty tokens (java limit -1, not the default 0 which
+    * drops trailing empties). The compiled kernels must tokenize
+    * identically or their fingerprints drift from the oracle SQL on
+    * text with non-space edge whitespace.
+    */
+  private def sqlTokens(t: String): Array[String] = {
+    var start = 0
+    var end = t.length
+    while (start < end && t.charAt(start) == ' ') start += 1
+    while (end > start && t.charAt(end - 1) == ' ') end -= 1
+    t.substring(start, end).split("\\s+", -1)
+  }
+
   def minhashShingleSigCW(text: Column, w: Int, k: Int): Column = {
     val f = udf((t: String, wN: Int, kN: Int) => {
       if (t == null) null
       else {
-        val toks = t.trim.split("\\s+")
+        val toks = sqlTokens(t)
         val nSh = math.max(toks.length - wN + 1, 1)
         val mins = Array.fill(kN)(Long.MaxValue)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -219,7 +235,7 @@ object TextAnalysis {
     val f = udf((t: String) => {
       if (t == null) null
       else {
-        val toks = t.trim.split("\\s+")
+        val toks = sqlTokens(t)
         val counts = new Array[Int](64)
         val md = java.security.MessageDigest.getInstance("MD5")
         var ti = 0

@@ -473,22 +473,15 @@ object Html2Text {
   }
 
   /** Link-text chars / total chars heuristic (html2text.pyx:498-520),
-    * answered from the precomputed per-node stats; the direct
-    * O(subtree) computation remains as the uncached fallback (callers
-    * outside `extract`'s walk).
+    * answered from the precomputed per-node stats. Stats are always built
+    * on the main-content path (the only caller), so a miss is a walk bug.
     */
   private def isLinkCluster(n: DomNode, maxLinkRatio: Double, maxLength: Int,
       stats: java.util.IdentityHashMap[DomNode, TextStats]): Boolean = {
-    val st = if (stats != null) stats.get(n) else null
-    val (len, linkLen) =
-      if (st != null) (st.clen, st.linkLen)
-      else {
-        var ll = 0
-        n.getElementsByTagName("a").foreach(a => ll += collapseWhitespace(a.text).length)
-        (collapseWhitespace(n.text).length, ll)
-      }
-    if (maxLength > 0 && len > maxLength) return false
-    linkLen > 0 && len > 0 && linkLen.toDouble / len > maxLinkRatio
+    val st = stats.get(n)
+    require(st != null, s"no text stats for <${n.tag}>")
+    if (maxLength > 0 && st.clen > maxLength) return false
+    st.linkLen > 0 && st.clen > 0 && st.linkLen.toDouble / st.clen > maxLinkRatio
   }
 
   private def isMainContentNode(n: DomNode, bodyDepth: Int, keepComments: Boolean,

@@ -652,10 +652,25 @@ class WarcMicroBatchStream(
 
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FileSetOffset(files: Set[String]) extends Offset {
+  /** Consumed-file offset. Exact membership for recent files plus a
+    * modification-time cutoff below which every file is deemed consumed —
+    * the same bound Spark's FileStreamSource applies (maxFileAge): the
+    * checkpointed state stays O(files younger than the horizon) instead
+    * of growing with the landing directory forever. A late-arriving file
+    * is still detected regardless of how its NAME sorts; only a file
+    * whose mod-time is older than the horizon is assumed already seen
+    * (documented, like Spark's).
+    */
+  private case class FileSetOffset(cutoff: Long, files: Set[String]) extends Offset {
+    def contains(path: String, modTime: Long): Boolean =
+      modTime < cutoff || files(path)
     override def json(): String = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      mapper.writeValueAsString(files.toArray.sorted)
+      val root = mapper.createObjectNode()
+      root.put("cutoff", cutoff)
+      val arr = root.putArray("files")
+      files.toArray.sorted.foreach(arr.add)
+      mapper.writeValueAsString(root)
     }
   }
 
@@ -669,28 +684,53 @@ class WarcMicroBatchStream(
     WarcInput.listFiles(WarcInput.paths(options), conf)
       .sortBy(_.getPath.toString)
 
-  override def latestOffset(): Offset =
-    FileSetOffset(listSorted().map(_.getPath.toString).toSet)
-  override def initialOffset(): Offset = FileSetOffset(Set.empty)
+  /** How far back a file's mod-time may lie and still be tracked exactly
+    * (`max_file_age_ms` option; files older than this below the horizon
+    * are assumed consumed — Spark FileStreamSource's maxFileAge contract).
+    */
+  private val maxFileAgeMs: Long =
+    Option(options.get("max_file_age_ms")).map(_.toLong)
+      .getOrElse(7L * 24 * 3600 * 1000)
+
+  override def latestOffset(): Offset = {
+    val listed = listSorted()
+    val maxMod = if (listed.isEmpty) 0L else listed.map(_.getModificationTime).max
+    val cutoff = maxMod - maxFileAgeMs
+    FileSetOffset(cutoff,
+      listed.filter(_.getModificationTime >= cutoff).map(_.getPath.toString).toSet)
+  }
+  override def initialOffset(): Offset = FileSetOffset(Long.MinValue, Set.empty)
   override def deserializeOffset(json: String): Offset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
     if (node.isArray) {
+      // previous offset format: plain consumed-file array (no cutoff)
       val it = node.elements()
       val b = Set.newBuilder[String]
       while (it.hasNext) b += it.next().asText()
-      FileSetOffset(b.result())
-    } else FileSetOffset(Set.empty) // unrecognized legacy offset -> restart
+      FileSetOffset(Long.MinValue, b.result())
+    } else if (node.isObject && node.has("cutoff") && node.has("files")) {
+      val it = node.get("files").elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      FileSetOffset(node.get("cutoff").asLong(), b.result())
+    } else
+      // an unrecognized checkpoint must FAIL, not silently restart from
+      // zero and double-count every already-consumed archive
+      throw new IllegalStateException(s"unrecognized warc stream offset: $json")
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileSetOffset].files
-    val e = end.asInstanceOf[FileSetOffset].files
-    val fresh = e -- s
-    listSorted().filter(st => fresh.contains(st.getPath.toString)).map(st =>
-      WarcInputPartition(st.getPath.toString, 0L, Long.MaxValue, st.getLen)
+    val s = start.asInstanceOf[FileSetOffset]
+    val e = end.asInstanceOf[FileSetOffset]
+    listSorted()
+      .filter { st =>
+        val p = st.getPath.toString
+        e.contains(p, st.getModificationTime) && !s.contains(p, st.getModificationTime)
+      }
+      .map(st => WarcInputPartition(st.getPath.toString, 0L, Long.MaxValue, st.getLen)
         : InputPartition).toArray
   }
 

@@ -33,6 +33,20 @@ class BrotliSpec extends AnyFunSuite {
     assert(Brotli.decode(Array[Byte](0x3b)).isEmpty)
   }
 
+  test("metadata meta-blocks are skipped (MSKIPLEN is value + 1)") {
+    // hand-crafted, validated against the reference C decoder; the skip
+    // field encodes MSKIPLEN - 1, an off-by-one the encoder-generated
+    // fuzz corpus never exercises (encoders rarely emit metadata)
+    val skip0 = Array[Byte](0x0c, 0x03) // MSKIPBYTES=0: skip nothing
+    assert(Brotli.decode(skip0).isEmpty)
+    val skip1 = Array(0x2c, 0x00, 0xaa, 0x03).map(_.toByte) // skip 1 byte
+    assert(Brotli.decode(skip1).isEmpty)
+    // MSKIPBYTES=2, field 0x01FF -> skip 512 bytes
+    val skip512 = Array[Byte](0xcc.toByte, 0xff.toByte, 0x00) ++
+      Array.fill[Byte](512)(0x77) :+ 0x03.toByte
+    assert(Brotli.decode(skip512).isEmpty)
+  }
+
   test("streaming reads in small chunks match one-shot decode") {
     val expected = res("brotli_q11_text.raw")
     val in = new BrotliInputStream(new ByteArrayInputStream(res("brotli_q11_text.br")))

@@ -79,7 +79,12 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the quick brown fox jumps over the lazy dog",
       "a", "", "  ", "Ein zwei drei vier fünf",
       "repeated repeated repeated tokens tokens",
-      (1 to 200).map(i => s"tok$i").mkString(" "))
+      (1 to 200).map(i => s"tok$i").mkString(" "),
+      // non-space edge whitespace: SQL trim strips SPACES only and split
+      // keeps the resulting leading/trailing empty tokens — the kernel
+      // must tokenize identically (java's trim/split defaults do not)
+      "hello\n", "\thello", "\n\nhello world\t\n", " \t spaced \n ",
+      "a\nb\tc\r\nd")
     val df = onTexts(texts)
     val both = df
       .withColumn("cnt", TextAnalysis.simhash64Counts("text"))
