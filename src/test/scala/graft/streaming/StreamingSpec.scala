@@ -54,6 +54,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("stream restart from checkpoint does not re-read consumed archives") {
+    // exercises offset serialization round-trips (the compact
+    // cutoff+files form) across a query restart
+    val landing = Files.createTempDirectory("warc-landing-ckpt")
+    val ckpt = Files.createTempDirectory("warc-ckpt")
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    Files.copy(src, landing.resolve("one.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    def start() = spark.readStream.format("warc").load(landing.toString)
+      .groupBy(col("record_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("warc_ckpt_counts")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("complete").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.sql("SELECT sum(n) FROM warc_ckpt_counts").head.getLong(0) == 50L)
+    // restart: the checkpointed offset must cover the consumed file; only
+    // the newly landed one may produce rows
+    Files.copy(src, landing.resolve("two.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT sum(n) FROM warc_ckpt_counts").head.getLong(0) == 100L)
+    } finally q2.stop()
+  }
+
   test("windowed type counts with watermark run on the streaming source") {
     val landing = Files.createTempDirectory("warc-landing2")
     Files.copy(Paths.get("/root/reference/tests/data/warcfile.warc.gz"),
