@@ -170,6 +170,39 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Bulk sink end to end (#18, the reference's ES indexing policy,
+    // beam/elasticsearch.py:36-227): every partition pushes its documents
+    // through the buffered retrying sink into a JSON-lines backend that
+    // REJECTS the first bulk attempt (exercising sort-stable retry with
+    // backoff), then the landed lines are read back and totalled. The
+    // oracle recomputes the totals straight from the documents table —
+    // anything dropped, duplicated or corrupted by the sink breaks it.
+    "t09_bulk_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+      docs(s, dir).select(col("doc_id"), length(col("text")).as("len"))
+        .repartition(4)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val path = s"$out/part-${java.util.UUID.randomUUID()}.jsonl"
+          val backend = new graft.sinks.FirstAttemptFlaky(
+            new graft.sinks.JsonLinesBackend(path))
+          val sink = new graft.sinks.BulkSink(backend, bufferSize = 64,
+            chunkSize = 16, sleep = _ => ())
+          try {
+            it.foreach(r =>
+              sink.add(r.getLong(0).toString, s"""{"len":${r.getInt(1)}}"""))
+            sink.flush()
+          } finally backend.close()
+        }
+      s.read.text(out)
+        .select(
+          split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+          get_json_object(split(col("value"), "\t").getItem(1), "$.len")
+            .cast("long").as("len"))
+        .agg(count(lit(1)).as("n_docs"),
+             count_distinct(col("doc_id")).as("n_distinct"),
+             sum(col("len")).as("total_len"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -427,6 +460,9 @@ object Documents {
               GROUP BY doc_id, x)
             GROUP BY doc_id)
           ORDER BY doc_id""",
+    "t09_bulk_sink" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_distinct,
+         CAST(sum(length(text)) AS BIGINT) AS total_len FROM documents""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs

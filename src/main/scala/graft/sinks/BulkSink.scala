@@ -22,6 +22,18 @@ trait BulkBackend {
   def close(): Unit = ()
 }
 
+/** Rejects every item on the FIRST bulk attempt (retryably, writing
+  * nothing), then delegates — the deterministic flaky service used to
+  * exercise the retry/backoff path end to end.
+  */
+final class FirstAttemptFlaky(inner: BulkBackend) extends BulkBackend {
+  private var first = true
+  override def bulkIndex(chunk: Seq[(String, String)]): Seq[String] =
+    if (first) { first = false; chunk.map(_._1) }
+    else inner.bulkIndex(chunk)
+  override def close(): Unit = inner.close()
+}
+
 /** Appends `id \t json` lines to a local file — the offline default. */
 final class JsonLinesBackend(path: String) extends BulkBackend {
   private val out = new java.io.PrintWriter(
