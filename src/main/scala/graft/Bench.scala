@@ -42,7 +42,11 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(json)
+    // machine-parseable duplicate: the driver's bench harness greps for
+    // this prefix to recover the object even when other stdout lines leak
+    println("BENCH_JSON:" + json)
     spark.stop()
   }
 }

@@ -38,12 +38,32 @@ object Tables {
     * cluster; when the scan already carries >= defaultParallelism splits
     * (any real-scale input), this is skipped and no shuffle is added.
     */
-  private def spreadIfTiny(s: SparkSession, df: DataFrame): DataFrame = {
+  private val spreadDecision = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def spreadIfTiny(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate the scan's split count from the file listing alone (no
+    // .rdd conversion — that forces physical planning per table load).
+    // Spark byte-splits files at maxPartitionBytes, so the estimate is
+    // sum(ceil(size / maxPartitionBytes)); it over-counts when a file has
+    // fewer row groups than byte-splits, which only makes the repartition
+    // MORE likely on tiny inputs — the safe direction. Cached per path.
+    val tiny = spreadDecision.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // conf value may carry a unit suffix ("134217728b", "128m"...)
+      val maxSplit = try {
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      } catch { case _: Exception => 134217728L }
+      val splits = fs.listStatus(hp).iterator.filter(_.isFile)
+        .map(st => math.max(1L, (st.getLen + maxSplit - 1) / maxSplit)).sum
+      java.lang.Boolean.valueOf(splits < target)
+    })
+    if (tiny) df.repartition(target) else df
   }
   def documents(s: SparkSession, dir: String): DataFrame =
-    spreadIfTiny(s, s.read.parquet(s"$dir/documents.parquet"))
+    spreadIfTiny(s, s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    spreadIfTiny(s, s.read.parquet(s"$dir/embeddings.parquet"))
+    spreadIfTiny(s, s"$dir/embeddings.parquet")
 }

@@ -226,6 +226,11 @@ object Brotli {
     private var bitBuf: Long = 0L
     private var bitCnt: Int = 0
     private var eof = false
+    // set when the virtual zero pad byte below has been injected: those 8
+    // bits may satisfy final-meta-block FLAG reads, but must never be
+    // served as DATA by readBytes (a truncated stream would otherwise
+    // fabricate a 0x00 payload byte instead of failing)
+    private var padInjected = false
 
     private def fill(need: Int): Unit = {
       while (bitCnt < need) {
@@ -235,6 +240,7 @@ object Brotli {
           // one virtual zero byte of padding is tolerated so final
           // meta-block flags ending mid-byte can complete
           eof = true
+          padInjected = true
           bitCnt += 8
         } else {
           bitBuf |= (b.toLong & 0xff) << bitCnt
@@ -285,6 +291,10 @@ object Brotli {
       var o = off
       var remaining = len
       while (bitCnt > 0 && remaining > 0) {
+        // the virtual pad byte is always the most recently filled (top)
+        // byte; once only it remains, serving it would fabricate data
+        if (padInjected && bitCnt <= 8)
+          throw new EOFException("truncated brotli stream")
         dst(o) = (bitBuf & 0xff).toByte
         bitBuf >>>= 8
         bitCnt -= 8

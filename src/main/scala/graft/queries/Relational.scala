@@ -139,7 +139,11 @@ object Relational {
     // tag-union -> ONE shuffle on the key -> per-key time sort -> a
     // running last-click carried by a window. No range explosion, no
     // per-probe lookups; ties at equal ts resolve click-first (tag 0)
-    // matching ASOF's <= bound. Oracle: DuckDB's native ASOF LEFT JOIN.
+    // matching ASOF's <= bound. Ties among clicks with identical
+    // (user_id, ts) resolve to max(event_id) on BOTH sides: the window
+    // order makes last() pick the max here, and the oracle pre-aggregates
+    // its click side, so neither engine is left to an arbitrary pick.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
     "q12_asof_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val tagged = ev.filter(col("event_type").isin("click", "purchase"))
@@ -260,7 +264,9 @@ object Relational {
          c.event_id AS click_event_id,
          CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                         FROM events WHERE event_type = 'click'
+                         GROUP BY user_id, ts) c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
     "q11_revenue_rollup" ->

@@ -728,7 +728,17 @@ class WarcMicroBatchStream(
     listSorted()
       .filter { st =>
         val p = st.getPath.toString
-        e.contains(p, st.getModificationTime) && !s.contains(p, st.getModificationTime)
+        val m = st.getModificationTime
+        // A file neither offset tracks by name, deemed consumed purely by
+        // the mod-time horizon (e.g. rsync/mv preserving an old mtime into
+        // the landing dir): the skip is the documented maxFileAge tradeoff
+        // but must not be silent — operators can raise max_file_age_ms.
+        if (!s.files(p) && !e.files(p) && m < s.cutoff)
+          WarcMicroBatchStream.log.warn(
+            s"skipping $p: mod-time $m is older than the consumed-file horizon " +
+            s"${s.cutoff} and the file is tracked by neither offset; if this file " +
+            "is new, raise the max_file_age_ms option")
+        e.contains(p, m) && !s.contains(p, m)
       }
       .map(st => WarcInputPartition(st.getPath.toString, 0L, Long.MaxValue, st.getLen)
         : InputPartition).toArray
@@ -736,4 +746,9 @@ class WarcMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(parseOpts, required, fsProps)
+}
+
+object WarcMicroBatchStream {
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[WarcMicroBatchStream])
 }

@@ -82,6 +82,29 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
+  test("truncation before uncompressed/metadata payloads never fabricates data") {
+    // the BitReader tolerates one virtual zero pad byte at EOF so final
+    // meta-block FLAG bits can complete; a truncation must never let that
+    // synthetic 0x00 be served as DATA (uncompressed copy / skip field)
+    val payload = "abcd".getBytes("ascii")
+    // WBITS=16, ISLAST=0, MNIBBLES=4, MLEN-1=3, ISUNCOMPRESSED, align,
+    // 4 raw bytes, then the final empty meta-block
+    val uncompressed = Array[Byte](0x30, 0x00, 0x10) ++ payload :+ 0x03.toByte
+    assert(Brotli.decode(uncompressed) sameElements payload)
+    // metadata block skipping 1 byte, then final empty meta-block
+    val metadata = Array(0x2c, 0x00, 0xaa, 0x03).map(_.toByte)
+    Seq(uncompressed -> payload, metadata -> Array.empty[Byte]).foreach {
+      case (full, expected) =>
+        (1 until full.length).foreach { n =>
+          try {
+            val out = Brotli.decode(java.util.Arrays.copyOf(full, n))
+            assert(java.util.Arrays.equals(out, java.util.Arrays.copyOf(expected, out.length)),
+              s"prefix $n fabricated output")
+          } catch { case _: Exception => () }
+        }
+    }
+  }
+
   test("garbage input throws") {
     intercept[Exception] { Brotli.decode(Array.fill[Byte](64)(0x55)) }
   }
