@@ -177,20 +177,33 @@ object Documents {
     // backoff), then the landed lines are read back and totalled. The
     // oracle recomputes the totals straight from the documents table —
     // anything dropped, duplicated or corrupted by the sink breaks it.
+    //
+    // Cluster-portable: the landing dir lives under the SHARED warehouse
+    // filesystem (hdfs/s3a on a real cluster), written via the Hadoop FS
+    // API — never an executor-local temp dir — and each partition commits
+    // a DETERMINISTICALLY-named part file via tmp+rename, so task retries
+    // and speculation cannot double-count (see HadoopJsonLinesBackend).
     "t09_bulk_sink" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_bulk").toString
+      val out = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft_bulk_t09"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(outPath, true)
+      fs.mkdirs(outPath)
       docs(s, dir).select(col("doc_id"), length(col("text")).as("len"))
         .repartition(4)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val path = s"$out/part-${java.util.UUID.randomUUID()}.jsonl"
-          val backend = new graft.sinks.FirstAttemptFlaky(
-            new graft.sinks.JsonLinesBackend(path))
+          val tc = org.apache.spark.TaskContext.get()
+          val lines = new graft.sinks.HadoopJsonLinesBackend(out,
+            f"part-${tc.partitionId()}%05d.jsonl", s"attempt-${tc.attemptNumber()}")
+          val backend = new graft.sinks.FirstAttemptFlaky(lines)
           val sink = new graft.sinks.BulkSink(backend, bufferSize = 64,
             chunkSize = 16, sleep = _ => ())
           try {
             it.foreach(r =>
               sink.add(r.getLong(0).toString, s"""{"len":${r.getInt(1)}}"""))
             sink.flush()
+            lines.commit()
           } finally backend.close()
         }
       s.read.text(out)
@@ -300,12 +313,15 @@ object Documents {
     * keeper = lower doc_id -> survivors via anti-join. The 100 TB shape:
     * no all-pairs stage anywhere; every join is a key-local hash join.
     */
-  private def neardupSummary(d: DataFrame): DataFrame = {
+  private[queries] def neardupSummary(d: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     // banding is consumed twice (self-join) and candidates feed four
     // downstream aggregates: persist the small intermediates so the
-    // expensive minhash lineage runs ONCE (at 100 TB these would be
-    // checkpointed tables; re-deriving the full hash pipeline per
-    // consumer is the real cost, not the storage)
+    // expensive minhash lineage runs ONCE. At 100 TB pass checkpointDir:
+    // the summary is then computed through a RELIABLE checkpoint instead
+    // of executor-memory caching. Either way the 1-row summary is
+    // materialized EAGERLY inside this function so every intermediate can
+    // be unpersisted before returning — callers never see leaked caches.
     // project shingle hashes AND the signature behind barriers:
     // inlining the sig subtree into lshBands' 8 element_at references
     // would recompute the full signature 8 times over. The signature
@@ -345,13 +361,24 @@ object Documents {
       .filter(col("jac") >= 0.5)
       .persist()
     val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
-    val survivors = d.join(removed, Seq("doc_id"), "left_anti")
-    d.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(megaBuckets.agg(count(lit(1)).as("n_mega_buckets")))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
-      .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
-      .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    try {
+      val survivors = d.join(removed, Seq("doc_id"), "left_anti")
+      val summary = d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(megaBuckets.agg(count(lit(1)).as("n_mega_buckets")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+      // eager materialization (checkpoint / localCheckpoint both run the
+      // plan now): after this the intermediates are no longer needed
+      checkpointDir match {
+        case Some(cd) =>
+          d.sparkSession.sparkContext.setCheckpointDir(cd)
+          summary.checkpoint()
+        case None => summary.localCheckpoint()
+      }
+    } finally
+      Seq(bands, bucketSizes, cand, dups, removed).foreach(_.unpersist(blocking = false))
   }
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""

@@ -46,6 +46,55 @@ final class JsonLinesBackend(path: String) extends BulkBackend {
   override def close(): Unit = out.close()
 }
 
+/** `id \t json` lines through the Hadoop filesystem API — the
+  * cluster-portable shipping target: `dir` may be any shared filesystem
+  * (hdfs://, s3a://, file:// ...), so executor writes land where the
+  * driver (and every other executor) can read them back.
+  *
+  * Write protocol (same discipline as the WARC DSv2 writer): the stream
+  * goes to a hidden attempt-tagged temp file; [[commit]] renames it to
+  * the DETERMINISTIC `fileName`, replacing any earlier attempt's output —
+  * so task retries and speculative duplicates can never double-count.
+  * [[close]] without a commit aborts: the temp file is deleted.
+  */
+final class HadoopJsonLinesBackend(
+    dir: String,
+    fileName: String,
+    attemptTag: String,
+    fsProps: Map[String, String] = Map.empty) extends BulkBackend {
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    fsProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+  private val tmp = new org.apache.hadoop.fs.Path(dir, s".$fileName.$attemptTag.tmp")
+  private val dst = new org.apache.hadoop.fs.Path(dir, fileName)
+  private var committed = false
+  private var out = new java.io.PrintWriter(new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8)))
+
+  override def bulkIndex(chunk: Seq[(String, String)]): Seq[String] = {
+    chunk.foreach { case (id, json) => out.println(s"$id\t$json") }
+    out.flush()
+    Seq.empty
+  }
+
+  /** Publish this attempt's output under the deterministic name. */
+  def commit(): Unit = {
+    out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"bulk sink: failed to commit $tmp -> $dst")
+    committed = true
+  }
+
+  override def close(): Unit = {
+    out.close()
+    if (!committed && fs.exists(tmp)) fs.delete(tmp, false)
+  }
+}
+
 /** Reference policy defaults: buffer 3200 / chunk 800 / initial backoff
   * 2s, max 600s, 10 retries (elasticsearch.py:60-66,177-227).
   */

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deployment-shape properties of the documents queries: cache hygiene of
+  * the near-dup pipeline and cluster-portability of the bulk-sink landing
+  * path (executor writes must go through the shared filesystem, not
+  * executor-local temp dirs).
+  */
+class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false").appName("documents-query-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"alpha beta gamma delta epsilon token$i end"))
+      .toDF("doc_id", "text")
+  }
+
+  test("neardupSummary leaves no cached intermediates behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Documents.neardupSummary(corpus(200))
+    assert(out.count() == 1)
+    // the eager localCheckpoint of the 1-row summary is the only cache
+    // that may remain; the five persisted intermediates must all be gone
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+  }
+
+  test("neardupSummary with a checkpoint dir uses reliable checkpointing") {
+    val cd = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Documents.neardupSummary(corpus(100), checkpointDir = Some(cd))
+    assert(out.count() == 1)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    assert(new java.io.File(cd).listFiles().nonEmpty) // checkpoint landed
+  }
+
+  test("t09 bulk sink lands deterministic part files on the shared warehouse FS") {
+    val res = Documents.queries("t09_bulk_sink")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val landing = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/graft_bulk_t09")
+    val parts = landing.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq // .crc sidecars are hidden
+    // deterministic names (no UUIDs), one per partition, no temp leftovers
+    assert(parts == (0 until 4).map(i => f"part-$i%05d.jsonl"))
+    // and the readback totals match the source table exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    assert(res.getLong(0) == n && res.getLong(1) == n)
+  }
+}

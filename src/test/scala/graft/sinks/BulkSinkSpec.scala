@@ -52,6 +52,35 @@ class BulkSinkSpec extends AnyFunSuite {
     intercept[java.io.IOException] { sink.close() }
   }
 
+  test("hadoop backend: deterministic name, tmp+rename commit, retry-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("bulk_hfs").toString
+    // ignore hidden files: the local ChecksumFileSystem writes .crc
+    // sidecars, which Spark/Hadoop readers skip by convention
+    def listing = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    // attempt 0 commits a partial file (as a failed-then-speculated task
+    // might); attempt 1 re-runs the SAME partition and must fully replace it
+    val a0 = new HadoopJsonLinesBackend(dir, "part-00000.jsonl", "attempt-0")
+    a0.bulkIndex(Seq("1" -> """{"v":1}"""))
+    a0.commit(); a0.close()
+    val a1 = new HadoopJsonLinesBackend(dir, "part-00000.jsonl", "attempt-1")
+    a1.bulkIndex(Seq("1" -> """{"v":1}""", "2" -> """{"v":2}"""))
+    a1.commit(); a1.close()
+    assert(listing == Seq("part-00000.jsonl")) // one survivor, no temps
+    val lines = scala.io.Source.fromFile(s"$dir/part-00000.jsonl").getLines().toSeq
+    assert(lines == Seq("1\t{\"v\":1}", "2\t{\"v\":2}")) // only attempt 1's output
+    // an aborted attempt (close without commit) leaves nothing behind
+    val a2 = new HadoopJsonLinesBackend(dir, "part-00001.jsonl", "attempt-0")
+    a2.bulkIndex(Seq("9" -> "{}"))
+    a2.close()
+    assert(listing == Seq("part-00000.jsonl"))
+    // the landing dir is addressed through the Hadoop FS API (shared-FS
+    // semantics), not executor-local java.io temp state
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "part-00000.jsonl")))
+  }
+
   test("json-lines backend round-trips") {
     val tmp = java.nio.file.Files.createTempFile("bulk", ".jsonl")
     java.nio.file.Files.delete(tmp)
