@@ -93,12 +93,15 @@ object Warc {
     // CDXJ index rows: length of a record = next record's offset − its own
     // (one-record lookahead, fastwarc-py/fastwarc/cli.py:277-283) as a
     // lead() window partitioned by file — the scan's scale-safe shape.
+    // The LAST record's length falls back to the scan-provided file_size
+    // (next-offset-or-file-size, cli.py:277-283) — corpus-generic, no
+    // fixture constants.
     "w07_warc_cdxj" -> ((s, _) => {
       val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
       scan(s, "warcfile.warc")
-        .select(col("offset"), col("record_type"), col("filename"))
+        .select(col("offset"), col("record_type"), col("filename"), col("file_size"))
         .withColumn("length",
-          coalesce(lead(col("offset"), 1).over(w), lit(550336L)) - col("offset"))
+          coalesce(lead(col("offset"), 1).over(w), col("file_size")) - col("offset"))
         .select(col("offset"), col("length"), col("record_type"))
         .orderBy(col("offset"))
     }),
@@ -312,6 +315,32 @@ object Warc {
              sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"))
     }),
 
+    // The CDXJ->member_index loop CLOSED end to end (Beam dynamic-split
+    // analog, beam/warcio.py:101-109): write ONE large gzip archive with
+    // the writer's member_index sidecar (compressed member offsets it
+    // already knows), then re-scan that single .warc.gz IN PARALLEL —
+    // member-aligned slices from the index, max_partition_bytes forcing
+    // many splits. At 100 TB this is the difference between one executor
+    // serially gunzipping a 1 GB archive and the whole cluster scanning
+    // member slices of it.
+    "w27_member_index_rescan" -> ((s, _) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w27_indexed"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      scan(s, "warcfile.warc.gz")
+        .select(col("record_id"), col("record_type"), col("record_date"),
+          col("headers"), col("content"), col("warc_version"))
+        .crossJoin(s.range(40)).drop("id") // 40 copies -> 2000 members, one file
+        .coalesce(1)
+        .write.format("warc").option("member_index", "true")
+        .mode("append").save(out)
+      s.read.format("warc")
+        .option("member_index", out) // the .idx sidecars next to the data
+        .option("max_partition_bytes", 256 * 1024)
+        .load(out)
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("content_length")).as("total_bytes"))
+    }),
+
     // Header predicates (#24: is_warc_10/11, has_*_digest, is_concurrent
     // — warc.pyx:1276-1344) over the native codegen'd header lookups;
     // ground truth from the independent python parse of the fixture
@@ -512,6 +541,12 @@ object Warc {
       """SELECT CAST(50 AS BIGINT) AS n_records,
          CAST(527846 AS BIGINT) AS sum_content_length,
          CAST(16 AS BIGINT) AS n_digest_ok""",
+    // 40 copies of the 50-record fixture through the write->index->
+    // parallel-rescan loop; totals are 40x the independently-derived
+    // single-copy sums (see w23/w25).
+    "w27_member_index_rescan" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_records,
+         CAST(21113840 AS BIGINT) AS total_bytes""",
     "w24_header_predicates" ->
       """SELECT CAST(50 AS BIGINT) AS n_warc10, CAST(0 AS BIGINT) AS n_warc11,
          CAST(16 AS BIGINT) AS n_block_digest, CAST(16 AS BIGINT) AS n_payload_digest,

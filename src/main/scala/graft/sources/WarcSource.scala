@@ -93,7 +93,11 @@ object WarcSchema {
     StructField("block_digest_ok", BooleanType),
     StructField("payload_digest_ok", BooleanType),
     StructField("error", StringType),
-    StructField("warc_version", StringType)))
+    StructField("warc_version", StringType),
+    // size in bytes of the archive file this record came from (scan-time
+    // metadata): lets index/CDXJ queries compute the LAST record's length
+    // as file_size - offset without fixture constants
+    StructField("file_size", LongType)))
 
   /** Columns whose evaluation requires the HTTP header split. */
   val httpCols: Set[String] = Set(
@@ -144,6 +148,12 @@ object WarcInput {
         else Seq(st)
       }
     }
+
+  /** Archive data files only: skip hidden/temp files (Hadoop convention)
+    * and the writer's `.idx` member-index sidecars.
+    */
+  def isDataFile(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_") && !name.endsWith(".idx")
 
   /** Likely-splittable = not a known compressed extension. The executor
     * re-checks by magic bytes: a mid-file partition of a file that turns
@@ -267,23 +277,32 @@ class WarcScan(
     val split = options.getBoolean("split_uncompressed", true)
     val maxPart = options.getLong("max_partition_bytes", 128L * 1024 * 1024)
     // member index: JSON-lines {"filename": ..., "offset": <compressed>}
-    // (a CDXJ over compressed coordinates); keyed by basename
+    // (a CDXJ over compressed coordinates); keyed by basename. The option
+    // accepts a file, a glob, or a directory of .idx sidecars (as the
+    // writer's member_index option emits them).
     val memberIndex: Map[String, Seq[Long]] =
       Option(options.get("member_index")).map { idxPath =>
-        val p = new Path(idxPath)
-        val in = p.getFileSystem(conf).open(p)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-                    finally in.close()
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        lines.filter(_.nonEmpty).map { l =>
-          val node = m.readTree(l)
-          val f = node.get("filename").asText()
-          val base = f.substring(f.lastIndexOf('/') + 1)
-          base -> node.get("offset").asLong()
+        val listed = WarcInput.listFiles(Seq(idxPath), conf)
+        // a directory/glob listing keeps only .idx sidecars; an explicit
+        // single file is taken as-is whatever its name
+        val idxFiles =
+          if (listed.size > 1) listed.filter(_.getPath.getName.endsWith(".idx"))
+          else listed
+        idxFiles.flatMap { st =>
+          val in = st.getPath.getFileSystem(conf).open(st.getPath)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+                      finally in.close()
+          lines.filter(_.nonEmpty).map { l =>
+            val node = m.readTree(l)
+            val f = node.get("filename").asText()
+            val base = f.substring(f.lastIndexOf('/') + 1)
+            base -> node.get("offset").asLong()
+          }
         }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
       }.getOrElse(Map.empty)
 
-    files.flatMap { st =>
+    files.filter(st => WarcInput.isDataFile(st.getPath.getName)).flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
       val indexed = memberIndex.get(st.getPath.getName)
@@ -422,7 +441,7 @@ class WarcPartitionReader(
     else { current = null; false }
   }
 
-  private val rowEncoder = new WarcRowEncoder(required)
+  private val rowEncoder = new WarcRowEncoder(required, part.fileSize)
 
   override def get(): InternalRow = rowEncoder.encode(current)
 
@@ -435,7 +454,7 @@ class WarcPartitionReader(
   * scale), and low-cardinality strings (record type, version, the
   * per-partition-constant filename) are interned as UTF8Strings.
   */
-final class WarcRowEncoder(schema: StructType) {
+final class WarcRowEncoder(schema: StructType, fileSize: Long = -1L) {
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def headersData(h: HeaderMap): GenericArrayData =
     new GenericArrayData(h.entries.map { case (k, v) =>
@@ -478,6 +497,7 @@ final class WarcRowEncoder(schema: StructType) {
       case "payload_digest_ok" => r => r.payloadDigestOk.map(Boolean.box).orNull
       case "error" => r => r.error.map(utf8).orNull
       case "warc_version" => r => intern(r.version)
+      case "file_size" => _ => fileSize
       case other => throw new IllegalArgumentException(s"unknown warc column: $other")
     }
   }
@@ -517,7 +537,9 @@ class WarcWriteBuilder(
           .getOrElse(throw new IllegalArgumentException("warc write requires a path"))
         val codec = Option(options.get("compression")).getOrElse("gzip")
         val checksum = options.getBoolean("checksum", false)
-        new WarcBatchWrite(path, codec, checksum, info.schema(), info.queryId())
+        val memberIndex = options.getBoolean("member_index", false)
+        new WarcBatchWrite(path, codec, checksum, memberIndex, info.schema(),
+          info.queryId())
       }
     }
 }
@@ -526,7 +548,7 @@ case class WarcCommitMessage(file: String, records: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
-    schema: StructType, queryId: String)
+    memberIndex: Boolean, schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -537,24 +559,26 @@ class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
     // ensure the output directory exists before tasks run
     val p = new Path(path)
     p.getFileSystem(conf).mkdirs(p)
-    new WarcWriterFactory(path, codec, checksum, schema, fsProps, queryId)
+    new WarcWriterFactory(path, codec, checksum, memberIndex, schema, fsProps,
+      queryId)
   }
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
 }
 
 class WarcWriterFactory(path: String, codec: String, checksum: Boolean,
-    schema: StructType, fsProps: Map[String, String], queryId: String)
+    memberIndex: Boolean, schema: StructType, fsProps: Map[String, String],
+    queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new WarcDataWriter(path, codec, checksum, schema, fsProps, partitionId,
-      taskId, queryId)
+    new WarcDataWriter(path, codec, checksum, memberIndex, schema, fsProps,
+      partitionId, taskId, queryId)
 }
 
 class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
-    schema: StructType, fsProps: Map[String, String], partitionId: Int,
-    taskId: Long, queryId: String)
+    memberIndex: Boolean, schema: StructType, fsProps: Map[String, String],
+    partitionId: Int, taskId: Long, queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val codec = WarcWriter.codecFor(codecName)
@@ -577,6 +601,12 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
   private val fs = finalPath.getFileSystem(conf)
   private val out = fs.create(tmpPath, true)
   private val writer = new WarcWriter.RecordStreamWriter(out, codec, checksum)
+  // member_index option: record each member's compressed start offset so
+  // the archive can be re-scanned in PARALLEL slices (and point-looked-up)
+  // without ever decompressing it serially — the index is the writer's
+  // own knowledge, emitted as a CDXJ-member sidecar next to the data file
+  private val memberOffsets =
+    if (memberIndex) scala.collection.mutable.ArrayBuffer.empty[Long] else null
 
   private val idx = schema.fieldNames.zipWithIndex.toMap
   private def str(row: InternalRow, col: String): Option[String] =
@@ -612,11 +642,29 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
       // preserve the record's own version line on round-trips (a scanned
       // WARC/1.0 record must not re-serialize as WARC/1.1)
       version = str(row, "warc_version").getOrElse(""))
-    writer.write(rec)
+    val off = writer.write(rec)
+    if (memberOffsets != null) memberOffsets += off
   }
+
+  private val idxFinalPath = new Path(dir, finalPath.getName + ".idx")
+  private val idxTmpPath = new Path(dir, "." + finalPath.getName + s".idx-$taskId.tmp")
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
+    if (memberOffsets != null) {
+      // JSON-lines member index (the member_index scan option's format):
+      // committed via the same tmp+rename discipline as the data file
+      val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(idxTmpPath, true),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      try memberOffsets.foreach(o =>
+        w.println(s"""{"filename":"${finalPath.getName}","offset":$o}"""))
+      finally w.close()
+      fs.delete(idxFinalPath, false)
+      if (!fs.rename(idxTmpPath, idxFinalPath))
+        throw new java.io.IOException(
+          s"warc index commit failed: rename $idxTmpPath -> $idxFinalPath returned false")
+    }
     fs.delete(finalPath, false)
     if (!fs.rename(tmpPath, finalPath))
       throw new java.io.IOException(
@@ -627,6 +675,7 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => }
     fs.delete(tmpPath, false)
+    if (memberOffsets != null) fs.delete(idxTmpPath, false)
   }
 
   override def close(): Unit = ()
@@ -682,6 +731,7 @@ class WarcMicroBatchStream(
 
   private def listSorted(): Seq[FileStatus] =
     WarcInput.listFiles(WarcInput.paths(options), conf)
+      .filter(st => WarcInput.isDataFile(st.getPath.getName))
       .sortBy(_.getPath.toString)
 
   /** How far back a file's mod-time may lie and still be tracked exactly

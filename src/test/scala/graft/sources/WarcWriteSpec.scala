@@ -50,6 +50,39 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("member_index write emits sidecars that drive a parallel rescan") {
+    val out = tmpDir("warc-midx")
+    spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .select("record_id", "record_type", "record_date", "headers", "content")
+      .coalesce(1)
+      .write.format("warc").option("member_index", "true").mode("append").save(out)
+    // exactly one data file + one .idx sidecar, 50 offsets, strictly increasing
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(files.count(_.endsWith(".warc.gz")) == 1)
+    assert(files.count(_.endsWith(".idx")) == 1)
+    val idxLines = scala.io.Source.fromFile(
+      s"$out/${files.find(_.endsWith(".idx")).get}").getLines().toVector
+    assert(idxLines.size == 50)
+    val offsets = idxLines.map(l => l.split("\"offset\":")(1).stripSuffix("}").toLong)
+    assert(offsets == offsets.sorted && offsets.distinct.size == 50)
+    // a member_index rescan with a tiny split size plans >1 partition
+    // for the SINGLE gzip file, reading every record exactly once
+    val indexed = spark.read.format("warc")
+      .option("member_index", out)
+      .option("max_partition_bytes", 64 * 1024)
+      .load(out)
+    assert(indexed.rdd.getNumPartitions > 1)
+    assert(indexed.count() == 50L)
+    // the indexed scan reports COMPRESSED member coordinates — exactly
+    // the sidecar's offsets (the seekable point-lookup addresses)
+    val scanned = indexed.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scanned == offsets)
+    assert(indexed.select("record_id").distinct().count() ==
+      spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+        .select("record_id").distinct().count())
+  }
+
   test("checksummed write verifies on re-read") {
     val out = tmpDir("warc-digest")
     spark.read.format("warc").load(s"$DataDir/warcfile.warc")
