@@ -10,6 +10,15 @@ import java.io.InputStream
   * stream that dies mid-scan, and one pathological document that must
   * not stall a 1000-executor job.
   */
+/** Per-record memory containment breach (the reference MemGuard's
+  * `MemoryLimitExceeded`, process_guard.pyx:184-533): thrown by budgeted
+  * kernels (DOM parse, extraction) when one record's in-memory expansion
+  * exceeds its configured budget. Catch it at the operator boundary and
+  * surface an error COLUMN (exc_loop doctrine) — one pathological
+  * document must cost one error row, never an executor OOM.
+  */
+final class MemGuardException(msg: String) extends RuntimeException(msg)
+
 object WarcRetry {
 
   /** Iterate a WARC stream with resume-on-failure: when the underlying

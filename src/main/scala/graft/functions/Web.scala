@@ -112,28 +112,51 @@ object Web {
   /** extract_plain_text(content, charset, main_content) -> string — the
     * flagship compound operator (decode -> HTML parse -> classifier ->
     * serializer), defaults matching the reference (basic formatting,
-    * bullets, alt texts).
+    * bullets, alt texts). A native Catalyst expression (no UDF island in
+    * the plan — see [[graft.plans.ExtractPlainTextExpr]]); `maxNodes` is
+    * the per-document MemGuard budget (breach -> null; use
+    * [[extractPlainTextGuarded]] for the breach reason).
     */
   def extractPlainText(content: Column, charset: Column,
-      mainContent: Boolean = false): Column = {
-    val f = udf((data: Array[Byte], cs: String, mc: Boolean) =>
+      mainContent: Boolean = false, maxNodes: Int = Int.MaxValue): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ExtractPlainTextExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(content),
+        org.apache.spark.sql.GraftColumnBridge.expression(charset),
+        mainContent, maxNodes))
+
+  /** MemGuard-surfacing variant: struct<text:string, error:string>. A
+    * budget breach (one bomb document exploding into a huge DOM) yields
+    * a row with `error` set — the exc_loop error-column doctrine
+    * (process_guard.pyx:184-533 semantics at operator level) — never a
+    * task OOM.
+    */
+  def extractPlainTextGuarded(content: Column, charset: Column,
+      mainContent: Boolean = false, maxNodes: Int = Int.MaxValue): Column = {
+    val f = udf((data: Array[Byte], cs: String, mc: Boolean, mn: Int) =>
       if (data == null) null
-      else graft.html.Html2Text.extractFromHtml(
-        graft.html.HtmlTree.decodeForParse(data, cs),
-        graft.html.Html2Text.Options(mainContent = mc)))
-    f(content, charset, org.apache.spark.sql.functions.lit(mainContent))
+      else try {
+        (graft.html.Html2Text.extractFromHtml(
+          graft.html.HtmlTree.decodeForParse(data, cs),
+          graft.html.Html2Text.Options(mainContent = mc, maxNodes = mn)), null: String)
+      } catch {
+        case e: graft.core.MemGuardException => (null: String, e.getMessage)
+      })
+    f(content, charset, org.apache.spark.sql.functions.lit(mainContent),
+      org.apache.spark.sql.functions.lit(maxNodes))
+      .cast("struct<text:string,error:string>")
   }
 
   // — language detection (detect_fast, lang.pyx:111-175) —
 
-  /** detect_lang(text) -> struct<lang:string, rank:int>. */
-  val detectLang: Column => Column = {
-    val f = udf((text: String) =>
-      if (text == null) null else {
-        val (l, r) = graft.core.LangDetect.detectFast(text)
-        (l, r)
-      })
-    c => f(c).cast("struct<lang:string,rank:int>")
+  /** detect_lang(text) -> struct<lang:string, rank:int> — a native
+    * Catalyst expression (see [[graft.plans.DetectLangExpr]]): the w16
+    * plan keeps whole-stage codegen instead of a UDF island.
+    */
+  val detectLang: Column => Column = { c =>
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.DetectLangExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
   }
 
   /** detect_lang restricted to a language set. */

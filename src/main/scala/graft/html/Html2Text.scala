@@ -31,7 +31,12 @@ object Html2Text {
       comments: Boolean = true,
       postMeta: Boolean = true,
       hiddenElements: Boolean = false,
-      skipElements: Seq[String] = Nil)
+      skipElements: Seq[String] = Nil,
+      // MemGuard budget: max DOM nodes (DOM path) and extract-node vector
+      // entries (both paths) for ONE document; breach throws
+      // graft.core.MemGuardException (surface as an error column, never
+      // let one bomb document OOM an executor)
+      maxNodes: Int = Int.MaxValue)
 
   /** Block-level tags (resiliparse-py/resiliparse/parse/html.h:22-58). */
   private val BlockElements: Set[String] = Set("address", "article", "aside",
@@ -69,7 +74,7 @@ object Html2Text {
     */
   def extractFromHtml(html: String, opts: Options): String =
     if (Html2TextStream.eligible(opts)) Html2TextStream.extract(html, opts)
-    else extract(HtmlTree.parse(html), opts)
+    else extract(HtmlTree.parse(html, opts.maxNodes), opts)
 
   /** Per-element collapsed-text / link-text lengths, precomputed in one
     * post-order pass so the main-content classifier's link-cluster
@@ -223,6 +228,9 @@ object Html2Text {
       if (n.tag == "pre" || n.tag == "textarea")
         current.preDepth += (if (!isEndTag) 1 else -1)
       current.escapeTextContents = opts.formatting == FormatMinimalHtml
+      if (nodes.size >= opts.maxNodes)
+        throw new graft.core.MemGuardException(
+          s"mem guard: extract node budget ${opts.maxNodes} exceeded")
       nodes += current
     }
 

@@ -46,11 +46,27 @@ object HtmlParser {
     */
   private[html] val MaxDepth = 512
 
-  def parse(input: String): DomNode = {
+  /** Parse with an optional DOM node budget (MemGuard analog,
+    * process_guard.pyx:184-533): every created node — element, text,
+    * comment — counts against `maxNodes`; exceeding it throws
+    * [[graft.core.MemGuardException]]. The DEPTH cap above bounds stack
+    * use; this bounds HEAP use: DOM object overhead amplifies input
+    * ~30-100x, so a budget of N nodes caps one record's tree at roughly
+    * N * 100 bytes regardless of input size.
+    */
+  def parse(input: String, maxNodes: Int = Int.MaxValue): DomNode = {
     val doc = new DomNode(NodeType.Document, "#document")
     val htmlEl = new DomNode(NodeType.Element, "html")
     val headEl = new DomNode(NodeType.Element, "head")
     val bodyEl = new DomNode(NodeType.Element, "body")
+
+    var nodeCount = 0
+    def budget(): Unit = {
+      nodeCount += 1
+      if (nodeCount > maxNodes)
+        throw new graft.core.MemGuardException(
+          s"mem guard: DOM node budget $maxNodes exceeded")
+    }
 
     var inBody = false // switched once body content starts
     var sawDoctype = false
@@ -81,6 +97,7 @@ object HtmlParser {
         else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
         if (raw.isEmpty) return
       }
+      budget()
       val t = new DomNode(NodeType.Text, "#text")
       t.value = if (decodeEntities) Entities.decode(raw) else raw
       parent.appendChild(t)
@@ -115,6 +132,7 @@ object HtmlParser {
           if (input.startsWith("<!--", i)) {
             val end = input.indexOf("-->", i + 4)
             val content = if (end < 0) input.substring(i + 4) else input.substring(i + 4, end)
+            budget()
             val cm = new DomNode(NodeType.Comment, "#comment")
             cm.value = content
             // comments outside any open element attach to the body (the
@@ -170,6 +188,7 @@ object HtmlParser {
                 else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
               }
               if (raw.nonEmpty) {
+                budget()
                 val t = new DomNode(NodeType.Text, "#text")
                 t.value = if (RcData.contains(rawEl.tag)) Entities.decode(raw) else raw
                 rawEl.appendChild(t)
@@ -218,6 +237,7 @@ object HtmlParser {
           stack.remove(stack.size - 1)
       }
 
+      budget()
       val el = new DomNode(NodeType.Element, name)
       attrs.foreach { case (k, v) => if (!el.attrs.contains(k)) el.attrs(k) = v }
       currentParent.appendChild(el)

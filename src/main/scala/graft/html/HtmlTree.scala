@@ -48,8 +48,12 @@ final class HtmlTree private (val document: DomNode) {
 }
 
 object HtmlTree {
-  /** Parse from a string; never throws. */
-  def parse(html: String): HtmlTree = new HtmlTree(HtmlParser.parse(html))
+  /** Parse from a string; never throws (unless a `maxNodes` budget is set
+    * and breached — then [[graft.core.MemGuardException]], see
+    * [[HtmlParser.parse]]).
+    */
+  def parse(html: String, maxNodes: Int = Int.MaxValue): HtmlTree =
+    new HtmlTree(HtmlParser.parse(html, maxNodes))
 
   /** Charset resolve + resilient decode, the byte-input front half of
     * `parse_from_bytes` (html.pyx:1748-1767 semantics).

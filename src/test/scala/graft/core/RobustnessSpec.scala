@@ -88,6 +88,29 @@ class RobustnessSpec extends AnyFunSuite {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("mem guard: a DOM bomb yields a budget breach, not an OOM") {
+    // small-ish input that fans out into ~200k DOM nodes (repeated table
+    // rows) — the class of document whose object-overhead amplification
+    // the reference MemGuard bounds (process_guard.pyx:184-533)
+    val bomb = "<table>" + "<tr><td>x</td><td>y</td></tr>" * 33000
+    val budget = 10000
+    // DOM parse path breaches deterministically
+    val e = intercept[MemGuardException] {
+      graft.html.HtmlTree.parse(bomb, maxNodes = budget)
+    }
+    assert(e.getMessage.contains("mem guard"))
+    // the streaming extract path is bounded by the same budget option
+    val e2 = intercept[MemGuardException] {
+      graft.html.Html2Text.extractFromHtml(bomb,
+        graft.html.Html2Text.Options(maxNodes = budget))
+    }
+    assert(e2.getMessage.contains("mem guard"))
+    // unbudgeted parses of normal documents are unchanged
+    val normal = "<html><body><p>hello <b>world</b></p></body></html>"
+    assert(graft.html.Html2Text.extractFromHtml(normal,
+      graft.html.Html2Text.Options()).contains("hello world"))
+  }
+
   test("trained vectors dump as a C header") {
     val header = LangDetect.toCHeader(Seq(
       "xx" -> Array.tabulate(256)(_ % 7),

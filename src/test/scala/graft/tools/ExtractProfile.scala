@@ -33,7 +33,7 @@ object ExtractProfile {
         .getOrElse("utf-8")
       graft.core.Encodings.bytesToStr(b, enc)
     }
-    val trees = decoded.map(graft.html.HtmlTree.parse)
+    val trees = decoded.map(graft.html.HtmlTree.parse(_))
 
     time("decode(charset+b2s)") {
       var k = 0
@@ -59,7 +59,7 @@ object ExtractProfile {
     }
     time("parse") {
       var k = 0
-      while (k < reps) { decoded.foreach(graft.html.HtmlTree.parse); k += 1 }
+      while (k < reps) { decoded.foreach(graft.html.HtmlTree.parse(_)); k += 1 }
     }
     time("extract(full)") {
       var k = 0
