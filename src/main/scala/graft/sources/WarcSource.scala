@@ -149,6 +149,22 @@ object WarcInput {
       }
     }
 
+  /** Plain `http(s)://` archive URLs (the reference CLI's direct
+    * Common-Crawl-over-HTTPS streaming, fastwarc-py/fastwarc/cli.py:
+    * 291-348): Hadoop ships a read-only open()-only HttpFileSystem, but
+    * core-default does not register it — bind the scheme impls when the
+    * deployment hasn't chosen its own. Forward streaming scans are
+    * exactly the supported surface; globs/listings and range/member
+    * splits need a listable, seekable FS and stay unavailable over http.
+    */
+  def withHttpFs(conf: Configuration): Configuration = {
+    if (conf.get("fs.http.impl") == null)
+      conf.set("fs.http.impl", "org.apache.hadoop.fs.http.HttpFileSystem")
+    if (conf.get("fs.https.impl") == null)
+      conf.set("fs.https.impl", "org.apache.hadoop.fs.http.HttpsFileSystem")
+    conf
+  }
+
   /** Archive data files only: skip hidden/temp files (Hadoop convention)
     * and the writer's `.idx` member-index sidecars.
     */
@@ -272,7 +288,8 @@ class WarcScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val conf = WarcInput.withHttpFs(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val files = WarcInput.listFiles(WarcInput.paths(options), conf)
     val split = options.getBoolean("split_uncompressed", true)
     val maxPart = options.getLong("max_partition_bytes", 128L * 1024 * 1024)
@@ -335,7 +352,8 @@ class WarcScan(
     * small); local/file and default FS need nothing beyond defaults.
     */
   private def fsProps: Map[String, String] = {
-    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val conf = WarcInput.withHttpFs(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     conf.iterator().asScala
       .map(e => e.getKey -> e.getValue)
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }
@@ -374,7 +392,7 @@ class WarcReaderFactory(
     val p = partition.asInstanceOf[WarcInputPartition]
     val conf = new Configuration()
     fsProps.foreach { case (k, v) => conf.set(k, v) }
-    new WarcPartitionReader(p, parseOpts, required, conf)
+    new WarcPartitionReader(p, parseOpts, required, WarcInput.withHttpFs(conf))
   }
 }
 
@@ -726,7 +744,7 @@ class WarcMicroBatchStream(
   private def conf: Configuration = {
     val c = new Configuration()
     fsProps.foreach { case (k, v) => c.set(k, v) }
-    c
+    WarcInput.withHttpFs(c)
   }
 
   private def listSorted(): Seq[FileStatus] =

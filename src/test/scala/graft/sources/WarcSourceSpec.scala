@@ -138,4 +138,27 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recs.nonEmpty)
     assert(recs.flatten.exists(_.contains("truncated")))
   }
+
+  test("plain http:// archive URLs stream through the scan") {
+    // local HTTP server over the fixture bytes — the Common-Crawl-over-
+    // HTTPS ingestion shape (cli.py:291-348) without network egress
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cc/warcfile.warc.gz",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        try ex.getResponseBody.write(bytes) finally ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/cc/warcfile.warc.gz"
+      val df = spark.read.format("warc").load(url)
+      assert(df.count() == 50L)
+      val types = df.groupBy("record_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(types("response") == 16L)
+    } finally server.stop(0)
+  }
 }
