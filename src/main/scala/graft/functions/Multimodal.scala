@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions.{lit, udf}
   *
   * Container metadata (format, dimensions) is parsed directly from magic
   * headers — no codec involved, scale-cheap. Full pixel decode uses the
-  * JDK's ImageIO (PNG/JPEG/GIF/BMP). Audio/video frame sampling has no
-  * JVM codec on this classpath: [[avFrameSample]] is an explicitly
-  * documented deterministic STUB that preserves the real plumbing
-  * (schema, batching, partition behavior) so a codec can be dropped in.
+  * JDK's ImageIO (PNG/JPEG/GIF/BMP). Audio is real for WAV/PCM
+  * ([[audioMeta]]/[[audioStats]] — container + raw samples, no codec
+  * needed); frame sampling is real for multi-frame GIF
+  * ([[gifFrameStats]] via ImageIO). Only compressed AV codecs (mp3/mp4/
+  * webm…) remain behind [[avFrameSample]], an explicitly documented
+  * deterministic STUB that preserves the real plumbing (schema,
+  * batching, partition behavior) so a codec can be dropped in.
   */
 object Multimodal {
 
@@ -144,8 +147,169 @@ object Multimodal {
     c => f(c)
   }
 
-  /** STUB — audio/video frame sampling. No AV codec ships on this
-    * classpath (documented gap); this returns deterministic pseudo-frames
+  // — audio (WAV/RIFF is pure container + PCM: fully decodable with no
+  //   codec — the real audio path; compressed codecs go through the
+  //   avFrameSample stub below until a codec lands on the classpath) —
+
+  final case class AudioMeta(format: String, channels: Int, sampleRate: Int,
+      bitsPerSample: Int, nFrames: Long, durationS: Double)
+
+  /** Parse a RIFF/WAVE container: fmt chunk (channels, rate, bits) +
+    * data chunk length -> frame count and duration. Chunk-walk, not
+    * fixed offsets (LIST/fact chunks may precede fmt/data). Null for
+    * anything that isn't a well-formed PCM WAV.
+    */
+  def audioMetaOf(d: Array[Byte]): AudioMeta = {
+    if (d == null || d.length < 44) return null
+    @inline def u8(i: Int) = d(i) & 0xff
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
+    def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return null
+    var pos = 12
+    var channels, rate, bits, blockAlign = -1
+    var dataLen = -1L
+    while (pos + 8 <= d.length && (channels < 0 || dataLen < 0)) {
+      val id = fourcc(pos)
+      val len = le32(pos + 4)
+      if (id == "fmt " && pos + 24 <= d.length) {
+        val audioFormat = le16(pos + 8)
+        // PCM (1) or IEEE float (3) or extensible (0xfffe)
+        if (audioFormat != 1 && audioFormat != 3 && audioFormat != 0xfffe) return null
+        channels = le16(pos + 10)
+        rate = le32(pos + 12).toInt
+        blockAlign = le16(pos + 20)
+        bits = le16(pos + 22)
+      } else if (id == "data") {
+        dataLen = math.min(len, (d.length - pos - 8).toLong)
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      if (len < 0 || len > Int.MaxValue - 16) return null
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataLen < 0) return null
+    val nFrames = dataLen / blockAlign
+    AudioMeta("wav", channels, rate, bits, nFrames,
+      math.rint(nFrames.toDouble / rate * 1e6) / 1e6)
+  }
+
+  /** audio_meta(binary) -> struct<format,channels,sample_rate,
+    * bits_per_sample,n_frames,duration_s> (null if not WAV).
+    */
+  val audioMeta: Column => Column = {
+    val f = udf((d: Array[Byte]) => Option(audioMetaOf(d)))
+    c => f(c)
+  }
+
+  final case class AudioStats(peak: Int, rms: Double, meanAbs: Double)
+
+  /** 16-bit PCM sample statistics over all channels: peak |amplitude|,
+    * RMS, mean |amplitude|. The feature-extraction shape for audio
+    * quality filtering (silence / clipping detection) at corpus scale.
+    * Null for non-WAV or non-16-bit payloads.
+    */
+  def audioStatsOf(d: Array[Byte]): AudioStats = {
+    val meta = audioMetaOf(d)
+    if (meta == null || meta.bitsPerSample != 16) return null
+    // find the data chunk again (cheap: headers are tiny)
+    @inline def u8(i: Int) = d(i) & 0xff
+    def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    @inline def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
+    var pos = 12
+    var dataOff = -1
+    var dataLen = -1L
+    while (pos + 8 <= d.length && dataOff < 0) {
+      val id = fourcc(pos)
+      val len = le32(pos + 4)
+      if (id == "data") { dataOff = pos + 8; dataLen = math.min(len, (d.length - pos - 8).toLong) }
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (dataOff < 0) return null
+    val n = (dataLen / 2).toInt
+    if (n == 0) return AudioStats(0, 0.0, 0.0)
+    var peak = 0
+    var sumSq = 0.0
+    var sumAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val s = ((d(dataOff + 2 * i + 1) << 8) | u8(dataOff + 2 * i)).toShort.toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toDouble * s
+      sumAbs += a
+      i += 1
+    }
+    AudioStats(peak, math.rint(math.sqrt(sumSq / n) * 1e6) / 1e6,
+      math.rint(sumAbs / n * 1e6) / 1e6)
+  }
+
+  /** audio_stats(binary) -> struct<peak,rms,mean_abs> for 16-bit PCM. */
+  val audioStats: Column => Column = {
+    val f = udf((d: Array[Byte]) => Option(audioStatsOf(d)))
+    c => f(c)
+  }
+
+  // — video-ish frame sampling: multi-frame GIF decodes with ImageIO
+  //   alone (no external codec), so animated GIF is the REAL sampled-
+  //   decode path; other containers still go through the stub below —
+
+  final case class FrameStat(frameIndex: Int, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** Decode a multi-frame GIF and return per-frame pixel stats for up to
+    * `n` evenly spaced frames (indices floor(total*i/n)). The real
+    * frame-sampling kernel: container in, k decoded frames' features
+    * out, partition-parallel, failures -> null (never task errors).
+    */
+  def gifFrameStatsOf(d: Array[Byte], n: Int): Seq[FrameStat] = {
+    if (d == null || d.length < 6 || !(d(0) == 'G' && d(1) == 'I' && d(2) == 'F')) return null
+    var stream: javax.imageio.stream.ImageInputStream = null
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return null
+    val reader = readers.next()
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(d))
+      reader.setInput(stream, false, true)
+      val total = reader.getNumImages(true)
+      if (total <= 0) return null
+      val picks = (0 until math.min(n, total)).map(i => total.toLong * i / n)
+        .map(_.toInt).distinct
+      picks.map { idx =>
+        val img = reader.read(idx)
+        var (r, g, b) = (0L, 0L, 0L)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        FrameStat(idx, w, h,
+          math.rint(r * 100.0 / np) / 100, math.rint(g * 100.0 / np) / 100,
+          math.rint(b * 100.0 / np) / 100)
+      }
+    } catch { case _: Throwable => null } finally {
+      reader.dispose()
+      if (stream != null) stream.close()
+    }
+  }
+
+  /** frame_sample(binary, n) -> array<struct<frame_index,width,height,
+    * mean_r,mean_g,mean_b>> over a multi-frame GIF.
+    */
+  def gifFrameStats(data: Column, nFrames: Int = 4): Column = {
+    val f = udf((d: Array[Byte], n: Int) => Option(gifFrameStatsOf(d, n)))
+    f(data, lit(nFrames))
+  }
+
+  /** STUB — frame sampling for COMPRESSED AV containers (mp3/mp4/webm…).
+    * WAV and multi-frame GIF decode for real above; no compressed-codec
+    * library ships on this classpath (documented gap), so this returns
+    * deterministic pseudo-frames
     * (byte slices at evenly spaced offsets) so the Spark-side plumbing —
     * schema array<struct<offset,bytes>>, per-row batching, partition
     * parallelism — is real and tested, and a codec-backed implementation

@@ -109,6 +109,59 @@ object Web {
     (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
   }
 
+  // — DOM mutation / rewrite (html.pyx:1216-1332 surface, packaged as
+  //   whole-document transforms — see graft.html.HtmlRewrite) —
+
+  /** html_remove(content, charset, selector) -> string: decompose every
+    * matching subtree, serialize the rest (boilerplate / tracker
+    * stripping before re-archival).
+    */
+  val htmlRemove: (Column, Column, String) => Column = {
+    val f = udf((data: Array[Byte], charset: String, selector: String) =>
+      if (data == null) null
+      else graft.html.HtmlRewrite.removeSelector(
+        graft.html.HtmlTree.decodeForParse(data, charset), selector))
+    (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
+  }
+
+  /** html_set_attr(content, charset, selector, name, value) -> string. */
+  def htmlSetAttr(content: Column, charset: Column, selector: String,
+      name: String, value: String): Column = {
+    val f = udf((data: Array[Byte], cs: String, sel: String, n: String, v: String) =>
+      if (data == null) null
+      else graft.html.HtmlRewrite.setAttr(
+        graft.html.HtmlTree.decodeForParse(data, cs), sel, n, v))
+    f(content, charset, org.apache.spark.sql.functions.lit(selector),
+      org.apache.spark.sql.functions.lit(name), org.apache.spark.sql.functions.lit(value))
+  }
+
+  /** html_del_attr(content, charset, selector, name) -> string. */
+  def htmlDelAttr(content: Column, charset: Column, selector: String,
+      name: String): Column = {
+    val f = udf((data: Array[Byte], cs: String, sel: String, n: String) =>
+      if (data == null) null
+      else graft.html.HtmlRewrite.delAttr(
+        graft.html.HtmlTree.decodeForParse(data, cs), sel, n))
+    f(content, charset, org.apache.spark.sql.functions.lit(selector),
+      org.apache.spark.sql.functions.lit(name))
+  }
+
+  /** html_absolutize(content, charset, base_url) ->
+    * struct<html:string, n_rewritten:int>: resolve relative href/src/
+    * action URLs against the record's own URL (WARC-Target-URI) —
+    * link-graph extraction and re-archival both need absolute URLs.
+    */
+  val htmlAbsolutize: (Column, Column, Column) => Column = {
+    val f = udf((data: Array[Byte], charset: String, base: String) =>
+      if (data == null || base == null) null
+      else {
+        val (h, n) = graft.html.HtmlRewrite.absolutizeLinks(
+          graft.html.HtmlTree.decodeForParse(data, charset), base)
+        (h, n)
+      })
+    (c, cs, b) => f(c, cs, b).cast("struct<html:string,n_rewritten:int>")
+  }
+
   /** extract_plain_text(content, charset, main_content) -> string — the
     * flagship compound operator (decode -> HTML parse -> classifier ->
     * serializer), defaults matching the reference (basic formatting,

@@ -148,6 +148,18 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
     removeChild(oldChild)
   }
 
+  /** Detach this node (and its whole subtree) from the tree — the
+    * reference's `decompose` (html.pyx:960-1004). No-op when already
+    * detached; the subtree stays intact and re-attachable.
+    */
+  def decompose(): Unit = if (parent != null) parent.removeChild(this)
+
+  /** Remove an attribute (case-insensitive); true if it was present
+    * (html.pyx:1216-1248 `delattr` semantics).
+    */
+  def delattr(name: String): Boolean =
+    _attrs != null && _attrs.remove(name.toLowerCase).isDefined
+
   /** Concatenated descendant text (Element.text semantics,
     * html.pyx:714-746).
     */

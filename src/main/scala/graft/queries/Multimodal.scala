@@ -21,6 +21,44 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal PCM WAV builder (RIFF + fmt + data). */
+  private def makeWav(channels: Int, rate: Int, bits: Int,
+      samples: Array[Int]): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataLen = samples.length * bits / 8
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + dataLen); out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1.toShort); out.putShort(channels.toShort)
+    out.putInt(rate); out.putInt(rate * blockAlign)
+    out.putShort(blockAlign.toShort); out.putShort(bits.toShort)
+    out.put("data".getBytes); out.putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 16) out.putShort(s.toShort) else out.put(s.toByte)
+    }
+    out.array()
+  }
+
+  /** Animated (multi-frame) GIF via ImageIO's sequence writer. */
+  private def makeAnimatedGif(w: Int, h: Int, frameColors: Seq[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameColors.foreach { rgb =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload -> header metadata + full pixel decode, including a
     // corrupt row that must yield nulls, never a task failure.
@@ -41,6 +79,55 @@ object Multimodal {
           M.pixelStats(col("payload")).getField("meanB").as("mean_b"))
         .orderBy(col("media_id"))
     }),
+
+    // WAV/PCM audio: container metadata + sample statistics, no codec
+    // (the REAL audio path — see functions.Multimodal). Square wave of
+    // amplitude 8000 -> peak = rms = mean_abs = 8000 exactly; silence ->
+    // zeros; an 8-bit file has metadata but no 16-bit stats; corrupt
+    // bytes -> all nulls, never task failures.
+    "m02_audio_meta" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val square = Array.tabulate(1600)(i => if ((i / 4) % 2 == 0) 8000 else -8000)
+      val rows = Seq(
+        (1L, makeWav(1, 8000, 16, square)),
+        (2L, makeWav(2, 44100, 16, new Array[Int](882))), // 441 stereo frames of silence
+        (3L, makeWav(1, 8000, 8, Array.fill(800)(128))),  // 8-bit: meta only
+        (4L, "not audio at all".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      df.select(col("media_id"),
+          M.audioMeta(col("payload")).getField("format").as("format"),
+          M.audioMeta(col("payload")).getField("channels").as("channels"),
+          M.audioMeta(col("payload")).getField("sampleRate").as("sample_rate"),
+          M.audioMeta(col("payload")).getField("bitsPerSample").as("bits"),
+          M.audioMeta(col("payload")).getField("nFrames").as("n_frames"),
+          M.audioMeta(col("payload")).getField("durationS").as("duration_s"),
+          M.audioStats(col("payload")).getField("peak").as("peak"),
+          M.audioStats(col("payload")).getField("rms").as("rms"),
+          M.audioStats(col("payload")).getField("meanAbs").as("mean_abs"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Multi-frame GIF frame sampling: 6 solid-color frames, sample 3
+    // evenly spaced (indices 0,2,4) and decode pixel stats per frame —
+    // the real video-ish sampled-decode kernel. A single-frame GIF
+    // samples its one frame; corrupt bytes -> null row via explode_outer.
+    "m03_frame_sample" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val colors = (0 until 6).map(k => (k * 40 << 16) | (k * 30 << 8) | (k * 20))
+      val rows = Seq(
+        (1L, makeAnimatedGif(16, 9, colors)),
+        (2L, makeImage(12, 5, 0xff0000, "gif")),
+        (3L, "definitely not a gif".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      df.select(col("media_id"),
+          explode_outer(M.gifFrameStats(col("payload"), 3)).as("f"))
+        .select(col("media_id"),
+          col("f.frameIndex").as("frame_index"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.meanR").as("mean_r"), col("f.meanG").as("mean_g"),
+          col("f.meanB").as("mean_b"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -55,5 +142,38 @@ object Multimodal {
          (4, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, format, width, height, mean_r, mean_g, mean_b)
          ORDER BY media_id""",
+    // Hand-derivable: square wave of amplitude 8000 has peak = rms =
+    // mean_abs = 8000; 1600 frames @ 8000 Hz = 0.2 s; 441 stereo frames
+    // @ 44100 Hz = 0.01 s; the 8-bit row has meta but null 16-bit stats.
+    "m02_audio_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, format,
+         CAST(channels AS INT) AS channels, CAST(sample_rate AS INT) AS sample_rate,
+         CAST(bits AS INT) AS bits, CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(duration_s AS DOUBLE) AS duration_s, CAST(peak AS INT) AS peak,
+         CAST(rms AS DOUBLE) AS rms, CAST(mean_abs AS DOUBLE) AS mean_abs
+         FROM (VALUES
+         (1, 'wav', 1, 8000, 16, 1600, 0.2, 8000, 8000.0, 8000.0),
+         (2, 'wav', 2, 44100, 16, 441, 0.01, 0, 0.0, 0.0),
+         (3, 'wav', 1, 8000, 8, 800, 0.1, NULL, NULL, NULL),
+         (4, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, format, channels, sample_rate, bits, n_frames,
+           duration_s, peak, rms, mean_abs)
+         ORDER BY media_id""",
+    // Hand-derivable: frame k is solid rgb(40k, 30k, 20k); sampling 3 of
+    // 6 frames picks indices 0, 2, 4; the single-frame GIF samples its
+    // frame 0 (solid red); corrupt bytes -> one all-null row.
+    "m03_frame_sample" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         CAST(frame_index AS INT) AS frame_index,
+         CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g,
+         CAST(mean_b AS DOUBLE) AS mean_b FROM (VALUES
+         (1, 0, 16, 9, 0.0, 0.0, 0.0),
+         (1, 2, 16, 9, 80.0, 60.0, 40.0),
+         (1, 4, 16, 9, 160.0, 120.0, 80.0),
+         (2, 0, 12, 5, 255.0, 0.0, 0.0),
+         (3, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, frame_index, width, height, mean_r, mean_g, mean_b)
+         ORDER BY media_id, frame_index""",
   )
 }

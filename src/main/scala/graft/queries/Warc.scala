@@ -416,6 +416,39 @@ object Warc {
             mainContent = true)).as("main_len"))
         .orderBy(col("full_len"))
     }),
+
+    // DOM mutation surface end to end (html.pyx:1216-1332 operators
+    // packaged as rewrite transforms): strip script/style/.ads subtrees
+    // (decompose), stamp rel=nofollow on anchors (setattr), absolutize
+    // relative URLs against each record's own base (the re-archival /
+    // link-graph cleaning pass). Inline deterministic fixtures; the
+    // oracle pins the full rewritten documents (human-auditable).
+    "w28_html_rewrite" -> ((s, _) => {
+      import graft.functions.Web
+      val rows = Seq(
+        (1L,
+          "<html><head><script>track()</script><title>One</title></head>" +
+          "<body><p>Hello</p><div class=\"ads\">AD</div><a href=\"/rel\">x</a></body></html>",
+          "http://one.example/a/b.html"),
+        (2L, "<p>No wrapper <a href=\"sub/page.html\">link</a>",
+          "https://two.example/dir/"),
+        (3L,
+          "<body><img src=\"i.png\"><a href=\"https://abs.example/\">abs</a>" +
+          "<a href=\"#f\">f</a><style>.x{}</style></body>",
+          "http://three.example/x/"))
+      val df = s.createDataFrame(rows).toDF("doc_id", "html", "base_url")
+      val stripped = Web.htmlRemove(encode(col("html"), "utf-8"), lit("utf-8"),
+        "script, style, .ads")
+      val stamped = Web.htmlSetAttr(encode(stripped, "utf-8"), lit("utf-8"),
+        "a", "rel", "nofollow")
+      df.select(col("doc_id"),
+          Web.htmlAbsolutize(encode(stamped, "utf-8"), lit("utf-8"),
+            col("base_url")).as("rw"))
+        .select(col("doc_id"),
+          col("rw.n_rewritten").as("n_rewritten"),
+          col("rw.html").as("html"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Ground truth derived independently from the fixture bytes (python
@@ -547,6 +580,16 @@ object Warc {
     "w27_member_index_rescan" ->
       """SELECT CAST(2000 AS BIGINT) AS n_records,
          CAST(21113840 AS BIGINT) AS total_bytes""",
+    // Inline-fixture pin: the full rewritten documents, hand-derivable
+    // from the three fixture strings in the query (strip script/style/
+    // .ads, stamp rel=nofollow, absolutize relative URLs per base).
+    "w28_html_rewrite" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_rewritten AS INT) AS n_rewritten, html FROM (VALUES
+         (1, 1, '<html><head><title>One</title></head><body><p>Hello</p><a href="http://one.example/rel" rel="nofollow">x</a></body></html>'),
+         (2, 1, '<html><head></head><body><p>No wrapper <a href="https://two.example/dir/sub/page.html" rel="nofollow">link</a></p></body></html>'),
+         (3, 1, '<html><head></head><body><img src="http://three.example/x/i.png"><a href="https://abs.example/" rel="nofollow">abs</a><a href="#f" rel="nofollow">f</a></body></html>'))
+         t(doc_id, n_rewritten, html) ORDER BY doc_id""",
     "w24_header_predicates" ->
       """SELECT CAST(50 AS BIGINT) AS n_warc10, CAST(0 AS BIGINT) AS n_warc11,
          CAST(16 AS BIGINT) AS n_block_digest, CAST(16 AS BIGINT) AS n_payload_digest,

@@ -30,6 +30,74 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toByteArray
   }
 
+  private def makeWav(channels: Int, rate: Int, bits: Int, samples: Array[Int]): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataLen = samples.length * bits / 8
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + dataLen); out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1.toShort); out.putShort(channels.toShort)
+    out.putInt(rate); out.putInt(rate * blockAlign)
+    out.putShort(blockAlign.toShort); out.putShort(bits.toShort)
+    out.put("data".getBytes); out.putInt(dataLen)
+    samples.foreach { s => if (bits == 16) out.putShort(s.toShort) else out.put(s.toByte) }
+    out.array()
+  }
+
+  test("audioMetaOf parses WAV containers; rejects non-WAV") {
+    val m = Multimodal.audioMetaOf(makeWav(2, 44100, 16, new Array[Int](882)))
+    assert(m == Multimodal.AudioMeta("wav", 2, 44100, 16, 441, 0.01))
+    assert(Multimodal.audioMetaOf("RIFFxxxxNOPE".getBytes.padTo(48, 0.toByte)) == null)
+    assert(Multimodal.audioMetaOf(null) == null)
+    assert(Multimodal.audioMetaOf(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("audioMetaOf walks past a LIST chunk before fmt/data") {
+    // RIFF + LIST(4 bytes payload) + fmt + data
+    val base = makeWav(1, 8000, 16, Array(1, 2, 3, 4))
+    val withList = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    withList.put(base, 0, 12)
+    withList.put("LIST".getBytes); withList.putInt(4); withList.put("INFO".getBytes)
+    withList.put(base, 12, base.length - 12)
+    val m = Multimodal.audioMetaOf(withList.array())
+    assert(m != null && m.nFrames == 4 && m.sampleRate == 8000)
+  }
+
+  test("audioStatsOf: square wave has peak == rms == meanAbs") {
+    val sq = Array.tabulate(800)(i => if ((i / 4) % 2 == 0) 5000 else -5000)
+    val st = Multimodal.audioStatsOf(makeWav(1, 8000, 16, sq))
+    assert(st == Multimodal.AudioStats(5000, 5000.0, 5000.0))
+    // silence
+    assert(Multimodal.audioStatsOf(makeWav(1, 8000, 16, new Array[Int](32))) ==
+      Multimodal.AudioStats(0, 0.0, 0.0))
+    // 8-bit: stats are 16-bit-only -> null
+    assert(Multimodal.audioStatsOf(makeWav(1, 8000, 8, Array.fill(64)(128))) == null)
+  }
+
+  test("gifFrameStatsOf samples evenly spaced frames of an animated gif") {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 4).foreach { k =>
+      val img = new BufferedImage(6, 3, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 6) img.setRGB(x, y, k * 50 << 16)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val frames = Multimodal.gifFrameStatsOf(out.toByteArray, 2)
+    assert(frames.map(_.frameIndex) == Seq(0, 2))
+    assert(frames.map(_.meanR) == Seq(0.0, 100.0))
+    assert(frames.forall(f => f.width == 6 && f.height == 3))
+    // single-frame gif: one frame; garbage: null
+    assert(Multimodal.gifFrameStatsOf(makeImage(5, 5, 0x0000ff, "gif"), 3)
+      .map(_.frameIndex) == Seq(0))
+    assert(Multimodal.gifFrameStatsOf("nope".getBytes, 3) == null)
+  }
+
   test("imageMetaOf parses png/gif/bmp/jpeg headers") {
     assert(Multimodal.imageMetaOf(makeImage(31, 17, 0x123456, "png")) ==
       Multimodal.ImageMeta("png", 31, 17))
