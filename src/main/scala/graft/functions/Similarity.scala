@@ -42,6 +42,50 @@ object Similarity {
     terms.reduce(_ + _).cast("long")
   }
 
+  /** All `bands` SRP band keys in one compiled pass, as `array<long>` —
+    * the LSH-banding analog of [[srpBucket]] for embedding near-dup
+    * detection: band b's key packs the sign bits of `rows` hyperplane
+    * projections (global plane index q = b*rows + r, same quasi-random
+    * weight family as [[srpBucket]] so the construction stays
+    * SQL-reproducible). Two vectors are near-dup candidates iff they
+    * share ANY band key — banding trades per-band precision for recall
+    * exactly like MinHash LSH (TextAnalysis.lshBands).
+    *
+    * Compiled kernel rather than nested HOFs for the same measured
+    * reason as TextAnalysis.minhashShingleSigCW: bands*rows aggregate/
+    * zip_with chains run interpreted per element; this loop does the
+    * identical float math (same summation order, so bit-identical to the
+    * DuckDB oracle rendition) at compiled speed.
+    */
+  def srpBandKeys(bands: Int, rows: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val keys = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var key = 0L
+          var r = 0
+          while (r < rows) {
+            val q = (b * rows + r).toLong
+            var proj = 0.0
+            var d = 0
+            while (d < arr.length) {
+              val m = (d.toLong * 2654435761L + q * 40503L) % 1024L
+              proj += arr(d) * (m - 511.5) / 1024.0
+              d += 1
+            }
+            if (proj > 0) key |= (1L << r)
+            r += 1
+          }
+          keys(b) = key
+          b += 1
+        }
+        keys
+      }
+    })
+
   /** Per-group top-k as a typed Aggregator — the scale-safe kNN shape:
     * each map task keeps at most k (similarity, id) pairs, partial
     * buffers merge pairwise, so the shuffle carries k rows per

@@ -146,6 +146,50 @@ object Embeddings {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-cosine near-duplicate detection — the semantic-dedup
+    // operator of an LLM data pipeline (exact/MinHash dedup misses
+    // paraphrases; embedding cosine catches them). The synthetic corpus
+    // has no natural near-dups (max pairwise cosine 0.51), so the query
+    // injects deterministic perturbed copies of vec_id < 10 (component
+    // d scaled by 1 + e/128 with e = (d*31 + id*7) % 11 - 5 — a
+    // power-of-two denominator so the factor is exactly representable
+    // and the cosine bit-matches the DuckDB oracle).
+    //
+    // Shape is the 100 TB one: banded SRP-LSH candidate generation
+    // (4 bands x 16 planes; candidates = bucket-equi-join on the band
+    // key, NEVER all pairs), pair dedup, then exact cosine verify only
+    // on candidates, vectors fetched by joining back to the corpus so
+    // the banding explode shuffles (vec_id, band, key) and never the
+    // 64-dim payload.
+    "e08_embedding_neardup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      // perturb BEFORE renaming vec_id: with both in one select, the
+      // lambda's vec_id reference resolves against the aliased output
+      // (+100000), silently shifting every factor
+      val pert = base.filter(col("vec_id") < 10)
+        .withColumn("v",
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, d) =>
+            x * (lit(1.0) +
+              ((d.cast("long") * 31 + col("vec_id") * 7) % 11 - 5).cast("double") / 128.0)))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+      val corpus = base.unionAll(pert)
+      val bandKeys = srpBandKeys(bands = 4, rows = 16)
+      val bands = corpus
+        .select(col("vec_id"), posexplode(bandKeys(col("v"))).as(Seq("band_id", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("orig_id"), col("b.vec_id").as("dup_id"))
+        .distinct()
+      cand
+        .join(corpus.select(col("vec_id").as("orig_id"), col("v").as("va")), "orig_id")
+        .join(corpus.select(col("vec_id").as("dup_id"), col("v").as("vb")), "dup_id")
+        .select(col("orig_id"), col("dup_id"), cosineRounded(col("va"), col("vb")).as("sim"))
+        .filter(col("sim") >= 0.95)
+        .orderBy(col("orig_id"), col("dup_id"))
+    }),
+
     // Full 64-dim centroids via explode -> (label, dim) partial agg ->
     // regroup; elementwise array aggregation without any driver-side
     // loop (the round-1 e02 hand-rolled only dims 0-3).
@@ -169,6 +213,14 @@ object Embeddings {
     "sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])))"
   private val cNormSql =
     "sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])))"
+
+  // same dot/norm construction over the e08 pair aliases (x.v, y.v)
+  private val pairDotSql =
+    "list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]))"
+  private val aNormSql =
+    "sqrt(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[CAST(i AS INT)] * x.v[CAST(i AS INT)])))"
+  private val bNormSql =
+    "sqrt(list_sum(list_transform(range(1, len(y.v) + 1), i -> y.v[CAST(i AS INT)] * y.v[CAST(i AS INT)])))"
 
   val oracleSql: Map[String, String] = Map(
     "e07_quantize_int8" ->
@@ -258,6 +310,42 @@ object Embeddings {
             FROM sims)
           SELECT q_vec_id, n_vec_id, sim FROM ranked WHERE rn <= 3
           ORDER BY q_vec_id, sim DESC, n_vec_id""",
+    "e08_embedding_neardup" -> {
+      val bandsN = 4
+      val rowsN = 16
+      def bandKeySql(b: Int): String = {
+        val terms = (0 until rowsN).map { r =>
+          val q = b * rowsN + r
+          s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+                d -> v[CAST(d AS INT)] * ((CAST(d - 1 AS BIGINT) * 2654435761 + ${q * 40503L})
+                      % 1024 - 511.5) / 1024.0)) > 0
+              THEN ${1L << r} ELSE 0 END)"""
+        }
+        s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+      }
+      val bandsSql = (0 until bandsN).map { b =>
+        s"SELECT vec_id, v, $b AS band_id, ${bandKeySql(b)} AS bkey FROM corpus"
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          pert AS (SELECT 100000 + vec_id AS vec_id,
+              list_transform(range(1, len(v) + 1), d -> v[CAST(d AS INT)] *
+                (1 + CAST((CAST(d - 1 AS BIGINT) * 31 + vec_id * 7) % 11 - 5 AS DOUBLE)
+                     / 128.0)) AS v
+            FROM base WHERE vec_id < 10),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+          bands AS ($bandsSql),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS orig_id, b.vec_id AS dup_id
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+          pairs AS (
+            SELECT c.orig_id, c.dup_id,
+              round($pairDotSql / ($aNormSql * $bNormSql), 6) AS sim
+            FROM cand c JOIN corpus x ON x.vec_id = c.orig_id
+                        JOIN corpus y ON y.vec_id = c.dup_id)
+          SELECT orig_id, dup_id, sim FROM pairs WHERE sim >= 0.95
+          ORDER BY orig_id, dup_id"""
+    },
     "e05_centroids_full" ->
       """WITH e AS (
            SELECT label,

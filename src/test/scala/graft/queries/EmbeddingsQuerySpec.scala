@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Similarity._
+
+/** Pins the e08 building blocks: the compiled SRP band-key kernel must
+  * agree bit-for-bit with the Catalyst HOF rendition ([[srpBucket]]) it
+  * mirrors — band 0 of `srpBandKeys(1, k)` uses global plane indices
+  * 0..k-1, which is exactly `srpBucket(v, k)`'s plane family.
+  */
+class EmbeddingsQuerySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("embeddings-spec")
+    .getOrCreate()
+
+  test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      Seq(0.3, -0.2, 0.7, -0.4, 0.1, 0.05, -0.9, 0.66),
+      Seq(-1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.0),
+      Seq(0.001, 0.002, -0.003, 0.004, -0.005, 0.006, -0.007, 0.008),
+    ).toDF("v")
+    val got = vecs.select(
+      element_at(srpBandKeys(bands = 1, rows = 8)(col("v")), 1).as("kernel"),
+      srpBucket(col("v"), 8).as("hof")).collect()
+    got.foreach { r => assert(r.getLong(0) === r.getLong(1), r.toString) }
+  }
+
+  test("srpBandKeys emits `bands` keys, each within rows bits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq.tabulate(64)(d => math.sin(d + 1))).toDF("v")
+    val keys = df.select(srpBandKeys(bands = 4, rows = 16)(col("v")).as("k"))
+      .collect()(0).getSeq[Long](0)
+    assert(keys.length === 4)
+    keys.foreach(k => assert(k >= 0L && k < (1L << 16)))
+  }
+
+  test("e08 finds exactly the injected perturbed near-dups at sf0.001") {
+    val rows = Embeddings.queries("e08_embedding_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 100000L)
+      assert(r.getDouble(2) >= 0.99)
+    }
+  }
+}
