@@ -163,6 +163,108 @@ object TextAnalysis {
     f(text, lit(w), lit(k))
   }
 
+  /** Winnowing fingerprint result (one row per document). */
+  case class WinnowFp(n_grams: Long, n_fps: Long,
+                      fp_min: Option[Long], fp_max: Option[Long], fp_sum: Option[Long])
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): Karp-Rabin ROLLING hash over character k-grams, then the
+    * minimum hash of every window of w consecutive gram hashes; the
+    * distinct selected minima are the fingerprint set. Guarantees any
+    * shared substring of length >= k + w - 1 contributes at least one
+    * common fingerprint — the plagiarism/near-dup detection primitive
+    * that, unlike MinHash, localizes WHERE documents overlap.
+    *
+    * Input must be the [[winnowNorm]] normalized text so the hash stream
+    * is engine-agnostic ASCII. Base 257, modulus 1e9+7; hash of gram i
+    * is sum_j code(i+j) * 257^(k-1-j) mod M, computed with the O(1)
+    * rolling update (subtract the leading term, multiply by B, add the
+    * trailing code) and window minima via a monotonic deque — O(n) per
+    * document total, vs the O(n*k) naive recompute the SQL oracle uses.
+    *
+    * Compiled kernel per the minhashShingleSigCW doctrine: hash loops
+    * belong in compiled code, not interpreted HOF chains.
+    */
+  def winnowNorm(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  def winnowFingerprint(k: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((n: String) => {
+      if (n == null) null
+      else {
+        val B = 257L
+        val M = 1000000007L
+        val L = n.length
+        if (L < k) WinnowFp(0L, 0L, None, None, None)
+        else {
+          val nh = L - k + 1
+          // P0 = B^(k-1) mod M for the rolling subtract
+          var p0 = 1L
+          var e = 0
+          while (e < k - 1) { p0 = p0 * B % M; e += 1 }
+          val hs = new Array[Long](nh)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * B + n.charAt(i)) % M; i += 1 }
+          hs(0) = h
+          i = 1
+          while (i < nh) {
+            h = (((h - n.charAt(i - 1) * p0) % M + M) * B + n.charAt(i + k - 1)) % M
+            hs(i) = h
+            i += 1
+          }
+          // winnow: min per window of w via monotonic deque (indices of
+          // increasing hash value); ties keep the earliest index, which
+          // is value-identical to SQL list_min per window
+          val nwin = math.max(nh - w + 1, 1)
+          val sel = new Array[Long](nwin)
+          val dq = new Array[Int](nh)
+          var head = 0
+          var tail = 0 // deque in dq[head until tail]
+          i = 0
+          while (i < nh) {
+            while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+            dq(tail) = i; tail += 1
+            val winStart = i - w + 1
+            while (dq(head) < winStart) head += 1
+            if (i >= w - 1) sel(i - w + 1) = hs(dq(head))
+            i += 1
+          }
+          if (nh < w) sel(0) = hs(dq(head)) // single short window
+          java.util.Arrays.sort(sel)
+          var nFps = 0L
+          var sum = 0L
+          var j = 0
+          while (j < nwin) {
+            if (j == 0 || sel(j) != sel(j - 1)) { nFps += 1; sum += sel(j) }
+            j += 1
+          }
+          WinnowFp(nh.toLong, nFps, Some(sel(0)), Some(sel(nwin - 1)), Some(sum))
+        }
+      }
+    })
+
+  /** DuckDB rendition of [[winnowFingerprint]] over a `n` (normalized
+    * text) column — the O(n*k) recompute form for the oracle.
+    */
+  def winnowFingerprintDuckSql(k: Int, w: Int): String = {
+    val M = 1000000007L
+    val P = Array.iterate(1L, k)(p => p * 257L % M).reverse
+    val gramHash = (0 until k)
+      .map(j => s"CAST(${P(j)} AS BIGINT) * unicode(substring(n, CAST(i + $j AS INT), 1))")
+      .mkString(" + ")
+    s"""g AS (SELECT doc_id,
+          CASE WHEN length(n) >= $k
+            THEN list_transform(range(1, length(n) - $k + 2), i -> ($gramHash) % $M)
+            ELSE [] END AS h
+          FROM nn),
+        w AS (SELECT doc_id, len(h) AS n_grams,
+          CASE WHEN len(h) = 0 THEN []
+            ELSE list_distinct(list_transform(range(1, greatest(len(h) - $w + 2, 2)),
+              i -> list_min(list_slice(h, CAST(i AS INT), CAST(i + $w - 1 AS INT))))) END AS fps
+          FROM g)"""
+  }
+
   /** LSH band keys: md5 over `rows` consecutive signature components.
     * Docs sharing any band key are near-dup candidates.
     */

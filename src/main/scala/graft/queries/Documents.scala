@@ -216,6 +216,24 @@ object Documents {
              sum(col("len")).as("total_len"))
     }),
 
+    // Winnowing fingerprints (Schleimer et al. — the MOSS scheme): a
+    // Karp-Rabin ROLLING hash over character 5-grams with window-min
+    // selection (w=4). Unlike the md5 whole-document fingerprint (d01)
+    // or MinHash (d02), winnowing guarantees any shared run >= k+w-1
+    // chars yields a shared fingerprint — overlap LOCALIZATION. Pure
+    // per-row kernel: one scan, no shuffle; at 100 TB the fps set would
+    // explode into an inverted (fingerprint -> doc) index.
+    "t10_winnow_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          winnowFingerprint(5, 4)(winnowNorm(col("text"))).as("fp"))
+        .select(col("doc_id"),
+          col("fp.n_grams").as("n_grams"), col("fp.n_fps").as("n_fps"),
+          col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"),
+          col("fp.fp_sum").as("fp_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -490,6 +508,15 @@ object Documents {
     "t09_bulk_sink" ->
       """SELECT count(*) AS n_docs, count(*) AS n_distinct,
          CAST(sum(length(text)) AS BIGINT) AS total_len FROM documents""",
+    "t10_winnow_fingerprint" ->
+      s"""WITH nn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n FROM documents),
+          ${graft.functions.TextAnalysis.winnowFingerprintDuckSql(5, 4)}
+          SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+            CAST(len(fps) AS BIGINT) AS n_fps,
+            list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+            CAST(list_sum(fps) AS BIGINT) AS fp_sum
+          FROM w ORDER BY doc_id""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs
