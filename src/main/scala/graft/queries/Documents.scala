@@ -50,6 +50,15 @@ object Documents {
     when(allZero, lit("und")).otherwise(caseFor(0))
   }
 
+  /** GPT-2's pre-tokenizer regex, lookahead-free (`\s+(?!\S)` dropped —
+    * RE2 engines have no lookahead): contractions first, then
+    * optionally space-prefixed letter/digit/punctuation runs, then
+    * whitespace runs. Same leftmost-first alternation in Java regex and
+    * RE2, so Spark and DuckDB tokenize identically.
+    */
+  private[queries] val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // — text analysis —
@@ -231,6 +240,39 @@ object Documents {
           col("fp.n_grams").as("n_grams"), col("fp.n_fps").as("n_fps"),
           col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"),
           col("fp.fp_sum").as("fp_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-style pre-tokenization (the GPT-2 pattern, made lookahead-free
+    // so RE2-based engines reproduce it): contractions, optionally
+    // space-prefixed letter runs, digit runs, punctuation runs, and
+    // whitespace runs. Token COUNTING is the budget primitive of every
+    // LLM data pipeline (context packing, per-doc cost, length filters);
+    // this is the regex stage a real BPE runs before merges. The corpus
+    // is pure lowercase words, so three crafted rows are appended
+    // (identically in the oracle) to exercise every token class.
+    // Per-row regexp work only: one scan, no shuffle, fully codegen'd.
+    "t11_bpe_pretokenize" -> ((s, dir) => {
+      import s.implicits._
+      val extra = Seq(
+        (1000000L, "I'm sure we've seen 42 cats, 7 dogs & 3.14 pies!"),
+        (1000001L, "don't you'll they're it's #hashtag @user (parens) [brackets]"),
+        (1000002L, "double  spaced   runs    and 2026 trailing spaces  "))
+      val docsAll = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionAll(extra.toDF("doc_id", "text"))
+      docsAll
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          size(filter(col("toks"), t => t.rlike("^ ?\\p{L}+$"))).cast("long").as("n_word"),
+          size(filter(col("toks"), t => t.rlike("^ ?\\p{N}+$"))).cast("long").as("n_num"),
+          size(filter(col("toks"), t => t.rlike("^ ?[^\\s\\p{L}\\p{N}]+$"))).cast("long")
+            .as("n_punct"),
+          size(filter(col("toks"), t => t.rlike("^'(?:s|t|re|ve|m|ll|d)$"))).cast("long")
+            .as("n_contr"),
+          size(filter(col("toks"), t => t.rlike("^\\s+$"))).cast("long").as("n_ws"))
         .orderBy(col("doc_id"))
     }),
 
@@ -517,6 +559,30 @@ object Documents {
             list_min(fps) AS fp_min, list_max(fps) AS fp_max,
             CAST(list_sum(fps) AS BIGINT) AS fp_sum
           FROM w ORDER BY doc_id""",
+    "t11_bpe_pretokenize" -> {
+      val pat = BpePattern.replace("'", "''")
+      s"""WITH docs_all AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+              (1000000, 'I''m sure we''ve seen 42 cats, 7 dogs & 3.14 pies!'),
+              (1000001, 'don''t you''ll they''re it''s #hashtag @user (parens) [brackets]'),
+              (1000002, 'double  spaced   runs    and 2026 trailing spaces  '))
+              t(doc_id, text)),
+          t AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS toks FROM docs_all)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT)
+              AS n_word,
+            CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?\\p{N}+'))) AS BIGINT)
+              AS n_num,
+            CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?[^\\s\\p{L}\\p{N}]+')))
+              AS BIGINT) AS n_punct,
+            CAST(len(list_filter(toks, x -> regexp_full_match(x, '''(?:s|t|re|ve|m|ll|d)')))
+              AS BIGINT) AS n_contr,
+            CAST(len(list_filter(toks, x -> regexp_full_match(x, '\\s+'))) AS BIGINT) AS n_ws
+          FROM t ORDER BY doc_id"""
+    },
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs

@@ -29,6 +29,18 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
   }
 
+  test("t11 BPE pre-tokenizer: classes and counts on known text") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("I'm sure we've seen 42 cats!").toDF("text")
+      .select(regexp_extract_all(col("text"), lit(Documents.BpePattern), lit(0)).as("toks"))
+    val toks = df.collect()(0).getSeq[String](0)
+    // contraction split off the word; numbers and punctuation keep
+    // their leading space; final '!' is a bare punctuation run
+    assert(toks == Seq("I", "'m", " sure", " we", "'ve", " seen", " 42", " cats", "!"))
+  }
+
   test("neardupSummary leaves no cached intermediates behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = Documents.neardupSummary(corpus(200))
