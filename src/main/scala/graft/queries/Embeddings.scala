@@ -175,9 +175,28 @@ object Embeddings {
         .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
       val corpus = base.unionAll(pert)
       val bandKeys = srpBandKeys(bands = 4, rows = 16)
+      // bands feed three consumers (the bucket-size agg and both
+      // self-join sides). All three need the same (band_id, bkey)
+      // shuffle, so at cluster scale (sort-merge joins) AQE dedups the
+      // subtree into ONE exchange + ReusedExchange reads — the SRP
+      // kernel runs once per corpus row without any manual caching
+      // (pinned by EmbeddingsQuerySpec). Under local broadcast-join
+      // thresholds the tiny side recomputes instead, which is the
+      // cheaper choice at that scale anyway.
       val bands = corpus
         .select(col("vec_id"), posexplode(bandKeys(col("v"))).as(Seq("band_id", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
+      // mega-bucket guard (same doctrine as d08): a bucket of B members
+      // yields B^2/2 candidate pairs, so one dense cluster (a viral
+      // template, a zero vector) would go quadratic — drop buckets over
+      // the cap before the self-join. Cap 64 drops nothing at test SFs
+      // (max bucket ~30); the oracle mirrors it so the pin holds
+      // wherever it fires.
+      val keptBuckets = bands.groupBy(col("band_id"), col("bkey"))
+        .agg(count(lit(1)).as("n_in_bucket"))
+        .filter(col("n_in_bucket") <= 64)
+        .select(col("band_id"), col("bkey"))
+      val pruned = bands.join(keptBuckets, Seq("band_id", "bkey"))
+      val cand = pruned.as("a").join(pruned.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("orig_id"), col("b.vec_id").as("dup_id"))
@@ -334,9 +353,14 @@ object Embeddings {
             FROM base WHERE vec_id < 10),
           corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
           bands AS ($bandsSql),
+          kept AS (SELECT band_id, bkey FROM bands
+                   GROUP BY band_id, bkey HAVING count(*) <= 64),
+          pruned AS (SELECT b.vec_id, b.band_id, b.bkey
+                     FROM bands b JOIN kept k
+                       ON b.band_id = k.band_id AND b.bkey = k.bkey),
           cand AS (
             SELECT DISTINCT a.vec_id AS orig_id, b.vec_id AS dup_id
-            FROM bands a JOIN bands b
+            FROM pruned a JOIN pruned b
               ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
           pairs AS (
             SELECT c.orig_id, c.dup_id,

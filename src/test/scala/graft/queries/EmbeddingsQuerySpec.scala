@@ -43,6 +43,21 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     keys.foreach(k => assert(k >= 0L && k < (1L << 16)))
   }
 
+  test("e08 at cluster scale reuses the bands exchange (SRP kernel runs once)") {
+    // bands feed three consumers; under sort-merge joins (the 100 TB
+    // regime — force it by disabling broadcast) all three hang off the
+    // same (band_id, bkey) shuffle and AQE must dedup it into
+    // ReusedExchange reads instead of recomputing the kernel subtree
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Embeddings.queries("e08_embedding_neardup")(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(plan).nonEmpty, plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("e08 finds exactly the injected perturbed near-dups at sf0.001") {
     val rows = Embeddings.queries("e08_embedding_neardup")(spark, "/root/testdata/sf0.001")
       .collect()
