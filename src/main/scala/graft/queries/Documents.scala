@@ -59,6 +59,14 @@ object Documents {
   private[queries] val BpePattern =
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
+  /** PII patterns, lookaround-free so Java regex and RE2 agree. Phone
+    * deliberately loose (leading +, 9+ of digits/space/()-, digit end) —
+    * the C4/Dolma-style scrub favors recall; dots keep IPv4s out of it.
+    */
+  private[queries] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[queries] val PiiPhone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // — text analysis —
@@ -276,6 +284,35 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing (the redaction pass a training-data pipeline runs
+    // before publishing a corpus): emails, IPv4s, then phone numbers
+    // replaced by typed placeholders, with per-class counts measured on
+    // the original text and an md5 pin of the fully-redacted output.
+    // Order matters (email bodies contain digits; IPs would otherwise
+    // be half-eaten by the loose phone pattern) and is identical in the
+    // oracle. Crafted rows injected — the corpus itself has no PII.
+    // Per-row regexp work: one scan, no shuffle.
+    "t12_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val extra = Seq(
+        (1000000L, "contact john.doe+spam@example.co.uk or call +1-555-123-4567 now"),
+        (1000001L, "server 192.168.1.254 and 10.0.0.1:8080 admin@local host"),
+        (1000002L, "(555) 987-6543 backup mail root@corp.example.com ip 8.8.8.8"))
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionAll(extra.toDF("doc_id", "text"))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        PiiEmail, "<email>"), PiiIp, "<ip>"), PiiPhone, "<phone>")
+      all.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0))).cast("long")
+            .as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(PiiIp), lit(0))).cast("long").as("n_ips"),
+          size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0))).cast("long")
+            .as("n_phones"),
+          md5(redacted).as("redacted_md5"),
+          (length(col("text")) - length(redacted)).cast("long").as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -348,6 +385,71 @@ object Documents {
     // linear instead of picking up ~10k^2/2 pairs from one template;
     // n_mega_buckets in the output proves the guard fired and the base
     // corpus's near-dup results are unchanged by the cluster's presence.
+    // Paragraph-level corpus dedup (the C4/Dolma scrub): split documents
+    // into '. '-separated paragraphs, keep only the globally FIRST
+    // occurrence of each exact paragraph (min (doc_id, idx) over its
+    // md5), reassemble the surviving text per document. The corpus has
+    // no multi-paragraph docs, so 50 boilerplate docs sharing a middle
+    // paragraph are injected (identically in the oracle): doc 2000000
+    // keeps all 3 paragraphs, the other 49 lose the shared one.
+    //
+    // Scale shape: the dedup shuffle carries (md5, doc_id, idx) — never
+    // paragraph text; survivors re-join paragraphs by (doc_id, idx) and
+    // reassemble with an order-preserving collect per doc. At 100 TB
+    // this is the exact Dolma paragraph-dedup topology (hash-partition
+    // by paragraph fingerprint, rank, anti-join back).
+    "d09_paragraph_dedup" -> ((s, dir) => {
+      val extra = s.range(50).select((col("id") + 2000000L).as("doc_id"),
+        concat(lit("intro segment "), col("id").cast("string"),
+          lit(". shared boilerplate cookie notice. unique tail "),
+          col("id").cast("string")).as("text"))
+      val all = docs(s, dir).select(col("doc_id"), col("text")).unionAll(extra)
+      val pars = all.select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("idx", "par")))
+      // rank on hashes only; text stays partition-local
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+      val keptKeys = pars
+        .select(col("doc_id"), col("idx"), md5(col("par")).as("h"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("idx"))
+      val reassembled = pars.join(keptKeys, Seq("doc_id", "idx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(". ",
+            expr("transform(array_sort(collect_list(struct(idx, par))), x -> x.par)")))
+            .as("kept_md5"))
+      all.select(col("doc_id"),
+          size(split(col("text"), "\\. ")).cast("long").as("n_pars"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pars"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination (the GPT-3-style eval-set scrub): flag
+    // training documents sharing any token 5-gram with the benchmark
+    // set — here docs 3 and 7 stand in for the eval corpus, so the
+    // operator provably catches them (full overlap) plus every doc with
+    // a colliding 5-gram. The benchmark shingle set is tiny and
+    // BROADCAST; the corpus side streams through a map-side hash join —
+    // at 100 TB nothing shuffles but the per-doc hit counts.
+    "d10_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shingled = d.select(col("doc_id"),
+        array_distinct(wordShingles(col("text"), 5)).as("shs"))
+      val sh = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val bench = sh.filter(col("doc_id").isin(3L, 7L)).select(col("sh")).distinct()
+      val hits = sh.join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      shingled.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+        .join(hits, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 6).as("contam_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d08_neardup_skewed" -> ((s, dir) => {
       val viral = s.range(ViralDocs)
         .select((col("id") + 1000000L).as("doc_id"),
@@ -583,6 +685,28 @@ object Documents {
             CAST(len(list_filter(toks, x -> regexp_full_match(x, '\\s+'))) AS BIGINT) AS n_ws
           FROM t ORDER BY doc_id"""
     },
+    "t12_pii_redact" ->
+      s"""WITH docs_all AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+              (1000000, 'contact john.doe+spam@example.co.uk or call +1-555-123-4567 now'),
+              (1000001, 'server 192.168.1.254 and 10.0.0.1:8080 admin@local host'),
+              (1000002, '(555) 987-6543 backup mail root@corp.example.com ip 8.8.8.8'))
+              t(doc_id, text)),
+          r AS (SELECT doc_id, text,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$PiiEmail', '<email>', 'g'),
+              '$PiiIp', '<ip>', 'g'),
+              '$PiiPhone', '<phone>', 'g') AS red
+            FROM docs_all)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$PiiEmail')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$PiiIp')) AS BIGINT) AS n_ips,
+            CAST(len(regexp_extract_all(text, '$PiiPhone')) AS BIGINT) AS n_phones,
+            md5(red) AS redacted_md5,
+            CAST(length(text) - length(red) AS BIGINT) AS len_delta
+          FROM r ORDER BY doc_id""",
     "d01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keeper_doc_id, count(*) AS n_docs
@@ -640,6 +764,49 @@ object Documents {
                       + (CASE WHEN cnt[CAST(k*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
                1)), '') AS simhash64
          FROM c ORDER BY doc_id""",
+    "d10_decontaminate" -> {
+      val shingleSql =
+        s"""list_distinct(list_transform(
+              range(0, greatest(len($tokSqlDuck) - 5, 0) + 1),
+              i -> array_to_string(list_slice($tokSqlDuck,
+                     CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' ')))"""
+      s"""WITH shingled AS (SELECT doc_id, $shingleSql AS shs FROM documents),
+          sh AS (SELECT doc_id, unnest(shs) AS sh FROM shingled),
+          bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id IN (3, 7)),
+          hits AS (SELECT s.doc_id, count(*) AS n_hits
+                   FROM sh s JOIN bench b ON s.sh = b.sh GROUP BY s.doc_id)
+          SELECT n.doc_id, CAST(len(n.shs) AS BIGINT) AS n_shingles,
+            CAST(h.n_hits AS BIGINT) AS n_hits,
+            round(CAST(h.n_hits AS DOUBLE) / len(n.shs), 6) AS contam_frac
+          FROM shingled n JOIN hits h ON n.doc_id = h.doc_id
+          ORDER BY n.doc_id"""
+    },
+    "d09_paragraph_dedup" ->
+      """WITH docs_all AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(2000000 + i AS BIGINT) AS doc_id,
+             'intro segment ' || i || '. shared boilerplate cookie notice. unique tail ' || i
+             AS text
+           FROM range(50) t(i)),
+         pars AS (SELECT doc_id,
+             unnest(range(0, len(parts))) AS idx,
+             unnest(parts) AS par
+           FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM docs_all) d),
+         ranked AS (SELECT doc_id, idx, par,
+             row_number() OVER (PARTITION BY md5(par) ORDER BY doc_id, idx) AS rn
+           FROM pars),
+         kept AS (SELECT doc_id, idx, par FROM ranked WHERE rn = 1),
+         reassembled AS (
+           SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(par, '. ' ORDER BY idx)) AS kept_md5
+           FROM kept GROUP BY doc_id)
+         SELECT a.doc_id,
+           CAST(len(string_split(a.text, '. ')) AS BIGINT) AS n_pars,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.kept_md5, md5('')) AS kept_md5
+         FROM docs_all a LEFT JOIN reassembled r ON a.doc_id = r.doc_id
+         ORDER BY a.doc_id""",
     "d07_neardup_pipeline" ->
       neardupOracleSql("SELECT doc_id, text FROM documents"),
     "d08_neardup_skewed" ->

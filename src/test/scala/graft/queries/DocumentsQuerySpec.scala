@@ -41,6 +41,40 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks == Seq("I", "'m", " sure", " we", "'ve", " seen", " 42", " cats", "!"))
   }
 
+  test("t12 PII redaction scrubs emails, IPs and phones in order") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Documents.queries("t12_pii_redact")(s, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 1000000L).collect()
+    assert(out.length == 3)
+    // crafted row 1000000: one email, one phone
+    assert(out(0).getLong(1) == 1L && out(0).getLong(3) == 1L)
+    // crafted row 1000001: two IPs, zero emails (admin@local has no TLD)
+    assert(out(1).getLong(2) == 2L && out(1).getLong(1) == 0L)
+  }
+
+  test("d09 paragraph dedup keeps the first occurrence of shared boilerplate") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val out = Documents.queries("d09_paragraph_dedup")(s, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 2000000L).collect()
+    assert(out.length == 50)
+    // first injected doc keeps all 3 paragraphs; later ones lose the
+    // shared boilerplate paragraph
+    assert(out.head.getLong(1) == 3L && out.head.getLong(2) == 3L)
+    out.tail.foreach(r => assert(r.getLong(1) == 3L && r.getLong(2) == 2L))
+  }
+
+  test("d10 decontamination flags the benchmark docs at full overlap") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val out = Documents.queries("d10_decontaminate")(s, "/root/testdata/sf0.001").collect()
+    val flagged = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(flagged.contains(3L) && flagged(3L) == 1.0)
+    assert(flagged.contains(7L) && flagged(7L) == 1.0)
+  }
+
   test("neardupSummary leaves no cached intermediates behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = Documents.neardupSummary(corpus(200))
