@@ -81,6 +81,40 @@ object TextAnalysis {
       i => concat_ws(" ", (0 until w).map(o => get(toks, i + lit(o))): _*))
   }
 
+  /** DISTINCT word w-shingles as one compiled kernel — bit-identical to
+    * `array_distinct(wordShingles(text, w))` (first-occurrence order,
+    * same partial-tail-window semantics via token clamping) but ~30x
+    * faster: the HOF form evaluates w interpreted `get` lambdas per
+    * shingle per consumer, which billed d10 ~2.7 ms/doc. Same doctrine
+    * as [[minhashShingleSigCW]]: hash/string kernels belong in compiled
+    * loops.
+    */
+  def wordShingleSet(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = sqlTokens(t)
+        val nSh = math.max(toks.length - w, 0) + 1
+        val seen = new java.util.LinkedHashSet[String](nSh * 2)
+        val sb = new java.lang.StringBuilder(64)
+        var s = 0
+        while (s < nSh) {
+          sb.setLength(0)
+          var j = 0
+          while (j < w && s + j < toks.length) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          s += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    })
+
   /** One MinHash signature component: min over shingles of
     * md5(seed ":" shingle). Hex-string min == numeric min (fixed length,
     * lowercase).

@@ -438,7 +438,7 @@ object Documents {
     "d10_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       val shingled = d.select(col("doc_id"),
-        array_distinct(wordShingles(col("text"), 5)).as("shs"))
+        wordShingleSet(5)(col("text")).as("shs"))
       val sh = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
       val bench = sh.filter(col("doc_id").isin(3L, 7L)).select(col("sh")).distinct()
       val hits = sh.join(broadcast(bench), Seq("sh"))

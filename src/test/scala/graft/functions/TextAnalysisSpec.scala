@@ -119,6 +119,22 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigs(0) != sigs(2))
   }
 
+  test("wordShingleSet kernel == array_distinct(wordShingles) HOF form") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again the quick brown fox",
+      "short",
+      "a b c d",                    // fewer tokens than w -> one partial shingle
+      " leading and trailing  ",    // SQL trim/split edge semantics
+      "dup dup dup dup dup dup dup dup")
+    val df = onTexts(texts)
+    val rows = df.select(
+      TextAnalysis.wordShingleSet(5)(col("text")).as("kernel"),
+      array_distinct(TextAnalysis.wordShingles(col("text"), 5)).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
   test("winnowing: rolling kernel matches naive gram hashes + window minima") {
     // naive reference: recompute every k-gram hash from scratch, take
     // min per window, distinct — the construction the oracle SQL uses
