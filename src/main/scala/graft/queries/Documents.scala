@@ -355,7 +355,7 @@ object Documents {
 
     "d05_simhash" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), simhash16Expr("text").as("simhash"))
+        .select(col("doc_id"), simhash16(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 

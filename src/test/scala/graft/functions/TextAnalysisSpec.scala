@@ -119,6 +119,18 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigs(0) != sigs(2))
   }
 
+  test("simhash16 kernel == simhash16Expr SQL form") {
+    val texts = Seq(
+      "the quick brown fox", "single", "a a a a a a",
+      (1 to 200).map(i => s"tok$i").mkString(" "),
+      "hello\n", "\thello", "\n\nhello world\t\n", " \t spaced \n ")
+    val df = onTexts(texts)
+    val rows = df.select(
+      TextAnalysis.simhash16(col("text")).as("kernel"),
+      TextAnalysis.simhash16Expr("text").as("sql_form")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("wordShingleSet kernel == array_distinct(wordShingles) HOF form") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog again the quick brown fox",
