@@ -313,6 +313,38 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test assignment (the reference pairs its
+    // dedup with a deterministic split, resiliparse-py/resiliparse/cli
+    // .py:295-334 — but positional splits need a global sort; hashing
+    // the stable doc_id gives the same determinism SHUFFLE-FREE, the
+    // standard at corpus scale): bucket = first two hex chars of
+    // md5(doc_id) as an integer, <204 train (~80%), <230 val (~10%),
+    // else test. One scan + a 3-group aggregate.
+    "t13_train_split" -> ((s, dir) => {
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+      docs(s, dir)
+        .select(col("n_chars"),
+          when(v < 204, "train").when(v < 230, "val").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // Corpus vocabulary head (the BPE/tokenizer-training prerequisite
+    // and the canonical map-side-combine wordcount): global token
+    // frequency and document frequency, top 25. The partial aggregate
+    // collapses each partition's counts before the shuffle, so the
+    // exchange carries (token, count) pairs — at 100 TB this is the
+    // one-pass vocab builder.
+    "t14_vocab" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("tok"))
+        .limit(25)
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -685,6 +717,22 @@ object Documents {
             CAST(len(list_filter(toks, x -> regexp_full_match(x, '\\s+'))) AS BIGINT) AS n_ws
           FROM t ORDER BY doc_id"""
     },
+    "t13_train_split" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+             (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS v
+           FROM documents)
+         SELECT CASE WHEN v < 204 THEN 'train' WHEN v < 230 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "t14_vocab" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents)
+          SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+          FROM t GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 25""",
     "t12_pii_redact" ->
       s"""WITH docs_all AS (
             SELECT doc_id, text FROM documents
