@@ -449,6 +449,52 @@ object Warc {
           col("rw.html").as("html"))
         .orderBy(col("doc_id"))
     }),
+
+    // THE pipeline this engine exists for, end to end: 25,600 real web
+    // pages (the w17-w19 corpus) -> scan(responses) -> decode + HTML
+    // parse + extract_plain_text (native expression) -> 101-language
+    // detect -> quality gate (en, >= 50 tokens) -> exact dedup by
+    // content fingerprint -> deterministic hash split (t13's rule).
+    //
+    // Shaped for one extraction pass: every per-page signal projects in
+    // a single scan-stage select; the only shuffle groups 32-char
+    // fingerprints (copies of a page collapse map-side), and the final
+    // agg is one row. At 100 TB: scan-parallel extraction, fp-keyed
+    // combine, O(unique docs) shuffle — nothing else moves.
+    //
+    // Oracle is a disclosed self-pin (VALUES) like w19: DuckDB cannot
+    // run the extraction chain. The corpus is 16 files x 100 copies of
+    // the 16 fixture pages (mostly zh — see the w16 histogram), so the
+    // gate is token count only and the output tracks language DIVERSITY
+    // of the surviving set rather than filtering to one language.
+    "w29_training_pipeline" -> ((s, _) => {
+      import graft.functions.Web
+      val dir = graft.sources.BenchCorpus.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
+        files = 16, copiesPerFile = 100)
+      val perPage = s.read.format("warc")
+        .option("record_types", "response")
+        .load(dir)
+        .select(Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
+        .filter(col("text").isNotNull)
+        .select(md5(col("text")).as("fp"),
+          Web.detectLang(col("text")).getField("lang").as("lang"),
+          (graft.functions.TextAnalysis.tokenCount(col("text")) >= 50).cast("int")
+            .as("long_enough"))
+      val perFp = perPage.groupBy(col("fp"))
+        .agg(count(lit(1)).as("copies"),
+          max(col("lang")).as("lang"),
+          max(col("long_enough")).as("qual"))
+      val v = conv(substring(col("fp"), 1, 2), 16, 10).cast("long")
+      perFp.agg(
+        sum(col("copies")).as("n_pages"),
+        sum(col("copies") * col("qual")).as("n_quality_pages"),
+        sum(col("qual")).as("n_unique_docs"),
+        count_distinct(when(col("qual") === 1, col("lang"))).as("n_langs"),
+        sum(when(col("qual") === 1 && v < 204, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("qual") === 1 && v >= 204 && v < 230, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("qual") === 1 && v >= 230, 1L).otherwise(0L)).as("n_test"))
+    }),
   )
 
   /** Ground truth derived independently from the fixture bytes (python
@@ -550,6 +596,17 @@ object Warc {
     "w19_html_extract10k" ->
       """SELECT CAST(25600 AS BIGINT) AS n_docs,
          CAST(81867200 AS BIGINT) AS total_len""",
+    // disclosed self-pin (extraction + lang detect are not expressible
+    // in DuckDB): 16 files x 100 copies x 16 response pages all extract
+    // and pass the 50-token gate; dedup collapses them to the 16 unique
+    // fixture pages spanning 7 detected languages; the fp-hash split
+    // assigns 14/1/1
+    "w29_training_pipeline" ->
+      """SELECT CAST(25600 AS BIGINT) AS n_pages,
+         CAST(25600 AS BIGINT) AS n_quality_pages,
+         CAST(16 AS BIGINT) AS n_unique_docs, CAST(7 AS BIGINT) AS n_langs,
+         CAST(14 AS BIGINT) AS n_train, CAST(1 AS BIGINT) AS n_val,
+         CAST(1 AS BIGINT) AS n_test""",
     // the oracle RECOMPUTES the decoded digests from the same plaintext
     // constructions the fixture writer uses — a drift in any decode step
     // (gunzip, inflate, brotli, dechunk, chain order) breaks the hash

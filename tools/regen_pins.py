@@ -40,7 +40,7 @@ REPO = os.path.dirname(HERE)
 PINNED = [
     "w09_warc_mime", "w10_warc_encodings", "w11_warc_decoded_text",
     "w16_warc_langs", "t04_lang_detect", "t05_train_vectors",
-    "t06_lang_metrics",
+    "t06_lang_metrics", "w19_html_extract10k", "w29_training_pipeline",
 ]
 PIN_FILES = {  # where each pin lives, for the paste instruction
     "w": "src/main/scala/graft/queries/Warc.scala",
@@ -112,6 +112,13 @@ def fmt_t06(df):
             "         t(lang, support, tp, n_pred, precision, recall, f1) ORDER BY lang")
 
 
+def fmt_single_row_bigints(df):
+    """One-row pin of BIGINT counters (w19, w29): emit column order as-is."""
+    r = df.iloc[0]
+    cols = [f"CAST({int(r[c])} AS BIGINT) AS {c}" for c in df.columns]
+    return "SELECT " + ",\n         ".join(cols)
+
+
 FORMATTERS = {
     "w09_warc_mime": lambda df: fmt_hist(df, "mime"),
     "w10_warc_encodings": lambda df: fmt_hist(df, "enc"),
@@ -120,6 +127,8 @@ FORMATTERS = {
     "t04_lang_detect": fmt_t04,
     "t05_train_vectors": fmt_t05,
     "t06_lang_metrics": fmt_t06,
+    "w19_html_extract10k": fmt_single_row_bigints,
+    "w29_training_pipeline": fmt_single_row_bigints,
 }
 
 
