@@ -183,6 +183,53 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kernels match reference forms on 150 random texts (fixed seed)") {
+    // seeded fuzz across the compiled kernels and their slow reference
+    // renditions: random lengths, alphabets including digits/punct/
+    // unicode/edge whitespace — the space the deterministic cases above
+    // can't enumerate
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val alphabets = Array(
+      "abcdefgh ",
+      "ab 12.,! ",
+      "the of and a is to in x y z ",
+      "日本語中文한국어 ",
+      " \t\nabc\r")
+    val texts = (0 until 150).map { _ =>
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      val n = rnd.nextInt(400)
+      (0 until n).map(_ => a.charAt(rnd.nextInt(a.length))).mkString
+    }
+    val df = onTexts(texts)
+    // winnowing vs naive recompute
+    def naiveWin(n: String, k: Int, w: Int): (Long, Long) = {
+      val B = 257L; val M = 1000000007L
+      if (n.length < k) (0L, 0L)
+      else {
+        val hs = (0 to n.length - k).map { i =>
+          n.substring(i, i + k).foldLeft(0L)((h, c) => (h * B + c) % M)
+        }
+        val fps = (0 until math.max(hs.length - w + 1, 1))
+          .map(i => hs.slice(i, i + w).min).distinct
+        (hs.length.toLong, fps.length.toLong)
+      }
+    }
+    val rows = df.select(
+      TextAnalysis.winnowNorm(col("text")).as("n"),
+      TextAnalysis.winnowFingerprint(5, 4)(TextAnalysis.winnowNorm(col("text"))).as("fp"),
+      TextAnalysis.simhash16(col("text")).as("sh_kernel"),
+      TextAnalysis.simhash16Expr("text").as("sh_sql"),
+      TextAnalysis.wordShingleSet(3)(col("text")).as("shs_kernel"),
+      array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("shs_hof")).collect()
+    rows.foreach { r =>
+      val (ng, nf) = naiveWin(r.getString(0), 5, 4)
+      assert(r.getStruct(1).getLong(0) == ng && r.getStruct(1).getLong(1) == nf,
+        s"winnow mismatch on '${r.getString(0).take(60)}'")
+      assert(r.getLong(2) == r.getLong(3), "simhash16 kernel != SQL form")
+      assert(r.getSeq[String](4) == r.getSeq[String](5), "shingle kernel != HOF")
+    }
+  }
+
   test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
     val shared = "identicalsequencehere"  // 21 chars >= 5+4-1
     val df = onTexts(Seq(s"prefix one $shared suffix alpha",

@@ -54,6 +54,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming ingest dedups repeated page content across micro-batches") {
+    // the streaming counterpart of d01 exact dedup: a landing dir keeps
+    // receiving archives that re-crawl the same pages; watermarked
+    // stateful dedup on the content fingerprint emits each page ONCE
+    // and lets Spark expire state past the watermark (bounded memory at
+    // 100 TB ingest — an unbounded dropDuplicates would never GC)
+    val landing = Files.createTempDirectory("warc-landing-dedup")
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    Files.copy(src, landing.resolve("crawl-a.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.format("warc")
+      .option("record_types", "response").load(landing.toString)
+      .select(col("record_date").as("ts"), md5(col("http_body")).as("fp"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("fp")
+    val query = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM dedup_stream").head.getLong(0)
+      val uniq = spark.sql("SELECT count(DISTINCT fp) FROM dedup_stream").head.getLong(0)
+      assert(n1 == uniq, "each fingerprint must be emitted exactly once")
+      assert(n1 > 0L)
+      // a re-crawl of the SAME pages lands: no new rows may be emitted
+      Files.copy(src, landing.resolve("crawl-b.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+      query.processAllAvailable()
+      val n2 = spark.sql("SELECT count(*) FROM dedup_stream").head.getLong(0)
+      assert(n2 == n1, s"re-crawled duplicates leaked: $n1 -> $n2")
+    } finally query.stop()
+  }
+
   test("stream restart from checkpoint does not re-read consumed archives") {
     // exercises offset serialization round-trips (the compact
     // cutoff+files form) across a query restart
