@@ -345,6 +345,28 @@ object Documents {
         .limit(25)
     }),
 
+    // Source-weighted subsampling (the data-MIXING stage: every corpus
+    // recipe downweights some sources and upweights others before
+    // training). Deterministic and shuffle-free: each source's keep
+    // rate derives from its name hash (20..95% — stand-in for the
+    // config table a real recipe would broadcast), and a document is
+    // kept iff the first byte of md5(source:doc_id) falls under the
+    // rate. Rerunning anywhere reproduces the same sample — the
+    // property that makes a mix auditable.
+    "t15_source_mix" -> ((s, dir) => {
+      val rate = lit(20L) +
+        conv(substring(md5(col("source")), 1, 1), 16, 10).cast("long") * 5L
+      val v = conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 2),
+        16, 10).cast("long")
+      docs(s, dir)
+        .select(col("source"), rate.as("rate_pct"),
+          when(v * 100 < rate * 256, 1L).otherwise(0L).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("rate_pct")).as("rate_pct"),
+          sum(col("keep")).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -733,6 +755,19 @@ object Documents {
       s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents)
           SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
           FROM t GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 25""",
+    "t15_source_mix" ->
+      """WITH s AS (SELECT source, doc_id,
+           20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5
+             AS rate_pct,
+           (strpos('0123456789abcdef',
+              substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+              substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS v
+         FROM documents)
+         SELECT source, count(*) AS n_docs, CAST(max(rate_pct) AS BIGINT) AS rate_pct,
+           CAST(sum(CASE WHEN v * 100 < rate_pct * 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+         FROM s GROUP BY source ORDER BY source""",
     "t12_pii_redact" ->
       s"""WITH docs_all AS (
             SELECT doc_id, text FROM documents
