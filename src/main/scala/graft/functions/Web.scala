@@ -109,6 +109,19 @@ object Web {
     (c, cs, sel) => f(c, cs, org.apache.spark.sql.functions.lit(sel))
   }
 
+  /** extract_links(content, charset, base_url) -> array<string> of
+    * absolutized a[href] targets in document order (the link-graph /
+    * frontier extraction pass).
+    */
+  val extractLinks: (Column, Column, Column) => Column = {
+    val f = udf((data: Array[Byte], charset: String, base: String) =>
+      if (data == null) null
+      else graft.html.HtmlRewrite.collectLinks(
+        graft.html.HtmlTree.decodeForParse(data, charset),
+        if (base == null) "" else base))
+    (c, cs, b) => f(c, cs, b)
+  }
+
   // — DOM mutation / rewrite (html.pyx:1216-1332 surface, packaged as
   //   whole-document transforms — see graft.html.HtmlRewrite) —
 

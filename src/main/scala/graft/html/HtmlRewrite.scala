@@ -77,4 +77,36 @@ object HtmlRewrite {
     }
     (tree.document.html, n)
   }
+
+  /** Collect every `a[href]` target absolutized against `baseUrl`, in
+    * document order (the link-graph extraction pass; same skip rules as
+    * [[absolutizeLinks]] — fragments, javascript:/mailto:/data: are not
+    * links). Values that fail RFC 3986 resolution are dropped.
+    */
+  def collectLinks(html: String, baseUrl: String): Seq[String] = {
+    val base =
+      try new java.net.URI(baseUrl)
+      catch { case _: Exception => null }
+    val tree = HtmlTree.parse(html)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    DomTraversal.preOrder(tree.document) { node =>
+      if (node.isElement && node.tag == "a") {
+        node.getattr("href").foreach { v =>
+          val t = v.trim
+          if (t.nonEmpty && !t.startsWith("#") &&
+              !t.regionMatches(true, 0, "javascript:", 0, 11) &&
+              !t.regionMatches(true, 0, "mailto:", 0, 7) &&
+              !t.regionMatches(true, 0, "data:", 0, 5)) {
+            if (t.matches("(?i)[a-z][a-z0-9+.-]*:.*")) out += t
+            else if (base != null) {
+              try out += base.resolve(t).toString
+              catch { case _: Exception => () }
+            }
+          }
+        }
+      }
+      true
+    }
+    out.toSeq
+  }
 }

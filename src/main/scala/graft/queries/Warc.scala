@@ -389,6 +389,35 @@ object Warc {
              max(col("n")).as("max_per_host"))
     }),
 
+    // Host-level link graph over the real fixture pages: DOM-extract
+    // every a[href], absolutize against each record's own WARC-Target-
+    // URI (RFC 3986), aggregate (src_host -> dst_host) edges. The crawl
+    // -frontier / PageRank-prep pass; at corpus scale the edge list is
+    // the shuffle (two small host strings per link) and the page bytes
+    // never leave the scan stage. Self-pinned totals (DuckDB cannot
+    // parse HTML).
+    "w30_link_graph" -> ((s, _) => {
+      import graft.functions.{WarcCols, Web}
+      val edges = scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(WarcCols.targetUri(col("headers")).as("uri"),
+          col("http_body"), col("http_charset"))
+        .select(lower(expr("parse_url(uri, 'HOST')")).as("src_host"),
+          explode(Web.extractLinks(col("http_body"), col("http_charset"), col("uri")))
+            .as("link"))
+        .select(col("src_host"), lower(expr("parse_url(link, 'HOST')")).as("dst_host"))
+        .filter(col("dst_host").isNotNull)
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+      edges.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("n_links")).as("n_links"),
+        count_distinct(col("src_host")).as("n_src_hosts"),
+        count_distinct(col("dst_host")).as("n_dst_hosts"),
+        sum(when(col("src_host") =!= col("dst_host"), col("n_links")).otherwise(0L))
+          .as("n_external_links"))
+    }),
+
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
     // the main content of real pages: the Chinese/Korean/Russian pages
     // of the fixture corpus detect as such.
@@ -658,6 +687,14 @@ object Warc {
     "w26_host_stats" ->
       """SELECT CAST(16 AS BIGINT) AS n_responses, CAST(15 AS BIGINT) AS n_hosts,
          CAST(2 AS BIGINT) AS max_per_host""",
+    // disclosed self-pin (HTML link extraction is not expressible in
+    // DuckDB): the 16 real pages carry 1195 resolvable <a href> links
+    // spanning 126 destination hosts; most links are intra-site nav
+    // (164 external)
+    "w30_link_graph" ->
+      """SELECT CAST(127 AS BIGINT) AS n_edges, CAST(1195 AS BIGINT) AS n_links,
+         CAST(15 AS BIGINT) AS n_src_hosts, CAST(126 AS BIGINT) AS n_dst_hosts,
+         CAST(164 AS BIGINT) AS n_external_links""",
     // 1600 copies of the 50-record fixture: 80,000 records.
     "w17_warc_scan10k" ->
       """SELECT CAST(80000 AS BIGINT) AS n_records,

@@ -114,4 +114,19 @@ class HtmlMutationSpec extends AnyFunSuite {
     assert(n == 1 && out.contains("href=\"http://e.example/x\""))
     assert(out.contains("::bad url::"))
   }
+
+  test("collectLinks resolves anchors and skips non-link schemes") {
+    val h = """<body><a href="/p/1">r</a><a href="sub/2">s</a>
+      <a href="https://other.example/abs">a</a><a href="#frag">f</a>
+      <a href="mailto:x@e.com">m</a><a href="javascript:void(0)">j</a>
+      <img src="/not-an-anchor.png"><a>no href</a></body>"""
+    val links = HtmlRewrite.collectLinks(h, "http://site.example/dir/page.html")
+    assert(links == Seq(
+      "http://site.example/p/1",
+      "http://site.example/dir/sub/2",
+      "https://other.example/abs"))
+    // unparseable base: absolute links still come through, relatives drop
+    val links2 = HtmlRewrite.collectLinks(h, "not a uri ::")
+    assert(links2 == Seq("https://other.example/abs"))
+  }
 }

@@ -41,6 +41,7 @@ PINNED = [
     "w09_warc_mime", "w10_warc_encodings", "w11_warc_decoded_text",
     "w16_warc_langs", "t04_lang_detect", "t05_train_vectors",
     "t06_lang_metrics", "w19_html_extract10k", "w29_training_pipeline",
+    "w30_link_graph",
 ]
 PIN_FILES = {  # where each pin lives, for the paste instruction
     "w": "src/main/scala/graft/queries/Warc.scala",
@@ -129,6 +130,7 @@ FORMATTERS = {
     "t06_lang_metrics": fmt_t06,
     "w19_html_extract10k": fmt_single_row_bigints,
     "w29_training_pipeline": fmt_single_row_bigints,
+    "w30_link_graph": fmt_single_row_bigints,
 }
 
 
