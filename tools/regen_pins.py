@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Regenerate / audit the self-pinned VALUES oracles.
 
-Seven oracle rows are "self-pinned": their DuckDB SQL is a static VALUES
+Ten oracle rows are "self-pinned": their DuckDB SQL is a static VALUES
 literal recording the deterministic output of this engine's own kernels
 (ICU charset detection, the ported 101-language detector, the decode
-ladder) over fixed inputs:
+ladder, HTML extraction and the end-to-end pipeline totals) over fixed
+inputs:
 
     w09_warc_mime  w10_warc_encodings  w11_warc_decoded_text
     w16_warc_langs t04_lang_detect     t05_train_vectors  t06_lang_metrics
+    w19_html_extract10k  w29_training_pipeline  w30_link_graph
 
 Those pins are regression locks, not independent ground truth. This script
 closes the audit loop two ways:
