@@ -14,20 +14,21 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-reader initialization otherwise
     // lands entirely on whichever query happens to run first (it inflated
     // round-1 t03 by ~3s)
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/nation.parquet")
-        .write.format("noop").mode("overwrite").save()
-      // events is the one TIMESTAMP(NANOS) table and the only JSON
-      // consumer: touch both paths so the legacy-nanos reader and the
-      // JSON expression codegen don't bill their init (~2s) to whichever
-      // events query the map happens to order first
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .selectExpr("get_json_object(props, '$.k')")
-        .write.format("noop").mode("overwrite").save()
-      spark.read.format("warc")
-        .load("/root/reference/tests/data/warcfile.warc.gz").count()
-    } catch { case _: Throwable => }
+    // each warmup in its own try: a failure in one (e.g. a scale dir
+    // without events.parquet) must not silently skip the others
+    def warm(f: => Unit): Unit = try f catch { case _: Throwable => }
+    warm(spark.range(1000000).selectExpr("sum(id)").collect())
+    warm(spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save())
+    // events is the one TIMESTAMP(NANOS) table and the only JSON
+    // consumer: touch both paths so the legacy-nanos reader and the
+    // JSON expression codegen don't bill their init (~2s) to whichever
+    // events query the map happens to order first
+    warm(spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("get_json_object(props, '$.k')")
+      .write.format("noop").mode("overwrite").save())
+    warm(spark.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc.gz").count())
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -248,8 +248,9 @@ object TextAnalysis {
             i += 1
           }
           // winnow: min per window of w via monotonic deque (indices of
-          // increasing hash value); ties keep the earliest index, which
-          // is value-identical to SQL list_min per window
+          // increasing hash value); the >= pop means ties keep the
+          // LATEST index — value-identical to SQL list_min per window
+          // (revisit if fingerprint POSITIONS are ever emitted)
           val nwin = math.max(nh - w + 1, 1)
           val sel = new Array[Long](nwin)
           val dq = new Array[Int](nh)

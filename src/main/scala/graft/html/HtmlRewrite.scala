@@ -39,14 +39,24 @@ object HtmlRewrite {
     "source" -> Seq("src"), "audio" -> Seq("src"), "video" -> Seq("src", "poster"),
     "embed" -> Seq("src"), "form" -> Seq("action"))
 
-  private def skipScheme(v: String): Boolean = {
-    val t = v.trim
+  /** Not a document link at all: empty, fragment-only, or a
+    * javascript:/mailto:/data: pseudo-target. Shared by the rewrite and
+    * the link-graph passes so they can never disagree on what counts as
+    * a link.
+    */
+  private def isNonLinkTarget(t: String): Boolean =
     t.isEmpty || t.startsWith("#") ||
       t.regionMatches(true, 0, "javascript:", 0, 11) ||
       t.regionMatches(true, 0, "mailto:", 0, 7) ||
-      t.regionMatches(true, 0, "data:", 0, 5) ||
-      // already absolute (has a scheme): leave untouched
-      t.matches("(?i)[a-z][a-z0-9+.-]*:.*")
+      t.regionMatches(true, 0, "data:", 0, 5)
+
+  private def hasScheme(t: String): Boolean =
+    t.matches("(?i)[a-z][a-z0-9+.-]*:.*")
+
+  private def skipScheme(v: String): Boolean = {
+    val t = v.trim
+    // non-links skipped; already-absolute (has a scheme) left untouched
+    isNonLinkTarget(t) || hasScheme(t)
   }
 
   /** Resolve every relative URL attribute against `baseUrl` (RFC 3986 via
@@ -93,11 +103,8 @@ object HtmlRewrite {
       if (node.isElement && node.tag == "a") {
         node.getattr("href").foreach { v =>
           val t = v.trim
-          if (t.nonEmpty && !t.startsWith("#") &&
-              !t.regionMatches(true, 0, "javascript:", 0, 11) &&
-              !t.regionMatches(true, 0, "mailto:", 0, 7) &&
-              !t.regionMatches(true, 0, "data:", 0, 5)) {
-            if (t.matches("(?i)[a-z][a-z0-9+.-]*:.*")) out += t
+          if (!isNonLinkTarget(t)) {
+            if (hasScheme(t)) out += t
             else if (base != null) {
               try out += base.resolve(t).toString
               catch { case _: Exception => () }

@@ -451,7 +451,13 @@ object Documents {
     // paragraph text; survivors re-join paragraphs by (doc_id, idx) and
     // reassemble with an order-preserving collect per doc. At 100 TB
     // this is the exact Dolma paragraph-dedup topology (hash-partition
-    // by paragraph fingerprint, rank, anti-join back).
+    // by paragraph fingerprint, rank, anti-join back). The paragraph
+    // explode IS evaluated twice (rank branch and re-join branch) —
+    // deliberate: folding them into one pass would push paragraph TEXT
+    // through the fingerprint-partitioned rank shuffle, where the very
+    // boilerplate being deduped makes the hottest keys the widest rows
+    // (skew). Re-scanning columnar storage is cheaper than shuffling
+    // skewed text; text moves once, keyed by uniform (doc_id, idx).
     "d09_paragraph_dedup" -> ((s, dir) => {
       val extra = s.range(50).select((col("id") + 2000000L).as("doc_id"),
         concat(lit("intro segment "), col("id").cast("string"),
@@ -491,14 +497,21 @@ object Documents {
     // at 100 TB nothing shuffles but the per-doc hit counts.
     "d10_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val shingled = d.select(col("doc_id"),
-        wordShingleSet(5)(col("text")).as("shs"))
-      val sh = shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val sh = d.select(col("doc_id"),
+        explode(wordShingleSet(5)(col("text"))).as("sh"))
+      // doc_id IN (3,7) pushes into the scan, so the bench branch runs
+      // the kernel over just the two benchmark docs
       val bench = sh.filter(col("doc_id").isin(3L, 7L)).select(col("sh")).distinct()
-      val hits = sh.join(broadcast(bench), Seq("sh"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-      shingled.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
-        .join(hits, Seq("doc_id"))
+      // ONE kernel pass over the corpus: the broadcast left join flags
+      // benchmark shingles in-stream, and the same aggregate counts both
+      // the doc's shingles and its hits (an inner-join + separate
+      // n_shingles branch would evaluate the shingle kernel twice over
+      // every document)
+      sh.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("n_shingles"), col("n_hits"),
           round(col("n_hits").cast("double") / col("n_shingles"), 6).as("contam_frac"))
         .orderBy(col("doc_id"))
