@@ -367,6 +367,35 @@ object Documents {
         .orderBy(col("source"))
     }),
 
+    // Context packing (the GPT-style pretraining layout: documents
+    // concatenate into one token stream per shard, chopped into
+    // fixed-length sequences). Packing is inherently sequential, so it
+    // runs per SOURCE shard — a partitioned window, never a global one
+    // (the 100 TB shape: each shard packs independently in parallel).
+    // Reports the packing efficiency a data engineer actually tunes:
+    // sequences produced, documents straddling a sequence boundary
+    // (whose loss masks degrade), and pad waste in the final sequence.
+    // Budget 256 tokens so the small corpus yields non-trivial packing.
+    "t16_context_packing" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("crosses",
+          when(expr("(cum - n_tokens) div 256") =!= expr("(cum - 1) div 256"), 1L)
+            .otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          expr("(max(cum) + 255) div 256").as("n_seqs"),
+          sum(col("crosses")).as("n_boundary_docs"),
+          expr("((max(cum) + 255) div 256) * 256 - max(cum)").as("n_pad_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -768,6 +797,22 @@ object Documents {
       s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents)
           SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
           FROM t GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 25""",
+    "t16_context_packing" ->
+      s"""WITH t AS (SELECT source, doc_id,
+            CAST(len($tokSqlDuck) AS BIGINT) AS n_tokens
+          FROM documents),
+          c AS (SELECT source, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+          SELECT source,
+            count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST((max(cum) + 255) // 256 AS BIGINT) AS n_seqs,
+            CAST(sum(CASE WHEN (cum - n_tokens) // 256 <> (cum - 1) // 256
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+            CAST((max(cum) + 255) // 256 * 256 - max(cum) AS BIGINT) AS n_pad_tokens
+          FROM c GROUP BY source ORDER BY source""",
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5
