@@ -11,8 +11,10 @@ import graft.Tables
   * deterministic ORDER BY). Design notes for 100 TB scale:
   *  - dimension joins are broadcast (region/nation/customer/supplier/part
   *    are tiny relative to facts);
-  *  - window specs always carry a total order (orderkey, linenumber) so
-  *    results are deterministic under any partitioning;
+  *  - window specs always carry a total order — (orderkey, linenumber,
+  *    quantity): the synthetic lineitem duplicates ~2% of (orderkey,
+  *    linenumber) pairs — so results are deterministic under any
+  *    partitioning;
   *  - double aggregates are rounded in BOTH engines to absorb summation
   *    order differences.
   */
@@ -65,12 +67,21 @@ object Relational {
 
     // Window: per-supplier running quantity; total order inside partition.
     "q04_running_quantity" -> ((s, dir) => {
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+      // (~2% duplicated): l_quantity completes the tiebreak so the
+      // window order is total up to fully-identical (interchangeable)
+      // rows — one genuine 4-column tie exists at sf0.1
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          r2(sum(col("l_quantity")).over(w)).as("running_qty"))
+          // quantities are integral: accumulate as BIGINT so the running
+          // sum is exact — double accumulation orders differ between
+          // engines (Spark running adds vs DuckDB's segment tree) and
+          // round(,2) landed on a boundary at sf0.1
+          sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -78,7 +89,8 @@ object Relational {
     // (reference: fastwarc-py/fastwarc/cli.py:277-283).
     "q05_next_ship_gap" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           datediff(lead(col("l_shipdate"), 1).over(w), col("l_shipdate")).as("gap_days"))
@@ -214,16 +226,17 @@ object Relational {
          ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
     "q04_running_quantity" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-         round(sum(l_quantity) OVER (
+         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
            PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
          FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     "q05_next_ship_gap" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(date_diff('day', l_shipdate, lead(l_shipdate, 1) OVER (
            PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber)) AS INT) AS gap_days
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)) AS INT)
+           AS gap_days
          FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     "q06_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
