@@ -553,6 +553,19 @@ object Documents {
       neardupSummary(docs(s, dir).select(col("doc_id"), col("text"))
         .unionByName(viral))
     }),
+
+    // Near-duplicate CLUSTERS: the keep-one-per-group shape (vs d07's
+    // pairwise keeper rule, which can drop both endpoints of a chain
+    // a~b~c where a!~c). Verified dup pairs become an undirected graph;
+    // connected components assign every clustered doc the component-min
+    // doc_id via iterative min-label propagation — each round is one
+    // key-local join + min-aggregate, nothing but (id, label) pairs ever
+    // shuffle. Rounds needed = cluster diameter, which for near-dup
+    // graphs is small (boilerplate families are dense); the cap guards
+    // pathological chains (at planetary scale switch the propagation to
+    // alternating large-star/small-star for O(log d) rounds — same
+    // join+min building block).
+    "d11_neardup_clusters" -> ((s, dir) => neardupClusters(docs(s, dir))),
   )
 
   /** 10k near-identical docs: identical 21-token template, one trailing
