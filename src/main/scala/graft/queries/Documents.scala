@@ -560,13 +560,34 @@ object Documents {
     // connected components assign every clustered doc the component-min
     // doc_id via iterative min-label propagation — each round is one
     // key-local join + min-aggregate, nothing but (id, label) pairs ever
-    // shuffle. Rounds needed = cluster diameter, which for near-dup
-    // graphs is small (boilerplate families are dense); the cap guards
-    // pathological chains (at planetary scale switch the propagation to
-    // alternating large-star/small-star for O(log d) rounds — same
-    // join+min building block).
-    "d11_neardup_clusters" -> ((s, dir) => neardupClusters(docs(s, dir))),
+    // shuffle. Synthetic 3-doc chains (a~b, b~c, a!~c) are unioned in so
+    // the transitive case provably exercises at every SF.
+    "d11_neardup_clusters" -> ((s, dir) => {
+      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
+      neardupClusters(
+        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
+    }),
   )
+
+  /** Three-doc chains a—b—c where adjacent docs are near-dups (token
+    * Jaccard 16/24 ≈ 0.667 ≥ 0.5) but the endpoints are not (12/28 ≈
+    * 0.429 < 0.5) — exactly the transitive shape d07's pairwise keeper
+    * rule mishandles and d11's connected components exist for.
+    */
+  private[queries] val ChainDocs: Seq[(Long, String)] = (0 until 5).flatMap { k =>
+    // the "a" stem is chosen so every adjacent pair ALSO collides in at
+    // least one LSH band (banding is a deterministic function of the
+    // text; most stems lose ~1 of the 10 edges to minhash recall)
+    def span(lo: Int, hi: Int) = (lo to hi).map(i => s"chain${k}a$i").mkString(" ")
+    Seq((3000000L + 3 * k, span(1, 20)),
+        (3000001L + 3 * k, span(5, 24)),
+        (3000002L + 3 * k, span(9, 28)))
+  }
+
+  /** The same chain docs as a DuckDB VALUES relation (doc_id, text). */
+  private def chainDocsSql: String =
+    ChainDocs.map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(doc_id, text)")
 
   /** 10k near-identical docs: identical 21-token template, one trailing
     * per-doc token — dodges exact dedup (distinct fingerprints) but
@@ -577,22 +598,27 @@ object Documents {
     "limited offer click here to win a free prize today " +
     "subscribe now for daily deals delivered straight to you v"
 
-  /** End-to-end near-dup pipeline: word 3-shingles -> 8-component
-    * MinHash -> 4x2 banded LSH (single scan, posexplode) -> skew guard ->
-    * candidate pairs by band-key equi-join (shuffle carries 32-char
-    * keys, never text) -> verify candidates with true token Jaccard ->
-    * keeper = lower doc_id -> survivors via anti-join. The 100 TB shape:
-    * no all-pairs stage anywhere; every join is a key-local hash join.
+  /** The LSH stages shared by [[neardupSummary]] and [[neardupClusters]]:
+    * banding, skew guard, candidate pairs, Jaccard-verified dup pairs.
+    * Every member is `.persist()`ed — callers MUST eagerly materialize
+    * whatever they derive, then call [[NeardupStages.unpersistAll]].
     */
-  private[queries] def neardupSummary(d: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
-    // banding is consumed twice (self-join) and candidates feed four
-    // downstream aggregates: persist the small intermediates so the
-    // expensive minhash lineage runs ONCE. At 100 TB pass checkpointDir:
-    // the summary is then computed through a RELIABLE checkpoint instead
-    // of executor-memory caching. Either way the 1-row summary is
-    // materialized EAGERLY inside this function so every intermediate can
-    // be unpersisted before returning — callers never see leaked caches.
+  private case class NeardupStages(bands: DataFrame, bucketSizes: DataFrame,
+      megaBuckets: DataFrame, cand: DataFrame, dups: DataFrame) {
+    def unpersistAll(): Unit =
+      Seq(bands, bucketSizes, cand, dups).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Word 3-shingles -> 8-component MinHash -> 4x2 banded LSH (single
+    * scan, posexplode) -> skew guard -> candidate pairs by band-key
+    * equi-join (shuffle carries 32-char keys, never text) -> verify
+    * candidates with true token Jaccard. The 100 TB shape: no all-pairs
+    * stage anywhere; every join is a key-local hash join.
+    */
+  private def neardupStages(d: DataFrame): NeardupStages = {
+    // banding is consumed twice (self-join) and candidates feed several
+    // downstream consumers: persist the small intermediates so the
+    // expensive minhash lineage runs ONCE.
     // project shingle hashes AND the signature behind barriers:
     // inlining the sig subtree into lshBands' 8 element_at references
     // would recompute the full signature 8 times over. The signature
@@ -631,13 +657,27 @@ object Documents {
          size(array_union(col("ga"), col("gb")))).as("jac"))
       .filter(col("jac") >= 0.5)
       .persist()
-    val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
+    NeardupStages(bands, bucketSizes, megaBuckets, cand, dups)
+  }
+
+  /** End-to-end near-dup pipeline summary: [[neardupStages]], then
+    * keeper = lower doc_id and survivors via anti-join, reduced to one
+    * summary row. At 100 TB pass checkpointDir: the summary is then
+    * computed through a RELIABLE checkpoint instead of executor-memory
+    * caching. Either way the 1-row summary is materialized EAGERLY
+    * inside this function so every intermediate can be unpersisted
+    * before returning — callers never see leaked caches.
+    */
+  private[queries] def neardupSummary(d: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val st = neardupStages(d)
+    val removed = st.dups.select(col("doc_b").as("doc_id")).distinct().persist()
     try {
       val survivors = d.join(removed, Seq("doc_id"), "left_anti")
       val summary = d.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(megaBuckets.agg(count(lit(1)).as("n_mega_buckets")))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
+        .crossJoin(st.megaBuckets.agg(count(lit(1)).as("n_mega_buckets")))
+        .crossJoin(st.cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(st.dups.agg(count(lit(1)).as("n_dup_pairs")))
         .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
         .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
       // eager materialization (checkpoint / localCheckpoint both run the
@@ -648,8 +688,78 @@ object Documents {
           summary.checkpoint()
         case None => summary.localCheckpoint()
       }
-    } finally
-      Seq(bands, bucketSizes, cand, dups, removed).foreach(_.unpersist(blocking = false))
+    } finally {
+      removed.unpersist(blocking = false)
+      st.unpersistAll()
+    }
+  }
+
+  /** Connected components by iterative min-label propagation: every
+    * vertex repeatedly adopts the minimum label among itself and its
+    * neighbors until a fixpoint. Each round is one key-local join + one
+    * min-aggregate; nothing but (id, label) pairs ever shuffles, and
+    * each round's result is localCheckpoint'ed so the plan stays one
+    * round deep instead of accumulating `maxRounds` joins of lineage.
+    * Rounds needed = component diameter — small for near-dup graphs
+    * (boilerplate families are dense); `maxRounds` guards pathological
+    * chains. At planetary scale switch to alternating large-star /
+    * small-star (Kiveris et al.) for O(log d) rounds — the same
+    * join+min building block, so the swap is local to this function.
+    * The per-round `.count()` is the Pregel-style superstep convergence
+    * check, not a data collect: one long per round crosses the driver.
+    */
+  private[queries] def minLabelPropagate(pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    // round 0 folds the first propagation into initialization:
+    // label(v) = min(v, min(neighbors))
+    var cur = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = edges
+        .join(cur.select(col("id").as("v"), col("lbl")), Seq("v"))
+        .select(col("u").as("id"), col("lbl"))
+        .unionAll(cur)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(cur.alias("c"), col("n.id") === col("c.id"))
+        .filter(col("n.lbl") =!= col("c.lbl"))
+        .count()
+      converged = changed == 0L
+      cur = next
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    cur
+  }
+
+  /** Near-duplicate CLUSTERS: verified dup pairs from the shared LSH
+    * stages become an undirected graph; connected components assign
+    * every clustered doc the component-min doc_id. Output one row per
+    * doc that participates in at least one verified dup pair:
+    * (doc_id, cluster_id, cluster_size).
+    */
+  private[queries] def neardupClusters(d: DataFrame): DataFrame = {
+    val st = neardupStages(d)
+    try {
+      // minLabelPropagate localCheckpoints its result, so the stages
+      // can be unpersisted as soon as it returns
+      val labels = minLabelPropagate(st.dups.select(col("doc_a"), col("doc_b")))
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    } finally st.unpersistAll()
   }
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
@@ -969,11 +1079,52 @@ object Documents {
             UNION ALL
             SELECT 1000000 + i AS doc_id, '$ViralTemplate' || i AS text
             FROM range(10000) t(i)"""),
+    "d11_neardup_clusters" ->
+      neardupClustersOracleSql(
+        s"""SELECT doc_id, text FROM documents
+            UNION ALL
+            $chainDocsSql"""),
   )
 
   /** DuckDB rendition of [[neardupSummary]] over an arbitrary corpus. */
   private def neardupOracleSql(corpusSql: String): String =
-    s"""WITH corpus AS ($corpusSql),
+    s"""WITH ${neardupStagesSql(corpusSql)},
+         removed AS (SELECT DISTINCT doc_b FROM dups)
+         SELECT (SELECT count(*) FROM corpus) AS n_docs,
+           (SELECT count(*) FROM mega) AS n_mega_buckets,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM dups) AS n_dup_pairs,
+           (SELECT count(*) FROM removed) AS n_removed,
+           (SELECT count(*) FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_b FROM removed)) AS n_survivors"""
+
+  /** DuckDB rendition of [[neardupClusters]]: the shared LSH stages,
+    * then connected components as a recursive reachability closure
+    * (fine at oracle scale — the skew guard caps bucket, and hence
+    * component, sizes) with label = min reachable id.
+    */
+  private def neardupClustersOracleSql(corpusSql: String): String =
+    s"""WITH RECURSIVE ${neardupStagesSql(corpusSql)},
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM dups
+                   UNION SELECT doc_b AS u, doc_a AS v FROM dups),
+         reach(id, r) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+           UNION
+           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM labels GROUP BY cluster_id)
+         SELECT l.id AS doc_id, l.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+         FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+         ORDER BY doc_id"""
+
+  /** The CTE chain shared by the neardup oracles: corpus -> shingles ->
+    * minhash signature -> bands -> skew guard -> candidates -> verified
+    * dup pairs. Callers embed it as `WITH [RECURSIVE] $stages, ...`.
+    */
+  private def neardupStagesSql(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
          sh AS (
@@ -1015,13 +1166,5 @@ object Documents {
            FROM cand
            JOIN grams ga ON ga.doc_id = doc_a
            JOIN grams gb ON gb.doc_id = doc_b),
-         dups AS (SELECT * FROM verified WHERE jac >= 0.5),
-         removed AS (SELECT DISTINCT doc_b FROM dups)
-         SELECT (SELECT count(*) FROM corpus) AS n_docs,
-           (SELECT count(*) FROM mega) AS n_mega_buckets,
-           (SELECT count(*) FROM cand) AS n_candidates,
-           (SELECT count(*) FROM dups) AS n_dup_pairs,
-           (SELECT count(*) FROM removed) AS n_removed,
-           (SELECT count(*) FROM corpus
-            WHERE doc_id NOT IN (SELECT doc_b FROM removed)) AS n_survivors"""
+         dups AS (SELECT * FROM verified WHERE jac >= 0.5)"""
 }
