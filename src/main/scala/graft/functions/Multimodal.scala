@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions.{lit, udf}
   * JDK's ImageIO (PNG/JPEG/GIF/BMP). Audio is real for WAV/PCM
   * ([[audioMeta]]/[[audioStats]] — container + raw samples, no codec
   * needed); frame sampling is real for multi-frame GIF
-  * ([[gifFrameStats]] via ImageIO). Only compressed AV codecs (mp3/mp4/
-  * webm…) remain behind [[avFrameSample]], an explicitly documented
-  * deterministic STUB that preserves the real plumbing (schema,
-  * batching, partition behavior) so a codec can be dropped in.
+  * ([[gifFrameStats]] via ImageIO); MP4/ISO-BMFF container metadata
+  * (brand, duration, track dims) is real via [[mp4Meta]]'s atom walk.
+  * Only compressed AV frame DECODE (mp3/h264/vp9…) remains behind
+  * [[avFrameSample]], an explicitly documented deterministic STUB that
+  * preserves the real plumbing (schema, batching, partition behavior)
+  * so a codec can be dropped in.
   */
 object Multimodal {
 
@@ -304,6 +306,95 @@ object Multimodal {
   def gifFrameStats(data: Column, nFrames: Int = 4): Column = {
     val f = udf((d: Array[Byte], n: Int) => Option(gifFrameStatsOf(d, n)))
     f(data, lit(nFrames))
+  }
+
+  // — MP4 / ISO-BMFF container metadata: a pure box-header walk (ftyp
+  //   brand, moov/mvhd timescale + duration, trak/tkhd track dims) —
+  //   no codec involved, so duration and dimensions are REAL even though
+  //   frame decode stays behind the stub below —
+
+  final case class Mp4Meta(brand: String, timescale: Long, durationS: Double,
+      nTracks: Int, width: Option[Int], height: Option[Int])
+
+  /** Parse an ISO-BMFF (MP4/MOV/M4A…) container's metadata atoms:
+    * `ftyp` major brand, `moov/mvhd` movie timescale + duration,
+    * `moov/trak/tkhd` per-track dimensions (16.16 fixed point; the
+    * first track with nonzero dims is the presentation video track —
+    * audio tracks store 0x0). Handles 32- and 64-bit box sizes and
+    * version 0/1 full boxes. Null for anything that isn't ISO-BMFF;
+    * truncated boxes stop the walk, keeping whatever was parsed.
+    */
+  def mp4MetaOf(d: Array[Byte]): Mp4Meta = {
+    if (d == null || d.length < 16) return null
+    @inline def u8(i: Int) = d(i) & 0xff
+    @inline def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // ISO-BMFF files begin with a box whose type is alphanumeric ASCII;
+    // require the canonical ftyp signature to call it a container
+    if (fourcc(4) != "ftyp") return null
+    var brand: String = null
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var width, height: Option[Int] = None
+    // walk one box level [lo, hi); `into` recurses for container boxes
+    def walk(lo: Int, hi: Int, depth: Int): Unit = {
+      var pos = lo
+      while (pos + 8 <= hi && depth < 8) {
+        val size0 = be32(pos)
+        val typ = fourcc(pos + 4)
+        // size 1 -> 64-bit largesize; size 0 -> box extends to end
+        val (size, hdr) =
+          if (size0 == 1L && pos + 16 <= hi) (be64(pos + 8), 16) else (size0, 8)
+        val end =
+          if (size == 0L) hi
+          else if (size < hdr || pos + size > hi) return // truncated/corrupt
+          else (pos + size).toInt
+        typ match {
+          case "ftyp" if pos + hdr + 4 <= end =>
+            brand = fourcc(pos + hdr)
+          case "moov" => walk(pos + hdr, end, depth + 1)
+          case "trak" =>
+            nTracks += 1
+            walk(pos + hdr, end, depth + 1)
+          case "mvhd" if pos + hdr + 4 <= end =>
+            val v = u8(pos + hdr)
+            if (v == 1 && pos + hdr + 32 <= end) {
+              timescale = be32(pos + hdr + 20)
+              duration = be64(pos + hdr + 24)
+            } else if (v == 0 && pos + hdr + 20 <= end) {
+              timescale = be32(pos + hdr + 12)
+              duration = be32(pos + hdr + 16)
+            }
+          case "tkhd" if pos + hdr + 4 <= end =>
+            val v = u8(pos + hdr)
+            val dimOff = if (v == 1) pos + hdr + 88 else pos + hdr + 76
+            if (dimOff + 8 <= end && width.isEmpty) {
+              val w = (be32(dimOff) >> 16).toInt     // 16.16 fixed point
+              val h = (be32(dimOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
+            }
+          case _ => // leaf box we don't need (mdat, free, udta, …)
+        }
+        pos = if (end <= pos) return else end
+      }
+    }
+    walk(0, d.length, 0)
+    if (brand == null) return null
+    val durS =
+      if (timescale > 0) math.rint(duration.toDouble / timescale * 1e6) / 1e6
+      else 0.0
+    Mp4Meta(brand, timescale, durS, nTracks, width, height)
+  }
+
+  /** mp4_meta(binary) -> struct<brand,timescale,duration_s,n_tracks,
+    * width,height> (null if not an ISO-BMFF container).
+    */
+  val mp4Meta: Column => Column = {
+    val f = udf((d: Array[Byte]) => Option(mp4MetaOf(d)))
+    c => f(c)
   }
 
   /** STUB — frame sampling for COMPRESSED AV containers (mp3/mp4/webm…).

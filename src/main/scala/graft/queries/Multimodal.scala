@@ -59,6 +59,59 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** ISO-BMFF box: 32-bit big-endian size + fourcc type + payload. */
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(len) // BE by default
+    out.putInt(len).put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    payload.foreach(out.put)
+    out.array()
+  }
+
+  private def beInts(xs: Int*): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 * xs.length)
+    xs.foreach(out.putInt)
+    out.array()
+  }
+
+  /** mvhd full box payload (version 0 or 1). */
+  private def mvhd(version: Int, timescale: Int, duration: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(if (version == 1) 112 else 100)
+    out.putInt(version << 24) // version + zero flags
+    if (version == 1) {
+      out.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+    } else {
+      out.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+    }
+    out.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    out.put(new Array[Byte](10))                    // reserved
+    out.put(beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) // identity matrix
+    out.put(new Array[Byte](24)).putInt(3)          // predefined, next track id
+    out.array()
+  }
+
+  /** tkhd full box payload (version 0 or 1); dims in 16.16 fixed point. */
+  private def tkhd(version: Int, trackId: Int, duration: Long,
+      w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(if (version == 1) 96 else 84)
+    out.putInt((version << 24) | 7) // flags: enabled | in_movie | in_preview
+    if (version == 1) {
+      out.putLong(0L).putLong(0L).putInt(trackId).putInt(0).putLong(duration)
+    } else {
+      out.putInt(0).putInt(0).putInt(trackId).putInt(0).putInt(duration.toInt)
+    }
+    out.putLong(0L)                        // reserved
+    out.putShort(0).putShort(0)            // layer, alternate group
+    out.putShort(0).putShort(0)            // volume, reserved
+    out.put(beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000))
+    out.putInt(w << 16).putInt(h << 16)
+    out.array()
+  }
+
+  private def ftyp(brand: String): Array[Byte] =
+    box("ftyp", brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      beInts(0), brand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload -> header metadata + full pixel decode, including a
     // corrupt row that must yield nulls, never a task failure.
@@ -128,6 +181,40 @@ object Multimodal {
           col("f.meanB").as("mean_b"))
         .orderBy(col("media_id"), col("frame_index"))
     }),
+
+    // MP4 / ISO-BMFF container metadata: brand, movie duration, track
+    // count, video dims — a pure moov/mvhd/tkhd header walk, no codec
+    // (retires the honest part of the compressed-AV gap; frame DECODE
+    // stays behind the disclosed avFrameSample stub). Covers version-0
+    // and version-1 full boxes, audio-only files (no video dims), and
+    // corrupt payloads (null row, never a task failure).
+    "m04_mp4_meta" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = Seq(
+        // v0 boxes: 24.5 s @ timescale 1000; video 640x360 + audio track
+        (1L, ftyp("isom") ++ box("moov",
+          box("mvhd", mvhd(0, 1000, 24500L)),
+          box("trak", box("tkhd", tkhd(0, 1, 24500L, 640, 360))),
+          box("trak", box("tkhd", tkhd(0, 2, 24500L, 0, 0)))) ++ box("mdat")),
+        // v1 boxes (64-bit times): 3.25 s @ 90 kHz; 1920x1080
+        (2L, ftyp("mp42") ++ box("moov",
+          box("mvhd", mvhd(1, 90000, 292500L)),
+          box("trak", box("tkhd", tkhd(1, 1, 292500L, 1920, 1080))))),
+        // audio-only (M4A): duration real, no video track -> null dims
+        (3L, ftyp("M4A ") ++ box("moov",
+          box("mvhd", mvhd(0, 44100, 44100L)),
+          box("trak", box("tkhd", tkhd(0, 1, 44100L, 0, 0))))),
+        (4L, "this is not an mp4 container".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      df.select(col("media_id"),
+          M.mp4Meta(col("payload")).getField("brand").as("brand"),
+          M.mp4Meta(col("payload")).getField("timescale").as("timescale"),
+          M.mp4Meta(col("payload")).getField("durationS").as("duration_s"),
+          M.mp4Meta(col("payload")).getField("nTracks").as("n_tracks"),
+          M.mp4Meta(col("payload")).getField("width").as("width"),
+          M.mp4Meta(col("payload")).getField("height").as("height"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -175,5 +262,19 @@ object Multimodal {
          (3, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, frame_index, width, height, mean_r, mean_g, mean_b)
          ORDER BY media_id, frame_index""",
+    // Hand-derivable: durations are duration/timescale (24500/1000,
+    // 292500/90000, 44100/44100); dims come from the tkhd 16.16 fields;
+    // the audio-only file has a track but no video dims; corrupt -> nulls.
+    "m04_mp4_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, brand,
+         CAST(timescale AS BIGINT) AS timescale,
+         CAST(duration_s AS DOUBLE) AS duration_s, CAST(n_tracks AS INT) AS n_tracks,
+         CAST(width AS INT) AS width, CAST(height AS INT) AS height FROM (VALUES
+         (1, 'isom', 1000, 24.5, 2, 640, 360),
+         (2, 'mp42', 90000, 3.25, 1, 1920, 1080),
+         (3, 'M4A ', 44100, 1.0, 1, NULL, NULL),
+         (4, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, brand, timescale, duration_s, n_tracks, width, height)
+         ORDER BY media_id""",
   )
 }

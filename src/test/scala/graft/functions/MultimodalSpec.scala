@@ -98,6 +98,48 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.gifFrameStatsOf("nope".getBytes, 3) == null)
   }
 
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(len)
+    out.putInt(len).put(typ.getBytes)
+    payload.foreach(out.put)
+    out.array()
+  }
+
+  test("mp4MetaOf: v0 boxes, 64-bit largesize mdat, audio-only, corrupt") {
+    // v1 boxes and the query-shape coverage live in m04's oracle-gated
+    // fixtures; here probe the raw parser edges.
+    // hand-rolled: ftyp + moov(mvhd v0 ts=600 dur=1200, trak(tkhd 320x240))
+    def mvhd0(ts: Int, dur: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      b.array()
+    }
+    def tkhd0(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.position(76); b.putInt(w << 16).putInt(h << 16)
+      b.array()
+    }
+    val ftyp = bmffBox("ftyp", "isom".getBytes, new Array[Byte](4), "isom".getBytes)
+    val moov = bmffBox("moov", bmffBox("mvhd", mvhd0(600, 1200)),
+      bmffBox("trak", bmffBox("tkhd", tkhd0(320, 240))))
+    // a 64-bit-size mdat box (size field == 1, largesize followup)
+    val mdat64 = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.putInt(1).put("mdat".getBytes).putLong(24L).put(new Array[Byte](8))
+      b.array()
+    }
+    val m = Multimodal.mp4MetaOf(ftyp ++ mdat64 ++ moov)
+    assert(m != null && m.brand == "isom" && m.timescale == 600L)
+    assert(m.durationS == 2.0 && m.nTracks == 1)
+    assert(m.width.contains(320) && m.height.contains(240))
+    // truncated moov: parse must stop cleanly, keeping the brand
+    val trunc = Multimodal.mp4MetaOf(ftyp ++ moov.take(moov.length - 30))
+    assert(trunc != null && trunc.brand == "isom")
+    assert(Multimodal.mp4MetaOf("not a container at all......".getBytes) == null)
+    assert(Multimodal.mp4MetaOf(null) == null)
+  }
+
   test("imageMetaOf parses png/gif/bmp/jpeg headers") {
     assert(Multimodal.imageMetaOf(makeImage(31, 17, 0x123456, "png")) ==
       Multimodal.ImageMeta("png", 31, 17))
