@@ -785,6 +785,99 @@ object Documents {
         FROM (SELECT lang, $defs FROM documents) scored"""
   }
 
+  /** DuckDB re-implementation of `LangDetect.strToVec` (the detector's
+    * vectorizer) as a CTE chain ending in `dvec(doc_id, bucket, v)` —
+    * the SPARSE hashed n-gram frequency vector per document. Mirrors the
+    * Scala kernel step for step: keep alphabetic code points, collapse
+    * whitespace runs to one 0x20 (a space survives only when the
+    * PREVIOUS original character wasn't whitespace), FNV-1a-hash every
+    * 1..5-gram ending at each kept position (32-bit wraparound emulated
+    * with `% 2^32`, fold to 8 bits via `(h>>>8)^h & 0xff`), then scale
+    * counts by 256/len with u8 saturation.
+    */
+  private val strToVecSql: String =
+    """chars AS (
+         SELECT doc_id, i,
+           unicode(substring(text, CAST(i AS INT), 1)) AS cp,
+           regexp_matches(substring(text, CAST(i AS INT), 1), '\p{L}') AS is_alpha,
+           regexp_matches(substring(text, CAST(i AS INT), 1), '\s') AS is_space
+         FROM (SELECT doc_id, text, unnest(range(1, len(text)+1)) AS i
+               FROM documents) c),
+       marked AS (
+         SELECT doc_id, i, cp, is_alpha, is_space,
+           coalesce(lag(is_space) OVER (PARTITION BY doc_id ORDER BY i),
+             FALSE) AS prev_space
+         FROM chars),
+       keptc AS (
+         SELECT doc_id, i, CASE WHEN is_alpha THEN cp ELSE 32 END AS kcp
+         FROM marked WHERE is_alpha OR (is_space AND NOT prev_space)),
+       keptl AS (SELECT doc_id, list(kcp ORDER BY i) AS cps FROM keptc
+         GROUP BY doc_id),
+       grams AS (
+         SELECT doc_id, klen,
+           CAST(xor(h // 256, h) % 256 AS INT) AS bucket
+         FROM (
+           SELECT doc_id, len(cps) AS klen,
+             list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+               list_slice(cps, CAST(j - n + 1 AS INT), CAST(j AS INT))),
+               (a, x) -> (xor(a, CAST(x AS BIGINT)) * 16777619) % 4294967296) AS h
+           FROM (SELECT doc_id, cps, unnest(range(1, len(cps)+1)) AS j
+                 FROM keptl) p
+           CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS n) nn
+           WHERE j >= n)),
+       dvec AS (
+         SELECT doc_id, bucket,
+           CAST(least(255, count(*) * 256 // any_value(klen)) AS BIGINT) AS v
+         FROM grams GROUP BY doc_id, bucket)"""
+
+  /** The 101 language profiles as an inline VALUES literal
+    * `(idx, lang, [256 ints])` — published model CONSTANTS (the same
+    * resource the engine loads), not engine output.
+    */
+  private def langProfilesSql: String =
+    graft.core.LangDetect.profiles.zipWithIndex.map { case ((n, v), i) =>
+      s"($i, '$n', [${v.mkString(",")}])"
+    }.mkString(",\n")
+
+  /** CTEs from `dvec` to `preds(doc_id, lang, pred_lang)` — the DuckDB
+    * rendition of `LangDetect.detectFast`: L1 distance of the sparse doc
+    * vector against every dense profile (absent buckets contribute
+    * |0-pv| = pv, so dist = profile_total + Σ(|v-pv| - pv) over present
+    * buckets), the reference's short-text position bias
+    * (`+min(50, idx*3)` when rank>500 and len<150), cutoff 1200, ties
+    * broken by profile order, no candidate -> 'unknown'.
+    */
+  private def detectPredsSql: String =
+    s"""profs AS (
+         SELECT idx, plang, unnest(p) AS pv, unnest(range(0, 256)) AS bucket
+         FROM (VALUES $langProfilesSql) pr(idx, plang, p)),
+       ptot AS (SELECT idx, plang, sum(pv) AS ptotal FROM profs
+         GROUP BY idx, plang),
+       overlap AS (
+         SELECT d.doc_id, p.idx, sum(abs(d.v - p.pv) - p.pv) AS delta
+         FROM dvec d JOIN profs p ON d.bucket = p.bucket
+         GROUP BY d.doc_id, p.idx),
+       dists AS (
+         SELECT doc.doc_id, pt.idx, pt.plang,
+           CAST(pt.ptotal + coalesce(o.delta, 0) AS BIGINT) AS rank0,
+           len(doc.text) AS tlen
+         FROM documents doc
+         CROSS JOIN ptot pt
+         LEFT JOIN overlap o ON o.doc_id = doc.doc_id AND o.idx = pt.idx),
+       adjusted AS (
+         SELECT doc_id, idx, plang,
+           CASE WHEN rank0 > 500 AND tlen < 150
+                THEN rank0 + least(50, idx * 3) ELSE rank0 END AS rank
+         FROM dists),
+       best AS (
+         SELECT doc_id, plang, rank,
+           row_number() OVER (PARTITION BY doc_id ORDER BY rank, idx) AS rn
+         FROM adjusted WHERE rank <= 1200),
+       preds AS (
+         SELECT d.doc_id, d.lang, coalesce(b.plang, 'unknown') AS pred_lang
+         FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+           ON d.doc_id = b.doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "t01_token_stats" ->
       s"""SELECT doc_id,
@@ -810,37 +903,57 @@ object Documents {
     "t03_lang_confusion" ->
       s"""SELECT lang, pred_lang, count(*) AS n FROM ($langPredSql) p
           GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
-    // t04/t05 pin the deterministic output of the ported 101-language
-    // detector / trainer on the synthetic corpus (regression oracle).
+    // t04/t05/t06 are COMPUTED oracles (not output pins): the DuckDB SQL
+    // re-implements the detector's vectorizer (FNV-1a hashed 1..5-grams
+    // over alpha/space-normalized code points) and L1-argmin prediction
+    // from scratch, with only the published profile CONSTANTS inlined —
+    // see strToVecSql / detectPredsSql below.
     "t04_lang_detect" ->
-      """SELECT lang, pred_lang, CAST(n AS BIGINT) AS n FROM (VALUES
-         ('de','da',12),('de','en',40),('de','lb',1),('de','no',9),('de','sc',1),
-         ('de','sv',7),('en','br',2),('en','da',15),('en','en',116),('en','es',2),
-         ('en','fo',1),('en','fr',2),('en','fy',3),('en','ga',1),('en','is',1),
-         ('en','lb',7),('en','no',45),('en','sq',1),('en','sv',22),('es','br',1),
-         ('es','da',5),('es','en',38),('es','fr',3),('es','is',1),('es','ku',1),
-         ('es','lb',2),('es','no',16),('es','ro',1),('es','sv',5),('fr','da',5),
-         ('fr','en',37),('fr','fo',1),('fr','id',1),('fr','lb',1),('fr','no',10),
-         ('fr','sv',9),('zh','da',7),('zh','en',43),('zh','lb',1),('zh','nl',1),
-         ('zh','no',16),('zh','sv',7))
-         t(lang, pred_lang, n) ORDER BY lang, pred_lang""",
+      s"""WITH $strToVecSql,
+          $detectPredsSql
+          SELECT lang, pred_lang, count(*) AS n FROM preds
+          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
     "t05_train_vectors" ->
-      """SELECT lang, CAST(v0 AS INT) AS v0, CAST(v1 AS INT) AS v1,
-         CAST(vsum AS BIGINT) AS vsum FROM (VALUES
-         ('de',3,3,1029),('en',3,3,1027),('es',3,3,1021),('fr',2,3,1021),
-         ('zh',3,2,1022)) t(lang, v0, v1, vsum) ORDER BY lang""",
-    // derived from the pinned t04 confusion matrix (synthetic token soup:
-    // only 'en' has real support in the detector's output)
+      s"""WITH $strToVecSql,
+          langn AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          lb AS (
+            SELECT d.lang, g.bucket, sum(g.v) AS sv
+            FROM dvec g JOIN documents d ON g.doc_id = d.doc_id
+            GROUP BY d.lang, g.bucket),
+          comp AS (
+            SELECT lang, bucket, sv // n_docs AS mv FROM lb JOIN langn USING (lang))
+          SELECT l.lang,
+            CAST(coalesce(c0.mv, 0) AS INT) AS v0,
+            CAST(coalesce(c1.mv, 0) AS INT) AS v1,
+            CAST(coalesce(s.vs, 0) AS BIGINT) AS vsum
+          FROM langn l
+          LEFT JOIN comp c0 ON c0.lang = l.lang AND c0.bucket = 0
+          LEFT JOIN comp c1 ON c1.lang = l.lang AND c1.bucket = 1
+          LEFT JOIN (SELECT lang, sum(mv) AS vs FROM comp GROUP BY lang) s
+            ON s.lang = l.lang
+          ORDER BY l.lang""",
     "t06_lang_metrics" ->
-      """SELECT lang, CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
-         CAST(n_pred AS BIGINT) AS n_pred, CAST(precision AS DOUBLE) AS precision,
-         CAST(recall AS DOUBLE) AS recall, CAST(f1 AS DOUBLE) AS f1 FROM (VALUES
-         ('de', 70, 0, 0, 0.0, 0.0, 0.0),
-         ('en', 218, 116, 274, 0.423358, 0.53211, 0.471545),
-         ('es', 73, 0, 2, 0.0, 0.0, 0.0),
-         ('fr', 64, 0, 5, 0.0, 0.0, 0.0),
-         ('zh', 75, 0, 0, 0.0, 0.0, 0.0))
-         t(lang, support, tp, n_pred, precision, recall, f1) ORDER BY lang""",
+      s"""WITH $strToVecSql,
+          $detectPredsSql,
+          perclass AS (
+            SELECT lang, count(*) AS support,
+              sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS tp
+            FROM preds GROUP BY lang),
+          predcounts AS (SELECT pred_lang, count(*) AS n_pred FROM preds
+            GROUP BY pred_lang),
+          prf AS (
+            SELECT p.lang, p.support, p.tp, coalesce(pc.n_pred, 0) AS n_pred,
+              round(CASE WHEN coalesce(pc.n_pred, 0) > 0
+                THEN CAST(p.tp AS DOUBLE) / pc.n_pred ELSE 0.0 END, 6) AS precision,
+              round(CAST(p.tp AS DOUBLE) / p.support, 6) AS recall
+            FROM perclass p LEFT JOIN predcounts pc ON p.lang = pc.pred_lang)
+          SELECT lang, CAST(support AS BIGINT) AS support,
+            CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+            precision, recall,
+            round(CASE WHEN precision + recall > 0
+              THEN 2.0 * precision * recall / (precision + recall)
+              ELSE 0.0 END, 6) AS f1
+          FROM prf ORDER BY lang""",
     "t07_supported_langs" ->
       """SELECT lang FROM (VALUES
          ('af'),('ar'),('as'),('az'),('ba'),('be'),('bg'),('bn'),('bo'),('br'),

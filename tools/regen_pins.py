@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """Regenerate / audit the self-pinned VALUES oracles.
 
-Ten oracle rows are "self-pinned": their DuckDB SQL is a static VALUES
+Seven oracle rows are "self-pinned": their DuckDB SQL is a static VALUES
 literal recording the deterministic output of this engine's own kernels
-(ICU charset detection, the ported 101-language detector, the decode
-ladder, HTML extraction and the end-to-end pipeline totals) over fixed
-inputs:
+(ICU charset detection, the decode ladder, HTML extraction and the
+end-to-end pipeline totals) over fixed inputs:
 
     w09_warc_mime  w10_warc_encodings  w11_warc_decoded_text
-    w16_warc_langs t04_lang_detect     t05_train_vectors  t06_lang_metrics
-    w19_html_extract10k  w29_training_pipeline  w30_link_graph
+    w16_warc_langs w19_html_extract10k w29_training_pipeline  w30_link_graph
+
+(t04/t05/t06 were converted to COMPUTED oracles in round 5: their DuckDB
+SQL re-implements the detector's vectorizer and L1-argmin from scratch
+with only the published profile constants inlined — see strToVecSql /
+detectPredsSql in Documents.scala. The `reference` subcommand below still
+emits their blocks for cross-checking against the reference library.)
 
 Those pins are regression locks, not independent ground truth. This script
 closes the audit loop two ways:
@@ -41,8 +45,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 PINNED = [
     "w09_warc_mime", "w10_warc_encodings", "w11_warc_decoded_text",
-    "w16_warc_langs", "t04_lang_detect", "t05_train_vectors",
-    "t06_lang_metrics", "w19_html_extract10k", "w29_training_pipeline",
+    "w16_warc_langs", "w19_html_extract10k", "w29_training_pipeline",
     "w30_link_graph",
 ]
 PIN_FILES = {  # where each pin lives, for the paste instruction
