@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a DataFrame edge list — the graph kernel
+  * behind near-duplicate clustering (d11/d12): verified dup pairs in,
+  * `(id, lbl)` out with lbl = component-minimum id for every vertex that
+  * appears in at least one pair.
+  *
+  * Two interchangeable algorithms (identical fixpoint):
+  *
+  *  - [[minLabelPropagate]] — every vertex repeatedly adopts the min
+  *    label in its neighborhood. Rounds = component DIAMETER. The right
+  *    choice for near-dup graphs, whose components (boilerplate
+  *    families) are dense and shallow.
+  *  - [[largeStarSmallStar]] — the alternating star contractions of
+  *    Kiveris et al., "Connected Components in MapReduce and Beyond"
+  *    (SoCC 2014): O(log d) rounds, so pathological chains (linked-list
+  *    shaped components) converge where label propagation would need a
+  *    round per hop. The planetary-scale path.
+  *
+  * Both shuffle nothing but (id, id) pairs, localCheckpoint every round
+  * (the plan stays one round deep instead of accumulating lineage), and
+  * cap rounds defensively. The per-round driver action (a count / a
+  * 2-column aggregate) is the Pregel-style superstep convergence check,
+  * not a data collect.
+  */
+object ConnectedComponents {
+
+  /** Iterative min-label propagation: label(v) <- min(label(v),
+    * min(label(neighbors))) until fixpoint. Each round is one key-local
+    * join + one min-aggregate.
+    */
+  def minLabelPropagate(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    // round 0 folds the first propagation into initialization:
+    // label(v) = min(v, min(neighbors))
+    var cur = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = edges
+        .join(cur.select(col("id").as("v"), col("lbl")), Seq("v"))
+        .select(col("u").as("id"), col("lbl"))
+        .unionAll(cur)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(cur.alias("c"), col("n.id") === col("c.id"))
+        .filter(col("n.lbl") =!= col("c.lbl"))
+        .count()
+      converged = changed == 0L
+      cur = next
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    cur
+  }
+
+  /** Alternating large-star / small-star contractions. One round is
+    * both phases; at the fixpoint the edge set is a forest of stars,
+    * each rooted at its component minimum, read off directly as labels.
+    *
+    *  - large-star: every node u connects its LARGER neighbors to
+    *    min(Γ⁺(u)) — emits (v, m) for v ∈ Γ(u), v > u.
+    *  - small-star: every node u connects its smaller-or-equal
+    *    neighborhood (smaller neighbors plus u itself) to its minimum.
+    *
+    * Every emitted edge is (child, root) with child > root, so the edge
+    * set has a canonical orientation and the fixpoint test is a cheap
+    * signature compare — (count, bit_xor(xxhash64(u, v))) — instead of
+    * a full EXCEPT: a 64-bit xor collision on a non-fixpoint is
+    * vanishingly unlikely (the edge set is distinct, so nothing
+    * self-cancels), and `maxRounds` backstops it regardless.
+    */
+  def largeStarSmallStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    if (edges.isEmpty)
+      return edges.select(col("u").as("id"), col("v").as("lbl"))
+
+    def signature(e: DataFrame): (Long, Long) =
+      e.agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .as[(Long, Long)].head()
+
+    def bothDirections(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = bothDirections(e)
+      val mins = nb.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nb.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // (child, root), child > root
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = bothDirections(e)
+      val sn = nb.filter(col("v") < col("u"))
+      val mins = sn.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // members of u's small-star: its smaller neighbors plus u itself
+      val members = sn.unionAll(mins.select(col("u"), col("u").as("v")))
+      members.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    // stars: children point at roots; roots label themselves
+    edges.select(col("u").as("id"), col("v").as("lbl"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("lbl")))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+  }
+}

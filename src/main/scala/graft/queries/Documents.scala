@@ -567,6 +567,17 @@ object Documents {
       neardupClusters(
         docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
     }),
+
+    // The same clustering through the planetary-scale component
+    // algorithm (alternating large-star/small-star, O(log d) rounds) —
+    // same corpus, same oracle: the driver gate proves both
+    // implementations reach the identical fixpoint.
+    "d12_clusters_stars" -> ((s, dir) => {
+      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
+      neardupClusters(
+        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains),
+        useStars = true)
+    }),
   )
 
   /** Three-doc chains a—b—c where adjacent docs are near-dups (token
@@ -694,65 +705,29 @@ object Documents {
     }
   }
 
-  /** Connected components by iterative min-label propagation: every
-    * vertex repeatedly adopts the minimum label among itself and its
-    * neighbors until a fixpoint. Each round is one key-local join + one
-    * min-aggregate; nothing but (id, label) pairs ever shuffles, and
-    * each round's result is localCheckpoint'ed so the plan stays one
-    * round deep instead of accumulating `maxRounds` joins of lineage.
-    * Rounds needed = component diameter — small for near-dup graphs
-    * (boilerplate families are dense); `maxRounds` guards pathological
-    * chains. At planetary scale switch to alternating large-star /
-    * small-star (Kiveris et al.) for O(log d) rounds — the same
-    * join+min building block, so the swap is local to this function.
-    * The per-round `.count()` is the Pregel-style superstep convergence
-    * check, not a data collect: one long per round crosses the driver.
-    */
-  private[queries] def minLabelPropagate(pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
-    // round 0 folds the first propagation into initialization:
-    // label(v) = min(v, min(neighbors))
-    var cur = edges.groupBy(col("u"))
-      .agg(min(col("v")).as("nmin"))
-      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl"))
-      .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val next = edges
-        .join(cur.select(col("id").as("v"), col("lbl")), Seq("v"))
-        .select(col("u").as("id"), col("lbl"))
-        .unionAll(cur)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(cur.alias("c"), col("n.id") === col("c.id"))
-        .filter(col("n.lbl") =!= col("c.lbl"))
-        .count()
-      converged = changed == 0L
-      cur = next
-      round += 1
-    }
-    edges.unpersist(blocking = false)
-    cur
-  }
-
   /** Near-duplicate CLUSTERS: verified dup pairs from the shared LSH
     * stages become an undirected graph; connected components assign
     * every clustered doc the component-min doc_id. Output one row per
     * doc that participates in at least one verified dup pair:
     * (doc_id, cluster_id, cluster_size).
+    *
+    * `useStars` picks the component algorithm (identical fixpoint —
+    * see [[graft.operators.ConnectedComponents]]): min-label
+    * propagation by default (near-dup components are dense and
+    * shallow, so rounds = diameter is small), alternating
+    * large-star/small-star for O(log d) rounds at planetary scale.
     */
-  private[queries] def neardupClusters(d: DataFrame): DataFrame = {
+  private[queries] def neardupClusters(d: DataFrame,
+      useStars: Boolean = false): DataFrame = {
+    import graft.operators.ConnectedComponents
     val st = neardupStages(d)
     try {
-      // minLabelPropagate localCheckpoints its result, so the stages
-      // can be unpersisted as soon as it returns
-      val labels = minLabelPropagate(st.dups.select(col("doc_a"), col("doc_b")))
+      // both algorithms localCheckpoint their result, so the stages
+      // can be unpersisted as soon as they return
+      val pairs = st.dups.select(col("doc_a"), col("doc_b"))
+      val labels =
+        if (useStars) ConnectedComponents.largeStarSmallStar(pairs)
+        else ConnectedComponents.minLabelPropagate(pairs)
       val sizes = labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("lbl"))
@@ -1193,6 +1168,13 @@ object Documents {
             SELECT 1000000 + i AS doc_id, '$ViralTemplate' || i AS text
             FROM range(10000) t(i)"""),
     "d11_neardup_clusters" ->
+      neardupClustersOracleSql(
+        s"""SELECT doc_id, text FROM documents
+            UNION ALL
+            $chainDocsSql"""),
+    // identical oracle by construction: the component fixpoint doesn't
+    // depend on which algorithm reached it
+    "d12_clusters_stars" ->
       neardupClustersOracleSql(
         s"""SELECT doc_id, text FROM documents
             UNION ALL

@@ -93,38 +93,23 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(cd).listFiles().nonEmpty) // checkpoint landed
   }
 
-  test("minLabelPropagate clusters a chain a~b~c (a!~c) to the min id, capped rounds") {
-    val s = spark
-    import s.implicits._
-    // a path graph 1-2-3-4-5 plus a separate pair 10-11: diameter 4, so
-    // the fixpoint must propagate label 1 across the whole chain even
-    // though no single edge connects 1 to 5
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
-      .toDF("doc_a", "doc_b")
-    val labels = Documents.minLabelPropagate(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 5L).forall(labels(_) == 1L))
-    assert(labels(10L) == 10L && labels(11L) == 10L)
-    // the round cap guards pathological diameters: capped at 1 round the
-    // far end of the chain cannot yet have the global min label
-    val capped = Documents.minLabelPropagate(pairs, maxRounds = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(capped(5L) == 3L) // one round: 5 saw 4's round-0 label (3), not 1
-  }
-
-  test("d11 neardup clusters: each synthetic chain clusters to its min doc_id") {
+  test("d11/d12 neardup clusters: each synthetic chain clusters to its min doc_id") {
     val s = spark
     import org.apache.spark.sql.functions._
-    val out = Documents.queries("d11_neardup_clusters")(s, "/root/testdata/sf0.001")
-      .filter(col("doc_id") >= 3000000L).collect()
-    // 5 chains x 3 docs, all clustered; a~b and b~c are verified dups
-    // (Jaccard 0.667) while a!~c (0.429) — connected components must
-    // still put all three in one cluster labeled by the chain's min id
-    assert(out.length == 15)
-    out.foreach { r =>
-      val (id, cluster, size) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      assert(cluster == 3000000L + 3 * ((id - 3000000L) / 3))
-      assert(size == 3L)
+    // the propagation-level properties live in ConnectedComponentsSpec;
+    // here: the end-to-end pipeline, via BOTH component algorithms
+    for (q <- Seq("d11_neardup_clusters", "d12_clusters_stars")) {
+      val out = Documents.queries(q)(s, "/root/testdata/sf0.001")
+        .filter(col("doc_id") >= 3000000L).collect()
+      // 5 chains x 3 docs, all clustered; a~b and b~c are verified dups
+      // (Jaccard 0.667) while a!~c (0.429) — connected components must
+      // still put all three in one cluster labeled by the chain's min id
+      assert(out.length == 15, q)
+      out.foreach { r =>
+        val (id, cluster, size) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(cluster == 3000000L + 3 * ((id - 3000000L) / 3), q)
+        assert(size == 3L, q)
+      }
     }
   }
 
