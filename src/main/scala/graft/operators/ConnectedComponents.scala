@@ -28,34 +28,69 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Eagerly localCheckpoints `df`, releasing the blocks of the
+    * superseded previous round right away instead of leaving them for
+    * the ContextCleaner: over many rounds (or many queries in one
+    * driver) un-released checkpoint blocks pile up in the block
+    * manager until a driver GC happens to run — measured as multi-
+    * second GC noise billed to whatever query runs next. Checkpoint
+    * ids are identified by diffing the persistent-RDD registry around
+    * the (eager) checkpoint, which assumes rounds run sequentially
+    * within this driver — true here; concurrent jobs would only make
+    * the release a no-op for a foreign id, never an early unpersist,
+    * because `supersededIds` holds ids this loop created itself.
+    */
+  private final class RoundCheckpointer(spark: org.apache.spark.sql.SparkSession) {
+    private val sc = spark.sparkContext
+    private var liveIds: Set[Int] = Set.empty
+    private var supersededIds: Set[Int] = Set.empty
+    def next(df: DataFrame): DataFrame = {
+      val pre = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      supersededIds ++= liveIds
+      liveIds = (sc.getPersistentRDDs.keySet -- pre).toSet
+      ck
+    }
+    /** Drop the blocks of rounds superseded by a later [[next]] call.
+      * Callers invoke this only once the superseded round's DataFrame
+      * is no longer referenced by any in-flight job — a localCheckpoint
+      * cannot be recomputed once its blocks are gone.
+      */
+    def releaseSuperseded(): Unit = {
+      supersededIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      supersededIds = Set.empty
+    }
+  }
+
   /** Iterative min-label propagation: label(v) <- min(label(v),
     * min(label(neighbors))) until fixpoint. Each round is one key-local
     * join + one min-aggregate.
     */
   def minLabelPropagate(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val ckpt = new RoundCheckpointer(pairs.sparkSession)
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     // round 0 folds the first propagation into initialization:
     // label(v) = min(v, min(neighbors))
-    var cur = edges.groupBy(col("u"))
+    var cur = ckpt.next(edges.groupBy(col("u"))
       .agg(min(col("v")).as("nmin"))
-      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl"))
-      .localCheckpoint()
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = edges
+      val next = ckpt.next(edges
         .join(cur.select(col("id").as("v"), col("lbl")), Seq("v"))
         .select(col("u").as("id"), col("lbl"))
         .unionAll(cur)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       val changed = next.alias("n")
         .join(cur.alias("c"), col("n.id") === col("c.id"))
         .filter(col("n.lbl") =!= col("c.lbl"))
         .count()
+      ckpt.releaseSuperseded() // cur's blocks — safe only after the count
       converged = changed == 0L
       cur = next
       round += 1
@@ -83,12 +118,12 @@ object ConnectedComponents {
   def largeStarSmallStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    var edges = pairs
+    val ckpt = new RoundCheckpointer(spark)
+    var edges = ckpt.next(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     if (edges.isEmpty)
       return edges.select(col("u").as("id"), col("v").as("lbl"))
 
@@ -129,7 +164,8 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = ckpt.next(smallStar(largeStar(edges)))
+      ckpt.releaseSuperseded() // `next` is materialized; old edges unused
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
