@@ -55,6 +55,28 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio(text) * 10)) +
       lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / 100.0), 6)
 
+  /** Fraction of tokens containing at least one ASCII letter — the
+    * Gopher "80% of words must contain an alphabetic character" rule.
+    */
+  def alphaWordRatio(text: Column): Column =
+    round(size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double")
+      / tokenCount(text), 6)
+
+  /** Fraction of tokens carrying symbol noise (hash marks, ellipses) —
+    * the Gopher symbol-to-word-ratio rule.
+    */
+  def symbolWordRatio(text: Column): Column =
+    round(size(filter(tokens(text), t => t.contains("#") || t.contains("...")))
+      .cast("double") / tokenCount(text), 6)
+
+  /** Number of DISTINCT stopwords present — Gopher requires >= 2 to
+    * accept a document as natural language. array_intersect already
+    * de-duplicates, so its size is the distinct count.
+    */
+  def distinctStopwordCount(text: Column): Column =
+    size(array_intersect(tokens(text),
+      array(StopWords.map(lit): _*))).cast("long")
+
   /** Document fingerprint: md5 over whitespace-normalized, lower-cased
     * text — the exact-dedup key.
     */

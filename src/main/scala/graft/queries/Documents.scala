@@ -396,6 +396,22 @@ object Documents {
         .orderBy(col("source"))
     }),
 
+    // Gopher/C4-style quality-rule filter (Rae et al. 2021 §A1.1; Raffel
+    // et al. 2020 §2.2) adapted to the whitespace-token corpus: per-doc
+    // rule flags plus the final keep conjunction, all from codegen'd
+    // array/regexp kernels — one scan, no shuffle until the sort.
+    "t17_quality_rules" -> ((s, dir) => qualityRules(docs(s, dir))),
+
+    // Bigram language model trained ON the corpus, then every document
+    // scored against it (Laplace smoothing over the corpus vocabulary) —
+    // the classic KenLM-shaped perplexity gate of training-data
+    // pipelines, as pure relational topology: two count aggregations
+    // (map-side partial combine does the heavy lifting), a shuffle join
+    // of doc bigrams against the model keyed by the bigram itself, and
+    // a 1-row vocab broadcast. No driver-side model object: at 100 TB
+    // the model IS a distributed table.
+    "t18_bigram_perplexity" -> ((s, dir) => bigramPerplexity(docs(s, dir))),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -626,6 +642,73 @@ object Documents {
     * candidates with true token Jaccard. The 100 TB shape: no all-pairs
     * stage anywhere; every join is a key-local hash join.
     */
+  /** Gopher/C4-style quality-rule filter (Rae et al. 2021 §A1.1; Raffel
+    * et al. 2020 §2.2) adapted to the whitespace-token corpus: per-doc
+    * rule flags plus the final keep conjunction, all from codegen'd
+    * array/regexp kernels — one scan, no shuffle until the sort.
+    */
+  private[queries] def qualityRules(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        tokenCount(col("text")).as("n_words"),
+        avgTokenLen(col("text")).as("mean_word_len"),
+        alphaWordRatio(col("text")).as("alpha_word_ratio"),
+        symbolWordRatio(col("text")).as("symbol_word_ratio"),
+        distinctStopwordCount(col("text")).as("n_stop_distinct"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        col("text").contains("{").as("has_brace"))
+      .withColumn("pass_word_count", col("n_words").between(50, 100000))
+      .withColumn("pass_mean_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("pass_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("pass_symbol", col("symbol_word_ratio") <= 0.1)
+      .withColumn("pass_stop", col("n_stop_distinct") >= 2L)
+      .withColumn("pass_c4", !col("has_lorem") && !col("has_brace"))
+      .withColumn("keep",
+        col("pass_word_count") && col("pass_mean_word_len") &&
+        col("pass_alpha") && col("pass_symbol") &&
+        col("pass_stop") && col("pass_c4"))
+      .drop("has_lorem", "has_brace")
+      .orderBy(col("doc_id"))
+
+  /** Bigram language model trained ON the corpus, then every document
+    * scored against it (Laplace smoothing over the corpus vocabulary) —
+    * the classic KenLM-shaped perplexity gate of training-data
+    * pipelines, as pure relational topology: two count aggregations
+    * (map-side partial combine does the heavy lifting), a shuffle join
+    * of doc bigrams against the model keyed by the bigram itself, and
+    * a 1-row vocab broadcast. No driver-side model object: at 100 TB
+    * the model IS a distributed table.
+    */
+  private[queries] def bigramPerplexity(d: DataFrame): DataFrame = {
+    val tk = d.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val pairs = tk.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // pairs is consumed by counts AND scoring — deliberately NOT
+    // persisted: recomputing a tokenize+explode projection is cheaper
+    // at scale than pinning exploded text in executor memory, and the
+    // scoring join's exchange of pairs hashed by (w1, w2) is the same
+    // subplan as the bigram-count exchange, so ReuseExchange dedups it
+    val cBg = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val cW1 = cBg.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    val vocab = tk.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs
+      .join(cBg, Seq("w1", "w2"))
+      .join(cW1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log((col("c_bg") + lit(1.0)) / (col("c_w1") + col("v")))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp") / col("n_bigrams"), 4).as("avg_logprob"),
+        round(exp(-col("lp") / col("n_bigrams")), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   private def neardupStages(d: DataFrame): NeardupStages = {
     // banding is consumed twice (self-join) and candidates feed several
     // downstream consumers: persist the small intermediates so the
@@ -1024,6 +1107,50 @@ object Documents {
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
             CAST((max(cum) + 255) // 256 * 256 - max(cum) AS BIGINT) AS n_pad_tokens
           FROM c GROUP BY source ORDER BY source""",
+    "t17_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSqlDuck AS tk FROM documents),
+          m AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                  / len(tk), 6) AS mean_word_len,
+            round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(tk), 6) AS alpha_word_ratio,
+            round(CAST(len(list_filter(tk, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                  / len(tk), 6) AS symbol_word_ratio,
+            CAST(len(list_intersect(tk,
+              ['the', 'a', 'of', 'and', 'is', 'to', 'in'])) AS BIGINT) AS n_stop_distinct,
+            contains(lower(text), 'lorem ipsum') AS has_lorem,
+            contains(text, '{') AS has_brace
+          FROM t)
+          SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+            symbol_word_ratio, n_stop_distinct,
+            n_words BETWEEN 50 AND 100000 AS pass_word_count,
+            mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+            alpha_word_ratio >= 0.8 AS pass_alpha,
+            symbol_word_ratio <= 0.1 AS pass_symbol,
+            n_stop_distinct >= 2 AS pass_stop,
+            NOT has_lorem AND NOT has_brace AS pass_c4,
+            (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+              AND alpha_word_ratio >= 0.8 AND symbol_word_ratio <= 0.1
+              AND n_stop_distinct >= 2 AND NOT has_lorem AND NOT has_brace AS keep
+          FROM m ORDER BY doc_id""",
+    "t18_bigram_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSqlDuck AS tk FROM documents),
+          flat AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+              i -> {'w1': tk[CAST(i AS INT)], 'w2': tk[CAST(i + 1 AS INT)]})) AS p
+            FROM toks)),
+          cbg AS (SELECT w1, w2, count(*) AS c_bg FROM flat GROUP BY w1, w2),
+          cw1 AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY w1),
+          v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM toks)),
+          sc AS (SELECT f.doc_id, count(*) AS n_bigrams,
+              sum(ln((c_bg + 1.0) / (c_w1 + v.v))) AS lp
+            FROM flat f JOIN cbg USING (w1, w2) JOIN cw1 USING (w1) CROSS JOIN v
+            GROUP BY f.doc_id)
+          SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+            round(lp / n_bigrams, 4) AS avg_logprob,
+            round(exp(-lp / n_bigrams), 2) AS ppl
+          FROM sc ORDER BY doc_id""",
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5

@@ -54,6 +54,47 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getLong(2) == 2L && out(1).getLong(1) == 0L)
   }
 
+  test("t17 quality rules: flags and keep on crafted pass/fail docs") {
+    val s = spark
+    import s.implicits._
+    // doc 0: 52 words, 2 distinct stopwords -> keep. doc 1: 10 words ->
+    // fails word count only. doc 2: symbol soup -> fails symbol + alpha
+    // + stop rules. doc 3: lorem ipsum -> fails C4.
+    val docsDf = Seq(
+      (0L, ("the of system values " * 13).trim), // 52 words, mean len 4.25
+      (1L, "a of short text here now then soon yes no"),
+      (2L, ("### ... " * 30).trim),
+      (3L, "lorem ipsum " + ("of and " * 25).trim)).toDF("doc_id", "text")
+    val crafted = Documents.qualityRules(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(crafted(0L).getAs[Boolean]("keep"))
+    assert(!crafted(1L).getAs[Boolean]("pass_word_count") &&
+      crafted(1L).getAs[Boolean]("pass_stop") &&
+      !crafted(1L).getAs[Boolean]("keep"))
+    assert(!crafted(2L).getAs[Boolean]("pass_symbol") &&
+      !crafted(2L).getAs[Boolean]("pass_alpha") &&
+      !crafted(2L).getAs[Boolean]("pass_stop"))
+    assert(!crafted(3L).getAs[Boolean]("pass_c4") &&
+      !crafted(3L).getAs[Boolean]("keep"))
+  }
+
+  test("t18 bigram perplexity: hand-computed Laplace scores on a 2-doc corpus") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = Documents.bigramPerplexity(docsDf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // corpus bigrams: doc0 = (a b)(b a)(a b), doc1 = (a b)(b c)
+    // counts: c(a b)=3, c(b a)=1, c(b c)=1; prefix c(a .)=3, c(b .)=2; V=3
+    // P(b|a)=(3+1)/(3+3)=2/3; P(a|b)=(1+1)/(2+3)=2/5; P(c|b)=2/5
+    val lp0 = (math.log(2.0 / 3) + math.log(2.0 / 5) + math.log(2.0 / 3)) / 3
+    val lp1 = (math.log(2.0 / 3) + math.log(2.0 / 5)) / 2
+    assert(out(0L)._1 == 3L && out(1L)._1 == 2L)
+    assert(math.abs(out(0L)._2 - BigDecimal(lp0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(1L)._2 - BigDecimal(lp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(0L)._3 - math.rint(math.exp(-lp0) * 100) / 100) < 1e-9)
+  }
+
   test("d09 paragraph dedup keeps the first occurrence of shared boilerplate") {
     val s = spark
     import org.apache.spark.sql.functions._
