@@ -594,6 +594,14 @@ object Documents {
         docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains),
         useStars = true)
     }),
+
+    // Similarity SEARCH over text (top-k neighbors per doc), same
+    // synthetic chains so ranked results exist at every SF.
+    "d13_similar_topk" -> ((s, dir) => {
+      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
+      similarTopK(
+        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
+    }),
   )
 
   /** Three-doc chains a—b—c where adjacent docs are near-dups (token
@@ -631,9 +639,10 @@ object Documents {
     * whatever they derive, then call [[NeardupStages.unpersistAll]].
     */
   private case class NeardupStages(bands: DataFrame, bucketSizes: DataFrame,
-      megaBuckets: DataFrame, cand: DataFrame, dups: DataFrame) {
+      megaBuckets: DataFrame, cand: DataFrame, scored: DataFrame,
+      dups: DataFrame) {
     def unpersistAll(): Unit =
-      Seq(bands, bucketSizes, cand, dups).foreach(_.unpersist(blocking = false))
+      Seq(bands, bucketSizes, cand, scored).foreach(_.unpersist(blocking = false))
   }
 
   /** Word 3-shingles -> 8-component MinHash -> 4x2 banded LSH (single
@@ -642,6 +651,36 @@ object Documents {
     * candidates with true token Jaccard. The 100 TB shape: no all-pairs
     * stage anywhere; every join is a key-local hash join.
     */
+  /** Top-k most similar documents per document — similarity SEARCH over
+    * text, as opposed to the near-dup REMOVAL family: every LSH
+    * candidate pair keeps its true Jaccard (no dup threshold), pairs
+    * are symmetrized, and a per-doc window takes the k best
+    * (ties broken by other_id for determinism). The heavy stages are
+    * the shared banded-LSH pipeline; the window partitions by doc_id —
+    * never a global sort — and its input is already capped at
+    * (bucket_cap - 1) x bands candidates per doc, so no skewed window
+    * partition can form. Result is localCheckpointed eagerly so the
+    * LSH stages can be unpersisted before returning.
+    */
+  private[queries] def similarTopK(d: DataFrame, k: Int = 3): DataFrame = {
+    val st = neardupStages(d)
+    try {
+      val sym = st.scored
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("other_id"), col("jac"))
+        .unionAll(st.scored
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("other_id"), col("jac")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("jac").desc, col("other_id").asc)
+      sym.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("doc_id"), col("rk"), col("other_id"),
+          round(col("jac"), 6).as("jac"))
+        .orderBy(col("doc_id"), col("rk"))
+        .localCheckpoint()
+    } finally st.unpersistAll()
+  }
+
   /** Gopher/C4-style quality-rule filter (Rae et al. 2021 §A1.1; Raffel
     * et al. 2020 §2.2) adapted to the whitespace-token corpus: per-doc
     * rule flags plus the final keep conjunction, all from codegen'd
@@ -743,15 +782,19 @@ object Documents {
       .distinct()
       .persist()
     val grams = d.select(col("doc_id"), array_distinct(tokens(col("text"))).as("g"))
-    val dups = cand
+    // scored = every candidate with its true Jaccard (consumed by the
+    // top-k similarity search); dups = the >= 0.5 threshold view of it
+    // (a key-local filter over the same persisted rows, so both views
+    // share one materialization)
+    val scored = cand
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
          size(array_union(col("ga"), col("gb")))).as("jac"))
-      .filter(col("jac") >= 0.5)
       .persist()
-    NeardupStages(bands, bucketSizes, megaBuckets, cand, dups)
+    val dups = scored.filter(col("jac") >= 0.5)
+    NeardupStages(bands, bucketSizes, megaBuckets, cand, scored, dups)
   }
 
   /** End-to-end near-dup pipeline summary: [[neardupStages]], then
@@ -1306,6 +1349,22 @@ object Documents {
         s"""SELECT doc_id, text FROM documents
             UNION ALL
             $chainDocsSql"""),
+    "d13_similar_topk" ->
+      s"""WITH ${neardupStagesSql(
+        s"""SELECT doc_id, text FROM documents
+            UNION ALL
+            $chainDocsSql""")},
+          sym AS (
+            SELECT doc_a AS doc_id, doc_b AS other_id, jac FROM verified
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS other_id, jac FROM verified),
+          ranked AS (
+            SELECT doc_id, other_id, jac,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY jac DESC, other_id ASC) AS BIGINT) AS rk
+            FROM sym)
+          SELECT doc_id, rk, other_id, round(jac, 6) AS jac
+          FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
   )
 
   /** DuckDB rendition of [[neardupSummary]] over an arbitrary corpus. */

@@ -154,6 +154,24 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d13 similar top-k ranks the closer chain neighbor first") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val out = Documents.queries("d13_similar_topk")(s, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 3000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // chain a~b~c: for the middle doc b the two neighbors a and c tie on
+    // jaccard (0.667 each) -> deterministic tie-break by other_id puts a
+    // (the smaller id) at rank 1; the chain ends rank their adjacent
+    // middle doc first (0.667) ahead of the far end (0.429) if the far
+    // pair even surfaced as an LSH candidate
+    val b = 3000001L
+    assert(out((b, 1L))._1 == 3000000L && out((b, 1L))._2 > 0.6)
+    assert(out((b, 2L))._1 == 3000002L && out((b, 2L))._2 > 0.6)
+    assert(out((3000000L, 1L))._1 == b)
+    assert(out((3000002L, 1L))._1 == b)
+  }
+
   test("neardupClusters leaves no cached intermediates behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = Documents.neardupClusters(corpus(200))
