@@ -609,7 +609,7 @@ object Documents {
     * 0.429 < 0.5) — exactly the transitive shape d07's pairwise keeper
     * rule mishandles and d11's connected components exist for.
     */
-  private[queries] val ChainDocs: Seq[(Long, String)] = (0 until 5).flatMap { k =>
+  private[graft] val ChainDocs: Seq[(Long, String)] = (0 until 5).flatMap { k =>
     // the "a" stem is chosen so every adjacent pair ALSO collides in at
     // least one LSH band (banding is a deterministic function of the
     // text; most stems lose ~1 of the 10 edges to minhash recall)
@@ -662,7 +662,8 @@ object Documents {
     * partition can form. Result is localCheckpointed eagerly so the
     * LSH stages can be unpersisted before returning.
     */
-  private[queries] def similarTopK(d: DataFrame, k: Int = 3): DataFrame = {
+  private[graft] def similarTopK(d: DataFrame, k: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     val st = neardupStages(d)
     try {
       val sym = st.scored
@@ -672,12 +673,17 @@ object Documents {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("jac").desc, col("other_id").asc)
-      sym.withColumn("rk", row_number().over(w).cast("long"))
+      val ranked = sym.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= k)
         .select(col("doc_id"), col("rk"), col("other_id"),
           round(col("jac"), 6).as("jac"))
         .orderBy(col("doc_id"), col("rk"))
-        .localCheckpoint()
+      // materialize=false is for PLAN AUDITING only: it returns the
+      // un-checkpointed lineage so `explain` shows the window topology
+      // (the checkpointed form explains as an opaque RDD scan). Nothing
+      // has executed, so the stage persists being released in `finally`
+      // never materialized.
+      if (materialize) ranked.localCheckpoint() else ranked
     } finally st.unpersistAll()
   }
 
