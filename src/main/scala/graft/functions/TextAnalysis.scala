@@ -301,6 +301,63 @@ object TextAnalysis {
       }
     })
 
+  /** The distinct winnowing fingerprints themselves (sorted), same
+    * rolling-hash + monotonic-deque kernel as [[winnowFingerprint]] —
+    * for cross-document shared-substring analysis, where the SET joins
+    * against other documents' sets rather than reducing to stats.
+    */
+  def winnowFingerprintSet(k: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((n: String) => {
+      if (n == null) null
+      else {
+        val B = 257L
+        val M = 1000000007L
+        val L = n.length
+        if (L < k) Array.empty[Long]
+        else {
+          val nh = L - k + 1
+          var p0 = 1L
+          var e = 0
+          while (e < k - 1) { p0 = p0 * B % M; e += 1 }
+          val hs = new Array[Long](nh)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * B + n.charAt(i)) % M; i += 1 }
+          hs(0) = h
+          i = 1
+          while (i < nh) {
+            h = (((h - n.charAt(i - 1) * p0) % M + M) * B + n.charAt(i + k - 1)) % M
+            hs(i) = h
+            i += 1
+          }
+          val nwin = math.max(nh - w + 1, 1)
+          val sel = new Array[Long](nwin)
+          val dq = new Array[Int](nh)
+          var head = 0
+          var tail = 0
+          i = 0
+          while (i < nh) {
+            while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+            dq(tail) = i; tail += 1
+            val winStart = i - w + 1
+            while (dq(head) < winStart) head += 1
+            if (i >= w - 1) sel(i - w + 1) = hs(dq(head))
+            i += 1
+          }
+          if (nh < w) sel(0) = hs(dq(head))
+          java.util.Arrays.sort(sel)
+          val out = new Array[Long](sel.length)
+          var m = 0
+          var j = 0
+          while (j < sel.length) {
+            if (j == 0 || sel(j) != sel(j - 1)) { out(m) = sel(j); m += 1 }
+            j += 1
+          }
+          java.util.Arrays.copyOf(out, m)
+        }
+      }
+    })
+
   /** DuckDB rendition of [[winnowFingerprint]] over a `n` (normalized
     * text) column — the O(n*k) recompute form for the oracle.
     */

@@ -602,7 +602,37 @@ object Documents {
       similarTopK(
         docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
     }),
+
+    // Cross-document repeated-substring signal (the exact-substring
+    // dedup of Lee et al. 2021 "Deduplicating Training Data Makes
+    // Language Models Better", approximated by the MOSS winnowing
+    // scheme t10 already computes): per doc, how many of its winnowed
+    // substring fingerprints also occur in ANY other document. The
+    // at-scale topology is two shuffles of bare (doc_id, fp) longs —
+    // fingerprint occurrence counts via map-side-combined groupBy, then
+    // a re-join of the same exploded frame (identical exchange, reused)
+    // — text itself never moves.
+    "d14_substring_dups" -> ((s, dir) => substringDups(docs(s, dir))),
   )
+
+  /** Cross-document repeated-substring fractions (see the d14 registry
+    * comment): explode each doc's winnowed fingerprint set, count
+    * occurrences per fingerprint, re-join, reduce per doc.
+    */
+  private[queries] def substringDups(d: DataFrame): DataFrame = {
+    val fps = d.select(col("doc_id"),
+        explode(winnowFingerprintSet(5, 4)(winnowNorm(col("text")))).as("fp"))
+    // (doc_id, fp) pairs are distinct by construction, so a plain
+    // count per fp IS the distinct-document count
+    val byFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    fps.join(byFp, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_fps"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_fps"), 6).as("shared_ratio"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Three-doc chains a—b—c where adjacent docs are near-dups (token
     * Jaccard 16/24 ≈ 0.667 ≥ 0.5) but the endpoints are not (12/28 ≈
@@ -1100,6 +1130,19 @@ object Documents {
             list_min(fps) AS fp_min, list_max(fps) AS fp_max,
             CAST(list_sum(fps) AS BIGINT) AS fp_sum
           FROM w ORDER BY doc_id""",
+    "d14_substring_dups" ->
+      s"""WITH nn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n FROM documents),
+          ${graft.functions.TextAnalysis.winnowFingerprintDuckSql(5, 4)},
+          flat AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+          cnt AS (SELECT fp, count(*) AS nd FROM flat GROUP BY fp),
+          per AS (SELECT f.doc_id, count(*) AS n_fps,
+              sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+            FROM flat f JOIN cnt USING (fp) GROUP BY f.doc_id)
+          SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps,
+            CAST(n_shared AS BIGINT) AS n_shared,
+            round(CAST(n_shared AS DOUBLE) / n_fps, 6) AS shared_ratio
+          FROM per ORDER BY doc_id""",
     "t11_bpe_pretokenize" -> {
       val pat = BpePattern.replace("'", "''")
       s"""WITH docs_all AS (

@@ -212,6 +212,53 @@ object Embeddings {
     // Full 64-dim centroids via explode -> (label, dim) partial agg ->
     // regroup; elementwise array aggregation without any driver-side
     // loop (the round-1 e02 hand-rolled only dims 0-3).
+    // Product quantization (Jégou et al. 2011): the 64-dim vector splits
+    // into 8 subspaces of 8 dims; each subspace learns a 16-entry
+    // codebook (deterministic seeds = the subvectors of vec_id 0..15,
+    // one Lloyd iteration with centroids rounded so the refined
+    // codebook is bit-identical across engines), then every subvector
+    // encodes as its nearest code. 8 bytes replace 256 — the memory
+    // lever that makes a 100 TB ANN index fit a cluster. Topology:
+    // codebooks are tiny and BROADCAST to both the train-assign and
+    // encode joins; argmin is min(struct(dist, code)) — a partial-agg
+    // friendly aggregate with a deterministic tie-break, never a
+    // window over the full corpus.
+    "e09_product_quantize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val sub = emb.select(col("vec_id"), posexplode(
+          transform(sequence(lit(0), lit(7)),
+            j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")))
+      val seeds = sub.filter(col("vec_id") < 16)
+        .select(col("sub_j"), col("vec_id").as("code"), col("sv").as("cv"))
+      def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      // one Lloyd iteration: assign to nearest seed, re-center
+      val assign1 = sub.join(broadcast(seeds), Seq("sub_j"))
+        .select(col("vec_id"), col("sub_j"), col("sv"),
+          struct(sqDist(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
+        .groupBy(col("vec_id"), col("sub_j"), col("sv"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("sub_j"), col("best.c").as("code"), col("sv"))
+      val refined = assign1
+        .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub_j"), col("code"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("sub_j"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("sub_j"), col("code"), expr("transform(pc, p -> p.c)").as("cv"))
+      // encode against the refined codebook
+      sub.join(broadcast(refined), Seq("sub_j"))
+        .select(col("vec_id"), col("sub_j"),
+          struct(sqDist(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
+        .groupBy(col("vec_id"), col("sub_j"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("sub_j"), col("best.c").as("code"),
+          round(col("best.d"), 4).as("err"))
+        .orderBy(col("vec_id"), col("sub_j"))
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -370,6 +417,42 @@ object Embeddings {
           SELECT orig_id, dup_id, sim FROM pairs WHERE sim >= 0.95
           ORDER BY orig_id, dup_id"""
     },
+    "e09_product_quantize" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         subs AS (
+           SELECT vec_id, CAST(jj.j AS BIGINT) AS sub_j,
+             list_slice(v, CAST(jj.j * 8 + 1 AS INT), CAST(jj.j * 8 + 8 AS INT)) AS sv
+           FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         seeds AS (SELECT sub_j, vec_id AS code, sv AS cv
+           FROM subs WHERE vec_id < 16),
+         a1 AS (
+           SELECT s.vec_id, s.sub_j, s.sv,
+             min({'d': list_sum(list_transform(range(1, 9),
+                   i -> (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
+                      * (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))),
+                  'c': k.code}) AS best
+           FROM subs s JOIN seeds k USING (sub_j)
+           GROUP BY s.vec_id, s.sub_j, s.sv),
+         ref AS (
+           SELECT sub_j, code, pos, round(avg(x), 6) AS c
+           FROM (SELECT sub_j, best.c AS code,
+                   unnest(range(0, 8)) AS pos, unnest(sv) AS x
+                 FROM a1)
+           GROUP BY sub_j, code, pos),
+         refv AS (SELECT sub_j, code, list(c ORDER BY pos) AS cv
+           FROM ref GROUP BY sub_j, code),
+         enc AS (
+           SELECT s.vec_id, s.sub_j,
+             min({'d': list_sum(list_transform(range(1, 9),
+                   i -> (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
+                      * (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))),
+                  'c': k.code}) AS best
+           FROM subs s JOIN refv k USING (sub_j)
+           GROUP BY s.vec_id, s.sub_j)
+         SELECT vec_id, sub_j, CAST(best.c AS BIGINT) AS code,
+           round(best.d, 4) AS err
+         FROM enc ORDER BY vec_id, sub_j""",
     "e05_centroids_full" ->
       """WITH e AS (
            SELECT label,

@@ -183,6 +183,28 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowFingerprintSet agrees with winnowFingerprint stats") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "abcd", "abcdef",
+      "Mixed CASE with Punctuation!!! and   runs   of spaces 123")
+    val df = onTexts(texts)
+    val got = df.select(
+      TextAnalysis.winnowFingerprint(5, 4)(TextAnalysis.winnowNorm(col("text"))).as("fp"),
+      TextAnalysis.winnowFingerprintSet(5, 4)(TextAnalysis.winnowNorm(col("text"))).as("set"))
+      .collect()
+    got.foreach { r =>
+      val fp = r.getStruct(0)
+      val set = r.getSeq[Long](1)
+      assert(set.length.toLong == fp.getLong(1)) // n_fps
+      assert(set == set.sorted && set.distinct == set)
+      if (set.nonEmpty) {
+        assert(set.head == fp.getLong(2) && set.last == fp.getLong(3)) // min, max
+        assert(set.sum == fp.getLong(4))
+      }
+    }
+  }
+
   test("kernels match reference forms on 150 random texts (fixed seed)") {
     // seeded fuzz across the compiled kernels and their slow reference
     // renditions: random lengths, alphabets including digits/punct/

@@ -172,6 +172,22 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((3000002L, 1L))._1 == b)
   }
 
+  test("d14 substring dups: shared boilerplate is flagged, unique text is not") {
+    val s = spark
+    import s.implicits._
+    // docs 0 and 1 share a long boilerplate sentence; doc 2 is disjoint
+    val boiler = "subscribe to our newsletter for updates every week"
+    val docsDf = Seq(
+      (0L, s"alpha content one $boiler"),
+      (1L, s"totally different beta body $boiler"),
+      (2L, "zq xv jk wm unrelated pq rs tuvly entirely")).toDF("doc_id", "text")
+    val out = Documents.substringDups(docsDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._2 > 0L && out(1L)._2 > 0L, "shared boilerplate must be detected")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0, "disjoint text shares nothing")
+    assert(out(0L)._3 > 0.0 && out(0L)._3 <= 1.0)
+  }
+
   test("neardupClusters leaves no cached intermediates behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = Documents.neardupClusters(corpus(200))

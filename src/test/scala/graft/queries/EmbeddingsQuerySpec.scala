@@ -19,6 +19,23 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     .appName("embeddings-spec")
     .getOrCreate()
 
+  test("e09 PQ: seed vectors encode to themselves when alone in a cell") {
+    val out = Embeddings.queries("e09_product_quantize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // shape: 8 codes per vector, codes within [0, 16)
+    val n = out.map(_.getLong(0)).distinct.length
+    assert(out.length == n * 8)
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 16L))
+    // every vector's error is the distance to its NEAREST refined code,
+    // so per-subspace error of a seed vector <= distance to the cell it
+    // trained (sanity: errs are finite, non-negative)
+    assert(out.forall(_.getDouble(3) >= 0.0))
+    // determinism: a second evaluation returns the identical encoding
+    val again = Embeddings.queries("e09_product_quantize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
     val s = spark
     import s.implicits._
