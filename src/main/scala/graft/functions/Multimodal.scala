@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions.{lit, udf}
   * JDK's ImageIO (PNG/JPEG/GIF/BMP). Audio is real for WAV/PCM
   * ([[audioMeta]]/[[audioStats]] — container + raw samples, no codec
   * needed); frame sampling is real for multi-frame GIF
-  * ([[gifFrameStats]] via ImageIO); MP4/ISO-BMFF container metadata
-  * (brand, duration, track dims) is real via [[mp4Meta]]'s atom walk.
-  * Only compressed AV frame DECODE (mp3/h264/vp9…) remains behind
+  * ([[gifFrameStats]] via ImageIO) and for COMPRESSED video in the
+  * MJPEG-AVI family ([[aviMjpegFrames]]: RIFF container walk + per-
+  * frame baseline-JPEG decode — the one AV codec the stock JVM
+  * decodes); MP4/ISO-BMFF container metadata (brand, duration, track
+  * dims) is real via [[mp4Meta]]'s atom walk. Only frame DECODE of
+  * codecs the JVM lacks (mp3/h264/vp9…) remains behind
   * [[avFrameSample]], an explicitly documented deterministic STUB that
   * preserves the real plumbing (schema, batching, partition behavior)
   * so a codec can be dropped in.
@@ -273,8 +276,12 @@ object Multimodal {
       reader.setInput(stream, false, true)
       val total = reader.getNumImages(true)
       if (total <= 0) return null
-      val picks = (0 until math.min(n, total)).map(i => total.toLong * i / n)
-        .map(_.toInt).distinct
+      // fewer frames than requested -> take them all; otherwise evenly
+      // spaced stride (total*i/n collapses to duplicate picks when
+      // 1 < total < n, so the <= n case is explicit)
+      val picks =
+        if (total <= n) 0 until total
+        else (0 until n).map(i => (total.toLong * i / n).toInt)
       picks.map { idx =>
         val img = reader.read(idx)
         var (r, g, b) = (0L, 0L, 0L)
@@ -305,6 +312,85 @@ object Multimodal {
     */
   def gifFrameStats(data: Column, nFrames: Int = 4): Column = {
     val f = udf((d: Array[Byte], n: Int) => Option(gifFrameStatsOf(d, n)))
+    f(data, lit(nFrames))
+  }
+
+  final case class AviFrameStat(frameIndex: Int, offset: Long, width: Int,
+      height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** COMPRESSED-AV frame sampling for MJPEG-in-AVI — the one AV codec
+    * family the stock JVM really decodes (each frame is a baseline
+    * JPEG, ImageIO's native reader). Walks the RIFF container (LIST
+    * chunks recursively, so frames inside `movi`/`rec ` lists are all
+    * found), collects the `##dc`/`##db` video chunks of stream 0, and
+    * decodes up to `n` evenly spaced frames to pixel stats — the same
+    * sampled-decode contract as [[gifFrameStatsOf]], plus the byte
+    * offset of each sampled frame inside the container (the point-
+    * lookup handle a 100 TB media pipeline stores instead of pixels).
+    * Corrupt containers or frames -> null, never a task failure.
+    */
+  def aviMjpegFramesOf(d: Array[Byte], n: Int): Seq[AviFrameStat] = {
+    if (d == null || d.length < 12) return null
+    @inline def u8(i: Int) = d(i) & 0xff
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    try {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (offset, size)
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = fourcc(p)
+          val size = le32(p + 4)
+          val dataStart = p + 8
+          if (size < 0 || dataStart + size > to) return // corrupt length: stop
+          if (id == "LIST") {
+            if (size >= 4) walk(dataStart + 4, dataStart + size)
+          } else if (id.length == 4 && id(0) == '0' && id(1) == '0' &&
+              id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')) {
+            frames += ((dataStart.toLong, size))
+          }
+          p = dataStart + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(12L + le32(4) - 4, d.length.toLong).toInt)
+      val total = frames.length
+      if (total == 0) return null
+      // same sampling rule as gifFrameStatsOf: all frames when <= n,
+      // else an even stride
+      val picks =
+        if (total <= n) 0 until total
+        else (0 until n).map(i => (total.toLong * i / n).toInt)
+      picks.map { idx =>
+        val (off, len) = frames(idx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(d, off.toInt, len))
+        if (img == null) return null
+        var (r, g, b) = (0L, 0L, 0L)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        AviFrameStat(idx, off, w, h,
+          math.rint(r * 100.0 / np) / 100, math.rint(g * 100.0 / np) / 100,
+          math.rint(b * 100.0 / np) / 100)
+      }
+    } catch { case _: Throwable => null }
+  }
+
+  /** mjpeg_frame_sample(binary, n) -> array<struct<frame_index,offset,
+    * width,height,mean_r,mean_g,mean_b>> over an MJPEG AVI.
+    */
+  def aviMjpegFrames(data: Column, nFrames: Int = 4): Column = {
+    val f = udf((d: Array[Byte], n: Int) => Option(aviMjpegFramesOf(d, n)))
     f(data, lit(nFrames))
   }
 
@@ -397,10 +483,11 @@ object Multimodal {
     c => f(c)
   }
 
-  /** STUB — frame sampling for COMPRESSED AV containers (mp3/mp4/webm…).
-    * WAV and multi-frame GIF decode for real above; no compressed-codec
-    * library ships on this classpath (documented gap), so this returns
-    * deterministic pseudo-frames
+  /** STUB — frame sampling for compressed AV containers whose codecs
+    * the JVM cannot decode (mp3/mp4-h264/webm…). WAV, multi-frame GIF
+    * and MJPEG-AVI ([[aviMjpegFrames]]) decode for real above; for the
+    * rest no codec library ships on this classpath (documented gap), so
+    * this returns deterministic pseudo-frames
     * (byte slices at evenly spaced offsets) so the Spark-side plumbing —
     * schema array<struct<offset,bytes>>, per-row batching, partition
     * parallelism — is real and tested, and a codec-backed implementation

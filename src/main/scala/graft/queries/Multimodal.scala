@@ -59,6 +59,35 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** RIFF chunk: fourcc + LE size + payload (padded to even; size field
+    * records the unpadded length, per the RIFF spec).
+    */
+  private def riffChunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val out = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(data.length).put(data)
+    out.array()
+  }
+
+  /** Minimal MJPEG AVI: RIFF(AVI ) > LIST(hdrl) > avih, LIST(movi) >
+    * one 00dc chunk per frame, each a real ImageIO-encoded JPEG.
+    */
+  private def makeAvi(w: Int, h: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h) // + 4 reserved ints of zero padding
+    val hdrl = riffChunk("LIST",
+      "hdrl".getBytes ++ riffChunk("avih", avih.array()))
+    val movi = riffChunk("LIST",
+      "movi".getBytes ++ frames.flatMap(f => riffChunk("00dc", f)))
+    riffChunk("RIFF", "AVI ".getBytes ++ hdrl ++ movi)
+  }
+
   /** ISO-BMFF box: 32-bit big-endian size + fourcc type + payload. */
   private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
     val len = 8 + payload.map(_.length).sum
@@ -215,6 +244,37 @@ object Multimodal {
           M.mp4Meta(col("payload")).getField("height").as("height"))
         .orderBy(col("media_id"))
     }),
+
+    // COMPRESSED-AV frame sampling, for real: MJPEG-in-AVI, the one AV
+    // codec family the stock JVM decodes (every frame a baseline JPEG
+    // through ImageIO). Solid GRAY frames round-trip JPEG's YCbCr
+    // transform losslessly (Cb = Cr = 128, Y = the gray value), so the
+    // decoded means are hand-derivable — gray 128 exactly (zero DC
+    // after level shift), and the quantized extremes clamp to 0/255.
+    // Frame offsets prove the RIFF walk: they are pure container
+    // arithmetic. Corrupt bytes -> null row, never a task failure.
+    "m05_mjpeg_frames" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val grays = Seq(0, 64, 128, 192, 255, 32)
+      val clip = makeAvi(16, 8, 40000,
+        grays.map(v => makeImage(16, 8, (v << 16) | (v << 8) | v, "jpg")))
+      val single = makeAvi(8, 8, 100000,
+        Seq(makeImage(8, 8, 0x808080, "jpg")))
+      val rows = Seq(
+        (1L, clip),
+        (2L, single),
+        (3L, "definitely not an avi".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      df.select(col("media_id"),
+          explode_outer(M.aviMjpegFrames(col("payload"), 3)).as("f"))
+        .select(col("media_id"),
+          col("f.frameIndex").as("frame_index"),
+          col("f.offset").as("frame_offset"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.meanR").as("mean_r"), col("f.meanG").as("mean_g"),
+          col("f.meanB").as("mean_b"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -276,5 +336,27 @@ object Multimodal {
          (4, NULL, NULL, NULL, NULL, NULL, NULL))
          t(media_id, brand, timescale, duration_s, n_tracks, width, height)
          ORDER BY media_id""",
+    // Hand-derivable: sampling 3 of 6 frames picks indices 0, 2, 4 —
+    // gray values 0, 128, 255, which survive JPEG's YCbCr round-trip
+    // exactly (gray => Cb = Cr = 128; 128 has zero DC after the level
+    // shift, 0/255 clamp). Frame 0's offset is pure container
+    // arithmetic: RIFF hdr 12 + hdrl LIST 76 + movi LIST hdr 12 +
+    // chunk hdr 8 = 108; later offsets add the ImageIO-encoded JPEG
+    // sizes (deterministic for a fixed JVM encoder). Corrupt -> nulls.
+    "m05_mjpeg_frames" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         CAST(frame_index AS INT) AS frame_index,
+         CAST(frame_offset AS BIGINT) AS frame_offset,
+         CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g,
+         CAST(mean_b AS DOUBLE) AS mean_b FROM (VALUES
+         (1, 0, 108, 16, 8, 0.0, 0.0, 0.0),
+         (1, 2, 1388, 16, 8, 128.0, 128.0, 128.0),
+         (1, 4, 2666, 16, 8, 255.0, 255.0, 255.0),
+         (2, 0, 108, 8, 8, 128.0, 128.0, 128.0),
+         (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, frame_index, frame_offset, width, height,
+           mean_r, mean_g, mean_b)
+         ORDER BY media_id, frame_index""",
   )
 }

@@ -184,6 +184,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.getDouble(4) == 0x60.toDouble)
   }
 
+  test("aviMjpegFramesOf: RIFF walk + real JPEG decode; corrupt input -> null") {
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes).putInt(data.length).put(data).array()
+    }
+    val jpegs = Seq(0x404040, 0x808080).map(c => makeImage(6, 4, c, "jpg"))
+    // frames nested inside a 'rec ' list exercise the recursive walk
+    val movi = chunk("LIST", "movi".getBytes ++
+      chunk("00dc", jpegs(0)) ++
+      chunk("LIST", "rec ".getBytes ++ chunk("00dc", jpegs(1))))
+    val avi = chunk("RIFF", "AVI ".getBytes ++ movi)
+    val frames = Multimodal.aviMjpegFramesOf(avi, 4)
+    assert(frames.length == 2)
+    assert(frames.map(_.frameIndex) == Seq(0, 1))
+    assert(frames.forall(f => f.width == 6 && f.height == 4))
+    // gray JPEG round-trips exactly (Cb = Cr = 128)
+    assert(frames(1).meanR == 128.0 && frames(1).meanG == 128.0 &&
+      frames(1).meanB == 128.0)
+    assert(Multimodal.aviMjpegFramesOf("not avi".getBytes, 4) == null)
+    assert(Multimodal.aviMjpegFramesOf(
+      chunk("RIFF", "AVI ".getBytes ++ chunk("LIST", "movi".getBytes)), 4) == null)
+    // a truncated container must not throw (result may be null or partial)
+    Multimodal.aviMjpegFramesOf(avi.take(avi.length - 10), 4)
+  }
+
   test("av frame-sample stub: deterministic offsets, real plumbing") {
     val ss = spark; import ss.implicits._
     val payload = (0 until 1000).map(_.toByte).toArray
