@@ -28,41 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Eagerly localCheckpoints `df`, releasing the blocks of the
-    * superseded previous round right away instead of leaving them for
-    * the ContextCleaner: over many rounds (or many queries in one
-    * driver) un-released checkpoint blocks pile up in the block
-    * manager until a driver GC happens to run — measured as multi-
-    * second GC noise billed to whatever query runs next. Checkpoint
-    * ids are identified by diffing the persistent-RDD registry around
-    * the (eager) checkpoint, which assumes rounds run sequentially
-    * within this driver — true here; concurrent jobs would only make
-    * the release a no-op for a foreign id, never an early unpersist,
-    * because `supersededIds` holds ids this loop created itself.
-    */
-  private final class RoundCheckpointer(spark: org.apache.spark.sql.SparkSession) {
-    private val sc = spark.sparkContext
-    private var liveIds: Set[Int] = Set.empty
-    private var supersededIds: Set[Int] = Set.empty
-    def next(df: DataFrame): DataFrame = {
-      val pre = sc.getPersistentRDDs.keySet
-      val ck = df.localCheckpoint()
-      supersededIds ++= liveIds
-      liveIds = (sc.getPersistentRDDs.keySet -- pre).toSet
-      ck
-    }
-    /** Drop the blocks of rounds superseded by a later [[next]] call.
-      * Callers invoke this only once the superseded round's DataFrame
-      * is no longer referenced by any in-flight job — a localCheckpoint
-      * cannot be recomputed once its blocks are gone.
-      */
-    def releaseSuperseded(): Unit = {
-      supersededIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      supersededIds = Set.empty
-    }
-  }
-
   /** Iterative min-label propagation: label(v) <- min(label(v),
     * min(label(neighbors))) until fixpoint. Each round is one key-local
     * join + one min-aggregate.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by power iteration over a DataFrame edge list — used for
+  * cluster-representative selection on the near-dup graph (the most
+  * central member of a boilerplate family is a better keeper than the
+  * arbitrary min-id) and for host-graph authority scoring.
+  *
+  * Design for scale and for cross-engine determinism:
+  *  - a FIXED number of iterations (no convergence action): the whole
+  *    loop is the same computation graph on every engine;
+  *  - each iteration's ranks round to 9 decimals — double summation
+  *    order differs between engines/partitionings, and without the
+  *    per-round rounding a 1-ulp drift would compound across rounds;
+  *  - per round: one key-local join (ranks to edges by source) and one
+  *    aggregation (sum by destination) — only (id, double) pairs
+  *    shuffle; localCheckpoint per round via [[RoundCheckpointer]]
+  *    keeps the plan one round deep and releases superseded blocks.
+  *
+  * Uses the per-node formula rank = (1 - d) + d * sum(in-rank/degree)
+  * (Page et al. 1999 as commonly implemented; ranks average to 1, not
+  * sum to 1, so scores are comparable across graph sizes).
+  */
+object PageRank {
+
+  /** `pairs` (doc_a, doc_b) is treated as an UNDIRECTED graph: each
+    * pair contributes both directed edges. Returns (id, rank).
+    */
+  def undirected(pairs: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val ckpt = new RoundCheckpointer(pairs.sparkSession)
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    val deg = edges.groupBy(col("u"))
+      .agg(count(lit(1)).cast("double").as("dg"))
+      .persist()
+    var ranks = ckpt.next(deg.select(col("u").as("id"), lit(1.0).as("rank")))
+    var i = 0
+    while (i < iterations) {
+      val contribs = edges
+        .join(ranks.select(col("id").as("u"), col("rank")), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v").as("id"), (col("rank") / col("dg")).as("c"))
+      val next = ckpt.next(contribs.groupBy(col("id"))
+        .agg(round(lit(1.0 - damping) + lit(damping) * sum(col("c")), 9).as("rank")))
+      ckpt.releaseSuperseded()
+      ranks = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    ranks
+  }
+}

@@ -613,7 +613,36 @@ object Documents {
     // a re-join of the same exploded frame (identical exchange, reused)
     // — text itself never moves.
     "d14_substring_dups" -> ((s, dir) => substringDups(docs(s, dir))),
+
+    // Centrality-based cluster-representative scoring: PageRank over
+    // the verified dup-pair graph. The min-id keeper of d01/d11 is
+    // arbitrary; the most CENTRAL member of a boilerplate family (the
+    // one most similar to the most others) is the better canonical
+    // representative. Same corpus + chains as d11, so ranked components
+    // exist at every SF; a chain's middle doc must out-rank its ends.
+    "d15_dup_pagerank" -> ((s, dir) => {
+      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
+      dupPagerank(
+        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
+    }),
   )
+
+  /** PageRank over the verified dup pairs (see the d15 registry
+    * comment): the LSH stages produce the graph, the iterative kernel
+    * lives in [[graft.operators.PageRank]]. Result is already
+    * localCheckpointed by the kernel's final round, so the stages can
+    * be unpersisted before returning.
+    */
+  private[queries] def dupPagerank(d: DataFrame): DataFrame = {
+    val st = neardupStages(d)
+    try {
+      graft.operators.PageRank
+        .undirected(st.dups.select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally st.unpersistAll()
+  }
 
   /** Cross-document repeated-substring fractions (see the d14 registry
     * comment): explode each doc's winnowed fingerprint set, count
@@ -1398,6 +1427,25 @@ object Documents {
         s"""SELECT doc_id, text FROM documents
             UNION ALL
             $chainDocsSql"""),
+    "d15_dup_pagerank" ->
+      s"""WITH RECURSIVE ${neardupStagesSql(
+        s"""SELECT doc_id, text FROM documents
+            UNION ALL
+            $chainDocsSql""")},
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM dups
+                    UNION ALL SELECT doc_b AS u, doc_a AS v FROM dups),
+          deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS dg
+                  FROM edges GROUP BY u),
+          pr(iter, id, rank) AS (
+            SELECT 0, u, CAST(1.0 AS DOUBLE) FROM deg
+            UNION ALL
+            SELECT p.iter + 1, e.v,
+              round(0.15 + 0.85 * sum(p.rank / d.dg), 9)
+            FROM pr p JOIN edges e ON e.u = p.id JOIN deg d ON d.u = p.id
+            WHERE p.iter < 10
+            GROUP BY p.iter + 1, e.v)
+          SELECT id AS doc_id, round(rank, 6) AS rank
+          FROM pr WHERE iter = 10 ORDER BY doc_id""",
     "d13_similar_topk" ->
       s"""WITH ${neardupStagesSql(
         s"""SELECT doc_id, text FROM documents

@@ -187,6 +187,43 @@ object Relational {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // ANALYZE-style column profiling: one scan computes count / nulls /
+    // exact NDV / min / max for five lineitem columns, then a 1-row
+    // stack() unpivots to a row per column. The multi-distinct agg is
+    // Catalyst's expand (x6 rows map-side) — the EXACT-profile plan; at
+    // 100 TB swap countDistinct for approx_count_distinct (HLL) and the
+    // expand disappears. Numeric and string min/max land in typed
+    // columns (double vs string) so no engine-specific double
+    // formatting ever enters the compare.
+    "q13_table_profile" -> ((s, dir) => {
+      val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val allCols = numCols ++ strCols
+      val wide = Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        allCols.flatMap(c => Seq(
+          count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+      val stackArgs = allCols.map { c =>
+        val isNum = numCols.contains(c)
+        val minNum = if (isNum) s"round(CAST(min_$c AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (isNum) s"round(CAST(max_$c AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (isNum) "CAST(NULL AS STRING)" else s"min_$c"
+        val maxStr = if (isNum) "CAST(NULL AS STRING)" else s"max_$c"
+        s"'$c', cnt_$c, ndv_$c, $minNum, $maxNum, $minStr, $maxStr"
+      }.mkString(", ")
+      wide.select(col("n_rows"), expr(
+          s"stack(${allCols.length}, $stackArgs) AS " +
+          "(column_name, n_notnull, ndv, min_num, max_num, min_str, max_str)"))
+        .select(col("column_name"), col("n_rows"), col("n_notnull"),
+          (col("n_rows") - col("n_notnull")).as("n_null"),
+          col("ndv"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+        .orderBy(col("column_name"))
+    }),
+
     // JSON projection from the props payload column.
     "q10_events_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -199,6 +236,27 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q13_table_profile" -> {
+      val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val rows = (numCols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count($c) AS n_notnull, count(*) - count($c) AS n_null,
+            count(DISTINCT $c) AS ndv,
+            round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+            round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem"""
+      } ++ strCols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count($c) AS n_notnull, count(*) - count($c) AS n_null,
+            count(DISTINCT $c) AS ndv,
+            CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+            min($c) AS min_str, max($c) AS max_str
+            FROM lineitem"""
+      }).mkString(" UNION ALL ")
+      s"SELECT * FROM ($rows) ORDER BY column_name"
+    },
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -172,6 +172,23 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((3000002L, 1L))._1 == b)
   }
 
+  test("d15 dup pagerank: a chain's middle doc out-ranks its ends") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val out = Documents.queries("d15_dup_pagerank")(s, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= 3000000L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // each chain a~b~c contributes edges (a,b) and (b,c): b is the most
+    // central member, so b must carry the highest rank of its chain —
+    // the representative a centrality-based keeper would choose
+    for (k <- 0 until 5) {
+      val base = 3000000L + 3 * k
+      assert(out(base + 1) > out(base) && out(base + 1) > out(base + 2),
+        s"chain $k middle must out-rank ends")
+      assert(out(base) == out(base + 2), s"chain $k ends are symmetric")
+    }
+  }
+
   test("d14 substring dups: shared boilerplate is flagged, unique text is not") {
     val s = spark
     import s.implicits._
