@@ -8,9 +8,18 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.plans.WarcHeaderGet
 
 /** SQL-surface registration (`spark.sql.extensions=graft.GraftExtensions`):
-  * exposes the engine's native expressions to plain SQL —
-  * `warc_header(headers, 'WARC-Target-URI')` (last occurrence, the
-  * Python-facing reference semantics) and `warc_header_first(...)`.
+  * exposes the engine's kernels to plain SQL, so a pure-SQL user can run
+  * the reference's workloads without touching the Scala API —
+  *
+  *  - `warc_header(headers, 'WARC-Target-URI')` (last occurrence, the
+  *    Python-facing reference semantics), `warc_header_first(...)`;
+  *  - `extract_plain_text(body, charset)` / `detect_lang(text)` — the
+  *    native codegen expressions (graft.plans.*), injected directly;
+  *  - text-pipeline kernels (`token_count`, `quality_score`,
+  *    `doc_fingerprint`, `simhash64`) — Column-level kernels re-exposed
+  *    through [[org.apache.spark.sql.GraftColumnBridge]], so SQL gets
+  *    the exact expression tree (and codegen behavior) the DataFrame
+  *    API builds.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -20,20 +29,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: header name must be a string literal, got $other")
   }
 
+  /** Adapt a Column-level kernel into a FunctionRegistry builder: wrap
+    * the argument expressions as Columns, apply the kernel, unwrap.
+    */
+  private def viaColumns(name: String, arity: Int)(
+      fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == arity, s"$name expects $arity argument(s)")
+    org.apache.spark.sql.GraftColumnBridge.expression(
+      fn(args.map(org.apache.spark.sql.GraftColumnBridge.column)))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("warc_header"),
-      new ExpressionInfo(classOf[WarcHeaderGet].getName, "warc_header"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "warc_header(headers, name)")
-        WarcHeaderGet(args.head, litName(args(1), "warc_header"), first = false)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("warc_header_first"),
-      new ExpressionInfo(classOf[WarcHeaderGet].getName, "warc_header_first"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "warc_header_first(headers, name)")
-        WarcHeaderGet(args.head, litName(args(1), "warc_header_first"), first = true)
-      }))
+    import graft.functions.TextAnalysis
+    def inject(name: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+
+    inject("warc_header") { args =>
+      require(args.length == 2, "warc_header(headers, name)")
+      WarcHeaderGet(args.head, litName(args(1), "warc_header"), first = false)
+    }
+    inject("warc_header_first") { args =>
+      require(args.length == 2, "warc_header_first(headers, name)")
+      WarcHeaderGet(args.head, litName(args(1), "warc_header_first"), first = true)
+    }
+    inject("extract_plain_text") { args =>
+      require(args.length == 2, "extract_plain_text(body, charset)")
+      graft.plans.ExtractPlainTextExpr(args.head, args(1),
+        mainContent = false, maxNodes = Int.MaxValue)
+    }
+    inject("detect_lang") { args =>
+      require(args.length == 1, "detect_lang(text)")
+      graft.plans.DetectLangExpr(args.head)
+    }
+    inject("token_count")(
+      viaColumns("token_count", 1)(as => TextAnalysis.tokenCount(as.head)))
+    inject("quality_score")(
+      viaColumns("quality_score", 1)(as => TextAnalysis.qualityScore(as.head)))
+    inject("doc_fingerprint")(
+      viaColumns("doc_fingerprint", 1)(as => TextAnalysis.fingerprint(as.head)))
+    inject("simhash64")(
+      viaColumns("simhash64", 1)(as => TextAnalysis.simhash64(as.head)))
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface: every registered function must be callable from
+  * `spark.sql` and agree with its Column-API form — a SQL-only user gets
+  * the same kernels (and the same expression trees) the DataFrame API
+  * builds.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").appName("extensions-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("text kernels from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalysis
+    val s = spark
+    import s.implicits._
+    val df = Seq("the a of and is to in some words here").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT token_count(text) AS tc, quality_score(text) AS qs,
+         doc_fingerprint(text) AS fp, simhash64(text) AS sh
+         FROM ext_docs""").head
+    val viaCols = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.qualityScore(col("text")),
+      TextAnalysis.fingerprint(col("text")),
+      TextAnalysis.simhash64(col("text"))).head
+    assert(viaSql.getLong(0) == viaCols.getLong(0))
+    assert(viaSql.getDouble(1) == viaCols.getDouble(1))
+    assert(viaSql.getString(2) == viaCols.getString(2))
+    assert(viaSql.getString(3) == viaCols.getString(3))
+  }
+
+  test("extract_plain_text and detect_lang work from pure SQL") {
+    val s = spark
+    import s.implicits._
+    Seq(Tuple1("<html><body><p>Hello extraction world</p></body></html>"
+        .getBytes("UTF-8")))
+      .toDF("body").createOrReplaceTempView("ext_pages")
+    val row = spark.sql(
+      """SELECT extract_plain_text(body, 'utf-8') AS txt,
+         detect_lang(extract_plain_text(body, 'utf-8')).lang AS lang
+         FROM ext_pages""").head
+    assert(row.getString(0).contains("Hello extraction world"))
+    assert(row.getString(1) != null)
+  }
+
+  test("arity errors surface as analysis failures, not task failures") {
+    val e = intercept[Exception](spark.sql("SELECT token_count()").collect())
+    assert(e.getMessage.contains("token_count") ||
+      e.getMessage.toLowerCase.contains("argument"))
+  }
+}
