@@ -412,6 +412,36 @@ object Documents {
     // the model IS a distributed table.
     "t18_bigram_perplexity" -> ((s, dir) => bigramPerplexity(docs(s, dir))),
 
+    // URL-level quality filtering (the C4 §2.2 / CCNet front gate:
+    // domain blocklists, media-file extensions, session-id query
+    // strings). The corpus has no URL column, so each doc gets a
+    // DETERMINISTIC synthetic URL derived from doc_id via md5 digits
+    // (the t15 derivation pattern — both engines construct the
+    // identical URL, so the oracle stays fully computed, no pin). The
+    // rules then run as ordinary string predicates in one codegen'd
+    // scan — the shape of a real URL gate over a crawl manifest.
+    "t19_url_filter" -> ((s, dir) => {
+      val hex = (tag: String) => conv(substring(
+        md5(concat(lit(tag), col("doc_id").cast("string"))), 1, 1), 16, 10)
+        .cast("int")
+      val domain = element_at(array(UrlDomains.map(lit): _*), hex("host:") + 1)
+      val path = element_at(array(UrlPaths.map(lit): _*), hex("path:") + 1)
+      val qs = when(hex("qs:") < 4,
+        concat(lit("?sessionid="), substring(
+          md5(concat(lit("sid:"), col("doc_id").cast("string"))), 1, 8)))
+        .otherwise(lit(""))
+      docs(s, dir).select(col("doc_id"),
+          concat(lit("https://"), domain, path, qs).as("url"),
+          domain.as("domain"),
+          (!(domain.like("%casino%") || domain.like("%.xxx") ||
+             domain.like("%.ru"))).as("pass_domain"),
+          (!(path.like("%.jpg") || path.like("%.pdf"))).as("pass_ext"),
+          (qs === "").as("pass_session"))
+        .withColumn("keep",
+          col("pass_domain") && col("pass_ext") && col("pass_session"))
+        .orderBy(col("doc_id"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -662,6 +692,20 @@ object Documents {
         round(col("n_shared").cast("double") / col("n_fps"), 6).as("shared_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** 16 synthetic domains / paths for the t19 URL gate — indexed by an
+    * md5 hex digit of doc_id, so both engines derive identical URLs.
+    */
+  private[queries] val UrlDomains = Seq(
+    "example.com", "news-site.org", "blog-platform.io", "spam-casino.biz",
+    "wiki-docs.org", "adult-content.xxx", "shop-online.com", "forum-board.net",
+    "tracker-ads.ru", "media-stream.tv", "dev-docs.dev", "casino-win777.com",
+    "files-host.cc", "open-data.gov", "misc-info.info", "photo-share.net")
+
+  private[queries] val UrlPaths = Seq(
+    "/index.html", "/article", "/page.php", "/image.jpg", "/doc.pdf",
+    "/post", "/view.html", "/", "/item", "/read.html", "/download.jpg",
+    "/entry", "/main.html", "/report.pdf", "/thread", "/home")
 
   /** Three-doc chains a—b—c where adjacent docs are near-dups (token
     * Jaccard 16/24 ≈ 0.667 ≥ 0.5) but the endpoints are not (12/28 ≈
@@ -1272,6 +1316,31 @@ object Documents {
             round(lp / n_bigrams, 4) AS avg_logprob,
             round(exp(-lp / n_bigrams), 2) AS ppl
           FROM sc ORDER BY doc_id""",
+    "t19_url_filter" -> {
+      val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
+      val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+            ([$domList])[strpos('0123456789abcdef',
+              substring(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 1))] AS domain,
+            ([$pathList])[strpos('0123456789abcdef',
+              substring(md5('path:' || CAST(doc_id AS VARCHAR)), 1, 1))] AS path,
+            CASE WHEN strpos('0123456789abcdef',
+                substring(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4
+              THEN '?sessionid=' ||
+                substring(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              ELSE '' END AS qs
+          FROM documents)
+          SELECT doc_id, 'https://' || domain || path || qs AS url, domain,
+            NOT (domain LIKE '%casino%' OR domain LIKE '%.xxx'
+              OR domain LIKE '%.ru') AS pass_domain,
+            NOT (path LIKE '%.jpg' OR path LIKE '%.pdf') AS pass_ext,
+            qs = '' AS pass_session,
+            NOT (domain LIKE '%casino%' OR domain LIKE '%.xxx'
+              OR domain LIKE '%.ru')
+              AND NOT (path LIKE '%.jpg' OR path LIKE '%.pdf')
+              AND qs = '' AS keep
+          FROM u ORDER BY doc_id"""
+    },
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5

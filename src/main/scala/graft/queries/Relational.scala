@@ -224,6 +224,34 @@ object Relational {
         .orderBy(col("column_name"))
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch vs exact NDV — the
+    // deterministic sketch: estimate = (k-1) / normalized k-th smallest
+    // hash (Bar-Yossef et al. 2002). Unlike HLL, every engine computes
+    // the IDENTICAL estimate, so it is oracle-checkable. The scale
+    // story: ORDER BY hash LIMIT k compiles to TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge on one reducer; the
+    // distinct-hash shuffle below is the demo-scale shortcut, replaced
+    // by a k-min Aggregator at 100 TB (same merge shape as e04's topk).
+    "q14_kmv_ndv" -> ((s, dir) => {
+      val k = 256
+      val h = Tables.lineitem(s, dir)
+        .select(md5(col("l_orderkey").cast("string")).as("h"))
+        .distinct()
+      val kth = h.orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_sketch"))
+      val exact = Tables.lineitem(s, dir)
+        .agg(countDistinct(col("l_orderkey")).as("exact_ndv"))
+      kth.crossJoin(exact)
+        .select(col("n_sketch"), col("exact_ndv"),
+          // first 8 hex chars -> fraction of 2^32; estimate (k-1)/frac
+          when(col("n_sketch") < k, col("exact_ndv").cast("double"))
+            .otherwise(round(lit(k - 1) /
+              (conv(substring(col("h_k"), 1, 8), 16, 10).cast("double")
+                / lit(4294967296.0)), 2)).as("est_ndv"))
+        .withColumn("rel_err",
+          round(abs(col("est_ndv") - col("exact_ndv")) / col("exact_ndv"), 4))
+    }),
+
     // JSON projection from the props payload column.
     "q10_events_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -257,6 +285,21 @@ object Relational {
       }).mkString(" UNION ALL ")
       s"SELECT * FROM ($rows) ORDER BY column_name"
     },
+    "q14_kmv_ndv" ->
+      """WITH h AS (SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h
+           FROM lineitem),
+         kth AS (SELECT max(h) AS h_k, count(*) AS n_sketch
+           FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+         ex AS (SELECT count(DISTINCT l_orderkey) AS exact_ndv FROM lineitem)
+         SELECT CAST(n_sketch AS BIGINT) AS n_sketch,
+           CAST(exact_ndv AS BIGINT) AS exact_ndv,
+           CASE WHEN n_sketch < 256 THEN CAST(exact_ndv AS DOUBLE)
+                ELSE round(255.0 / (CAST(('0x' || substring(h_k, 1, 8)) AS BIGINT)
+                  / 4294967296.0), 2) END AS est_ndv,
+           round(abs(CASE WHEN n_sketch < 256 THEN CAST(exact_ndv AS DOUBLE)
+                ELSE round(255.0 / (CAST(('0x' || substring(h_k, 1, 8)) AS BIGINT)
+                  / 4294967296.0), 2) END - exact_ndv) / exact_ndv, 4) AS rel_err
+         FROM kth CROSS JOIN ex""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
