@@ -211,6 +211,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     Multimodal.aviMjpegFramesOf(avi.take(avi.length - 10), 4)
   }
 
+  test("aviMjpegFramesOf never throws: random bytes and all truncations") {
+    val rnd = new scala.util.Random(42)
+    // random garbage, some with a plausible RIFF/AVI prelude
+    (0 until 200).foreach { i =>
+      val len = rnd.nextInt(400)
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (i % 3 == 0 && len >= 12) {
+        "RIFF".getBytes.copyToArray(bytes, 0)
+        if (i % 6 == 0) "AVI ".getBytes.copyToArray(bytes, 8)
+      }
+      Multimodal.aviMjpegFramesOf(bytes, 3) // must not throw
+    }
+    // every truncation prefix of a VALID container must not throw
+    val jpeg = makeImage(4, 4, 0x808080, "jpg")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc.getBytes).putInt(data.length).put(data).array()
+    }
+    val avi = chunk("RIFF", "AVI ".getBytes ++
+      chunk("LIST", "movi".getBytes ++ chunk("00dc", jpeg)))
+    (0 to avi.length).foreach(n => Multimodal.aviMjpegFramesOf(avi.take(n), 3))
+  }
+
   test("av frame-sample stub: deterministic offsets, real plumbing") {
     val ss = spark; import ss.implicits._
     val payload = (0 until 1000).map(_.toByte).toArray
