@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unpersist, because `supersededIds` holds ids this loop created
   * itself.
   */
-private[operators] final class RoundCheckpointer(spark: SparkSession) {
+private[graft] final class RoundCheckpointer(spark: SparkSession) {
   private val sc = spark.sparkContext
   private var liveIds: Set[Int] = Set.empty
   private var supersededIds: Set[Int] = Set.empty

@@ -259,6 +259,58 @@ object Embeddings {
         .orderBy(col("vec_id"), col("sub_j"))
     }),
 
+    // UNSUPERVISED k-means (Lloyd's algorithm, k=8, 3 fixed iterations)
+    // — e05/e06 build centroids from the label column; this is the
+    // honest IVF training step with no labels: deterministic seeds
+    // (vectors vec_id 0..7), per-iteration centroid rounding so both
+    // engines iterate bit-identically, min(struct(dist, cid)) argmin
+    // with id tie-break. Per iteration: one broadcast of the 8-row
+    // codebook to the assign join, one explode/regroup to re-center —
+    // at 100 TB the corpus is scanned k-means-style 3 times but only
+    // (cid, pos, x) triples ever shuffle. Output: cluster sizes,
+    // centroid fingerprints and total inertia — the convergence
+    // numbers an IVF tuner actually reads.
+    "e10_kmeans" -> ((s, dir) => {
+      val k = 8
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"),
+            struct(sqDist(col("v"), col("cv")).as("d"), col("cid").as("c")).as("dc"))
+          .groupBy(col("vec_id"), col("v"))
+          .agg(min(col("dc")).as("best"))
+          .select(col("vec_id"), col("v"),
+            col("best.c").as("cid"), col("best.d").as("d"))
+      def recenter(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("c"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+          .select(col("cid"), expr("transform(pc, p -> p.c)").as("cv"))
+      val ckpt = new graft.operators.RoundCheckpointer(s)
+      var cents = ckpt.next(emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
+      var it = 0
+      while (it < 3) {
+        cents = ckpt.next(recenter(assign(cents)))
+        ckpt.releaseSuperseded()
+        it += 1
+      }
+      assign(cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("d"), 6)), 2).as("inertia"))
+        .join(cents.select(col("cid"),
+          round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 4).as("centroid_sum"),
+          round(element_at(col("cv"), 1), 6).as("c0")), Seq("cid"))
+        .orderBy(col("cid"))
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -416,6 +468,49 @@ object Embeddings {
                         JOIN corpus y ON y.vec_id = c.dup_id)
           SELECT orig_id, dup_id, sim FROM pairs WHERE sim >= 0.95
           ORDER BY orig_id, dup_id"""
+    },
+    "e10_kmeans" -> {
+      // unrolled Lloyd iterations: cents0 (seeds) -> a1 -> cents1 ->
+      // a2 -> cents2 -> a3 -> cents3 -> final assignment + summary
+      val dist = (cv: String) =>
+        s"""list_sum(list_transform(range(1, 65),
+            i -> (v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+               * (v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))"""
+      def assignCte(a: String, cents: String) =
+        s"""$a AS (
+            SELECT e.vec_id, e.v,
+              min({'d': ${dist("k.cv")}, 'c': k.cid}) AS best
+            FROM emb e CROSS JOIN $cents k
+            GROUP BY e.vec_id, e.v)"""
+      def recenterCte(c: String, a: String) =
+        s"""$c AS (
+            SELECT cid, list(cc ORDER BY pos) AS cv FROM (
+              SELECT best.c AS cid, CAST(pos AS INT) AS pos,
+                round(avg(x), 6) AS cc
+              FROM (SELECT best, unnest(range(0, 64)) AS pos, unnest(v) AS x
+                    FROM $a)
+              GROUP BY best.c, pos)
+            GROUP BY cid)"""
+      s"""WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+           FROM emb WHERE vec_id < 8),
+         ${assignCte("a1", "cents0")},
+         ${recenterCte("cents1", "a1")},
+         ${assignCte("a2", "cents1")},
+         ${recenterCte("cents2", "a2")},
+         ${assignCte("a3", "cents2")},
+         ${recenterCte("cents3", "a3")},
+         ${assignCte("a4", "cents3")},
+         summary AS (
+           SELECT best.c AS cid, count(*) AS n_vecs,
+             round(sum(round(best.d, 6)), 2) AS inertia
+           FROM a4 GROUP BY best.c)
+         SELECT s.cid, CAST(s.n_vecs AS BIGINT) AS n_vecs, s.inertia,
+           round(list_sum(k.cv), 4) AS centroid_sum,
+           round(k.cv[1], 6) AS c0
+         FROM summary s JOIN cents3 k ON k.cid = s.cid
+         ORDER BY s.cid"""
     },
     "e09_product_quantize" ->
       """WITH emb AS (

@@ -36,6 +36,16 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("e10 k-means: partitions the corpus, deterministic across evaluations") {
+    val out = Embeddings.queries("e10_kmeans")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 8) // all 8 clusters survive on this corpus
+    val total = out.map(_.getLong(1)).sum
+    assert(total == 500L) // every vector assigned exactly once
+    assert(out.forall(_.getDouble(2) > 0.0)) // inertia positive
+    val again = Embeddings.queries("e10_kmeans")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
     val s = spark
     import s.implicits._
