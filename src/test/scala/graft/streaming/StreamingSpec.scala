@@ -84,6 +84,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("end-to-end streaming ingest: extract -> quality gate -> dedup in one query") {
+    // the full training-data ingest pipeline as ONE streaming query:
+    // scan newly landed archives, extract text in the scan stage,
+    // language-id + token-count quality gate, then watermarked
+    // stateful dedup on the content fingerprint — each stage the same
+    // operator the batch pipeline (w29) uses, which is the point of
+    // Spark's unified API
+    import graft.functions.{TextAnalysis, Web}
+    val landing = Files.createTempDirectory("warc-landing-e2e")
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    Files.copy(src, landing.resolve("crawl-a.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    val pipeline = spark.readStream.format("warc")
+      .option("record_types", "response").load(landing.toString)
+      .select(col("record_date").as("ts"),
+        Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
+      .filter(col("text").isNotNull)
+      .select(col("ts"), col("text"),
+        Web.detectLang(col("text")).getField("lang").as("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .filter(col("n_tokens") >= 10)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("fp")
+    val query = pipeline.writeStream.format("memory").queryName("ingest_e2e")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM ingest_e2e").head.getLong(0)
+      assert(n1 > 0L)
+      assert(spark.sql("SELECT count(DISTINCT fp) FROM ingest_e2e").head.getLong(0) == n1)
+      assert(spark.sql(
+        "SELECT count(*) FROM ingest_e2e WHERE lang IS NULL OR n_tokens < 10")
+        .head.getLong(0) == 0L)
+      // a re-crawl of identical pages must contribute nothing
+      Files.copy(src, landing.resolve("crawl-b.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ingest_e2e").head.getLong(0) == n1)
+    } finally query.stop()
+  }
+
   test("stream restart from checkpoint does not re-read consumed archives") {
     // exercises offset serialization round-trips (the compact
     // cutoff+files form) across a query restart
