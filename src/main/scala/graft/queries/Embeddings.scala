@@ -162,18 +162,7 @@ object Embeddings {
     // the banding explode shuffles (vec_id, band, key) and never the
     // 64-dim payload.
     "e08_embedding_neardup" -> ((s, dir) => {
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      // perturb BEFORE renaming vec_id: with both in one select, the
-      // lambda's vec_id reference resolves against the aliased output
-      // (+100000), silently shifting every factor
-      val pert = base.filter(col("vec_id") < 10)
-        .withColumn("v",
-          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, d) =>
-            x * (lit(1.0) +
-              ((d.cast("long") * 31 + col("vec_id") * 7) % 11 - 5).cast("double") / 128.0)))
-        .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
-      val corpus = base.unionAll(pert)
+      val corpus = injectedCorpus(s, dir)
       val bandKeys = srpBandKeys(bands = 4, rows = 16)
       // bands feed three consumers (the bucket-size agg and both
       // self-join sides). All three need the same (band_id, bkey)
@@ -271,37 +260,10 @@ object Embeddings {
     // centroid fingerprints and total inertia — the convergence
     // numbers an IVF tuner actually reads.
     "e10_kmeans" -> ((s, dir) => {
-      val k = 8
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d)
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"),
-            struct(sqDist(col("v"), col("cv")).as("d"), col("cid").as("c")).as("dc"))
-          .groupBy(col("vec_id"), col("v"))
-          .agg(min(col("dc")).as("best"))
-          .select(col("vec_id"), col("v"),
-            col("best.c").as("cid"), col("best.d").as("d"))
-      def recenter(assigned: DataFrame): DataFrame =
-        assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("c"))
-          .groupBy(col("cid"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-          .select(col("cid"), expr("transform(pc, p -> p.c)").as("cv"))
-      val ckpt = new graft.operators.RoundCheckpointer(s)
-      var cents = ckpt.next(emb.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
-      var it = 0
-      while (it < 3) {
-        cents = ckpt.next(recenter(assign(cents)))
-        ckpt.releaseSuperseded()
-        it += 1
-      }
-      assign(cents)
+      val cents = kmeansCentroids(s, emb, k = 8, iters = 3)
+      kmeansAssign(emb, cents)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(round(col("d"), 6)), 2).as("inertia"))
@@ -309,6 +271,28 @@ object Embeddings {
           round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 4).as("centroid_sum"),
           round(element_at(col("cv"), 1), 6).as("c0")), Seq("cid"))
         .orderBy(col("cid"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
+    // embedding space (e10's k-means, identical seeds/rounding), then
+    // find high-cosine pairs ONLY within each cluster — the pairwise
+    // stage is bounded by cluster granularity instead of corpus^2,
+    // which is the whole trick at 100 TB (pick k so clusters fit the
+    // pairwise budget; pairs that straddle a cluster boundary are the
+    // scheme's documented recall loss). Same injected perturbed
+    // near-dups as e08 guarantee positives at every SF.
+    "e11_semdedup" -> ((s, dir) => {
+      val corpus = injectedCorpus(s, dir)
+      val cents = kmeansCentroids(s, corpus, k = 8, iters = 3)
+      val assigned = kmeansAssign(corpus, cents)
+        .select(col("vec_id"), col("v"), col("cid"))
+      assigned.alias("a").join(assigned.alias("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"),
+          cosineRounded(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.95)
+        .orderBy(col("vec_a"), col("vec_b"))
     }),
 
     "e05_centroids_full" -> ((s, dir) => {
@@ -324,6 +308,105 @@ object Embeddings {
         .orderBy(col("label"))
     }),
   )
+
+  /** The embeddings corpus plus 10 deterministically perturbed copies
+    * (vec_id + 100000) — injected near-duplicates so the e08/e11 dedup
+    * queries have guaranteed positives at every SF. Perturbation
+    * happens BEFORE renaming vec_id: with both in one select, the
+    * lambda's vec_id reference would resolve against the aliased
+    * output (+100000), silently shifting every factor.
+    */
+  private def injectedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val pert = base.filter(col("vec_id") < 10)
+      .withColumn("v",
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, d) =>
+          x * (lit(1.0) +
+            ((d.cast("long") * 31 + col("vec_id") * 7) % 11 - 5).cast("double") / 128.0)))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+    base.unionAll(pert)
+  }
+
+  private def sqDistCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Assign every vector to its nearest centroid: broadcast the tiny
+    * codebook, argmin via min(struct(dist, cid)) — partial-agg
+    * friendly, deterministic id tie-break. Returns (vec_id, v, cid, d).
+    */
+  private def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(sqDistCol(col("v"), col("cv")).as("d"), col("cid").as("c")).as("dc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("v"),
+        col("best.c").as("cid"), col("best.d").as("d"))
+
+  /** Lloyd's k-means: deterministic seeds (vectors vec_id < k), fixed
+    * iteration count, per-iteration 6-dp centroid rounding so both
+    * engines iterate bit-identically. Returns the final (cid, cv)
+    * codebook, localCheckpointed.
+    */
+  private def kmeansCentroids(s: SparkSession, emb: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), expr("transform(pc, p -> p.c)").as("cv"))
+    val ckpt = new graft.operators.RoundCheckpointer(s)
+    var cents = ckpt.next(emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
+    var it = 0
+    while (it < iters) {
+      cents = ckpt.next(recenter(kmeansAssign(emb, cents)))
+      ckpt.releaseSuperseded()
+      it += 1
+    }
+    cents
+  }
+
+  /** The unrolled Lloyd chain shared by the e10/e11 oracles: expects an
+    * `emb(vec_id, v)` CTE upstream; defines cents0 (seeds) -> a1 ->
+    * cents1 -> a2 -> cents2 -> a3 -> cents3 -> a4 (final assignment,
+    * `best` = {d, c}).
+    */
+  private def kmeansChainSql: String = {
+    val dist = (cv: String) =>
+      s"""list_sum(list_transform(range(1, 65),
+          i -> (v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+             * (v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))"""
+    def assignCte(a: String, cents: String) =
+      s"""$a AS (
+          SELECT e.vec_id, e.v,
+            min({'d': ${dist("k.cv")}, 'c': k.cid}) AS best
+          FROM emb e CROSS JOIN $cents k
+          GROUP BY e.vec_id, e.v)"""
+    def recenterCte(c: String, a: String) =
+      s"""$c AS (
+          SELECT cid, list(cc ORDER BY pos) AS cv FROM (
+            SELECT best.c AS cid, CAST(pos AS INT) AS pos,
+              round(avg(x), 6) AS cc
+            FROM (SELECT best, unnest(range(0, 64)) AS pos, unnest(v) AS x
+                  FROM $a)
+            GROUP BY best.c, pos)
+          GROUP BY cid)"""
+    s"""cents0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+         FROM emb WHERE vec_id < 8),
+       ${assignCte("a1", "cents0")},
+       ${recenterCte("cents1", "a1")},
+       ${assignCte("a2", "cents1")},
+       ${recenterCte("cents2", "a2")},
+       ${assignCte("a3", "cents2")},
+       ${recenterCte("cents3", "a3")},
+       ${assignCte("a4", "cents3")}"""
+  }
 
   private val dotSql =
     "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[CAST(i AS INT)] * cv[CAST(i AS INT)]))"
@@ -469,39 +552,10 @@ object Embeddings {
           SELECT orig_id, dup_id, sim FROM pairs WHERE sim >= 0.95
           ORDER BY orig_id, dup_id"""
     },
-    "e10_kmeans" -> {
-      // unrolled Lloyd iterations: cents0 (seeds) -> a1 -> cents1 ->
-      // a2 -> cents2 -> a3 -> cents3 -> final assignment + summary
-      val dist = (cv: String) =>
-        s"""list_sum(list_transform(range(1, 65),
-            i -> (v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
-               * (v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))"""
-      def assignCte(a: String, cents: String) =
-        s"""$a AS (
-            SELECT e.vec_id, e.v,
-              min({'d': ${dist("k.cv")}, 'c': k.cid}) AS best
-            FROM emb e CROSS JOIN $cents k
-            GROUP BY e.vec_id, e.v)"""
-      def recenterCte(c: String, a: String) =
-        s"""$c AS (
-            SELECT cid, list(cc ORDER BY pos) AS cv FROM (
-              SELECT best.c AS cid, CAST(pos AS INT) AS pos,
-                round(avg(x), 6) AS cc
-              FROM (SELECT best, unnest(range(0, 64)) AS pos, unnest(v) AS x
-                    FROM $a)
-              GROUP BY best.c, pos)
-            GROUP BY cid)"""
+    "e10_kmeans" ->
       s"""WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cents0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
-           FROM emb WHERE vec_id < 8),
-         ${assignCte("a1", "cents0")},
-         ${recenterCte("cents1", "a1")},
-         ${assignCte("a2", "cents1")},
-         ${recenterCte("cents2", "a2")},
-         ${assignCte("a3", "cents2")},
-         ${recenterCte("cents3", "a3")},
-         ${assignCte("a4", "cents3")},
+         $kmeansChainSql,
          summary AS (
            SELECT best.c AS cid, count(*) AS n_vecs,
              round(sum(round(best.d, 6)), 2) AS inertia
@@ -510,7 +564,30 @@ object Embeddings {
            round(list_sum(k.cv), 4) AS centroid_sum,
            round(k.cv[1], 6) AS c0
          FROM summary s JOIN cents3 k ON k.cid = s.cid
-         ORDER BY s.cid"""
+         ORDER BY s.cid""",
+    "e11_semdedup" -> {
+      val pairCos =
+        """round(list_sum(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])))), 6)"""
+      s"""WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000,
+             list_transform(range(0, 64), d -> v[CAST(d + 1 AS INT)]
+               * (1.0 + ((d * 31 + vec_id * 7) % 11 - 5) / 128.0))
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 10)),
+         $kmeansChainSql
+         SELECT a.best.c AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           $pairCos AS cos
+         FROM a4 a JOIN a4 b
+           ON a.best.c = b.best.c AND a.vec_id < b.vec_id
+         WHERE $pairCos >= 0.95
+         ORDER BY vec_a, vec_b"""
     },
     "e09_product_quantize" ->
       """WITH emb AS (

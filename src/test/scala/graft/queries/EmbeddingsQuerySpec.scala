@@ -46,6 +46,18 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("e11 semdedup finds exactly the injected near-dup pairs, each in-cluster") {
+    val out = Embeddings.queries("e11_semdedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each perturbed copy (vec_id + 100000) pairs with its original and
+    // nothing else: random 64-dim vectors never reach cosine 0.95
+    assert(out.length == 10)
+    out.foreach { case (a, b, cos) =>
+      assert(b == a + 100000L, s"unexpected pair ($a, $b)")
+      assert(cos > 0.99)
+    }
+  }
+
   test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
     val s = spark
     import s.implicits._
