@@ -284,13 +284,36 @@ object Embeddings {
     "e11_semdedup" -> ((s, dir) => {
       val corpus = injectedCorpus(s, dir)
       val cents = kmeansCentroids(s, corpus, k = 8, iters = 3)
+      // The pairwise stage is per-cluster IMPERATIVE work, not a join:
+      // a cid-equi self-join materializes two 64-double arrays into
+      // every one of the ~n^2/k joined rows (~0.5 GB of array copying
+      // at sf0.1, measured 7 s); flatMapGroups materializes each
+      // cluster's vectors ONCE and runs a primitive dot loop over the
+      // pairs — the documented mapPartitions-as-last-resort case. The
+      // kernel emits the RAW cosine; rounding and the threshold stay
+      // in Catalyst so the compare semantics match the oracle exactly.
+      import s.implicits._
       val assigned = kmeansAssign(corpus, cents)
-        .select(col("vec_id"), col("v"), col("cid"))
-      assigned.alias("a").join(assigned.alias("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_a"),
-          col("b.vec_id").as("vec_b"),
-          cosineRounded(col("a.v"), col("b.v")).as("cos"))
+        .select(col("cid"), col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+        .as[(Int, Long, Array[Double], Double)]
+      assigned.groupByKey(_._1)
+        .flatMapGroups { (cid: Int, it: Iterator[(Int, Long, Array[Double], Double)]) =>
+          val m = it.toArray.sortBy(_._2)
+          for {
+            i <- m.indices.iterator
+            j <- (i + 1) until m.length
+          } yield {
+            val (_, ida, va, na) = m(i)
+            val (_, idb, vb, nb) = m(j)
+            var s = 0.0
+            var d = 0
+            while (d < va.length) { s += va(d) * vb(d); d += 1 }
+            (cid, ida, idb, s / (na * nb))
+          }
+        }
+        .toDF("cid", "vec_a", "vec_b", "raw_cos")
+        .select(col("cid"), col("vec_a"), col("vec_b"),
+          round(col("raw_cos"), 6).as("cos"))
         .filter(col("cos") >= 0.95)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
