@@ -318,6 +318,31 @@ object Embeddings {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Recall@3 of the IVF index (e06) against the brute-force exact
+    // top-3 (e01) — the self-measuring benchmark every ANN deployment
+    // needs: is the probed-cells shortcut actually finding the true
+    // neighbors? Composes the two existing queries (and their oracles)
+    // verbatim, so the measurement can never drift from the measured.
+    // On the synthetic corpus it reports what a practitioner would
+    // need to learn: label-partitioned cells barely align with cosine
+    // neighborhoods of RANDOM vectors (recall ~0.2), exactly why real
+    // IVF trains its coarse quantizer with k-means (e10) instead.
+    "e12_ann_recall" -> ((s, dir) => {
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = queries("e06_ivf_knn")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = exact.join(approx, Seq("q_vec_id", "n_vec_id"))
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_vec_id"), "left")
+        .select(col("q_vec_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact"), 4).as("recall"))
+        .orderBy(col("q_vec_id"))
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -446,7 +471,7 @@ object Embeddings {
   private val bNormSql =
     "sqrt(list_sum(list_transform(range(1, len(y.v) + 1), i -> y.v[CAST(i AS INT)] * y.v[CAST(i AS INT)])))"
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "e07_quantize_int8" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          sc AS (SELECT vec_id, v,
@@ -663,4 +688,24 @@ object Embeddings {
            round(max(CASE WHEN pos = 63 THEN c END), 6) AS c63
          FROM per_dim GROUP BY label ORDER BY label""",
   )
+
+  /** e12 wraps the e01/e06 oracle SQL verbatim as subqueries, so the
+    * recall measurement can never drift from the measured queries.
+    */
+  val oracleSql: Map[String, String] = baseOracleSql + (
+    "e12_ann_recall" ->
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          approx AS (${baseOracleSql("e06_ivf_knn")}),
+          hits AS (
+            SELECT e.q_vec_id, count(*) AS n_hits
+            FROM exact e JOIN approx a
+              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+            GROUP BY e.q_vec_id),
+          base AS (
+            SELECT q_vec_id, count(*) AS n_exact FROM exact GROUP BY q_vec_id)
+          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
+          FROM base b LEFT JOIN hits h ON h.q_vec_id = b.q_vec_id
+          ORDER BY b.q_vec_id""")
 }

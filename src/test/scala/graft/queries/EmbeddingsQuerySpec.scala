@@ -58,6 +58,17 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("e12 ann recall: one row per query vector, recall = hits/exact in [0,1]") {
+    val out = Embeddings.queries("e12_ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    out.foreach { r =>
+      val (nExact, nHits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact == 3L && nHits >= 0L && nHits <= 3L)
+      assert(math.abs(recall - nHits.toDouble / nExact) < 1e-3)
+    }
+  }
+
   test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
     val s = spark
     import s.implicits._
