@@ -343,6 +343,52 @@ object Embeddings {
         .orderBy(col("q_vec_id"))
     }),
 
+    // The fix e12 motivates: IVF whose coarse quantizer is e10's
+    // TRAINED k-means codebook instead of the label column. Identical
+    // probe topology to e06 (top-2 cells by centroid cosine, exact
+    // search inside probed cells, top-3), then recall@3 against the
+    // e01 exact baseline in the same query — diagnosis (e12, recall
+    // ~0.2 on label cells) and cure measured by the same gauge:
+    // trained cells cluster cosine-near vectors together, so probed
+    // search actually finds the true neighbors.
+    "e13_kmeans_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = kmeansCentroids(s, emb, k = 8, iters = 3)
+      val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cid"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cid"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .select(col("q_vec_id"), col("qv"), col("cid"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+        .select(col("q_vec_id"), col("qv"), col("cid"))
+      val cands = emb.join(cells, Seq("vec_id"))
+        .select(col("vec_id").as("n_vec_id"), col("cid"), col("v").as("cv"))
+      val sims = cands.join(broadcast(probes), Seq("cid"))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      val approx = sims.groupBy(col("q_vec_id"))
+        .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), explode(col("top")).as("t"))
+        .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = exact.join(approx, Seq("q_vec_id", "n_vec_id"))
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_vec_id"), "left")
+        .select(col("q_vec_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_exact"), 4).as("recall"))
+        .orderBy(col("q_vec_id"))
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -693,6 +739,60 @@ object Embeddings {
     * recall measurement can never drift from the measured queries.
     */
   val oracleSql: Map[String, String] = baseOracleSql + (
+    "e13_kmeans_ivf_recall" -> {
+      // probe/search SQL mirrors the e06 oracle but the codebook is the
+      // trained cents3 and cells come from a4 (the kmeans chain)
+      val qvCentDot =
+        """list_sum(list_transform(range(1, 65),
+             i -> q.qv[CAST(i AS INT)] * c.cv[CAST(i AS INT)]))"""
+      val qvNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)])))"""
+      val centNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> c.cv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])))"""
+      val candDot =
+        """list_sum(list_transform(range(1, 65),
+             i -> p.qv[CAST(i AS INT)] * a.v[CAST(i AS INT)]))"""
+      val pNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> p.qv[CAST(i AS INT)] * p.qv[CAST(i AS INT)])))"""
+      val candNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])))"""
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          $kmeansChainSql,
+          q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+          probes AS (
+            SELECT q_vec_id, qv, cid FROM (
+              SELECT q.q_vec_id, q.qv, c.cid,
+                row_number() OVER (PARTITION BY q.q_vec_id
+                  ORDER BY $qvCentDot / ($qvNorm * $centNorm) DESC, c.cid) AS rn
+              FROM q CROSS JOIN cents3 c) p WHERE rn <= 2),
+          sims AS (
+            SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+              round($candDot / ($pNorm * $candNorm), 6) AS sim
+            FROM probes p
+            JOIN a4 a ON a.best.c = p.cid AND a.vec_id <> p.q_vec_id),
+          approx AS (
+            SELECT q_vec_id, n_vec_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+              FROM sims) r WHERE rn <= 3),
+          hits AS (
+            SELECT e.q_vec_id, count(*) AS n_hits
+            FROM exact e JOIN approx a
+              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+            GROUP BY e.q_vec_id),
+          base AS (
+            SELECT q_vec_id, count(*) AS n_exact FROM exact GROUP BY q_vec_id)
+          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
+          FROM base b LEFT JOIN hits h ON h.q_vec_id = b.q_vec_id
+          ORDER BY b.q_vec_id"""
+    },
     "e12_ann_recall" ->
       s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
           approx AS (${baseOracleSql("e06_ivf_knn")}),

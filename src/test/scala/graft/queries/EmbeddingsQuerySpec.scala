@@ -69,6 +69,20 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("e13: k-means-trained IVF cells beat label cells on recall@3") {
+    def avgRecall(q: String): Double = {
+      val rows = Embeddings.queries(q)(spark, "/root/testdata/sf0.001").collect()
+      rows.map(_.getDouble(3)).sum / rows.length
+    }
+    val labelCells = avgRecall("e12_ann_recall")
+    val trainedCells = avgRecall("e13_kmeans_ivf_recall")
+    // random vectors vs label partitions: near-random recall; trained
+    // cells cluster cosine-near vectors so probed search works
+    assert(trainedCells > labelCells + 0.3,
+      s"trained $trainedCells should clearly beat label $labelCells")
+    assert(trainedCells > 0.8)
+  }
+
   test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
     val s = spark
     import s.implicits._
