@@ -30,9 +30,13 @@ object ConnectedComponents {
 
   /** Iterative min-label propagation: label(v) <- min(label(v),
     * min(label(neighbors))) until fixpoint. Each round is one key-local
-    * join + one min-aggregate.
+    * join + one min-aggregate. `maxRounds` is a runaway backstop, NOT a
+    * tuning knob: an unconverged return silently diverges from the true
+    * components (and from [[largeStarSmallStar]]), so it is set far
+    * above any plausible near-dup component diameter — a graph that
+    * legitimately needs it should run the O(log d) star path instead.
     */
-  def minLabelPropagate(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def minLabelPropagate(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     val ckpt = new RoundCheckpointer(pairs.sparkSession)
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))

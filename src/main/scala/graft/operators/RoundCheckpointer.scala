@@ -24,7 +24,16 @@ private[graft] final class RoundCheckpointer(spark: SparkSession) {
     val pre = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
     supersededIds ++= liveIds
-    liveIds = (sc.getPersistentRDDs.keySet -- pre).toSet
+    // Only checkpoint-MARKED rdds may enter liveIds: a caller's lazy
+    // persist() (the input edges, the LSH stages) often materializes —
+    // and registers — during this very checkpoint job, so a bare
+    // registry diff would capture those foreign cache rdds and a later
+    // releaseSuperseded() would silently unpersist them, forcing every
+    // subsequent round to recompute the full upstream lineage (found
+    // as d15 re-running the whole LSH pipeline on 9 of its 10 rounds).
+    // Cache rdds are never checkpointed; the localCheckpoint rdd is.
+    liveIds = (sc.getPersistentRDDs -- pre)
+      .collect { case (id, rdd) if rdd.isCheckpointed => id }.toSet
     ck
   }
 

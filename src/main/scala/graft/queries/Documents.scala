@@ -608,30 +608,18 @@ object Documents {
     // key-local join + min-aggregate, nothing but (id, label) pairs ever
     // shuffle. Synthetic 3-doc chains (a~b, b~c, a!~c) are unioned in so
     // the transitive case provably exercises at every SF.
-    "d11_neardup_clusters" -> ((s, dir) => {
-      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
-      neardupClusters(
-        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
-    }),
+    "d11_neardup_clusters" -> ((s, dir) => neardupClusters(docsWithChains(s, dir))),
 
     // The same clustering through the planetary-scale component
     // algorithm (alternating large-star/small-star, O(log d) rounds) —
     // same corpus, same oracle: the driver gate proves both
     // implementations reach the identical fixpoint.
-    "d12_clusters_stars" -> ((s, dir) => {
-      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
-      neardupClusters(
-        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains),
-        useStars = true)
-    }),
+    "d12_clusters_stars" -> ((s, dir) =>
+      neardupClusters(docsWithChains(s, dir), useStars = true)),
 
     // Similarity SEARCH over text (top-k neighbors per doc), same
     // synthetic chains so ranked results exist at every SF.
-    "d13_similar_topk" -> ((s, dir) => {
-      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
-      similarTopK(
-        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
-    }),
+    "d13_similar_topk" -> ((s, dir) => similarTopK(docsWithChains(s, dir))),
 
     // Cross-document repeated-substring signal (the exact-substring
     // dedup of Lee et al. 2021 "Deduplicating Training Data Makes
@@ -650,11 +638,7 @@ object Documents {
     // one most similar to the most others) is the better canonical
     // representative. Same corpus + chains as d11, so ranked components
     // exist at every SF; a chain's middle doc must out-rank its ends.
-    "d15_dup_pagerank" -> ((s, dir) => {
-      val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
-      dupPagerank(
-        docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains))
-    }),
+    "d15_dup_pagerank" -> ((s, dir) => dupPagerank(docsWithChains(s, dir))),
   )
 
   /** PageRank over the verified dup pairs (see the d15 registry
@@ -691,6 +675,15 @@ object Documents {
       .select(col("doc_id"), col("n_fps"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_fps"), 6).as("shared_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The corpus plus the synthetic near-dup chains — the shared input
+    * of d11/d12/d13/d15, so ranked/clustered results exist at every SF
+    * (mirrors the injectedCorpus pattern in Embeddings).
+    */
+  private def docsWithChains(s: SparkSession, dir: String): DataFrame = {
+    val chains = s.createDataFrame(ChainDocs).toDF("doc_id", "text")
+    docs(s, dir).select(col("doc_id"), col("text")).unionAll(chains)
   }
 
   /** 16 synthetic domains / paths for the t19 URL gate — indexed by an
@@ -1004,6 +997,15 @@ object Documents {
     * 1..5-gram ending at each kept position (32-bit wraparound emulated
     * with `% 2^32`, fold to 8 bits via `(h>>>8)^h & 0xff`), then scale
     * counts by 256/len with u8 saturation.
+    *
+    * DOMAIN NOTE: the mirror is exact on ASCII (and on the common BMP
+    * letters/whitespace), which covers the synthetic corpus the gate
+    * runs on. Full-Unicode edge classes diverge: RE2's `\\s`/`\\p{L}`
+    * vs Java's isWhitespace||isSpaceChar / isAlphabetic disagree on
+    * e.g. U+00A0 NBSP and LETTER_NUMBER code points, and `len(text)`
+    * counts code points where Scala's `length` counts UTF-16 units
+    * (non-BMP). A corpus exercising those would need the oracle to
+    * spell out Java's exact character classes.
     */
   private val strToVecSql: String =
     """chars AS (

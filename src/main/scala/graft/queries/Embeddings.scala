@@ -220,13 +220,10 @@ object Embeddings {
             j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")))
       val seeds = sub.filter(col("vec_id") < 16)
         .select(col("sub_j"), col("vec_id").as("code"), col("sv").as("cv"))
-      def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d)
       // one Lloyd iteration: assign to nearest seed, re-center
       val assign1 = sub.join(broadcast(seeds), Seq("sub_j"))
         .select(col("vec_id"), col("sub_j"), col("sv"),
-          struct(sqDist(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
+          struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
         .groupBy(col("vec_id"), col("sub_j"), col("sv"))
         .agg(min(col("dc")).as("best"))
         .select(col("sub_j"), col("best.c").as("code"), col("sv"))
@@ -240,7 +237,7 @@ object Embeddings {
       // encode against the refined codebook
       sub.join(broadcast(refined), Seq("sub_j"))
         .select(col("vec_id"), col("sub_j"),
-          struct(sqDist(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
+          struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
         .groupBy(col("vec_id"), col("sub_j"))
         .agg(min(col("dc")).as("best"))
         .select(col("vec_id"), col("sub_j"), col("best.c").as("code"),
@@ -332,15 +329,7 @@ object Embeddings {
         .select(col("q_vec_id"), col("n_vec_id"))
       val approx = queries("e06_ivf_knn")(s, dir)
         .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = exact.join(approx, Seq("q_vec_id", "n_vec_id"))
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      exact.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("q_vec_id"), "left")
-        .select(col("q_vec_id"), col("n_exact"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)).cast("double")
-            / col("n_exact"), 4).as("recall"))
-        .orderBy(col("q_vec_id"))
+      recallVsExact(exact, approx)
     }),
 
     // The fix e12 motivates: IVF whose coarse quantizer is e10's
@@ -378,15 +367,7 @@ object Embeddings {
         .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
       val exact = queries("e01_knn_cosine_baseline")(s, dir)
         .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = exact.join(approx, Seq("q_vec_id", "n_vec_id"))
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      exact.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("q_vec_id"), "left")
-        .select(col("q_vec_id"), col("n_exact"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)).cast("double")
-            / col("n_exact"), 4).as("recall"))
-        .orderBy(col("q_vec_id"))
+      recallVsExact(exact, approx)
     }),
 
     "e05_centroids_full" -> ((s, dir) => {
@@ -402,6 +383,22 @@ object Embeddings {
         .orderBy(col("label"))
     }),
   )
+
+  /** recall@k of `approx` against `exact`, both (q_vec_id, n_vec_id)
+    * result sets — the single gauge shared by e12 and e13 so the two
+    * measurements can never drift apart.
+    */
+  private def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.join(approx, Seq("q_vec_id", "n_vec_id"))
+      .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 4).as("recall"))
+      .orderBy(col("q_vec_id"))
+  }
 
   /** The embeddings corpus plus 10 deterministically perturbed copies
     * (vec_id + 100000) — injected near-duplicates so the e08/e11 dedup
@@ -735,6 +732,24 @@ object Embeddings {
          FROM per_dim GROUP BY label ORDER BY label""",
   )
 
+  /** The shared SQL tail of the recall gauge: expects `exact` and
+    * `approx` CTEs of (q_vec_id, n_vec_id) upstream — one text for e12
+    * and e13, mirroring [[recallVsExact]].
+    */
+  private val recallTailSql: String =
+    """hits AS (
+         SELECT e.q_vec_id, count(*) AS n_hits
+         FROM exact e JOIN approx a
+           ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+         GROUP BY e.q_vec_id),
+       base AS (
+         SELECT q_vec_id, count(*) AS n_exact FROM exact GROUP BY q_vec_id)
+       SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
+       FROM base b LEFT JOIN hits h ON h.q_vec_id = b.q_vec_id
+       ORDER BY b.q_vec_id"""
+
   /** e12 wraps the e01/e06 oracle SQL verbatim as subqueries, so the
     * recall measurement can never drift from the measured queries.
     */
@@ -780,32 +795,10 @@ object Embeddings {
               SELECT *, row_number() OVER (
                 PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
               FROM sims) r WHERE rn <= 3),
-          hits AS (
-            SELECT e.q_vec_id, count(*) AS n_hits
-            FROM exact e JOIN approx a
-              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
-            GROUP BY e.q_vec_id),
-          base AS (
-            SELECT q_vec_id, count(*) AS n_exact FROM exact GROUP BY q_vec_id)
-          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
-            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
-          FROM base b LEFT JOIN hits h ON h.q_vec_id = b.q_vec_id
-          ORDER BY b.q_vec_id"""
+          $recallTailSql"""
     },
     "e12_ann_recall" ->
       s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
           approx AS (${baseOracleSql("e06_ivf_knn")}),
-          hits AS (
-            SELECT e.q_vec_id, count(*) AS n_hits
-            FROM exact e JOIN approx a
-              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
-            GROUP BY e.q_vec_id),
-          base AS (
-            SELECT q_vec_id, count(*) AS n_exact FROM exact GROUP BY q_vec_id)
-          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
-            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall
-          FROM base b LEFT JOIN hits h ON h.q_vec_id = b.q_vec_id
-          ORDER BY b.q_vec_id""")
+          $recallTailSql""")
 }

@@ -13,6 +13,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   override def beforeAll(): Unit = {
+    // spark.sql.extensions is a STATIC conf: getOrCreate() silently
+    // ignores it when an earlier suite's un-stopped session still
+    // exists in this JVM, which would fail every test here depending
+    // on suite order. Stop any leaked session so a fresh one is built
+    // with the extensions applied (later suites getOrCreate their own).
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")

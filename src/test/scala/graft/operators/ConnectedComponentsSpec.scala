@@ -72,6 +72,21 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.values.exists(_ != 1L)) // propagation is still mid-flight
   }
 
+  test("round checkpoints never release a caller's cache") {
+    // the input is persisted but LAZY: it materializes (and registers in
+    // getPersistentRDDs) inside round-0's eager checkpoint job — a bare
+    // registry diff would adopt it and a later round would unpersist it,
+    // silently forcing full upstream recompute every subsequent round
+    val pairs = pairsDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))).persist()
+    try {
+      ConnectedComponents.minLabelPropagate(pairs).collect()
+      val nonCheckpointCaches = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+      assert(nonCheckpointCaches.nonEmpty,
+        "the caller's persisted input must survive the rounds")
+    } finally pairs.unpersist(blocking = true)
+  }
+
   test("largeStarSmallStar handles empty input and a single pair") {
     assert(ConnectedComponents.largeStarSmallStar(pairsDF(Seq.empty)).isEmpty)
     val one = labelsOf(ConnectedComponents.largeStarSmallStar(pairsDF(Seq((7L, 4L)))))
