@@ -91,6 +91,26 @@ object TextAnalysis {
       transform(sequence(lit(1), length(text) - (n - 1)), i => text.substr(i, lit(n))))
       .otherwise(array())
 
+  /** DISTINCT char n-grams as one compiled kernel — set-equal to
+    * `array_distinct(charNgrams(text, n))` (first-occurrence order,
+    * same short-text empty result), but a JIT'd substring loop instead
+    * of an interpreted `transform`+`substr` per gram per row. Same
+    * doctrine as [[wordShingleSet]]: hash/string kernels belong in
+    * compiled loops. Consumers take set sizes (Jaccard), so ordering
+    * never reaches a result.
+    */
+  def charNgramSet(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => {
+      if (t == null) null
+      else if (t.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]((t.length - n + 1) * 2)
+        var i = 0
+        while (i + n <= t.length) { seen.add(t.substring(i, i + n)); i += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
+    })
+
   /** Word w-shingles: sliding windows of `w` consecutive tokens joined by
     * a single space. O(1) `get` lookups per window — `slice` copies the
     * window and turns shingling O(n²) in document length (the round-2

@@ -472,7 +472,7 @@ object Documents {
 
     "d04_ngram_jaccard" -> ((s, dir) => {
       val g = docs(s, dir)
-        .select(col("doc_id"), array_distinct(charNgrams(col("text"), 3)).as("grams"))
+        .select(col("doc_id"), charNgramSet(3)(col("text")).as("grams"))
       val a = g.alias("a")
       val b = g.alias("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)

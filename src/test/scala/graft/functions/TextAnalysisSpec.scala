@@ -183,6 +183,21 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("charNgramSet kernel == array_distinct(charNgrams) HOF form") {
+    val texts = Seq(
+      "the quick brown fox", "aaaaaaaa", "ab", "abc",
+      "Mixed CASE & punctuation!!! with   spaces")
+    val df = onTexts(texts)
+    val got = df.select(
+      org.apache.spark.sql.functions.array_distinct(
+        TextAnalysis.charNgrams(col("text"), 3)).as("hof"),
+      TextAnalysis.charNgramSet(3)(col("text")).as("kernel"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("winnowFingerprintSet agrees with winnowFingerprint stats") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
