@@ -87,6 +87,44 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pairs.unpersist(blocking = true)
   }
 
+  test("property: both algorithms agree with a union-find reference on random graphs") {
+    // scalacheck-driven: 25 random graphs of varied density; ground
+    // truth from a driver-side union-find
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      verts.map(v => v -> find(v)).toMap
+    }
+    val genGraph = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+      if edges.nonEmpty
+    } yield (n, edges)
+    val prop = Prop.forAllNoShrink(genGraph) { case (n, edges) =>
+      val df = pairsDF(edges)
+      val want = unionFind(n, edges)
+      val viaStars = labelsOf(ConnectedComponents.largeStarSmallStar(df))
+      val viaProp = labelsOf(ConnectedComponents.minLabelPropagate(df))
+      viaStars == want && viaProp == want
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("largeStarSmallStar handles empty input and a single pair") {
     assert(ConnectedComponents.largeStarSmallStar(pairsDF(Seq.empty)).isEmpty)
     val one = labelsOf(ConnectedComponents.largeStarSmallStar(pairsDF(Seq((7L, 4L)))))
