@@ -73,5 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       viaColumns("doc_fingerprint", 1)(as => TextAnalysis.fingerprint(as.head)))
     inject("simhash64")(
       viaColumns("simhash64", 1)(as => TextAnalysis.simhash64(as.head)))
+    inject("nfc_normalize") { args =>
+      require(args.length == 1, "nfc_normalize(text)")
+      graft.plans.NfcNormalizeExpr(args.head)
+    }
   }
 }

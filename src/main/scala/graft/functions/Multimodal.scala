@@ -483,6 +483,86 @@ object Multimodal {
     c => f(c)
   }
 
+  final case class Mp3Meta(version: String, layer: Int, bitrateKbps: Int,
+      sampleRate: Int, channels: Int, nFrames: Long, durationS: Double,
+      hasId3: Boolean)
+
+  /** MPEG audio (MP3) metadata: skip an ID3v2 tag if present, then walk
+    * the frame headers — 4-byte sync'd headers carrying version / layer
+    * / bitrate index / samplerate index / padding, each giving the exact
+    * frame length, so frame COUNT and duration come from pure container
+    * arithmetic (frames * samplesPerFrame / rate), no codec. First
+    * frame's header supplies the advertised bitrate/rate/mode; VBR
+    * streams still count correctly because each frame is walked
+    * individually. Null for anything without a valid first frame.
+    * (Frame DECODE stays behind [[avFrameSample]] — the JVM has no
+    * MP3 decoder.)
+    */
+  def mp3MetaOf(d: Array[Byte]): Mp3Meta = {
+    if (d == null || d.length < 4) return null
+    @inline def u8(i: Int) = d(i) & 0xff
+    var pos = 0
+    var hasId3 = false
+    if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') {
+      // ID3v2: 4-byte syncsafe length after the 6-byte header
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      pos = 10 + sz
+      hasId3 = true
+    }
+    // bitrate kbps by [versionIdx][layerIdx][bitrateIdx]; 0 = free/bad
+    val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val brV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    val srV1 = Array(44100, 48000, 32000, 0)
+    var version: String = null
+    var layer, bitrate, rate, channels = -1
+    var nFrames = 0L
+    var durUs = 0.0
+    while (pos + 4 <= d.length) {
+      if (u8(pos) != 0xff || (u8(pos + 1) & 0xe0) != 0xe0) {
+        // lost sync: stop at the first non-frame byte (tag garbage /
+        // truncation); what was counted so far stands
+        pos = d.length
+      } else {
+        val b1 = u8(pos + 1); val b2 = u8(pos + 2); val b3 = u8(pos + 3)
+        val verBits = (b1 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (b1 >> 1) & 3 // 1=Layer III
+        val brIdx = (b2 >> 4) & 15
+        val srIdx = (b2 >> 2) & 3
+        val padding = (b2 >> 1) & 1
+        if (verBits == 1 || layerBits != 1 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) {
+          pos = d.length // only Layer III with a stated bitrate is walked
+        } else {
+          val v1 = verBits == 3
+          val kbps = if (v1) brV1L3(brIdx) else brV2L3(brIdx)
+          val sr0 = srV1(srIdx)
+          val sr = if (v1) sr0 else if (verBits == 2) sr0 / 2 else sr0 / 4
+          val samplesPerFrame = if (v1) 1152 else 576
+          val frameLen = samplesPerFrame / 8 * kbps * 1000 / sr + padding
+          if (version == null) {
+            version = if (v1) "mpeg1" else if (verBits == 2) "mpeg2" else "mpeg2.5"
+            layer = 3; bitrate = kbps; rate = sr
+            channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+          }
+          nFrames += 1
+          durUs += samplesPerFrame.toDouble / sr * 1e6
+          pos += frameLen
+        }
+      }
+    }
+    if (version == null) return null
+    Mp3Meta(version, layer, bitrate, rate, channels, nFrames,
+      math.rint(durUs) / 1e6, hasId3)
+  }
+
+  /** mp3_meta(binary) -> struct<version,layer,bitrate_kbps,sample_rate,
+    * channels,n_frames,duration_s,has_id3> (null if not MPEG audio).
+    */
+  val mp3Meta: Column => Column = {
+    val f = udf((d: Array[Byte]) => Option(mp3MetaOf(d)))
+    c => f(c)
+  }
+
   /** STUB — frame sampling for compressed AV containers whose codecs
     * the JVM cannot decode (mp3/mp4-h264/webm…). WAV, multi-frame GIF
     * and MJPEG-AVI ([[aviMjpegFrames]]) decode for real above; for the

@@ -26,6 +26,15 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Unicode NFC canonical composition — native codegen expression
+    * ([[graft.plans.NfcNormalizeExpr]]), the first step of a text
+    * cleaning pipeline.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.NfcNormalizeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** Punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
     round((length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")

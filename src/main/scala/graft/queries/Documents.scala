@@ -442,6 +442,32 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization + whitespace canonicalization (the
+    // opening stage of every cleaning pipeline). The corpus is ASCII,
+    // so both engines first derive the same DIRTY text (a combining
+    // acute U+0301 appended to every 'a' — decomposed sequences being
+    // exactly what web text drags in), then normalize: NFC composes
+    // each 2-codepoint a+◌́ into one á, and the whitespace pass
+    // collapses runs. Pure per-row codegen'd projection ([[
+    // graft.plans.NfcNormalizeExpr]]): no shuffle until the final sort;
+    // at 100 TB this runs at scan speed with an isNormalized fast path
+    // that makes already-clean (i.e. almost all) documents allocation
+    // free. Oracle: DuckDB's native nfc_normalize over the identically
+    // derived dirty text.
+    "t20_nfc_normalize" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          replace(col("text"), lit("a"), lit("a\u0301")).as("dirty"))
+        .select(col("doc_id"), length(col("dirty")).cast("long").as("n_dirty"),
+          nfcNormalize(col("dirty")).as("norm"))
+        .select(col("doc_id"), col("n_dirty"),
+          length(col("norm")).cast("long").as("n_nfc"),
+          length(trim(regexp_replace(col("norm"), "\\s+", " ")))
+            .cast("long").as("n_clean"))
+        .withColumn("n_composed", col("n_dirty") - col("n_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -639,6 +665,110 @@ object Documents {
     // representative. Same corpus + chains as d11, so ranked components
     // exist at every SF; a chain's middle doc must out-rank its ends.
     "d15_dup_pagerank" -> ((s, dir) => dupPagerank(docsWithChains(s, dir))),
+
+    // LSH dedup GAUGE (the e12/e13 doctrine applied to text): candidate
+    // precision/recall of the banded-LSH stage against exact all-pairs
+    // Jaccard ground truth, on a deterministic md5-gated doc sample
+    // (chains kept unconditionally so verified dups exist at every SF).
+    // The exact baseline is all-pairs BY DESIGN; its cost is bounded by
+    // the sample GATE, never by trusting the thing being measured — at
+    // corpus scale you add md5 hex digits to the gate until the sample
+    // is O(10^4) docs, keeping the quadratic truth stage a rounding
+    // error next to the pipeline it audits. Reuses neardupStages
+    // verbatim, so the gauge measures the production candidate stage,
+    // not a reimplementation that could drift from it.
+    "d16_lsh_gauge" -> ((s, dir) => {
+      val sample = docsWithChains(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1") || col("doc_id") >= 3000000L)
+      val st = neardupStages(sample)
+      try {
+        val g = sample.select(col("doc_id"),
+          array_distinct(tokens(col("text"))).as("g"))
+        // truth: every pair, exact Jaccard — a broadcast nested-loop
+        // over the gated sample (the small side broadcasts; ~n^2/2
+        // comparisons of token SETS, text itself never joins)
+        val truth = g.alias("a")
+          .join(g.alias("b"), col("a.doc_id") < col("b.doc_id"))
+          .filter((size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+                   size(array_union(col("a.g"), col("b.g")))) >= 0.5)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .persist()
+        val hit = truth.join(st.cand, Seq("doc_a", "doc_b"))
+        val out = sample.agg(count(lit(1)).as("n_sample"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(st.cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_sample"), col("n_truth"), col("n_cand"), col("n_hit"),
+            round(when(col("n_cand") > 0,
+              col("n_hit").cast("double") / col("n_cand")), 4).as("cand_precision"),
+            round(when(col("n_truth") > 0,
+              col("n_hit").cast("double") / col("n_truth")), 4).as("cand_recall"))
+        val res = out.localCheckpoint()
+        truth.unpersist(blocking = false)
+        res
+      } finally st.unpersistAll()
+    }),
+
+    // Bloom-filter INCREMENTAL dedup gate (the CCNet/Dolma "have we
+    // already ingested this content" front door): the prior corpus is
+    // summarized once into a bloom filter and every incoming document
+    // probes it — content that misses is definitely new, content that
+    // hits goes to the (expensive) exact check. The filter is built and
+    // probed as a TABLE of (word_idx, 63-bit word; the sign bit stays
+    // clear because DuckDB's checked `<<` refuses 1<<63) — the mergeable
+    // distributed representation: build is a groupBy(word_idx)+BIT_OR
+    // (map-side combined, m/64 rows total), probe is a broadcast join
+    // on word_idx. m = 2^17 bits / k = 5 here (sized to the test
+    // corpus); at 100 TB m scales with prior-corpus cardinality but the
+    // filter stays megabytes (1 byte per ~1.2 docs at 1% FP), i.e. it
+    // broadcasts to 1000 executors for free — THE reason this gate is
+    // the cheapest dedup operator that exists. The oracle also pins
+    // n_missed = 0: a bloom filter may false-positive but NEVER
+    // false-negative; a nonzero here is an implementation bug, so the
+    // no-false-negative INVARIANT itself is driver-verified. True-dup
+    // ground truth exists at every SF via deterministic clones of every
+    // 20th prior doc (id + 4000000).
+    "d17_bloom_gate" -> ((s, dir) => {
+      val mBits = 131072L
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val prior = d.filter(col("doc_id") % 2 === 0)
+      val clones = prior.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("h"))
+      val incoming = d.filter(col("doc_id") % 2 === 1).unionAll(clones)
+      // k=5 probe positions from disjoint 20-bit md5 slices
+      def positions = array((0 until 5).map(i =>
+        conv(substring(col("h"), 1 + 5 * i, 5), 16, 10).cast("long") % mBits): _*)
+      val bloom = prior.select(explode(positions).as("p"))
+        .select(expr("p div 63").as("w"),
+          expr("shiftleft(1L, cast(p % 63 as int))").as("m"))
+        .groupBy(col("w")).agg(bit_or(col("m")).as("word"))
+      val probe = incoming.select(col("doc_id"), explode(positions).as("p"))
+        .select(col("doc_id"), expr("p div 63").as("w"),
+          expr("shiftleft(1L, cast(p % 63 as int))").as("m"))
+        .join(broadcast(bloom), Seq("w"), "left")
+        .select(col("doc_id"),
+          when(col("word").isNotNull &&
+               col("word").bitwiseAND(col("m")) === col("m"), 1L)
+            .otherwise(0L).as("hit"))
+        .groupBy(col("doc_id")).agg(min(col("hit")).as("all_hit"))
+      val truth = incoming
+        .join(prior.select(col("h")).distinct().withColumn("is_dup", lit(1L)),
+          Seq("h"), "left")
+        .select(col("doc_id"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      probe.join(truth, "doc_id")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(col("all_hit")).as("n_flagged"),
+          sum(col("is_dup")).as("n_true_dup"),
+          sum(when(col("all_hit") === 1 && col("is_dup") === 0, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(col("all_hit") === 0 && col("is_dup") === 1, 1L)
+            .otherwise(0L)).as("n_missed"))
+        .withColumn("fp_rate",
+          round(when(col("n_incoming") - col("n_true_dup") > 0,
+            col("n_false_pos").cast("double") /
+              (col("n_incoming") - col("n_true_dup"))), 4))
+    }),
   )
 
   /** PageRank over the verified dup pairs (see the d15 registry
@@ -1343,6 +1473,15 @@ object Documents {
               AND qs = '' AS keep
           FROM u ORDER BY doc_id"""
     },
+    "t20_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+           replace(text, 'a', 'a' || chr(769)) AS dirty FROM documents),
+         n AS (SELECT doc_id, length(dirty) AS n_dirty,
+           nfc_normalize(dirty) AS norm FROM d)
+         SELECT doc_id, n_dirty, length(norm) AS n_nfc,
+           length(trim(regexp_replace(norm, '\s+', ' ', 'g'))) AS n_clean,
+           n_dirty - length(norm) AS n_composed
+         FROM n ORDER BY doc_id""",
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5
@@ -1533,6 +1672,74 @@ object Documents {
             FROM sym)
           SELECT doc_id, rk, other_id, round(jac, 6) AS jac
           FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "d16_lsh_gauge" -> {
+      val sampled =
+        s"""SELECT doc_id, text FROM (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              $chainDocsSql) u
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+               OR doc_id >= 3000000"""
+      s"""WITH ${neardupStagesSql(sampled)},
+          truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+          hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+                  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+          m AS (SELECT
+            (SELECT count(*) FROM corpus) AS n_sample,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM cand) AS n_cand,
+            (SELECT count(*) FROM hit) AS n_hit)
+          SELECT n_sample, n_truth, n_cand, n_hit,
+            round(CASE WHEN n_cand > 0
+              THEN CAST(n_hit AS DOUBLE) / n_cand END, 4) AS cand_precision,
+            round(CASE WHEN n_truth > 0
+              THEN CAST(n_hit AS DOUBLE) / n_truth END, 4) AS cand_recall
+          FROM m"""
+    },
+    "d17_bloom_gate" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         prior AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 0),
+         incoming AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1
+           UNION ALL SELECT doc_id + 4000000, h FROM prior WHERE doc_id % 20 = 0),
+         ks AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+         bloom AS (SELECT p // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word
+           FROM (SELECT CAST(('0x' || substring(h, 1 + 5 * i, 5)) AS BIGINT)
+                   % 131072 AS p
+                 FROM prior CROSS JOIN ks) b
+           GROUP BY 1),
+         probe AS (SELECT doc_id, min(CASE WHEN b.word IS NOT NULL
+                 AND (b.word & x.m) = x.m THEN 1 ELSE 0 END) AS all_hit
+           FROM (SELECT doc_id, p // 63 AS w,
+                   CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER) AS m
+                 FROM (SELECT doc_id,
+                         CAST(('0x' || substring(h, 1 + 5 * i, 5)) AS BIGINT)
+                           % 131072 AS p
+                       FROM incoming CROSS JOIN ks) q) x
+           LEFT JOIN bloom b ON b.w = x.w
+           GROUP BY doc_id),
+         tr AS (SELECT i.doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM prior p WHERE p.h = i.h)
+                  THEN 1 ELSE 0 END AS is_dup
+           FROM incoming i),
+         j AS (SELECT probe.doc_id, all_hit, is_dup
+               FROM probe JOIN tr ON probe.doc_id = tr.doc_id)
+         SELECT count(*) AS n_incoming,
+           CAST(sum(all_hit) AS BIGINT) AS n_flagged,
+           CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
+           CAST(sum(CASE WHEN all_hit = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN all_hit = 0 AND is_dup = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_missed,
+           round(CASE WHEN count(*) - sum(is_dup) > 0
+             THEN CAST(sum(CASE WHEN all_hit = 1 AND is_dup = 0 THEN 1
+                           ELSE 0 END) AS DOUBLE)
+                  / (count(*) - sum(is_dup)) END, 4) AS fp_rate
+         FROM j""",
   )
 
   /** DuckDB rendition of [[neardupSummary]] over an arbitrary corpus. */

@@ -22,6 +22,33 @@ object Relational {
 
   private def r2(c: Column): Column = round(c, 2)
 
+  /** Ordered within-window event pairs for q15: for each event, every
+    * LATER event by the same user at most `binUs` micros after it
+    * (ties on the timestamp ordered by event_id). Input columns:
+    * (event_id, user_id, event_type, us). The window predicate is
+    * non-equi, but bucketizing time into window-sized bins turns it
+    * into an EQUI-join: a within-window successor lives in the same
+    * bin or the next one, so the left side probes exactly those two
+    * bins (explode) and the residual predicate filters bin-mates
+    * outside the window. Shuffles on (user_id, bin) like any hash
+    * join — no nested loop, no range explosion.
+    */
+  private[queries] def cooccurPairs(ev: DataFrame, binUs: Long): DataFrame = {
+    val left = ev.select(col("user_id"), col("event_id").as("a_id"),
+        col("event_type").as("a_type"), col("us").as("a_us"))
+      .withColumn("bin", explode(array(
+        floor(col("a_us") / binUs), floor(col("a_us") / binUs) + 1)))
+    val right = ev.select(col("user_id"), col("event_id").as("b_id"),
+        col("event_type").as("b_type"), col("us").as("b_us"),
+        floor(col("us") / binUs).as("bin"))
+    left.join(right, Seq("user_id", "bin"))
+      .filter((col("b_us") > col("a_us") ||
+               (col("b_us") === col("a_us") && col("b_id") > col("a_id"))) &&
+              col("b_us") - col("a_us") <= binUs)
+      .select(col("user_id"), col("a_id"), col("a_type"), col("a_us"),
+        col("b_id"), col("b_type"), col("b_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 style: full scan + hash agg (map-side partial agg for free).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -262,6 +289,109 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
+
+    // Interval self-join (event co-occurrence): ordered pairs of events
+    // by the same user within a 5-minute window, counted per type pair.
+    // The naive form is a non-equi self-join (O(n^2) nested-loop at
+    // scale); the scale shape used here BUCKETIZES time into
+    // window-sized bins so the pair search becomes an EQUI-join on
+    // (user_id, bin): a later event within 300s of an earlier one lives
+    // in the same bin or the next, so each left row probes exactly two
+    // bins (explode), the join shuffles on (user_id, bin) like any hash
+    // join, and the residual time/order predicate filters bin-mates
+    // beyond the window. No nested loop, no range explosion; skew =
+    // one user's burst within one 5-min bin, bounded by event rate.
+    "q15_time_cooccur" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      cooccurPairs(ev, 300000000L) // 5-minute window
+        .groupBy(col("a_type"), col("b_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("a_type"), col("b_type"))
+    }),
+
+    // HyperLogLog distinct-count sketch (Flajolet et al. 2007), fully
+    // deterministic so the DuckDB oracle computes the IDENTICAL
+    // estimate: md5-derived 64-bit hash, p=9 (512 buckets from the top
+    // 9 bits of the first half), rank = leading zeros of the remaining
+    // 55 bits + 1 via bit-length (length(bin(w)) — exact integer path,
+    // no float log), and the 2^-M harmonic sum kept EXACT by scaling to
+    // 2^56 integers summed as DECIMAL(38,0) (double summation order
+    // would differ between engines). One groupBy(bucket).max — at
+    // 100 TB this is a 512-row hash aggregate with map-side partial
+    // max; the sketch merges across any partitioning (max is
+    // commutative), which is the whole point of HLL on a cluster.
+    // Companion to q14's KMV over the same ground truth.
+    "q16_hll_ndv" -> ((s, dir) => {
+      val m = 512
+      val scaled = 72057594037927936L // 2^56
+      val parts = Tables.lineitem(s, dir)
+        .select(md5(col("l_orderkey").cast("string")).as("h"))
+        .select(
+          conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
+      val maxRank = parts
+        .select(shiftright(col("h1"), 23).as("bucket"),
+          (col("h1").bitwiseAND(lit(0x7FFFFFL)) * lit(4294967296L) + col("h2")).as("w"))
+        .select(col("bucket"),
+          when(col("w") === 0, lit(56L))
+            .otherwise(lit(56L) - length(bin(col("w")))).as("rank"))
+        .groupBy(col("bucket")).agg(max(col("rank")).as("mr"))
+      val sketch = maxRank.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(expr("cast(shiftleft(1L, cast(56 - mr as int)) as decimal(38,0))")).as("ssum"))
+      val exact = Tables.lineitem(s, dir)
+        .agg(countDistinct(col("l_orderkey")).as("exact_ndv"))
+      sketch.crossJoin(exact)
+        .select(col("exact_ndv"),
+          (lit(m) - col("n_buckets")).cast("long").as("v_empty"),
+          ((lit(0.7213 / (1.0 + 1.079 / m)) * m * m * scaled.toDouble) /
+            (col("ssum") + (lit(m) - col("n_buckets")).cast("decimal(38,0)") * lit(scaled))
+              .cast("double")).as("raw"))
+        .select(col("exact_ndv"),
+          round(when(col("raw") <= lit(2.5 * m) && col("v_empty") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+            .otherwise(col("raw")), 2).as("est_ndv"))
+        .withColumn("rel_err",
+          round(abs(col("est_ndv") - col("exact_ndv")) / col("exact_ndv"), 4))
+    }),
+
+    // Distributed quantile estimation from a deterministic mergeable
+    // sample: the k rows with the smallest md5(row-key) are a uniform
+    // sample that every engine/partitioning selects IDENTICALLY (hash
+    // order is data-defined), so the estimate itself is oracle-checked,
+    // not just the machinery. ORDER BY hash LIMIT k compiles to
+    // TakeOrderedAndProject (per-partition top-k + one k-row merge —
+    // the same shape a t-digest/GK sketch would merge with, minus the
+    // nondeterminism those sketches carry across merge orders). The
+    // window that ranks the k-row sample runs on ONE partition of k
+    // rows — bounded by construction, never by input size. Estimates at
+    // q50/q90/q99 sit beside the exact interpolated quantiles.
+    "q17_sample_quantiles" -> ((s, dir) => {
+      val k = 1024
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("h"))
+      val sample = li.orderBy(col("h"), col("v")).limit(k)
+        .select(col("v"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("v")))) // k rows, single partition by design
+      val est = Seq(0.5, 0.9, 0.99).map { q =>
+        sample.filter(col("rn") === math.ceil(q * k).toLong)
+          .select(lit(q).as("q"), col("v").as("est_v"))
+      }.reduce(_ unionAll _)
+      val exact = li.agg(
+        expr("percentile(v, 0.5D)").as("x50"),
+        expr("percentile(v, 0.9D)").as("x90"),
+        expr("percentile(v, 0.99D)").as("x99"))
+      est.crossJoin(exact)
+        .select(col("q"), round(col("est_v"), 2).as("est_v"),
+          round(when(col("q") === 0.5, col("x50"))
+            .when(col("q") === 0.9, col("x90"))
+            .otherwise(col("x99")), 2).as("exact_v"))
+        .withColumn("abs_err", round(abs(col("est_v") - col("exact_v")), 2))
+        .orderBy(col("q"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -391,5 +521,62 @@ object Relational {
          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    // The oracle states the SEMANTICS as the naive non-equi self-join;
+    // the engine's bucketed equi-join must enumerate the same pairs.
+    "q15_time_cooccur" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events)
+         SELECT a.event_type AS a_type, b.event_type AS b_type,
+           count(*) AS n_pairs
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+           AND b.us - a.us <= 300000000
+         GROUP BY a.event_type, b.event_type
+         ORDER BY a_type, b_type""",
+    "q16_hll_ndv" ->
+      """WITH p AS (SELECT
+           CAST(('0x' || substring(h, 1, 8)) AS BIGINT) AS h1,
+           CAST(('0x' || substring(h, 9, 8)) AS BIGINT) AS h2
+           FROM (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem)),
+         mr AS (SELECT h1 >> 23 AS bucket,
+             max(CASE WHEN (h1 & 8388607) * 4294967296 + h2 = 0 THEN 56
+                 ELSE 56 - length(bin((h1 & 8388607) * 4294967296 + h2)) END) AS mr
+           FROM p GROUP BY bucket),
+         sk AS (SELECT count(*) AS n_buckets,
+             sum(CAST((CAST(1 AS BIGINT) << CAST(56 - mr AS INTEGER))
+                 AS DECIMAL(38,0))) AS ssum
+           FROM mr),
+         ex AS (SELECT count(DISTINCT l_orderkey) AS exact_ndv FROM lineitem),
+         t AS (SELECT exact_ndv, (512 - n_buckets) AS v_empty,
+             (0.7213 / (1 + 1.079 / 512) * 512 * 512 * 72057594037927936.0) /
+             CAST(ssum + CAST(512 - n_buckets AS DECIMAL(38,0))
+               * 72057594037927936 AS DOUBLE) AS raw
+           FROM sk CROSS JOIN ex),
+         t2 AS (SELECT exact_ndv,
+             round(CASE WHEN raw <= 1280.0 AND v_empty > 0
+                   THEN 512.0 * ln(512.0 / v_empty) ELSE raw END, 2) AS est_ndv
+           FROM t)
+         SELECT CAST(exact_ndv AS BIGINT) AS exact_ndv, est_ndv,
+           round(abs(est_ndv - exact_ndv) / exact_ndv, 4) AS rel_err
+         FROM t2""",
+    "q17_sample_quantiles" ->
+      """WITH li AS (SELECT l_extendedprice AS v,
+           md5(CAST(l_orderkey AS VARCHAR) || '|'
+               || CAST(l_linenumber AS VARCHAR)) AS h
+           FROM lineitem),
+         s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+           FROM (SELECT v FROM li ORDER BY h, v LIMIT 1024)),
+         e AS (SELECT quantile_cont(v, 0.5) AS x50,
+             quantile_cont(v, 0.9) AS x90, quantile_cont(v, 0.99) AS x99
+           FROM li),
+         est AS (SELECT CAST(0.5 AS DOUBLE) AS q, v AS est_v FROM s WHERE rn = 512
+           UNION ALL SELECT CAST(0.9 AS DOUBLE), v FROM s WHERE rn = 922
+           UNION ALL SELECT CAST(0.99 AS DOUBLE), v FROM s WHERE rn = 1014),
+         r AS (SELECT q, round(est_v, 2) AS est_v,
+             round(CASE WHEN q = 0.5 THEN x50 WHEN q = 0.9 THEN x90
+                   ELSE x99 END, 2) AS exact_v
+           FROM est CROSS JOIN e)
+         SELECT q, est_v, exact_v, round(abs(est_v - exact_v), 2) AS abs_err
+         FROM r ORDER BY q""",
   )
 }

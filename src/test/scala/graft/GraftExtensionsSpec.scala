@@ -65,6 +65,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(1) != null)
   }
 
+  test("nfc_normalize works from pure SQL and agrees with the Column API") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("café nfc", "plain").toDF("text")
+    df.createOrReplaceTempView("ext_nfc")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(text) AS n FROM ext_nfc ORDER BY n").collect()
+    val viaCol = df.select(
+        graft.functions.TextAnalysis.nfcNormalize(col("text")).as("n"))
+      .orderBy("n").collect()
+    assert(viaSql.map(_.getString(0)).toSeq == viaCol.map(_.getString(0)).toSeq)
+    assert(viaSql.map(_.getString(0)).contains("caf\u00e9 nfc"))
+  }
+
   test("arity errors surface as analysis failures, not task failures") {
     val e = intercept[Exception](spark.sql("SELECT token_count()").collect())
     assert(e.getMessage.contains("token_count") ||

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Topology-level properties of the relational pack's non-trivial
+  * rewrites: the bucketed interval self-join (q15) must enumerate
+  * exactly the pairs the naive non-equi join defines.
+  */
+class RelationalQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("relational-query-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q15 bucketed co-occurrence join equals the naive non-equi join") {
+    val s = spark
+    import s.implicits._
+    val bin = 100L
+    // adversarial layout: pairs exactly AT the window bound (Δ=bin),
+    // one past it (Δ=bin+1), equal timestamps (id tiebreak), bin-edge
+    // straddles, and a second user that must never pair with the first
+    val ev = Seq(
+      (1L, 10L, "a", 0L), (2L, 10L, "b", 100L), (3L, 10L, "c", 101L),
+      (4L, 10L, "d", 199L), (5L, 10L, "e", 200L), (6L, 10L, "f", 200L),
+      (7L, 20L, "g", 150L), (8L, 20L, "h", 250L), (9L, 20L, "i", 351L),
+    ).toDF("event_id", "user_id", "event_type", "us")
+
+    val bucketed = Relational.cooccurPairs(ev, bin)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"))
+    val b = ev.select(col("user_id"), col("event_id").as("b_id"), col("us").as("b_us"))
+    val naive = a.join(b, Seq("user_id"))
+      .filter((col("b_us") > col("a_us") ||
+               (col("b_us") === col("a_us") && col("b_id") > col("a_id"))) &&
+              col("b_us") - col("a_us") <= bin)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    assert(bucketed == naive)
+    // spot-pin the boundary semantics: Δ=bin pairs in, Δ=bin+1 stays out,
+    // equal-ts pairs once (smaller id first)
+    assert(bucketed.contains((1L, 2L)) && !bucketed.contains((1L, 3L)))
+    assert(bucketed.contains((5L, 6L)) && !bucketed.contains((6L, 5L)))
+    assert(bucketed.contains((7L, 8L)) && !bucketed.contains((8L, 9L)))
+  }
+
+  test("nfc_normalize: codegen'd expression composes and passes through") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      "cafe\u0301 au lait", // decomposed e + combining acute
+      "caf\u00e9 au lait",  // already composed (the isNormalized fast path)
+      "plain ascii",
+      "a\u0301\u0301",     // stacked combining marks: first composes, second stays
+    ).toDF("text")
+      .select(col("text"), TextAnalysis.nfcNormalize(col("text")).as("norm"))
+      .collect()
+    assert(rows(0).getString(1) == "caf\u00e9 au lait")
+    assert(rows(1).getString(1) == "caf\u00e9 au lait")
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "\u00e1\u0301")
+    // nulls propagate
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(TextAnalysis.nfcNormalize(col("text"))).head
+    assert(n.isNullAt(0))
+  }
+}
