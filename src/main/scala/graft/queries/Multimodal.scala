@@ -275,7 +275,59 @@ object Multimodal {
           col("f.meanB").as("mean_b"))
         .orderBy(col("media_id"), col("frame_index"))
     }),
+
+    // MPEG audio (MP3) metadata: ID3v2 skip + per-frame header walk —
+    // frame count and duration are exact container arithmetic
+    // (samplesPerFrame / rate per frame), no codec involved, same
+    // doctrine as m04's box walk. Fixtures are hand-built CBR streams
+    // (header bytes + zero payload), so every output cell is derivable
+    // on paper: 3 frames of MPEG1 L3 @44100 -> 3*1152/44100 s; 2
+    // frames of MPEG2 L3 @22050 -> 2*576/22050 s. Corrupt payload ->
+    // null row, never a task failure.
+    "m06_mp3_meta" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = Seq(
+        // MPEG1 Layer III 128 kbps 44.1 kHz stereo, 10-byte ID3v2 body:
+        // frameLen = 144*128000/44100 = 417
+        (1L, makeMp3(3, Array(0xff, 0xfb, 0x90, 0x00), 417, id3Bytes = 10)),
+        // MPEG2 Layer III 64 kbps 22.05 kHz mono, no tag:
+        // frameLen = 72*64000/22050 = 208
+        (2L, makeMp3(2, Array(0xff, 0xf3, 0x80, 0xc0), 208)),
+        (3L, "definitely not mpeg audio".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      val m = M.mp3Meta(col("payload"))
+      df.select(col("media_id"),
+          m.getField("version").as("version"),
+          m.getField("layer").as("layer"),
+          m.getField("bitrateKbps").as("bitrate_kbps"),
+          m.getField("sampleRate").as("sample_rate"),
+          m.getField("channels").as("channels"),
+          m.getField("nFrames").as("n_frames"),
+          m.getField("durationS").as("duration_s"),
+          m.getField("hasId3").cast("int").as("has_id3"))
+        .orderBy(col("media_id"))
+    }),
   )
+
+  /** Minimal CBR MPEG audio stream: n identical Layer III frames
+    * (4-byte header + zero payload), optionally prefixed by an ID3v2
+    * tag with `id3Bytes` of body (syncsafe length).
+    */
+  private def makeMp3(n: Int, header: Array[Int], frameLen: Int,
+      id3Bytes: Int = -1): Array[Byte] = {
+    val tag =
+      if (id3Bytes < 0) Array.empty[Byte]
+      else {
+        val t = new Array[Byte](10 + id3Bytes)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 3
+        t(8) = ((id3Bytes >> 7) & 0x7f).toByte; t(9) = (id3Bytes & 0x7f).toByte
+        t
+      }
+    val frames = new Array[Byte](n * frameLen)
+    for (i <- 0 until n; j <- header.indices)
+      frames(i * frameLen + j) = header(j).toByte
+    tag ++ frames
+  }
 
   val oracleSql: Map[String, String] = Map(
     "m01_image_meta" ->
@@ -358,5 +410,22 @@ object Multimodal {
          t(media_id, frame_index, frame_offset, width, height,
            mean_r, mean_g, mean_b)
          ORDER BY media_id, frame_index""",
+    // hand derivation: (1) 3 frames * 1152 samples / 44100 Hz =
+    // 0.078367 s (rint at micros); (2) 2 * 576 / 22050 = 0.052245 s
+    "m06_mp3_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, version,
+         CAST(layer AS INT) AS layer,
+         CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+         CAST(sample_rate AS INT) AS sample_rate,
+         CAST(channels AS INT) AS channels,
+         CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(duration_s AS DOUBLE) AS duration_s,
+         CAST(has_id3 AS INT) AS has_id3 FROM (VALUES
+         (1, 'mpeg1', 3, 128, 44100, 2, 3, 0.078367, 1),
+         (2, 'mpeg2', 3, 64, 22050, 1, 2, 0.052245, 0),
+         (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, version, layer, bitrate_kbps, sample_rate, channels,
+           n_frames, duration_s, has_id3)
+         ORDER BY media_id""",
   )
 }

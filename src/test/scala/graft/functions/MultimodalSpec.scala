@@ -235,6 +235,38 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 to avi.length).foreach(n => Multimodal.aviMjpegFramesOf(avi.take(n), 3))
   }
 
+  test("mp3MetaOf: frame walk, ID3 skip, lost sync, never throws") {
+    def frame(header: Array[Int], len: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      header.indices.foreach(j => f(j) = header(j).toByte)
+      f
+    }
+    // 2 frames MPEG1 L3 128kbps 44.1kHz stereo (frameLen 417)
+    val h1 = Array(0xff, 0xfb, 0x90, 0x00)
+    val two = frame(h1, 417) ++ frame(h1, 417)
+    val m = Multimodal.mp3MetaOf(two)
+    assert(m.version == "mpeg1" && m.bitrateKbps == 128 &&
+      m.sampleRate == 44100 && m.channels == 2 && m.nFrames == 2L && !m.hasId3)
+    // ID3v2 prefix is skipped (syncsafe length 130 = 0x01 0x02)
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 1, 2) ++
+      new Array[Byte](130)
+    val tagged = Multimodal.mp3MetaOf(tag ++ frame(h1, 417))
+    assert(tagged.hasId3 && tagged.nFrames == 1L)
+    // lost sync mid-stream: counted frames stand, garbage tail ignored
+    val torn = Multimodal.mp3MetaOf(frame(h1, 417) ++ "junk tail".getBytes)
+    assert(torn.nFrames == 1L)
+    // truncated final frame still counts it (header was valid)
+    assert(Multimodal.mp3MetaOf(two.take(500)).nFrames == 2L)
+    // garbage / empty / every truncation: null or a value, never a throw
+    assert(Multimodal.mp3MetaOf("not audio".getBytes) == null)
+    assert(Multimodal.mp3MetaOf(Array.empty[Byte]) == null)
+    (0 to two.length).foreach(n => Multimodal.mp3MetaOf(two.take(n)))
+    (0 until 64).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      Multimodal.mp3MetaOf(Array.fill(rnd.nextInt(600))(rnd.nextInt().toByte))
+    }
+  }
+
   test("av frame-sample stub: deterministic offsets, real plumbing") {
     val ss = spark; import ss.implicits._
     val payload = (0 until 1000).map(_.toByte).toArray
