@@ -50,7 +50,13 @@ object Bench {
     // stages, localCheckpoint blocks awaiting ContextCleaner) plus GC
     // debt from a heavy predecessor otherwise bill the NEXT query —
     // measured swings of 4x on identical code between two sweeps
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only iteration aid: SPARK_GRAFT_BENCH_ONLY=q01,d07 times a
+    // subset (the driver never sets it, so round artifacts always cover
+    // every query)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
