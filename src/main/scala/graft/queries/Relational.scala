@@ -290,6 +290,25 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Native gap-based sessionization: Spark's session_window operator
+    // (the streaming-native session abstraction — the SAME expression
+    // works under a watermark in a readStream query, where state is
+    // per-key and expires at gap timeout). q09 derives sessions with
+    // the lag+running-sum islands idiom; this exercises the built-in
+    // operator and pins the two against one DuckDB islands oracle:
+    // session boundaries, per-session event counts and value sums all
+    // match. Shuffles once on user_id; the session merge is key-local.
+    "q18_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Interval self-join (event co-occurrence): ordered pairs of events
     // by the same user within a 5-minute window, counted per type pair.
     // The naive form is a non-equi self-join (O(n^2) nested-loop at
@@ -528,6 +547,24 @@ object Relational {
          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    // Islands idiom re-derives session_window's gap semantics: a new
+    // session starts when the gap from the previous event is >= 30 min
+    // (Spark sessions are [start, last+gap) — an event landing exactly
+    // at the previous session's end opens a NEW session).
+    "q18_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         m AS (SELECT *, CASE WHEN prev_us IS NULL
+                 OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+                   ORDER BY us) AS prev_us FROM e) a),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         SELECT user_id, make_timestamp(min(us)) AS session_start,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
     // The oracle states the SEMANTICS as the naive non-equi self-join;
     // the engine's bucketed equi-join must enumerate the same pairs.
     "q15_time_cooccur" ->

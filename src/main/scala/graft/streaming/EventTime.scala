@@ -65,6 +65,53 @@ object EventTime {
     }
   }
 
+  final case class DedupState(firstSeenMicros: Long, nDuplicates: Long)
+  final case class DedupEmit(fp: String, kind: String, firstSeenMicros: Long,
+      nDuplicates: Long)
+
+  /** First-occurrence gate as ARBITRARY stateful processing
+    * (flatMapGroupsWithState): functionally where
+    * `dropDuplicatesWithinWatermark` ends, this begins — the pipeline
+    * also gets dedup TELEMETRY. Per content fingerprint the state
+    * carries (first-seen time, suppressed-duplicate count); the first
+    * occurrence emits a `first` row immediately, later occurrences
+    * emit nothing but count, and when the group's event-time timeout
+    * (the watermark) expires, a final `expired` row reports how many
+    * duplicates the gate absorbed — then the state is gone, which is
+    * what bounds memory at 100 TB/day ingest: live state is only the
+    * fingerprints seen within the watermark horizon.
+    * Input columns: ts (timestamp), fp (string).
+    */
+  def firstSeenGate(records: DataFrame,
+      watermark: String = "1 day"): Dataset[DedupEmit] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.select(col("ts"), col("fp"))
+      .withWatermark("ts", watermark)
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[DedupState, DedupEmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (fp, rows, state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(DedupEmit(fp, "expired", s.firstSeenMicros, s.nDuplicates))
+          } else {
+            val times = rows.map(r =>
+              r._1.getTime * 1000L + (r._1.getNanos % 1000000L) / 1000L).toArray
+            val prev = state.getOption
+            val first = prev.map(_.firstSeenMicros)
+              .getOrElse(times.min)
+            val dups = prev.map(_.nDuplicates).getOrElse(-1L) + times.length
+            state.update(DedupState(first, dups))
+            state.setTimeoutTimestamp(first / 1000L, watermark)
+            if (prev.isEmpty) Iterator.single(DedupEmit(fp, "first", first, 0L))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Start the windowed aggregation as a streaming query into a named
     * in-memory sink (for tests / interactive monitoring).
     */

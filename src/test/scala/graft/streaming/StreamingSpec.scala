@@ -185,4 +185,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hosts.map(_.nRecords).sum == 16L)
     assert(hosts.forall(_.host.nonEmpty))
   }
+
+  test("flatMapGroupsWithState first-seen gate: emit once, count, expire") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val query = EventTime.firstSeenGate(mem.toDF.toDF("ts", "fp"))
+      .writeStream.format("memory").queryName("first_seen_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      query.processAllAvailable()
+      val firsts = spark.sql(
+        "SELECT fp, kind, nDuplicates FROM first_seen_gate ORDER BY fp").collect()
+      assert(firsts.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("a", "first"), ("b", "first")))
+      // later duplicates are suppressed (no new rows), only counted
+      mem.addData((ts(3), "a"), (ts(4), "a"))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM first_seen_gate").head.getLong(0) == 2L)
+      // advance the watermark past first-seen + 1 day: state expires and
+      // the gate reports what it absorbed (a: 3 dups, b: 0). One batch
+      // moves the watermark, the next fires the timeouts.
+      mem.addData((ts(2 * 86400 + 60), "c"))
+      query.processAllAvailable()
+      mem.addData((ts(2 * 86400 + 120), "d"))
+      query.processAllAvailable()
+      val expired = spark.sql(
+        """SELECT fp, nDuplicates FROM first_seen_gate
+           WHERE kind = 'expired' ORDER BY fp""").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(expired("a") == 3L && expired("b") == 0L)
+    } finally query.stop()
+  }
 }
