@@ -215,34 +215,57 @@ object Embeddings {
     "e09_product_quantize" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val sub = emb.select(col("vec_id"), posexplode(
-          transform(sequence(lit(0), lit(7)),
-            j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")))
-      val seeds = sub.filter(col("vec_id") < 16)
-        .select(col("sub_j"), col("vec_id").as("code"), col("sv").as("cv"))
-      // one Lloyd iteration: assign to nearest seed, re-center
-      val assign1 = sub.join(broadcast(seeds), Seq("sub_j"))
-        .select(col("vec_id"), col("sub_j"), col("sv"),
-          struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
-        .groupBy(col("vec_id"), col("sub_j"), col("sv"))
-        .agg(min(col("dc")).as("best"))
-        .select(col("sub_j"), col("best.c").as("code"), col("sv"))
-      val refined = assign1
-        .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub_j"), col("code"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("c"))
-        .groupBy(col("sub_j"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("sub_j"), col("code"), expr("transform(pc, p -> p.c)").as("cv"))
-      // encode against the refined codebook
-      sub.join(broadcast(refined), Seq("sub_j"))
-        .select(col("vec_id"), col("sub_j"),
-          struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
-        .groupBy(col("vec_id"), col("sub_j"))
-        .agg(min(col("dc")).as("best"))
-        .select(col("vec_id"), col("sub_j"), col("best.c").as("code"),
-          round(col("best.d"), 4).as("err"))
+      pqEncode(emb)
+        .select(col("vec_id"), col("sub_j"), col("code"), col("err"))
         .orderBy(col("vec_id"), col("sub_j"))
+    }),
+
+    // PQ recall gauge (the e12/e13 doctrine for the COMPRESSION path):
+    // does top-k search over 8-byte PQ codes still find the true L2
+    // neighbors of the full 256-byte vectors? Approx side = asymmetric
+    // distance computation (Jégou et al. 2011): per query a distance
+    // TABLE of (sub_j, code) -> sqdist(query subvector, codebook entry)
+    // — 8x16 doubles, broadcast — so scoring a database vector is 8
+    // table lookups summed via the codes join, the vector itself never
+    // re-read. Exact side = brute-force L2 top-3 over the same 5
+    // queries. Both sides and the recall tail compose existing pieces;
+    // at 100 TB the ADC join is the whole point: the scan side touches
+    // ONLY the 8-byte code rows, the float corpus stays on disk.
+    "e14_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val enc = pqEncode(emb)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val qsub = qs.select(col("q_vec_id"), posexplode(
+          transform(sequence(lit(0), lit(7)),
+            j => slice(col("qv"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "qsv")))
+      // per-entry distances rounded BEFORE the 8-way sum: the sum's
+      // addend order differs between engines, rounding first keeps the
+      // compared value out of last-ulp territory
+      val dtable = qsub.join(broadcast(pqCodebook(emb)), Seq("sub_j"))
+        .select(col("q_vec_id"), col("sub_j"), col("code"),
+          round(sqDistCol(col("qsv"), col("cv")), 6).as("d"))
+      val approxW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("ad").asc, col("n_vec_id").asc)
+      val approx = enc
+        .select(col("vec_id").as("n_vec_id"), col("sub_j"), col("code"))
+        .join(broadcast(dtable), Seq("sub_j", "code"))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .groupBy(col("q_vec_id"), col("n_vec_id"))
+        .agg(round(sum(col("d")), 6).as("ad"))
+        .withColumn("rn", row_number().over(approxW)).filter(col("rn") <= 3)
+        // (ties on ad resolve by n_vec_id in approxW — same in the oracle)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val exactW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("ed").asc, col("n_vec_id").asc)
+      val exact = emb.select(col("vec_id").as("n_vec_id"), col("v"))
+        .join(broadcast(qs), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          round(sqDistCol(col("qv"), col("v")), 6).as("ed"))
+        .withColumn("rn", row_number().over(exactW)).filter(col("rn") <= 3)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      recallVsExact(exact, approx)
     }),
 
     // UNSUPERVISED k-means (Lloyd's algorithm, k=8, 3 fixed iterations)
@@ -418,6 +441,48 @@ object Embeddings {
       .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
     base.unionAll(pert)
   }
+
+  /** 64-dim vectors split into 8 subspaces of 8 dims. */
+  private def pqSub(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(
+      transform(sequence(lit(0), lit(7)),
+        j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")))
+
+  /** The refined 8x16 PQ codebook (seeds = subvectors of vec_id 0..15,
+    * ONE Lloyd iteration, 6-dp centroid rounding so both engines hold
+    * the bit-identical book). Shared by e09 (encode) and e14 (ADC).
+    */
+  private[queries] def pqCodebook(emb: DataFrame): DataFrame = {
+    val sub = pqSub(emb)
+    val seeds = sub.filter(col("vec_id") < 16)
+      .select(col("sub_j"), col("vec_id").as("code"), col("sv").as("cv"))
+    val assign1 = sub.join(broadcast(seeds), Seq("sub_j"))
+      .select(col("vec_id"), col("sub_j"), col("sv"),
+        struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
+      .groupBy(col("vec_id"), col("sub_j"), col("sv"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("sub_j"), col("best.c").as("code"), col("sv"))
+    assign1
+      .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub_j"), col("code"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("sub_j"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("sub_j"), col("code"), expr("transform(pc, p -> p.c)").as("cv"))
+  }
+
+  /** Every subvector encoded as its nearest refined code:
+    * (vec_id, sub_j, code, err). min(struct) argmin — partial-agg
+    * friendly, deterministic tie-break on code, never a window.
+    */
+  private[queries] def pqEncode(emb: DataFrame): DataFrame =
+    pqSub(emb).join(broadcast(pqCodebook(emb)), Seq("sub_j"))
+      .select(col("vec_id"), col("sub_j"),
+        struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("sub_j"), col("best.c").as("code"),
+        round(col("best.d"), 4).as("err"))
 
   private def sqDistCol(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) =
@@ -681,41 +746,42 @@ object Embeddings {
          ORDER BY vec_a, vec_b"""
     },
     "e09_product_quantize" ->
-      """WITH emb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         subs AS (
-           SELECT vec_id, CAST(jj.j AS BIGINT) AS sub_j,
-             list_slice(v, CAST(jj.j * 8 + 1 AS INT), CAST(jj.j * 8 + 8 AS INT)) AS sv
-           FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
-         seeds AS (SELECT sub_j, vec_id AS code, sv AS cv
-           FROM subs WHERE vec_id < 16),
-         a1 AS (
-           SELECT s.vec_id, s.sub_j, s.sv,
-             min({'d': list_sum(list_transform(range(1, 9),
-                   i -> (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
-                      * (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))),
-                  'c': k.code}) AS best
-           FROM subs s JOIN seeds k USING (sub_j)
-           GROUP BY s.vec_id, s.sub_j, s.sv),
-         ref AS (
-           SELECT sub_j, code, pos, round(avg(x), 6) AS c
-           FROM (SELECT sub_j, best.c AS code,
-                   unnest(range(0, 8)) AS pos, unnest(sv) AS x
-                 FROM a1)
-           GROUP BY sub_j, code, pos),
-         refv AS (SELECT sub_j, code, list(c ORDER BY pos) AS cv
-           FROM ref GROUP BY sub_j, code),
-         enc AS (
-           SELECT s.vec_id, s.sub_j,
-             min({'d': list_sum(list_transform(range(1, 9),
-                   i -> (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
-                      * (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))),
-                  'c': k.code}) AS best
-           FROM subs s JOIN refv k USING (sub_j)
-           GROUP BY s.vec_id, s.sub_j)
+      s"""WITH $pqChainSql
          SELECT vec_id, sub_j, CAST(best.c AS BIGINT) AS code,
            round(best.d, 4) AS err
          FROM enc ORDER BY vec_id, sub_j""",
+    "e14_pq_recall" ->
+      s"""WITH $pqChainSql,
+         qs AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+         qsub AS (SELECT q_vec_id, CAST(jj.j AS BIGINT) AS sub_j,
+             list_slice(qv, CAST(jj.j * 8 + 1 AS INT),
+               CAST(jj.j * 8 + 8 AS INT)) AS qsv
+           FROM qs CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         dtable AS (SELECT q.q_vec_id, q.sub_j, k.code,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.qsv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
+                  * (q.qsv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))), 6) AS d
+           FROM qsub q JOIN refv k USING (sub_j)),
+         ad AS (SELECT d.q_vec_id, e.vec_id AS n_vec_id,
+             round(sum(d.d), 6) AS ad
+           FROM enc e JOIN dtable d
+             ON d.sub_j = e.sub_j AND d.code = e.best.c
+           WHERE d.q_vec_id <> e.vec_id
+           GROUP BY d.q_vec_id, e.vec_id),
+         approx AS (SELECT q_vec_id, n_vec_id FROM (
+             SELECT q_vec_id, n_vec_id, row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY ad ASC, n_vec_id ASC) AS rn
+             FROM ad) WHERE rn <= 3),
+         ed AS (SELECT q.q_vec_id, e.vec_id AS n_vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[CAST(i AS INT)] - e.v[CAST(i AS INT)])
+                  * (q.qv[CAST(i AS INT)] - e.v[CAST(i AS INT)]))), 6) AS ed
+           FROM emb e CROSS JOIN qs q WHERE q.q_vec_id <> e.vec_id),
+         exact AS (SELECT q_vec_id, n_vec_id FROM (
+             SELECT q_vec_id, n_vec_id, row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY ed ASC, n_vec_id ASC) AS rn
+             FROM ed) WHERE rn <= 3),
+         $recallTailSql""",
     "e05_centroids_full" ->
       """WITH e AS (
            SELECT label,
@@ -736,7 +802,45 @@ object Embeddings {
     * `approx` CTEs of (q_vec_id, n_vec_id) upstream — one text for e12
     * and e13, mirroring [[recallVsExact]].
     */
-  private val recallTailSql: String =
+  /** DuckDB rendition of [[pqCodebook]] + [[pqEncode]]: CTEs emb, subs,
+    * seeds, a1 (one Lloyd assign), ref/refv (re-centered codebook),
+    * enc (final codes) — the shared front of the e09 and e14 oracles.
+    */
+  private def pqChainSql: String =
+    """emb AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       subs AS (
+         SELECT vec_id, CAST(jj.j AS BIGINT) AS sub_j,
+           list_slice(v, CAST(jj.j * 8 + 1 AS INT), CAST(jj.j * 8 + 8 AS INT)) AS sv
+         FROM emb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+       seeds AS (SELECT sub_j, vec_id AS code, sv AS cv
+         FROM subs WHERE vec_id < 16),
+       a1 AS (
+         SELECT s.vec_id, s.sub_j, s.sv,
+           min({'d': list_sum(list_transform(range(1, 9),
+                 i -> (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
+                    * (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))),
+                'c': k.code}) AS best
+         FROM subs s JOIN seeds k USING (sub_j)
+         GROUP BY s.vec_id, s.sub_j, s.sv),
+       ref AS (
+         SELECT sub_j, code, pos, round(avg(x), 6) AS c
+         FROM (SELECT sub_j, best.c AS code,
+                 unnest(range(0, 8)) AS pos, unnest(sv) AS x
+               FROM a1)
+         GROUP BY sub_j, code, pos),
+       refv AS (SELECT sub_j, code, list(c ORDER BY pos) AS cv
+         FROM ref GROUP BY sub_j, code),
+       enc AS (
+         SELECT s.vec_id, s.sub_j,
+           min({'d': list_sum(list_transform(range(1, 9),
+                 i -> (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
+                    * (s.sv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))),
+                'c': k.code}) AS best
+         FROM subs s JOIN refv k USING (sub_j)
+         GROUP BY s.vec_id, s.sub_j)"""
+
+  private def recallTailSql: String =
     """hits AS (
          SELECT e.q_vec_id, count(*) AS n_hits
          FROM exact e JOIN approx a
