@@ -418,6 +418,51 @@ object Warc {
           .as("n_external_links"))
     }),
 
+    // WET-style derived archive (the Common Crawl *.warc.wet.gz
+    // product): extract every response's plain text ONCE, write it back
+    // as WARC `conversion` records — WARC-Refers-To linking each to its
+    // source record, Content-Type text/plain, recomputed digests — then
+    // re-scan the derived archive and verify the loop closed. This is
+    // the classic crawl->text pipeline shape at 100 TB: the derived
+    // corpus is an archive the SAME scan operators (and every dedup /
+    // quality / lang query in this engine) consume directly, so the
+    // extraction cost is paid once, not per downstream consumer. The
+    // headers column is built in-plan (array<struct<key,value>> —
+    // order-preserving), no driver-side record assembly.
+    "w31_wet_export" -> ((s, _) => {
+      import graft.functions.{WarcCols, Web}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id").as("src_id"),
+          WarcCols.targetUri(col("headers")).as("uri"),
+          col("record_date"),
+          Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(
+          concat(lit("<urn:wet:"), md5(col("src_id")), lit(">")).as("record_id"),
+          lit("conversion").as("record_type"),
+          col("record_date"),
+          array(
+            struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
+            struct(lit("WARC-Refers-To").as("key"), col("src_id").as("value")),
+            struct(lit("Content-Type").as("key"),
+              lit("text/plain; charset=utf-8").as("value"))).as("headers"),
+          encode(col("text"), "UTF-8").as("content"))
+        .coalesce(1)
+        .write.format("warc").option("checksum", "true")
+        .mode("append").save(out)
+      val wet = s.read.format("warc").load(out)
+      wet.agg(count(lit(1)).as("n_records"),
+        sum(when(col("record_type") === "conversion", 1L).otherwise(0L))
+          .as("n_conversion"),
+        sum(col("content_length")).as("total_text_bytes"),
+        sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"),
+        count(graft.functions.WarcCols.header(col("headers"), "WARC-Refers-To"))
+          .as("n_refers"))
+    }),
+
     // Real 101-language detection (detect_fast, lang.pyx:111-175) over
     // the main content of real pages: the Chinese/Korean/Russian pages
     // of the fixture corpus detect as such.
@@ -625,6 +670,17 @@ object Warc {
     "w19_html_extract10k" ->
       """SELECT CAST(25600 AS BIGINT) AS n_docs,
          CAST(81867200 AS BIGINT) AS total_len""",
+    // disclosed self-pin (extraction is not expressible in DuckDB): all
+    // 16 fixture responses extract non-empty text (102551 UTF-8 bytes
+    // total), every conversion record round-trips with a verified
+    // digest and a WARC-Refers-To back-link. regen_pins.py re-derives
+    // the row from Verify output.
+    "w31_wet_export" ->
+      """SELECT CAST(16 AS BIGINT) AS n_records,
+         CAST(16 AS BIGINT) AS n_conversion,
+         CAST(102551 AS BIGINT) AS total_text_bytes,
+         CAST(16 AS BIGINT) AS n_digest_ok,
+         CAST(16 AS BIGINT) AS n_refers""",
     // disclosed self-pin (extraction + lang detect are not expressible
     // in DuckDB): 16 files x 100 copies x 16 response pages all extract
     // and pass the 50-token gate; dedup collapses them to the 16 unique

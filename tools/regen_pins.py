@@ -46,7 +46,7 @@ REPO = os.path.dirname(HERE)
 PINNED = [
     "w09_warc_mime", "w10_warc_encodings", "w11_warc_decoded_text",
     "w16_warc_langs", "w19_html_extract10k", "w29_training_pipeline",
-    "w30_link_graph",
+    "w30_link_graph", "w31_wet_export",
 ]
 PIN_FILES = {  # where each pin lives, for the paste instruction
     "w": "src/main/scala/graft/queries/Warc.scala",
