@@ -468,6 +468,29 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus statistics health-check: the Zipf rank-frequency fit. A
+    // natural corpus plots log(freq) vs log(rank) near a straight line
+    // of slope ~-1; synthetic, deduplicated-to-death, or boilerplate-
+    // flooded corpora bend it — so the fitted slope/R² is a cheap
+    // whole-corpus quality signal. One wordcount aggregate (map-side
+    // combined), a rank over the VOCABULARY (tiny relative to the
+    // corpus — the window sorts types, not tokens), and Spark's
+    // built-in least-squares aggregates (regr_slope/intercept/r2).
+    "t21_zipf" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("w"))))
+      ranked.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("f")).as("n_tokens"),
+        round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ln(f), ln(r))"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(ln(f), ln(r))"), 4).as("r2"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -1482,6 +1505,17 @@ object Documents {
            length(trim(regexp_replace(norm, '\s+', ' ', 'g'))) AS n_clean,
            n_dirty - length(norm) AS n_composed
          FROM n ORDER BY doc_id""",
+    "t21_zipf" ->
+      """WITH f AS (SELECT w, count(*) AS f FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents) t
+           GROUP BY w),
+         r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f)
+         SELECT count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept,
+           round(regr_r2(ln(f), ln(r)), 4) AS r2
+         FROM r""",
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5
