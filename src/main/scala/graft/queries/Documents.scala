@@ -693,6 +693,16 @@ object Documents {
     // precision/recall of the banded-LSH stage against exact all-pairs
     // Jaccard ground truth, on a deterministic md5-gated doc sample
     // (chains kept unconditionally so verified dups exist at every SF).
+    // What it reports on THIS corpus is the point of having a gauge:
+    // precision is high (~0.8 — nearly every surfaced candidate
+    // verifies) but recall against the token-SET-Jaccard truth is
+    // ~0.006, because a 31-word vocabulary makes half of all pairs
+    // "duplicates" by set overlap while 3-word-shingle banding —
+    // correctly — only surfaces pairs sharing word SEQUENCES (the
+    // synthetic chains are all recalled). The e12 analog: the number
+    // that tells you the banding's similarity notion and the verify
+    // threshold's must be chosen TOGETHER before trusting the pipeline
+    // at 100 TB.
     // The exact baseline is all-pairs BY DESIGN; its cost is bounded by
     // the sample GATE, never by trusting the thing being measured — at
     // corpus scale you add md5 hex digits to the gate until the sample

@@ -154,6 +154,33 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d16 LSH gauge: chains recalled, candidates precise, truth saturated") {
+    val s = spark
+    val out = Documents.queries("d16_lsh_gauge")(s, "/root/testdata/sf0.001").head
+    val (nTruth, nCand, nHit) = (out.getLong(1), out.getLong(2), out.getLong(3))
+    // the 5 synthetic chains contribute 10 exact-verified dup pairs
+    // (a~b, b~c each; a~c sits below the 0.5 threshold) and their stems
+    // are built to collide in at least one band — they must be HIT
+    assert(nTruth >= 10L)
+    assert(nHit >= 10L, s"chain pairs missing from hits: $nHit")
+    // what the gauge is FOR (see the registry comment): the tiny
+    // vocabulary saturates set-Jaccard truth (most doc pairs qualify),
+    // sequence-targeted banding surfaces few but precise candidates
+    assert(out.getDouble(4) >= 0.5, s"precision ${out.getDouble(4)}")
+    assert(nHit <= nTruth && nHit <= nCand)
+  }
+
+  test("d17 bloom gate: clones flagged, nothing missed") {
+    val s = spark
+    val out = Documents.queries("d17_bloom_gate")(s, "/root/testdata/sf0.001").head
+    val (nIncoming, nFlagged, nTrue, nFp, nMissed) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4))
+    assert(nTrue > 0L, "clone injection must create true dups")
+    assert(nMissed == 0L, "a bloom filter can never false-negative")
+    assert(nFlagged == nTrue + nFp)
+    assert(nIncoming > nTrue)
+  }
+
   test("d13 similar top-k ranks the closer chain neighbor first") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -136,6 +136,7 @@ FORMATTERS = {
     "w19_html_extract10k": fmt_single_row_bigints,
     "w29_training_pipeline": fmt_single_row_bigints,
     "w30_link_graph": fmt_single_row_bigints,
+    "w31_wet_export": fmt_single_row_bigints,
 }
 
 
