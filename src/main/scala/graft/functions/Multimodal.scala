@@ -504,9 +504,11 @@ object Multimodal {
     var pos = 0
     var hasId3 = false
     if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') {
-      // ID3v2: 4-byte syncsafe length after the 6-byte header
+      // ID3v2: 4-byte syncsafe length after the 6-byte header; the
+      // size excludes the header AND the optional v2.4 footer
+      // (flags bit 0x10), so a footer adds 10 more
       val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
-      pos = 10 + sz
+      pos = 10 + sz + (if ((u8(5) & 0x10) != 0) 10 else 0)
       hasId3 = true
     }
     // bitrate kbps by [versionIdx][layerIdx][bitrateIdx]; 0 = free/bad

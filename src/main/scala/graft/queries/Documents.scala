@@ -715,18 +715,18 @@ object Documents {
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
           .isin("0", "1") || col("doc_id") >= 3000000L)
       val st = neardupStages(sample)
+      val g = sample.select(col("doc_id"),
+        array_distinct(tokens(col("text"))).as("g"))
+      // truth: every pair, exact Jaccard — a broadcast nested-loop
+      // over the gated sample (the small side broadcasts; ~n^2/2
+      // comparisons of token SETS, text itself never joins)
+      val truth = g.alias("a")
+        .join(g.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter((size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+                 size(array_union(col("a.g"), col("b.g")))) >= 0.5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .persist()
       try {
-        val g = sample.select(col("doc_id"),
-          array_distinct(tokens(col("text"))).as("g"))
-        // truth: every pair, exact Jaccard — a broadcast nested-loop
-        // over the gated sample (the small side broadcasts; ~n^2/2
-        // comparisons of token SETS, text itself never joins)
-        val truth = g.alias("a")
-          .join(g.alias("b"), col("a.doc_id") < col("b.doc_id"))
-          .filter((size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
-                   size(array_union(col("a.g"), col("b.g")))) >= 0.5)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .persist()
         val hit = truth.join(st.cand, Seq("doc_a", "doc_b"))
         val out = sample.agg(count(lit(1)).as("n_sample"))
           .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
@@ -737,10 +737,13 @@ object Documents {
               col("n_hit").cast("double") / col("n_cand")), 4).as("cand_precision"),
             round(when(col("n_truth") > 0,
               col("n_hit").cast("double") / col("n_truth")), 4).as("cand_recall"))
-        val res = out.localCheckpoint()
+        out.localCheckpoint()
+      } finally {
+        // in the finally block (not the success path): a failed
+        // checkpoint job must not leak the cached all-pairs table
         truth.unpersist(blocking = false)
-        res
-      } finally st.unpersistAll()
+        st.unpersistAll()
+      }
     }),
 
     // Bloom-filter INCREMENTAL dedup gate (the CCNet/Dolma "have we

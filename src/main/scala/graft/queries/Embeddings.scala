@@ -215,7 +215,7 @@ object Embeddings {
     "e09_product_quantize" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      pqEncode(emb)
+      pqEncode(emb, pqCodebook(emb))
         .select(col("vec_id"), col("sub_j"), col("code"), col("err"))
         .orderBy(col("vec_id"), col("sub_j"))
     }),
@@ -234,7 +234,8 @@ object Embeddings {
     "e14_pq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val enc = pqEncode(emb)
+      val codebook = pqCodebook(emb)
+      val enc = pqEncode(emb, codebook)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
       val qsub = qs.select(col("q_vec_id"), posexplode(
@@ -243,7 +244,7 @@ object Embeddings {
       // per-entry distances rounded BEFORE the 8-way sum: the sum's
       // addend order differs between engines, rounding first keeps the
       // compared value out of last-ulp territory
-      val dtable = qsub.join(broadcast(pqCodebook(emb)), Seq("sub_j"))
+      val dtable = qsub.join(broadcast(codebook), Seq("sub_j"))
         .select(col("q_vec_id"), col("sub_j"), col("code"),
           round(sqDistCol(col("qsv"), col("cv")), 6).as("d"))
       val approxW = org.apache.spark.sql.expressions.Window
@@ -503,9 +504,12 @@ object Embeddings {
   /** Every subvector encoded as its nearest refined code:
     * (vec_id, sub_j, code, err). min(struct) argmin — partial-agg
     * friendly, deterministic tie-break on code, never a window.
+    * Callers build the codebook once and pass it in, so a query using
+    * the book twice (e14: encode + distance tables) shares ONE plan
+    * subtree instead of leaning on exchange reuse to dedup two.
     */
-  private[queries] def pqEncode(emb: DataFrame): DataFrame =
-    pqSub(emb).join(broadcast(pqCodebook(emb)), Seq("sub_j"))
+  private[queries] def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame =
+    pqSub(emb).join(broadcast(codebook), Seq("sub_j"))
       .select(col("vec_id"), col("sub_j"),
         struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
       .groupBy(col("vec_id"), col("sub_j"))
@@ -845,10 +849,6 @@ object Embeddings {
          FROM per_dim GROUP BY label ORDER BY label""",
   )
 
-  /** The shared SQL tail of the recall gauge: expects `exact` and
-    * `approx` CTEs of (q_vec_id, n_vec_id) upstream — one text for e12
-    * and e13, mirroring [[recallVsExact]].
-    */
   /** DuckDB rendition of [[pqCodebook]] + [[pqEncode]]: CTEs emb, subs,
     * seeds, a1 (one Lloyd assign), ref/refv (re-centered codebook),
     * enc (final codes) — the shared front of the e09 and e14 oracles.
@@ -887,6 +887,10 @@ object Embeddings {
          FROM subs s JOIN refv k USING (sub_j)
          GROUP BY s.vec_id, s.sub_j)"""
 
+  /** The shared SQL tail of the recall gauges: expects `exact` and
+    * `approx` CTEs of (q_vec_id, n_vec_id) upstream — one text for
+    * e12, e13 and e14, mirroring [[recallVsExact]].
+    */
   private def recallTailSql: String =
     """hits AS (
          SELECT e.q_vec_id, count(*) AS n_hits

@@ -105,7 +105,16 @@ object EventTime {
               .getOrElse(times.min)
             val dups = prev.map(_.nDuplicates).getOrElse(-1L) + times.length
             state.update(DedupState(first, dups))
-            state.setTimeoutTimestamp(first / 1000L, watermark)
+            // Spark RESETS a group's timeout on every function
+            // invocation, so it must be re-armed on each call — but
+            // clamped above the current watermark: when a duplicate
+            // arrives for a key whose expiry (first + horizon) is
+            // already at/behind the watermark, re-arming with the raw
+            // timestamp THROWS and kills the query; the clamp instead
+            // extends that key's life by one more horizon
+            state.setTimeoutTimestamp(
+              math.max(first / 1000L, state.getCurrentWatermarkMs() + 1L),
+              watermark)
             if (prev.isEmpty) Iterator.single(DedupEmit(fp, "first", first, 0L))
             else Iterator.empty
           }

@@ -252,6 +252,11 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       new Array[Byte](130)
     val tagged = Multimodal.mp3MetaOf(tag ++ frame(h1, 417))
     assert(tagged.hasId3 && tagged.nFrames == 1L)
+    // ID3v2.4 footer flag (0x10): size excludes header AND footer
+    val footTag = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 1, 2) ++
+      new Array[Byte](130) ++ "3DI footer".getBytes.take(10)
+    val footed = Multimodal.mp3MetaOf(footTag ++ frame(h1, 417))
+    assert(footed != null && footed.hasId3 && footed.nFrames == 1L)
     // lost sync mid-stream: counted frames stand, garbage tail ignored
     val torn = Multimodal.mp3MetaOf(frame(h1, 417) ++ "junk tail".getBytes)
     assert(torn.nFrames == 1L)
