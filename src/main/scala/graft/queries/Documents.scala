@@ -746,6 +746,32 @@ object Documents {
       }
     }),
 
+    // Keeper-POLICY dedup (the reference CLI's dedup semantics,
+    // resiliparse-py/resiliparse/cli.py:310-314: which member of a
+    // duplicate cluster survives is a POLICY, not always "first"):
+    // each d11 cluster elects its representative by QUALITY (t02's
+    // composite score, ties to the smaller doc_id) instead of min-id —
+    // the corpus-curation rule that keeps the best-written copy of
+    // boilerplate families. Topology: clusters come from the shared
+    // CC stages; the quality join touches only clustered docs; the
+    // election window ranks WITHIN a cluster (cluster sizes are
+    // skew-guard bounded upstream), never globally.
+    "d18_keeper_policy" -> ((s, dir) => {
+      val corpus = docsWithChains(s, dir)
+      val clusters = neardupClusters(corpus)
+      val quality = corpus.select(col("doc_id"),
+        qualityScore(col("text")).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id").asc)
+      clusters.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("cluster_size"),
+          col("doc_id").as("keeper_doc_id"), col("q").as("keeper_quality"),
+          (col("cluster_size") - 1).as("n_removed"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Bloom-filter INCREMENTAL dedup gate (the CCNet/Dolma "have we
     // already ingested this content" front door): the prior corpus is
     // summarized once into a bloom filter and every incoming document
@@ -1133,6 +1159,19 @@ object Documents {
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
 
+  /** DuckDB mirror of [[graft.functions.TextAnalysis.qualityScore]]
+    * (the t02 composite) as a bare expression over a relation exposing
+    * `text` — shared by the t02 oracle and d18's keeper ranking.
+    */
+  private def qualitySqlExpr: String =
+    s"""round(0.4 * least(1.0, CAST(len(list_filter($tokSqlDuck,
+            t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) * 10
+          / len($tokSqlDuck))
+        + 0.3 * (1.0 - least(1.0,
+            round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                  / length(text), 6) * 10))
+        + 0.3 * least(1.0, CAST(len($tokSqlDuck) AS DOUBLE) / 100.0), 6)"""
+
   private def markerCountSql(words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter($tokSqlDuck, t -> t IN ($set))) AS BIGINT)"
@@ -1270,13 +1309,7 @@ object Documents {
           round(CAST(len(list_filter($tokSqlDuck,
                   t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
                 / len($tokSqlDuck), 6) AS stopword_ratio,
-          round(0.4 * least(1.0, CAST(len(list_filter($tokSqlDuck,
-                  t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) * 10
-                / len($tokSqlDuck))
-              + 0.3 * (1.0 - least(1.0,
-                  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                        / length(text), 6) * 10))
-              + 0.3 * least(1.0, CAST(len($tokSqlDuck) AS DOUBLE) / 100.0), 6) AS quality
+          $qualitySqlExpr AS quality
           FROM documents ORDER BY doc_id""",
     "t03_lang_confusion" ->
       s"""SELECT lang, pred_lang, count(*) AS n FROM ($langPredSql) p
@@ -1747,6 +1780,24 @@ object Documents {
               THEN CAST(n_hit AS DOUBLE) / n_truth END, 4) AS cand_recall
           FROM m"""
     },
+    "d18_keeper_policy" -> {
+      s"""WITH RECURSIVE ${neardupStagesSql(
+            s"""SELECT doc_id, text FROM documents
+                UNION ALL
+                $chainDocsSql""")},
+          $neardupClusterCtesSql,
+          q AS (SELECT doc_id, $qualitySqlExpr AS q FROM corpus),
+          ranked AS (SELECT l.cluster_id, s.cluster_size, l.id AS doc_id,
+              q.q, row_number() OVER (PARTITION BY l.cluster_id
+                ORDER BY q.q DESC, l.id ASC) AS rn
+            FROM labels l
+            JOIN sizes s ON s.cluster_id = l.cluster_id
+            JOIN q ON q.doc_id = l.id)
+          SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+            doc_id AS keeper_doc_id, q AS keeper_quality,
+            CAST(cluster_size - 1 AS BIGINT) AS n_removed
+          FROM ranked WHERE rn = 1 ORDER BY cluster_id"""
+    },
     "d17_bloom_gate" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
          prior AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 0),
@@ -1806,17 +1857,24 @@ object Documents {
     * (fine at oracle scale — the skew guard caps bucket, and hence
     * component, sizes) with label = min reachable id.
     */
+  /** Connected components over `dups` as CTEs (recursive transitive
+    * closure -> min-label `labels` + `sizes`) — shared by the
+    * d11/d12 oracle and d18's keeper selection.
+    */
+  private def neardupClusterCtesSql: String =
+    """edges AS (SELECT doc_a AS u, doc_b AS v FROM dups
+                 UNION SELECT doc_b AS u, doc_a AS v FROM dups),
+       reach(id, r) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+         UNION
+         SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+       labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM labels GROUP BY cluster_id)"""
+
   private def neardupClustersOracleSql(corpusSql: String): String =
     s"""WITH RECURSIVE ${neardupStagesSql(corpusSql)},
-         edges AS (SELECT doc_a AS u, doc_b AS v FROM dups
-                   UNION SELECT doc_b AS u, doc_a AS v FROM dups),
-         reach(id, r) AS (
-           SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-           UNION
-           SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-         labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         sizes AS (SELECT cluster_id, count(*) AS cluster_size
-                   FROM labels GROUP BY cluster_id)
+         $neardupClusterCtesSql
          SELECT l.id AS doc_id, l.cluster_id,
            CAST(s.cluster_size AS BIGINT) AS cluster_size
          FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
