@@ -746,6 +746,41 @@ object Documents {
       }
     }),
 
+    // CONTAINMENT analysis over the LSH candidates (Broder 1997
+    // distinguishes resemblance — Jaccard — from containment
+    // |A∩B|/|A|): a short document quoted inside a long one has low
+    // Jaccard but containment ~1, so a Jaccard-threshold dedup keeps
+    // both copies. This measures that gap on the production candidate
+    // set: of all candidate pairs, how many are near-subset
+    // relationships (max containment >= 0.9) that the jac >= 0.5 rule
+    // does NOT remove. Same key-local join shape as the verify stage —
+    // token sets re-join candidates by doc_id, one extra projection.
+    "d19_containment" -> ((s, dir) => {
+      val st = neardupStages(docsWithChains(s, dir))
+      try {
+        val g = docsWithChains(s, dir).select(col("doc_id"),
+          array_distinct(tokens(col("text"))).as("g"))
+        val scored = st.cand
+          .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+          .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+          .select(
+            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+             size(array_union(col("ga"), col("gb")))).as("jac"),
+            greatest(
+              size(array_intersect(col("ga"), col("gb"))).cast("double") /
+                size(col("ga")),
+              size(array_intersect(col("ga"), col("gb"))).cast("double") /
+                size(col("gb"))).as("cont"))
+        val out = scored.agg(
+          count(lit(1)).as("n_cand"),
+          sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_jac_dups"),
+          sum(when(col("cont") >= 0.9, 1L).otherwise(0L)).as("n_contained"),
+          sum(when(col("cont") >= 0.9 && col("jac") < 0.5, 1L).otherwise(0L))
+            .as("n_containment_only"))
+        out.localCheckpoint()
+      } finally st.unpersistAll()
+    }),
+
     // Keeper-POLICY dedup (the reference CLI's dedup semantics,
     // resiliparse-py/resiliparse/cli.py:310-314: which member of a
     // duplicate cluster survives is a POLICY, not always "first"):
@@ -1779,6 +1814,31 @@ object Documents {
             round(CASE WHEN n_truth > 0
               THEN CAST(n_hit AS DOUBLE) / n_truth END, 4) AS cand_recall
           FROM m"""
+    },
+    "d19_containment" -> {
+      s"""WITH ${neardupStagesSql(
+            s"""SELECT doc_id, text FROM documents
+                UNION ALL
+                $chainDocsSql""")},
+          sc AS (
+            SELECT
+              CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.g, gb.g))) AS jac,
+              greatest(
+                CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(ga.g),
+                CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) / len(gb.g))
+                AS cont
+            FROM cand
+            JOIN grams ga ON ga.doc_id = doc_a
+            JOIN grams gb ON gb.doc_id = doc_b)
+          SELECT count(*) AS n_cand,
+            CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_jac_dups,
+            CAST(sum(CASE WHEN cont >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_contained,
+            CAST(sum(CASE WHEN cont >= 0.9 AND jac < 0.5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_containment_only
+          FROM sc"""
     },
     "d18_keeper_policy" -> {
       s"""WITH RECURSIVE ${neardupStagesSql(
