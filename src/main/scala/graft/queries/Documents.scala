@@ -491,6 +491,81 @@ object Documents {
         round(expr("regr_r2(ln(f), ln(r))"), 4).as("r2"))
     }),
 
+    // TF-IDF keyword extraction (Sparck Jones 1972): the per-document
+    // top-3 terms by (n_occ / doc_len) * ln(N / df) — the classic
+    // relevance surrogate every search/labeling pipeline starts from.
+    // Pure relational topology, all map-side-combinable: one token
+    // explode feeds BOTH the per-(doc, term) counts and the document
+    // frequencies; doc length re-aggregates the tf frame (never
+    // rescans the text column); the corpus size N is a broadcast 1-row
+    // aggregate. The only per-doc window is the top-3 row_number — it
+    // partitions by doc_id, so at 100 TB each document ranks its own
+    // vocabulary locally; nothing global ever sorts. Ties (equal
+    // score within a doc) break on the term string, so the ranking is
+    // deterministic across engines.
+    "t22_tfidf_keywords" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n_occ"))
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("n_occ")).cast("double").as("len"))
+      val dfreq = toks.groupBy(col("tok"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+      val scored = tf.join(dl, "doc_id").join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok").as("term"), col("n_occ"), col("df"),
+          ((col("n_occ") / col("len")) * log(col("n_docs") / col("df")))
+            .as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("n_occ"),
+          col("df"), round(col("score"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every
+    // document by the average per-token log importance ratio
+    // ln(p_target / p_corpus) between a TARGET domain's unigram LM
+    // (here source 'src0', Laplace-smoothed — the target misses
+    // vocabulary) and the whole-corpus unigram LM (MLE — every doc
+    // token is in the corpus by construction). Positive score = the
+    // doc looks more like the target than like the average of the
+    // corpus; real pipelines resample on exp(score) to steer the mix
+    // toward a quality domain. Same scale topology as t18: both LMs
+    // are distributed count tables built map-side from ONE token
+    // explode, the scalar totals are 1-row broadcasts, and the doc
+    // score is a keyed re-aggregation — no driver-side model, no
+    // global window.
+    "t23_dsir_importance" -> ((s, dir) => {
+      val toksAll = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      val tf = toksAll.groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n_occ"))
+      val corpus = toksAll.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val tot = corpus.agg(sum(col("f")).cast("double").as("big_f"),
+        count(lit(1)).cast("double").as("v"))
+      val target = toksAll.filter(col("source") === "src0")
+        .groupBy(col("tok")).agg(count(lit(1)).as("ct0"))
+      val ttot = target.agg(sum(col("ct0")).cast("double").as("ft"))
+      val scored = tf.join(corpus, "tok")
+        .join(target, Seq("tok"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ttot))
+        .select(col("doc_id"), col("source"), col("n_occ"),
+          (col("n_occ") *
+            (log((coalesce(col("ct0"), lit(0L)) + 1.0) / (col("ft") + col("v"))) -
+             log(col("f") / col("big_f")))).as("term"))
+      scored.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n_occ")).as("n_tokens"),
+          round(sum(col("term")) / sum(col("n_occ")), 4).as("dsir_score"))
+        .withColumn("keep", col("dsir_score") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -1597,6 +1672,44 @@ object Documents {
            round(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept,
            round(regr_r2(ln(f), ln(r)), 4) AS r2
          FROM r""",
+    "t22_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(n_occ) AS DOUBLE) AS len
+           FROM tf GROUP BY 1),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+           FROM toks GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.tok AS term, tf.n_occ, dfreq.df,
+             (tf.n_occ / dl.len) * ln(n.n_docs / dfreq.df) AS score
+           FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rnk FROM sc)
+         SELECT doc_id, rnk, term, n_occ, df, round(score, 4) AS tfidf
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "t23_dsir_importance" ->
+      """WITH toks AS (SELECT doc_id, source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, source, tok, count(*) AS n_occ
+           FROM toks GROUP BY 1, 2, 3),
+         corpus AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(f) AS DOUBLE) AS big_f,
+           CAST(count(*) AS DOUBLE) AS v FROM corpus),
+         target AS (SELECT tok, count(*) AS ct0 FROM toks
+           WHERE source = 'src0' GROUP BY 1),
+         ttot AS (SELECT CAST(sum(ct0) AS DOUBLE) AS ft FROM target),
+         sc AS (SELECT tf.doc_id, tf.source, tf.n_occ,
+             tf.n_occ * (ln((coalesce(target.ct0, 0) + 1.0) / (ttot.ft + tot.v))
+               - ln(corpus.f / tot.big_f)) AS term
+           FROM tf JOIN corpus USING (tok) LEFT JOIN target USING (tok)
+           CROSS JOIN tot CROSS JOIN ttot)
+         SELECT doc_id, source, CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+           round(sum(term) / sum(n_occ), 4) AS dsir_score,
+           round(sum(term) / sum(n_occ), 4) > 0 AS keep
+         FROM sc GROUP BY doc_id, source ORDER BY doc_id""",
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5

@@ -423,6 +423,41 @@ object Embeddings {
       recallVsExact(exact, approx)
     }),
 
+    // Int8-quantization recall gauge — the third leg of the
+    // approximation-audit family (e12: IVF cells, e14: PQ codes, e16:
+    // scalar int8). e07 asserts the quantizer's per-vector error;
+    // this measures what that error DOES to retrieval: brute-force
+    // cosine top-3 over the DEQUANTIZED vectors (q * scale / 127, the
+    // exact doubles a SIMD int8 kernel reconstructs) vs the e01 float
+    // baseline, through the shared recall gauge. Dequantization is a
+    // per-row projection — the search topology (broadcast queries,
+    // partial top-k) is unchanged, so the gauge isolates pure
+    // quantization loss.
+    "e16_int8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val dq = emb
+        .withColumn("scale", expr(
+          "greatest(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x))), 1e-12d)"))
+        .select(col("vec_id"), expr(
+          "transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE) * scale / 127.0)")
+          .as("dv"))
+      val q = dq.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("dv").as("qv"))
+      val c = dq.select(col("vec_id").as("n_vec_id"), col("dv").as("cv"))
+      val sims = c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      val approx = sims.groupBy(col("q_vec_id"))
+        .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), explode(col("top")).as("t"))
+        .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      recallVsExact(exact, approx)
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
