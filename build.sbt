@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 28g default: the sandbox has 128 GiB and the driver benches at
+  // local[32] — 32 concurrent HTML-parse/LSH tasks in the old 8g default
+  // GC-thrashed the extraction-bound queries 30-170x (round-6 driver run:
+  // w19 148s vs 4.5s with an adequate heap on identical code)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
   // batch-throughput workload: parallel scavenge beats G1 by ~6% on the
   // allocation-heavy extraction kernels (measured on w19)
   "-XX:+UseParallelGC",

@@ -80,7 +80,12 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    // environment fingerprint in the artifact itself: the round-6 driver
+    // run was 20x slower than the builder's on identical code because of
+    // an 8g-vs-28g heap difference that was invisible in the output
+    val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    val jvmCpus = Runtime.getRuntime.availableProcessors
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // machine-parseable duplicate: the driver's bench harness greps for
     // this prefix to recover the object even when other stdout lines leak

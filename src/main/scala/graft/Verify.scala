@@ -19,13 +19,23 @@ object Verify {
     // dev-only iteration aid: SPARK_GRAFT_ONLY=q1,q2 dumps a subset
     // (the driver never sets it, so the gate always sees every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // self-check ledger: per-query run status written alongside the
+    // parquet dumps. Two rounds in a row the driver's correctness
+    // artifact arrived empty while the engine verified clean — this
+    // makes "engine broke" vs "harness dropped the artifact" provable
+    // from the output dir alone.
+    var status = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        status ::= (name -> s"ok rows=$rows cols=${df.columns.length}")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status ::= (name -> s"error ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +53,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val nOk = status.count(_._2.startsWith("ok"))
+    val selfJson = s"""{"n_queries":${status.size},"n_ok":$nOk,"n_error":${status.size - nOk},""" +
+      s""""sf":${q(sfDir)},"status":${status.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_self.json"), selfJson)
+    System.err.println(s"[verify] self-check: $nOk/${status.size} ok")
     spark.stop()
   }
 }

@@ -331,41 +331,27 @@ object Embeddings {
     // pairwise budget; pairs that straddle a cluster boundary are the
     // scheme's documented recall loss). Same injected perturbed
     // near-dups as e08 guarantee positives at every SF.
-    "e11_semdedup" -> ((s, dir) => {
-      val corpus = injectedCorpus(s, dir)
-      val cents = kmeansCentroids(s, corpus, k = 8, iters = 3)
-      // The pairwise stage is per-cluster IMPERATIVE work, not a join:
-      // a cid-equi self-join materializes two 64-double arrays into
-      // every one of the ~n^2/k joined rows (~0.5 GB of array copying
-      // at sf0.1, measured 7 s); flatMapGroups materializes each
-      // cluster's vectors ONCE and runs a primitive dot loop over the
-      // pairs — the documented mapPartitions-as-last-resort case. The
-      // kernel emits the RAW cosine; rounding and the threshold stay
-      // in Catalyst so the compare semantics match the oracle exactly.
-      import s.implicits._
-      val assigned = kmeansAssign(corpus, cents)
-        .select(col("cid"), col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-        .as[(Int, Long, Array[Double], Double)]
-      assigned.groupByKey(_._1)
-        .flatMapGroups { (cid: Int, it: Iterator[(Int, Long, Array[Double], Double)]) =>
-          val m = it.toArray.sortBy(_._2)
-          for {
-            i <- m.indices.iterator
-            j <- (i + 1) until m.length
-          } yield {
-            val (_, ida, va, na) = m(i)
-            val (_, idb, vb, nb) = m(j)
-            var s = 0.0
-            var d = 0
-            while (d < va.length) { s += va(d) * vb(d); d += 1 }
-            (cid, ida, idb, s / (na * nb))
-          }
-        }
-        .toDF("cid", "vec_a", "vec_b", "raw_cos")
-        .select(col("cid"), col("vec_a"), col("vec_b"),
-          round(col("raw_cos"), 6).as("cos"))
-        .filter(col("cos") >= 0.95)
-        .orderBy(col("vec_a"), col("vec_b"))
+    "e11_semdedup" -> ((s, dir) =>
+      semdedupPairs(s, injectedCorpus(s, dir))
+        .select(col("cid"), col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // Mega-cluster stress for the e11 guard: 700 perturbed copies of
+    // two base vectors force two clusters past maxCluster (512), so
+    // the chunk split actually engages — each degenerate cluster
+    // becomes ceil(700/512)=2 bounded tasks instead of one O(n^2)
+    // task. Output is the per-cluster audit a pipeline operator would
+    // read: how many chunks the guard cut, how many pairs were
+    // scored, how many dups found.
+    "e17_semdedup_stress" -> ((s, dir) => {
+      val corpus = megaClusterCorpus(s, dir)
+      val pairs = semdedupPairs(s, corpus, threshold = None)
+      val sizes = pairs.groupBy(col("cid"))
+        .agg(countDistinct(col("chunk_a")).as("n_chunks"),
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("n_dups"))
+      sizes.select(col("cid"), col("n_chunks"), col("n_pairs"), col("n_dups"))
+        .orderBy(col("cid"))
     }),
 
     // Recall@3 of the IVF index (e06) against the brute-force exact
@@ -507,6 +493,83 @@ object Embeddings {
     base.unionAll(pert)
   }
 
+  /** The embeddings corpus plus 700 perturbed copies of base vectors 0
+    * and 1 (ids 200000+r / 210000+r) — two clusters forced past the
+    * e11 chunk bound so the stress entry exercises the guard.
+    * Perturbation happens before the id rename (same alias trap as
+    * [[injectedCorpus]]).
+    */
+  private def megaClusterCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val reps = s.range(0, 700).select(col("id").as("r"))
+    val mega = base.filter(col("vec_id") < 2).crossJoin(broadcast(reps))
+      .withColumn("v",
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, d) =>
+          x * (lit(1.0) +
+            ((d.cast("long") * 13 + col("r")) % 7 - 3).cast("double") / 256.0)))
+      .select((col("vec_id") * 10000L + col("r") + 200000L).as("vec_id"), col("v"))
+    base.unionAll(mega)
+  }
+
+  /** SemDeDup cluster assignment with the mega-cluster guard: clusters
+    * larger than `maxCluster` are split into bounded chunks by vec_id
+    * rank — the d08 mega-bucket doctrine applied to the semantic
+    * space. At 100 TB one dense cluster otherwise lands on a single
+    * task as an O(n^2) pairwise loop holding the whole cluster in
+    * memory; chunked, it costs ceil(n/maxCluster) bounded tasks.
+    * Pairs straddling a chunk boundary are the scheme's documented
+    * recall loss — the same class as pairs straddling a cluster
+    * boundary, which SemDeDup already accepts by construction.
+    */
+  private def semdedupChunked(s: SparkSession, corpus: DataFrame,
+      maxCluster: Int): DataFrame = {
+    val cents = kmeansCentroids(s, corpus, k = 8, iters = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("vec_id"))
+    kmeansAssign(corpus, cents)
+      .select(col("cid"), col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .withColumn("chunk", ((row_number().over(w) - 1) / maxCluster).cast("int"))
+  }
+
+  /** The SemDeDup pairwise stage over [[semdedupChunked]] groups. This
+    * is per-chunk IMPERATIVE work, not a join: a cid-equi self-join
+    * materializes two 64-double arrays into every one of the ~n^2/k
+    * joined rows (~0.5 GB of array copying at sf0.1, measured 7 s);
+    * flatMapGroups materializes each chunk's vectors ONCE and runs a
+    * primitive dot loop over the pairs — the documented
+    * mapPartitions-as-last-resort case. The kernel emits the RAW
+    * cosine; rounding and the threshold stay in Catalyst so the
+    * compare semantics match the oracle exactly.
+    */
+  private def semdedupPairs(s: SparkSession, corpus: DataFrame,
+      threshold: Option[Double] = Some(0.95),
+      maxCluster: Int = 512): DataFrame = {
+    import s.implicits._
+    val chunked = semdedupChunked(s, corpus, maxCluster)
+      .select(col("cid"), col("chunk"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Int, Long, Array[Double], Double)]
+    val pairs = chunked.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double], Double)]) =>
+        val m = it.toArray.sortBy(_._3)
+        for {
+          i <- m.indices.iterator
+          j <- (i + 1) until m.length
+        } yield {
+          val (_, _, ida, va, na) = m(i)
+          val (_, _, idb, vb, nb) = m(j)
+          var s = 0.0
+          var d = 0
+          while (d < va.length) { s += va(d) * vb(d); d += 1 }
+          (key._1, key._2, ida, idb, s / (na * nb))
+        }
+      }
+      .toDF("cid", "chunk_a", "vec_a", "vec_b", "raw_cos")
+      .select(col("cid"), col("chunk_a"), col("vec_a"), col("vec_b"),
+        round(col("raw_cos"), 6).as("cos"))
+    threshold.fold(pairs)(t => pairs.filter(col("cos") >= t))
+  }
+
   /** 64-dim vectors split into 8 subspaces of 8 dims. */
   private def pqSub(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), posexplode(
@@ -638,6 +701,25 @@ object Embeddings {
     "sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)])))"
   private val cNormSql =
     "sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])))"
+
+  /** Rounded pair cosine over the e11/e17 `ch` aliases (a.v, b.v). */
+  private val pairCosSql =
+    """round(list_sum(list_transform(range(1, 65),
+         i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
+       / (sqrt(list_sum(list_transform(range(1, 65),
+            i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])))
+        * sqrt(list_sum(list_transform(range(1, 65),
+            i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])))), 6)"""
+
+  /** DuckDB mirror of [[semdedupChunked]]'s chunk assignment: expects
+    * `a4` (final k-means assignment) upstream, defines `ch`.
+    */
+  private val semdedupChunkSql =
+    """ch AS (
+         SELECT vec_id, v, best.c AS cid,
+           CAST(floor((row_number() OVER (
+             PARTITION BY best.c ORDER BY vec_id) - 1) / 512) AS INT) AS chunk
+         FROM a4)"""
 
   // same dot/norm construction over the e08 pair aliases (x.v, y.v)
   private val pairDotSql =
@@ -807,14 +889,10 @@ object Embeddings {
            CAST(t.n_top AS BIGINT) AS n_top,
            round(CAST(t.n_top AS DOUBLE) / s.n_vecs, 4) AS purity
          FROM sz s JOIN top t USING (cid) ORDER BY cid""",
-    "e11_semdedup" -> {
-      val pairCos =
-        """round(list_sum(list_transform(range(1, 65),
-             i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
-           / (sqrt(list_sum(list_transform(range(1, 65),
-                i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])))
-            * sqrt(list_sum(list_transform(range(1, 65),
-                i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])))), 6)"""
+    // ch mirrors semdedupChunked: rank-within-cluster chunking at 512
+    // (a no-op at current cluster sizes; parity holds at ANY size
+    // because the oracle chunks identically).
+    "e11_semdedup" ->
       s"""WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            UNION ALL
@@ -823,14 +901,34 @@ object Embeddings {
                * (1.0 + ((d * 31 + vec_id * 7) % 11 - 5) / 128.0))
            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings WHERE vec_id < 10)),
-         $kmeansChainSql
-         SELECT a.best.c AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           $pairCos AS cos
-         FROM a4 a JOIN a4 b
-           ON a.best.c = b.best.c AND a.vec_id < b.vec_id
-         WHERE $pairCos >= 0.95
-         ORDER BY vec_a, vec_b"""
-    },
+         $kmeansChainSql,
+         $semdedupChunkSql
+         SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           $pairCosSql AS cos
+         FROM ch a JOIN ch b
+           ON a.cid = b.cid AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+         WHERE $pairCosSql >= 0.95
+         ORDER BY vec_a, vec_b""",
+    "e17_semdedup_stress" ->
+      s"""WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id * 10000 + r + 200000,
+             list_transform(range(0, 64), d -> v[CAST(d + 1 AS INT)]
+               * (1.0 + ((d * 13 + r) % 7 - 3) / 256.0))
+           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id < 2)
+           CROSS JOIN (SELECT unnest(range(0, 700)) AS r)),
+         $kmeansChainSql,
+         $semdedupChunkSql,
+         pairs AS (
+           SELECT a.cid, a.chunk AS chunk_a, $pairCosSql AS cos
+           FROM ch a JOIN ch b
+             ON a.cid = b.cid AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+         SELECT cid, CAST(count(DISTINCT chunk_a) AS BIGINT) AS n_chunks,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         FROM pairs GROUP BY cid ORDER BY cid""",
     "e09_product_quantize" ->
       s"""WITH $pqChainSql
          SELECT vec_id, sub_j, CAST(best.c AS BIGINT) AS code,
@@ -990,5 +1088,28 @@ object Embeddings {
     "e12_ann_recall" ->
       s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
           approx AS (${baseOracleSql("e06_ivf_knn")}),
+          $recallTailSql""",
+    // e16: e01's brute-force search over int8-dequantized vectors
+    // (e07's quantizer, q * scale / 127), recall'd against the float
+    // exact baseline through the shared tail.
+    "e16_int8_recall" ->
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          dq AS (SELECT vec_id,
+              list_transform(v, x -> floor(x * 127.0 / scale + 0.5) * scale / 127.0) AS dv
+            FROM (SELECT vec_id, v,
+                    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+                  FROM embq)),
+          q AS (SELECT vec_id AS q_vec_id, dv AS qv FROM dq WHERE vec_id < 5),
+          c AS (SELECT vec_id AS n_vec_id, dv AS cv FROM dq),
+          sims AS (
+            SELECT q_vec_id, n_vec_id,
+                   round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM q CROSS JOIN c WHERE q_vec_id <> n_vec_id),
+          approx AS (
+            SELECT q_vec_id, n_vec_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+              FROM sims) r WHERE rn <= 3),
           $recallTailSql""")
 }

@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python tools/check_oracle.py <sfDir> <verifyOutDir> [--json SUMMARY.json]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the same
 parquet tables, sorts columns by name + rows by value, and compares.
+With --json, also writes a machine-readable pass/fail summary (the
+committed VERIFY_SELF.json) so an empty driver-side correctness
+artifact is provably a harness failure, not an engine one.
 NOT part of the Scala library — dev tooling only.
 """
-import json, sys, glob, os
+import json, subprocess, sys, glob, os
 import duckdb
 import pandas as pd
 
@@ -26,7 +29,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -34,21 +38,25 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    def fail(name, why):
+        results[name] = f"fail: {why}"
+        print(f"FAIL {name}: {why}")
+
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+            fail(name, "no spark output");  n_fail += 1; continue
         try:
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
             duck_df = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            fail(name, str(e)); n_fail += 1; continue
         if list(spark_df.columns) != list(duck_df.columns):
-            print(f"FAIL {name}: cols {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            fail(name, f"cols {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_fail += 1; continue
         if len(spark_df) != len(duck_df):
-            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            fail(name, f"rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1; continue
         ok = True
         for c in spark_df.columns:
@@ -64,18 +72,41 @@ def main(sf_dir, out_dir):
             if not equal:
                 mism = (a.astype(str) != b.astype(str))
                 idx = mism[mism].index[:3].tolist()
-                print(f"FAIL {name}: col {c} differs at rows {idx}")
+                fail(name, f"col {c} differs at rows {idx}")
                 for i in idx:
                     print(f"    spark={a.iloc[i]!r} duck={b.iloc[i]!r}")
                 ok = False
                 break
         if ok:
+            results[name] = f"pass ({len(spark_df)} rows)"
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
         else:
             n_fail += 1
+    # queries with no oracle entry are recorded, not silently skipped
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in results:
+            results[name] = "no-oracle (rows-only check)"
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        try:
+            head = subprocess.run(["git", "rev-parse", "HEAD"],
+                                  capture_output=True, text=True).stdout.strip()
+        except Exception:
+            head = "unknown"
+        with open(json_out, "w") as f:
+            json.dump({"n_pass": n_pass, "n_fail": n_fail,
+                       "n_oracles": len(oracle), "git_head": head,
+                       "sf_dir": sf_dir, "queries": results}, f, indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    main(argv[0], argv[1], json_out)
