@@ -227,9 +227,37 @@ object WarcParser {
     Try(Instant.parse(s.trim)).toOption.orElse(
       Try(java.time.OffsetDateTime.parse(s.trim, DateTimeFormatter.ISO_OFFSET_DATE_TIME).toInstant).toOption)
 
-  /** RFC-2822 / RFC-1123 HTTP dates (warc.pyx:663-691). */
-  def parseHttpDate(s: String): Option[Instant] =
-    Try(java.time.ZonedDateTime.parse(s.trim, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant).toOption
+  // The two obsolete HTTP date formats recipients MUST accept
+  // (RFC 9110 §5.6.7) besides IMF-fixdate: RFC-850
+  // ("Sunday, 06-Nov-94 08:49:37 GMT", two-digit year pivoted at 1970
+  // like the reference's email.utils parser) and C asctime
+  // ("Sun Nov  6 08:49:37 1994", implied GMT). Last-Modified headers
+  // from legacy servers still use both.
+  private val Rfc850Format = new java.time.format.DateTimeFormatterBuilder()
+    .parseCaseInsensitive()
+    .appendPattern("EEEE, dd-MMM-")
+    .appendValueReduced(java.time.temporal.ChronoField.YEAR, 2, 2, 1970)
+    .appendPattern(" HH:mm:ss zz")
+    .toFormatter(java.util.Locale.US)
+  private val AsctimeFormat = new java.time.format.DateTimeFormatterBuilder()
+    .parseCaseInsensitive()
+    .appendPattern("EEE MMM")
+    .padNext(3)
+    .appendValue(java.time.temporal.ChronoField.DAY_OF_MONTH)
+    .appendPattern(" HH:mm:ss yyyy")
+    .toFormatter(java.util.Locale.US)
+
+  /** RFC-2822 / RFC-1123 HTTP dates, plus the obsolete RFC-850 and
+    * asctime forms (warc.pyx:663-691: `parsedate_to_datetime`, which
+    * accepts all three).
+    */
+  def parseHttpDate(s: String): Option[Instant] = {
+    val t = s.trim
+    Try(java.time.ZonedDateTime.parse(t, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant).toOption
+      .orElse(Try(java.time.ZonedDateTime.parse(t, Rfc850Format).toInstant).toOption)
+      .orElse(Try(java.time.LocalDateTime.parse(t, AsctimeFormat)
+        .toInstant(java.time.ZoneOffset.UTC)).toOption)
+  }
 }
 
 /** HTTP message splitting: header block off payload, Latin-1

@@ -175,16 +175,25 @@ object Web {
     (c, cs, b) => f(c, cs, b).cast("struct<html:string,n_rewritten:int>")
   }
 
+  /** Default per-document DOM budget. 2M nodes is ~40x the largest page
+    * in a typical crawl sample (a node costs ~100 B here, so the budget
+    * caps one document's DOM at ~200 MB) — real pages never hit it, a
+    * crafted DOM bomb does. Guarding by DEFAULT is the reference's
+    * process_guard doctrine (process_guard.pyx:184-533): one bomb in
+    * 100 TB must cost one null row, never an executor OOM.
+    */
+  val DefaultMaxNodes: Int = 2000000
+
   /** extract_plain_text(content, charset, main_content) -> string — the
     * flagship compound operator (decode -> HTML parse -> classifier ->
     * serializer), defaults matching the reference (basic formatting,
     * bullets, alt texts). A native Catalyst expression (no UDF island in
     * the plan — see [[graft.plans.ExtractPlainTextExpr]]); `maxNodes` is
-    * the per-document MemGuard budget (breach -> null; use
-    * [[extractPlainTextGuarded]] for the breach reason).
+    * the per-document MemGuard budget, ON by default (breach -> null;
+    * use [[extractPlainTextGuarded]] for the breach reason).
     */
   def extractPlainText(content: Column, charset: Column,
-      mainContent: Boolean = false, maxNodes: Int = Int.MaxValue): Column =
+      mainContent: Boolean = false, maxNodes: Int = DefaultMaxNodes): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.ExtractPlainTextExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(content),
@@ -198,7 +207,7 @@ object Web {
     * task OOM.
     */
   def extractPlainTextGuarded(content: Column, charset: Column,
-      mainContent: Boolean = false, maxNodes: Int = Int.MaxValue): Column = {
+      mainContent: Boolean = false, maxNodes: Int = DefaultMaxNodes): Column = {
     val f = udf((data: Array[Byte], cs: String, mc: Boolean, mn: Int) =>
       if (data == null) null
       else try {

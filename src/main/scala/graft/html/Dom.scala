@@ -22,6 +22,12 @@ trait NodeView {
   def getattr(name: String): Option[String]
   /** Backing DOM node when one exists (serializer's minimal-html checks). */
   def domOrNull: DomNode
+  /** Append this node's text value to `sb` — overridable so a streaming
+    * view can hand over an input slice without materializing the
+    * intermediate String (the extraction hot path's text copies).
+    */
+  def appendValueTo(sb: StringBuilder): Unit =
+    if (value != null) sb.append(value)
 }
 
 /** A mutable DOM node (linked-list siblings, parent pointer) — the

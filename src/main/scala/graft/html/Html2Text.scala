@@ -214,7 +214,9 @@ object Html2Text {
 
   private[html] def extractCb(nodes: mutable.ArrayBuffer[ExtractNode], n: NodeView,
       depth: Int, isEndTag: Boolean, opts: Options): Unit = {
-    val last = nodes.lastOption.orNull
+    // no lastOption: this runs once per tag/text event and the Option
+    // wrapper was measurable allocation on the extraction hot path
+    val last = if (nodes.isEmpty) null else nodes(nodes.size - 1)
     var current = last
 
     val isBlock = n.isElement && BlockElements.contains(n.tag)
@@ -235,11 +237,16 @@ object Html2Text {
     }
 
     if (n.isText) {
-      var text = if (n.value == null) "" else n.value
-      if (current.tag == "a" && opts.formatting >= FormatMinimalHtml)
-        text = escapeHtml(text)
-      current.ensureText()
-      if (text.nonEmpty) current.textContents.append(text)
+      if (current.tag == "a" && opts.formatting >= FormatMinimalHtml) {
+        val text = escapeHtml(if (n.value == null) "" else n.value)
+        current.ensureText()
+        if (text.nonEmpty) current.textContents.append(text)
+      } else {
+        // slice-aware append: the streaming view copies straight from
+        // the input string, skipping the intermediate String per run
+        current.ensureText()
+        n.appendValueTo(current.textContents)
+      }
     } else if (!n.isElement) {
       ()
     } else if (n.tag == "br" && opts.formatting == FormatBasic) {

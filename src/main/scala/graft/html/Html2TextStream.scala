@@ -36,16 +36,28 @@ object Html2TextStream {
       opts.formatting != Html2Text.FormatMinimalHtml &&
       opts.skipElements.forall(_.matches("[a-zA-Z][a-zA-Z0-9-]*"))
 
-  /** Mutable view handed to the shared extraction callback. */
+  /** Mutable view handed to the shared extraction callback. Text values
+    * arrive either as a String (entity-decoded runs) or as an input
+    * slice [fromV, toV) — the slice mode lets [[NodeView.appendValueTo]]
+    * copy straight from the input into the node's text buffer, skipping
+    * the per-run intermediate String that dominated text allocation.
+    */
   private final class EvView extends NodeView {
     var isTextV = false
     var tagV = ""
     var valueV: String = _
     var attrsV: Seq[(String, String)] = Nil
+    var srcV: String = _
+    var sliceV = false
+    var fromV = 0
+    var toV = 0
     def isText: Boolean = isTextV
     def isElement: Boolean = !isTextV
     def tag: String = tagV
-    def value: String = valueV
+    def value: String = if (sliceV) srcV.substring(fromV, toV) else valueV
+    override def appendValueTo(sb: StringBuilder): Unit =
+      if (sliceV) sb.underlying.append(srcV, fromV, toV)
+      else if (valueV != null) sb.append(valueV)
     def getattr(name: String): Option[String] = {
       val k = name.toLowerCase
       attrsV.collectFirst { case (ak, av) if ak == k => av }
@@ -61,6 +73,8 @@ object Html2TextStream {
     var hadChild = false
   }
 
+  private val NoAttrs: Seq[(String, String)] = Nil
+
   def extract(input: String, opts: Options): String = {
     val skip = mutable.Set("script", "style", "iframe", "frame", "template")
     skip ++= opts.skipElements.map(_.toLowerCase)
@@ -70,15 +84,39 @@ object Html2TextStream {
     if (!opts.formFields) skip ++= Seq("textarea", "input", "button", "select",
       "option", "label")
 
+    // the only tags whose attributes the extraction callback reads under
+    // this option set (extractCb: a@href if links, img/area@alt if
+    // altTexts, input@type/value/placeholder if formFields)
+    val needAttrs: Set[String] = {
+      val b = Set.newBuilder[String]
+      if (opts.links) b += "a"
+      if (opts.altTexts) { b += "img"; b += "area" }
+      if (opts.formFields) b += "input"
+      b.result()
+    }
+
     val nodes = mutable.ArrayBuffer.empty[ExtractNode]
     val ev = new EvView
+    ev.srcV = input
 
     def emitText(text: String, depth: Int): Unit = {
       ev.isTextV = true
       ev.tagV = ""
       ev.valueV = text
+      ev.sliceV = false
       ev.attrsV = Nil
       Html2Text.extractCb(nodes, ev, depth, isEndTag = false, opts)
+    }
+    def emitTextSlice(s: Int, e: Int, depth: Int): Unit = {
+      ev.isTextV = true
+      ev.tagV = ""
+      ev.valueV = null
+      ev.sliceV = true
+      ev.fromV = s
+      ev.toV = e
+      ev.attrsV = Nil
+      Html2Text.extractCb(nodes, ev, depth, isEndTag = false, opts)
+      ev.sliceV = false
     }
     def emitTag(tag: String, attrs: Seq[(String, String)], depth: Int,
         isEnd: Boolean): Unit = {
@@ -137,6 +175,35 @@ object Html2TextStream {
           stack.size + 1)
     }
 
+    /** [[insertText]] over the input slice [s0, e) — identical semantics,
+      * no substring unless the run needs entity decoding.
+      */
+    def insertTextSlice(s0: Int, e: Int): Unit = {
+      var s = s0
+      if (s >= e) return
+      if (!inBody && stack.isEmpty) {
+        var k = s
+        while (k < e && Character.isWhitespace(input.charAt(k))) k += 1
+        if (k == e) return
+        switchToBody()
+      }
+      if (stack.nonEmpty && !stack.last.hadChild &&
+          (stack.last.tag == "pre" || stack.last.tag == "textarea" ||
+           stack.last.tag == "listing")) {
+        if (s + 1 < e && input.charAt(s) == '\r' && input.charAt(s + 1) == '\n') s += 2
+        else if (input.charAt(s) == '\n' || input.charAt(s) == '\r') s += 1
+        if (s >= e) return
+      }
+      val wasSuppressed = suppressed
+      markChild()
+      if (!wasSuppressed) {
+        val amp = input.indexOf('&', s)
+        if (amp >= 0 && amp < e)
+          emitText(Entities.decode(input.substring(s, e)), stack.size + 1)
+        else emitTextSlice(s, e, stack.size + 1)
+      }
+    }
+
     /** Returns the open raw-text element (to consume its contents) when
       * the started element is RAWTEXT/RCDATA, like the parser.
       */
@@ -192,21 +259,45 @@ object Html2TextStream {
     // — tokenizer main loop (mirrors HtmlParser.parse) —
     val n = input.length
     var i = 0
+    // pending text is tracked as [runStart, runEnd) over the input and
+    // flushed as a slice; only non-contiguous fragments (can't occur:
+    // stray '<' glues runs back together contiguously) fall back to the
+    // StringBuilder. The builder path stays for safety.
     val textStart = new StringBuilder
-    def flushText(): Unit =
-      if (textStart.nonEmpty) {
+    var runStart = -1
+    var runEnd = -1
+    def appendFragment(s: Int, e: Int): Unit = {
+      if (s >= e) return
+      if (textStart.isEmpty && runStart < 0) { runStart = s; runEnd = e }
+      else if (runStart >= 0 && runEnd == s) runEnd = e
+      else {
+        if (runStart >= 0) {
+          textStart.underlying.append(input, runStart, runEnd)
+          runStart = -1
+        }
+        textStart.underlying.append(input, s, e)
+      }
+    }
+    def flushText(): Unit = {
+      if (runStart >= 0) {
+        val s = runStart
+        val e = runEnd
+        runStart = -1
+        insertTextSlice(s, e)
+      } else if (textStart.nonEmpty) {
         insertText(textStart.toString, decodeEntities = true)
         textStart.clear()
       }
+    }
 
     while (i < n) {
       val c = input.charAt(i)
       if (c != '<') {
         var j = input.indexOf('<', i)
         if (j < 0) j = n
-        textStart.underlying.append(input, i, j)
+        appendFragment(i, j)
         i = j
-      } else if (i + 1 >= n) { textStart.append(c); i += 1 }
+      } else if (i + 1 >= n) { appendFragment(i, i + 1); i += 1 }
       else {
         val c1 = input.charAt(i + 1)
         if (c1 == '!') {
@@ -226,34 +317,53 @@ object Html2TextStream {
           val end = input.indexOf('>', i + 2)
           i = if (end < 0) n else end + 1
         } else if (c1 == '/') {
-          val (name, close) = readTagName(input, i + 2)
-          if (name.isEmpty) { textStart.append(c); i += 1 }
+          val close = tagNameEnd(input, i + 2)
+          if (close == i + 2) { appendFragment(i, i + 1); i += 1 }
           else {
+            val name = TagNames.lookup(input, i + 2, close)
             flushText()
             val end = input.indexOf('>', close)
             i = if (end < 0) n else end + 1
             handleEndTag(name)
           }
         } else if (Character.isLetter(c1)) {
-          val (name, afterName) = readTagName(input, i + 1)
+          val afterName = tagNameEnd(input, i + 1)
+          val name = TagNames.lookup(input, i + 1, afterName)
           flushText()
-          val (attrs, selfClosing, afterTag) = readAttrs(input, afterName)
+          // attrs are materialized ONLY for tags the active option set
+          // can read them from (default: img/area alt texts) — for
+          // everything else skipAttrs scans past them allocation-free
+          val (attrs, selfClosing, afterTag) =
+            if (needAttrs.contains(name)) readAttrs(input, afterName)
+            else {
+              val (sc, after) = skipAttrs(input, afterName)
+              (NoAttrs, sc, after)
+            }
           i = afterTag
           handleStartTag(name, attrs, selfClosing) match {
             case Some(rawEl) =>
               val endTag = "</" + rawEl.tag
               val j = indexOfAsciiIgnoreCase(input, endTag, i)
               val contentEnd = if (j < 0) n else j
-              var raw = input.substring(i, contentEnd)
+              var s0 = i
               if (rawEl.tag == "textarea") {
-                if (raw.startsWith("\r\n")) raw = raw.substring(2)
-                else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
+                if (s0 + 1 < contentEnd && input.charAt(s0) == '\r' &&
+                    input.charAt(s0 + 1) == '\n') s0 += 2
+                else if (s0 < contentEnd && (input.charAt(s0) == '\n' ||
+                    input.charAt(s0) == '\r')) s0 += 1
               }
-              if (raw.nonEmpty) {
+              if (s0 < contentEnd) {
                 rawEl.hadChild = true
-                if (rawEl.visited)
-                  emitText(if (RcData.contains(rawEl.tag)) Entities.decode(raw) else raw,
-                    rawEl.depth + 1)
+                // the contents are only materialized when they'll be
+                // emitted (script/style are usually on the skip list) and
+                // only decoded when RCDATA with an actual reference
+                if (rawEl.visited) {
+                  val amp = if (RcData.contains(rawEl.tag)) input.indexOf('&', s0) else -1
+                  if (amp >= 0 && amp < contentEnd)
+                    emitText(Entities.decode(input.substring(s0, contentEnd)),
+                      rawEl.depth + 1)
+                  else emitTextSlice(s0, contentEnd, rawEl.depth + 1)
+                }
               }
               if (j < 0) i = n
               else {
@@ -267,7 +377,7 @@ object Html2TextStream {
                 emitTag(rawEl.tag, rawEl.attrs, rawEl.depth, isEnd = true)
             case None =>
           }
-        } else { textStart.append(c); i += 1 }
+        } else { appendFragment(i, i + 1); i += 1 }
       }
     }
     flushText()

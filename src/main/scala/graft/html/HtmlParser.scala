@@ -18,6 +18,85 @@ import scala.collection.mutable
   *    option) so real-world tag soup nests sanely;
   *  - never throws: any byte sequence yields a tree.
   */
+/** Interned lowercase tag names looked up straight off the input string —
+  * the tokenizer's per-tag `substring` + `toLowerCase` pair was a top
+  * allocation source on the extraction hot path (two objects per tag,
+  * tens of thousands of tags per document). The HTML tag vocabulary is a
+  * small closed set, so a fixed open-addressing table over it resolves
+  * ~100% of lookups allocation-free; unknown names (custom elements)
+  * fall back to allocating.
+  */
+private[html] object TagNames {
+  private val Size = 1024 // power of two, ~4x the vocabulary
+  private val table = new Array[String](Size)
+
+  private def hashRegion(s: String, from: Int, to: Int): Int = {
+    var h = 0
+    var i = from
+    while (i < to) {
+      var c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      h = h * 31 + c
+      i += 1
+    }
+    h
+  }
+
+  private def regionEquals(name: String, s: String, from: Int, to: Int): Boolean = {
+    if (name.length != to - from) return false
+    var i = 0
+    while (i < name.length) {
+      var c = s.charAt(from + i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c != name.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  // the full HTML living-standard element set plus legacy/foreign tags
+  // that occur in crawl data
+  Seq(
+    "a", "abbr", "acronym", "address", "applet", "area", "article", "aside",
+    "audio", "b", "base", "basefont", "bdi", "bdo", "big", "blink",
+    "blockquote", "body", "br", "button", "canvas", "caption", "center",
+    "cite", "code", "col", "colgroup", "data", "datalist", "dd", "del",
+    "details", "dfn", "dialog", "dir", "div", "dl", "dt", "em", "embed",
+    "fieldset", "figcaption", "figure", "font", "footer", "form", "frame",
+    "frameset", "g", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "i", "iframe", "img", "input", "ins", "kbd",
+    "label", "legend", "li", "link", "listing", "main", "map", "mark",
+    "marquee", "math", "menu", "menuitem", "meta", "meter", "nav", "nobr",
+    "noembed", "noframes", "noscript", "object", "ol", "optgroup", "option",
+    "output", "p", "param", "path", "picture", "plaintext", "pre",
+    "progress", "q", "rb", "rp", "rt", "rtc", "ruby", "s", "samp", "script",
+    "search", "section", "select", "slot", "small", "source", "span",
+    "strike", "strong", "style", "sub", "summary", "sup", "svg", "table",
+    "tbody", "td", "template", "textarea", "tfoot", "th", "thead", "time",
+    "title", "tr", "track", "tt", "u", "ul", "use", "var", "video", "wbr",
+    "xmp").foreach { t =>
+    var slot = hashRegion(t, 0, t.length) & (Size - 1)
+    while (table(slot) != null) slot = (slot + 1) & (Size - 1)
+    table(slot) = t
+  }
+
+  /** The lowercase tag name for `s[from, to)`: interned when known,
+    * allocated otherwise.
+    */
+  def lookup(s: String, from: Int, to: Int): String = {
+    var slot = hashRegion(s, from, to) & (Size - 1)
+    var probes = 0
+    while (probes < Size) {
+      val cand = table(slot)
+      if (cand == null) return s.substring(from, to).toLowerCase
+      if (regionEquals(cand, s, from, to)) return cand
+      slot = (slot + 1) & (Size - 1)
+      probes += 1
+    }
+    s.substring(from, to).toLowerCase
+  }
+}
+
 object HtmlParser {
 
   private[html] val HeadContent = Set("title", "base", "link", "meta", "style", "script", "noscript", "template")
@@ -158,16 +237,18 @@ object HtmlParser {
           i = if (end < 0) n else end + 1
         } else if (c1 == '/') {
           // end tag
-          val (name, close) = readTagName(input, i + 2)
-          if (name.isEmpty) { textStart.append(c); i += 1 }
+          val close = tagNameEnd(input, i + 2)
+          if (close == i + 2) { textStart.append(c); i += 1 }
           else {
+            val name = TagNames.lookup(input, i + 2, close)
             flushText()
             val end = input.indexOf('>', close)
             i = if (end < 0) n else end + 1
             handleEndTag(name)
           }
         } else if (Character.isLetter(c1)) {
-          val (name, afterName) = readTagName(input, i + 1)
+          val afterName = tagNameEnd(input, i + 1)
+          val name = TagNames.lookup(input, i + 1, afterName)
           flushText()
           val (attrs, selfClosing, afterTag) = readAttrs(input, afterName)
           i = afterTag
@@ -301,11 +382,59 @@ object HtmlParser {
   }
 
   private[html] def readTagName(s: String, from: Int): (String, Int) = {
+    val i = tagNameEnd(s, from)
+    (TagNames.lookup(s, from, i), i)
+  }
+
+  /** End index of a tag name starting at `from` (the scan half of
+    * [[readTagName]], allocation-free so tokenizers can pair it with
+    * [[TagNames.lookup]]).
+    */
+  private[html] def tagNameEnd(s: String, from: Int): Int = {
     var i = from
     val n = s.length
     while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' ||
            s.charAt(i) == '_' || s.charAt(i) == ':')) i += 1
-    (s.substring(from, i), i)
+    i
+  }
+
+  /** Scan past a tag's attributes without materializing them — same
+    * control flow as [[readAttrs]] (quoted values may contain '>'), no
+    * allocations. Returns (selfClosing, index after '>'). The streaming
+    * extractor uses this for every tag whose attributes the active
+    * option set can never read — the per-tag attr vector + lowercase
+    * names + entity-decoded values were the top allocation source on
+    * the extraction hot path.
+    */
+  private[html] def skipAttrs(s: String, from: Int): (Boolean, Int) = {
+    var i = from
+    val n = s.length
+    var selfClosing = false
+    while (i < n && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/') {
+        if (i + 1 < n && s.charAt(i + 1) == '>') { selfClosing = true; i += 1 }
+        else i += 1
+      } else {
+        while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
+               s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+        while (i < n && s.charAt(i).isWhitespace) i += 1
+        if (i < n && s.charAt(i) == '=') {
+          i += 1
+          while (i < n && s.charAt(i).isWhitespace) i += 1
+          if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+            val q = s.charAt(i)
+            i += 1
+            while (i < n && s.charAt(i) != q) i += 1
+            if (i < n) i += 1
+          } else {
+            while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
+          }
+        }
+      }
+    }
+    (selfClosing, if (i < n) i + 1 else n)
   }
 
   /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,

@@ -352,7 +352,12 @@ object Warc {
         sum(when(WarcCols.isWarc11(col("warc_version")), 1L).otherwise(0L)).as("n_warc11"),
         sum(when(WarcCols.hasBlockDigest(col("headers")), 1L).otherwise(0L)).as("n_block_digest"),
         sum(when(WarcCols.hasPayloadDigest(col("headers")), 1L).otherwise(0L)).as("n_payload_digest"),
-        sum(when(WarcCols.isConcurrent(col("headers")), 1L).otherwise(0L)).as("n_concurrent"))
+        sum(when(WarcCols.isConcurrent(col("headers")), 1L).otherwise(0L)).as("n_concurrent"),
+        // parsed Last-Modified derived column (warc.pyx:677-691): 5 of
+        // the 16 fixture responses carry one, all RFC-1123
+        count(col("http_last_modified")).as("n_last_modified"),
+        min(col("http_last_modified")).as("min_last_modified"),
+        max(col("http_last_modified")).as("max_last_modified"))
     }),
 
     // Resilience semantics (#11 warc_retry resync + #53 exc_loop error
@@ -735,7 +740,10 @@ object Warc {
     "w24_header_predicates" ->
       """SELECT CAST(50 AS BIGINT) AS n_warc10, CAST(0 AS BIGINT) AS n_warc11,
          CAST(16 AS BIGINT) AS n_block_digest, CAST(16 AS BIGINT) AS n_payload_digest,
-         CAST(32 AS BIGINT) AS n_concurrent""",
+         CAST(32 AS BIGINT) AS n_concurrent,
+         CAST(5 AS BIGINT) AS n_last_modified,
+         CAST('2020-05-23 03:09:13' AS TIMESTAMP) AS min_last_modified,
+         CAST('2020-08-07 21:01:31' AS TIMESTAMP) AS max_last_modified""",
     "w25_resilience" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(49 AS BIGINT) AS n_ok,
          CAST(1 AS BIGINT) AS n_error,

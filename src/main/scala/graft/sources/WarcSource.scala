@@ -87,6 +87,7 @@ object WarcSchema {
     StructField("http_content_type", StringType),
     StructField("http_charset", StringType),
     StructField("http_date", TimestampType),
+    StructField("http_last_modified", TimestampType),
     StructField("http_headers", headerType),
     StructField("content", BinaryType),
     StructField("http_body", BinaryType),
@@ -102,7 +103,8 @@ object WarcSchema {
   /** Columns whose evaluation requires the HTTP header split. */
   val httpCols: Set[String] = Set(
     "is_http", "http_status", "http_content_type", "http_charset",
-    "http_date", "http_headers", "http_body", "payload_digest_ok")
+    "http_date", "http_last_modified", "http_headers", "http_body",
+    "payload_digest_ok")
 
   /** Columns whose evaluation requires the payload bytes. */
   val payloadCols: Set[String] = Set(
@@ -507,6 +509,10 @@ final class WarcRowEncoder(schema: StructType, fileSize: Long = -1L) {
       case "http_content_type" => r => r.http.flatMap(_.contentType).map(utf8).orNull
       case "http_charset" => r => r.http.flatMap(_.charset).map(utf8).orNull
       case "http_date" => r => r.http.flatMap(_.headers.get("Date"))
+        .flatMap(WarcParser.parseHttpDate).map(micros).map(Long.box).orNull
+      // parsed Last-Modified (warc.pyx:677-691): same RFC-2822 parse,
+      // null when absent or unparseable
+      case "http_last_modified" => r => r.http.flatMap(_.headers.get("Last-Modified"))
         .flatMap(WarcParser.parseHttpDate).map(micros).map(Long.box).orNull
       case "http_headers" => r => r.http.map(m => headersData(m.headers)).orNull
       case "content" => r => r.content

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Single-threaded profiling harness for the extraction hot path (the
+  * w19/w29 kernel): loads the 16 distinct fixture pages once, then times
+  * each pipeline stage separately over many rounds. Dev tooling — run
+  * with `sbt "runMain graft.tools.ProfileExtract [rounds]"`.
+  */
+object ProfileExtract {
+  def main(args: Array[String]): Unit = {
+    val rounds = if (args.nonEmpty) args(0).toInt else 200
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = spark.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc.gz")
+      .filter(col("record_type") === "response")
+      .select(col("http_body"), col("http_charset"))
+      .collect()
+      .map(r => (r.getAs[Array[Byte]]("http_body"), r.getAs[String]("http_charset")))
+    spark.stop()
+    println(s"pages=${rows.length} " +
+      s"bytes=${rows.map(_._1.length).sum} " +
+      s"nullCharset=${rows.count(_._2 == null)}")
+
+    val decoded = rows.map { case (b, cs) => graft.html.HtmlTree.decodeForParse(b, cs) }
+    val opts = graft.html.Html2Text.Options()
+
+    def time(label: String)(f: => Long): Unit = {
+      // warmup third, then measure
+      var sink = 0L
+      for (_ <- 1 to math.max(1, rounds / 3)) sink += f
+      System.gc()
+      val t0 = System.nanoTime()
+      for (_ <- 1 to rounds) sink += f
+      val sec = (System.nanoTime() - t0) / 1e9
+      val docs = rounds.toLong * rows.length
+      println(f"$label%-22s ${docs / sec}%9.0f docs/s  (${sec}%6.2f s, sink=$sink)")
+    }
+
+    time("decodeForParse") {
+      var acc = 0L
+      rows.foreach { case (b, cs) => acc += graft.html.HtmlTree.decodeForParse(b, cs).length }
+      acc
+    }
+    time("stream extract") {
+      var acc = 0L
+      decoded.foreach(h => acc += graft.html.Html2TextStream.extract(h, opts).length)
+      acc
+    }
+    time("dom parse only") {
+      var acc = 0L
+      decoded.foreach(h => acc += (if (graft.html.HtmlParser.parse(h) != null) 1L else 0L))
+      acc
+    }
+    time("dom parse+extract") {
+      var acc = 0L
+      decoded.foreach(h => acc += graft.html.Html2Text.extract(
+        graft.html.HtmlTree.parse(h), opts).length)
+      acc
+    }
+    time("full kernel (bytes)") {
+      var acc = 0L
+      rows.foreach { case (b, cs) =>
+        acc += graft.html.Html2Text.extractFromHtml(
+          graft.html.HtmlTree.decodeForParse(b, cs), opts).length
+      }
+      acc
+    }
+  }
+}

@@ -142,4 +142,18 @@ class WarcParserSpec extends AnyFunSuite {
     assert(recs.forall(_.recordDate.isDefined))
     assert(recs.head.recordDate.get.toString == "2020-08-08T16:54:17Z")
   }
+
+  test("http dates parse in all three RFC 9110 forms") {
+    // IMF-fixdate, obsolete RFC-850, obsolete asctime — recipients MUST
+    // accept all three; the reference's parsedate_to_datetime does
+    val want = java.time.Instant.parse("1994-11-06T08:49:37Z")
+    assert(WarcParser.parseHttpDate("Sun, 06 Nov 1994 08:49:37 GMT").contains(want))
+    assert(WarcParser.parseHttpDate("Sunday, 06-Nov-94 08:49:37 GMT").contains(want))
+    assert(WarcParser.parseHttpDate("Sun Nov  6 08:49:37 1994").contains(want))
+    // two-digit RFC-850 years pivot at 1970 (94 -> 1994, 05 -> 2005)
+    assert(WarcParser.parseHttpDate("Thursday, 06-Jan-05 08:49:37 GMT")
+      .contains(java.time.Instant.parse("2005-01-06T08:49:37Z")))
+    assert(WarcParser.parseHttpDate("not a date").isEmpty)
+    assert(WarcParser.parseHttpDate("").isEmpty)
+  }
 }

@@ -111,4 +111,20 @@ class ExtractExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getAs[String]("t")
     assert(n == null)
   }
+
+  test("DEFAULT path is guarded: a DOM bomb over the default budget -> null row") {
+    val s = spark
+    import s.implicits._
+    // comfortably > DefaultMaxNodes DOM nodes (each repetition is at
+    // least tr+td+td, however text nodes are counted)
+    val reps = graft.functions.Web.DefaultMaxNodes / 2
+    val bomb = ("<table>" + "<tr><td>x</td><td>y</td></tr>" * reps).getBytes("utf-8")
+    val out = Seq((1L, bomb), (2L, "<p>fine</p>".getBytes("utf-8"))).toDF("id", "body")
+      .select(col("id"), graft.functions.Web.extractPlainText(
+        col("body"), lit(null).cast("string")).as("t")) // no maxNodes arg: default
+      .orderBy(col("id"))
+      .collect()
+    assert(out(0).getAs[String]("t") == null)      // bomb -> null, not an OOM
+    assert(out(1).getAs[String]("t") == "fine")    // real page unaffected
+  }
 }
