@@ -229,14 +229,16 @@ object WarcParser {
 
   // The two obsolete HTTP date formats recipients MUST accept
   // (RFC 9110 §5.6.7) besides IMF-fixdate: RFC-850
-  // ("Sunday, 06-Nov-94 08:49:37 GMT", two-digit year pivoted at 1970
-  // like the reference's email.utils parser) and C asctime
+  // ("Sunday, 06-Nov-94 08:49:37 GMT") and C asctime
   // ("Sun Nov  6 08:49:37 1994", implied GMT). Last-Modified headers
-  // from legacy servers still use both.
+  // from legacy servers still use both. Two-digit years use base 1969 so
+  // the mapped range [1969, 2068] reproduces the reference's
+  // email.utils pivot exactly (yy>68 -> 1900s, else 2000s — Java's
+  // conventional 1970 base would send '69' to 2069 instead of 1969).
   private val Rfc850Format = new java.time.format.DateTimeFormatterBuilder()
     .parseCaseInsensitive()
     .appendPattern("EEEE, dd-MMM-")
-    .appendValueReduced(java.time.temporal.ChronoField.YEAR, 2, 2, 1970)
+    .appendValueReduced(java.time.temporal.ChronoField.YEAR, 2, 2, 1969)
     .appendPattern(" HH:mm:ss zz")
     .toFormatter(java.util.Locale.US)
   private val AsctimeFormat = new java.time.format.DateTimeFormatterBuilder()

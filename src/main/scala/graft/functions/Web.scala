@@ -181,6 +181,13 @@ object Web {
     * crafted DOM bomb does. Guarding by DEFAULT is the reference's
     * process_guard doctrine (process_guard.pyx:184-533): one bomb in
     * 100 TB must cost one null row, never an executor OOM.
+    *
+    * DELIBERATE DEVIATION from the reference API: resiliparse's
+    * process_guard is opt-in, so its default path would OOM on the same
+    * bomb. Breaches on the default path are not fully silent — each
+    * executor counts them ([[graft.plans.ExtractKernels.memGuardBreaches]])
+    * and logs the first few at WARN; pipelines that need the per-row
+    * reason switch to [[extractPlainTextGuarded]].
     */
   val DefaultMaxNodes: Int = 2000000
 

@@ -37,6 +37,12 @@ trait NodeView {
 final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeView {
   def domOrNull: DomNode = this
 
+  /** Parser-internal: whether this element is currently on the open
+    * -element stack — gives the active-formatting-list reconstruction
+    * check its O(1) fast path (see HtmlParser.reconstruct).
+    */
+  private[html] var onStack: Boolean = false
+
   /** Text/comment content; null for non-character nodes. */
   var value: String = _
 

@@ -25,6 +25,16 @@ import scala.collection.mutable
   * no main-content classification (needs ancestry + subtree stats), no
   * minimal-HTML (serializer consults the DOM), tag-name-only skip lists.
   * [[eligible]] gates dispatch; callers fall back to the DOM path.
+  *
+  * INPUT bail-outs: the DOM parser's adoption-agency / foster-parenting
+  * rules can reorder or restructure the tree in ways a single forward
+  * pass cannot replicate (fostered text moves BEFORE the table; popped
+  * formatting elements re-open as clones). The walk detects exactly the
+  * trigger conditions under which the DOM tree diverges from the shared
+  * streaming model — a foster event, a misnested formatting end tag, a
+  * nested table, a pop-through that leaves active-formatting residue —
+  * and restarts on the DOM path ([[Bail]]). Trigger-free documents (the
+  * overwhelming majority) keep the allocation-free fast path.
   */
 object Html2TextStream {
 
@@ -35,6 +45,9 @@ object Html2TextStream {
     !opts.mainContent &&
       opts.formatting != Html2Text.FormatMinimalHtml &&
       opts.skipElements.forall(_.matches("[a-zA-Z][a-zA-Z0-9-]*"))
+
+  /** Control-flow signal: this input needs the DOM parser's tree rules. */
+  private object Bail extends scala.util.control.ControlThrowable
 
   /** Mutable view handed to the shared extraction callback. Text values
     * arrive either as a String (entity-decoded runs) or as an input
@@ -75,7 +88,21 @@ object Html2TextStream {
 
   private val NoAttrs: Seq[(String, String)] = Nil
 
-  def extract(input: String, opts: Options): String = {
+  /** Streaming extraction with automatic DOM fallback on tree-rule
+    * triggers — output is byte-identical to the DOM path either way.
+    */
+  def extract(input: String, opts: Options): String =
+    try extractStreaming(input, opts)
+    catch {
+      case Bail => Html2Text.extract(HtmlTree.parse(input, opts.maxNodes), opts)
+    }
+
+  /** The pure streaming walk; throws [[Bail]] when the input needs the
+    * DOM parser's adoption-agency / foster-parenting restructuring.
+    * Package-visible so the differential spec can assert which inputs
+    * genuinely stream.
+    */
+  private[html] def extractStreaming(input: String, opts: Options): String = {
     val skip = mutable.Set("script", "style", "iframe", "frame", "template")
     skip ++= opts.skipElements.map(_.toLowerCase)
     if (!opts.altTexts) skip ++= Seq("object", "video", "audio", "embed", "img",
@@ -153,6 +180,40 @@ object Html2TextStream {
     }
     def popAll(): Unit = while (stack.nonEmpty) popOne()
 
+    // — DOM-divergence triggers (see class scaladoc) —
+
+    /** The DOM parser would foster-parent an insertion here: a table is
+      * open with no template inside it (mirrors HtmlParser.fosterNeeded).
+      */
+    def fosterActive: Boolean = {
+      val ti = stack.lastIndexWhere(_.tag == "table")
+      if (ti < 0) return false
+      var j = ti + 1
+      while (j < stack.size) {
+        if (stack(j).tag == "template") return false
+        j += 1
+      }
+      true
+    }
+
+    def parentTableCtx: Boolean =
+      stack.nonEmpty && TableCtxTags.contains(stack.last.tag)
+
+    /** Popping [idx, top] would leave a formatting element in the DOM
+      * parser's active-formatting list (residue → later reconstruction):
+      * a formatting element with no marker element below it in the range.
+      */
+    def bailOnResidue(idx: Int): Unit = {
+      var k = idx
+      var seenMarker = false
+      while (k < stack.size) {
+        val t = stack(k).tag
+        if (!seenMarker && FormattingTags.contains(t)) throw Bail
+        if (MarkerTags.contains(t)) seenMarker = true
+        k += 1
+      }
+    }
+
     def insertText(raw0: String, decodeEntities: Boolean): Unit = {
       var raw = raw0
       if (raw.isEmpty) return
@@ -168,6 +229,9 @@ object Html2TextStream {
         else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
         if (raw.isEmpty) return
       }
+      // non-whitespace text directly in table structure gets fostered
+      // BEFORE the table by the DOM parser — unstreamable reordering
+      if (parentTableCtx && !raw.forall(_.isWhitespace) && fosterActive) throw Bail
       val wasSuppressed = suppressed
       markChild()
       if (!wasSuppressed)
@@ -194,6 +258,11 @@ object Html2TextStream {
         else if (input.charAt(s) == '\n' || input.charAt(s) == '\r') s += 1
         if (s >= e) return
       }
+      if (parentTableCtx) {
+        var k = s
+        while (k < e && Character.isWhitespace(input.charAt(k))) k += 1
+        if (k < e && fosterActive) throw Bail
+      }
       val wasSuppressed = suppressed
       markChild()
       if (!wasSuppressed) {
@@ -218,14 +287,42 @@ object Html2TextStream {
       val inForeign = stack.exists(e => e.tag == "svg" || e.tag == "math")
       if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
 
+      // DOM parser closes the open table before a nested <table>
+      if (name == "table" && parentTableCtx && stack.exists(_.tag == "table"))
+        throw Bail
+      // <a>/<nobr> with one already open: adoption-agency implied close
+      if ((name == "a" || name == "nobr") && !inForeign &&
+          stack.exists(_.tag == name)) throw Bail
+
+      // "clear the stack back to a table (row) context" — mirrors the
+      // DOM parser exactly; formatting residue in the range bails
+      if (TableStructureTags.contains(name)) {
+        val ti = stack.lastIndexWhere(e => e.tag == "table" || e.tag == "template")
+        if (ti >= 0 && stack(ti).tag == "table") {
+          val base = clearBackBase(name, ti, stack.lastIndexWhere(e =>
+            e.tag == "tbody" || e.tag == "thead" || e.tag == "tfoot"),
+            stack.lastIndexWhere(_.tag == "tr"))
+          if (base + 1 < stack.size) {
+            bailOnResidue(base + 1)
+            while (stack.size > base + 1) popOne()
+          }
+        }
+      }
+
       if (ClosesP.contains(name)) {
         val pIdx = stack.lastIndexWhere(_.tag == "p")
-        if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag)))
+        if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag))) {
+          bailOnResidue(pIdx)
           while (stack.size > pIdx) popOne()
+        }
       }
       ImplicitClose.get(name).foreach { closes =>
         while (stack.nonEmpty && closes.contains(stack.last.tag)) popOne()
       }
+
+      // element insertion directly in table structure: DOM fosters it
+      if (parentTableCtx && !TableAllowed.contains(name) && fosterActive)
+        throw Bail
 
       val parentSuppressed = suppressed
       markChild()
@@ -253,7 +350,16 @@ object Html2TextStream {
         case _ =>
       }
       val idx = stack.lastIndexWhere(_.tag == name)
-      if (idx >= 0) while (stack.size > idx) popOne()
+      if (idx < 0) return
+      if (FormattingTags.contains(name)) {
+        // matched at the top: plain pop (the DOM adoption agency reduces
+        // to the same); anywhere deeper: AAA restructures — bail
+        if (idx != stack.size - 1) throw Bail
+        popOne()
+        return
+      }
+      bailOnResidue(idx)
+      while (stack.size > idx) popOne()
     }
 
     // — tokenizer main loop (mirrors HtmlParser.parse) —

@@ -6,9 +6,34 @@ import scala.collection.mutable
   *
   * Scope: the behaviors the reference's own tests pin
   * (tests/resiliparse/parse/test_html.py:60-115 quirks, structure
-  * enforcement, RCDATA/raw-text elements) — not a spec-complete HTML5
-  * parser (reference backend is lexbor; SURVEY §7 Phase 3 scopes parity
-  * to the pipeline-used surface). Guarantees:
+  * enforcement, RCDATA/raw-text elements) plus the three WHATWG
+  * tree-construction rule families that most change real crawl pages
+  * (the reference backend is the spec-complete lexbor,
+  * resiliparse/src/parse/html/tree.rs:63-89):
+  *  - the ADOPTION AGENCY algorithm with an active-formatting-elements
+  *    list (reconstruction, Noah's Ark clause, scope markers on
+  *    td/th/caption/template/applet/object/marquee), so misnested
+  *    formatting tags (`<b><i></b></i>`, `<b>1<div>2</b>3</div>`)
+  *    produce the browser tree;
+  *  - FOSTER PARENTING: character and element tokens that are invalid
+  *    directly inside table/tbody/thead/tfoot/tr are re-inserted
+  *    immediately before the nearest open table (whitespace-only text
+  *    stays in place); a nested `<table>` closes the open table first;
+  *  - `<template>` CONTENT: template subtrees parse normally (table
+  *    fragments inside them are NOT fostered out) and push a formatting
+  *    scope marker; text extraction skips them (matching the reference,
+  *    whose template content lives in a separate fragment).
+  *
+  * Documented deviations from the full spec (tolerant-parser scope):
+  *  - no implicit `<tbody>` synthesis (`<table><tr>` keeps tr as a
+  *    direct table child, as the pinned fixture trees expect);
+  *  - template content is attached as regular children of the template
+  *    element (not a separate fragment node) — serialization round-trips
+  *    it like browser innerHTML; extraction skips it via the skip list;
+  *  - no insertion-mode scope variants (button/list-item/table scope):
+  *    "in scope" is approximated by stack membership.
+  *
+  * Standing guarantees (unchanged):
   *  - a document ALWAYS has html/head/body elements;
   *  - head-content elements before the body start go to head, everything
   *    else to body (unclosed head handled);
@@ -117,6 +142,82 @@ object HtmlParser {
     "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th", "thead"),
     "tfoot" -> Set("tr", "td", "th", "tbody"))
 
+  /** The WHATWG formatting-element category (in-body insertion rules):
+    * these participate in the active-formatting list / adoption agency.
+    */
+  private[html] val FormattingTags = Set("a", "b", "big", "code", "em", "font",
+    "i", "nobr", "s", "small", "strike", "strong", "tt", "u")
+
+  /** Elements that push a scope MARKER onto the active formatting list
+    * when opened and clear the list back to it when closed (spec: applet,
+    * object, marquee, template, td, th, caption).
+    */
+  private[html] val MarkerTags = Set("td", "th", "caption", "template",
+    "applet", "object", "marquee")
+
+  /** The spec's "special" category (HTML namespace) — the furthest-block
+    * candidates in the adoption agency algorithm.
+    */
+  private[html] val SpecialTags = Set("address", "applet", "area", "article",
+    "aside", "base", "basefont", "bgsound", "blockquote", "body", "br", "button",
+    "caption", "center", "col", "colgroup", "dd", "details", "dir", "div", "dl",
+    "dt", "embed", "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header", "hgroup",
+    "hr", "html", "iframe", "img", "input", "keygen", "li", "link", "listing",
+    "main", "marquee", "menu", "meta", "nav", "noembed", "noframes", "noscript",
+    "object", "ol", "p", "param", "plaintext", "pre", "script", "search",
+    "section", "select", "source", "style", "summary", "table", "tbody", "td",
+    "template", "textarea", "tfoot", "th", "thead", "title", "tr", "track",
+    "ul", "wbr", "xmp")
+
+  /** The elements whose direct children are table-structure-only: content
+    * not in [[TableAllowed]] inserted here gets foster-parented.
+    */
+  private[html] val TableCtxTags = Set("table", "tbody", "thead", "tfoot", "tr")
+
+  /** Tokens legal directly inside a table context (no fostering). The
+    * td/th entries cover our no-implicit-tbody deviation; script/style/
+    * template/form per the in-table insertion mode.
+    */
+  private[html] val TableAllowed = Set("caption", "colgroup", "col", "tbody",
+    "tfoot", "thead", "tr", "td", "th", "script", "style", "template", "form")
+
+  /** Table-structure start tags that first "clear the stack back to a
+    * table context" when a table is open.
+    */
+  private[html] val TableStructureTags = Set("caption", "colgroup", "col",
+    "tbody", "tfoot", "thead", "tr", "td", "th")
+
+  /** The stack index table-structure tags clear back to: sections stop at
+    * the table, rows at the nearest section, cells at the nearest row —
+    * each falling back outward when the inner context is absent.
+    * `ti`/`bi`/`ri` are the stack indices of the open table / last
+    * tbody-thead-tfoot / last tr (-1 when absent).
+    */
+  private[html] def clearBackBase(name: String, ti: Int, bi: Int, ri: Int): Int =
+    name match {
+      case "td" | "th" =>
+        if (ri > ti) ri else if (bi > ti) bi else ti
+      case "tr" =>
+        if (bi > ti) bi else ti
+      case _ => ti
+    }
+
+  /** Start tags whose in-body insertion rules do NOT call "reconstruct the
+    * active formatting elements" (block/structure/head/table tokens).
+    * Everything else — text, phrasing content, formatting tags, br/img/
+    * input/button/select/object... — reconstructs first.
+    */
+  private[html] val NoReconstructTags = Set("html", "head", "body", "frameset",
+    "frame", "base", "basefont", "bgsound", "link", "meta", "noframes", "script",
+    "style", "template", "title", "noscript", "address", "article", "aside",
+    "blockquote", "center", "details", "dialog", "dir", "div", "dl", "fieldset",
+    "figcaption", "figure", "footer", "header", "hgroup", "main", "menu", "nav",
+    "ol", "p", "search", "section", "summary", "ul", "h1", "h2", "h3", "h4",
+    "h5", "h6", "pre", "listing", "form", "li", "dd", "dt", "plaintext",
+    "table", "hr", "textarea", "caption", "col", "colgroup", "tbody", "td",
+    "tfoot", "th", "thead", "tr")
+
   /** Open-element depth cap (browsers clamp around 512): beyond it, new
     * elements attach flat at the cap instead of nesting deeper. Keeps
     * every recursive consumer (text, serialize, traversal, selectors)
@@ -127,11 +228,12 @@ object HtmlParser {
 
   /** Parse with an optional DOM node budget (MemGuard analog,
     * process_guard.pyx:184-533): every created node — element, text,
-    * comment — counts against `maxNodes`; exceeding it throws
-    * [[graft.core.MemGuardException]]. The DEPTH cap above bounds stack
-    * use; this bounds HEAP use: DOM object overhead amplifies input
-    * ~30-100x, so a budget of N nodes caps one record's tree at roughly
-    * N * 100 bytes regardless of input size.
+    * comment, adoption-agency/reconstruction clone — counts against
+    * `maxNodes`; exceeding it throws [[graft.core.MemGuardException]].
+    * The DEPTH cap above bounds stack use; this bounds HEAP use: DOM
+    * object overhead amplifies input ~30-100x, so a budget of N nodes
+    * caps one record's tree at roughly N * 100 bytes regardless of input
+    * size.
     */
   def parse(input: String, maxNodes: Int = Int.MaxValue): DomNode = {
     val doc = new DomNode(NodeType.Document, "#document")
@@ -151,11 +253,265 @@ object HtmlParser {
     var sawDoctype = false
     // open-element stack BELOW head/body (those are structural)
     val stack = mutable.ArrayBuffer.empty[DomNode]
+    // active formatting elements; null entries are scope markers
+    val formatting = mutable.ArrayBuffer.empty[DomNode]
 
     def currentParent: DomNode =
       if (stack.nonEmpty) stack.last else if (inBody) bodyEl else headEl
 
-    def switchToBody(): Unit = if (!inBody) { stack.clear(); inBody = true }
+    def clearStack(): Unit = {
+      var k = 0
+      while (k < stack.size) { stack(k).onStack = false; k += 1 }
+      stack.clear()
+    }
+
+    def switchToBody(): Unit =
+      if (!inBody) { clearStack(); formatting.clear(); inBody = true }
+
+    /** Pop stack entries [idx, top] innermost-first: marker elements clear
+      * the formatting list back to their marker; popped-through formatting
+      * elements stay in the list (the residue that later reconstruction
+      * re-opens, per spec).
+      */
+    def popRange(idx: Int): Unit = {
+      var k = stack.size - 1
+      while (k >= idx) {
+        val e = stack.remove(k)
+        e.onStack = false
+        if (MarkerTags.contains(e.tag)) clearFormattingToMarker()
+        k -= 1
+      }
+    }
+
+    def clearFormattingToMarker(): Unit = {
+      var done = false
+      while (!done && formatting.nonEmpty) {
+        val e = formatting.remove(formatting.size - 1)
+        if (e == null) done = true
+      }
+    }
+
+    def formattingContains(e: DomNode): Boolean = {
+      var i = formatting.size - 1
+      while (i >= 0) {
+        if (formatting(i) eq e) return true
+        i -= 1
+      }
+      false
+    }
+
+    /** Push onto the active formatting list with the Noah's Ark clause:
+      * if three entries with the same tag and attributes exist after the
+      * last marker, drop the earliest.
+      */
+    def pushFormatting(el: DomNode): Unit = {
+      var count = 0
+      var earliest = -1
+      var i = formatting.size - 1
+      var stop = false
+      while (i >= 0 && !stop) {
+        val e = formatting(i)
+        if (e == null) stop = true
+        else {
+          if (e.tag == el.tag && sameAttrs(e, el)) { count += 1; earliest = i }
+          i -= 1
+        }
+      }
+      if (count >= 3 && earliest >= 0) formatting.remove(earliest)
+      formatting += el
+    }
+
+    def sameAttrs(a: DomNode, b: DomNode): Boolean = {
+      val aa = a.attrsOrNull
+      val ba = b.attrsOrNull
+      val an = if (aa == null) 0 else aa.size
+      val bn = if (ba == null) 0 else ba.size
+      if (an != bn) return false
+      if (an == 0) return true
+      aa.forall { case (k, v) => ba.get(k).contains(v) }
+    }
+
+    def cloneShallow(src: DomNode): DomNode = {
+      budget()
+      val c = new DomNode(NodeType.Element, src.tag)
+      val as = src.attrsOrNull
+      if (as != null) as.foreach { case (k, v) => c.attrs(k) = v }
+      c
+    }
+
+    /** Whether an insertion at the current point must be foster-parented:
+      * parent is a table-context element, the token isn't table content,
+      * a table is actually open, and no template is open inside it
+      * (template content never fosters).
+      */
+    def fosterNeeded(parent: DomNode): Boolean = {
+      if (!TableCtxTags.contains(parent.tag)) return false
+      val ti = stack.lastIndexWhere(_.tag == "table")
+      if (ti < 0) return false
+      var j = ti + 1
+      while (j < stack.size) {
+        if (stack(j).tag == "template") return false
+        j += 1
+      }
+      true
+    }
+
+    /** Insert `node` immediately before the nearest open table (the
+      * foster-parenting target). Caller has checked [[fosterNeeded]].
+      */
+    def fosterInsert(node: DomNode): Unit = {
+      val ti = stack.lastIndexWhere(_.tag == "table")
+      val table = stack(ti)
+      if (table.parent != null) table.parent.insertBefore(node, table)
+      else if (ti > 0) stack(ti - 1).appendChild(node)
+      else (if (inBody) bodyEl else headEl).appendChild(node)
+    }
+
+    /** Append an element at the insertion point, foster-parenting when the
+      * point sits directly in table structure and the tag isn't table
+      * content.
+      */
+    def insertElementNode(el: DomNode): Unit = {
+      val parent = currentParent
+      if (!TableAllowed.contains(el.tag) && fosterNeeded(parent)) fosterInsert(el)
+      else parent.appendChild(el)
+    }
+
+    /** Reconstruct the active formatting elements (spec 13.2.4.3): clone
+      * every post-marker entry no longer on the open stack, in list
+      * order, re-opening them at the insertion point. No-op (O(1)) when
+      * the list tail is in sync with the stack — the common case.
+      */
+    def reconstruct(): Unit = {
+      if (formatting.isEmpty) return
+      val lastE = formatting.last
+      if (lastE == null || lastE.onStack) return
+      var i = formatting.size - 1
+      var stop = false
+      while (i > 0 && !stop) {
+        val prev = formatting(i - 1)
+        if (prev == null || prev.onStack) stop = true else i -= 1
+      }
+      while (i < formatting.size) {
+        val clone = cloneShallow(formatting(i))
+        insertElementNode(clone)
+        if (stack.size < MaxDepth) { stack += clone; clone.onStack = true }
+        formatting(i) = clone
+        i += 1
+      }
+    }
+
+    /** The adoption agency algorithm (spec 13.2.6.4.7 "in body" end-tag
+      * rules for formatting elements), identity-based over the small
+      * stack/list so index bookkeeping survives mid-loop mutations.
+      */
+    def adoptionAgency(subject: String): Unit = {
+      // spec fast path: current node is the subject and not in the list
+      if (stack.nonEmpty && stack.last.tag == subject &&
+          !formattingContains(stack.last)) {
+        popRange(stack.size - 1)
+        return
+      }
+      var outer = 0
+      while (outer < 8) {
+        outer += 1
+        // the last formatting entry for `subject` after the last marker
+        var fi = -1
+        var i = formatting.size - 1
+        var stop = false
+        while (i >= 0 && !stop) {
+          val e = formatting(i)
+          if (e == null) stop = true
+          else if (e.tag == subject) { fi = i; stop = true }
+          else i -= 1
+        }
+        if (fi < 0) {
+          // no entry: fall back to the generic (tolerant) end-tag pop
+          val idx = stack.lastIndexWhere(_.tag == subject)
+          if (idx >= 0) popRange(idx)
+          return
+        }
+        val fmtEl = formatting(fi)
+        if (!fmtEl.onStack) { formatting.remove(fi); return }
+        val si = stack.lastIndexWhere(_ eq fmtEl)
+        // furthest block: the lowest special element above fmtEl
+        var fb = -1
+        var j = si + 1
+        while (j < stack.size && fb < 0) {
+          if (SpecialTags.contains(stack(j).tag)) fb = j else j += 1
+        }
+        if (fb < 0) {
+          // no furthest block: pop through fmtEl (non-special elements
+          // above stay in the list — residue that reconstruction re-opens)
+          popRange(si)
+          val fiNow = formatting.lastIndexWhere(_ eq fmtEl)
+          if (fiNow >= 0) formatting.remove(fiNow)
+          return
+        }
+        val furthest = stack(fb)
+        val commonAncestor =
+          if (si > 0) stack(si - 1) else if (inBody) bodyEl else headEl
+        var bookmark = fi
+        var lastNode = furthest
+        var ni = fb
+        var innerCount = 0
+        var innerDone = false
+        while (!innerDone) {
+          ni -= 1
+          val nodeCur = stack(ni)
+          if (nodeCur eq fmtEl) innerDone = true
+          else {
+            innerCount += 1
+            var nodeFi = formatting.lastIndexWhere(_ eq nodeCur)
+            if (innerCount > 3 && nodeFi >= 0) {
+              formatting.remove(nodeFi)
+              if (nodeFi < bookmark) bookmark -= 1
+              nodeFi = -1
+            }
+            if (nodeFi < 0) {
+              stack.remove(ni)
+              nodeCur.onStack = false
+              // the element formerly above nodeCur is now at ni - 1;
+              // the loop's ni -= 1 lands on it
+            } else {
+              val clone = cloneShallow(nodeCur)
+              formatting(nodeFi) = clone
+              stack(ni) = clone
+              nodeCur.onStack = false
+              clone.onStack = true
+              if (lastNode eq furthest) bookmark = nodeFi + 1
+              clone.appendChild(lastNode) // appendChild detaches first
+              lastNode = clone
+            }
+          }
+        }
+        // place lastNode under the common ancestor (foster-aware)
+        if (fosterNeeded(commonAncestor)) fosterInsert(lastNode)
+        else commonAncestor.appendChild(lastNode)
+        // move the furthest block's children into a clone of fmtEl
+        val fclone = cloneShallow(fmtEl)
+        var ch = furthest.firstChild
+        while (ch != null) {
+          val nx = ch.next
+          fclone.appendChild(ch)
+          ch = nx
+        }
+        furthest.appendChild(fclone)
+        // list: replace fmtEl's entry with the clone at the bookmark
+        val fiNow = formatting.lastIndexWhere(_ eq fmtEl)
+        formatting.remove(fiNow)
+        if (fiNow < bookmark) bookmark -= 1
+        if (bookmark > formatting.size) bookmark = formatting.size
+        formatting.insert(bookmark, fclone)
+        // stack: remove fmtEl, re-open the clone just above the block
+        val siNow = stack.lastIndexWhere(_ eq fmtEl)
+        stack.remove(siNow)
+        fmtEl.onStack = false
+        val fbNow = stack.lastIndexWhere(_ eq furthest)
+        stack.insert(fbNow + 1, fclone)
+        fclone.onStack = true
+      }
+    }
 
     def insertText(raw0: String, decodeEntities: Boolean): Unit = {
       var raw = raw0
@@ -167,19 +523,24 @@ object HtmlParser {
         if (raw.forall(_.isWhitespace)) return
         switchToBody()
       }
-      val parent = currentParent
+      val preParent = currentParent
       // HTML5: a single newline immediately after a pre/textarea/listing
       // start tag is dropped
-      if (parent.firstChild == null &&
-          (parent.tag == "pre" || parent.tag == "textarea" || parent.tag == "listing")) {
+      if (preParent.firstChild == null &&
+          (preParent.tag == "pre" || preParent.tag == "textarea" || preParent.tag == "listing")) {
         if (raw.startsWith("\r\n")) raw = raw.substring(2)
         else if (raw.startsWith("\n") || raw.startsWith("\r")) raw = raw.substring(1)
         if (raw.isEmpty) return
       }
+      reconstruct()
       budget()
       val t = new DomNode(NodeType.Text, "#text")
       t.value = if (decodeEntities) Entities.decode(raw) else raw
-      parent.appendChild(t)
+      val parent = currentParent
+      // whitespace-only runs stay inside table structure; anything else
+      // is foster-parented before the table (in-table character rules)
+      if (fosterNeeded(parent) && !raw.forall(_.isWhitespace)) fosterInsert(t)
+      else parent.appendChild(t)
     }
 
     val n = input.length
@@ -280,7 +641,7 @@ object HtmlParser {
                 i = if (gt < 0) n else gt + 1
               }
               // pop the raw element
-              if (stack.nonEmpty && (stack.last eq rawEl)) stack.remove(stack.size - 1)
+              if (stack.nonEmpty && (stack.last eq rawEl)) popRange(stack.size - 1)
             case None =>
           }
         } else { textStart.append(c); i += 1 }
@@ -307,24 +668,62 @@ object HtmlParser {
       val inForeign = stack.exists(e => e.tag == "svg" || e.tag == "math")
       if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
 
+      // a nested <table> closes the open table first ("in table" <table>)
+      if (name == "table" && TableCtxTags.contains(currentParent.tag)) {
+        val ti = stack.lastIndexWhere(_.tag == "table")
+        if (ti >= 0) popRange(ti)
+      }
+
+      // "clear the stack back to a table (row) context": table-structure
+      // tags pop anything fostered/misnested above the open table — e.g.
+      // <table><b>x<tr> must not nest the row inside the fostered <b>.
+      // Template subtrees are their own context (no clearing through).
+      if (TableStructureTags.contains(name)) {
+        val ti = stack.lastIndexWhere(e => e.tag == "table" || e.tag == "template")
+        if (ti >= 0 && stack(ti).tag == "table") {
+          val base = clearBackBase(name, ti, stack.lastIndexWhere(e =>
+            e.tag == "tbody" || e.tag == "thead" || e.tag == "tfoot"),
+            stack.lastIndexWhere(_.tag == "tr"))
+          if (base + 1 < stack.size) popRange(base + 1)
+        }
+      }
+
+      // <a>/<nobr> with a same-tag entry still active: implied end tag via
+      // the adoption agency before opening the new one
+      if ((name == "a" || name == "nobr") && !inForeign) {
+        var k = formatting.size - 1
+        var active = false
+        while (k >= 0 && formatting(k) != null && !active) {
+          if (formatting(k).tag == name) active = true else k -= 1
+        }
+        if (active) adoptionAgency(name)
+      }
+
       // implicit closes
       if (ClosesP.contains(name)) {
         val pIdx = stack.lastIndexWhere(_.tag == "p")
         if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag)))
-          stack.remove(pIdx, stack.size - pIdx)
+          popRange(pIdx)
       }
       ImplicitClose.get(name).foreach { closes =>
         while (stack.nonEmpty && closes.contains(stack.last.tag))
-          stack.remove(stack.size - 1)
+          popRange(stack.size - 1)
       }
+
+      if (!NoReconstructTags.contains(name)) reconstruct()
 
       budget()
       val el = new DomNode(NodeType.Element, name)
       attrs.foreach { case (k, v) => if (!el.attrs.contains(k)) el.attrs(k) = v }
-      currentParent.appendChild(el)
+      insertElementNode(el)
       val isVoid = Serializer.VoidElements.contains(name)
       if (!isVoid && !selfClosing) {
-        if (stack.size < MaxDepth) stack += el
+        if (stack.size < MaxDepth) {
+          stack += el
+          el.onStack = true
+          if (FormattingTags.contains(name)) pushFormatting(el)
+          else if (MarkerTags.contains(name)) formatting += null
+        }
         // beyond MaxDepth: element stays in the tree but children attach
         // flat at the cap (tolerant, bounded)
         if (!inForeign && RawText.contains(name)) return Some(el)
@@ -338,11 +737,13 @@ object HtmlParser {
       name match {
         case "html" => return
         case "head" => return // head closes implicitly
-        case "body" => switchToBody(); stack.clear(); return
+        case "body" =>
+          switchToBody(); clearStack(); formatting.clear(); return
         case _ =>
       }
+      if (FormattingTags.contains(name)) { adoptionAgency(name); return }
       val idx = stack.lastIndexWhere(_.tag == name)
-      if (idx >= 0) stack.remove(idx, stack.size - idx)
+      if (idx >= 0) popRange(idx)
       // unmatched end tags are ignored (tolerant)
     }
 
@@ -381,14 +782,8 @@ object HtmlParser {
     -1
   }
 
-  private[html] def readTagName(s: String, from: Int): (String, Int) = {
-    val i = tagNameEnd(s, from)
-    (TagNames.lookup(s, from, i), i)
-  }
-
-  /** End index of a tag name starting at `from` (the scan half of
-    * [[readTagName]], allocation-free so tokenizers can pair it with
-    * [[TagNames.lookup]]).
+  /** End index of a tag name starting at `from` — allocation-free so
+    * tokenizers can pair it with [[TagNames.lookup]].
     */
   private[html] def tagNameEnd(s: String, from: Int): Int = {
     var i = from

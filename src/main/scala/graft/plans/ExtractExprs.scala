@@ -13,9 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ExtractKernels {
 
+  /** Per-JVM count of MemGuard breaches on the default (null-returning)
+    * extraction path, so silent nulls are observable at scale: executors
+    * expose it via [[memGuardBreaches]] and each breach is also logged
+    * (first few per executor at WARN). Callers wanting the per-row
+    * breach REASON use [[graft.functions.Web.extractPlainTextGuarded]].
+    */
+  private val breachCount = new java.util.concurrent.atomic.AtomicLong
+  def memGuardBreaches: Long = breachCount.get
+
   /** decode -> parse -> extract_plain_text; null on a MemGuard breach
-    * (the budget path — callers wanting the breach REASON use
-    * [[graft.functions.Web.extractPlainTextGuarded]]).
+    * (counted + logged — see [[memGuardBreaches]]).
     */
   def extractPlainText(body: Array[Byte], charset: UTF8String,
       mainContent: Boolean, maxNodes: Int): UTF8String = {
@@ -24,7 +32,14 @@ object ExtractKernels {
       val html = graft.html.HtmlTree.decodeForParse(body, cs)
       UTF8String.fromString(graft.html.Html2Text.extractFromHtml(html,
         graft.html.Html2Text.Options(mainContent = mainContent, maxNodes = maxNodes)))
-    } catch { case _: graft.core.MemGuardException => null }
+    } catch {
+      case e: graft.core.MemGuardException =>
+        val n = breachCount.incrementAndGet()
+        if (n <= 5)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"extract_plain_text mem-guard breach #$n (row -> null): ${e.getMessage}")
+        null
+    }
   }
 
   /** detect_fast over a string -> (lang, rank) as an InternalRow. */

@@ -99,10 +99,14 @@ object Warc {
     "w07_warc_cdxj" -> ((s, _) => {
       val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
       scan(s, "warcfile.warc")
-        .select(col("offset"), col("record_type"), col("filename"), col("file_size"))
+        .select(col("offset"), col("record_type"), col("filename"), col("file_size"),
+          // arbitrary header fields ride along in CDXJ records (the
+          // reference CLI's index subcommand, fastwarc/cli.py:225-253);
+          // Last-Modified is the one the r7 column parses
+          col("http_last_modified").as("last_modified"))
         .withColumn("length",
           coalesce(lead(col("offset"), 1).over(w), col("file_size")) - col("offset"))
-        .select(col("offset"), col("length"), col("record_type"))
+        .select(col("offset"), col("length"), col("record_type"), col("last_modified"))
         .orderBy(col("offset"))
     }),
 
@@ -611,27 +615,38 @@ object Warc {
       """SELECT http_charset, CAST(n AS BIGINT) AS n FROM (VALUES
          ('gb2312', 2), ('none', 9), ('utf-8', 4), ('windows-1251', 1))
          t(http_charset, n) ORDER BY http_charset""",
+    // offsets/lengths and the five Last-Modified stamps independently
+    // re-derived from the raw fixture bytes with a from-scratch python
+    // header parse (email.utils.parsedate_to_datetime for the dates)
     "w07_warc_cdxj" ->
       """SELECT CAST("offset" AS BIGINT) AS "offset", CAST(length AS BIGINT) AS length,
-         record_type FROM (VALUES
-         (0,764,'warcinfo'),(764,664,'request'),(1428,37164,'response'),
-         (38592,583,'metadata'),(39175,600,'request'),(39775,105492,'response'),
-         (145267,583,'metadata'),(145850,649,'request'),(146499,16048,'response'),
-         (162547,601,'metadata'),(163148,585,'request'),(163733,8926,'response'),
-         (172659,657,'metadata'),(173316,674,'request'),(173990,15869,'response'),
-         (189859,586,'metadata'),(190445,690,'request'),(191135,38667,'response'),
-         (229802,596,'metadata'),(230398,654,'request'),(231052,24027,'response'),
-         (255079,602,'metadata'),(255681,643,'request'),(256324,15943,'response'),
-         (272267,686,'metadata'),(272953,733,'request'),(273686,34435,'response'),
-         (308121,795,'metadata'),(308916,715,'request'),(309631,37561,'response'),
-         (347192,699,'metadata'),(347891,675,'request'),(348566,36154,'response'),
-         (384720,614,'metadata'),(385334,626,'request'),(385960,11757,'response'),
-         (397717,763,'metadata'),(398480,622,'request'),(399102,109080,'response'),
-         (508182,679,'metadata'),(508861,703,'request'),(509564,11549,'response'),
-         (521113,602,'metadata'),(521715,693,'request'),(522408,16829,'response'),
-         (539237,595,'metadata'),(539832,640,'request'),(540472,8644,'response'),
-         (549116,596,'metadata'),(549712,624,'request'))
-         t("offset", length, record_type) ORDER BY "offset"""",
+         record_type, CAST(last_modified AS TIMESTAMP) AS last_modified FROM (VALUES
+         (0,764,'warcinfo',NULL),(764,664,'request',NULL),
+         (1428,37164,'response',NULL),(38592,583,'metadata',NULL),
+         (39175,600,'request',NULL),(39775,105492,'response',NULL),
+         (145267,583,'metadata',NULL),(145850,649,'request',NULL),
+         (146499,16048,'response',NULL),(162547,601,'metadata',NULL),
+         (163148,585,'request',NULL),(163733,8926,'response',NULL),
+         (172659,657,'metadata',NULL),(173316,674,'request',NULL),
+         (173990,15869,'response',TIMESTAMP '2020-07-13 16:53:12'),(189859,586,'metadata',NULL),
+         (190445,690,'request',NULL),(191135,38667,'response',TIMESTAMP '2020-08-07 21:01:31'),
+         (229802,596,'metadata',NULL),(230398,654,'request',NULL),
+         (231052,24027,'response',NULL),(255079,602,'metadata',NULL),
+         (255681,643,'request',NULL),(256324,15943,'response',NULL),
+         (272267,686,'metadata',NULL),(272953,733,'request',NULL),
+         (273686,34435,'response',NULL),(308121,795,'metadata',NULL),
+         (308916,715,'request',NULL),(309631,37561,'response',NULL),
+         (347192,699,'metadata',NULL),(347891,675,'request',NULL),
+         (348566,36154,'response',NULL),(384720,614,'metadata',NULL),
+         (385334,626,'request',NULL),(385960,11757,'response',TIMESTAMP '2020-08-03 22:50:23'),
+         (397717,763,'metadata',NULL),(398480,622,'request',NULL),
+         (399102,109080,'response',NULL),(508182,679,'metadata',NULL),
+         (508861,703,'request',NULL),(509564,11549,'response',TIMESTAMP '2020-07-21 20:50:18'),
+         (521113,602,'metadata',NULL),(521715,693,'request',NULL),
+         (522408,16829,'response',NULL),(539237,595,'metadata',NULL),
+         (539832,640,'request',NULL),(540472,8644,'response',TIMESTAMP '2020-05-23 03:09:13'),
+         (549116,596,'metadata',NULL),(549712,624,'request',NULL))
+         t("offset", length, record_type, last_modified) ORDER BY "offset"""",
     "w08_warc_pushdown" ->
       """SELECT CAST(8 AS BIGINT) AS n, CAST(417729 AS BIGINT) AS total_bytes""",
     // w09-w11 pin the deterministic output of the ICU+WHATWG pipeline on

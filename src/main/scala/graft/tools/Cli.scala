@@ -1,0 +1,201 @@
+package graft.tools
+
+import graft.core._
+import java.io.{BufferedOutputStream, FileInputStream, FileOutputStream, OutputStream, PrintStream}
+
+/** Single-node CLI front door mirroring the reference's executable UX
+  * (fastwarc-py/fastwarc/cli.py: recompress :59-108, check :110-183,
+  * extract :185-223, index :225-285, benchmark :352-420). Each
+  * subcommand wraps the same core kernels the oracle-gated queries run
+  * (WarcParser / WarcWriter / Digests), so CLI output and query output
+  * agree by construction:
+  *
+  *   graft.tools.Cli index <files...> [--fields f1,f2,...]
+  *   graft.tools.Cli extract <file> <offset> [--payload | --headers]
+  *   graft.tools.Cli recompress <in> <out> [--codec gzip|lz4|none] [--checksum]
+  *   graft.tools.Cli verify <file> [--payloads]
+  *   graft.tools.Cli benchmark <files...> [--parse-http] [--filter-type T]
+  *
+  * Run via `java -cp target/scala-2.13/classes:SPARK_JARS graft.tools.Cli`
+  * (or sbt "runMain graft.tools.Cli ..."). The distributed analogs are
+  * the `warc` DataSource + queries w07/w22/w23/w03/w17 — this entry
+  * point exists for the reference's one-file, no-cluster workflows.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args, Console.out))
+
+  /** Testable entry: returns the exit code, prints to `out`. */
+  def run(args: Array[String], out: PrintStream): Int = {
+    if (args.isEmpty) { usage(out); return 2 }
+    val (flags, pos) = args.tail.partition(_.startsWith("--"))
+    def flag(name: String): Boolean = flags.contains(s"--$name")
+    def flagVal(name: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") => f.drop(name.length + 3) }
+    try args.head match {
+      case "index" =>
+        if (pos.isEmpty) { usage(out); return 2 }
+        val fields = flagVal("fields").getOrElse("offset,warc-type,warc-target-uri")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        pos.foreach(f => index(f, fields, out))
+        0
+      case "extract" =>
+        if (pos.length != 2) { usage(out); return 2 }
+        extract(pos(0), pos(1).toLong, flag("payload"), flag("headers"), out)
+      case "recompress" =>
+        if (pos.length != 2) { usage(out); return 2 }
+        val codec = flagVal("codec").getOrElse("gzip") match {
+          case "gzip" => WarcWriter.Gzip
+          case "lz4" => WarcWriter.Lz4
+          case "none" | "uncompressed" => WarcWriter.Raw
+          case other => out.println(s"unknown codec: $other"); return 2
+        }
+        val in = new FileInputStream(pos(0))
+        val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+        val n = try WarcWriter.recompress(in, o, codec, flag("checksum"))
+          finally { o.close(); in.close() }
+        out.println(s"$n records recompressed to ${pos(1)}")
+        0
+      case "verify" =>
+        if (pos.length != 1) { usage(out); return 2 }
+        verify(pos(0), flag("payloads"), out)
+      case "benchmark" =>
+        if (pos.isEmpty) { usage(out); return 2 }
+        benchmark(pos.toSeq, flag("parse-http"), flagVal("filter-type"), out)
+        0
+      case other =>
+        out.println(s"unknown subcommand: $other"); usage(out); 2
+    } catch {
+      case e: Exception => out.println(s"error: ${e.getMessage}"); 1
+    }
+  }
+
+  private def usage(out: PrintStream): Unit = out.println(
+    """usage: graft.tools.Cli <subcommand> [args]
+      |  index <files...> [--fields=offset,length,filename,warc-type,warc-target-uri,http:status,...]
+      |  extract <file> <offset> [--payload | --headers]
+      |  recompress <infile> <outfile> [--codec=gzip|lz4|none] [--checksum]
+      |  verify <file> [--payloads]
+      |  benchmark <files...> [--parse-http] [--filter-type=response]""".stripMargin)
+
+  private def open(path: String): (java.io.InputStream, WarcCodecs.Codec) =
+    WarcCodecs.openWithName(new FileInputStream(path), path)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** CDXJ-style JSON lines with a configurable field list — `offset`,
+    * `length`, `filename`, `http:status`, `http:<header>` or any WARC
+    * header name (cli.py:225-253 field semantics; the w07 query is the
+    * distributed analog).
+    */
+  private def index(path: String, fields: Seq[String], out: PrintStream): Unit = {
+    val (in, _) = open(path)
+    val reader = new WarcByteReader(in)
+    val parser = new WarcParser(reader, path)
+    // like the reference (cli.py:275-284) and the w07 lead() window, a
+    // record's indexed length is the distance to the NEXT record's
+    // offset (stream end for the last one) — it includes the trailing
+    // record separator the in-record accounting excludes
+    def emit(rec: WarcRecord, nextOffset: Long): Unit = {
+      val kvs = fields.flatMap { f =>
+        val v: Option[String] = f match {
+          case "offset" => Some(rec.offset.toString)
+          case "length" => Some((nextOffset - rec.offset).toString)
+          case "filename" => Some(path)
+          case "http:status" => rec.http.flatMap(_.status).map(_.toString)
+          case h if h.startsWith("http:") => rec.http.flatMap(_.headers.get(h.drop(5)))
+          case h => rec.headers.get(h)
+        }
+        v.map { value =>
+          val quoted = if (f == "offset" || f == "length") value else jsonStr(value)
+          s"${jsonStr(f)}: $quoted"
+        }
+      }
+      out.println(kvs.mkString("{", ", ", "}"))
+    }
+    try {
+      var prev: WarcRecord = null
+      parser.foreach { rec =>
+        if (prev != null) emit(prev, rec.offset)
+        prev = rec
+      }
+      if (prev != null) emit(prev, reader.position)
+    } finally in.close()
+  }
+
+  /** Point lookup by stream offset (cli.py:185-223; w22's
+    * WarcPointLookup is the same kernel).
+    */
+  private def extract(path: String, offset: Long, payload: Boolean,
+      headersOnly: Boolean, out: PrintStream): Int =
+    WarcPointLookup.extract(path, offset) match {
+      case None => out.println(s"no record at offset $offset"); 1
+      case Some(rec) =>
+        val os: OutputStream = out
+        if (payload) os.write(rec.http.map(_.body).getOrElse(rec.content))
+        else {
+          rec.headers.entries.foreach { case (k, v) => out.println(s"$k: $v") }
+          out.println()
+          if (!headersOnly) os.write(rec.content)
+        }
+        os.flush()
+        0
+    }
+
+  /** Block (and optionally payload) digest verification report
+    * (cli.py:110-183; the w03 query is the distributed analog). Exit 1
+    * when any verifiable digest fails.
+    */
+  private def verify(path: String, payloads: Boolean, out: PrintStream): Int = {
+    val (in, _) = open(path)
+    val parser = new WarcParser(new WarcByteReader(in), path)
+    var n = 0L
+    var noDigest = 0L
+    var ok = 0L
+    var failed = 0L
+    try parser.foreach { rec =>
+      n += 1
+      val block = rec.blockDigestOk
+      val pay = if (payloads) rec.payloadDigestOk else None
+      (block, pay) match {
+        case (None, None) => noDigest += 1
+        case (b, p) =>
+          if (b.contains(false) || p.contains(false)) {
+            failed += 1
+            out.println(s"FAIL offset=${rec.offset} type=${rec.recordType}" +
+              s" block=${b.map(_.toString).getOrElse("-")}" +
+              s" payload=${p.map(_.toString).getOrElse("-")}")
+          } else ok += 1
+      }
+    } finally in.close()
+    out.println(s"$n records: $ok verified, $failed failed, $noDigest without digests")
+    if (failed > 0) 1 else 0
+  }
+
+  /** Plain scan-throughput benchmark (cli.py:352-420): records/s for an
+    * envelope(+http) pass over local files.
+    */
+  private def benchmark(paths: Seq[String], parseHttp: Boolean,
+      filterType: Option[String], out: PrintStream): Unit = {
+    val mask = filterType.map(t => RecordType.maskOf(Seq(t)))
+      .getOrElse(RecordType.AnyType)
+    val t0 = System.nanoTime()
+    var n = 0L
+    var bytes = 0L
+    paths.foreach { p =>
+      val (in, _) = open(p)
+      val parser = new WarcParser(new WarcByteReader(in), p,
+        WarcParseOptions(recordTypeMask = mask, parseHttp = parseHttp))
+      try parser.foreach { rec => n += 1; bytes += rec.contentLength }
+      finally in.close()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    out.println(f"$n records ($bytes content bytes) in $sec%.3f s = ${n / sec}%.0f records/s")
+  }
+}

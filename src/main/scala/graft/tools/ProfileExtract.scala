@@ -70,5 +70,22 @@ object ProfileExtract {
       }
       acc
     }
+    // the classifier path is DOM-only (ineligible for streaming): real
+    // pipelines run main_content=true, so it needs its own number
+    val mainOpts = graft.html.Html2Text.Options(mainContent = true)
+    time("main-content extract") {
+      var acc = 0L
+      decoded.foreach(h => acc += graft.html.Html2Text.extract(
+        graft.html.HtmlTree.parse(h), mainOpts).length)
+      acc
+    }
+    time("main-content (bytes)") {
+      var acc = 0L
+      rows.foreach { case (b, cs) =>
+        acc += graft.html.Html2Text.extractFromHtml(
+          graft.html.HtmlTree.decodeForParse(b, cs), mainOpts).length
+      }
+      acc
+    }
   }
 }

@@ -1,0 +1,108 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.Charset
+
+/** Enumerates the ICU-detector behavior over a generated non-UTF-8
+  * corpus with KNOWN ground-truth encodings, pinning the agreeing cases
+  * as regression locks and making the divergence set explicit (SURVEY §7
+  * item 5 accepts detector-level drift from the reference's uchardet —
+  * `resiliparse-py/resiliparse/parse/encoding.pyx:196-258` — but the
+  * accepted deltas must be enumerated, not implied). README's
+  * "Encoding detection deltas" table mirrors this spec; a jar upgrade
+  * that shifts ICU's answers fails here first.
+  *
+  * Measured divergence set (everything else agrees exactly with the
+  * canonicalized ground truth):
+  *  - GBK simplified-Chinese text detects as gb18030 — a strict decode
+  *    SUPERSET of GBK, so every byte decodes to the same text;
+  *  - pure-ASCII text detects as cp1252 (uchardet says ASCII) — the two
+  *    decode identically on ASCII bytes, a label-only divergence.
+  */
+class EncodingDivergenceSpec extends AnyFunSuite {
+
+  // deterministic samples, long enough for statistical detection (the
+  // detector reads head+tail samples; short inputs are ambiguous for
+  // EVERY detector, uchardet included)
+  private val samples: Seq[(String, String)] = Seq(
+    // (ground-truth encoding label, text)
+    ("windows-1251",
+      "Широкая электрификация южных губерний даст мощный толчок подъёму " +
+      "сельского хозяйства. Съешь же ещё этих мягких французских булок да " +
+      "выпей чаю. В чащах юга жил бы цитрус? Да, но фальшивый экземпляр!" * 3),
+    ("koi8-r",
+      "Широкая электрификация южных губерний даст мощный толчок подъёму " +
+      "сельского хозяйства. Съешь же ещё этих мягких французских булок да " +
+      "выпей чаю." * 3),
+    ("iso-8859-7",
+      "Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί. " +
+      "Ξεσκεπάζω την ψυχοφθόρα βδελυγμία. Θέλει αρετή και τόλμη η ελευθερία." * 4),
+    ("gbk",
+      "汉语是联合国的工作语言之一。中文书写系统历史悠久，使用汉字记录语言。" +
+      "北京是中华人民共和国的首都，上海是重要的经济中心。" * 5),
+    ("big5",
+      "漢語是聯合國的工作語言之一。中文書寫系統歷史悠久，使用漢字記錄語言。" +
+      "臺北是重要的城市，高雄是重要的港口。" * 5),
+    ("shift_jis",
+      "日本語の表記体系は漢字、ひらがな、カタカナを組み合わせて使用します。" +
+      "東京は日本の首都であり、世界最大の都市圏を形成しています。" * 5),
+    ("euc-jp",
+      "日本語の表記体系は漢字、ひらがな、カタカナを組み合わせて使用します。" +
+      "東京は日本の首都であり、世界最大の都市圏を形成しています。" * 5),
+    ("euc-kr",
+      "한국어는 한반도에서 사용되는 언어입니다. 한글은 세종대왕이 창제한 " +
+      "문자 체계로, 자음과 모음을 조합하여 음절을 만듭니다." * 5),
+    ("windows-1252",
+      "Le cœur déçu mais l'âme plutôt naïve, Louÿs rêva de crapaüter en " +
+      "canoë au delà des îles, près du mälström où brûlent les novæ. " +
+      "Falsches Üben von Xylophonmusik quält jeden größeren Zwerg." * 4),
+    ("utf-8",
+      "Mixed scripts: Привет мир, 你好世界, こんにちは世界, 안녕 세계, " +
+      "γειά σου κόσμε, مرحبا بالعالم — all in one UTF-8 document." * 4),
+    ("utf-16le", "plain ascii payload in utf-16 little endian" * 8),
+  )
+
+  private def encode(text: String, enc: String): Array[Byte] = enc match {
+    case "utf-16le" => text.getBytes(Charset.forName("UTF-16LE"))
+    case other => text.getBytes(Encodings.javaCharset(
+      Encodings.mapToHtml5(other, fallbackUtf8 = false).getOrElse(other)).get)
+  }
+
+  test("detector pins canonical ground truth on the agreeing corpus") {
+    samples.filterNot(_._1 == "gbk").foreach { case (truth, text) =>
+      val canon = Encodings.mapToHtml5(truth, fallbackUtf8 = false).get
+      val detected = Encodings.detectEncoding(encode(text, truth))
+      assert(detected.contains(canon), s"$truth: expected $canon, got $detected")
+    }
+  }
+
+  test("divergence set is exactly the documented table") {
+    // delta 1: gbk detects as its decode-superset gb18030
+    val gbk = samples.find(_._1 == "gbk").get
+    val gbkBytes = encode(gbk._2, "gbk")
+    assert(Encodings.detectEncoding(gbkBytes).contains("gb18030"))
+    // superset property in effect: both labels decode to identical text
+    assert(Encodings.bytesToStr(gbkBytes, "gbk") ==
+      Encodings.bytesToStr(gbkBytes, "gb18030"))
+
+    // delta 2: pure ASCII detects as cp1252 (uchardet: ASCII) —
+    // decode-identical on ASCII bytes
+    val ascii = "plain ascii text with no high bytes at all, " * 10
+    val asciiBytes = ascii.getBytes(Charset.forName("US-ASCII"))
+    assert(Encodings.detectEncoding(asciiBytes).contains("cp1252"))
+    assert(Encodings.bytesToStr(asciiBytes, "cp1252") == ascii)
+  }
+
+  /** Every sample decodes losslessly under its DETECTED encoding — the
+    * property the pipeline actually relies on: a divergent label is
+    * acceptable iff bytesToStr still yields the same usable text.
+    */
+  test("detected encodings keep the decode ladder lossless") {
+    samples.foreach { case (truth, text) =>
+      val bytes = encode(text, truth)
+      val detected = Encodings.detectEncoding(bytes).getOrElse("utf-8")
+      val decoded = Encodings.bytesToStr(bytes, detected)
+      assert(decoded == text, s"$truth via $detected")
+    }
+  }
+}

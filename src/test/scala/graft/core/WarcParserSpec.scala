@@ -150,9 +150,15 @@ class WarcParserSpec extends AnyFunSuite {
     assert(WarcParser.parseHttpDate("Sun, 06 Nov 1994 08:49:37 GMT").contains(want))
     assert(WarcParser.parseHttpDate("Sunday, 06-Nov-94 08:49:37 GMT").contains(want))
     assert(WarcParser.parseHttpDate("Sun Nov  6 08:49:37 1994").contains(want))
-    // two-digit RFC-850 years pivot at 1970 (94 -> 1994, 05 -> 2005)
+    // two-digit RFC-850 years use the email.utils pivot: yy>68 -> 1900s,
+    // else 2000s (so '69' is 1969 and '68' is 2068, matching the
+    // reference's parsedate_to_datetime exactly)
     assert(WarcParser.parseHttpDate("Thursday, 06-Jan-05 08:49:37 GMT")
       .contains(java.time.Instant.parse("2005-01-06T08:49:37Z")))
+    assert(WarcParser.parseHttpDate("Wednesday, 01-Jan-69 00:00:00 GMT")
+      .contains(java.time.Instant.parse("1969-01-01T00:00:00Z")))
+    assert(WarcParser.parseHttpDate("Sunday, 01-Jan-68 00:00:00 GMT")
+      .contains(java.time.Instant.parse("2068-01-01T00:00:00Z")))
     assert(WarcParser.parseHttpDate("not a date").isEmpty)
     assert(WarcParser.parseHttpDate("").isEmpty)
   }

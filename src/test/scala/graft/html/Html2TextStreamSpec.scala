@@ -86,6 +86,43 @@ class Html2TextStreamSpec extends AnyFunSuite {
     soups.zipWithIndex.foreach { case (s, i) => diff(s"soup $i", s) }
   }
 
+  test("tree-rule trigger inputs fall back to the DOM path and still match") {
+    // every input here trips a Bail trigger (adoption agency, foster
+    // parenting, nested table, clear-back residue) — extract() must
+    // transparently restart on the DOM path and stay byte-identical
+    val triggers = Seq(
+      "<b>1<div>2</b>3</div>",
+      "<b><i>bold italic</b>just italic</i>plain",
+      "<p><b>x</p><p>reconstructed</p>",
+      "<a href='1'>one<a href='2'>two</a>",
+      "<table><tr><td>A</td></tr>stray</table>after",
+      "<table>foo<tr><td>bar</td></tr></table>",
+      "<div><table><b>fostered</b><tr><td>x</td></tr></table></div>",
+      "<table><tr><td>a</td></tr><table><tr><td>b</td></tr></table>",
+      "<table><b>x<tr><td>y</td></tr></table>z",
+      "<ul><li><b>item<li>still bold?</ul>",
+      "<table><form><tr><td>x</td></tr></form></table>",
+    )
+    triggers.zipWithIndex.foreach { case (s, i) => diff(s"trigger $i", s) }
+  }
+
+  test("trigger-free documents take the pure streaming path") {
+    // extractStreaming throws on a Bail trigger; these must NOT throw —
+    // the fast path is the perf story, so losing it silently would be a
+    // regression even with correct fallback output
+    val clean = Seq(
+      GoldenDoc.html,
+      "<p>unclosed <b>bold <i>italic",
+      "<table><tr><td>a<td>b<tr><td>c</table>",
+      "<td><b>x</td>y",
+      "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>1</td></tr></tbody></table>",
+      "<b>ok</b> <i>fine</i>",
+    )
+    clean.foreach { s =>
+      Html2TextStream.extractStreaming(s, Options()) // must not Bail
+    }
+  }
+
   test("eligibility gates the DOM-only options") {
     assert(!Html2TextStream.eligible(Options(mainContent = true)))
     assert(!Html2TextStream.eligible(Options(formatting = Html2Text.FormatMinimalHtml)))

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+/** The CLI front door against the fixture archive: each subcommand's
+  * output must agree with the corresponding oracle-gated query
+  * (index <-> w07, extract <-> w22, recompress <-> w23, verify <-> w03,
+  * benchmark <-> w17's corpus scan).
+  */
+class CliSpec extends AnyFunSuite {
+
+  private val Fixture = "/root/reference/tests/data/warcfile.warc"
+  private val FixtureGz = "/root/reference/tests/data/warcfile.warc.gz"
+
+  private def run(args: String*): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val ps = new PrintStream(bos, true, "UTF-8")
+    val code = Cli.run(args.toArray, ps)
+    ps.flush()
+    (code, bos.toString("UTF-8"))
+  }
+
+  test("index emits one CDXJ line per record with the w07 offsets") {
+    val (code, out) = run("index", Fixture, "--fields=offset,length,warc-type")
+    assert(code == 0)
+    val lines = out.trim.split("\n").toSeq
+    assert(lines.size == 50)
+    // first three records match the w07 oracle's pinned rows
+    assert(lines(0) == """{"offset": 0, "length": 764, "warc-type": "warcinfo"}""")
+    assert(lines(1) == """{"offset": 764, "length": 664, "warc-type": "request"}""")
+    assert(lines(2) == """{"offset": 1428, "length": 37164, "warc-type": "response"}""")
+  }
+
+  test("index resolves http: fields") {
+    val (code, out) = run("index", Fixture,
+      "--fields=offset,http:status,http:last-modified")
+    assert(code == 0)
+    val lines = out.trim.split("\n").toSeq
+    assert(lines.size == 50)
+    // 16 responses with an HTTP status; 5 of them carry Last-Modified
+    assert(lines.count(_.contains("\"http:status\"")) == 16)
+    assert(lines.count(_.contains("\"http:last-modified\"")) == 5)
+  }
+
+  test("extract dumps the record at a CDXJ offset") {
+    val (code, out) = run("extract", Fixture, "1428", "--headers")
+    assert(code == 0)
+    assert(out.contains("WARC-Type: response"))
+    assert(out.contains("WARC-Target-URI:"))
+  }
+
+  test("extract at a bogus offset fails cleanly") {
+    val (code, _) = run("extract", Fixture, "999999999")
+    assert(code == 1)
+  }
+
+  test("recompress round-trips all records with fresh digests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toFile
+    val outPath = new java.io.File(dir, "re.warc.gz").getAbsolutePath
+    val (code, out) = run("recompress", FixtureGz, outPath,
+      "--codec=gzip", "--checksum")
+    assert(code == 0)
+    assert(out.contains("50 records"))
+    // the recompressed archive verifies end to end
+    val (vcode, vout) = run("verify", outPath)
+    assert(vcode == 0, vout)
+    assert(vout.contains("50 records: 50 verified, 0 failed"))
+  }
+
+  test("verify reports the fixture's digested responses") {
+    val (code, out) = run("verify", Fixture)
+    assert(code == 0, out)
+    // 16 responses carry digests (w03); the other 34 records have none
+    assert(out.contains("50 records: 16 verified, 0 failed, 34 without digests"))
+  }
+
+  test("benchmark scans and reports throughput") {
+    val (code, out) = run("benchmark", FixtureGz, "--filter-type=response")
+    assert(code == 0)
+    assert(out.contains("16 records"))
+  }
+
+  test("bad usage exits 2") {
+    assert(run()._1 == 2)
+    assert(run("frobnicate")._1 == 2)
+    assert(run("extract", Fixture)._1 == 2)
+  }
+}

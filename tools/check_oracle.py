@@ -89,8 +89,10 @@ def main(sf_dir, out_dir, json_out=None):
             results[name] = "no-oracle (rows-only check)"
     print(f"== {n_pass} pass / {n_fail} fail ==")
     if json_out:
+        # `describe --dirty` so a summary generated from an uncommitted
+        # tree is distinguishable from one at a clean commit
         try:
-            head = subprocess.run(["git", "rev-parse", "HEAD"],
+            head = subprocess.run(["git", "describe", "--always", "--dirty"],
                                   capture_output=True, text=True).stdout.strip()
         except Exception:
             head = "unknown"
@@ -103,10 +105,11 @@ def main(sf_dir, out_dir, json_out=None):
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    main(argv[0], argv[1], json_out)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", help="testdata dir with the parquet tables")
+    ap.add_argument("out_dir", help="graft.Verify output dir")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="also write a machine-readable summary here")
+    args = ap.parse_args()
+    main(args.sf_dir, args.out_dir, args.json_out)
