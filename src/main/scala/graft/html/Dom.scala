@@ -138,6 +138,7 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
 
   def insertBefore(c: DomNode, ref: DomNode): DomNode = {
     if (ref == null) return appendChild(c)
+    if (c eq ref) return c // "before itself" is a no-op, never a self-loop
     if (c.parent != null) c.parent.removeChild(c)
     c.parent = this
     c.next = ref

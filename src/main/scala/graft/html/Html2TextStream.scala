@@ -331,7 +331,8 @@ object Html2TextStream {
       if (visited) emitTag(name, attrs, depth, isEnd = false)
 
       val isVoid = Serializer.VoidElements.contains(name)
-      if (!isVoid && !selfClosing) {
+      // self-closing honored only on void/foreign elements, like the parser
+      if (!isVoid && !(selfClosing && inForeign)) {
         val o = new Open(name, depth, attrs, visited)
         if (stack.size < MaxDepth) stack += o
         // beyond MaxDepth the DOM attaches children flat at the cap: the
@@ -448,8 +449,9 @@ object Html2TextStream {
           i = afterTag
           handleStartTag(name, attrs, selfClosing) match {
             case Some(rawEl) =>
-              val endTag = "</" + rawEl.tag
-              val j = indexOfAsciiIgnoreCase(input, endTag, i)
+              // plaintext has no end tag: everything to EOF is literal
+              val j = if (rawEl.tag == "plaintext") -1
+                else indexOfAsciiIgnoreCase(input, "</" + rawEl.tag, i)
               val contentEnd = if (j < 0) n else j
               var s0 = i
               if (rawEl.tag == "textarea") {

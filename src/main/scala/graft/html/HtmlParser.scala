@@ -125,14 +125,22 @@ private[html] object TagNames {
 object HtmlParser {
 
   private[html] val HeadContent = Set("title", "base", "link", "meta", "style", "script", "noscript", "template")
-  private[html] val RawText = Set("script", "style", "xmp", "noframes")
+  /** Raw-text elements (contents never tokenized as markup, no entity
+    * decoding). Per spec this includes iframe and noembed; plaintext is
+    * the degenerate case whose "contents" run to EOF (no end tag exists).
+    */
+  private[html] val RawText = Set("script", "style", "xmp", "noframes",
+    "iframe", "noembed", "plaintext")
   private[html] val RcData = Set("title", "textarea")
 
-  /** Elements whose start tag implicitly closes an open <p>. */
-  private[html] val ClosesP = Set("address", "article", "aside", "blockquote", "details",
-    "div", "dl", "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
-    "h3", "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p", "pre",
-    "section", "table", "ul")
+  /** Elements whose start tag implicitly closes an open <p> (the spec's
+    * close-a-p-element groups in the in-body insertion mode).
+    */
+  private[html] val ClosesP = Set("address", "article", "aside", "blockquote",
+    "center", "details", "dialog", "dir", "div", "dl", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header",
+    "hgroup", "hr", "listing", "main", "menu", "nav", "ol", "p", "plaintext",
+    "pre", "search", "section", "summary", "table", "ul", "xmp")
 
   /** tag -> set of open tags its start implicitly closes (nearest first). */
   private[html] val ImplicitClose: Map[String, Set[String]] = Map(
@@ -331,6 +339,21 @@ object HtmlParser {
       aa.forall { case (k, v) => ba.get(k).contains(v) }
     }
 
+    /** Whether `a` is `n` or one of n's ancestors (cycle guard for the
+      * adoption agency's reparenting steps). The walk is bounded so a
+      * latent cycle can never spin the guard itself.
+      */
+    def isAncestorOf(a: DomNode, n: DomNode): Boolean = {
+      var p = n
+      var steps = 0
+      while (p != null && steps < 4 * MaxDepth) {
+        if (p eq a) return true
+        p = p.parent
+        steps += 1
+      }
+      steps >= 4 * MaxDepth // over-deep/cyclic chain: refuse the reparent
+    }
+
     def cloneShallow(src: DomNode): DomNode = {
       budget()
       val c = new DomNode(NodeType.Element, src.tag)
@@ -485,9 +508,34 @@ object HtmlParser {
             }
           }
         }
-        // place lastNode under the common ancestor (foster-aware)
-        if (fosterNeeded(commonAncestor)) fosterInsert(lastNode)
-        else commonAncestor.appendChild(lastNode)
+        // place lastNode under the common ancestor (foster-aware). The
+        // spec algorithm assumes stack order mirrors tree ancestry, but
+        // foster parenting breaks that invariant in a tolerant parser —
+        // if the ACTUAL insertion target sits inside lastNode's subtree,
+        // the reparent would make a node its own ancestor (a cycle that
+        // turns every traversal into an infinite loop; found by the
+        // differential fuzzer). Compute the real target (the foster
+        // point when the ancestor is table structure) and guard THAT;
+        // on a would-be cycle, reattach lastNode at the body instead so
+        // the clone chain is never silently dropped from the document.
+        val (tgt, ref): (DomNode, DomNode) =
+          if (fosterNeeded(commonAncestor)) {
+            val ti = stack.lastIndexWhere(_.tag == "table")
+            val table = stack(ti)
+            if (table.parent != null) (table.parent, table)
+            else if (ti > 0) (stack(ti - 1), null)
+            else (if (inBody) bodyEl else headEl, null)
+          } else (commonAncestor, null)
+        if (ref eq lastNode) {
+          // the furthest block IS the foster table: it already sits at
+          // its own insertion point — inserting a node before itself
+          // would self-loop the sibling list
+        } else if (!isAncestorOf(lastNode, tgt)) {
+          if (ref != null) tgt.insertBefore(lastNode, ref)
+          else tgt.appendChild(lastNode)
+        } else if (!isAncestorOf(lastNode, if (inBody) bodyEl else headEl)) {
+          (if (inBody) bodyEl else headEl).appendChild(lastNode)
+        }
         // move the furthest block's children into a clone of fmtEl
         val fclone = cloneShallow(fmtEl)
         var ch = furthest.firstChild
@@ -620,8 +668,9 @@ object HtmlParser {
               // the whole input, which both costs a full-document
               // allocation and can shift offsets for locale-sensitive
               // uppercase code points like U+0130)
-              val endTag = "</" + rawEl.tag
-              val j = indexOfAsciiIgnoreCase(input, endTag, i)
+              // plaintext has no end tag: everything to EOF is literal
+              val j = if (rawEl.tag == "plaintext") -1
+                else indexOfAsciiIgnoreCase(input, "</" + rawEl.tag, i)
               val contentEnd = if (j < 0) n else j
               var raw = input.substring(i, contentEnd)
               // HTML5: drop the single newline right after <textarea>
@@ -717,7 +766,10 @@ object HtmlParser {
       attrs.foreach { case (k, v) => if (!el.attrs.contains(k)) el.attrs(k) = v }
       insertElementNode(el)
       val isVoid = Serializer.VoidElements.contains(name)
-      if (!isVoid && !selfClosing) {
+      // the self-closing slash is honored only on void and FOREIGN
+      // elements (spec: on HTML elements it is a parse error and
+      // ignored — browsers keep `<div/>` open)
+      if (!isVoid && !(selfClosing && inForeign)) {
         if (stack.size < MaxDepth) {
           stack += el
           el.onStack = true

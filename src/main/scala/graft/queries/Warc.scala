@@ -662,10 +662,15 @@ object Warc {
          ORDER BY enc""",
     "w11_warc_decoded_text" ->
       """SELECT CAST(471175 AS BIGINT) AS total_chars, CAST(16 AS BIGINT) AS n""",
+    // round 8: two pages each lost one a[href] vs the earlier pin — those
+    // anchors sit inside <iframe> fallback bodies, which the spec (and
+    // the reference's lexbor backend) parses as RAW TEXT, not elements;
+    // the parser now follows that rule, so the counts moved TOWARD the
+    // reference
     "w12_warc_html" ->
       """SELECT CAST(title_len AS INT) AS title_len, CAST(n_links AS INT) AS n_links,
          CAST(n_divs AS INT) AS n_divs FROM (VALUES
-         (8,60,25),(14,84,26),(15,73,31),(17,8,56),(20,76,49),(23,93,47),
+         (8,60,25),(14,84,26),(15,73,31),(17,8,56),(20,75,49),(23,92,47),
          (29,22,26),(30,86,19),(31,34,30),(31,35,24),(33,179,75),(38,70,27),
          (44,280,107),(54,83,18),(61,34,30),(86,196,154))
          t(title_len, n_links, n_divs) ORDER BY title_len, n_links""",

@@ -82,6 +82,10 @@ class Html2TextStreamSpec extends AnyFunSuite {
       "<h1>h</h1><blockquote>q</blockquote><dd>d</dd><dt>t</dt>",
       "a<b>b</b ", // truncated end tag
       "<p att=>empty attr</p><p att='>unclosed quote",
+      "<div/>self-closing div stays open</div>after",
+      "<iframe><a href=x>raw, not a link</a></iframe>visible",
+      "<p>before<plaintext><b>literal</b> to eof",
+      "<center>old-school</center><dialog>d</dialog><p>p<listing>l</listing>",
     )
     soups.zipWithIndex.foreach { case (s, i) => diff(s"soup $i", s) }
   }

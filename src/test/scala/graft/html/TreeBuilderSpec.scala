@@ -61,6 +61,41 @@ class TreeBuilderSpec extends AnyFunSuite {
     assert(bodyHtml(html) == "<p><b><b><b><b>x</b></b></b></b></p><b><b><b>y</b></b></b>")
   }
 
+  // — adoption agency: html5lib-tests adoption01 classics (expected
+  //   trees verified against the WHATWG algorithm's mechanical result;
+  //   these exercise the multi-iteration outer loop and the clone
+  //   bookkeeping the simple goldens above don't) —
+
+  test("AAA: nested <a> inside a block splits around the block (adoption01 #1)") {
+    // outer-loop iteration 2 closes the clone, so Y's <a> is a SIBLING
+    // of the X-wrapping clone, not its child
+    assert(bodyHtml("<a><p>X<a>Y</a>Z</p></a>") ==
+      "<a></a><p><a>X</a><a>Y</a>Z</p>")
+  }
+
+  test("AAA: button as furthest block; following text lands in the button") {
+    assert(bodyHtml("<b><button>foo</b>bar") ==
+      "<b></b><button><b>foo</b>bar</button>")
+  }
+
+  test("AAA: interleaved b/i misnest inside a paragraph") {
+    assert(bodyHtml("<p>1<b>2<i>3</b>4</i>5</p>") ==
+      "<p>1<b>2<i>3</i></b><i>4</i>5</p>")
+  }
+
+  test("AAA: italic residue reconstructs across paragraphs and after close") {
+    assert(bodyHtml("<i><p>one</i>two<i>three</p>four") ==
+      "<i></i><p><i>one</i>two<i>three</i></p><i>four</i>")
+  }
+
+  test("AAA: inner-loop node counter drops the 4th formatting element") {
+    // walking up from the <div> furthest block: span (not formatting,
+    // dropped from the stack), s and u cloned into the chain, em hits
+    // the >3 inner counter and is dropped from the list entirely
+    assert(bodyHtml("<b><em><u><s><span><div>X</b>Y") ==
+      "<b><em><u><s><span></span></s></u></em></b><u><s><div><b>X</b>Y</div></s></u>")
+  }
+
   // — foster parenting —
 
   test("foster: stray text after a row moves before the table") {
@@ -126,6 +161,39 @@ class TreeBuilderSpec extends AnyFunSuite {
     val t = HtmlTree.parse("<head><template><p>x</p></template></head><body>y")
     assert(t.head.childNodes.map(_.tag) == Vector("template"))
     assert(t.body.text == "y")
+  }
+
+  // — tokenizer-level spec behaviors (round 8) —
+
+  test("self-closing slash is ignored on HTML elements") {
+    // browsers keep <div/> and <span/> OPEN; only void and foreign
+    // elements honor the slash
+    assert(bodyHtml("<div/>inside</div>after") == "<div>inside</div>after")
+    assert(bodyHtml("<span/>x</span>y") == "<span>x</span>y")
+    assert(bodyHtml("<br/>z") == "<br>z")
+  }
+
+  test("self-closing still honored in foreign (svg) content") {
+    val t = HtmlTree.parse("<svg><circle/><rect/></svg>")
+    val svg = t.body.firstElementChild
+    assert(svg.tag == "svg")
+    assert(svg.childNodes.map(_.tag) == Vector("circle", "rect"))
+  }
+
+  test("iframe and noembed contents are raw text") {
+    val t = HtmlTree.parse("<iframe><p>fallback</p></iframe>")
+    val ifr = t.body.firstElementChild
+    assert(ifr.tag == "iframe")
+    assert(ifr.firstChild != null && ifr.firstChild.isText)
+    assert(ifr.firstChild.value == "<p>fallback</p>")
+  }
+
+  test("plaintext consumes everything to EOF literally") {
+    val t = HtmlTree.parse("<p>before</p><plaintext><b>not bold</b></plaintext>still text")
+    val pt = t.body.lastElementChild
+    assert(pt.tag == "plaintext")
+    assert(pt.firstChild.isText)
+    assert(pt.firstChild.value == "<b>not bold</b></plaintext>still text")
   }
 
   // — regression: trigger-free documents keep the old tree —
