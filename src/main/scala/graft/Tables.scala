@@ -16,9 +16,17 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for; read it as raw long nanos and truncate to micros (integer div —
-    * a double division would lose precision on 1.7e18-scale epochs).
+  /** events.ts has shipped as two physical parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (no native Spark type — surfaces as a
+    * raw long of epoch nanos under nanosAsLong) and plain timestamp[us]
+    * (surfaces as TIMESTAMP_NTZ under inferTimestampNTZ, or TIMESTAMP
+    * otherwise). Branch on the ACTUAL loaded dtype so either generation
+    * reads correctly; downstream queries always see session-tz TIMESTAMP.
+    *
+    * nanos → micros uses integer div (a double division would lose
+    * precision on 1.7e18-scale epochs). NTZ → LTZ is wall-clock-preserving
+    * under the UTC session timezone set in Verify/Bench, matching what the
+    * DuckDB oracle computes from the naive timestamp[us] column.
     *
     * nanosAsLong is ALSO set at session build in Verify/Bench; the set here
     * is a safety net for externally-built sessions. It only affects
@@ -26,10 +34,17 @@ object Tables {
     * so it cannot change semantics of other reads.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000L")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-loaded type $other")
+    }
   }
   /** The per-document/per-embedding kernels (simhash, minhash, lang
     * detect, ANN) are CPU-bound, but the test corpus is ONE small parquet

@@ -555,11 +555,17 @@ object Warc {
       val dir = graft.sources.BenchCorpus.ensure(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
         files = 16, copiesPerFile = 100)
+      // NO filter between the extraction projection and the downstream
+      // select: a `text IS NOT NULL` filter here gets predicate-pushed
+      // below the projection, and with no cross-operator subexpression
+      // elimination the full decode->parse->extract kernel runs TWICE
+      // per page (round-8 plan audit). Null texts (mem-guard breach
+      // only) instead flow to a null-fp group that the final aggregate
+      // gates out.
       val perPage = s.read.format("warc")
         .option("record_types", "response")
         .load(dir)
         .select(Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
-        .filter(col("text").isNotNull)
         .select(md5(col("text")).as("fp"),
           Web.detectLang(col("text")).getField("lang").as("lang"),
           (graft.functions.TextAnalysis.tokenCount(col("text")) >= 50).cast("int")
@@ -569,8 +575,11 @@ object Warc {
           max(col("lang")).as("lang"),
           max(col("long_enough")).as("qual"))
       val v = conv(substring(col("fp"), 1, 2), 16, 10).cast("long")
+      // null-fp group = extraction-failed pages; only n_pages needs an
+      // explicit gate (every other aggregate is already null-gated via
+      // qual, which is null for that group)
       perFp.agg(
-        sum(col("copies")).as("n_pages"),
+        sum(when(col("fp").isNotNull, col("copies"))).as("n_pages"),
         sum(col("copies") * col("qual")).as("n_quality_pages"),
         sum(col("qual")).as("n_unique_docs"),
         count_distinct(when(col("qual") === 1, col("lang"))).as("n_langs"),
