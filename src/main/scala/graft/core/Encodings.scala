@@ -212,6 +212,9 @@ object Encodings {
     val candidates = (primary +: fallbackEncodings.map(f =>
       mapToHtml5(f, fallbackUtf8 = false).getOrElse(f))).distinct
     candidates.foreach { canon =>
+      // guard cancellation point between decode attempts: each attempt
+      // over a large body is a multi-MB allocation burst
+      MemGuard.poll()
       effectiveCharset(canon, data).foreach { cs =>
         val d = if (stripBom) stripBomBytes(data, canon) else data
         decodeStrict(d, cs) match {

@@ -88,7 +88,7 @@ object WarcRetry {
   */
 object TimeGuard {
 
-  private lazy val watchdog = {
+  private[core] lazy val watchdog = {
     val t = java.util.concurrent.Executors.newScheduledThreadPool(1, r => {
       val th = new Thread(r, "graft-timeguard")
       th.setDaemon(true)
@@ -123,6 +123,73 @@ object TimeGuard {
       case _: InterruptedException => Left(s"time guard: exceeded ${maxMillis}ms")
       case e: Throwable =>
         if (firedNow) Left(s"time guard: exceeded ${maxMillis}ms")
+        else Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      lock.synchronized { done = true }
+      task.cancel(false)
+      Thread.interrupted() // clear any interrupt that landed before `done`
+    }
+  }
+}
+
+/** Per-record MEMORY containment beyond the static budgets (node count,
+  * decode cap): runs a kernel under an allocation budget, sampled from
+  * the JVM's per-thread allocated-bytes counter by the shared watchdog,
+  * interrupting the worker on breach (reference MemGuard semantics,
+  * process_guard.pyx:184-533 — the resident-size watchdog re-expressed
+  * for a shared-JVM executor, where per-thread allocation is the only
+  * attribution of one record's expansion that doesn't blame neighbors).
+  *
+  * Like the reference's process_guard this is OPT-IN per call site (the
+  * default extraction path keeps its free static budgets); kernels
+  * cooperate by polling [[MemGuard.poll]] between allocation phases.
+  */
+object MemGuard {
+
+  private val threadMx: com.sun.management.ThreadMXBean =
+    java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+
+  /** Cheap cooperative cancellation point for kernels (one volatile
+    * read): throws when a guard (time or memory) has interrupted the
+    * worker. Does NOT clear the flag — the guard wrapper owns that.
+    */
+  @inline def poll(): Unit =
+    if (Thread.currentThread().isInterrupted)
+      throw new InterruptedException("kernel interrupted by guard")
+
+  /** Either the result or an error message when the kernel allocates
+    * more than `maxBytes` (sampled every `sampleMillis`; detection lag
+    * is one sample, so the true bound is maxBytes + one sample's worth
+    * of allocation — containment, not accounting).
+    */
+  def allocationLimited[T](maxBytes: Long, sampleMillis: Long = 20)(f: => T): Either[String, T] = {
+    if (!threadMx.isThreadAllocatedMemorySupported)
+      return try Right(f) catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    val worker = Thread.currentThread()
+    val start = threadMx.getThreadAllocatedBytes(worker.getId)
+    val lock = new Object
+    var done = false
+    var fired = false
+    val task = TimeGuard.watchdog.scheduleWithFixedDelay(new Runnable {
+      override def run(): Unit = lock.synchronized {
+        if (!done && threadMx.getThreadAllocatedBytes(worker.getId) - start > maxBytes) {
+          fired = true
+          worker.interrupt()
+        }
+      }
+    }, sampleMillis, sampleMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def firedNow: Boolean = lock.synchronized(fired)
+    def breachMsg = s"mem guard: allocation budget $maxBytes bytes exceeded"
+    try {
+      val out = f
+      if (firedNow) Left(breachMsg) else Right(out)
+    } catch {
+      case _: InterruptedException => Left(breachMsg)
+      case e: Throwable =>
+        if (firedNow) Left(breachMsg)
         else Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
       lock.synchronized { done = true }

@@ -212,20 +212,31 @@ object Web {
     * a row with `error` set — the exc_loop error-column doctrine
     * (process_guard.pyx:184-533 semantics at operator level) — never a
     * task OOM.
+    *
+    * `maxAllocBytes` adds the whole-record ALLOCATION watchdog
+    * ([[graft.core.MemGuard.allocationLimited]]): a record whose
+    * expansion balloons OUTSIDE the node budget (one giant text node, a
+    * pathological decode ladder) is interrupted at the next kernel
+    * cancellation point and surfaced as an error row. Default 2 GiB —
+    * far above any legitimate page, far below an executor heap.
     */
   def extractPlainTextGuarded(content: Column, charset: Column,
-      mainContent: Boolean = false, maxNodes: Int = DefaultMaxNodes): Column = {
-    val f = udf((data: Array[Byte], cs: String, mc: Boolean, mn: Int) =>
+      mainContent: Boolean = false, maxNodes: Int = DefaultMaxNodes,
+      maxAllocBytes: Long = 2L << 30): Column = {
+    val f = udf((data: Array[Byte], cs: String, mc: Boolean, mn: Int, mab: Long) =>
       if (data == null) null
-      else try {
-        (graft.html.Html2Text.extractFromHtml(
-          graft.html.HtmlTree.decodeForParse(data, cs),
-          graft.html.Html2Text.Options(mainContent = mc, maxNodes = mn)), null: String)
-      } catch {
-        case e: graft.core.MemGuardException => (null: String, e.getMessage)
-      })
+      else graft.core.MemGuard.allocationLimited(mab) {
+        try {
+          (graft.html.Html2Text.extractFromHtml(
+            graft.html.HtmlTree.decodeForParse(data, cs),
+            graft.html.Html2Text.Options(mainContent = mc, maxNodes = mn)), null: String)
+        } catch {
+          case e: graft.core.MemGuardException => (null: String, e.getMessage)
+        }
+      }.fold(err => (null: String, err), identity))
     f(content, charset, org.apache.spark.sql.functions.lit(mainContent),
-      org.apache.spark.sql.functions.lit(maxNodes))
+      org.apache.spark.sql.functions.lit(maxNodes),
+      org.apache.spark.sql.functions.lit(maxAllocBytes))
       .cast("struct<text:string,error:string>")
   }
 

@@ -307,7 +307,11 @@ object Html2Text {
       marginSize = 0
     }
 
+    var pollCtr = 0
     nodes.foreach { node =>
+      // cooperative guard cancellation, amortized (see HtmlParser loop)
+      pollCtr += 1
+      if ((pollCtr & 0x3FF) == 0) graft.core.MemGuard.poll()
       var makeBlock = node.makeBlock
 
       if (opts.formatting >= FormatBasic) {

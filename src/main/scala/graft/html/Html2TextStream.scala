@@ -69,8 +69,12 @@ object Html2TextStream {
     def tag: String = tagV
     def value: String = if (sliceV) srcV.substring(fromV, toV) else valueV
     override def appendValueTo(sb: StringBuilder): Unit =
-      if (sliceV) sb.underlying.append(srcV, fromV, toV)
-      else if (valueV != null) sb.append(valueV)
+      if (sliceV) {
+        // a multi-MB single text run is one loop iteration — give the
+        // allocation guard a cancellation point before the big copy
+        if (toV - fromV > (1 << 20)) graft.core.MemGuard.poll()
+        sb.underlying.append(srcV, fromV, toV)
+      } else if (valueV != null) sb.append(valueV)
     def getattr(name: String): Option[String] = {
       val k = name.toLowerCase
       attrsV.collectFirst { case (ak, av) if ak == k => av }
@@ -84,6 +88,10 @@ object Html2TextStream {
       val attrs: Seq[(String, String)],
       val visited: Boolean) { // start visit emitted (not suppressed/skipped)
     var hadChild = false
+    // closesPOpen value recorded at push (including this element): lets
+    // the ClosesP rule test "any ClosesP element above the last <p>?" in
+    // O(1) instead of allocating stack.drop(pIdx + 1) per block tag
+    var closesPAtPush = 0
   }
 
   private val NoAttrs: Seq[(String, String)] = Nil
@@ -126,6 +134,20 @@ object Html2TextStream {
     val ev = new EvView
     ev.srcV = input
 
+    /** Entity-reference probe BOUNDED to [s, e). `input.indexOf('&', s)`
+      * here was quadratic: on a reference-free document every text run
+      * re-scanned the whole remaining input (a 1M-row table bomb took
+      * ~18 min; any large &-less page paid the same shape).
+      */
+    def ampIn(s: Int, e: Int): Boolean = {
+      var k = s
+      while (k < e) {
+        if (input.charAt(k) == '&') return true
+        k += 1
+      }
+      false
+    }
+
     def emitText(text: String, depth: Int): Unit = {
       ev.isTextV = true
       ev.tagV = ""
@@ -157,6 +179,19 @@ object Html2TextStream {
     var inBody = false
     var bodyHadChild = false
     val stack = mutable.ArrayBuffer.empty[Open]
+    // O(1) divergence-trigger state, maintained on every push/pop. The
+    // round-8 profile showed the per-tag stack scans these replace
+    // (foreign-content exists(), open-<a> exists(), the ClosesP
+    // drop().exists() allocation, fosterActive's lastIndexWhere) as the
+    // dominant walk overhead on deep real-world pages.
+    var foreignDepth = 0   // open svg/math elements
+    var aOpen = 0          // open <a>
+    var nobrOpen = 0       // open <nobr>
+    var formattingOpen = 0 // open formatting-category elements
+    var closesPOpen = 0    // open ClosesP-category elements
+    val pIdxStack = mutable.ArrayBuffer.empty[Int]        // stack indices of open <p>
+    val tableIdxStack = mutable.ArrayBuffer.empty[Int]    // ... of open <table>
+    val templateIdxStack = mutable.ArrayBuffer.empty[Int] // ... of open <template>
     // the DOM walk visits the body root first, unconditionally
     emitTag("body", Nil, 0, isEnd = false)
 
@@ -171,11 +206,39 @@ object Html2TextStream {
 
     def switchToBody(): Unit = if (!inBody) { popAll(); inBody = true }
 
+    /** Record a just-pushed element (at stack index `idx`, already
+      * appended) in the trigger-state counters.
+      */
+    def trackPush(o: Open, idx: Int): Unit = {
+      val t = o.tag
+      if (t == "svg" || t == "math") foreignDepth += 1
+      if (FormattingTags.contains(t)) {
+        formattingOpen += 1
+        if (t == "a") aOpen += 1 else if (t == "nobr") nobrOpen += 1
+      }
+      if (ClosesP.contains(t)) closesPOpen += 1
+      o.closesPAtPush = closesPOpen
+      if (t == "p") pIdxStack += idx
+      else if (t == "table") tableIdxStack += idx
+      else if (t == "template") templateIdxStack += idx
+    }
+
     /** Pop the top element, firing its end visit when the DOM walk would
       * (start was emitted and it acquired a child).
       */
     def popOne(): Unit = {
-      val o = stack.remove(stack.size - 1)
+      val idx = stack.size - 1
+      val o = stack.remove(idx)
+      val t = o.tag
+      if (t == "svg" || t == "math") foreignDepth -= 1
+      if (FormattingTags.contains(t)) {
+        formattingOpen -= 1
+        if (t == "a") aOpen -= 1 else if (t == "nobr") nobrOpen -= 1
+      }
+      if (ClosesP.contains(t)) closesPOpen -= 1
+      if (t == "p") pIdxStack.remove(pIdxStack.size - 1)
+      else if (t == "table") tableIdxStack.remove(tableIdxStack.size - 1)
+      else if (t == "template") templateIdxStack.remove(templateIdxStack.size - 1)
       if (o.visited && o.hadChild) emitTag(o.tag, o.attrs, o.depth, isEnd = true)
     }
     def popAll(): Unit = while (stack.nonEmpty) popOne()
@@ -184,17 +247,12 @@ object Html2TextStream {
 
     /** The DOM parser would foster-parent an insertion here: a table is
       * open with no template inside it (mirrors HtmlParser.fosterNeeded).
+      * O(1): a template "inside" the current table is exactly a template
+      * whose stack index is above the last table's.
       */
-    def fosterActive: Boolean = {
-      val ti = stack.lastIndexWhere(_.tag == "table")
-      if (ti < 0) return false
-      var j = ti + 1
-      while (j < stack.size) {
-        if (stack(j).tag == "template") return false
-        j += 1
-      }
-      true
-    }
+    def fosterActive: Boolean =
+      tableIdxStack.nonEmpty &&
+        (templateIdxStack.isEmpty || templateIdxStack.last < tableIdxStack.last)
 
     def parentTableCtx: Boolean =
       stack.nonEmpty && TableCtxTags.contains(stack.last.tag)
@@ -202,8 +260,10 @@ object Html2TextStream {
     /** Popping [idx, top] would leave a formatting element in the DOM
       * parser's active-formatting list (residue → later reconstruction):
       * a formatting element with no marker element below it in the range.
+      * With no formatting element open anywhere the scan is skipped.
       */
     def bailOnResidue(idx: Int): Unit = {
+      if (formattingOpen == 0) return
       var k = idx
       var seenMarker = false
       while (k < stack.size) {
@@ -266,8 +326,7 @@ object Html2TextStream {
       val wasSuppressed = suppressed
       markChild()
       if (!wasSuppressed) {
-        val amp = input.indexOf('&', s)
-        if (amp >= 0 && amp < e)
+        if (ampIn(s, e))
           emitText(Entities.decode(input.substring(s, e)), stack.size + 1)
         else emitTextSlice(s, e, stack.size + 1)
       }
@@ -284,21 +343,32 @@ object Html2TextStream {
         case "body" => switchToBody(); return None
         case _ =>
       }
-      val inForeign = stack.exists(e => e.tag == "svg" || e.tag == "math")
+      val inForeign = foreignDepth > 0
       if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
 
       // DOM parser closes the open table before a nested <table>
-      if (name == "table" && parentTableCtx && stack.exists(_.tag == "table"))
+      if (name == "table" && parentTableCtx && tableIdxStack.nonEmpty)
         throw Bail
-      // <a>/<nobr> with one already open: adoption-agency implied close
-      if ((name == "a" || name == "nobr") && !inForeign &&
-          stack.exists(_.tag == name)) throw Bail
+      // <a>/<nobr> with one already open: adoption-agency implied close.
+      // When the open element is AT THE TOP of the stack the agency has
+      // no furthest block and reduces to pop + list-entry removal — a
+      // plain popOne here (very common in real markup: <a><a ...>). Any
+      // deeper, the agency restructures (residue + reconstruction) and
+      // the input must take the DOM path.
+      if (((name == "a" && aOpen > 0) || (name == "nobr" && nobrOpen > 0)) &&
+          !inForeign) {
+        if (stack.nonEmpty && stack.last.tag == name) popOne()
+        else throw Bail
+      }
 
       // "clear the stack back to a table (row) context" — mirrors the
       // DOM parser exactly; formatting residue in the range bails
       if (TableStructureTags.contains(name)) {
-        val ti = stack.lastIndexWhere(e => e.tag == "table" || e.tag == "template")
-        if (ti >= 0 && stack(ti).tag == "table") {
+        // the last table, provided no template is open above it
+        val ti = if (tableIdxStack.nonEmpty &&
+            (templateIdxStack.isEmpty || templateIdxStack.last < tableIdxStack.last))
+          tableIdxStack.last else -1
+        if (ti >= 0) {
           val base = clearBackBase(name, ti, stack.lastIndexWhere(e =>
             e.tag == "tbody" || e.tag == "thead" || e.tag == "tfoot"),
             stack.lastIndexWhere(_.tag == "tr"))
@@ -309,9 +379,12 @@ object Html2TextStream {
         }
       }
 
-      if (ClosesP.contains(name)) {
-        val pIdx = stack.lastIndexWhere(_.tag == "p")
-        if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag))) {
+      if (ClosesP.contains(name) && pIdxStack.nonEmpty) {
+        // O(1) "no ClosesP element above the last <p>": the global
+        // ClosesP-open counter minus the count recorded at that <p>'s
+        // push is exactly the number of ClosesP elements above it
+        val pIdx = pIdxStack.last
+        if (closesPOpen == stack(pIdx).closesPAtPush) {
           bailOnResidue(pIdx)
           while (stack.size > pIdx) popOne()
         }
@@ -334,7 +407,7 @@ object Html2TextStream {
       // self-closing honored only on void/foreign elements, like the parser
       if (!isVoid && !(selfClosing && inForeign)) {
         val o = new Open(name, depth, attrs, visited)
-        if (stack.size < MaxDepth) stack += o
+        if (stack.size < MaxDepth) { val idx = stack.size; stack += o; trackPush(o, idx) }
         // beyond MaxDepth the DOM attaches children flat at the cap: the
         // element is childless forever, so no push and no end visit
         if (!inForeign && (RawText.contains(name) || RcData.contains(name)))
@@ -397,7 +470,11 @@ object Html2TextStream {
       }
     }
 
+    var pollCtr = 0
     while (i < n) {
+      // cooperative guard cancellation, amortized (see HtmlParser loop)
+      pollCtr += 1
+      if ((pollCtr & 0xFF) == 0) graft.core.MemGuard.poll()
       val c = input.charAt(i)
       if (c != '<') {
         var j = input.indexOf('<', i)
@@ -466,8 +543,7 @@ object Html2TextStream {
                 // emitted (script/style are usually on the skip list) and
                 // only decoded when RCDATA with an actual reference
                 if (rawEl.visited) {
-                  val amp = if (RcData.contains(rawEl.tag)) input.indexOf('&', s0) else -1
-                  if (amp >= 0 && amp < contentEnd)
+                  if (RcData.contains(rawEl.tag) && ampIn(s0, contentEnd))
                     emitText(Entities.decode(input.substring(s0, contentEnd)),
                       rawEl.depth + 1)
                   else emitTextSlice(s0, contentEnd, rawEl.depth + 1)

@@ -602,7 +602,12 @@ object HtmlParser {
       }
     }
 
+    var pollCtr = 0
     while (i < n) {
+      // cooperative guard cancellation, amortized (MemGuard.poll is a
+      // native interrupt-flag read — not free per token)
+      pollCtr += 1
+      if ((pollCtr & 0xFF) == 0) graft.core.MemGuard.poll()
       val c = input.charAt(i)
       if (c != '<') {
         // bulk-append the whole text run up to the next tag open — the

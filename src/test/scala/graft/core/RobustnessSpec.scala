@@ -111,6 +111,29 @@ class RobustnessSpec extends AnyFunSuite {
       graft.html.Html2Text.Options()).contains("hello world"))
   }
 
+  test("allocation guard: a giant-text-node record breaches, a normal one passes") {
+    // one text node: passes ANY node budget (it is a single node), but
+    // its expansion (decode + node buffer + serialize) allocates far
+    // beyond the record budget — the class the reference's RSS watchdog
+    // bounds and the node counter cannot (process_guard.pyx:184-533)
+    val giant = "<html><body><p>" + ("lorem ipsum dolor sit amet " * 400000) + "</p></body></html>"
+    val res = MemGuard.allocationLimited(maxBytes = 4L << 20, sampleMillis = 1) {
+      graft.html.Html2Text.extractFromHtml(giant,
+        graft.html.Html2Text.Options(maxNodes = 100)) // node budget NOT the trigger
+    }
+    assert(res.isLeft, s"expected allocation breach, got $res")
+    assert(res.swap.exists(_.contains("mem guard: allocation budget")))
+    // interrupt flag must not leak into the caller
+    assert(!Thread.currentThread().isInterrupted)
+    // a normal record under the same budget completes
+    val ok = MemGuard.allocationLimited(maxBytes = 64L << 20, sampleMillis = 1) {
+      graft.html.Html2Text.extractFromHtml(
+        "<html><body><p>hello <b>world</b></p></body></html>",
+        graft.html.Html2Text.Options())
+    }
+    assert(ok.exists(_.contains("hello world")))
+  }
+
   test("trained vectors dump as a C header") {
     val header = LangDetect.toCHeader(Seq(
       "xx" -> Array.tabulate(256)(_ % 7),
