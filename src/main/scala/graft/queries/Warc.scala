@@ -438,6 +438,38 @@ object Warc {
     // extraction cost is paid once, not per downstream consumer. The
     // headers column is built in-plan (array<struct<key,value>> —
     // order-preserving), no driver-side record assembly.
+    // Structured Streaming oracle gate: windowedTypeCounts
+    // (streaming/EventTime.scala) run as a REAL streaming query — the
+    // fixture's records staged to parquet, consumed by a file stream,
+    // aggregated with watermark + tumbling window into a memory sink —
+    // and pinned equal to the batch rendition of the same transform
+    // (Spark's unified API is the claim; this makes it driver-checked).
+    // Oracle is a disclosed self-pin like w19 (DuckDB cannot run a
+    // streaming query; the windows are re-derivable from fixture bytes).
+    "w32_streaming_windows" -> ((s, _) => {
+      import graft.streaming.EventTime
+      val fixture = "/root/reference/tests/data/warcfile.warc.gz"
+      val batch = s.read.format("warc").load(fixture)
+        .select(col("record_date"), col("record_type"), col("content_length"))
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w32_stage"
+      batch.write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(batch.schema).parquet(stage)
+      val qname = "graft_w32_mem"
+      val q = EventTime.windowedTypeCounts(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      def shape(df: DataFrame): DataFrame = df.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("record_type"), col("n_records"), col("total_bytes"))
+      val streamed = shape(s.table(qname))
+      val batchRes = shape(EventTime.windowedTypeCounts(batch))
+      val mismatches = streamed.exceptAll(batchRes).count() +
+        batchRes.exceptAll(streamed).count()
+      streamed.withColumn("batch_equal", lit(mismatches == 0L))
+        .orderBy(col("window_start"), col("record_type"))
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       import graft.functions.{WarcCols, Web}
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
@@ -715,6 +747,22 @@ object Warc {
          CAST(102551 AS BIGINT) AS total_text_bytes,
          CAST(16 AS BIGINT) AS n_digest_ok,
          CAST(16 AS BIGINT) AS n_refers""",
+    // disclosed self-pin: the 50 fixture records across their three
+    // hour-windows (regen: Test/runMain graft.html.W32Probe); the
+    // batch_equal column pins streaming == batch inside the artifact
+    "w32_streaming_windows" ->
+      """SELECT window_start, record_type, CAST(n_records AS BIGINT) AS n_records,
+         CAST(total_bytes AS BIGINT) AS total_bytes, CAST(1 AS BOOLEAN) AS batch_equal
+         FROM (VALUES
+         ('2020-08-08 16:00:00', 'warcinfo', 1, 501),
+         ('2020-08-08 17:00:00', 'metadata', 8, 2231),
+         ('2020-08-08 17:00:00', 'request', 8, 2380),
+         ('2020-08-08 17:00:00', 'response', 8, 265576),
+         ('2020-08-08 18:00:00', 'metadata', 8, 1706),
+         ('2020-08-08 18:00:00', 'request', 9, 2583),
+         ('2020-08-08 18:00:00', 'response', 8, 252869))
+         t(window_start, record_type, n_records, total_bytes)
+         ORDER BY window_start, record_type""",
     // disclosed self-pin (extraction + lang detect are not expressible
     // in DuckDB): 16 files x 100 copies x 16 response pages all extract
     // and pass the 50-token gate; dedup collapses them to the 16 unique

@@ -161,4 +161,19 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(types("response") == 16L)
     } finally server.stop(0)
   }
+
+  test("scan reads through a registered object-store scheme (s3a stand-in)") {
+    // the s3a:// mapping cannot be exercised offline; a registered
+    // testfs:// scheme (TestObjectStoreFs, RawLocalFileSystem-backed)
+    // proves the scan's FileSystem abstraction end to end: URI
+    // resolution, glob listing, open/seek, codec sniffing
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.testfs.impl", classOf[TestObjectStoreFs].getName)
+    val df = spark.read.format("warc").load(s"testfs://$DataDir/warcfile.warc.gz")
+    assert(df.count() == 50L)
+    assert(df.filter("record_type = 'response'").count() == 16L)
+    // glob through the scheme as well (MatchFiles semantics)
+    val g = spark.read.format("warc").load(s"testfs://$DataDir/warcfile.warc.{gz,lz4}")
+    assert(g.count() == 100L)
+  }
 }
