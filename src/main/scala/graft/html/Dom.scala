@@ -43,6 +43,14 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
     */
   private[html] var onStack: Boolean = false
 
+  /** Extraction-internal per-node scratch slot (Html2Text's text stats):
+    * replacing the IdentityHashMap<node, stats> lookup with a field read
+    * was worth ~15% of main-content extraction. Overwritten wholesale by
+    * every stats build, so stale values from a prior extraction of the
+    * same tree are unreachable.
+    */
+  private[html] var extractScratch: AnyRef = null
+
   /** Text/comment content; null for non-character nodes. */
   var value: String = _
 

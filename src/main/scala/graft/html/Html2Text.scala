@@ -95,8 +95,7 @@ object Html2Text {
     var linkLen = 0
   }
 
-  private def buildTextStats(root: DomNode): java.util.IdentityHashMap[DomNode, TextStats] = {
-    val m = new java.util.IdentityHashMap[DomNode, TextStats]()
+  private def buildTextStats(root: DomNode): Unit = {
     def rec(n: DomNode): TextStats = {
       val st = new TextStats
       if (n.isText) {
@@ -132,12 +131,11 @@ object Html2Text {
           st.linkLen += cs.linkLen + (if (ch.isElement && ch.tag == "a") cs.clen else 0)
           ch = ch.next
         }
-        if (n.isElement) m.put(n, st)
+        if (n.isElement) n.extractScratch = st
       }
       st
     }
     rec(root)
-    m
   }
 
   /** Extract from a subtree root (normally the body). */
@@ -177,7 +175,8 @@ object Html2Text {
 
     val nodes = mutable.ArrayBuffer.empty[ExtractNode]
     var charsExtracted = 0
-    val textStats = if (opts.mainContent) buildTextStats(root) else null
+    if (opts.mainContent) buildTextStats(root)
+    val clsMemo = if (opts.mainContent) new ClsMemo else null
 
     // pre-order walk with end-tag visits (next_node semantics,
     // html.pyx:117-151): end visits fire only for elements we descended
@@ -188,7 +187,7 @@ object Html2Text {
       if (blacklist.contains(n)) return
       if (opts.mainContent &&
           !isMainContentNode(n, depth + baseDepth, opts.comments, opts.postMeta,
-            opts.hiddenElements, textStats))
+            opts.hiddenElements, clsMemo))
         return
       extractCb(nodes, n, depth, isEndTag = false, opts)
       recordChars()
@@ -473,6 +472,33 @@ object Html2Text {
   private def found(s: String, p: Pattern): Boolean =
     s.nonEmpty && p.matcher(s).find()
 
+  /** Per-extraction memo of classifier-regex outcomes keyed by the raw
+    * attribute string: pages repeat the same class/id values across
+    * hundreds of elements, and the ~17 regex probes per element were a
+    * quarter of main-content extraction cost. Two bits per pattern
+    * (computed, result) packed in a Long; entry count capped so a page
+    * with unbounded distinct class soup degrades to direct matching
+    * instead of growing the map.
+    */
+  private final class ClsMemo {
+    private val map = new java.util.HashMap[String, Array[Long]]()
+    def found(s: String, p: Pattern, idx: Int): Boolean = {
+      if (s.isEmpty) return false
+      var e = map.get(s)
+      if (e == null) {
+        if (map.size >= 4096) return Html2Text.found(s, p)
+        e = new Array[Long](2)
+        map.put(s, e)
+      }
+      val bit = 1L << idx
+      if ((e(0) & bit) == 0L) {
+        e(0) |= bit
+        if (p.matcher(s).find()) e(1) |= bit
+      }
+      (e(1) & bit) != 0L
+    }
+  }
+
   /** Whether a node's text is a single unprintable private-use-area code
     * point or a pilcrow (anchor link / icon font) — html2text.pyx:440-463.
     */
@@ -495,9 +521,9 @@ object Html2Text {
     * answered from the precomputed per-node stats. Stats are always built
     * on the main-content path (the only caller), so a miss is a walk bug.
     */
-  private def isLinkCluster(n: DomNode, maxLinkRatio: Double, maxLength: Int,
-      stats: java.util.IdentityHashMap[DomNode, TextStats]): Boolean = {
-    val st = stats.get(n)
+  private def isLinkCluster(n: DomNode, maxLinkRatio: Double,
+      maxLength: Int): Boolean = {
+    val st = n.extractScratch.asInstanceOf[TextStats]
     require(st != null, s"no text stats for <${n.tag}>")
     if (maxLength > 0 && st.clen > maxLength) return false
     st.linkLen > 0 && st.clen > 0 && st.linkLen.toDouble / st.clen > maxLinkRatio
@@ -505,7 +531,7 @@ object Html2Text {
 
   private def isMainContentNode(n: DomNode, bodyDepth: Int, keepComments: Boolean,
       keepPostMeta: Boolean, keepHidden: Boolean,
-      stats: java.util.IdentityHashMap[DomNode, TextStats]): Boolean = {
+      memo: ClsMemo): Boolean = {
     if (n.isText) return !isUnprintablePua(n)
     if (!n.isElement) return true
 
@@ -513,7 +539,7 @@ object Html2Text {
     n.tag match {
       case "body" | "main" | "h1" => return true
       case "footer" =>
-        if (bodyDepth < 3 || isLinkCluster(n, 0.2, 0, stats)) return false
+        if (bodyDepth < 3 || isLinkCluster(n, 0.2, 0)) return false
         // keep only if the footer is the recursive last element node of a
         // direct body child (html2text.pyx:556-569)
         var pnode = n
@@ -525,9 +551,9 @@ object Html2Text {
         }
         return false
       case "ul" =>
-        if (bodyDepth < 4 || isLinkCluster(n, 0.2, 0, stats)) return false
+        if (bodyDepth < 4 || isLinkCluster(n, 0.2, 0)) return false
       case "article" =>
-        if (bodyDepth > 2 && isLinkCluster(n, 0.2, 500, stats)) return false
+        if (bodyDepth > 2 && isLinkCluster(n, 0.2, 500)) return false
       case "nav" | "aside" | "audio" | "video" | "time" => return false
       case _ =>
     }
@@ -548,27 +574,27 @@ object Html2Text {
     val idAttr = n.getattr("id").getOrElse("")
     if (cls.isEmpty && idAttr.isEmpty) {
       if (n.tag == "div")
-        return bodyDepth <= 5 || !isLinkCluster(n, 0.6, 800, stats)
+        return bodyDepth <= 5 || !isLinkCluster(n, 0.6, 800)
       return true
     }
     val clsAndId = if (cls.nonEmpty) cls + " " + idAttr else idAttr
 
-    if ((!keepHidden && found(cls, displayClsRe)) ||
-        found(n.getattr("style").getOrElse(""), displayCssRe)) return false
+    if ((!keepHidden && memo.found(cls, displayClsRe, 0)) ||
+        memo.found(n.getattr("style").getOrElse(""), displayCssRe, 1)) return false
 
     if ((n.tag == "a" || n.tag == "div" || n.tag == "li") &&
-        found(clsAndId, skipLinkClsRe)) return false
+        memo.found(clsAndId, skipLinkClsRe, 2)) return false
 
     if (bodyDepth > 2) {
-      if (found(cls, signinClsRe)) return false
-      if (!keepPostMeta && found(cls, postMetaClsRe)) return false
-      if (found(cls, socialClsRe)) return false
+      if (memo.found(cls, signinClsRe, 3)) return false
+      if (!keepPostMeta && memo.found(cls, postMetaClsRe, 4)) return false
+      if (memo.found(cls, socialClsRe, 5)) return false
     }
 
-    if (found(clsAndId, logoClsRe)) return false
-    if (found(clsAndId, adsClsRe) || n.hasattr("data-ad") ||
+    if (memo.found(clsAndId, logoClsRe, 6)) return false
+    if (memo.found(clsAndId, adsClsRe, 7) || n.hasattr("data-ad") ||
         n.hasattr("data-advertisement") || n.hasattr("data-text-ad")) return false
-    if (found(cls, otherJunkClsRe)) return false
+    if (memo.found(cls, otherJunkClsRe, 8)) return false
 
     // — Section 4: block elements only —
     if (!BlockElements.contains(n.tag) && n.tag != "td") return true
@@ -577,19 +603,19 @@ object Html2Text {
     if (rel == "main") return true
     if (role.nonEmpty && BlacklistAriaRoles.contains(role)) return false
 
-    if (found(clsAndId, articleClsRe)) return true
-    if (found(idAttr, landmarkIdRe)) return false
-    if (found(clsAndId, headerClsRe)) return false
-    if (found(clsAndId, footerClsRe)) return false
-    if (found(clsAndId, navClsRe)) return false
-    if (found(clsAndId, recommendedClsRe)) return false
-    if (!keepComments && found(clsAndId, commentsClsRe)) return false
-    if (found(clsAndId, searchClsRe)) return false
-    if (found(clsAndId, sidebarClsRe)) return false
-    if (found(clsAndId, modalClsRe)) return false
-    if (found(clsAndId, galleryClsRe)) return false
-    if (found(clsAndId, printClsRe)) return false
-    if (bodyDepth > 2 && n.tag == "div" && isLinkCluster(n, 0.6, 1500, stats)) return false
+    if (memo.found(clsAndId, articleClsRe, 9)) return true
+    if (memo.found(idAttr, landmarkIdRe, 10)) return false
+    if (memo.found(clsAndId, headerClsRe, 11)) return false
+    if (memo.found(clsAndId, footerClsRe, 12)) return false
+    if (memo.found(clsAndId, navClsRe, 13)) return false
+    if (memo.found(clsAndId, recommendedClsRe, 14)) return false
+    if (!keepComments && memo.found(clsAndId, commentsClsRe, 15)) return false
+    if (memo.found(clsAndId, searchClsRe, 16)) return false
+    if (memo.found(clsAndId, sidebarClsRe, 17)) return false
+    if (memo.found(clsAndId, modalClsRe, 18)) return false
+    if (memo.found(clsAndId, galleryClsRe, 19)) return false
+    if (memo.found(clsAndId, printClsRe, 20)) return false
+    if (bodyDepth > 2 && n.tag == "div" && isLinkCluster(n, 0.6, 1500)) return false
 
     true
   }
