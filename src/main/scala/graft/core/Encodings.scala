@@ -138,10 +138,67 @@ object Encodings {
       .flatMap(m => mapToHtml5(m.group(1), fallbackUtf8 = false))
   }
 
+  /** data[from,to) validates as UTF-8. `lenientEnds` tolerates a
+    * truncated multi-byte sequence at either boundary (the head/tail
+    * sample seams cut mid-character); the bytes that ARE present must
+    * still be a valid prefix/suffix. Returns -1 for invalid, else the
+    * count of bytes >= 0x80 seen (0 == pure ASCII).
+    */
+  private def utf8HighBytes(data: Array[Byte], from: Int, to: Int,
+      lenientEnds: Boolean): Int = {
+    var i = from
+    var high = 0
+    if (lenientEnds) { // skip orphan continuation bytes at a tail seam
+      var skipped = 0
+      while (i < to && skipped < 3 && (data(i) & 0xc0) == 0x80) { i += 1; skipped += 1; high += 1 }
+    }
+    while (i < to) {
+      val b = data(i) & 0xff
+      if (b < 0x80) i += 1
+      else {
+        high += 1
+        // continuation count + first-continuation range per RFC 3629
+        val n =
+          if (b >= 0xc2 && b <= 0xdf) 1
+          else if (b >= 0xe0 && b <= 0xef) 2
+          else if (b >= 0xf0 && b <= 0xf4) 3
+          else return -1
+        var j = i + 1
+        val end = math.min(i + 1 + n, to)
+        while (j < end) {
+          val c = data(j) & 0xff
+          val ok =
+            if (j == i + 1) b match {
+              case 0xe0 => c >= 0xa0 && c <= 0xbf
+              case 0xed => c >= 0x80 && c <= 0x9f // no surrogates
+              case 0xf0 => c >= 0x90 && c <= 0xbf
+              case 0xf4 => c >= 0x80 && c <= 0x8f // <= U+10FFFF
+              case _ => (c & 0xc0) == 0x80
+            } else (c & 0xc0) == 0x80
+          if (!ok) return -1
+          high += 1
+          j += 1
+        }
+        if (i + 1 + n > to && !lenientEnds) return -1 // truncated at hard end
+        i += 1 + n
+      }
+    }
+    high
+  }
+
   /** Detect the charset of a byte string (encoding.pyx:196-258): optional
-    * HTML meta probe in the first 1 KiB, then statistical detection over a
-    * head+tail sample of at most `maxLen` bytes, then WHATWG remap with
-    * UTF-8 fallback.
+    * HTML meta probe in the first 1 KiB, then a deterministic UTF-8
+    * validity fast path, then statistical detection over a head+tail
+    * sample of at most `maxLen` bytes, then WHATWG remap with UTF-8
+    * fallback.
+    *
+    * The fast path: content containing high bytes that validates as
+    * UTF-8 end-to-end IS UTF-8 — legacy-encoded text is statistically
+    * never valid multi-byte UTF-8, and a linear validity scan is ~100×
+    * cheaper than the ICU detector. Pure ASCII is left on the
+    * statistical path so the pinned ASCII→cp1252 divergence (and ESC-
+    * based ISO-2022-JP detection) is preserved — see
+    * EncodingDivergenceSpec.
     */
   def detectEncoding(
       data: Array[Byte],
@@ -151,6 +208,49 @@ object Encodings {
     if (fromHtmlMeta) {
       val meta = htmlMetaCharset(data)
       if (meta.isDefined) return meta
+    }
+    if (data.length > 0) {
+      val sampled = maxLen > 0 && data.length > maxLen
+      val half = (maxLen + 1) / 2
+      val utf8High =
+        if (sampled) {
+          val head = utf8HighBytes(data, 0, half, lenientEnds = true)
+          if (head < 0) -1
+          else {
+            val tail = utf8HighBytes(data, data.length - half, data.length, lenientEnds = true)
+            if (tail < 0) -1 else head + tail
+          }
+        } else utf8HighBytes(data, 0, data.length, lenientEnds = false)
+      if (utf8High > 0) return Some("utf-8")
+      // second deterministic shortcut: clean (mostly-)ASCII content —
+      // no NULs (UTF-16 pattern), no ESC (ISO-2022-*), no "~{" (HZ),
+      // and <2% high bytes that failed UTF-8 validation — is the
+      // cp1252-family answer ICU gives on exactly this evidence, at
+      // ~100× the cost. Denser/structured content falls through to the
+      // full detector. Divergence delta 3 in EncodingDivergenceSpec.
+      if (html5Compatible) {
+        def clean(from: Int, to: Int): Int = { // high count, or -1 if disqualified
+          var i = from; var high = 0
+          while (i < to) {
+            val b = data(i) & 0xff
+            if (b == 0x00 || b == 0x1b) return -1
+            if (b == '~' && i + 1 < to && data(i + 1) == '{') return -1
+            if (b >= 0x80) high += 1
+            i += 1
+          }
+          high
+        }
+        val sampleLen = if (sampled) 2L * half else data.length.toLong
+        val high =
+          if (sampled) {
+            val h = clean(0, half)
+            if (h < 0) -1 else {
+              val t = clean(data.length - half, data.length)
+              if (t < 0) -1 else h + t
+            }
+          } else clean(0, data.length)
+        if (high >= 0 && high * 50 < sampleLen) return Some("cp1252")
+      }
     }
     val sample =
       if (maxLen > 0 && data.length > maxLen) {

@@ -46,6 +46,31 @@ object ProfileExtract {
       rows.foreach { case (b, cs) => acc += graft.html.HtmlTree.decodeForParse(b, cs).length }
       acc
     }
+    // decode sub-stages: charset resolution (meta probe / ICU) vs the
+    // actual byte->string conversion with the encoding already known
+    time("  charset resolve") {
+      var acc = 0L
+      rows.foreach { case (b, cs) =>
+        val enc = Option(cs).filter(_.nonEmpty)
+          .flatMap(c => graft.core.Encodings.mapToHtml5(c, fallbackUtf8 = false))
+          .orElse(graft.core.Encodings.detectEncoding(b, fromHtmlMeta = true))
+          .getOrElse("utf-8")
+        acc += enc.length
+      }
+      acc
+    }
+    val resolved = rows.map { case (b, cs) =>
+      val enc = Option(cs).filter(_.nonEmpty)
+        .flatMap(c => graft.core.Encodings.mapToHtml5(c, fallbackUtf8 = false))
+        .orElse(graft.core.Encodings.detectEncoding(b, fromHtmlMeta = true))
+        .getOrElse("utf-8")
+      (b, enc)
+    }
+    time("  bytesToStr only") {
+      var acc = 0L
+      resolved.foreach { case (b, enc) => acc += graft.core.Encodings.bytesToStr(b, enc).length }
+      acc
+    }
     time("stream extract") {
       var acc = 0L
       decoded.foreach(h => acc += graft.html.Html2TextStream.extract(h, opts).length)

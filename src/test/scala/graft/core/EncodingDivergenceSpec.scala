@@ -76,6 +76,24 @@ class EncodingDivergenceSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic fast paths agree with the detector they bypass") {
+    // valid multi-byte UTF-8 short-circuits ICU — same label either way
+    val utf8 = samples.find(_._1 == "utf-8").get._2.getBytes(Charset.forName("UTF-8"))
+    assert(Encodings.detectEncoding(utf8).contains("utf-8"))
+    // delta 3: mostly-ASCII with sparse invalid-UTF-8 high bytes (the
+    // classic unlabeled Latin-1 page) labels cp1252 without consulting
+    // ICU — the same answer ICU gives on this evidence
+    val sparse = ("a plain mostly ascii page body " * 40).getBytes(Charset.forName("US-ASCII"))
+    sparse(17) = 0xe9.toByte // é in cp1252, invalid UTF-8 continuation here
+    assert(Encodings.detectEncoding(sparse).contains("cp1252"))
+    // dense legacy text stays on the statistical path (cp1251 sample)
+    val cyr = samples.find(_._1 == "windows-1251").get
+    assert(Encodings.detectEncoding(encode(cyr._2, "windows-1251")).contains("cp1251"))
+    // NUL-bearing input (UTF-16 pattern) is never shortcut
+    val u16 = samples.find(_._1 == "utf-16le").get
+    assert(Encodings.detectEncoding(encode(u16._2, "utf-16le")).contains("utf-16-le"))
+  }
+
   test("divergence set is exactly the documented table") {
     // delta 1: gbk detects as its decode-superset gb18030
     val gbk = samples.find(_._1 == "gbk").get
