@@ -19,6 +19,9 @@ trait NodeView {
   def isElement: Boolean
   def tag: String
   def value: String
+  /** Tag-category bitmask ([[HtmlParser.TagFlags]]); 0 for text nodes. */
+  private[html] def tagFlags: Int =
+    if (isElement) HtmlParser.TagFlags(tag) else 0
   def getattr(name: String): Option[String]
   /** Backing DOM node when one exists (serializer's minimal-html checks). */
   def domOrNull: DomNode
@@ -36,6 +39,14 @@ trait NodeView {
   */
 final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeView {
   def domOrNull: DomNode = this
+
+  /** Tag-category bitmask ([[HtmlParser.TagFlags]]), resolved once at
+    * creation so the tree builder's per-stack-entry category tests are
+    * field reads instead of Set probes.
+    */
+  private[html] val flags: Int =
+    if (nodeType == NodeType.Element) HtmlParser.TagFlags(tag) else 0
+  override private[html] def tagFlags: Int = flags
 
   /** Parser-internal: whether this element is currently on the open
     * -element stack — gives the active-formatting-list reconstruction

@@ -39,13 +39,13 @@ object Html2Text {
       maxNodes: Int = Int.MaxValue)
 
   /** Block-level tags (resiliparse-py/resiliparse/parse/html.h:22-58). */
-  private val BlockElements: Set[String] = Set("address", "article", "aside",
+  private[html] val BlockElements: Set[String] = Set("address", "article", "aside",
     "blockquote", "br", "center", "details", "dd", "dt", "div", "dl", "fieldset",
     "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
     "header", "hgroup", "hr", "li", "main", "nav", "ol", "p", "pre", "section",
     "table", "tr", "ul")
 
-  private val BigBlock = Set("p", "h1", "h2", "h3", "h4")
+  private[html] val BigBlock = Set("p", "h1", "h2", "h3", "h4")
   private val ListBullet = "•"
 
   private[html] final class ExtractNode(
@@ -218,13 +218,14 @@ object Html2Text {
     val last = if (nodes.isEmpty) null else nodes(nodes.size - 1)
     var current = last
 
-    val isBlock = n.isElement && BlockElements.contains(n.tag)
+    val fl = n.tagFlags
+    val isBlock = (fl & HtmlParser.TagFlags.BlockF) != 0
 
     if (last == null || isBlock || depth < last.depth ||
         (opts.links && n.tag == "a") || n.tag == "textarea") {
       current = new ExtractNode(n.domOrNull, if (n.isElement) n.tag else "", depth, isEndTag)
       current.makeBlock = isBlock
-      current.makeBigBlock = BigBlock.contains(n.tag)
+      current.makeBigBlock = (fl & HtmlParser.TagFlags.BigBlockF) != 0
       current.preDepth = if (last != null) last.preDepth else 0
       if (n.tag == "pre" || n.tag == "textarea")
         current.preDepth += (if (!isEndTag) 1 else -1)
@@ -401,7 +402,53 @@ object Html2Text {
           marginSize += (if (node.makeBigBlock) 2 else 1)
       }
 
-      if (node.textContents != null) {
+      if (node.textContents != null && !node.escapeTextContents) {
+        // fast path (every non-minimal-HTML format): collapse + lstrip
+        // stream straight into the output builder — the toString/
+        // collapseWhitespace/lstrip chain was three allocations and three
+        // copies per node
+        val tc = node.textContents
+        val doCollapse = node.preDepth == 0 || opts.formatting == FormatOff
+        val doLstrip = doCollapse &&
+          (makeBlock || (output.nonEmpty && output.last.isWhitespace))
+        var s = 0
+        if (doLstrip) while (s < tc.length && Character.isWhitespace(tc.charAt(s))) s += 1
+        val empty = if (doLstrip) s >= tc.length else tc.isEmpty
+        if (!empty) {
+          makeMargin(node)
+          uncollapsedMarginCount = 0
+
+          if (listDepth > 0 && opts.formatting == FormatBasic) {
+            makeIndent(listDepth +
+              (if (opts.listBullets && !bulletInserted) 1 else 0))
+            bulletInserted = false
+          }
+
+          if (opts.formatting >= FormatBasic && (node.tag == "td" || node.tag == "th")) {
+            if (output.nonEmpty && output.last != '\n') output.append("\t\t")
+          }
+
+          output.append(elementTextPrefix)
+          elementTextPrefix = ""
+          if (!doCollapse) output.underlying.append(tc.underlying)
+          else {
+            // LOCAL collapse semantics (identical to collapseWhitespace
+            // on the standalone string): each ws run -> one space, run
+            // state independent of what's already in `output`
+            var k = s
+            var prevWs = false
+            var any = false
+            while (k < tc.length) {
+              val ch = tc.charAt(k)
+              if (Character.isWhitespace(ch)) {
+                if (!any || !prevWs) { output.append(' '); any = true; prevWs = true }
+              } else { output.append(ch); any = true; prevWs = false }
+              k += 1
+            }
+          }
+        }
+      } else if (node.textContents != null) {
+        // minimal-HTML path: needs the materialized string for escaping
         var elementText = node.textContents.toString
         if (node.preDepth == 0 || opts.formatting == FormatOff) {
           elementText = collapseWhitespace(elementText)
@@ -409,7 +456,7 @@ object Html2Text {
             elementText = lstrip(elementText)
         }
         if (elementText.nonEmpty) {
-          if (node.escapeTextContents) elementText = escapeHtml(elementText)
+          elementText = escapeHtml(elementText)
 
           makeMargin(node)
           uncollapsedMarginCount = 0

@@ -58,6 +58,8 @@ object Html2TextStream {
   private final class EvView extends NodeView {
     var isTextV = false
     var tagV = ""
+    var flagsV = 0
+    override private[html] def tagFlags: Int = flagsV
     var valueV: String = _
     var attrsV: Seq[(String, String)] = Nil
     var srcV: String = _
@@ -84,6 +86,7 @@ object Html2TextStream {
 
   private final class Open(
       val tag: String,
+      val flags: Int, // TagFlags bitmask, resolved once at push
       val depth: Int,
       val attrs: Seq[(String, String)],
       val visited: Boolean) { // start visit emitted (not suppressed/skipped)
@@ -151,6 +154,7 @@ object Html2TextStream {
     def emitText(text: String, depth: Int): Unit = {
       ev.isTextV = true
       ev.tagV = ""
+      ev.flagsV = 0
       ev.valueV = text
       ev.sliceV = false
       ev.attrsV = Nil
@@ -159,6 +163,7 @@ object Html2TextStream {
     def emitTextSlice(s: Int, e: Int, depth: Int): Unit = {
       ev.isTextV = true
       ev.tagV = ""
+      ev.flagsV = 0
       ev.valueV = null
       ev.sliceV = true
       ev.fromV = s
@@ -167,10 +172,11 @@ object Html2TextStream {
       Html2Text.extractCb(nodes, ev, depth, isEndTag = false, opts)
       ev.sliceV = false
     }
-    def emitTag(tag: String, attrs: Seq[(String, String)], depth: Int,
+    def emitTag(tag: String, flags: Int, attrs: Seq[(String, String)], depth: Int,
         isEnd: Boolean): Unit = {
       ev.isTextV = false
       ev.tagV = tag
+      ev.flagsV = flags
       ev.valueV = null
       ev.attrsV = attrs
       Html2Text.extractCb(nodes, ev, depth, isEnd, opts)
@@ -193,7 +199,7 @@ object Html2TextStream {
     val tableIdxStack = mutable.ArrayBuffer.empty[Int]    // ... of open <table>
     val templateIdxStack = mutable.ArrayBuffer.empty[Int] // ... of open <template>
     // the DOM walk visits the body root first, unconditionally
-    emitTag("body", Nil, 0, isEnd = false)
+    emitTag("body", TagFlags("body"), Nil, 0, isEnd = false)
 
     def markChild(): Unit =
       if (stack.nonEmpty) stack.last.hadChild = true else bodyHadChild = true
@@ -211,12 +217,12 @@ object Html2TextStream {
       */
     def trackPush(o: Open, idx: Int): Unit = {
       val t = o.tag
-      if (t == "svg" || t == "math") foreignDepth += 1
-      if (FormattingTags.contains(t)) {
+      if ((o.flags & TagFlags.ForeignRootF) != 0) foreignDepth += 1
+      if ((o.flags & TagFlags.FormattingF) != 0) {
         formattingOpen += 1
         if (t == "a") aOpen += 1 else if (t == "nobr") nobrOpen += 1
       }
-      if (ClosesP.contains(t)) closesPOpen += 1
+      if ((o.flags & TagFlags.ClosesPF) != 0) closesPOpen += 1
       o.closesPAtPush = closesPOpen
       if (t == "p") pIdxStack += idx
       else if (t == "table") tableIdxStack += idx
@@ -230,16 +236,16 @@ object Html2TextStream {
       val idx = stack.size - 1
       val o = stack.remove(idx)
       val t = o.tag
-      if (t == "svg" || t == "math") foreignDepth -= 1
-      if (FormattingTags.contains(t)) {
+      if ((o.flags & TagFlags.ForeignRootF) != 0) foreignDepth -= 1
+      if ((o.flags & TagFlags.FormattingF) != 0) {
         formattingOpen -= 1
         if (t == "a") aOpen -= 1 else if (t == "nobr") nobrOpen -= 1
       }
-      if (ClosesP.contains(t)) closesPOpen -= 1
+      if ((o.flags & TagFlags.ClosesPF) != 0) closesPOpen -= 1
       if (t == "p") pIdxStack.remove(pIdxStack.size - 1)
       else if (t == "table") tableIdxStack.remove(tableIdxStack.size - 1)
       else if (t == "template") templateIdxStack.remove(templateIdxStack.size - 1)
-      if (o.visited && o.hadChild) emitTag(o.tag, o.attrs, o.depth, isEnd = true)
+      if (o.visited && o.hadChild) emitTag(o.tag, o.flags, o.attrs, o.depth, isEnd = true)
     }
     def popAll(): Unit = while (stack.nonEmpty) popOne()
 
@@ -255,7 +261,7 @@ object Html2TextStream {
         (templateIdxStack.isEmpty || templateIdxStack.last < tableIdxStack.last)
 
     def parentTableCtx: Boolean =
-      stack.nonEmpty && TableCtxTags.contains(stack.last.tag)
+      stack.nonEmpty && (stack.last.flags & TagFlags.TableCtxF) != 0
 
     /** Popping [idx, top] would leave a formatting element in the DOM
       * parser's active-formatting list (residue → later reconstruction):
@@ -267,9 +273,9 @@ object Html2TextStream {
       var k = idx
       var seenMarker = false
       while (k < stack.size) {
-        val t = stack(k).tag
-        if (!seenMarker && FormattingTags.contains(t)) throw Bail
-        if (MarkerTags.contains(t)) seenMarker = true
+        val f = stack(k).flags
+        if (!seenMarker && (f & TagFlags.FormattingF) != 0) throw Bail
+        if ((f & TagFlags.MarkerF) != 0) seenMarker = true
         k += 1
       }
     }
@@ -327,7 +333,7 @@ object Html2TextStream {
       markChild()
       if (!wasSuppressed) {
         if (ampIn(s, e))
-          emitText(Entities.decode(input.substring(s, e)), stack.size + 1)
+          emitText(Entities.decodeRange(input, s, e), stack.size + 1)
         else emitTextSlice(s, e, stack.size + 1)
       }
     }
@@ -343,8 +349,9 @@ object Html2TextStream {
         case "body" => switchToBody(); return None
         case _ =>
       }
+      val fl = TagFlags(name)
       val inForeign = foreignDepth > 0
-      if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
+      if (!inBody && stack.isEmpty && (fl & TagFlags.HeadContentF) == 0) switchToBody()
 
       // DOM parser closes the open table before a nested <table>
       if (name == "table" && parentTableCtx && tableIdxStack.nonEmpty)
@@ -363,7 +370,7 @@ object Html2TextStream {
 
       // "clear the stack back to a table (row) context" — mirrors the
       // DOM parser exactly; formatting residue in the range bails
-      if (TableStructureTags.contains(name)) {
+      if ((fl & TagFlags.TableStructureF) != 0) {
         // the last table, provided no template is open above it
         val ti = if (tableIdxStack.nonEmpty &&
             (templateIdxStack.isEmpty || templateIdxStack.last < tableIdxStack.last))
@@ -379,7 +386,7 @@ object Html2TextStream {
         }
       }
 
-      if (ClosesP.contains(name) && pIdxStack.nonEmpty) {
+      if ((fl & TagFlags.ClosesPF) != 0 && pIdxStack.nonEmpty) {
         // O(1) "no ClosesP element above the last <p>": the global
         // ClosesP-open counter minus the count recorded at that <p>'s
         // push is exactly the number of ClosesP elements above it
@@ -394,23 +401,23 @@ object Html2TextStream {
       }
 
       // element insertion directly in table structure: DOM fosters it
-      if (parentTableCtx && !TableAllowed.contains(name) && fosterActive)
+      if (parentTableCtx && (fl & TagFlags.TableAllowedF) == 0 && fosterActive)
         throw Bail
 
       val parentSuppressed = suppressed
       markChild()
       val visited = !parentSuppressed && !skip.contains(name)
       val depth = stack.size + 1
-      if (visited) emitTag(name, attrs, depth, isEnd = false)
+      if (visited) emitTag(name, fl, attrs, depth, isEnd = false)
 
-      val isVoid = Serializer.VoidElements.contains(name)
+      val isVoid = (fl & TagFlags.VoidF) != 0
       // self-closing honored only on void/foreign elements, like the parser
       if (!isVoid && !(selfClosing && inForeign)) {
-        val o = new Open(name, depth, attrs, visited)
+        val o = new Open(name, fl, depth, attrs, visited)
         if (stack.size < MaxDepth) { val idx = stack.size; stack += o; trackPush(o, idx) }
         // beyond MaxDepth the DOM attaches children flat at the cap: the
         // element is childless forever, so no push and no end visit
-        if (!inForeign && (RawText.contains(name) || RcData.contains(name)))
+        if (!inForeign && (fl & (TagFlags.RawTextF | TagFlags.RcDataF)) != 0)
           return Some(o)
       }
       None
@@ -423,9 +430,13 @@ object Html2TextStream {
         case "body" => switchToBody(); popAll(); return
         case _ =>
       }
-      val idx = stack.lastIndexWhere(_.tag == name)
+      val idx = {
+        var k = stack.size - 1
+        while (k >= 0 && stack(k).tag != name) k -= 1
+        k
+      }
       if (idx < 0) return
-      if (FormattingTags.contains(name)) {
+      if ((TagFlags(name) & TagFlags.FormattingF) != 0) {
         // matched at the top: plain pop (the DOM adoption agency reduces
         // to the same); anywhere deeper: AAA restructures — bail
         if (idx != stack.size - 1) throw Bail
@@ -543,8 +554,8 @@ object Html2TextStream {
                 // emitted (script/style are usually on the skip list) and
                 // only decoded when RCDATA with an actual reference
                 if (rawEl.visited) {
-                  if (RcData.contains(rawEl.tag) && ampIn(s0, contentEnd))
-                    emitText(Entities.decode(input.substring(s0, contentEnd)),
+                  if ((rawEl.flags & TagFlags.RcDataF) != 0 && ampIn(s0, contentEnd))
+                    emitText(Entities.decodeRange(input, s0, contentEnd),
                       rawEl.depth + 1)
                   else emitTextSlice(s0, contentEnd, rawEl.depth + 1)
                 }
@@ -558,7 +569,7 @@ object Html2TextStream {
               // beyond the depth cap the element was never pushed, but the
               // DOM still gives it the text child and hence an end visit
               else if (rawEl.visited && rawEl.hadChild)
-                emitTag(rawEl.tag, rawEl.attrs, rawEl.depth, isEnd = true)
+                emitTag(rawEl.tag, rawEl.flags, rawEl.attrs, rawEl.depth, isEnd = true)
             case None =>
           }
         } else { appendFragment(i, i + 1); i += 1 }
@@ -567,7 +578,7 @@ object Html2TextStream {
     flushText()
     // EOF: unwind still-open elements, then the body's own end visit
     popAll()
-    if (bodyHadChild) emitTag("body", Nil, 0, isEnd = true)
+    if (bodyHadChild) emitTag("body", TagFlags("body"), Nil, 0, isEnd = true)
 
     Html2Text.rstrip(Html2Text.serialize(nodes, opts))
   }

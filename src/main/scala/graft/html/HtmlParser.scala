@@ -51,6 +51,74 @@ import scala.collection.mutable
   * ~100% of lookups allocation-free; unknown names (custom elements)
   * fall back to allocating.
   */
+/** Interned lowercase ATTRIBUTE names (same open-addressing scheme as
+  * [[TagNames]]): attr parsing allocated a `substring`+`toLowerCase`
+  * pair per attribute, and the vocabulary of real-world attribute names
+  * is concentrated in a few dozen entries. Unknown names fall back to
+  * allocating.
+  */
+private[html] object AttrNames {
+  private val Size = 256
+  private val table = new Array[String](Size)
+  private def hashRegion(s: String, from: Int, to: Int): Int = {
+    var h = 0
+    var i = from
+    while (i < to) {
+      var c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      h = h * 31 + c
+      i += 1
+    }
+    h
+  }
+  private def regionEquals(name: String, s: String, from: Int, to: Int): Boolean = {
+    if (name.length != to - from) return false
+    var i = 0
+    while (i < name.length) {
+      var c = s.charAt(from + i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c != name.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+  Seq(
+    "class", "id", "style", "href", "src", "alt", "title", "rel", "type",
+    "name", "value", "content", "target", "role", "width", "height", "lang",
+    "dir", "placeholder", "itemprop", "itemtype", "itemscope", "aria-hidden",
+    "aria-expanded", "aria-label", "aria-labelledby", "aria-describedby",
+    "aria-controls", "aria-haspopup", "aria-current", "data-src", "data-id",
+    "loading", "srcset", "sizes", "media", "integrity", "crossorigin",
+    "async", "defer", "disabled", "checked", "selected", "multiple",
+    "readonly", "required", "size", "maxlength", "min", "max", "step",
+    "pattern", "autocomplete", "tabindex", "accesskey", "download",
+    "hreflang", "ping", "referrerpolicy", "shape", "coords", "usemap",
+    "ismap", "frameborder", "scrolling", "allow", "allowfullscreen",
+    "controls", "autoplay", "loop", "muted", "poster", "preload", "span",
+    "headers", "scope", "abbr", "start", "reversed", "datetime", "cite",
+    "open", "hidden", "draggable", "contenteditable", "spellcheck",
+    "translate", "xmlns", "xml:lang", "version", "encoding", "property",
+    "http-equiv", "charset", "action", "method", "for", "label", "colspan",
+    "rowspan", "align", "valign", "border", "cellpadding", "cellspacing",
+    "bgcolor", "color", "face", "onclick", "onload", "onerror").foreach { t =>
+    var slot = hashRegion(t, 0, t.length) & (Size - 1)
+    while (table(slot) != null) slot = (slot + 1) & (Size - 1)
+    table(slot) = t
+  }
+  def lookup(s: String, from: Int, to: Int): String = {
+    var slot = hashRegion(s, from, to) & (Size - 1)
+    var probes = 0
+    while (probes < Size) {
+      val cand = table(slot)
+      if (cand == null) return s.substring(from, to).toLowerCase
+      if (regionEquals(cand, s, from, to)) return cand
+      slot = (slot + 1) & (Size - 1)
+      probes += 1
+    }
+    s.substring(from, to).toLowerCase
+  }
+}
+
 private[html] object TagNames {
   private val Size = 1024 // power of two, ~4x the vocabulary
   private val table = new Array[String](Size)
@@ -234,6 +302,81 @@ object HtmlParser {
     */
   private[html] val MaxDepth = 512
 
+  /** Per-tag category bitmask, one hash lookup per tag event (or per node
+    * creation) instead of one immutable-Set probe per category test — the
+    * tree builder consults up to ~8 categories per start tag and re-tests
+    * stack entries on every scan. Built from the category Sets above, so
+    * they remain the single source of truth.
+    */
+  private[html] object TagFlags {
+    final val HeadContentF = 1
+    final val RawTextF = 1 << 1
+    final val RcDataF = 1 << 2
+    final val ClosesPF = 1 << 3
+    final val FormattingF = 1 << 4
+    final val MarkerF = 1 << 5
+    final val SpecialF = 1 << 6
+    final val TableCtxF = 1 << 7
+    final val TableAllowedF = 1 << 8
+    final val TableStructureF = 1 << 9
+    final val NoReconstructF = 1 << 10
+    final val VoidF = 1 << 11
+    final val ForeignRootF = 1 << 12 // svg | math
+    final val BlockF = 1 << 13      // Html2Text.BlockElements
+    final val BigBlockF = 1 << 14   // Html2Text.BigBlock
+
+    private val map = new java.util.HashMap[String, Integer]()
+    private def add(tags: Iterable[String], f: Int): Unit = tags.foreach { t =>
+      val prev = map.get(t)
+      map.put(t, if (prev == null) f else prev.intValue | f)
+    }
+    add(HeadContent, HeadContentF)
+    add(RawText, RawTextF)
+    add(RcData, RcDataF)
+    add(ClosesP, ClosesPF)
+    add(FormattingTags, FormattingF)
+    add(MarkerTags, MarkerF)
+    add(SpecialTags, SpecialF)
+    add(TableCtxTags, TableCtxF)
+    add(TableAllowed, TableAllowedF)
+    add(TableStructureTags, TableStructureF)
+    add(NoReconstructTags, NoReconstructF)
+    add(Serializer.VoidElements, VoidF)
+    add(Seq("svg", "math"), ForeignRootF)
+    add(Html2Text.BlockElements, BlockF)
+    add(Html2Text.BigBlock, BigBlockF)
+
+    def apply(tag: String): Int = {
+      val v = map.get(tag)
+      if (v == null) 0 else v.intValue
+    }
+  }
+
+  /** Allocation-free `lastIndexWhere(_.tag == tag)`: the stdlib default
+    * builds a reversed view iterator per call, and these scans run per
+    * tag event (the round-9 profile had the view allocation as the
+    * parser's top frame). Null-safe for the formatting list's markers.
+    */
+  private def lastIndexTag(buf: mutable.ArrayBuffer[DomNode], tag: String): Int = {
+    var k = buf.size - 1
+    while (k >= 0) {
+      val e = buf(k)
+      if (e != null && e.tag == tag) return k
+      k -= 1
+    }
+    -1
+  }
+
+  /** Allocation-free `lastIndexWhere(_ eq el)`. */
+  private def lastIndexEq(buf: mutable.ArrayBuffer[DomNode], el: DomNode): Int = {
+    var k = buf.size - 1
+    while (k >= 0) {
+      if (buf(k) eq el) return k
+      k -= 1
+    }
+    -1
+  }
+
   /** Parse with an optional DOM node budget (MemGuard analog,
     * process_guard.pyx:184-533): every created node — element, text,
     * comment, adoption-agency/reconstruction clone — counts against
@@ -286,7 +429,7 @@ object HtmlParser {
       while (k >= idx) {
         val e = stack.remove(k)
         e.onStack = false
-        if (MarkerTags.contains(e.tag)) clearFormattingToMarker()
+        if ((e.flags & TagFlags.MarkerF) != 0) clearFormattingToMarker()
         k -= 1
       }
     }
@@ -368,8 +511,8 @@ object HtmlParser {
       * (template content never fosters).
       */
     def fosterNeeded(parent: DomNode): Boolean = {
-      if (!TableCtxTags.contains(parent.tag)) return false
-      val ti = stack.lastIndexWhere(_.tag == "table")
+      if ((parent.flags & TagFlags.TableCtxF) == 0) return false
+      val ti = lastIndexTag(stack, "table")
       if (ti < 0) return false
       var j = ti + 1
       while (j < stack.size) {
@@ -383,7 +526,7 @@ object HtmlParser {
       * foster-parenting target). Caller has checked [[fosterNeeded]].
       */
     def fosterInsert(node: DomNode): Unit = {
-      val ti = stack.lastIndexWhere(_.tag == "table")
+      val ti = lastIndexTag(stack, "table")
       val table = stack(ti)
       if (table.parent != null) table.parent.insertBefore(node, table)
       else if (ti > 0) stack(ti - 1).appendChild(node)
@@ -396,7 +539,7 @@ object HtmlParser {
       */
     def insertElementNode(el: DomNode): Unit = {
       val parent = currentParent
-      if (!TableAllowed.contains(el.tag) && fosterNeeded(parent)) fosterInsert(el)
+      if ((el.flags & TagFlags.TableAllowedF) == 0 && fosterNeeded(parent)) fosterInsert(el)
       else parent.appendChild(el)
     }
 
@@ -450,24 +593,24 @@ object HtmlParser {
         }
         if (fi < 0) {
           // no entry: fall back to the generic (tolerant) end-tag pop
-          val idx = stack.lastIndexWhere(_.tag == subject)
+          val idx = lastIndexTag(stack, subject)
           if (idx >= 0) popRange(idx)
           return
         }
         val fmtEl = formatting(fi)
         if (!fmtEl.onStack) { formatting.remove(fi); return }
-        val si = stack.lastIndexWhere(_ eq fmtEl)
+        val si = lastIndexEq(stack, fmtEl)
         // furthest block: the lowest special element above fmtEl
         var fb = -1
         var j = si + 1
         while (j < stack.size && fb < 0) {
-          if (SpecialTags.contains(stack(j).tag)) fb = j else j += 1
+          if ((stack(j).flags & TagFlags.SpecialF) != 0) fb = j else j += 1
         }
         if (fb < 0) {
           // no furthest block: pop through fmtEl (non-special elements
           // above stay in the list — residue that reconstruction re-opens)
           popRange(si)
-          val fiNow = formatting.lastIndexWhere(_ eq fmtEl)
+          val fiNow = lastIndexEq(formatting, fmtEl)
           if (fiNow >= 0) formatting.remove(fiNow)
           return
         }
@@ -485,7 +628,7 @@ object HtmlParser {
           if (nodeCur eq fmtEl) innerDone = true
           else {
             innerCount += 1
-            var nodeFi = formatting.lastIndexWhere(_ eq nodeCur)
+            var nodeFi = lastIndexEq(formatting, nodeCur)
             if (innerCount > 3 && nodeFi >= 0) {
               formatting.remove(nodeFi)
               if (nodeFi < bookmark) bookmark -= 1
@@ -520,7 +663,7 @@ object HtmlParser {
         // the clone chain is never silently dropped from the document.
         val (tgt, ref): (DomNode, DomNode) =
           if (fosterNeeded(commonAncestor)) {
-            val ti = stack.lastIndexWhere(_.tag == "table")
+            val ti = lastIndexTag(stack, "table")
             val table = stack(ti)
             if (table.parent != null) (table.parent, table)
             else if (ti > 0) (stack(ti - 1), null)
@@ -546,16 +689,16 @@ object HtmlParser {
         }
         furthest.appendChild(fclone)
         // list: replace fmtEl's entry with the clone at the bookmark
-        val fiNow = formatting.lastIndexWhere(_ eq fmtEl)
+        val fiNow = lastIndexEq(formatting, fmtEl)
         formatting.remove(fiNow)
         if (fiNow < bookmark) bookmark -= 1
         if (bookmark > formatting.size) bookmark = formatting.size
         formatting.insert(bookmark, fclone)
         // stack: remove fmtEl, re-open the clone just above the block
-        val siNow = stack.lastIndexWhere(_ eq fmtEl)
+        val siNow = lastIndexEq(stack, fmtEl)
         stack.remove(siNow)
         fmtEl.onStack = false
-        val fbNow = stack.lastIndexWhere(_ eq furthest)
+        val fbNow = lastIndexEq(stack, furthest)
         stack.insert(fbNow + 1, fclone)
         fclone.onStack = true
       }
@@ -686,7 +829,7 @@ object HtmlParser {
               if (raw.nonEmpty) {
                 budget()
                 val t = new DomNode(NodeType.Text, "#text")
-                t.value = if (RcData.contains(rawEl.tag)) Entities.decode(raw) else raw
+                t.value = if ((rawEl.flags & TagFlags.RcDataF) != 0) Entities.decode(raw) else raw
                 rawEl.appendChild(t)
               }
               if (j < 0) i = n
@@ -719,12 +862,21 @@ object HtmlParser {
       }
       // head content stays in head until body content appears; foreign
       // (svg) subtrees keep their title etc. in place
-      val inForeign = stack.exists(e => e.tag == "svg" || e.tag == "math")
-      if (!inBody && stack.isEmpty && !HeadContent.contains(name)) switchToBody()
+      val fl = TagFlags(name)
+      val inForeign = {
+        var k = stack.size - 1
+        var f = false
+        while (k >= 0 && !f) {
+          f = (stack(k).flags & TagFlags.ForeignRootF) != 0
+          k -= 1
+        }
+        f
+      }
+      if (!inBody && stack.isEmpty && (fl & TagFlags.HeadContentF) == 0) switchToBody()
 
       // a nested <table> closes the open table first ("in table" <table>)
-      if (name == "table" && TableCtxTags.contains(currentParent.tag)) {
-        val ti = stack.lastIndexWhere(_.tag == "table")
+      if (name == "table" && (currentParent.flags & TagFlags.TableCtxF) != 0) {
+        val ti = lastIndexTag(stack, "table")
         if (ti >= 0) popRange(ti)
       }
 
@@ -732,12 +884,20 @@ object HtmlParser {
       // tags pop anything fostered/misnested above the open table — e.g.
       // <table><b>x<tr> must not nest the row inside the fostered <b>.
       // Template subtrees are their own context (no clearing through).
-      if (TableStructureTags.contains(name)) {
-        val ti = stack.lastIndexWhere(e => e.tag == "table" || e.tag == "template")
+      if ((fl & TagFlags.TableStructureF) != 0) {
+        val ti = {
+          var k = stack.size - 1
+          while (k >= 0 && stack(k).tag != "table" && stack(k).tag != "template") k -= 1
+          k
+        }
         if (ti >= 0 && stack(ti).tag == "table") {
-          val base = clearBackBase(name, ti, stack.lastIndexWhere(e =>
-            e.tag == "tbody" || e.tag == "thead" || e.tag == "tfoot"),
-            stack.lastIndexWhere(_.tag == "tr"))
+          val bi = {
+            var k = stack.size - 1
+            while (k >= 0 && stack(k).tag != "tbody" && stack(k).tag != "thead" &&
+              stack(k).tag != "tfoot") k -= 1
+            k
+          }
+          val base = clearBackBase(name, ti, bi, lastIndexTag(stack, "tr"))
           if (base + 1 < stack.size) popRange(base + 1)
         }
       }
@@ -754,23 +914,26 @@ object HtmlParser {
       }
 
       // implicit closes
-      if (ClosesP.contains(name)) {
-        val pIdx = stack.lastIndexWhere(_.tag == "p")
-        if (pIdx >= 0 && !stack.drop(pIdx + 1).exists(e => ClosesP.contains(e.tag)))
-          popRange(pIdx)
+      if ((fl & TagFlags.ClosesPF) != 0) {
+        val pIdx = lastIndexTag(stack, "p")
+        if (pIdx >= 0) {
+          var k = pIdx + 1
+          while (k < stack.size && (stack(k).flags & TagFlags.ClosesPF) == 0) k += 1
+          if (k == stack.size) popRange(pIdx)
+        }
       }
       ImplicitClose.get(name).foreach { closes =>
         while (stack.nonEmpty && closes.contains(stack.last.tag))
           popRange(stack.size - 1)
       }
 
-      if (!NoReconstructTags.contains(name)) reconstruct()
+      if ((fl & TagFlags.NoReconstructF) == 0) reconstruct()
 
       budget()
       val el = new DomNode(NodeType.Element, name)
       attrs.foreach { case (k, v) => if (!el.attrs.contains(k)) el.attrs(k) = v }
       insertElementNode(el)
-      val isVoid = Serializer.VoidElements.contains(name)
+      val isVoid = (fl & TagFlags.VoidF) != 0
       // the self-closing slash is honored only on void and FOREIGN
       // elements (spec: on HTML elements it is a parse error and
       // ignored — browsers keep `<div/>` open)
@@ -778,13 +941,13 @@ object HtmlParser {
         if (stack.size < MaxDepth) {
           stack += el
           el.onStack = true
-          if (FormattingTags.contains(name)) pushFormatting(el)
-          else if (MarkerTags.contains(name)) formatting += null
+          if ((fl & TagFlags.FormattingF) != 0) pushFormatting(el)
+          else if ((fl & TagFlags.MarkerF) != 0) formatting += null
         }
         // beyond MaxDepth: element stays in the tree but children attach
         // flat at the cap (tolerant, bounded)
-        if (!inForeign && RawText.contains(name)) return Some(el)
-        if (!inForeign && RcData.contains(name)) return Some(el)
+        if (!inForeign && (fl & (TagFlags.RawTextF | TagFlags.RcDataF)) != 0)
+          return Some(el)
       }
       None
     }
@@ -798,8 +961,8 @@ object HtmlParser {
           switchToBody(); clearStack(); formatting.clear(); return
         case _ =>
       }
-      if (FormattingTags.contains(name)) { adoptionAgency(name); return }
-      val idx = stack.lastIndexWhere(_.tag == name)
+      if ((TagFlags(name) & TagFlags.FormattingF) != 0) { adoptionAgency(name); return }
+      val idx = lastIndexTag(stack, name)
       if (idx >= 0) popRange(idx)
       // unmatched end tags are ignored (tolerant)
     }
@@ -908,7 +1071,7 @@ object HtmlParser {
         val nameStart = i
         while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
                s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
-        val name = s.substring(nameStart, i).toLowerCase
+        val name = AttrNames.lookup(s, nameStart, i)
         // skip ws
         while (i < n && s.charAt(i).isWhitespace) i += 1
         var value = ""
