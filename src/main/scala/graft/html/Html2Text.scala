@@ -308,7 +308,10 @@ object Html2Text {
     }
 
     var pollCtr = 0
-    nodes.foreach { node =>
+    var nodeIdx = 0
+    while (nodeIdx < nodes.length) {
+      val node = nodes(nodeIdx)
+      nodeIdx += 1
       // cooperative guard cancellation, amortized (see HtmlParser loop)
       pollCtr += 1
       if ((pollCtr & 0x3FF) == 0) graft.core.MemGuard.poll()

@@ -61,7 +61,7 @@ object Html2TextStream {
     var flagsV = 0
     override private[html] def tagFlags: Int = flagsV
     var valueV: String = _
-    var attrsV: Seq[(String, String)] = Nil
+    var attrsV: collection.Seq[(String, String)] = Nil
     var srcV: String = _
     var sliceV = false
     var fromV = 0
@@ -79,7 +79,13 @@ object Html2TextStream {
       } else if (valueV != null) sb.append(valueV)
     def getattr(name: String): Option[String] = {
       val k = name.toLowerCase
-      attrsV.collectFirst { case (ak, av) if ak == k => av }
+      var i = 0
+      while (i < attrsV.length) {
+        val kv = attrsV(i)
+        if (kv._1 == k) return Some(kv._2)
+        i += 1
+      }
+      None
     }
     def domOrNull: DomNode = null
   }
@@ -88,7 +94,7 @@ object Html2TextStream {
       val tag: String,
       val flags: Int, // TagFlags bitmask, resolved once at push
       val depth: Int,
-      val attrs: Seq[(String, String)],
+      val attrs: collection.Seq[(String, String)],
       val visited: Boolean) { // start visit emitted (not suppressed/skipped)
     var hadChild = false
     // closesPOpen value recorded at push (including this element): lets
@@ -97,7 +103,8 @@ object Html2TextStream {
     var closesPAtPush = 0
   }
 
-  private val NoAttrs: Seq[(String, String)] = Nil
+  private val NoAttrs: mutable.ArrayBuffer[(String, String)] =
+    mutable.ArrayBuffer.empty // never mutated; the shared empty-attrs row
 
   /** Streaming extraction with automatic DOM fallback on tree-rule
     * triggers — output is byte-identical to the DOM path either way.
@@ -172,7 +179,7 @@ object Html2TextStream {
       Html2Text.extractCb(nodes, ev, depth, isEndTag = false, opts)
       ev.sliceV = false
     }
-    def emitTag(tag: String, flags: Int, attrs: Seq[(String, String)], depth: Int,
+    def emitTag(tag: String, flags: Int, attrs: collection.Seq[(String, String)], depth: Int,
         isEnd: Boolean): Unit = {
       ev.isTextV = false
       ev.tagV = tag
@@ -341,7 +348,7 @@ object Html2TextStream {
     /** Returns the open raw-text element (to consume its contents) when
       * the started element is RAWTEXT/RCDATA, like the parser.
       */
-    def handleStartTag(name0: String, attrs: Seq[(String, String)],
+    def handleStartTag(name0: String, attrs: collection.Seq[(String, String)],
         selfClosing: Boolean): Option[Open] = {
       val name = name0.toLowerCase
       name match {

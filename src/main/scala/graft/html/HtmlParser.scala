@@ -846,16 +846,16 @@ object HtmlParser {
     }
     flushText()
 
-    def handleStartTag(name0: String, attrs: Seq[(String, String)],
+    def handleStartTag(name0: String, attrs: mutable.ArrayBuffer[(String, String)],
         selfClosing: Boolean): Option[DomNode] = {
       val name = name0.toLowerCase
       name match {
         case "html" =>
-          attrs.foreach { case (k, v) => if (!htmlEl.attrs.contains(k)) htmlEl.attrs(k) = v }
+          copyAttrs(attrs, htmlEl)
           return None
         case "head" => return None
         case "body" =>
-          attrs.foreach { case (k, v) => if (!bodyEl.attrs.contains(k)) bodyEl.attrs(k) = v }
+          copyAttrs(attrs, bodyEl)
           switchToBody()
           return None
         case _ =>
@@ -931,7 +931,7 @@ object HtmlParser {
 
       budget()
       val el = new DomNode(NodeType.Element, name)
-      attrs.foreach { case (k, v) => if (!el.attrs.contains(k)) el.attrs(k) = v }
+      copyAttrs(attrs, el)
       insertElementNode(el)
       val isVoid = (fl & TagFlags.VoidF) != 0
       // the self-closing slash is honored only on void and FOREIGN
@@ -1055,7 +1055,21 @@ object HtmlParser {
   /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,
     * index after '>').
     */
-  private[html] def readAttrs(s: String, from: Int): (Seq[(String, String)], Boolean, Int) = {
+  /** Indexed first-wins copy into a node's attribute map — ArrayBuffer
+    * iteration (foreach/toSeq) allocates a checked view per call, and
+    * this runs once per element.
+    */
+  private def copyAttrs(attrs: mutable.ArrayBuffer[(String, String)], el: DomNode): Unit = {
+    var k = 0
+    while (k < attrs.length) {
+      val kv = attrs(k)
+      if (!el.attrs.contains(kv._1)) el.attrs(kv._1) = kv._2
+      k += 1
+    }
+  }
+
+  private[html] def readAttrs(s: String,
+      from: Int): (mutable.ArrayBuffer[(String, String)], Boolean, Int) = {
     val attrs = mutable.ArrayBuffer.empty[(String, String)]
     var i = from
     val n = s.length
@@ -1095,6 +1109,6 @@ object HtmlParser {
         if (name.nonEmpty) attrs += (name -> value)
       }
     }
-    (attrs.toSeq, selfClosing, if (i < n) i + 1 else n)
+    (attrs, selfClosing, if (i < n) i + 1 else n)
   }
 }
