@@ -48,6 +48,15 @@ object Html2Text {
   private[html] val BigBlock = Set("p", "h1", "h2", "h3", "h4")
   private val ListBullet = "•"
 
+  // literal Sets hoisted out of the per-event callback/classifier —
+  // Scala builds a Set literal on every evaluation (a measurable
+  // allocation at one construction per element visit)
+  private val SkippedInputTypes = Set("checkbox", "color", "file", "hidden",
+    "radio", "reset")
+  private val MinimalReEmitTags = Set("h1", "h2", "h3", "h4", "h5", "h6", "p")
+  private val BlacklistRels = Set("author", "icon", "search", "prev", "next", "tag")
+  private val BlacklistItemprops = Set("datePublished", "author", "url")
+
   private[html] final class ExtractNode(
       val referenceNode: DomNode,
       val tag: String,
@@ -164,9 +173,22 @@ object Html2Text {
       if (candidates.size == 1) root = candidates.head
     }
 
-    val blacklist = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[DomNode, java.lang.Boolean]())
-    root.querySelectorAll(skip.mkString(", ")).foreach(blacklist.add)
+    // the built-in skip entries are all plain tag names; when the caller
+    // adds only tag names too (the overwhelming case), the blacklist is
+    // exactly a tag-membership test — skip the full-tree CSS pass that
+    // materialized an identity set of matches per document
+    val tagOnlySkip = skip.forall(_.matches("[a-zA-Z][a-zA-Z0-9-]*"))
+    val blacklist: DomNode => Boolean =
+      if (tagOnlySkip) {
+        val tags = skip.map(_.toLowerCase) // CSS type selectors match case-insensitively
+        n => n.isElement && tags.contains(n.tag)
+      }
+      else {
+        val set = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[DomNode, java.lang.Boolean]())
+        root.querySelectorAll(skip.mkString(", ")).foreach(set.add)
+        set.contains _
+      }
 
     // depth of root below body (body_depth = depth + base_depth)
     var baseDepth = 0
@@ -184,7 +206,7 @@ object Html2Text {
     def walk(n: DomNode, depth: Int): Unit = {
       val isCharData = n.isText
       if (!isCharData && !n.isElement) return
-      if (blacklist.contains(n)) return
+      if (blacklist(n)) return
       if (opts.mainContent &&
           !isMainContentNode(n, depth + baseDepth, opts.comments, opts.postMeta,
             opts.hiddenElements, clsMemo))
@@ -272,8 +294,7 @@ object Html2Text {
       current.textContents.append(if (!isEndTag) "[ " else " ] ")
     } else if (opts.formFields && n.tag == "input") {
       val typ = n.getattr("type").getOrElse("").trim
-      if (typ.isEmpty || !Set("checkbox", "color", "file", "hidden", "radio",
-          "reset").contains(typ)) {
+      if (typ.isEmpty || !SkippedInputTypes.contains(typ)) {
         var v = n.getattr("value").getOrElse("").trim
         if (v.isEmpty) v = n.getattr("placeholder").getOrElse("").trim
         if (v.nonEmpty) current.ensureText().append("[ ").append(v).append(" ] ")
@@ -295,7 +316,7 @@ object Html2Text {
     def makeIndent(depth: Int): Unit = {
       if (depth <= 0) return
       if (opts.formatting == FormatOff) rstripInPlace(output)
-      output.append(" " * (depth * 2))
+      appendRepeat(output, ' ', depth * 2)
     }
 
     def makeMargin(node: ExtractNode): Unit = {
@@ -303,7 +324,7 @@ object Html2Text {
       if (node.preDepth == 0 || opts.formatting == FormatOff) rstripInPlace(output)
       if (opts.formatting == FormatOff && output.nonEmpty) output.append(' ')
       else if (opts.formatting >= FormatBasic && output.nonEmpty)
-        output.append("\n" * marginSize)
+        appendRepeat(output, '\n', marginSize)
       marginSize = 0
     }
 
@@ -346,7 +367,7 @@ object Html2Text {
           } else if (opts.formatting == FormatMinimalHtml) {
             makeMargin(node)
             if (!node.isEndTag) {
-              output.append(" " * (2 * listDepth))
+              appendRepeat(output, ' ', 2 * listDepth)
               output.append("<li>")
               marginSize = 0
               makeBlock = false
@@ -369,7 +390,7 @@ object Html2Text {
 
         // re-emit select start/end tags
         if (node.referenceNode != null && node.referenceNode.firstChild != null &&
-            (Set("h1", "h2", "h3", "h4", "h5", "h6", "p").contains(node.tag) ||
+            (MinimalReEmitTags.contains(node.tag) ||
              ((node.tag == "ul" || node.tag == "ol") && opts.listBullets))) {
           if ((!node.isEndTag && node.preDepth == 0) ||
               (uncollapsedMarginCount > 0 && node.collapseMargins)) {
@@ -485,6 +506,11 @@ object Html2Text {
   }
 
   private def b2i(b: Boolean): Int = if (b) 1 else 0
+
+  private def appendRepeat(sb: StringBuilder, c: Char, n: Int): Unit = {
+    var i = 0
+    while (i < n) { sb.append(c); i += 1 }
+  }
 
   // — main-content classifier (html2text.pyx:440-733) —
 
@@ -611,10 +637,10 @@ object Html2Text {
     // — Section 2: rel / ARIA attributes —
     if (n.hasattr("hidden")) return false
     val rel = n.getattr("rel").getOrElse("").trim
-    if (Set("author", "icon", "search", "prev", "next", "tag").contains(rel) && rel.nonEmpty)
+    if (rel.nonEmpty && BlacklistRels.contains(rel))
       return false
     val itemprop = n.getattr("itemprop").getOrElse("").trim
-    if (Set("datePublished", "author", "url").contains(itemprop) && itemprop.nonEmpty)
+    if (itemprop.nonEmpty && BlacklistItemprops.contains(itemprop))
       return false
     if (n.getattr("aria-hidden").exists(_.trim == "true")) return false
     if (n.getattr("aria-expanded").exists(_.trim == "false")) return false
