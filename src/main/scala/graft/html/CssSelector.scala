@@ -143,6 +143,11 @@ object CssSelector {
         hit
       }
 
+    /** Whether `n` itself matches any chain of the group
+      * (`Element.matches` / `closest` support).
+      */
+    def matchesNode(n: DomNode): Boolean = n.isElement && anyMatch(n)
+
     /** All STRICT-descendant elements of root matching any chain, in
       * document order, deduplicated.
       */

@@ -250,6 +250,205 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
   def getElementsByAttr(name: String, v: String): Vector[DomNode] =
     descendantElements.filter(_.getattr(name).contains(v))
 
+  // — case-insensitive selection variants (html.pyx:1125-1196 take a
+  //   case_insensitive flag on id / attr / class lookups) —
+  def getElementByIdCase(idv: String, caseInsensitive: Boolean): Option[DomNode] =
+    if (!caseInsensitive) getElementById(idv)
+    else descendantElements.find(_.getattr("id").exists(_.equalsIgnoreCase(idv)))
+  def getElementsByAttrCase(name: String, v: String,
+      caseInsensitive: Boolean): Vector[DomNode] =
+    if (!caseInsensitive) getElementsByAttr(name, v)
+    else descendantElements.filter(_.getattr(name).exists(_.equalsIgnoreCase(v)))
+  def getElementsByClassNameCase(cls: String,
+      caseInsensitive: Boolean): Vector[DomNode] =
+    if (!caseInsensitive) getElementsByClassName(cls)
+    else if (cls.isEmpty) Vector.empty
+    else descendantElements.filter(_.classList.exists(_.equalsIgnoreCase(cls)))
+
+  // — WHATWG element/node conveniences (dom/traits.rs:254-588 surface;
+  //   the subset with meaning in a tolerant single-document DOM) —
+
+  /** Direct element children (`ParentNode.children`). */
+  def children: Vector[DomNode] = {
+    val b = Vector.newBuilder[DomNode]
+    var c = firstChild
+    while (c != null) { if (c.isElement) b += c; c = c.next }
+    b.result()
+  }
+
+  def childElementCount: Int = {
+    var n = 0
+    var c = firstChild
+    while (c != null) { if (c.isElement) n += 1; c = c.next }
+    n
+  }
+
+  /** Inclusive subtree membership (`Node.contains`). */
+  def contains(other: DomNode): Boolean = {
+    var p = other
+    var steps = 0
+    while (p != null && steps < (1 << 20)) {
+      if (p eq this) return true
+      p = p.parent
+      steps += 1
+    }
+    false
+  }
+
+  /** Nearest inclusive ancestor matching `selector` (`Element.closest`). */
+  def closest(selector: String): Option[DomNode] = {
+    val sel = CssSelector.parse(selector)
+    var p = this
+    while (p != null) {
+      if (p.isElement && sel.matchesNode(p)) return Some(p)
+      p = p.parent
+    }
+    None
+  }
+
+  /** Copy of this node; `deep` copies the whole subtree
+    * (`Node.cloneNode`). The clone is detached.
+    */
+  def cloneNode(deep: Boolean = false): DomNode = {
+    val c = new DomNode(nodeType, tag)
+    c.value = value
+    if (_attrs != null) _attrs.foreach { case (k, v) => c.attrs(k) = v }
+    if (deep) {
+      var ch = firstChild
+      while (ch != null) { c.appendChild(ch.cloneNode(deep = true)); ch = ch.next }
+    }
+    c
+  }
+
+  /** `Element.toggleAttribute`: with no `force`, flip presence; with
+    * `force`, add (true) or remove (false). Returns presence after.
+    */
+  def toggleAttribute(name: String, force: Option[Boolean] = None): Boolean = {
+    val want = force.getOrElse(!hasattr(name))
+    if (want) { if (!hasattr(name)) setattr(name, "") }
+    else delattr(name)
+    want
+  }
+
+  /** Detach from the parent (`ChildNode.remove`, alias of decompose). */
+  def remove(): Unit = decompose()
+
+  /** Insert `nodes` before this node in its parent (`ChildNode.before`). */
+  def before(ns: DomNode*): Unit =
+    if (parent != null) ns.foreach(parent.insertBefore(_, this))
+
+  /** Insert `nodes` after this node in its parent (`ChildNode.after`). */
+  def after(ns: DomNode*): Unit =
+    if (parent != null) {
+      var ref = next
+      ns.foreach { n =>
+        if (ref == null) parent.appendChild(n) else parent.insertBefore(n, ref)
+      }
+    }
+
+  /** Replace this node with `nodes` (`ChildNode.replaceWith`). */
+  def replaceWith(ns: DomNode*): Unit =
+    if (parent != null) { before(ns: _*); parent.removeChild(this) }
+
+  /** Insert before the first child (`ParentNode.prepend`). */
+  def prepend(ns: DomNode*): Unit = {
+    val ref = firstChild
+    ns.foreach { n => if (ref == null) appendChild(n) else insertBefore(n, ref) }
+  }
+
+  /** Replace all children (`ParentNode.replaceChildren`). */
+  def replaceChildren(ns: DomNode*): Unit = {
+    while (firstChild != null) removeChild(firstChild)
+    ns.foreach(appendChild)
+  }
+
+  /** Set the node's text contents, replacing all children — the
+    * reference's `text` setter (html.pyx:763-770; WHATWG textContent
+    * set: empty string leaves no children).
+    */
+  def setText(t: String): Unit = {
+    while (firstChild != null) removeChild(firstChild)
+    if (t.nonEmpty) {
+      val tn = new DomNode(NodeType.Text, "#text")
+      tn.value = t
+      appendChild(tn)
+    }
+  }
+
+  /** Set the node's INNER HTML from markup, replacing all children —
+    * the reference's `html` setter (html.pyx:789-796,
+    * lxb_html_element_inner_html_set). Fragment parsing is tolerant:
+    * the markup is parsed as a document and the resulting body (or, for
+    * head-only content, head) children are adopted.
+    */
+  def setHtml(markup: String): Unit = {
+    while (firstChild != null) removeChild(firstChild)
+    val doc = HtmlParser.parse(markup)
+    var html = doc.firstChild
+    while (html != null && !(html.isElement && html.tag == "html")) html = html.next
+    if (html == null) return
+    var body: DomNode = null
+    var head: DomNode = null
+    var c = html.firstChild
+    while (c != null) {
+      if (c.isElement && c.tag == "body") body = c
+      if (c.isElement && c.tag == "head") head = c
+      c = c.next
+    }
+    val src = if (body != null && body.firstChild != null) body
+      else if (head != null && head.firstChild != null) head else null
+    if (src != null) {
+      var ch = src.firstChild
+      while (ch != null) { val nx = ch.next; appendChild(ch); ch = nx }
+    }
+  }
+
+  /** Add a class token if absent — the reference's `class_list.add`
+    * whitespace behavior (html.pyx:439-460: appended with a single
+    * separating space unless the current value already ends in one).
+    */
+  def addClass(cls: String): Unit = {
+    if (classList.contains(cls)) return
+    val cur = className
+    val nv = if (cur.isEmpty) cls
+      else if (Character.isWhitespace(cur.charAt(cur.length - 1))) cur + cls
+      else cur + " " + cls
+    setattr("class", nv)
+  }
+
+  /** Remove a class token — the reference's `class_list.remove`
+    * (html.pyx:462-477: remaining tokens re-joined with single spaces).
+    */
+  def removeClass(cls: String): Unit =
+    setattr("class", classList.filterNot(_ == cls).mkString(" "))
+
+  // — CharacterData operations (dom/traits.rs:606-680) on text/comment
+  //   nodes; no-ops / empty on others —
+  def dataLength: Int = if (value == null) 0 else value.length
+  def substringData(offset: Int, count: Int): String = {
+    if (value == null) return ""
+    val from = math.max(0, math.min(offset, value.length))
+    val to = math.max(from, math.min(from.toLong + count, value.length.toLong).toInt)
+    value.substring(from, to)
+  }
+  def appendData(data: String): Unit =
+    value = (if (value == null) "" else value) + data
+  def insertData(offset: Int, data: String): Unit = {
+    val v = if (value == null) "" else value
+    val at = math.max(0, math.min(offset, v.length))
+    value = v.substring(0, at) + data + v.substring(at)
+  }
+  def deleteData(offset: Int, count: Int): Unit = {
+    val v = if (value == null) "" else value
+    val from = math.max(0, math.min(offset, v.length))
+    val to = math.max(from, math.min(from.toLong + count, v.length.toLong).toInt)
+    value = v.substring(0, from) + v.substring(to)
+  }
+  def replaceData(offset: Int, count: Int, data: String): Unit = {
+    deleteData(offset, count)
+    insertData(offset, data)
+  }
+
   override def toString: String = nodeType match {
     case NodeType.Element => s"<$tag>"
     case NodeType.Text => if (value == null) "" else value
