@@ -306,6 +306,11 @@ object Html2Text {
 
   private[html] def serialize(nodes: mutable.ArrayBuffer[ExtractNode], opts: Options): String = {
     val output = new StringBuilder
+    // scratch for the collapse fast path: per-char StringBuilder.charAt
+    // pays a UTF16 bounds check per call (the top frame in the w19
+    // profile) — one bulk getChars into this array then an indexed scan
+    // replaces it; grown to the largest node text, reused across nodes
+    var scratch: Array[Char] = null
     var elementTextPrefix = ""
     var bulletInserted = false
     var listDepth = 0
@@ -432,12 +437,18 @@ object Html2Text {
         // collapseWhitespace/lstrip chain was three allocations and three
         // copies per node
         val tc = node.textContents
+        val tcLen = tc.length
         val doCollapse = node.preDepth == 0 || opts.formatting == FormatOff
         val doLstrip = doCollapse &&
           (makeBlock || (output.nonEmpty && output.last.isWhitespace))
+        if (doCollapse && tcLen > 0) {
+          if (scratch == null || scratch.length < tcLen)
+            scratch = new Array[Char](math.max(tcLen, 1024))
+          tc.underlying.getChars(0, tcLen, scratch, 0)
+        }
         var s = 0
-        if (doLstrip) while (s < tc.length && Character.isWhitespace(tc.charAt(s))) s += 1
-        val empty = if (doLstrip) s >= tc.length else tc.isEmpty
+        if (doLstrip) while (s < tcLen && Character.isWhitespace(scratch(s))) s += 1
+        val empty = if (doLstrip) s >= tcLen else tcLen == 0
         if (!empty) {
           makeMargin(node)
           uncollapsedMarginCount = 0
@@ -458,17 +469,27 @@ object Html2Text {
           else {
             // LOCAL collapse semantics (identical to collapseWhitespace
             // on the standalone string): each ws run -> one space, run
-            // state independent of what's already in `output`
+            // state independent of what's already in `output`. Non-ws
+            // runs append in bulk from the scratch copy.
             var k = s
             var prevWs = false
             var any = false
-            while (k < tc.length) {
-              val ch = tc.charAt(k)
-              if (Character.isWhitespace(ch)) {
+            var runStart = -1
+            while (k < tcLen) {
+              if (Character.isWhitespace(scratch(k))) {
+                if (runStart >= 0) {
+                  output.underlying.append(scratch, runStart, k - runStart)
+                  runStart = -1
+                }
                 if (!any || !prevWs) { output.append(' '); any = true; prevWs = true }
-              } else { output.append(ch); any = true; prevWs = false }
+              } else {
+                if (runStart < 0) runStart = k
+                any = true; prevWs = false
+              }
               k += 1
             }
+            if (runStart >= 0)
+              output.underlying.append(scratch, runStart, tcLen - runStart)
           }
         }
       } else if (node.textContents != null) {

@@ -47,6 +47,20 @@ object ConnectedComponents {
     var cur = ckpt.next(edges.groupBy(col("u"))
       .agg(min(col("v")).as("nmin"))
       .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl")))
+    // Fixpoint test by signature, not by joining next against cur:
+    // labels only DECREASE round-over-round, so the label assignment is
+    // unchanged iff the (id, lbl) set is identical — compared as
+    // (count, bit_xor(xxhash64(id, lbl))), one cheap scan of the already
+    // -checkpointed result instead of a join-shaped shuffle per round.
+    // Same collision argument as [[largeStarSmallStar]]'s signature: the
+    // set is distinct in id so nothing self-cancels, and maxRounds
+    // backstops a 64-bit collision regardless.
+    def signature(lbls: DataFrame): (Long, Long) = {
+      val r = lbls.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("id"), col("lbl"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(cur)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -55,12 +69,10 @@ object ConnectedComponents {
         .select(col("u").as("id"), col("lbl"))
         .unionAll(cur)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
-      val changed = next.alias("n")
-        .join(cur.alias("c"), col("n.id") === col("c.id"))
-        .filter(col("n.lbl") =!= col("c.lbl"))
-        .count()
-      ckpt.releaseSuperseded() // cur's blocks — safe only after the count
-      converged = changed == 0L
+      val nextSig = signature(next)
+      ckpt.releaseSuperseded() // cur's blocks — next is materialized
+      converged = nextSig == sig
+      sig = nextSig
       cur = next
       round += 1
     }

@@ -34,16 +34,19 @@ object PageRank {
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
     val deg = edges.groupBy(col("u"))
       .agg(count(lit(1)).cast("double").as("dg"))
       .persist()
+    // The edge list and the degree table are loop-invariant: join them
+    // ONCE into (u, v, dg) so each round pays a single join (ranks into
+    // the weighted edges) instead of two. Persisted — every round reads
+    // it; at scale this is the table to pre-bucket by u.
+    val weightedEdges = edges.join(deg, Seq("u")).persist()
     var ranks = ckpt.next(deg.select(col("u").as("id"), lit(1.0).as("rank")))
     var i = 0
     while (i < iterations) {
-      val contribs = edges
+      val contribs = weightedEdges
         .join(ranks.select(col("id").as("u"), col("rank")), Seq("u"))
-        .join(deg, Seq("u"))
         .select(col("v").as("id"), (col("rank") / col("dg")).as("c"))
       val next = ckpt.next(contribs.groupBy(col("id"))
         .agg(round(lit(1.0 - damping) + lit(damping) * sum(col("c")), 9).as("rank")))
@@ -51,7 +54,7 @@ object PageRank {
       ranks = next
       i += 1
     }
-    edges.unpersist(blocking = false)
+    weightedEdges.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     ranks
   }

@@ -206,13 +206,14 @@ object Warc {
 
     // Scan throughput vs BASELINE (gzip ~10.4k records/s/core,
     // BASELINE.md:11): envelope-only scan of a generated 10k-record
-    // multi-member gzip corpus (10 files in parallel). Column pruning
+    // multi-member gzip corpus (32 files in parallel — one per core at
+    // the bench's local[32]; real-scale inputs have files >> cores). Column pruning
     // means payloads are skipped, never buffered — records/s for this
     // query's bench timing is the comparable number.
     "w17_warc_scan10k" -> ((s, _) => {
       val dir = graft.sources.BenchCorpus.ensure(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
-        files = 16, copiesPerFile = 100)
+        files = 32, copiesPerFile = 50)
       s.read.format("warc").load(dir)
         .agg(count(lit(1)).as("n_records"),
              sum(col("content_length")).as("total_bytes"))
@@ -223,7 +224,7 @@ object Warc {
     "w18_warc_scan10k_http" -> ((s, _) => {
       val dir = graft.sources.BenchCorpus.ensure(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
-        files = 16, copiesPerFile = 100)
+        files = 32, copiesPerFile = 50)
       s.read.format("warc")
         .option("record_types", "response")
         .load(dir)
@@ -235,13 +236,13 @@ object Warc {
     // Extraction throughput vs BASELINE (HTML parse ~1,150 docs/s/core,
     // docs/man/parse/html.rst:481-492): decode -> parse -> extract_plain_
     // text over 25,600 real Common Crawl pages (the bench corpus's 1600
-    // fixture copies x 16 responses). This query's bench timing / 25600
+    // fixture copies x 16 responses, spread over 32 files). This query's bench timing / 25600
     // is the comparable docs/s number; w12/w13 are too small to time.
     "w19_html_extract10k" -> ((s, _) => {
       import graft.functions.Web
       val dir = graft.sources.BenchCorpus.ensure(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
-        files = 16, copiesPerFile = 100)
+        files = 32, copiesPerFile = 50)
       s.read.format("warc")
         .option("record_types", "response")
         .load(dir)
@@ -578,7 +579,7 @@ object Warc {
     // combine, O(unique docs) shuffle — nothing else moves.
     //
     // Oracle is a disclosed self-pin (VALUES) like w19: DuckDB cannot
-    // run the extraction chain. The corpus is 16 files x 100 copies of
+    // run the extraction chain. The corpus is 32 files x 50 copies of
     // the 16 fixture pages (mostly zh — see the w16 histogram), so the
     // gate is token count only and the output tracks language DIVERSITY
     // of the surviving set rather than filtering to one language.
@@ -586,7 +587,7 @@ object Warc {
       import graft.functions.Web
       val dir = graft.sources.BenchCorpus.ensure(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
-        files = 16, copiesPerFile = 100)
+        files = 32, copiesPerFile = 50)
       // NO filter between the extraction projection and the downstream
       // select: a `text IS NOT NULL` filter here gets predicate-pushed
       // below the projection, and with no cross-operator subexpression
@@ -764,7 +765,7 @@ object Warc {
          t(window_start, record_type, n_records, total_bytes)
          ORDER BY window_start, record_type""",
     // disclosed self-pin (extraction + lang detect are not expressible
-    // in DuckDB): 16 files x 100 copies x 16 response pages all extract
+    // in DuckDB): 32 files x 50 copies x 16 response pages all extract
     // and pass the 50-token gate; dedup collapses them to the 16 unique
     // fixture pages spanning 7 detected languages; the fp-hash split
     // assigns 14/1/1

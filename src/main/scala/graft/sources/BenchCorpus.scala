@@ -24,6 +24,15 @@ object BenchCorpus {
       val marker = d.resolve(s"READY-$files-$copiesPerFile")
       if (Files.exists(marker)) return dir
       Files.createDirectories(d)
+      // A shape change (different files/copies) regenerates only its own
+      // file range — stale bench-*.warc.gz from a LARGER previous shape
+      // would survive and silently inflate every record count, so clear
+      // any prior generation (markers included) before writing.
+      val stale = Files.list(d)
+      try stale.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("bench-") || n.startsWith("READY-")) Files.delete(p)
+      } finally stale.close()
       val src = Files.readAllBytes(Paths.get(FixtureGz))
       (0 until files).foreach { i =>
         val tmp = d.resolve(s".part-$i.tmp")

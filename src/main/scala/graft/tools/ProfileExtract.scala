@@ -112,5 +112,41 @@ object ProfileExtract {
       }
       acc
     }
+
+    // Thread-scaling sweep: the same full kernel under 1/4/8/16/32
+    // concurrent threads. The bench runs the kernel on 16-32 executor
+    // threads in one JVM; if per-thread throughput collapses here the
+    // single-thread numbers above are not what the bench pays — the gap
+    // is allocation-rate / memory-bandwidth contention inside the
+    // kernel, not Spark overhead.
+    for (threads <- Seq(1, 4, 8, 16, 32)) {
+      val perThreadRounds = math.max(1, rounds / 2)
+      // warmup (shared, single pass)
+      rows.foreach { case (b, cs) =>
+        graft.html.Html2Text.extractFromHtml(
+          graft.html.HtmlTree.decodeForParse(b, cs), opts).length
+      }
+      System.gc()
+      val sinks = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val pool = (1 to threads).map { _ =>
+        val t = new Thread(() => {
+          var acc = 0L
+          for (_ <- 1 to perThreadRounds) {
+            rows.foreach { case (b, cs) =>
+              acc += graft.html.Html2Text.extractFromHtml(
+                graft.html.HtmlTree.decodeForParse(b, cs), opts).length
+            }
+          }
+          sinks.addAndGet(acc)
+        })
+        t.start(); t
+      }
+      pool.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val docs = threads.toLong * perThreadRounds * rows.length
+      println(f"full kernel x$threads%-2d threads ${docs / sec}%9.0f docs/s total " +
+        f"(${docs / sec / threads}%7.0f /s/thread, ${sec}%6.2f s, sink=${sinks.get()})")
+    }
   }
 }

@@ -7,7 +7,7 @@ object ScanProfile {
   def main(args: Array[String]): Unit = {
     val f = s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench/bench-000.warc.gz"
     graft.sources.BenchCorpus.ensure(
-      s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench", 16, 100)
+      s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench", 32, 50)
     val reps = if (args.nonEmpty) args(0).toInt else 3
     def time(label: String)(body: => Long): Unit = {
       body // warm
