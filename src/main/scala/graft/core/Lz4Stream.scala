@@ -1,0 +1,251 @@
+package graft.core
+
+import java.io.{EOFException, IOException, InputStream}
+
+/** From-scratch LZ4 Frame decoder (the lz4 Frame_format.md spec),
+  * including DEPENDENT blocks — the mode real WARC-LZ4 corpora use
+  * (fastwarc's stream_io.pyx LZ4Stream writes linked blocks) and the
+  * reason neither stock JVM reader fits: lz4-java's frame reader
+  * rejects linked blocks outright, and commons-compress supports them
+  * but decodes ~7 MB/s (byte-at-a-time back-reference copies), 40x off
+  * the ~300 MB/s a WARC scan needs to stay decompression-bound like
+  * the reference (fastwarc.rst LZ4 row: 49.8k records/s).
+  *
+  * Design: all decompressed output lands in one linear window buffer
+  * whose tail always holds the last 64 KiB of history, so a match
+  * offset reaching into the previous block is an ordinary in-buffer
+  * copy — no external-dictionary API needed. Before each block the
+  * window slides (memmove of at most 64 KiB) when insufficient
+  * headroom remains.
+  *
+  * Supported: v01 frames, dependent + independent blocks, skippable
+  * frames, concatenated frames, content size field, block + content
+  * xxHash32 checksums (verified). Not supported: external dictionaries
+  * (DictID flag) — [[WarcCodecs.open]] falls back to commons-compress
+  * for those, and for the legacy frame magic.
+  */
+final class Lz4FrameInputStream(in: InputStream) extends InputStream {
+
+  private val xx = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+
+  private final val Magic = 0x184d2204
+  private final val SkippableMin = 0x184d2a50
+  private final val SkippableMax = 0x184d2a5f
+  private final val HistorySize = 64 * 1024
+
+  // frame state
+  private var inFrame = false
+  private var blockIndependence = false
+  private var blockChecksum = false
+  private var contentChecksum = false
+  private var maxBlockSize = 4 * 1024 * 1024
+  private var contentHasher: net.jpountz.xxhash.StreamingXXHash32 = _
+
+  // window: [0, limit) decoded bytes, [pos, limit) not yet surfaced
+  private var window: Array[Byte] = new Array[Byte](HistorySize + (64 * 1024))
+  private var pos = 0
+  private var limit = 0
+  private var eof = false
+
+  // compressed-block scratch
+  private var cbuf: Array[Byte] = new Array[Byte](64 * 1024)
+
+  override def read(): Int = {
+    if (!ensure()) -1
+    else { val b = window(pos) & 0xff; pos += 1; b }
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    if (!ensure()) return -1
+    val n = math.min(len, limit - pos)
+    System.arraycopy(window, pos, b, off, n)
+    pos += n
+    n
+  }
+
+  override def available(): Int = limit - pos
+
+  override def close(): Unit = in.close()
+
+  /** Make at least one unread byte available; false at stream end. */
+  private def ensure(): Boolean = {
+    while (pos >= limit && !eof) advance()
+    pos < limit
+  }
+
+  private def advance(): Unit = {
+    if (!inFrame) {
+      if (!readFrameHeader()) { eof = true; return }
+    }
+    // tolerate truncation exactly at a block boundary (no EndMark) the
+    // way the tolerant scan path expects: clean end, not an exception
+    val b0 = in.read()
+    if (b0 < 0) { inFrame = false; eof = true; return }
+    val blockSizeRaw = b0 | (readByte() << 8) | (readByte() << 16) | (readByte() << 24)
+    if (blockSizeRaw == 0) { // EndMark
+      if (contentChecksum) {
+        val expect = readIntLE()
+        if (contentHasher != null && contentHasher.getValue != expect)
+          throw new IOException("lz4: content checksum mismatch")
+      }
+      inFrame = false
+      contentHasher = null
+      return
+    }
+    val uncompressed = (blockSizeRaw & 0x80000000) != 0
+    val csize = blockSizeRaw & 0x7fffffff
+    if (csize > maxBlockSize + 16)
+      throw new IOException(s"lz4: block size $csize exceeds frame max $maxBlockSize")
+    if (cbuf.length < csize) cbuf = new Array[Byte](csize)
+    readFully(cbuf, csize)
+    if (blockChecksum) {
+      val expect = readIntLE()
+      if (xx.hash32().hash(cbuf, 0, csize, 0) != expect)
+        throw new IOException("lz4: block checksum mismatch")
+    }
+    slideWindow()
+    val produced =
+      if (uncompressed) {
+        System.arraycopy(cbuf, 0, window, limit, csize)
+        csize
+      } else decodeBlock(cbuf, csize, window, limit)
+    if (contentHasher != null) contentHasher.update(window, limit, produced)
+    limit += produced
+  }
+
+  /** Keep the last 64 KiB of decoded history plus maxBlockSize headroom.
+    * Independent-block frames reset history at every block boundary, so
+    * nothing needs preserving there.
+    */
+  private def slideWindow(): Unit = {
+    val needed = maxBlockSize
+    if (window.length - limit >= needed) return
+    if (blockIndependence) { pos = 0; limit = 0 }
+    else {
+      val keep = math.min(limit, HistorySize)
+      // pos == limit here (advance only runs when drained)
+      System.arraycopy(window, limit - keep, window, 0, keep)
+      pos = keep
+      limit = keep
+    }
+    if (window.length < limit + needed)
+      window = java.util.Arrays.copyOf(window, limit + needed)
+  }
+
+  /** Raw LZ4 block decode into dest at destOff; returns bytes written.
+    * Matches may reference up to 64 KiB before destOff (linked blocks).
+    */
+  private def decodeBlock(src: Array[Byte], srcLen: Int,
+      dest: Array[Byte], destOff: Int): Int = {
+    var s = 0
+    var d = destOff
+    val dend = dest.length
+    while (s < srcLen) {
+      val token = src(s) & 0xff
+      s += 1
+      // literals
+      var litLen = token >>> 4
+      if (litLen == 15) {
+        var b = 0xff
+        while (b == 0xff) {
+          if (s >= srcLen) throw new IOException("lz4: truncated literal length")
+          b = src(s) & 0xff; s += 1; litLen += b
+        }
+      }
+      if (s + litLen > srcLen || d + litLen > dend)
+        throw new IOException("lz4: literal overrun")
+      System.arraycopy(src, s, dest, d, litLen)
+      s += litLen
+      d += litLen
+      if (s >= srcLen) return d - destOff // last sequence has no match
+      // match
+      val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8)
+      s += 2
+      if (offset == 0) throw new IOException("lz4: zero match offset")
+      var mLen = (token & 0xf) + 4
+      if ((token & 0xf) == 15) {
+        var b = 0xff
+        while (b == 0xff) {
+          if (s >= srcLen) throw new IOException("lz4: truncated match length")
+          b = src(s) & 0xff; s += 1; mLen += b
+        }
+      }
+      var m = d - offset
+      if (m < 0) throw new IOException("lz4: match offset before window start")
+      if (d + mLen > dend) throw new IOException("lz4: match overrun")
+      if (offset >= mLen) { // non-overlapping: bulk copy
+        System.arraycopy(dest, m, dest, d, mLen)
+        d += mLen
+      } else { // overlapping run: byte loop (RLE-style)
+        var i = 0
+        while (i < mLen) { dest(d) = dest(m); d += 1; m += 1; i += 1 }
+      }
+    }
+    d - destOff
+  }
+
+  /** Parse the next frame header (skipping skippable frames); false on
+    * clean EOF.
+    */
+  private def readFrameHeader(): Boolean = {
+    while (true) {
+      val b0 = in.read()
+      if (b0 < 0) return false
+      val magic = b0 | (readByte() << 8) | (readByte() << 16) | (readByte() << 24)
+      if (magic >= SkippableMin && magic <= SkippableMax) {
+        var skip = readIntLE().toLong & 0xffffffffL
+        while (skip > 0) {
+          val n = in.skip(skip)
+          if (n <= 0) {
+            if (in.read() < 0) throw new EOFException("lz4: truncated skippable frame")
+            skip -= 1
+          } else skip -= n
+        }
+      } else if (magic == Magic) {
+        val flg = readByte()
+        if ((flg >>> 6) != 1) throw new IOException(s"lz4: unsupported frame version ${flg >>> 6}")
+        blockIndependence = (flg & 0x20) != 0
+        blockChecksum = (flg & 0x10) != 0
+        val hasContentSize = (flg & 0x08) != 0
+        contentChecksum = (flg & 0x04) != 0
+        if ((flg & 0x01) != 0)
+          throw new IOException("lz4: external dictionaries unsupported")
+        val bd = readByte()
+        maxBlockSize = ((bd >>> 4) & 0x7) match {
+          case 4 => 64 * 1024
+          case 5 => 256 * 1024
+          case 6 => 1024 * 1024
+          case 7 => 4 * 1024 * 1024
+          case x => throw new IOException(s"lz4: invalid block max size code $x")
+        }
+        if (hasContentSize) { var i = 0; while (i < 8) { readByte(); i += 1 } }
+        readByte() // HC header checksum — presence-only; not verified
+        contentHasher = if (contentChecksum) xx.newStreamingHash32(0) else null
+        inFrame = true
+        // fresh frame: history never crosses frame boundaries
+        pos = 0; limit = 0
+        return true
+      } else throw new IOException(f"lz4: bad frame magic 0x$magic%08x")
+    }
+    false // unreachable
+  }
+
+  private def readByte(): Int = {
+    val b = in.read()
+    if (b < 0) throw new EOFException("lz4: truncated frame header")
+    b
+  }
+
+  private def readIntLE(): Int =
+    readByte() | (readByte() << 8) | (readByte() << 16) | (readByte() << 24)
+
+  private def readFully(buf: Array[Byte], len: Int): Unit = {
+    var n = 0
+    while (n < len) {
+      val r = in.read(buf, n, len - n)
+      if (r < 0) throw new EOFException("lz4: truncated block")
+      n += r
+    }
+  }
+}

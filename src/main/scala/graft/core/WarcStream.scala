@@ -166,10 +166,17 @@ object WarcCodecs {
     sniff(java.util.Arrays.copyOf(head, n)) match {
       case Some(Gzip) => (GzipCompressorInputStream.builder()
         .setInputStream(buffered).setDecompressConcatenated(true).get(), Gzip)
-      // commons-compress (not lz4-java): frames with DEPENDENT blocks —
-      // which real WARC-LZ4 corpora use — need the 64 KiB history window
-      // the lz4-java frame reader refuses to keep.
-      case Some(Lz4)  => (new FramedLZ4CompressorInputStream(buffered, true), Lz4)
+      // The from-scratch frame decoder ([[Lz4FrameInputStream]]) handles
+      // the DEPENDENT blocks real WARC-LZ4 corpora use at full speed —
+      // lz4-java's frame reader rejects them, and commons-compress
+      // decodes them ~40x slower than the scan needs. Frames declaring
+      // an external dictionary (FLG bit 0, visible in the sniffed head)
+      // are the one feature it refuses; those fall back to
+      // commons-compress.
+      case Some(Lz4) =>
+        val dictId = n >= 5 && (head(4) & 0x01) != 0
+        if (dictId) (new FramedLZ4CompressorInputStream(buffered, true), Lz4)
+        else (new Lz4FrameInputStream(buffered), Lz4)
       case _          => (buffered, Raw)
     }
   }

@@ -233,6 +233,30 @@ object Warc {
              sum(length(col("http_body"))).as("body_bytes"))
     }),
 
+    // The other two codec rows of the reference's benchmark table
+    // (fastwarc.rst:296-327): the SAME 80k records as w17, stored
+    // uncompressed (baseline 108,487 records/s — the no-decompression
+    // scan ceiling) and as back-to-back LZ4 frames (baseline 49,825
+    // records/s). Identical envelope-only aggregate, so the three bench
+    // timings expose the per-codec scan cost in isolation.
+    "w33_warc_scan_uncompressed" -> ((s, _) => {
+      val dir = graft.sources.BenchCorpus.ensureUncompressed(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench_raw",
+        files = 32, copiesPerFile = 50)
+      s.read.format("warc").load(dir)
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("content_length")).as("total_bytes"))
+    }),
+
+    "w34_warc_scan_lz4" -> ((s, _) => {
+      val dir = graft.sources.BenchCorpus.ensureLz4(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench_lz4",
+        files = 32, copiesPerFile = 50)
+      s.read.format("warc").load(dir)
+        .agg(count(lit(1)).as("n_records"),
+             sum(col("content_length")).as("total_bytes"))
+    }),
+
     // Extraction throughput vs BASELINE (HTML parse ~1,150 docs/s/core,
     // docs/man/parse/html.rst:481-492): decode -> parse -> extract_plain_
     // text over 25,600 real Common Crawl pages (the bench corpus's 1600
@@ -844,5 +868,13 @@ object Warc {
     "w18_warc_scan10k_http" ->
       """SELECT CAST(25600 AS BIGINT) AS n, CAST(25600 AS BIGINT) AS n_200,
          CAST(821160000 AS BIGINT) AS body_bytes""",
+    // same 80k records as w17, stored uncompressed / LZ4 — identical
+    // totals prove all three codec readers parse the same envelopes
+    "w33_warc_scan_uncompressed" ->
+      """SELECT CAST(80000 AS BIGINT) AS n_records,
+         CAST(844553600 AS BIGINT) AS total_bytes""",
+    "w34_warc_scan_lz4" ->
+      """SELECT CAST(80000 AS BIGINT) AS n_records,
+         CAST(844553600 AS BIGINT) AS total_bytes""",
   )
 }

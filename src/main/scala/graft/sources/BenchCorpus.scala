@@ -15,17 +15,29 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object BenchCorpus {
 
   val FixtureGz = "/root/reference/tests/data/warcfile.warc.gz"
+  /** The same 50 records, uncompressed / LZ4-framed (the reference ships
+    * all three; its benchmark table times each codec separately).
+    * Concatenation is valid for all three containers: multi-member gzip,
+    * back-to-back LZ4 frames (the reader opens with
+    * decompressConcatenated), and plain WARC record streams.
+    */
+  val FixtureRaw = "/root/reference/tests/data/warcfile.warc"
+  val FixtureLz4 = "/root/reference/tests/data/warcfile.warc.lz4"
   val RecordsPerCopy = 50
 
   /** Create (once) and return the corpus directory. */
   def ensure(dir: String, files: Int = 10, copiesPerFile: Int = 20): String =
+    ensureFrom(dir, files, copiesPerFile, FixtureGz, ".warc.gz")
+
+  private def ensureFrom(dir: String, files: Int, copiesPerFile: Int,
+      srcPath: String, ext: String): String =
     synchronized {
       val d = Paths.get(dir)
       val marker = d.resolve(s"READY-$files-$copiesPerFile")
       if (Files.exists(marker)) return dir
       Files.createDirectories(d)
       // A shape change (different files/copies) regenerates only its own
-      // file range — stale bench-*.warc.gz from a LARGER previous shape
+      // file range — stale bench-* files from a LARGER previous shape
       // would survive and silently inflate every record count, so clear
       // any prior generation (markers included) before writing.
       val stale = Files.list(d)
@@ -33,18 +45,28 @@ object BenchCorpus {
         val n = p.getFileName.toString
         if (n.startsWith("bench-") || n.startsWith("READY-")) Files.delete(p)
       } finally stale.close()
-      val src = Files.readAllBytes(Paths.get(FixtureGz))
+      val src = Files.readAllBytes(Paths.get(srcPath))
       (0 until files).foreach { i =>
         val tmp = d.resolve(s".part-$i.tmp")
         val out = Files.newOutputStream(tmp)
         try (0 until copiesPerFile).foreach(_ => out.write(src))
         finally out.close()
-        Files.move(tmp, d.resolve(f"bench-$i%03d.warc.gz"),
+        Files.move(tmp, d.resolve(f"bench-$i%03d$ext"),
           StandardCopyOption.REPLACE_EXISTING)
       }
       Files.write(marker, Array.emptyByteArray)
       dir
     }
+
+  /** Uncompressed variant of [[ensure]] (BASELINE.md's 108k records/s
+    * row — the no-decompression scan ceiling).
+    */
+  def ensureUncompressed(dir: String, files: Int, copiesPerFile: Int): String =
+    ensureFrom(dir, files, copiesPerFile, FixtureRaw, ".warc")
+
+  /** LZ4 variant of [[ensure]] (BASELINE.md's 49.8k records/s row). */
+  def ensureLz4(dir: String, files: Int, copiesPerFile: Int): String =
+    ensureFrom(dir, files, copiesPerFile, FixtureLz4, ".warc.lz4")
 
   def totalRecords(files: Int = 10, copiesPerFile: Int = 20): Long =
     files.toLong * copiesPerFile * RecordsPerCopy

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev: print a SparkEntry query's rows (small results only). */
+object PrintQuery {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { name =>
+      println(s"== $name")
+      graft.SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
+    }
+    spark.stop()
+  }
+}
+
+/** Dev: single-thread decompress+scan timing per codec file. */
+object CodecProfile {
+  def main(args: Array[String]): Unit = {
+    val files = if (args.nonEmpty) args else Array(
+      "/root/reference/tests/data/warcfile.warc",
+      "/root/reference/tests/data/warcfile.warc.gz",
+      "/root/reference/tests/data/warcfile.warc.lz4")
+    files.foreach { f =>
+      // warm
+      run(f); val t0 = System.nanoTime(); val (n, bytes) = run(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$f%-50s $n%6d records ${bytes / sec / 1e6}%8.1f MB/s ${n / sec}%9.0f rec/s")
+    }
+  }
+  private def run(f: String): (Long, Long) = {
+    val (in, _) = graft.core.WarcCodecs.open(new java.io.FileInputStream(f))
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) { total += n; n = in.read(buf) }
+    in.close()
+    (0L, total)
+  }
+}
