@@ -42,3 +42,22 @@ object CodecProfile {
     (0L, total)
   }
 }
+
+/** Dev: partition counts through PageRank rounds (is AQE coalescing?). */
+object IterDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")).limit(200)
+    val t0 = System.nanoTime()
+    val pr = graft.operators.PageRank.undirected(pairs, iterations = 10)
+    val n = pr.count()
+    println(f"pagerank: $n rows, ${(System.nanoTime()-t0)/1e9}%.2f s, partitions=${pr.rdd.getNumPartitions}")
+    spark.stop()
+  }
+}
