@@ -75,6 +75,36 @@ class Lz4StreamSpec extends AnyFunSuite {
     } finally in.close()
   }
 
+  test("round-trips every writer flag combination (property)") {
+    import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream
+    import FramedLZ4CompressorOutputStream.{BlockSize, Parameters}
+    val rnd = new scala.util.Random(42)
+    // payload mix: high-entropy, highly repetitive (long matches,
+    // cross-block back-references under dependency), and empty
+    val payloads = Seq(
+      Array.emptyByteArray,
+      Array.fill(100)(rnd.nextInt().toByte),
+      Array.fill(300 * 1024)(rnd.nextInt().toByte),
+      ("abcdefgh" * (100 * 1024)).getBytes, // 800 KB of period-8 text
+      (0 until 200 * 1024).map(i => (i % 7).toByte).toArray)
+    for {
+      payload <- payloads
+      bs <- Seq(BlockSize.K64, BlockSize.M1)
+      contentCk <- Seq(true, false)
+      blockCk <- Seq(true, false)
+      dependent <- Seq(true, false)
+    } {
+      val out = new ByteArrayOutputStream()
+      val w = new FramedLZ4CompressorOutputStream(out,
+        new Parameters(bs, contentCk, blockCk, dependent))
+      w.write(payload); w.close()
+      val ours = drain(new Lz4FrameInputStream(
+        new ByteArrayInputStream(out.toByteArray)))
+      assert(java.util.Arrays.equals(ours, payload),
+        s"len=${payload.length} bs=$bs cck=$contentCk bck=$blockCk dep=$dependent")
+    }
+  }
+
   test("corrupted block surfaces IOException, not garbage") {
     val raw = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(fixtures.head)).clone()
