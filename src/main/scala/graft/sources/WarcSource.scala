@@ -408,6 +408,13 @@ class WarcPartitionReader(
   private val fs: FileSystem = hPath.getFileSystem(conf)
   private val rawIn = fs.open(hPath)
 
+  // the live byte reader, observed after parser exhaustion: a
+  // decompression stream that DIES (rather than throwing upward) is
+  // reported by the reader as EOF-with-streamError — without checking
+  // it, corruption at a record boundary would truncate the scan
+  // silently (no partial record, so no truncated-record row either)
+  private var activeReader: WarcByteReader = _
+
   private val parser: Iterator[WarcRecord] =
     if (part.memberOffsets.nonEmpty) memberIterator()
     else {
@@ -420,10 +427,12 @@ class WarcPartitionReader(
       // version-line search skips mid-record bytes until the next
       // "WARC/" line (warc.pyx:1184-1207 recovery).
       if (isRangeRead && codec != WarcCodecs.Raw) Iterator.empty
-      else new WarcParser(new WarcByteReader(stream, baseOffset = part.start),
-        part.path, parseOpts)
-        // split ownership: a record belongs to the split containing its start
-        .takeWhile(_.offset < part.end)
+      else {
+        activeReader = new WarcByteReader(stream, baseOffset = part.start)
+        new WarcParser(activeReader, part.path, parseOpts)
+          // split ownership: a record belongs to the split containing its start
+          .takeWhile(_.offset < part.end)
+      }
     }
 
   /** Member-aligned scan: seek each compressed member offset, decode that
@@ -449,16 +458,49 @@ class WarcPartitionReader(
         .setPropagateClose(false)
         .get()
       val (stream, _) = WarcCodecs.open(bounded)
-      new WarcParser(new WarcByteReader(stream), part.path, parseOpts)
+      activeReader = new WarcByteReader(stream)
+      new WarcParser(activeReader, part.path, parseOpts)
         .map(r => r.copy(offset = memberStart + r.offset))
     }
   }
 
   private var current: WarcRecord = _
+  private var streamFailed = false
 
+  /** Decompression-stream corruption (a bad gzip deflate block, an LZ4
+    * checksum mismatch) raises IOException from INSIDE hasNext/next —
+    * below the parser's per-record error handling. The exc_loop doctrine
+    * (rows with `error`, never task failures) applies to the stream
+    * layer too: surface one terminal error row for the partition and end
+    * it. Resuming past stream corruption is not possible for
+    * non-seekable codec chains (unlike record-level resync, which w25
+    * covers) — the member-index path re-scans healthy members of a
+    * damaged archive independently.
+    */
   override def next(): Boolean = {
-    if (parser.hasNext) { current = parser.next(); true }
-    else { current = null; false }
+    if (streamFailed) { current = null; return false }
+    try {
+      if (parser.hasNext) { current = parser.next(); true }
+      else {
+        // exhaustion may be REAL end-of-archive or a decompressor that
+        // died at a record boundary (the reader converts mid-read
+        // IOExceptions to EOF + streamError); only the reader knows
+        val died = Option(activeReader).flatMap(_.streamError)
+        if (died.isDefined) { emitStreamError(s"stream error: ${died.get}"); true }
+        else { current = null; false }
+      }
+    } catch {
+      case e: java.io.IOException =>
+        emitStreamError(s"stream error: ${e.getMessage}")
+        true
+    }
+  }
+
+  private def emitStreamError(msg: String): Unit = {
+    streamFailed = true
+    current = WarcRecord(part.path, -1L, 0L, None, "unknown",
+      graft.core.RecordType.mask("unknown"), None, -1L,
+      graft.core.HeaderMap.empty, Array.emptyByteArray, None, Some(msg))
   }
 
   private val rowEncoder = new WarcRowEncoder(required, part.fileSize)

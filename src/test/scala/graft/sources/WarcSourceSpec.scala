@@ -139,6 +139,41 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recs.flatten.exists(_.contains("truncated")))
   }
 
+  test("mid-stream decompression corruption yields a terminal error row, not a task failure") {
+    // damage the middle of the gzip and LZ4 fixtures: records before the
+    // damage scan normally; the stream error becomes ONE error row.
+    // (Bit flips inside LZ4 literal data decode to garbage the parser
+    // legitimately RESYNCS past — the fixture's frames carry no
+    // checksums — so the LZ4 case corrupts frame STRUCTURE instead: an
+    // impossible block-size field in a mid-file frame header.)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    val lz4Magic = Array[Byte](0x04, 0x22, 0x4d, 0x18)
+    for ((src, name) <- Seq(
+        "/root/reference/tests/data/warcfile.warc.gz" -> "bad.warc.gz",
+        "/root/reference/tests/data/warcfile.warc.lz4" -> "bad.warc.lz4")) {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+      if (name.endsWith(".lz4")) {
+        // find a frame magic past the midpoint; clobber its first
+        // block-size field (frame header = magic 4 + FLG/BD/HC 3)
+        var at = bytes.length / 2
+        while (!bytes.startsWith(lz4Magic, at)) at += 1
+        val sz = at + 7
+        bytes(sz) = 0xff.toByte; bytes(sz + 1) = 0xff.toByte
+        bytes(sz + 2) = 0xff.toByte; bytes(sz + 3) = 0x7f.toByte
+      } else {
+        var i = bytes.length / 2
+        while (i < bytes.length / 2 + 64) { bytes(i) = (bytes(i) ^ 0x55).toByte; i += 1 }
+      }
+      java.nio.file.Files.write(tmp.resolve(name), bytes)
+      val rows = spark.read.format("warc").load(tmp.resolve(name).toString)
+        .select("record_type", "error").collect()
+      val errs = rows.flatMap(r => Option(r.getString(1)))
+      assert(rows.length > 1, s"$name: healthy prefix records expected")
+      assert(errs.exists(e => e.contains("stream error") || e.contains("truncated")),
+        s"$name: got errors ${errs.toSeq}")
+    }
+  }
+
   test("plain http:// archive URLs stream through the scan") {
     // local HTTP server over the fixture bytes — the Common-Crawl-over-
     // HTTPS ingestion shape (cli.py:291-348) without network egress

@@ -61,3 +61,47 @@ object IterDiag {
     spark.stop()
   }
 }
+
+/** Dev: count jobs/stages of one PageRank run (scheduler listener). */
+object IterDiag2 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+      }
+    })
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")).limit(200)
+    pairs.count() // warm input
+    sys.env.get("ITER_AQE").foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    sys.env.get("ITER_PARTS").foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+    val j0 = jobs.get(); val s0 = stages.get()
+    val t0 = System.nanoTime()
+    val pr = graft.operators.PageRank.undirected(pairs, iterations = 10)
+    val n = pr.count()
+    println(f"pagerank: $n rows, ${(System.nanoTime()-t0)/1e9}%.2f s, jobs=${jobs.get()-j0} stages=${stages.get()-s0}")
+    spark.stop()
+  }
+}
+
+/** Dev: scan an arbitrary path with the warc source, print error rows. */
+object ScanDebug {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = spark.read.format("warc").load(args(0))
+      .select("offset", "record_type", "error").collect()
+    println(s"rows=${rows.length}")
+    rows.filter(r => !r.isNullAt(2)).foreach(r => println(s"ERR at ${r.getLong(0)}: ${r.getString(2)}"))
+    spark.stop()
+  }
+}
