@@ -535,13 +535,17 @@ object Html2TextStream {
           // attrs are materialized ONLY for tags the active option set
           // can read them from (default: img/area alt texts) — for
           // everything else skipAttrs scans past them allocation-free
-          val (attrs, selfClosing, afterTag) =
-            if (needAttrs.contains(name)) readAttrs(input, afterName)
-            else {
-              val (sc, after) = skipAttrs(input, afterName)
-              (NoAttrs, sc, after)
-            }
-          i = afterTag
+          // (packed Int return; no per-tag tuple)
+          var attrs: collection.Seq[(String, String)] = NoAttrs
+          var selfClosing = false
+          if (needAttrs.contains(name)) {
+            val t = readAttrs(input, afterName)
+            attrs = t._1; selfClosing = t._2; i = t._3
+          } else {
+            val packed = skipAttrs(input, afterName)
+            selfClosing = (packed & 1) != 0
+            i = packed >>> 1
+          }
           handleStartTag(name, attrs, selfClosing) match {
             case Some(rawEl) =>
               // plaintext has no end tag: everything to EOF is literal

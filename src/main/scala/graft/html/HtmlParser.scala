@@ -1021,7 +1021,12 @@ object HtmlParser {
     * names + entity-decoded values were the top allocation source on
     * the extraction hot path.
     */
-  private[html] def skipAttrs(s: String, from: Int): (Boolean, Int) = {
+  /** Scan past attributes without materializing them. Returns
+    * `(indexAfterTag << 1) | selfClosingBit` packed in one Int — this
+    * runs once per element in the streaming walk, and the previous
+    * (Boolean, Int) tuple was one allocation per tag.
+    */
+  private[html] def skipAttrs(s: String, from: Int): Int = {
     var i = from
     val n = s.length
     var selfClosing = false
@@ -1049,7 +1054,7 @@ object HtmlParser {
         }
       }
     }
-    (selfClosing, if (i < n) i + 1 else n)
+    (((if (i < n) i + 1 else n)) << 1) | (if (selfClosing) 1 else 0)
   }
 
   /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,
