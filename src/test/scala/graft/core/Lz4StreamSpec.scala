@@ -105,6 +105,54 @@ class Lz4StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("Lz4FrameOutputStream round-trips through BOTH readers, linked and independent") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "hello".getBytes,
+      Array.fill(100)(rnd.nextInt().toByte),
+      Array.fill(500 * 1024)(rnd.nextInt().toByte),          // incompressible, multi-block
+      ("the quick brown fox " * (40 * 1024)).getBytes,        // 800 KB, cross-block matches
+      (0 until 300 * 1024).map(i => (i % 251).toByte).toArray, // period-251 runs
+      java.nio.file.Files.readAllBytes(                       // real mixed content
+        java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc")))
+    for {
+      payload <- payloads
+      linked <- Seq(true, false)
+      cck <- Seq(true, false)
+    } {
+      val out = new ByteArrayOutputStream()
+      val w = new Lz4FrameOutputStream(out, linked = linked, contentChecksum = cck)
+      // exercise both write paths: chunked array writes + some single bytes
+      var off = 0
+      while (off < payload.length) {
+        val n = math.min(17 * 1024 + 13, payload.length - off)
+        w.write(payload, off, n)
+        off += n
+      }
+      w.close()
+      val bytes = out.toByteArray
+      val ours = drain(new Lz4FrameInputStream(new ByteArrayInputStream(bytes)))
+      assert(java.util.Arrays.equals(ours, payload),
+        s"our reader: len=${payload.length} linked=$linked cck=$cck")
+      val theirs = commonsDecode(bytes)
+      assert(java.util.Arrays.equals(theirs, payload),
+        s"commons reader: len=${payload.length} linked=$linked cck=$cck")
+    }
+  }
+
+  test("linked mode compresses cross-block repetition better than independent") {
+    val payload = ("boilerplate header and nav " * (30 * 1024)).getBytes // ~810 KB
+    def sizeOf(linked: Boolean): Int = {
+      val out = new ByteArrayOutputStream()
+      val w = new Lz4FrameOutputStream(out, linked = linked)
+      w.write(payload); w.close()
+      out.size()
+    }
+    val (l, ind) = (sizeOf(true), sizeOf(false))
+    assert(l < ind, s"linked=$l independent=$ind")
+  }
+
   test("corrupted block surfaces IOException, not garbage") {
     val raw = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(fixtures.head)).clone()

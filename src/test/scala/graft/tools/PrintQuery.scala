@@ -105,3 +105,33 @@ object ScanDebug {
     spark.stop()
   }
 }
+
+/** Dev: LZ4 write throughput, ours vs commons-compress. */
+object Lz4WriteBench {
+  def main(args: Array[String]): Unit = {
+    val payload = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc"))
+    val big = new java.io.ByteArrayOutputStream()
+    (0 until 20).foreach(_ => big.write(payload))
+    val data = big.toByteArray // ~11 MB
+    def time(label: String)(f: => Int): Unit = {
+      f; f // warm
+      val t0 = System.nanoTime(); val sz = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-26s ${data.length / sec / 1e6}%8.1f MB/s in, $sz%9d bytes out (${sec}%5.2f s)")
+    }
+    time("ours (linked)") {
+      val o = new java.io.ByteArrayOutputStream()
+      val w = new graft.core.Lz4FrameOutputStream(o); w.write(data); w.close(); o.size()
+    }
+    time("ours (independent)") {
+      val o = new java.io.ByteArrayOutputStream()
+      val w = new graft.core.Lz4FrameOutputStream(o, linked = false); w.write(data); w.close(); o.size()
+    }
+    time("commons-compress") {
+      val o = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(o)
+      w.write(data); w.close(); o.size()
+    }
+  }
+}
