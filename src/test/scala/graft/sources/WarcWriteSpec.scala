@@ -116,6 +116,27 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("warc").load(out).count() == 10L)
   }
 
+  test("lz4 member_index write: frame-per-record sidecar drives a parallel rescan") {
+    val out = tmpDir("warc-midx-lz4")
+    spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .write.format("warc")
+      .option("compression", "lz4")
+      .option("member_index", "true")
+      .mode("append").save(out)
+    val files = new java.io.File(out).list().toSeq
+    val dataFile = files.find(_.endsWith(".warc.lz4"))
+    assert(dataFile.isDefined, s"files: $files")
+    assert(files.count(_.endsWith(".idx")) == 1)
+    // each member offset is an LZ4 frame start: seek + decode must yield
+    // exactly the 50 original records through the member-aligned scan
+    val back = spark.read.format("warc").load(s"$out/${dataFile.get}")
+      .selectExpr("record_id", "record_type").collect()
+    assert(back.length == 50)
+    val orig = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .selectExpr("record_id", "record_type").collect()
+    assert(back.map(_.toString).sorted.toSeq == orig.map(_.toString).sorted.toSeq)
+  }
+
   test("recompress gzip -> lz4 -> raw preserves the record stream") {
     val lz4Out = Files.createTempFile("recompress", ".warc.lz4")
     val n1 = WarcWriter.recompress(
