@@ -141,6 +141,23 @@ class Lz4StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("writer round-trips at every standard block size") {
+    val rnd = new scala.util.Random(11)
+    val payload = new Array[Byte](3 * 1024 * 1024) // forces multiple blocks at 1M
+    rnd.nextBytes(payload)
+    // make half compressible so both block paths (compressed + stored) run
+    java.util.Arrays.fill(payload, payload.length / 2, payload.length, 'x'.toByte)
+    for (bs <- Seq(64 * 1024, 256 * 1024, 1024 * 1024, 4 * 1024 * 1024)) {
+      val out = new ByteArrayOutputStream()
+      val w = new Lz4FrameOutputStream(out, blockSize = bs)
+      w.write(payload); w.close()
+      val bytes = out.toByteArray
+      assert(java.util.Arrays.equals(
+        drain(new Lz4FrameInputStream(new ByteArrayInputStream(bytes))), payload), s"ours bs=$bs")
+      assert(java.util.Arrays.equals(commonsDecode(bytes), payload), s"commons bs=$bs")
+    }
+  }
+
   test("linked mode compresses cross-block repetition better than independent") {
     val payload = ("boilerplate header and nav " * (30 * 1024)).getBytes // ~810 KB
     def sizeOf(linked: Boolean): Int = {
