@@ -69,7 +69,7 @@ object Bench {
     // as ProfileExtract's warmup.
     warm {
       val pages = spark.read.format("warc")
-        .load("/root/reference/tests/data/warcfile.warc.gz")
+        .load(graft.sources.BenchCorpus.FixtureGz)
         .filter(org.apache.spark.sql.functions.col("record_type") === "response")
         .select("http_body", "http_charset").collect()
         .map(r => (r.getAs[Array[Byte]]("http_body"), r.getAs[String]("http_charset")))

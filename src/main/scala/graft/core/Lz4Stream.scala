@@ -70,7 +70,14 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
 
   /** Make at least one unread byte available; false at stream end. */
   private def ensure(): Boolean = {
-    while (pos >= limit && !eof) advance()
+    try {
+      while (pos >= limit && !eof) advance()
+    } catch {
+      // corrupt blocks must surface as IOException (the scan layer's
+      // error-row contract keys on it), never as a raw index error
+      case e: IndexOutOfBoundsException =>
+        throw new IOException(s"lz4: corrupt block (${e.getMessage})", e)
+    }
     pos < limit
   }
 
@@ -95,7 +102,7 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
     }
     val uncompressed = (blockSizeRaw & 0x80000000) != 0
     val csize = blockSizeRaw & 0x7fffffff
-    if (csize > maxBlockSize + 16)
+    if (csize > maxBlockSize)
       throw new IOException(s"lz4: block size $csize exceeds frame max $maxBlockSize")
     if (cbuf.length < csize) cbuf = new Array[Byte](csize)
     readFully(cbuf, csize)
@@ -160,6 +167,7 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
       d += litLen
       if (s >= srcLen) return d - destOff // last sequence has no match
       // match
+      if (s + 2 > srcLen) throw new IOException("lz4: truncated match offset")
       val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8)
       s += 2
       if (offset == 0) throw new IOException("lz4: zero match offset")

@@ -24,6 +24,12 @@ final class Lz4FrameOutputStream(
     linked: Boolean = true,
     contentChecksum: Boolean = true) extends OutputStream {
 
+  // 4 MiB is the largest declarable Block_Maximum_Size (BD code 7): a
+  // bigger blockSize would emit blocks the frame header disclaims and
+  // every conforming reader (ours included) rejects
+  require(blockSize >= 1 && blockSize <= 4 * 1024 * 1024,
+    s"blockSize must be in [1, 4 MiB], got $blockSize")
+
   private val xx = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
   private val contentHasher =
     if (contentChecksum) xx.newStreamingHash32(0) else null
@@ -77,6 +83,20 @@ final class Lz4FrameOutputStream(
     val wasClosed = closed
     finish()
     if (!wasClosed) out.close()
+  }
+
+  /** Re-arm after [[finish]] to write another frame to the same output —
+    * the member-per-record WARC sink writes tens of thousands of frames
+    * per file, and constructing a fresh writer per record would churn
+    * ~230 KB of buffers each time.
+    */
+  def reset(): Unit = {
+    fill = 0
+    blockStart = 0
+    headerWritten = false
+    closed = false
+    if (contentHasher != null) contentHasher.reset()
+    java.util.Arrays.fill(hashTable, 0)
   }
 
   private def writeFrameHeader(): Unit = {
@@ -177,7 +197,7 @@ final class Lz4FrameOutputStream(
         var m = 4
         val maxM = blockEnd - 5 - i // keep last 5 bytes literal
         while (m < maxM && src(cand + m) == src(i + m)) m += 1
-        if (m >= 4) {
+        locally {
           // emit sequence: literals [anchor, i), match (offset, m)
           val litLen = i - anchor
           val needed = d + 1 + (litLen / 255 + 1) + litLen + 2 + (m / 255 + 1)
@@ -206,7 +226,7 @@ final class Lz4FrameOutputStream(
           }
           i += m
           anchor = i
-        } else i += 1
+        }
       } else i += 1
     }
     // trailing literals

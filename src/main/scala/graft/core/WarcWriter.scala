@@ -160,6 +160,7 @@ object WarcWriter {
     private val rawOut = new CountingOutputStream(rawOut0)
     private var count = 0L
     private lazy val gzip = new MemberGzip(rawOut)
+    private var lz4: Lz4FrameOutputStream = null
     def recordsWritten: Long = count
     def bytesWritten: Long = rawOut.count
 
@@ -176,10 +177,13 @@ object WarcWriter {
         case Lz4 =>
           // frame per record (the LZ4 analog of member-per-record gzip:
           // seekable boundaries for the member index / point lookup);
-          // our writer — commons-compress writes at ~0.2 MB/s
-          val lz = new Lz4FrameOutputStream(rawOut)
-          writeRecord(rec, lz, checksum)
-          lz.finish()
+          // ONE reusable writer — commons-compress writes at ~0.2 MB/s,
+          // and a fresh Lz4FrameOutputStream per record would churn its
+          // ~230 KB of buffers per record
+          if (lz4 == null) lz4 = new Lz4FrameOutputStream(rawOut)
+          else lz4.reset()
+          writeRecord(rec, lz4, checksum)
+          lz4.finish()
       }
       count += 1
       memberStart

@@ -543,8 +543,8 @@ object Html2TextStream {
             attrs = t._1; selfClosing = t._2; i = t._3
           } else {
             val packed = skipAttrs(input, afterName)
-            selfClosing = (packed & 1) != 0
-            i = packed >>> 1
+            selfClosing = (packed & 1L) != 0
+            i = (packed >>> 1).toInt
           }
           handleStartTag(name, attrs, selfClosing) match {
             case Some(rawEl) =>

@@ -1022,11 +1022,12 @@ object HtmlParser {
     * the extraction hot path.
     */
   /** Scan past attributes without materializing them. Returns
-    * `(indexAfterTag << 1) | selfClosingBit` packed in one Int — this
+    * `(indexAfterTag << 1) | selfClosingBit` packed in one Long — this
     * runs once per element in the streaming walk, and the previous
-    * (Boolean, Int) tuple was one allocation per tag.
+    * (Boolean, Int) tuple was one allocation per tag. (Long, not Int:
+    * an Int pack would overflow for inputs past 2^30 chars.)
     */
-  private[html] def skipAttrs(s: String, from: Int): Int = {
+  private[html] def skipAttrs(s: String, from: Int): Long = {
     var i = from
     val n = s.length
     var selfClosing = false
@@ -1054,7 +1055,7 @@ object HtmlParser {
         }
       }
     }
-    (((if (i < n) i + 1 else n)) << 1) | (if (selfClosing) 1 else 0)
+    (((if (i < n) i + 1 else n)).toLong << 1) | (if (selfClosing) 1L else 0L)
   }
 
   /** Parse attributes until '>' (or EOF). Returns (attrs, selfClosing,

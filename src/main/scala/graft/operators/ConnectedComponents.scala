@@ -52,9 +52,11 @@ object ConnectedComponents {
     // unchanged iff the (id, lbl) set is identical — compared as
     // (count, bit_xor(xxhash64(id, lbl))), one cheap scan of the already
     // -checkpointed result instead of a join-shaped shuffle per round.
-    // Same collision argument as [[largeStarSmallStar]]'s signature: the
-    // set is distinct in id so nothing self-cancels, and maxRounds
-    // backstops a 64-bit collision regardless.
+    // Failure mode (same as [[largeStarSmallStar]]'s signature): a
+    // 64-bit xor collision between two DIFFERENT consecutive label sets
+    // would end the loop one propagation early — wrong labels, not extra
+    // rounds; maxRounds does NOT guard against it. Accepted at ~2^-64
+    // per round on a distinct-id set (nothing self-cancels).
     def signature(lbls: DataFrame): (Long, Long) = {
       val r = lbls.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("id"), col("lbl"))), lit(0L))).head()

@@ -31,9 +31,13 @@ object PageRank {
   def undirected(pairs: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val ckpt = new RoundCheckpointer(pairs.sparkSession)
+    // edges persists until weightedEdges exists: deg and weightedEdges
+    // BOTH materialize it, and `pairs` is typically an expensive
+    // upstream DAG (the LSH/verify pipeline) that must not run twice
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
     val deg = edges.groupBy(col("u"))
       .agg(count(lit(1)).cast("double").as("dg"))
       .persist()
@@ -54,6 +58,7 @@ object PageRank {
       ranks = next
       i += 1
     }
+    edges.unpersist(blocking = false)
     weightedEdges.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     ranks

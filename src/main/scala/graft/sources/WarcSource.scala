@@ -458,11 +458,31 @@ class WarcPartitionReader(
         .setPropagateClose(false)
         .get()
       val (stream, _) = WarcCodecs.open(bounded)
-      activeReader = new WarcByteReader(stream)
-      new WarcParser(activeReader, part.path, parseOpts)
-        .map(r => r.copy(offset = memberStart + r.offset))
+      val reader = new WarcByteReader(stream)
+      activeReader = reader
+      // per-member stream-death check: `reader` is rebound for the NEXT
+      // member as soon as this one's iterator exhausts, so the error row
+      // for a decompressor that died inside THIS member must be appended
+      // here (lazily — Iterator.++ consults it only after exhaustion),
+      // not at end-of-partition where only the last member is visible
+      new WarcParser(reader, part.path, parseOpts)
+        .map(r => r.copy(offset = memberStart + r.offset)) ++
+        new Iterator[WarcRecord] {
+          private var emitted = false
+          override def hasNext: Boolean = !emitted && reader.streamError.isDefined
+          override def next(): WarcRecord = {
+            emitted = true
+            streamErrorRecord(
+              s"stream error in member at $memberStart: ${reader.streamError.get}")
+          }
+        }
     }
   }
+
+  private def streamErrorRecord(msg: String): WarcRecord =
+    WarcRecord(part.path, -1L, 0L, None, "unknown",
+      graft.core.RecordType.mask("unknown"), None, -1L,
+      graft.core.HeaderMap.empty, Array.emptyByteArray, None, Some(msg))
 
   private var current: WarcRecord = _
   private var streamFailed = false
@@ -484,8 +504,13 @@ class WarcPartitionReader(
       else {
         // exhaustion may be REAL end-of-archive or a decompressor that
         // died at a record boundary (the reader converts mid-read
-        // IOExceptions to EOF + streamError); only the reader knows
-        val died = Option(activeReader).flatMap(_.streamError)
+        // IOExceptions to EOF + streamError); only the reader knows.
+        // Member-indexed scans report per member (each member's iterator
+        // appends its own error row above), so skip the partition-level
+        // check there — it would double-report the LAST member's error
+        val died =
+          if (part.memberOffsets.nonEmpty) None
+          else Option(activeReader).flatMap(_.streamError)
         if (died.isDefined) { emitStreamError(s"stream error: ${died.get}"); true }
         else { current = null; false }
       }
@@ -498,9 +523,7 @@ class WarcPartitionReader(
 
   private def emitStreamError(msg: String): Unit = {
     streamFailed = true
-    current = WarcRecord(part.path, -1L, 0L, None, "unknown",
-      graft.core.RecordType.mask("unknown"), None, -1L,
-      graft.core.HeaderMap.empty, Array.emptyByteArray, None, Some(msg))
+    current = streamErrorRecord(msg)
   }
 
   private val rowEncoder = new WarcRowEncoder(required, part.fileSize)

@@ -137,6 +137,46 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.map(_.toString).sorted.toSeq == orig.map(_.toString).sorted.toSeq)
   }
 
+  test("member scan: corruption inside ONE member yields its error row, later members survive") {
+    val out = tmpDir("warc-midx-corrupt")
+    spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .write.format("warc")
+      .option("compression", "lz4")
+      .option("member_index", "true")
+      .mode("append").save(out)
+    val files = new java.io.File(out).list().toSeq
+    val dataFile = files.find(_.endsWith(".warc.lz4")).get
+    val idxFile = files.find(_.endsWith(".idx")).get
+    val offsets = scala.io.Source.fromFile(s"$out/$idxFile").getLines()
+      .map(l => l.split("\"offset\":")(1).stripSuffix("}").toLong).toVector
+    // structurally corrupt the MIDDLE member's first block-size field
+    // (frame header = magic 4 + FLG/BD/HC 3): impossible size -> the
+    // decoder dies inside that member, not at the partition tail
+    val path = java.nio.file.Paths.get(s"$out/$dataFile")
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val mid = offsets(offsets.size / 2).toInt
+    bytes(mid + 7) = 0xff.toByte; bytes(mid + 8) = 0xff.toByte
+    bytes(mid + 9) = 0xff.toByte; bytes(mid + 10) = 0x7f.toByte
+    java.nio.file.Files.write(path, bytes)
+    // drop Hadoop's local-FS checksum sidecar: otherwise ChecksumException
+    // fires at the IO layer before the LZ4 corruption is ever reached
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out/.$dataFile.crc"))
+    // member-aligned scan: the index option + a tiny split size force the
+    // member path (otherwise a small file is one plain streaming partition)
+    val rows = spark.read.format("warc")
+      .option("member_index", s"$out/$idxFile")
+      .option("max_partition_bytes", "4096")
+      .load(s"$out/$dataFile")
+      .selectExpr("offset", "error").collect()
+    val errs = rows.flatMap(r => Option(r.getString(1)))
+    assert(errs.exists(_.contains(s"member at $mid")), s"errors: ${errs.toSeq}")
+    // every member EXCEPT the corrupted one still yields its record
+    val goodOffsets = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(goodOffsets.size == offsets.size - 1, s"good: ${goodOffsets.size} of ${offsets.size}")
+    assert(!goodOffsets.contains(offsets(offsets.size / 2)))
+  }
+
   test("recompress gzip -> lz4 -> raw preserves the record stream") {
     val lz4Out = Files.createTempFile("recompress", ".warc.lz4")
     val n1 = WarcWriter.recompress(
