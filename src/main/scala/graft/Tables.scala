@@ -34,13 +34,22 @@ object Tables {
     * so it cannot change semantics of other reads.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, convert_timezone, expr, lit, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ wall-clock is UTC (driver-generated naive timestamps);
+        // a bare cast would interpret it in the SESSION timezone, which
+        // is only correct under the UTC sessions Verify/Bench build.
+        // Convert explicitly so an externally-built session in any
+        // timezone reads the same instants the DuckDB oracle computes.
+        val tz = s.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(tz), col("ts")).cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet-loaded type $other")

@@ -145,10 +145,14 @@ object Encodings {
     * count of bytes >= 0x80 seen (0 == pure ASCII).
     */
   private def utf8HighBytes(data: Array[Byte], from: Int, to: Int,
-      lenientEnds: Boolean): Int = {
+      lenientStart: Boolean, lenientEnd: Boolean): Int = {
     var i = from
     var high = 0
-    if (lenientEnds) { // skip orphan continuation bytes at a tail seam
+    // leading-orphan skip applies ONLY when `from` is a sampling seam
+    // (the tail half starts mid-document, possibly mid-character); the
+    // head half starts at the true document start, where an orphan
+    // continuation byte is genuinely invalid UTF-8
+    if (lenientStart) {
       var skipped = 0
       while (i < to && skipped < 3 && (data(i) & 0xc0) == 0x80) { i += 1; skipped += 1; high += 1 }
     }
@@ -179,7 +183,7 @@ object Encodings {
           high += 1
           j += 1
         }
-        if (i + 1 + n > to && !lenientEnds) return -1 // truncated at hard end
+        if (i + 1 + n > to && !lenientEnd) return -1 // truncated at hard end
         i += 1 + n
       }
     }
@@ -214,13 +218,18 @@ object Encodings {
       val half = (maxLen + 1) / 2
       val utf8High =
         if (sampled) {
-          val head = utf8HighBytes(data, 0, half, lenientEnds = true)
+          // head: true document start (strict), seam at its end (lenient);
+          // tail: seam at its start (lenient), true document end (strict)
+          val head = utf8HighBytes(data, 0, half,
+            lenientStart = false, lenientEnd = true)
           if (head < 0) -1
           else {
-            val tail = utf8HighBytes(data, data.length - half, data.length, lenientEnds = true)
+            val tail = utf8HighBytes(data, data.length - half, data.length,
+              lenientStart = true, lenientEnd = false)
             if (tail < 0) -1 else head + tail
           }
-        } else utf8HighBytes(data, 0, data.length, lenientEnds = false)
+        } else utf8HighBytes(data, 0, data.length,
+          lenientStart = false, lenientEnd = false)
       if (utf8High > 0) return Some("utf-8")
       // second deterministic shortcut: clean (mostly-)ASCII content —
       // no NULs (UTF-16 pattern), no ESC (ISO-2022-*), no "~{" (HZ),
@@ -249,7 +258,7 @@ object Encodings {
               if (t < 0) -1 else h + t
             }
           } else clean(0, data.length)
-        if (high >= 0 && high * 50 < sampleLen) return Some("cp1252")
+        if (high >= 0 && high * 50L < sampleLen) return Some("cp1252")
       }
     }
     val sample =

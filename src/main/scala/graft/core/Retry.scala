@@ -187,14 +187,24 @@ object MemGuard {
       val out = f
       if (firedNow) Left(breachMsg) else Right(out)
     } catch {
-      case _: InterruptedException => Left(breachMsg)
+      case e: InterruptedException =>
+        if (firedNow) Left(breachMsg)
+        else {
+          // NOT ours: an external cancellation (Spark task kill,
+          // speculation) — restore the flag and let it propagate, or the
+          // task would misreport a breach and keep running dead work
+          Thread.currentThread().interrupt()
+          throw e
+        }
       case e: Throwable =>
         if (firedNow) Left(breachMsg)
         else Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
       lock.synchronized { done = true }
       task.cancel(false)
-      Thread.interrupted() // clear any interrupt that landed before `done`
+      // clear OUR late interrupt only; an external one was re-asserted
+      // above and must survive this cleanup
+      if (firedNow) Thread.interrupted()
     }
   }
 }

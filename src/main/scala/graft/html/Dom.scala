@@ -395,9 +395,11 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
       if (c.isElement && c.tag == "head") head = c
       c = c.next
     }
-    val src = if (body != null && body.firstChild != null) body
-      else if (head != null && head.firstChild != null) head else null
-    if (src != null) {
+    // adopt HEAD-routed children first, then body: the tolerant parser
+    // routes <style>/<title>/<meta> in a mixed fragment to head, and
+    // WHATWG innerHTML on a body-context element keeps ALL of them —
+    // taking only one of the two silently dropped the other's children
+    for (src <- Seq(head, body) if src != null) {
       var ch = src.firstChild
       while (ch != null) { val nx = ch.next; appendChild(ch); ch = nx }
     }

@@ -104,6 +104,13 @@ object Html2Text {
     var linkLen = 0
   }
 
+  /** NB: stats attach to the tree's own nodes (`extractScratch`) — one
+    * post-order pass, O(1) reads during classification, no per-call map.
+    * Consequence: a DomNode TREE MUST NOT be extracted by two threads
+    * concurrently (same contract as the reference's trees, which are not
+    * thread-safe either). The engine's scan pipeline parses per record
+    * per task, so no tree is ever shared across threads.
+    */
   private def buildTextStats(root: DomNode): Unit = {
     def rec(n: DomNode): TextStats = {
       val st = new TextStats
@@ -181,7 +188,10 @@ object Html2Text {
     val blacklist: DomNode => Boolean =
       if (tagOnlySkip) {
         val tags = skip.map(_.toLowerCase) // CSS type selectors match case-insensitively
-        n => n.isElement && tags.contains(n.tag)
+        // `ne root`: querySelectorAll matched strict DESCENDANTS only, so
+        // extracting FROM a skip-listed element (extract(figure, ...))
+        // must still walk its subtree — only nested occurrences skip
+        n => (n ne root) && n.isElement && tags.contains(n.tag)
       }
       else {
         val set = java.util.Collections.newSetFromMap(

@@ -71,4 +71,20 @@ class TablesEventsSpec extends AnyFunSuite with BeforeAndAfterAll {
         microsEpoch / 1000000L, (microsEpoch % 1000000L) * 1000L)))
     assert(loadedTs(dir.toString)._2 === microsEpoch)
   }
+
+  test("NTZ load is session-timezone independent (non-UTC external session)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_tz")
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      microsEpoch / 1000000L, (microsEpoch % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+    writeEvents(dir, TimestampNTZType, ldt)
+    // an externally-built session need not run UTC: the loader must still
+    // interpret the naive wall-clock as UTC, not as session-local time
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val micros = Tables.events(spark, dir.toString)
+        .selectExpr("unix_micros(ts)").collect()(0).getLong(0)
+      assert(micros === microsEpoch)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -102,6 +102,17 @@ class DomApiSpec extends AnyFunSuite {
     assert(d.html.startsWith("<div"))
   }
 
+  test("setHtml keeps head-routed fragment children (style + content mix)") {
+    val t = doc("<div id=d>old</div>")
+    val d = t.body.getElementById("d").get
+    // the tolerant parser routes <style> to head and <p> to body; inner
+    // set must keep BOTH (WHATWG fragment parsing on a div keeps all)
+    d.setHtml("<style>.x{}</style><p>hi</p>")
+    assert(d.children.map(_.tag) == Vector("style", "p"),
+      s"got ${d.children.map(_.tag)}")
+    assert(d.text.contains("hi"))
+  }
+
   test("addClass / removeClass follow the reference whitespace rules") {
     val t = doc("<div id=d class='one two '>x</div>")
     val d = t.body.getElementById("d").get
