@@ -96,3 +96,14 @@ class HtmlFuzzSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Test-scope bridge so dev tools (FuzzLong) reuse the generator. */
+class HtmlFuzzAccess {
+  private val spec = new HtmlFuzzSpec
+  def gen(rnd: java.util.Random, maxTok: Int): String = {
+    val m = classOf[HtmlFuzzSpec].getDeclaredMethod(
+      "gen", classOf[java.util.Random], classOf[Int])
+    m.setAccessible(true)
+    m.invoke(spec, rnd, Integer.valueOf(maxTok)).asInstanceOf[String]
+  }
+}

@@ -135,3 +135,37 @@ object Lz4WriteBench {
     }
   }
 }
+
+/** Dev: extended stream/DOM differential fuzz — far past the suite's
+  * 4000-soup budget. Prints the first divergence and exits nonzero.
+  */
+object FuzzLong {
+  def main(args: Array[String]): Unit = {
+    val total = if (args.nonEmpty) args(0).toInt else 200000
+    val seed0 = if (args.length > 1) args(1).toLong else 0x5eed0L
+    val optionSets = Seq(
+      graft.html.Html2Text.Options(),
+      graft.html.Html2Text.Options(formatting = graft.html.Html2Text.FormatOff),
+      graft.html.Html2Text.Options(links = true, formFields = true),
+      graft.html.Html2Text.Options(altTexts = false, listBullets = false))
+    val fuzz = new graft.html.HtmlFuzzAccess
+    var i = 0
+    var bails = 0
+    val t0 = System.nanoTime()
+    while (i < total) {
+      val rnd = new java.util.Random(seed0 + i / 1000) // rotate seeds
+      val html = fuzz.gen(rnd, if (i % 10 == 0) 150 else 40)
+      optionSets.foreach { o =>
+        val dom = graft.html.Html2Text.extract(graft.html.HtmlTree.parse(html), o)
+        val streamed = graft.html.Html2TextStream.extract(html, o)
+        if (streamed != dom) {
+          println(s"DIVERGENCE at iter $i opts=$o\n--IN--\n$html\n--DOM--\n$dom\n--STREAM--\n$streamed")
+          sys.exit(1)
+        }
+      }
+      i += 1
+      if (i % 20000 == 0) println(s"  $i soups ok (${(System.nanoTime()-t0)/1e9}%.0f s)")
+    }
+    println(s"OK: $total soups x 4 option sets, no divergence (${(System.nanoTime()-t0)/1e9} s)")
+  }
+}
