@@ -169,3 +169,60 @@ object FuzzLong {
     println(s"OK: $total soups x 4 option sets, no divergence (${(System.nanoTime()-t0)/1e9} s)")
   }
 }
+
+/** Dev: LZ4 decoder corruption fuzz — random mutations of valid frames
+  * must decode cleanly or throw IOException; any other throwable (index
+  * errors, negative-size allocations) is a robustness bug.
+  */
+object Lz4Fuzz {
+  def main(args: Array[String]): Unit = {
+    val total = if (args.nonEmpty) args(0).toInt else 100000
+    val rnd = new java.util.Random(0xfeed5)
+    // base corpus: linked + independent frames over mixed payloads
+    val bases = {
+      val payloadA = ("lorem ipsum dolor sit amet " * 2000).getBytes
+      val payloadB = new Array[Byte](80 * 1024); rnd.nextBytes(payloadB)
+      for {
+        p <- Seq(payloadA, payloadB)
+        linked <- Seq(true, false)
+        cck <- Seq(true, false)
+      } yield {
+        val o = new java.io.ByteArrayOutputStream()
+        val w = new graft.core.Lz4FrameOutputStream(o, linked = linked, contentChecksum = cck)
+        w.write(p); w.close(); o.toByteArray
+      }
+    }
+    var ok = 0L; var ioex = 0L
+    var i = 0
+    while (i < total) {
+      val base = bases(rnd.nextInt(bases.length))
+      val bytes = java.util.Arrays.copyOf(base, base.length)
+      // 1-8 random mutations: bit flips, byte sets, truncation
+      val nMut = 1 + rnd.nextInt(8)
+      var truncated = bytes
+      for (_ <- 0 until nMut) rnd.nextInt(3) match {
+        case 0 => val at = rnd.nextInt(truncated.length)
+                  truncated(at) = (truncated(at) ^ (1 << rnd.nextInt(8))).toByte
+        case 1 => truncated(rnd.nextInt(truncated.length)) = rnd.nextInt(256).toByte
+        case 2 => truncated = java.util.Arrays.copyOf(truncated, 1 + rnd.nextInt(truncated.length))
+      }
+      try {
+        val in = new graft.core.Lz4FrameInputStream(new java.io.ByteArrayInputStream(truncated))
+        val buf = new Array[Byte](32 * 1024)
+        var total2 = 0L
+        var n = in.read(buf)
+        while (n >= 0 && total2 < (64L << 20)) { total2 += n; n = in.read(buf) }
+        if (total2 >= (64L << 20)) { println(s"RUNAWAY OUTPUT at iter $i"); sys.exit(1) }
+        ok += 1
+      } catch {
+        case _: java.io.IOException => ioex += 1
+        case e: Throwable =>
+          println(s"BAD THROWABLE ${e.getClass.getName}: ${e.getMessage} at iter $i")
+          java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/lz4fuzz_fail.bin"), truncated)
+          sys.exit(1)
+      }
+      i += 1
+    }
+    println(s"OK: $total mutated frames — $ok decoded, $ioex IOException, 0 bad throwables")
+  }
+}
