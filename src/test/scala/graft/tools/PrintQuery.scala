@@ -226,3 +226,54 @@ object Lz4Fuzz {
     println(s"OK: $total mutated frames — $ok decoded, $ioex IOException, 0 bad throwables")
   }
 }
+
+/** Dev: Brotli decoder corruption fuzz — same contract as Lz4Fuzz:
+  * mutations of a valid stream decode cleanly or throw IOException
+  * (BrotliException extends it); anything else is a robustness bug.
+  */
+object BrotliFuzzCorrupt {
+  def main(args: Array[String]): Unit = {
+    val total = if (args.nonEmpty) args(0).toInt else 100000
+    val rnd = new java.util.Random(0xb70711)
+    val base = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/tests/data/warcfile.warc")).take(64 * 1024)
+    // build a valid brotli stream via the HttpDecode round-trip fixture
+    // path: reuse the recompressed fixture if present, else synthesize
+    // from the reference .br fixture
+    val valid = {
+      val br = graft.sources.BenchCorpus.ensureBrotliFixture(
+        s"${System.getProperty("java.io.tmpdir")}/graft_brfuzz")
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(br))
+    }
+    var ok = 0L; var ioex = 0L
+    var i = 0
+    while (i < total) {
+      val bytes = java.util.Arrays.copyOf(valid, valid.length)
+      var mutated = bytes
+      val nMut = 1 + rnd.nextInt(8)
+      for (_ <- 0 until nMut) rnd.nextInt(3) match {
+        case 0 => val at = rnd.nextInt(mutated.length)
+                  mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        case 1 => mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        case 2 => mutated = java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+      }
+      try {
+        val in = new graft.core.BrotliInputStream(
+          new java.io.ByteArrayInputStream(mutated), maxOutput = 64L << 20)
+        val buf = new Array[Byte](32 * 1024)
+        var out = 0L
+        var n = in.read(buf)
+        while (n >= 0 && out < (64L << 20)) { out += n; n = in.read(buf) }
+        ok += 1
+      } catch {
+        case _: java.io.IOException => ioex += 1
+        case e: Throwable =>
+          println(s"BAD THROWABLE ${e.getClass.getName}: ${e.getMessage} at iter $i")
+          java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/brfuzz_fail.bin"), mutated)
+          sys.exit(1)
+      }
+      i += 1
+    }
+    println(s"OK: $total mutated streams — $ok decoded, $ioex IOException, sink=${base.length}")
+  }
+}
