@@ -56,6 +56,14 @@ import scala.collection.mutable
   * pair per attribute, and the vocabulary of real-world attribute names
   * is concentrated in a few dozen entries. Unknown names fall back to
   * allocating.
+  *
+  * Deliberately NOT unified with [[TagNames]] / [[Entities]]' table:
+  * the three probe loops run on the tokenizer's per-tag/per-attr/
+  * per-entity hot path and differ in semantics (case-folding identity
+  * intern here and in TagNames; case-SENSITIVE name->replacement
+  * mapping in Entities) — a shared helper parameterized over folding
+  * and value lookup would put a megamorphic call in each loop for ~30
+  * saved lines apiece.
   */
 private[html] object AttrNames {
   private val Size = 256
