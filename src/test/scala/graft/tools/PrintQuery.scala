@@ -277,3 +277,45 @@ object BrotliFuzzCorrupt {
     println(s"OK: $total mutated streams — $ok decoded, $ioex IOException, sink=${base.length}")
   }
 }
+
+/** Dev: WARC parser corruption fuzz — mutations of the raw fixture must
+  * parse to completion (error rows / resync), never throw.
+  */
+object WarcFuzz {
+  def main(args: Array[String]): Unit = {
+    val total = if (args.nonEmpty) args(0).toInt else 50000
+    val rnd = new java.util.Random(0x0a6c)
+    val valid = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc"))
+    var i = 0
+    var records = 0L; var errors = 0L
+    while (i < total) {
+      val bytes = java.util.Arrays.copyOf(valid, valid.length)
+      var mutated = bytes
+      val nMut = 1 + rnd.nextInt(12)
+      for (_ <- 0 until nMut) rnd.nextInt(3) match {
+        case 0 => val at = rnd.nextInt(mutated.length)
+                  mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+        case 1 => mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        case 2 => mutated = java.util.Arrays.copyOf(mutated, 1 + rnd.nextInt(mutated.length))
+      }
+      try {
+        val p = new graft.core.WarcParser(
+          new graft.core.WarcByteReader(new java.io.ByteArrayInputStream(mutated)),
+          "fuzz", graft.core.WarcParseOptions(parseHttp = true))
+        while (p.hasNext) {
+          val r = p.next()
+          records += 1
+          if (r.error.isDefined) errors += 1
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"PARSER THREW ${e.getClass.getName}: ${e.getMessage} at iter $i")
+          java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/warcfuzz_fail.bin"), mutated)
+          sys.exit(1)
+      }
+      i += 1
+    }
+    println(s"OK: $total mutated archives, $records records parsed, $errors error rows, 0 throws")
+  }
+}
