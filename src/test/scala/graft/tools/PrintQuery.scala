@@ -319,3 +319,18 @@ object WarcFuzz {
     println(s"OK: $total mutated archives, $records records parsed, $errors error rows, 0 throws")
   }
 }
+
+/** Dev: the driver's smoke check — SparkEntry.entry must return rows. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"entry rows: $n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}
