@@ -23,6 +23,38 @@ object Warc {
   private def scan(s: SparkSession, file: String): DataFrame =
     s.read.format("warc").load(s"$FixtureDir/$file")
 
+  /** The w31 WET-export pre-write frame, exposed so WarcPlanSpec can pin
+    * its physical plan (w31's own entry writes this frame and returns an
+    * aggregate over the read-back output, so the extraction plan is not
+    * visible in the returned DataFrame).
+    *
+    * Plan shape: ONE collapsed projection evaluates the extraction kernel
+    * once; `nullif(text, '')` folds the old `text IS NOT NULL AND
+    * length(text) > 0` filter into the content column (null = drop), so no
+    * Filter ever references the extraction output — Catalyst would push it
+    * below the projection and run decode->parse->extract twice per page.
+    * The sink's `drop_null_content` option drops those rows at write time.
+    */
+  def wetExportFrame(s: SparkSession): DataFrame = {
+    import graft.functions.{WarcCols, Web}
+    scan(s, "warcfile.warc.gz")
+      .filter(col("record_type") === "response")
+      .select(col("record_id").as("src_id"),
+        WarcCols.targetUri(col("headers")).as("uri"),
+        col("record_date"),
+        Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
+      .select(
+        concat(lit("<urn:wet:"), md5(col("src_id")), lit(">")).as("record_id"),
+        lit("conversion").as("record_type"),
+        col("record_date"),
+        array(
+          struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
+          struct(lit("WARC-Refers-To").as("key"), col("src_id").as("value")),
+          struct(lit("Content-Type").as("key"),
+            lit("text/plain; charset=utf-8").as("value"))).as("headers"),
+        encode(nullif(col("text"), lit("")), "UTF-8").as("content"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Record-type histogram over the gzip variant (codec auto-detect +
@@ -496,28 +528,18 @@ object Warc {
     }),
 
     "w31_wet_export" -> ((s, _) => {
-      import graft.functions.{WarcCols, Web}
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-      scan(s, "warcfile.warc.gz")
-        .filter(col("record_type") === "response")
-        .select(col("record_id").as("src_id"),
-          WarcCols.targetUri(col("headers")).as("uri"),
-          col("record_date"),
-          Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
-        .filter(col("text").isNotNull && length(col("text")) > 0)
-        .select(
-          concat(lit("<urn:wet:"), md5(col("src_id")), lit(">")).as("record_id"),
-          lit("conversion").as("record_type"),
-          col("record_date"),
-          array(
-            struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
-            struct(lit("WARC-Refers-To").as("key"), col("src_id").as("value")),
-            struct(lit("Content-Type").as("key"),
-              lit("text/plain; charset=utf-8").as("value"))).as("headers"),
-          encode(col("text"), "UTF-8").as("content"))
+      wetExportFrame(s)
         .coalesce(1)
         .write.format("warc").option("checksum", "true")
+        // the write-path null gate: rows whose extraction came back
+        // null/empty carry a null content column and are dropped by the
+        // sink — NOT by a filter on `text`, which Catalyst would push
+        // below the extraction projection and evaluate the full
+        // decode->parse->extract kernel twice per page (the w29 bug
+        // class, round-9 audit; WarcPlanSpec pins one evaluation site)
+        .option("drop_null_content", "true")
         .mode("append").save(out)
       val wet = s.read.format("warc").load(out)
       wet.agg(count(lit(1)).as("n_records"),

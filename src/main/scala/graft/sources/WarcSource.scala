@@ -627,8 +627,9 @@ class WarcWriteBuilder(
         val codec = Option(options.get("compression")).getOrElse("gzip")
         val checksum = options.getBoolean("checksum", false)
         val memberIndex = options.getBoolean("member_index", false)
-        new WarcBatchWrite(path, codec, checksum, memberIndex, info.schema(),
-          info.queryId())
+        val dropNullContent = options.getBoolean("drop_null_content", false)
+        new WarcBatchWrite(path, codec, checksum, memberIndex, dropNullContent,
+          info.schema(), info.queryId())
       }
     }
 }
@@ -637,7 +638,8 @@ case class WarcCommitMessage(file: String, records: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
-    memberIndex: Boolean, schema: StructType, queryId: String)
+    memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -648,26 +650,27 @@ class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
     // ensure the output directory exists before tasks run
     val p = new Path(path)
     p.getFileSystem(conf).mkdirs(p)
-    new WarcWriterFactory(path, codec, checksum, memberIndex, schema, fsProps,
-      queryId)
+    new WarcWriterFactory(path, codec, checksum, memberIndex, dropNullContent,
+      schema, fsProps, queryId)
   }
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
 }
 
 class WarcWriterFactory(path: String, codec: String, checksum: Boolean,
-    memberIndex: Boolean, schema: StructType, fsProps: Map[String, String],
-    queryId: String)
+    memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
+    fsProps: Map[String, String], queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new WarcDataWriter(path, codec, checksum, memberIndex, schema, fsProps,
-      partitionId, taskId, queryId)
+    new WarcDataWriter(path, codec, checksum, memberIndex, dropNullContent,
+      schema, fsProps, partitionId, taskId, queryId)
 }
 
 class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
-    memberIndex: Boolean, schema: StructType, fsProps: Map[String, String],
-    partitionId: Int, taskId: Long, queryId: String)
+    memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
+    fsProps: Map[String, String], partitionId: Int, taskId: Long,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val codec = WarcWriter.codecFor(codecName)
@@ -702,6 +705,13 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
     idx.get(col).filter(!row.isNullAt(_)).map(i => row.getUTF8String(i).toString)
 
   override def write(row: InternalRow): Unit = {
+    // drop_null_content: a null content column means "no record here".
+    // This is the write-path null gate that lets callers express
+    // "keep rows whose derived payload is non-null" WITHOUT a Filter on
+    // the derived column — such a filter predicate-pushes below the
+    // projection and, absent cross-operator subexpression elimination,
+    // re-evaluates the (possibly very expensive) deriving kernel per row.
+    if (dropNullContent && idx.get("content").exists(row.isNullAt)) return
     val content: Array[Byte] = idx.get("content").filter(!row.isNullAt(_))
       .map(row.getBinary).getOrElse(Array.emptyByteArray)
     val headerEntries: Vector[(String, String)] = idx.get("headers")

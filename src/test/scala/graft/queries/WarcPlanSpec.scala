@@ -1,15 +1,25 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Physical-plan pins for the WARC headline queries. These guard plan
-  * SHAPE, not results: the round-8 audit found w29's `text IS NOT NULL`
-  * filter predicate-pushed below the extraction projection, so the full
-  * decode->parse->extract kernel ran twice per page (Catalyst has no
-  * cross-operator subexpression elimination). The fix removed the filter;
-  * this spec fails if any future edit reintroduces a duplicated kernel.
+/** Physical-plan pins for the extraction kernel across ALL queries.
+  *
+  * These guard plan SHAPE, not results: the round-8 audit found w29's
+  * `text IS NOT NULL` filter predicate-pushed below the extraction
+  * projection, so the full decode->parse->extract kernel ran twice per
+  * page (Catalyst has no cross-operator subexpression elimination); the
+  * round-9 audit found the same shape had survived in w31. Instead of
+  * naming queries, this spec now iterates every `SparkEntry.queries`
+  * entry, builds its physical plan, and asserts the invariant for any
+  * plan that contains the kernel — a future query that reintroduces the
+  * filter-after-extraction shape fails here automatically.
+  *
+  * w31 writes its frame eagerly and returns an aggregate over the
+  * read-back output, so its extraction plan is not visible through the
+  * returned DataFrame; `Warc.wetExportFrame` exposes the pre-write frame
+  * and is pinned explicitly.
   */
 class WarcPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -23,38 +33,63 @@ class WarcPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def physicalPlan(name: String): String =
-    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+  private val Kernel = "extract_plain_text"
 
   /** Evaluation sites of the extraction kernel. A Final-mode
     * HashAggregate PRINTS the whole aggregate expression but only merges
     * the partial buffers, so aggregate lines beyond the first are
-    * display-only, not evaluations; Filter/Project lines each evaluate.
+    * display-only, not evaluations; an Exchange partitions by the child's
+    * output attribute, so it never re-evaluates either. Filter/Project
+    * lines each evaluate. Multiple kernel calls on ONE Project line are a
+    * single evaluation pass (whole-stage codegen subexpression-eliminates
+    * within an operator), so we count lines, not occurrences.
     */
   private def extractionSites(plan: String): (Int, Int) = {
-    val lines = plan.linesIterator.filter(_.contains("extract_plain_text")).toSeq
+    val lines = plan.linesIterator.filter(_.contains(Kernel))
+      .filterNot(_.contains("Exchange")).toSeq
     val (aggLines, rowLines) = lines.partition(_.contains("Aggregate"))
     (rowLines.size, math.min(aggLines.size, 1))
   }
 
-  test("w29: extraction kernel evaluates exactly once, never in a Filter") {
-    val plan = physicalPlan("w29_training_pipeline")
+  private def assertSingleEvaluation(name: String, plan: String): Unit = {
     assert(!plan.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("extract_plain_text")),
-      s"extract_plain_text pushed into a Filter (double evaluation):\n$plan")
+      l.contains("Filter") && l.contains(Kernel)),
+      s"$name: $Kernel pushed into a Filter (double evaluation):\n$plan")
     val (rowSites, aggSites) = extractionSites(plan)
     assert(rowSites + aggSites === 1,
-      s"extract_plain_text must evaluate once, found row=$rowSites agg=$aggSites:\n$plan")
+      s"$name: $Kernel must evaluate once, found row=$rowSites agg=$aggSites:\n$plan")
   }
 
-  test("w19: extraction kernel evaluates exactly once, never in a Filter") {
-    val plan = physicalPlan("w19_html_extract10k")
-    assert(!plan.linesIterator.exists(l =>
-      l.contains("Filter") && l.contains("extract_plain_text")),
-      s"extract_plain_text pushed into a Filter (double evaluation):\n$plan")
-    val (rowSites, aggSites) = extractionSites(plan)
-    assert(rowSites + aggSites === 1,
-      s"extract_plain_text must evaluate once, found row=$rowSites agg=$aggSites:\n$plan")
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("every query whose plan contains the extraction kernel evaluates it " +
+      "exactly once, never in a Filter") {
+    val sfDir = "/root/testdata/sf0.001"
+    var audited = List.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val plan = physicalPlan(q(spark, sfDir))
+      if (plan.contains(Kernel)) {
+        assertSingleEvaluation(name, plan)
+        audited ::= name
+      }
+    }
+    // regression guard on the guard: the sweep must actually see the
+    // known extraction queries (w13/w16/w19/w29 return extraction plans;
+    // w31's lives behind wetExportFrame, pinned below)
+    val expected = Set("w13_warc_extract", "w16_warc_langs",
+      "w19_html_extract10k", "w29_training_pipeline")
+    assert(expected.subsetOf(audited.toSet),
+      s"plan sweep lost coverage: audited=$audited")
+  }
+
+  test("w31 wetExportFrame: extraction kernel evaluates exactly once, " +
+      "never in a Filter, and the null gate is in the content column") {
+    val plan = physicalPlan(Warc.wetExportFrame(spark))
+    assertSingleEvaluation("w31_wet_export(pre-write)", plan)
+    // the old shape filtered on text AFTER projecting it; the fixed shape
+    // must carry the drop-decision inside the projection itself
+    assert(plan.contains("nullif") || plan.contains("if ("),
+      s"w31 pre-write frame lost its in-projection null gate:\n$plan")
   }
 }

@@ -50,6 +50,27 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("drop_null_content: null-content rows are skipped at write time, " +
+      "non-null rows (including empty binary) are written") {
+    val out = tmpDir("warc-nullgate")
+    val rows = Seq(
+      ("<urn:a>", "resource", Array[Byte](104, 105)),
+      ("<urn:b>", "resource", null), // null content -> dropped by the gate
+      ("<urn:c>", "resource", Array.emptyByteArray)) // empty != null
+    def df = spark.createDataFrame(rows)
+      .toDF("record_id", "record_type", "content")
+    df.coalesce(1)
+      .write.format("warc").option("drop_null_content", "true")
+      .mode("append").save(out)
+    val back = spark.read.format("warc").load(out)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("<urn:a>", "<urn:c>"))
+    // default (gate off): the null row round-trips as an empty block
+    val out2 = tmpDir("warc-nullgate-off")
+    df.coalesce(1).write.format("warc").mode("append").save(out2)
+    assert(spark.read.format("warc").load(out2).count() == 3L)
+  }
+
   test("member_index write emits sidecars that drive a parallel rescan") {
     val out = tmpDir("warc-midx")
     spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
