@@ -93,9 +93,9 @@ object Bench {
     // subset (the driver never sets it, so round artifacts always cover
     // every query)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def sweep(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -108,15 +108,121 @@ object Bench {
       catch { case e: Throwable =>
         // a failed query must NOT silently report its elapsed time as a
         // success — record it so the bench line shows the breakage
-        errors ::= (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        if (!errors.exists(_._1 == name))
+          errors ::= (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2fs")
       name -> sec
     }
+    // min-of-N per query: identical-commit sweeps on the driver host have
+    // swung individual queries 2-5x in opposite directions (memory-
+    // bandwidth interference from co-tenants — README round-9 A/B
+    // evidence). The min of two runs is the signal-of-record; both raw
+    // runs are kept in the artifact so noise stays visible.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = (1 to nRuns).map { r =>
+      System.err.println(s"[bench] -- sweep $r/$nRuns --")
+      sweep()
+    }
+    val results = selected.map { case (name, _) =>
+      name -> runs.map(_.toMap.apply(name)).min
+    }
+    // work-unit counts for the fixed-corpus headline queries (corpus
+    // shape is pinned by their oracles: 32 files x 50 copies x 50
+    // records; 16 response pages per fixture copy), so the artifact
+    // carries derived units/s directly comparable to BASELINE.md's
+    // records/s / docs/s rows without cross-referencing the repo.
+    val benchRecords = sources.BenchCorpus.totalRecords(32, 50) // 80,000
+    val benchDocs = 32L * 50 * 16 // 25,600 response pages
+    val workUnits: Map[String, (Long, String)] = Map(
+      "w17_warc_scan10k" -> (benchRecords, "records"),
+      "w18_warc_scan10k_http" -> (benchRecords, "records"),
+      "w33_warc_scan_uncompressed" -> (benchRecords, "records"),
+      "w34_warc_scan_lz4" -> (benchRecords, "records"),
+      "w19_html_extract10k" -> (benchDocs, "docs"),
+      "w29_training_pipeline" -> (benchDocs, "docs"))
+    val rates = results.flatMap { case (name, sec) =>
+      workUnits.get(name).filter(_ => sec > 0).map { case (n, unit) =>
+        (name, n, unit, n / sec)
+      }
+    }
+    // Single-stream steady-state scan rates, measured in-artifact: the
+    // 80k-record corpus split 32 ways gives ~2.5k records/task, so the
+    // parallel w17/w33/w34 wall times are fixed-overhead-dominated and
+    // cannot resolve records/s vs BASELINE.md's single-thread reference
+    // rows (round-9 verdict). One thread loops over ONE page-cache-hot
+    // corpus file (the reference benchmark's steady-state shape — a full
+    // 840 MB corpus pass is memory-bandwidth-bound instead and reads 2x
+    // low) with the same envelope-only parser options as the queries,
+    // until >=1.5s of steady work has accumulated (post-warmup).
+    def singleThreadScan(dir: String, ext: String): Double = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(ext)).minBy(_.getName)
+      def onePass(): Long = {
+        var n = 0L
+        val (in, _) = core.WarcCodecs.open(new java.io.FileInputStream(f))
+        val p = new core.WarcParser(new core.WarcByteReader(in),
+          f.getName, core.WarcParseOptions(parseHttp = false,
+            readPayload = false))
+        try { while (p.hasNext) { p.next(); n += 1 } } finally in.close()
+        n
+      }
+      onePass(); onePass() // warm (page cache + JIT)
+      System.gc() // shed the sweep's heap debt before timing
+      var total = 0L
+      val t0 = System.nanoTime()
+      while ((System.nanoTime() - t0) / 1e9 < 1.5) total += onePass()
+      total / ((System.nanoTime() - t0) / 1e9)
+    }
+    val tmp = System.getProperty("java.io.tmpdir")
+    def tryRate(f: => Double): Double = try f catch { case _: Throwable => -1.0 }
+    val singleThread: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else Seq(
+        "scan_uncompressed_rps" ->
+          tryRate(singleThreadScan(s"$tmp/graft_warc_bench_raw", ".warc")),
+        "scan_gzip_rps" ->
+          tryRate(singleThreadScan(s"$tmp/graft_warc_bench", ".warc.gz")),
+        "scan_lz4_rps" ->
+          tryRate(singleThreadScan(s"$tmp/graft_warc_bench_lz4", ".warc.lz4")),
+        // full decode -> HTML parse -> extract_plain_text kernel, one
+        // thread over the 16 real fixture pages (BASELINE.md 1,149.6
+        // docs/s row); the kernel is already C2-hot from the warmup loop
+        "extract_docs_ps" -> tryRate {
+          val pages = spark.read.format("warc")
+            .load(sources.BenchCorpus.FixtureGz)
+            .filter(org.apache.spark.sql.functions.col("record_type") === "response")
+            .select("http_body", "http_charset").collect()
+            .map(r => (r.getAs[Array[Byte]]("http_body"),
+              r.getAs[String]("http_charset")))
+          val opts = html.Html2Text.Options()
+          var docs = 0L
+          val t0 = System.nanoTime()
+          while ((System.nanoTime() - t0) / 1e9 < 1.5) {
+            pages.foreach { case (b, cs) =>
+              html.Html2Text.extractFromHtml(
+                html.HtmlTree.decodeForParse(b, cs), opts)
+            }
+            docs += pages.length
+          }
+          docs / ((System.nanoTime() - t0) / 1e9)
+        })
+    singleThread.foreach { case (k, v) =>
+      System.err.println(f"[bench] single-thread $k%-26s $v%10.0f")
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val runsJson = runs.zipWithIndex.map { case (r, i) =>
+      jstr(s"run${i + 1}") + ":" +
+        r.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val ratesJson = rates.map { case (name, n, unit, rate) =>
+      jstr(name) + s""":{"units":$n,"unit":${jstr(unit)},"per_sec":${math.round(rate)}}"""
+    }.mkString("{", ",", "}")
+    val stJson = singleThread.map { case (k, v) =>
+      jstr(k) + ":" + math.round(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // environment fingerprint in the artifact itself: the round-6 driver
@@ -124,7 +230,7 @@ object Bench {
     // an 8g-vs-28g heap difference that was invisible in the output
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val jvmCpus = Runtime.getRuntime.availableProcessors
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"single_thread":$stJson,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // machine-parseable duplicate: the driver's bench harness greps for
     // this prefix to recover the object even when other stdout lines leak

@@ -46,10 +46,15 @@ object Tables {
         // is only correct under the UTC sessions Verify/Bench build.
         // Convert explicitly so an externally-built session in any
         // timezone reads the same instants the DuckDB oracle computes.
-        val tz = s.conf.get("spark.sql.session.timeZone",
-          java.util.TimeZone.getDefault.getID)
+        // The rebase target is current_timezone(), NOT the conf value at
+        // DataFrame-construction time: the optimizer folds it to the
+        // session timezone of the SAME query execution the NTZ->LTZ cast
+        // is analyzed in, so changing spark.sql.session.timeZone between
+        // load and action cannot skew the instants (both sides always
+        // see one timezone).
         df.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(tz), col("ts")).cast(TimestampType))
+          convert_timezone(lit("UTC"), expr("current_timezone()"), col("ts"))
+            .cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet-loaded type $other")

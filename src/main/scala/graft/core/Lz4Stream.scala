@@ -24,6 +24,19 @@ import java.io.{EOFException, IOException, InputStream}
   * (DictID flag) — [[WarcCodecs.open]] falls back to commons-compress
   * for those, and for the legacy frame magic.
   */
+object Lz4FrameInputStream {
+  /** Distinguishable failure for frames declaring an external dictionary
+    * (FLG DictID bit): decoding one without the out-of-band dictionary is
+    * impossible for ANY reader, so the scan layer surfaces this as an
+    * error row whose message names the cause — operators holding the
+    * dictionary can route such archives to a dictionary-aware rescan.
+    * [[WarcCodecs.open]] detects the flag on the FIRST frame and falls
+    * back to commons-compress; a dict frame appearing LATER in a
+    * concatenated stream reaches this decoder mid-scan and lands here.
+    */
+  final class DictFrameException(msg: String) extends IOException(msg)
+}
+
 final class Lz4FrameInputStream(in: InputStream) extends InputStream {
 
   private val xx = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
@@ -38,6 +51,7 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
   private var blockIndependence = false
   private var blockChecksum = false
   private var contentChecksum = false
+  private var declaredContentSize = false
   private var maxBlockSize = 4 * 1024 * 1024
   private var contentHasher: net.jpountz.xxhash.StreamingXXHash32 = _
 
@@ -85,10 +99,20 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
     if (!inFrame) {
       if (!readFrameHeader()) { eof = true; return }
     }
-    // tolerate truncation exactly at a block boundary (no EndMark) the
-    // way the tolerant scan path expects: clean end, not an exception
     val b0 = in.read()
-    if (b0 < 0) { inFrame = false; eof = true; return }
+    if (b0 < 0) {
+      // EOF exactly at a block boundary with no EndMark. When the frame
+      // DECLARED an integrity surface (content checksum or content
+      // size), silence here would let 64 KiB-aligned truncation pass
+      // undetected — surface it as IOException (the scan layer's
+      // error-row contract keys on it). A frame that declared neither
+      // has no way to distinguish this from its legitimate end, so the
+      // tolerant-scan behavior (clean end) is kept for those.
+      if (contentChecksum || declaredContentSize)
+        throw new IOException(
+          "lz4: truncated frame (EOF at block boundary, EndMark missing)")
+      inFrame = false; eof = true; return
+    }
     val blockSizeRaw = b0 | (readByte() << 8) | (readByte() << 16) | (readByte() << 24)
     if (blockSizeRaw == 0) { // EndMark
       if (contentChecksum) {
@@ -211,15 +235,29 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
           } else skip -= n
         }
       } else if (magic == Magic) {
-        val flg = readByte()
+        // collect the descriptor bytes (FLG..content size) so the HC
+        // header checksum — xxh32(descriptor, 0) >> 8, low byte — can be
+        // verified: a corrupted FLG/BD silently flips integrity flags /
+        // window sizing otherwise, and the check is one hash of <= 14
+        // bytes
+        val desc = new Array[Byte](14)
+        var descLen = 0
+        def descByte(): Int = {
+          val b = readByte(); desc(descLen) = b.toByte; descLen += 1; b
+        }
+        val flg = descByte()
         if ((flg >>> 6) != 1) throw new IOException(s"lz4: unsupported frame version ${flg >>> 6}")
         blockIndependence = (flg & 0x20) != 0
         blockChecksum = (flg & 0x10) != 0
         val hasContentSize = (flg & 0x08) != 0
+        declaredContentSize = hasContentSize
         contentChecksum = (flg & 0x04) != 0
         if ((flg & 0x01) != 0)
-          throw new IOException("lz4: external dictionaries unsupported")
-        val bd = readByte()
+          throw new Lz4FrameInputStream.DictFrameException(
+            "lz4: frame declares an external dictionary (DictID) — " +
+            "undecodable without the out-of-band dictionary; rescan with " +
+            "a dictionary-aware codec")
+        val bd = descByte()
         maxBlockSize = ((bd >>> 4) & 0x7) match {
           case 4 => 64 * 1024
           case 5 => 256 * 1024
@@ -227,8 +265,12 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
           case 7 => 4 * 1024 * 1024
           case x => throw new IOException(s"lz4: invalid block max size code $x")
         }
-        if (hasContentSize) { var i = 0; while (i < 8) { readByte(); i += 1 } }
-        readByte() // HC header checksum — presence-only; not verified
+        if (hasContentSize) { var i = 0; while (i < 8) { descByte(); i += 1 } }
+        val hc = readByte()
+        val expectHc = (xx.hash32().hash(desc, 0, descLen, 0) >>> 8) & 0xff
+        if (hc != expectHc)
+          throw new IOException(
+            f"lz4: frame header checksum mismatch (0x$hc%02x != 0x$expectHc%02x)")
         contentHasher = if (contentChecksum) xx.newStreamingHash32(0) else null
         inFrame = true
         // fresh frame: history never crosses frame boundaries

@@ -172,7 +172,14 @@ object WarcCodecs {
       // decodes them ~40x slower than the scan needs. Frames declaring
       // an external dictionary (FLG bit 0, visible in the sniffed head)
       // are the one feature it refuses; those fall back to
-      // commons-compress.
+      // commons-compress. Known limitation: only the FIRST frame's FLG
+      // is sniffed here — a dict-flagged frame later in a concatenated
+      // stream surfaces mid-scan as a terminal error row carrying
+      // [[Lz4FrameInputStream.DictFrameException]]'s message (records
+      // after it in that file are not parsed). That is deliberate: no
+      // reader can decode such a frame without the out-of-band
+      // dictionary, so the error row names the cause and an operator
+      // holding the dictionary can rescan the flagged file.
       case Some(Lz4) =>
         val dictId = n >= 5 && (head(4) & 0x01) != 0
         if (dictId) (new FramedLZ4CompressorInputStream(buffered, true), Lz4)

@@ -50,17 +50,20 @@ object ConnectedComponents {
     // Fixpoint test by signature, not by joining next against cur:
     // labels only DECREASE round-over-round, so the label assignment is
     // unchanged iff the (id, lbl) set is identical — compared as
-    // (count, bit_xor(xxhash64(id, lbl))), one cheap scan of the already
-    // -checkpointed result instead of a join-shaped shuffle per round.
-    // Failure mode (same as [[largeStarSmallStar]]'s signature): a
-    // 64-bit xor collision between two DIFFERENT consecutive label sets
-    // would end the loop one propagation early — wrong labels, not extra
-    // rounds; maxRounds does NOT guard against it. Accepted at ~2^-64
-    // per round on a distinct-id set (nothing self-cancels).
-    def signature(lbls: DataFrame): (Long, Long) = {
+    // (count, bit_xor(h1), bit_xor(h2)) with two independently-salted
+    // xxhash64 functions, one cheap scan of the already-checkpointed
+    // result instead of a join-shaped shuffle per round. Ending the loop
+    // early on a false match would yield wrong labels (not extra
+    // rounds), so one 64-bit hash (~2^-64/round) was a silent-wrong-
+    // answer mode; requiring BOTH independent hashes to collide
+    // simultaneously (~2^-128/round) removes it for free — same
+    // aggregate, same single scan.
+    def signature(lbls: DataFrame): (Long, Long, Long) = {
       val r = lbls.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("id"), col("lbl"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(bit_xor(xxhash64(col("id"), col("lbl"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(lit(0x9E3779B97F4A7C15L), col("id"),
+          col("lbl"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var sig = signature(cur)
     var round = 0
@@ -93,10 +96,10 @@ object ConnectedComponents {
     *
     * Every emitted edge is (child, root) with child > root, so the edge
     * set has a canonical orientation and the fixpoint test is a cheap
-    * signature compare — (count, bit_xor(xxhash64(u, v))) — instead of
-    * a full EXCEPT: a 64-bit xor collision on a non-fixpoint is
-    * vanishingly unlikely (the edge set is distinct, so nothing
-    * self-cancels), and `maxRounds` backstops it regardless.
+    * signature compare — (count, bit_xor of TWO independently-salted
+    * xxhash64s) — instead of a full EXCEPT: a false match needs both
+    * 64-bit hashes to collide at once (~2^-128 on a distinct edge set,
+    * nothing self-cancels), and `maxRounds` backstops it regardless.
     */
   def largeStarSmallStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -110,10 +113,12 @@ object ConnectedComponents {
     if (edges.isEmpty)
       return edges.select(col("u").as("id"), col("v").as("lbl"))
 
-    def signature(e: DataFrame): (Long, Long) =
+    def signature(e: DataFrame): (Long, Long, Long) =
       e.agg(count(lit(1)),
-          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
-        .as[(Long, Long)].head()
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+          coalesce(bit_xor(xxhash64(lit(0x9E3779B97F4A7C15L), col("u"),
+            col("v"))), lit(0L)))
+        .as[(Long, Long, Long)].head()
 
     def bothDirections(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))

@@ -47,6 +47,43 @@ class Lz4StreamSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ours.drop(one.length), one))
   }
 
+  test("truncation at a block boundary is detected when the frame " +
+      "declares a content checksum") {
+    val body = new Array[Byte](200 * 1024)
+    new scala.util.Random(7).nextBytes(body)
+    val bos = new ByteArrayOutputStream()
+    val w = new Lz4FrameOutputStream(bos) // contentChecksum = true
+    w.write(body); w.close()
+    val full = bos.toByteArray
+    // with a content checksum the frame ends EndMark(4) + checksum(4):
+    // cutting those 8 bytes leaves EOF exactly at a block boundary —
+    // previously accepted as clean end, now an IOException
+    val truncated = full.dropRight(8)
+    val e = intercept[java.io.IOException] {
+      drain(new Lz4FrameInputStream(new ByteArrayInputStream(truncated)))
+    }
+    assert(e.getMessage.contains("EndMark missing"), e.getMessage)
+    // control: the intact frame still decodes
+    assert(drain(new Lz4FrameInputStream(
+      new ByteArrayInputStream(full))).length == body.length)
+  }
+
+  test("corrupted frame descriptor is rejected by the HC header checksum") {
+    val bos = new ByteArrayOutputStream()
+    val w = new Lz4FrameOutputStream(bos)
+    w.write("hello lz4 header".getBytes("ascii")); w.close()
+    val bytes = bos.toByteArray
+    // BD byte is at offset 5 (magic 4 + FLG 1); flip its block-size code
+    // within the valid range (64K code 4 -> 256K code 5) so only the HC
+    // check can catch it
+    val corrupted = bytes.clone()
+    corrupted(5) = (0x05 << 4).toByte
+    val e = intercept[java.io.IOException] {
+      drain(new Lz4FrameInputStream(new ByteArrayInputStream(corrupted)))
+    }
+    assert(e.getMessage.contains("header checksum"), e.getMessage)
+  }
+
   test("round-trips our own writer's frames (independent blocks)") {
     val src = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc.gz"))

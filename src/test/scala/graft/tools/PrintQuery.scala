@@ -164,7 +164,7 @@ object FuzzLong {
         }
       }
       i += 1
-      if (i % 20000 == 0) println(s"  $i soups ok (${(System.nanoTime()-t0)/1e9}%.0f s)")
+      if (i % 20000 == 0) println(f"  $i soups ok (${(System.nanoTime() - t0) / 1e9}%.0f s)")
     }
     println(s"OK: $total soups x 4 option sets, no divergence (${(System.nanoTime()-t0)/1e9} s)")
   }
