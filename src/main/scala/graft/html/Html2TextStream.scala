@@ -97,10 +97,10 @@ object Html2TextStream {
       val attrs: collection.Seq[(String, String)],
       val visited: Boolean) { // start visit emitted (not suppressed/skipped)
     var hadChild = false
-    // closesPOpen value recorded at push (including this element): lets
-    // the ClosesP rule test "any ClosesP element above the last <p>?" in
-    // O(1) instead of allocating stack.drop(pIdx + 1) per block tag
-    var closesPAtPush = 0
+    // btnBarrierOpen value recorded at push: lets the button-scope test
+    // "any scope-barrier element above the last <p>?" run in O(1)
+    // instead of allocating stack.drop(pIdx + 1) per block tag
+    var btnBarrierAtPush = 0
   }
 
   private val NoAttrs: mutable.ArrayBuffer[(String, String)] =
@@ -201,7 +201,7 @@ object Html2TextStream {
     var aOpen = 0          // open <a>
     var nobrOpen = 0       // open <nobr>
     var formattingOpen = 0 // open formatting-category elements
-    var closesPOpen = 0    // open ClosesP-category elements
+    var btnBarrierOpen = 0 // open button-scope-barrier elements
     val pIdxStack = mutable.ArrayBuffer.empty[Int]        // stack indices of open <p>
     val tableIdxStack = mutable.ArrayBuffer.empty[Int]    // ... of open <table>
     val templateIdxStack = mutable.ArrayBuffer.empty[Int] // ... of open <template>
@@ -229,8 +229,8 @@ object Html2TextStream {
         formattingOpen += 1
         if (t == "a") aOpen += 1 else if (t == "nobr") nobrOpen += 1
       }
-      if ((o.flags & TagFlags.ClosesPF) != 0) closesPOpen += 1
-      o.closesPAtPush = closesPOpen
+      if ((o.flags & TagFlags.BtnScopeBarrierF) != 0) btnBarrierOpen += 1
+      o.btnBarrierAtPush = btnBarrierOpen
       if (t == "p") pIdxStack += idx
       else if (t == "table") tableIdxStack += idx
       else if (t == "template") templateIdxStack += idx
@@ -248,7 +248,7 @@ object Html2TextStream {
         formattingOpen -= 1
         if (t == "a") aOpen -= 1 else if (t == "nobr") nobrOpen -= 1
       }
-      if ((o.flags & TagFlags.ClosesPF) != 0) closesPOpen -= 1
+      if ((o.flags & TagFlags.BtnScopeBarrierF) != 0) btnBarrierOpen -= 1
       if (t == "p") pIdxStack.remove(pIdxStack.size - 1)
       else if (t == "table") tableIdxStack.remove(tableIdxStack.size - 1)
       else if (t == "template") templateIdxStack.remove(templateIdxStack.size - 1)
@@ -383,25 +383,70 @@ object Html2TextStream {
             (templateIdxStack.isEmpty || templateIdxStack.last < tableIdxStack.last))
           tableIdxStack.last else -1
         if (ti >= 0) {
-          val base = clearBackBase(name, ti, stack.lastIndexWhere(e =>
-            e.tag == "tbody" || e.tag == "thead" || e.tag == "tfoot"),
-            stack.lastIndexWhere(_.tag == "tr"))
+          // <col> with the colgroup open at the top joins it ("in column
+          // group" mode), mirroring the DOM parser
+          val base =
+            if (name == "col" && stack.last.tag == "colgroup") stack.size - 1
+            else clearBackBase(name, ti, stack.lastIndexWhere(e =>
+              e.tag == "tbody" || e.tag == "thead" || e.tag == "tfoot"),
+              stack.lastIndexWhere(_.tag == "tr"))
           if (base + 1 < stack.size) {
             bailOnResidue(base + 1)
             while (stack.size > base + 1) popOne()
           }
+          // implicit section synthesis, mirroring the DOM parser: the
+          // synthesized element takes the ordinary push path (visit,
+          // skip list, child marking) so both walks see the same events
+          def synth(tag: String): Unit = {
+            val sfl = TagFlags(tag)
+            val parentSuppressed = suppressed
+            markChild()
+            val v = !parentSuppressed && !skip.contains(tag)
+            val depth = stack.size + 1
+            if (v) emitTag(tag, sfl, NoAttrs, depth, isEnd = false)
+            val o = new Open(tag, sfl, depth, NoAttrs, v)
+            if (stack.size < MaxDepth) { val idx = stack.size; stack += o; trackPush(o, idx) }
+          }
+          val top = stack.last.tag
+          name match {
+            case "tr" => if (top == "table") synth("tbody")
+            case "td" | "th" =>
+              if (top == "table") { synth("tbody"); synth("tr") }
+              else if (top == "tbody" || top == "thead" || top == "tfoot") synth("tr")
+            case "col" => if (top == "table") synth("colgroup")
+            case _ =>
+          }
         }
       }
 
-      if ((fl & TagFlags.ClosesPF) != 0 && pIdxStack.nonEmpty) {
-        // O(1) "no ClosesP element above the last <p>": the global
-        // ClosesP-open counter minus the count recorded at that <p>'s
-        // push is exactly the number of ClosesP elements above it
+      // O(1) button-scope test mirroring HtmlParser.indexInButtonScope:
+      // the last <p> is in button scope iff no barrier element was
+      // pushed above it (global barrier counter == count at its push)
+      def closePInButtonScope(): Unit = if (pIdxStack.nonEmpty) {
         val pIdx = pIdxStack.last
-        if (closesPOpen == stack(pIdx).closesPAtPush) {
+        if (btnBarrierOpen == stack(pIdx).btnBarrierAtPush) {
           bailOnResidue(pIdx)
           while (stack.size > pIdx) popOne()
         }
+      }
+      if ((fl & TagFlags.ClosesPF) != 0) closePInButtonScope()
+      // li / dd / dt: the dedicated spec walk, mirroring the DOM parser
+      if ((name == "li" || name == "dd" || name == "dt") && !inForeign) {
+        val isLi = name == "li"
+        var k = stack.size - 1
+        var done = false
+        while (k >= 0 && !done) {
+          val t = stack(k).tag
+          val hit = if (isLi) t == "li" else t == "dd" || t == "dt"
+          if (hit) {
+            bailOnResidue(k)
+            while (stack.size > k) popOne()
+            done = true
+          } else if ((stack(k).flags & TagFlags.SpecialF) != 0 &&
+                     t != "address" && t != "div" && t != "p") done = true
+          else k -= 1
+        }
+        closePInButtonScope()
       }
       ImplicitClose.get(name).foreach { closes =>
         while (stack.nonEmpty && closes.contains(stack.last.tag)) popOne()
@@ -437,13 +482,26 @@ object Html2TextStream {
         case "body" => switchToBody(); popAll(); return
         case _ =>
       }
-      val idx = {
-        var k = stack.size - 1
-        while (k >= 0 && stack(k).tag != name) k -= 1
-        k
-      }
+      val efl = TagFlags(name)
+      val idx =
+        if ((efl & TagFlags.TableStructureF) != 0 || name == "table") {
+          // TABLE scope, mirroring the DOM parser: stop at table/template
+          var k = stack.size - 1
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val t = stack(k).tag
+            if (t == name) found = k
+            else if (t == "table" || t == "template") k = -1
+            else k -= 1
+          }
+          found
+        } else {
+          var k = stack.size - 1
+          while (k >= 0 && stack(k).tag != name) k -= 1
+          k
+        }
       if (idx < 0) return
-      if ((TagFlags(name) & TagFlags.FormattingF) != 0) {
+      if ((efl & TagFlags.FormattingF) != 0) {
         // matched at the top: plain pop (the DOM adoption agency reduces
         // to the same); anywhere deeper: AAA restructures — bail
         if (idx != stack.size - 1) throw Bail

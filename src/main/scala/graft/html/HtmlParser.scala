@@ -24,14 +24,23 @@ import scala.collection.mutable
   *    scope marker; text extraction skips them (matching the reference,
   *    whose template content lives in a separate fragment).
   *
+  * Scope/synthesis rules implemented per spec (r10): implicit table
+  * sections (`<table><tr>` → table > tbody > tr; td/th synthesize the
+  * missing tbody/tr; col synthesizes colgroup), BUTTON scope for every
+  * p-closing start tag, the dedicated li/dd/dt stack walk (stop at
+  * special-but-not-address/div/p, then close p in button scope), and
+  * TABLE scope for table-family end tags (barriers table/template).
+  *
   * Documented deviations from the full spec (tolerant-parser scope):
-  *  - no implicit `<tbody>` synthesis (`<table><tr>` keeps tr as a
-  *    direct table child, as the pinned fixture trees expect);
   *  - template content is attached as regular children of the template
   *    element (not a separate fragment node) — serialization round-trips
   *    it like browser innerHTML; extraction skips it via the skip list;
-  *  - no insertion-mode scope variants (button/list-item/table scope):
-  *    "in scope" is approximated by stack membership.
+  *    template subtrees also keep the generic insertion mode, so table
+  *    fragments inside them don't synthesize sections;
+  *  - stray td/tr/th outside any table are kept as ordinary elements
+  *    (the spec's in-body mode drops them; tolerant scope keeps soup);
+  *  - the generic "any other end tag" rule pops through special
+  *    elements instead of ignoring the token at the first one.
   *
   * Standing guarantees (unchanged):
   *  - a document ALWAYS has html/head/body elements;
@@ -218,13 +227,28 @@ object HtmlParser {
     "hgroup", "hr", "listing", "main", "menu", "nav", "ol", "p", "plaintext",
     "pre", "search", "section", "summary", "table", "ul", "xmp")
 
-  /** tag -> set of open tags its start implicitly closes (nearest first). */
+  /** tag -> set of open tags its start implicitly closes (nearest first).
+    * li/dd/dt are NOT here: they use the spec's dedicated stack walk
+    * (stop at special-but-not-address/div/p, then close an open p in
+    * button scope) in both tree paths.
+    */
   private[html] val ImplicitClose: Map[String, Set[String]] = Map(
-    "li" -> Set("li"), "dt" -> Set("dt", "dd"), "dd" -> Set("dt", "dd"),
     "tr" -> Set("tr", "td", "th"), "td" -> Set("td", "th"), "th" -> Set("td", "th"),
     "option" -> Set("option"), "optgroup" -> Set("option", "optgroup"),
     "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th", "thead"),
     "tfoot" -> Set("tr", "td", "th", "tbody"))
+
+  /** Barrier elements for the WHATWG "has a p element in BUTTON scope"
+    * test (the variant every p-closing start tag uses): the generic
+    * scope barriers — applet/caption/table/td/th/marquee/object/
+    * template — plus button. html/head/body never sit on the below-body
+    * stack, so the stack bottom is the implicit html barrier. (SVG/
+    * MathML integration-point barriers are subsumed by the foreign-
+    * content handling: reconstruction/scope rules don't run in foreign
+    * subtrees here.)
+    */
+  private[html] val ButtonScopeBarriers = Set("applet", "caption", "table",
+    "td", "th", "marquee", "object", "template", "button")
 
   /** The WHATWG formatting-element category (in-body insertion rules):
     * these participate in the active-formatting list / adoption agency.
@@ -332,6 +356,7 @@ object HtmlParser {
     final val ForeignRootF = 1 << 12 // svg | math
     final val BlockF = 1 << 13      // Html2Text.BlockElements
     final val BigBlockF = 1 << 14   // Html2Text.BigBlock
+    final val BtnScopeBarrierF = 1 << 15 // ButtonScopeBarriers
 
     private val map = new java.util.HashMap[String, Integer]()
     private def add(tags: Iterable[String], f: Int): Unit = tags.foreach { t =>
@@ -349,6 +374,7 @@ object HtmlParser {
     add(TableAllowed, TableAllowedF)
     add(TableStructureTags, TableStructureF)
     add(NoReconstructTags, NoReconstructF)
+    add(ButtonScopeBarriers, BtnScopeBarrierF)
     add(Serializer.VoidElements, VoidF)
     add(Seq("svg", "math"), ForeignRootF)
     add(Html2Text.BlockElements, BlockF)
@@ -426,6 +452,22 @@ object HtmlParser {
 
     def switchToBody(): Unit =
       if (!inBody) { clearStack(); formatting.clear(); inBody = true }
+
+    /** Stack index of the nearest open `tag` within BUTTON scope (WHATWG
+      * "has a p element in button scope"): the downward walk stops at
+      * any barrier element, so a p inside a table cell / caption /
+      * button is invisible to p-closing start tags outside it.
+      */
+    def indexInButtonScope(tag: String): Int = {
+      var k = stack.size - 1
+      while (k >= 0) {
+        val e = stack(k)
+        if (e.tag == tag) return k
+        if ((e.flags & TagFlags.BtnScopeBarrierF) != 0) return -1
+        k -= 1
+      }
+      -1
+    }
 
     /** Pop stack entries [idx, top] innermost-first: marker elements clear
       * the formatting list back to their marker; popped-through formatting
@@ -905,8 +947,33 @@ object HtmlParser {
               stack(k).tag != "tfoot") k -= 1
             k
           }
-          val base = clearBackBase(name, ti, bi, lastIndexTag(stack, "tr"))
+          // a <col> with the colgroup still open at the top is in the
+          // "in column group" insertion mode: it joins that colgroup
+          // (no clear-back, no new synthesis)
+          val base =
+            if (name == "col" && stack.last.tag == "colgroup") stack.size - 1
+            else clearBackBase(name, ti, bi, lastIndexTag(stack, "tr"))
           if (base + 1 < stack.size) popRange(base + 1)
+          // implicit section synthesis (the in-table insertion modes):
+          // <tr> directly in a table opens a tbody first; <td>/<th> open
+          // the missing tbody and/or tr; <col> opens a colgroup — so
+          // `<table><tr>` parses as table > tbody > tr, the lexbor/
+          // browser tree (resiliparse/src/parse/html/tree.rs:63-89).
+          def synth(tag: String): Unit = {
+            budget()
+            val el = new DomNode(NodeType.Element, tag)
+            insertElementNode(el)
+            if (stack.size < MaxDepth) { stack += el; el.onStack = true }
+          }
+          val top = stack.last.tag
+          name match {
+            case "tr" => if (top == "table") synth("tbody")
+            case "td" | "th" =>
+              if (top == "table") { synth("tbody"); synth("tr") }
+              else if (top == "tbody" || top == "thead" || top == "tfoot") synth("tr")
+            case "col" => if (top == "table") synth("colgroup")
+            case _ =>
+          }
         }
       }
 
@@ -921,14 +988,33 @@ object HtmlParser {
         if (active) adoptionAgency(name)
       }
 
-      // implicit closes
+      // implicit closes: p-closing start tags use BUTTON scope (the
+      // spec's "has a p element in button scope" — a p behind a button/
+      // cell/caption barrier stays open)
       if ((fl & TagFlags.ClosesPF) != 0) {
-        val pIdx = lastIndexTag(stack, "p")
-        if (pIdx >= 0) {
-          var k = pIdx + 1
-          while (k < stack.size && (stack(k).flags & TagFlags.ClosesPF) == 0) k += 1
-          if (k == stack.size) popRange(pIdx)
+        val pIdx = indexInButtonScope("p")
+        if (pIdx >= 0) popRange(pIdx)
+      }
+      // li / dd / dt (spec in-body rules): walk the stack down — a
+      // matching open item closes, popping everything above it; the walk
+      // stops at any special element other than address/div/p (so a list
+      // item inside a nested <div> still closes, but one behind a table
+      // cell / button does not). Afterwards an open <p> in button scope
+      // closes too (these three are not in the ClosesP group).
+      if ((name == "li" || name == "dd" || name == "dt") && !inForeign) {
+        val isLi = name == "li"
+        var k = stack.size - 1
+        var done = false
+        while (k >= 0 && !done) {
+          val t = stack(k).tag
+          val hit = if (isLi) t == "li" else t == "dd" || t == "dt"
+          if (hit) { popRange(k); done = true }
+          else if ((stack(k).flags & TagFlags.SpecialF) != 0 &&
+                   t != "address" && t != "div" && t != "p") done = true
+          else k -= 1
         }
+        val pIdx = indexInButtonScope("p")
+        if (pIdx >= 0) popRange(pIdx)
       }
       ImplicitClose.get(name).foreach { closes =>
         while (stack.nonEmpty && closes.contains(stack.last.tag))
@@ -969,8 +1055,23 @@ object HtmlParser {
           switchToBody(); clearStack(); formatting.clear(); return
         case _ =>
       }
-      if ((TagFlags(name) & TagFlags.FormattingF) != 0) { adoptionAgency(name); return }
-      val idx = lastIndexTag(stack, name)
+      val fl = TagFlags(name)
+      if ((fl & TagFlags.FormattingF) != 0) { adoptionAgency(name); return }
+      // table-family end tags resolve in TABLE scope (barriers: table /
+      // template): `</td>` inside a nested table must not pop out of it,
+      // and `</table>` inside a template must not close a table outside.
+      val idx =
+        if ((fl & TagFlags.TableStructureF) != 0 || name == "table") {
+          var k = stack.size - 1
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val t = stack(k).tag
+            if (t == name) found = k
+            else if (t == "table" || t == "template") k = -1
+            else k -= 1
+          }
+          found
+        } else lastIndexTag(stack, name)
       if (idx >= 0) popRange(idx)
       // unmatched end tags are ignored (tolerant)
     }

@@ -766,7 +766,7 @@ object Warc {
       """SELECT CAST(full_len AS INT) AS full_len, CAST(main_len AS INT) AS main_len
          FROM (VALUES
          (503,209),(890,377),(1427,1286),(1507,866),(1514,1180),(1527,302),
-         (1587,192),(1726,880),(1790,584),(2331,1968),(2762,2308),(3716,239),
+         (1587,192),(1726,880),(1790,584),(2331,1933),(2762,2273),(3716,239),
          (3748,2850),(6421,6393),(6685,6493),(13033,1482))
          t(full_len, main_len) ORDER BY full_len""",
     "w14_warc_roundtrip" ->

@@ -100,38 +100,39 @@ class TreeBuilderSpec extends AnyFunSuite {
 
   test("foster: stray text after a row moves before the table") {
     assert(bodyHtml("<table><tr><td>A</td></tr>stray</table>") ==
-      "stray<table><tr><td>A</td></tr></table>")
+      "stray<table><tbody><tr><td>A</td></tr></tbody></table>")
   }
 
   test("foster: leading text in a table moves before it") {
     assert(bodyHtml("<table>foo<tr><td>bar</td></tr></table>") ==
-      "foo<table><tr><td>bar</td></tr></table>")
+      "foo<table><tbody><tr><td>bar</td></tr></tbody></table>")
   }
 
   test("foster: whitespace-only runs stay inside the table") {
-    assert(bodyHtml("<table> <tr><td>x</td></tr></table>") ==
-      "<table> <tr><td>x</td></tr></table>")
+    assert(bodyHtml("<table> <tbody><tr><td>x</td></tr></tbody></table>") ==
+      "<table> <tbody><tr><td>x</td></tr></tbody></table>")
   }
 
   test("foster: misplaced elements move before the table") {
     assert(bodyHtml("<div><table><b>bold</b><tr><td>x</td></tr></table></div>") ==
-      "<div><b>bold</b><table><tr><td>x</td></tr></table></div>")
+      "<div><b>bold</b><table><tbody><tr><td>x</td></tr></tbody></table></div>")
   }
 
   test("foster: cell content is never fostered") {
-    assert(bodyHtml("<table><tr><td><b>in cell</b></td></tr></table>") ==
-      "<table><tr><td><b>in cell</b></td></tr></table>")
+    assert(bodyHtml("<table><tbody><tr><td><b>in cell</b></td></tr></tbody></table>") ==
+      "<table><tbody><tr><td><b>in cell</b></td></tr></tbody></table>")
   }
 
   test("foster: nested <table> closes the open table") {
     assert(bodyHtml("<table><tr><td>a</td></tr><table><tr><td>b</td></tr></table>") ==
-      "<table><tr><td>a</td></tr></table><table><tr><td>b</td></tr></table>")
+      "<table><tbody><tr><td>a</td></tr></tbody></table>" +
+      "<table><tbody><tr><td>b</td></tr></tbody></table>")
   }
 
   test("foster: formatting fostered with reconstruction stays ordered") {
     // <b> fostered before the table; cell content unaffected by it (td marker)
     assert(bodyHtml("<table><b>x<tr><td>y</td></tr></table>z") ==
-      "<b>x</b><table><tr><td>y</td></tr></table><b>z</b>")
+      "<b>x</b><table><tbody><tr><td>y</td></tr></tbody></table><b>z</b>")
   }
 
   // — template content —
@@ -142,8 +143,8 @@ class TreeBuilderSpec extends AnyFunSuite {
   }
 
   test("template: content inside a table is not fostered out") {
-    assert(bodyHtml("<table><template>inner</template><tr><td>x</td></tr></table>") ==
-      "<table><template>inner</template><tr><td>x</td></tr></table>")
+    assert(bodyHtml("<table><template>inner</template><tbody><tr><td>x</td></tr></tbody></table>") ==
+      "<table><template>inner</template><tbody><tr><td>x</td></tr></tbody></table>")
   }
 
   test("template: formatting marker contains misnesting") {
@@ -206,5 +207,85 @@ class TreeBuilderSpec extends AnyFunSuite {
   test("unclosed formatting at EOF just unwinds") {
     assert(bodyHtml("<p>unclosed <b>bold <i>italic") ==
       "<p>unclosed <b>bold <i>italic</i></b></p>")
+  }
+
+  // — implicit table sections (in-table insertion modes) —
+
+  test("tbody synthesis: <table><tr> gets a tbody") {
+    assert(bodyHtml("<table><tr><td>x</td></tr></table>") ==
+      "<table><tbody><tr><td>x</td></tr></tbody></table>")
+  }
+
+  test("tbody+tr synthesis: <table><td> gets both") {
+    assert(bodyHtml("<table><td>x</table>") ==
+      "<table><tbody><tr><td>x</td></tr></tbody></table>")
+  }
+
+  test("tr synthesis: <table><tbody><td> gets a tr") {
+    assert(bodyHtml("<table><tbody><td>x</table>") ==
+      "<table><tbody><tr><td>x</td></tr></tbody></table>")
+  }
+
+  test("colgroup synthesis: <table><col> gets a colgroup; cols share it") {
+    assert(bodyHtml("<table><col><col><tr><td>x</td></tr></table>") ==
+      "<table><colgroup><col><col></colgroup><tbody><tr><td>x</td></tr></tbody></table>")
+  }
+
+  test("explicit thead is not re-wrapped; sibling tr after it opens tbody") {
+    assert(bodyHtml("<table><thead><tr><th>h</th></tr></thead><tr><td>x</td></tr></table>") ==
+      "<table><thead><tr><th>h</th></tr></thead><tbody><tr><td>x</td></tr></tbody></table>")
+  }
+
+  // — button scope —
+
+  test("button scope: a p behind a button stays open across a div") {
+    // div start must NOT close the p (button is a scope barrier), so the
+    // div nests inside the button inside the p
+    assert(bodyHtml("<p>a<button>b<div>c</div></button>d</p>") ==
+      "<p>a<button>b<div>c</div></button>d</p>")
+  }
+
+  test("button scope: p inside a cell invisible to blocks outside it") {
+    assert(bodyHtml("<table><tr><td><p>cell</td></tr></table><div>after</div>") ==
+      "<table><tbody><tr><td><p>cell</p></td></tr></tbody></table><div>after</div>")
+  }
+
+  test("p still closes across non-barrier ancestors") {
+    assert(bodyHtml("<p>one<p>two") == "<p>one</p><p>two</p>")
+  }
+
+  // — list-item scope (the li/dd/dt walk) —
+
+  test("li closes a prior li through an intervening div") {
+    assert(bodyHtml("<ul><li>a<div>b<li>c</ul>") ==
+      "<ul><li>a<div>b</div></li><li>c</li></ul>")
+  }
+
+  test("li does not close through a special barrier (nested ul keeps nesting)") {
+    assert(bodyHtml("<ul><li>a<ul><li>b</ul></li></ul>") ==
+      "<ul><li>a<ul><li>b</li></ul></li></ul>")
+  }
+
+  test("li closes an open p in button scope") {
+    assert(bodyHtml("<ul><li><p>para<li>next</ul>") ==
+      "<ul><li><p>para</p></li><li>next</li></ul>")
+  }
+
+  test("dd/dt close each other through a div but not address content") {
+    assert(bodyHtml("<dl><dt>t<div>x<dd>d</dl>") ==
+      "<dl><dt>t<div>x</div></dt><dd>d</dd></dl>")
+  }
+
+  // — table scope for table-family end tags —
+
+  test("</td> inside a nested table does not pop out of it") {
+    assert(bodyHtml("<table><tr><td><table><tr><td>in</td></td></tr></table>x</td></tr></table>") ==
+      "<table><tbody><tr><td><table><tbody><tr><td>in</td></td></tr></tbody></table>x</td></tr></tbody></table>"
+        .replace("</td></td>", "</td>")) // inner stray </td> is ignored
+  }
+
+  test("</table> inside a template does not close an outer table") {
+    assert(bodyHtml("<table><template></table>x</template><tr><td>y</td></tr></table>") ==
+      "<table><template>x</template><tbody><tr><td>y</td></tr></tbody></table>")
   }
 }
