@@ -19,7 +19,32 @@ trait BulkBackend {
     * fatal errors.
     */
   def bulkIndex(chunk: Seq[(String, String)]): Seq[String]
+
+  /** Index-bootstrap hook (the reference's `ensure_index`,
+    * beam/elasticsearch.py:281-303): create `index` with the given
+    * settings/mappings if it does not exist, and do nothing if it does.
+    * Losing a concurrent-creation race (the ES "400
+    * resource_already_exists" case) MUST be tolerated as success —
+    * many partitions bootstrap the same index at once. The file-backed
+    * backends realize this as an atomically-created `_index-<name>.json`
+    * metadata sidecar; a real ES backend maps it to indices.exists /
+    * indices.create.
+    */
+  def ensureIndex(index: String, settings: Map[String, String] = Map.empty,
+      mappings: String = "{}"): Unit = ()
   def close(): Unit = ()
+}
+
+private[sinks] object BulkBackend {
+  /** Serialize the ensure_index metadata body (settings + mappings),
+    * matching the reference's create body shape.
+    */
+  def indexMetaJson(settings: Map[String, String], mappings: String): String = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val st = settings.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    s"""{"settings":$st,"mappings":$mappings}"""
+  }
 }
 
 /** Rejects every item on the FIRST bulk attempt (retryably, writing
@@ -42,6 +67,21 @@ final class JsonLinesBackend(path: String) extends BulkBackend {
     chunk.foreach { case (id, json) => out.println(s"$id\t$json") }
     out.flush()
     Seq.empty
+  }
+  /** create-if-absent via atomic createNewFile: the loser of a
+    * concurrent race sees `false` (the 400-on-exists analog) and treats
+    * it as success; an existing index's metadata is never overwritten.
+    */
+  override def ensureIndex(index: String, settings: Map[String, String],
+      mappings: String): Unit = {
+    val meta = new java.io.File(
+      new java.io.File(path).getAbsoluteFile.getParentFile,
+      s"_index-$index.json")
+    if (meta.createNewFile()) {
+      val w = new java.io.PrintWriter(meta, "UTF-8")
+      try w.println(BulkBackend.indexMetaJson(settings, mappings))
+      finally w.close()
+    }
   }
   override def close(): Unit = out.close()
 }
@@ -78,6 +118,27 @@ final class HadoopJsonLinesBackend(
     chunk.foreach { case (id, json) => out.println(s"$id\t$json") }
     out.flush()
     Seq.empty
+  }
+
+  /** create-if-absent through the Hadoop FS: `create(overwrite=false)`
+    * is the atomicity point; a FileAlreadyExistsException from a
+    * concurrent winner (the 400-on-exists analog) is tolerated as
+    * success, and existing metadata is never overwritten.
+    */
+  override def ensureIndex(index: String, settings: Map[String, String],
+      mappings: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(dir, s"_index-$index.json")
+    if (!fs.exists(meta)) {
+      try {
+        val o = fs.create(meta, false)
+        try o.write((BulkBackend.indexMetaJson(settings, mappings) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally o.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // lost the race: fine
+        case _: java.nio.file.FileAlreadyExistsException => // RawLocalFs variant
+      }
+    }
   }
 
   /** Publish this attempt's output under the deterministic name. */
@@ -153,11 +214,18 @@ final class BulkSink(
 
 object BulkSink {
   /** foreachPartition-ready writer: (id, json) rows into a per-partition
-    * sink, flushed and closed at partition end.
+    * sink, flushed and closed at partition end. `ensureIndex` bootstraps
+    * the target index (create-if-absent with settings/mappings) before
+    * the first row — every partition calls it, the backend tolerates the
+    * resulting creation races by contract.
     */
   def writer(newBackend: () => BulkBackend, bufferSize: Int = 3200,
-      chunkSize: Int = 800): Iterator[(String, String)] => Unit = { rows =>
-    val sink = new BulkSink(newBackend(), bufferSize, chunkSize)
+      chunkSize: Int = 800, ensureIndex: Option[String] = None,
+      indexSettings: Map[String, String] = Map.empty,
+      indexMappings: String = "{}"): Iterator[(String, String)] => Unit = { rows =>
+    val backend = newBackend()
+    ensureIndex.foreach(backend.ensureIndex(_, indexSettings, indexMappings))
+    val sink = new BulkSink(backend, bufferSize, chunkSize)
     try rows.foreach { case (id, doc) => sink.add(id, doc) }
     finally sink.close()
   }

@@ -379,7 +379,8 @@ class WarcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(parseOpts, required, fsProps)
+    new WarcReaderFactory(parseOpts, required, fsProps,
+      options.getInt("stream_retries", 0))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -389,12 +390,14 @@ class WarcScan(
 class WarcReaderFactory(
     parseOpts: WarcParseOptions,
     required: StructType,
-    fsProps: Map[String, String]) extends PartitionReaderFactory {
+    fsProps: Map[String, String],
+    streamRetries: Int = 0) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcInputPartition]
     val conf = new Configuration()
     fsProps.foreach { case (k, v) => conf.set(k, v) }
-    new WarcPartitionReader(p, parseOpts, required, WarcInput.withHttpFs(conf))
+    new WarcPartitionReader(p, parseOpts, required, WarcInput.withHttpFs(conf),
+      streamRetries)
   }
 }
 
@@ -402,11 +405,21 @@ class WarcPartitionReader(
     part: WarcInputPartition,
     parseOpts: WarcParseOptions,
     required: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration,
+    streamRetries: Int = 0) extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(part.path)
   private val fs: FileSystem = hPath.getFileSystem(conf)
-  private val rawIn = fs.open(hPath)
+  // opened on first use: the stream_retries path opens its own streams
+  // through the factory and must not burn an attempt on an unused handle
+  private var rawInRef: org.apache.hadoop.fs.FSDataInputStream = _
+  private def rawIn: org.apache.hadoop.fs.FSDataInputStream = {
+    if (rawInRef == null) rawInRef = fs.open(hPath)
+    rawInRef
+  }
+  // current attempt's stream on the stream_retries path (superseded
+  // attempts are closed by the factory; the live one by close())
+  private var retryStream: org.apache.hadoop.fs.FSDataInputStream = _
 
   // the live byte reader, observed after parser exhaustion: a
   // decompression stream that DIES (rather than throwing upward) is
@@ -417,7 +430,23 @@ class WarcPartitionReader(
 
   private val parser: Iterator[WarcRecord] =
     if (part.memberOffsets.nonEmpty) memberIterator()
-    else {
+    else if (streamRetries > 0 && part.start == 0) {
+      // stream_retries option: resume-on-failure through the FileSystem
+      // layer (the reference's warc_retry over a flaky remote object
+      // read, itertools.pyx:66-155). Each attempt re-opens the path via
+      // the FS — the factory IS fs.open, so any Hadoop scheme (s3a,
+      // testfs, ...) composes. Magic-byte codec sniffing only (the
+      // extension-routed brotli fixture path has no remote use case);
+      // whole-chain partitions only — range reads of raw files already
+      // resync per record and re-planning them on retry is the task
+      // retry's job.
+      graft.core.WarcRetry.iterator(() => {
+          if (retryStream != null) { try retryStream.close() catch { case _: Exception => } }
+          retryStream = fs.open(hPath)
+          retryStream
+        }, part.path, parseOpts, maxRetries = streamRetries)
+        .takeWhile(_.offset < part.end)
+    } else {
       val isRangeRead = part.start > 0
       if (isRangeRead) rawIn.seek(part.start)
       val (stream, codec) = WarcCodecs.openWithName(rawIn, part.path)
@@ -530,7 +559,10 @@ class WarcPartitionReader(
 
   override def get(): InternalRow = rowEncoder.encode(current)
 
-  override def close(): Unit = rawIn.close()
+  override def close(): Unit = {
+    if (rawInRef != null) rawInRef.close()
+    if (retryStream != null) { try retryStream.close() catch { case _: Exception => } }
+  }
 }
 
 /** WarcRecord -> InternalRow projection for an arbitrary pruned schema.

@@ -81,6 +81,66 @@ class BulkSinkSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "part-00000.jsonl")))
   }
 
+  test("ensure_index: create-if-absent with settings/mappings, no-op when " +
+      "present, concurrent-race loser tolerated (reference " +
+      "beam/elasticsearch.py:281-303)") {
+    // mock: records create calls; a second create for the same name
+    // simulates the ES 400 resource_already_exists
+    val created = mutable.Map.empty[String, String]
+    var creates = 0
+    class EsLike extends BulkBackend {
+      override def bulkIndex(chunk: Seq[(String, String)]): Seq[String] = Seq.empty
+      override def ensureIndex(index: String, settings: Map[String, String],
+          mappings: String): Unit = {
+        if (!created.contains(index)) { // indices.exists
+          creates += 1
+          // indices.create — the loser of a concurrent race gets the
+          // already-exists failure, which the policy treats as success
+          created.getOrElseUpdate(index,
+            BulkBackend.indexMetaJson(settings, mappings))
+        }
+      }
+    }
+    val b = new EsLike
+    b.ensureIndex("docs", Map("number_of_shards" -> "4"),
+      """{"properties":{"text":{"type":"text"}}}""")
+    b.ensureIndex("docs", Map("number_of_shards" -> "9")) // exists: no-op
+    assert(creates == 1)
+    assert(created("docs").contains("number_of_shards\":\"4"))
+    assert(created("docs").contains("\"text\":{\"type\":\"text\"}"))
+  }
+
+  test("ensure_index on the file backends: atomic metadata sidecar, " +
+      "never overwritten, races land one winner") {
+    val dir = java.nio.file.Files.createTempDirectory("bulk_ensure").toString
+    val jl = new JsonLinesBackend(s"$dir/out.jsonl")
+    jl.ensureIndex("webidx", Map("refresh_interval" -> "30s"))
+    jl.ensureIndex("webidx", Map("refresh_interval" -> "1s")) // second call: no-op
+    jl.close()
+    val metaFile = new java.io.File(dir, "_index-webidx.json")
+    assert(metaFile.exists())
+    val meta = scala.io.Source.fromFile(metaFile).mkString
+    assert(meta.contains("\"refresh_interval\":\"30s\""), meta) // first writer won
+    // hadoop backend: same contract through the FS API, concurrent
+    // ensureIndex from two "partitions" leaves exactly one winner
+    val h1 = new HadoopJsonLinesBackend(dir, "p0.jsonl", "a0")
+    val h2 = new HadoopJsonLinesBackend(dir, "p1.jsonl", "a0")
+    h1.ensureIndex("hidx", Map("codec" -> "best_compression"))
+    h2.ensureIndex("hidx", Map("codec" -> "default")) // exists: tolerated no-op
+    h1.commit(); h1.close(); h2.commit(); h2.close()
+    val hmeta = scala.io.Source.fromFile(new java.io.File(dir, "_index-hidx.json")).mkString
+    assert(hmeta.contains("\"codec\":\"best_compression\""), hmeta)
+  }
+
+  test("writer() bootstraps the index before the first row") {
+    val dir = java.nio.file.Files.createTempDirectory("bulk_wboot").toString
+    val w = BulkSink.writer(() => new JsonLinesBackend(s"$dir/out.jsonl"),
+      ensureIndex = Some("bootidx"), indexSettings = Map("k" -> "v"))
+    w(Iterator("a" -> "{}"))
+    assert(new java.io.File(dir, "_index-bootidx.json").exists())
+    assert(scala.io.Source.fromFile(s"$dir/out.jsonl").getLines().toSeq == Seq("a\t{}"))
+  }
+
   test("json-lines backend round-trips") {
     val tmp = java.nio.file.Files.createTempFile("bulk", ".jsonl")
     java.nio.file.Files.delete(tmp)

@@ -24,3 +24,69 @@ class TestObjectStoreFs extends RawLocalFileSystem {
   }
   override def getUri: URI = if (uri != null) uri else URI.create("testfs:///")
 }
+
+/** Flaky object-store double: the FIRST open of each path returns a
+  * stream that dies (IOException, as a dropped connection would) after
+  * `DieAfterBytes` raw bytes — mid-payload for the fixture archives —
+  * and every subsequent open is clean. Proves the scan's
+  * `stream_retries` resume (warc_retry) composes with the Hadoop
+  * FileSystem layer: the retry factory re-opens the path through the FS
+  * and the scan completes with every record and no error rows.
+  */
+class FlakyObjectStoreFs extends RawLocalFileSystem {
+  private var uri: URI = _
+  override def getScheme: String = "flakyfs"
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    uri = Option(name.getAuthority) match {
+      case Some(a) if a.nonEmpty => URI.create(s"${name.getScheme}://$a")
+      case _ => URI.create(s"${name.getScheme}:///")
+    }
+  }
+  override def getUri: URI = if (uri != null) uri else URI.create("flakyfs:///")
+
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    val inner = super.open(f, bufferSize)
+    if (FlakyObjectStoreFs.firstOpen(f.toUri.getPath))
+      new org.apache.hadoop.fs.FSDataInputStream(
+        new FlakyObjectStoreFs.DyingStream(inner, FlakyObjectStoreFs.DieAfterBytes))
+    else inner
+  }
+}
+
+object FlakyObjectStoreFs {
+  val DieAfterBytes = 100000L // well inside the ~133 KiB fixture gzip
+  private val opens = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def firstOpen(path: String): Boolean =
+    opens.merge(path, 1, (a, b) => Integer.valueOf(a + b)) == 1
+  def opensOf(path: String): Int = Option(opens.get(path)).map(_.intValue).getOrElse(0)
+  def reset(): Unit = opens.clear()
+
+  /** Seekable stream that throws once `dieAfter` bytes have been read —
+    * the dropped-connection shape (an IOException from read(), not EOF).
+    */
+  private class DyingStream(inner: org.apache.hadoop.fs.FSDataInputStream,
+      dieAfter: Long) extends org.apache.hadoop.fs.FSInputStream {
+    private var readBytes = 0L
+    private def check(): Unit =
+      if (readBytes >= dieAfter)
+        throw new java.io.IOException("connection reset by peer (flaky test double)")
+    override def read(): Int = {
+      check()
+      val b = inner.read()
+      if (b >= 0) readBytes += 1
+      b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      check()
+      val n = inner.read(b, off, len)
+      if (n > 0) readBytes += n
+      n
+    }
+    override def seek(pos: Long): Unit = inner.seek(pos)
+    override def getPos: Long = inner.getPos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def close(): Unit = inner.close()
+  }
+}
