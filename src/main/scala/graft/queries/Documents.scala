@@ -1209,7 +1209,7 @@ object Documents {
     * inside this function so every intermediate can be unpersisted
     * before returning — callers never see leaked caches.
     */
-  private[queries] def neardupSummary(d: DataFrame,
+  private[graft] def neardupSummary(d: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val st = neardupStages(d)
     val removed = st.dups.select(col("doc_b").as("doc_id")).distinct().persist()

@@ -3,20 +3,34 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-linearity harness for the flagship w29 pipeline: runs the same
-  * scan → extract → lang/quality → fp-combine → split shape over 1×, 4×
-  * and 16× the bench corpus (16/64/256 archive files × 100 member-copies
-  * of the 16 real fixture pages) and reports wall-clock per scale plus
-  * the deviation from linear. Direct evidence for the "survives a 100×
-  * scale-up" claim: the plan is scan-bound with a fingerprint-only
-  * shuffle, so time should track corpus size ~1:1 once past fixed costs.
-  * Dev tooling — `sbt "runMain graft.tools.ScaleCheck [scales]"`;
-  * results are recorded in SCALING.md.
+/** Scale-linearity harness: runs a pipeline shape over 1×, 4× and 16×
+  * its corpus and reports wall-clock per scale plus the deviation from
+  * linear. Direct evidence for the "survives a 100× scale-up" claim.
+  * Dev tooling — `sbt "runMain graft.tools.ScaleCheck [scales] [mode]"`;
+  * results are recorded in SCALING.md §7. Modes:
+  *
+  *  - `w29` (default): scan → decode → streaming extract → lang/quality
+  *    kernels → fingerprint combine over generated WARC corpora
+  *    (16/64/256 files × 100 member-copies of the 16 real fixture
+  *    pages). Scan-bound with a fingerprint-only shuffle.
+  *  - `neardup` (d07 shape): the full minhash → LSH band → bucket join →
+  *    verify → summarize pipeline over the documents table scaled k× by
+  *    per-copy CHARACTER BIJECTIONS (translate over a 16-letter
+  *    alphabet rotated per copy): a bijection maps each copy's shingle
+  *    set 1:1, so within-copy Jaccard — and therefore the near-dup
+  *    structure — is preserved EXACTLY, while cross-copy shingles are
+  *    disjoint. Dup pairs, buckets and candidates all scale ×k; any
+  *    super-linear wall growth is the pipeline's own, not the corpus's.
+  *  - `ivf` (e06 shape): IVF kNN over the embeddings table scaled k×
+  *    (fresh vec_ids, same label cells — the fixed-codebook regime),
+  *    with the query set held constant: probed-cell candidate volume
+  *    scales ×k, broadcast sides stay O(1).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
       else Seq(1, 4, 16)
+    val mode = if (args.length > 1) args(1) else "w29"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,29 +55,112 @@ object ScaleCheck {
           sum(col("qual")).as("n_unique_docs"))
     }
 
-    // corpus dirs (reused across runs, like the bench)
-    val dirs = scales.map { s =>
-      s -> graft.sources.BenchCorpus.ensure(
-        s"${System.getProperty("java.io.tmpdir")}/graft_warc_scale_$s",
-        files = 16 * s, copiesPerFile = 100)
-    }
-    // warmup at 1x so codegen/reader init doesn't bill the first scale
-    pipeline(dirs.head._2).collect()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    val results = dirs.map { case (s, dir) =>
-      System.gc()
-      val t0 = System.nanoTime()
-      val row = pipeline(dir).collect().head
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] ${s}x  files=${16 * s}%4d  pages=${row.getLong(0)}%8d  " +
-        f"unique=${row.getLong(1)}  wall=$sec%7.2f s")
-      s -> sec
+    /** Documents table at k×: union of k per-copy bijective character
+      * translations with disjoint id ranges. Alphabet rotation count
+      * bounds k at 16.
+      */
+    def docsAt(k: Int): DataFrame = {
+      require(k <= 16, "alphabet supports 16 rotations")
+      val alpha = "aeiousrtlnmdchpg"
+      val base = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      (0 until k).map { i =>
+        val to = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), alpha, to).as("text"))
+      }.reduce(_ unionAll _)
     }
-    val (s0, t0) = results.head
-    results.foreach { case (s, t) =>
-      val linear = t0 * s / s0
-      println(f"[scale] ${s}x: $t%7.2f s  vs linear $linear%7.2f s  " +
-        f"ratio ${t / linear}%5.2f")
+
+    def embAt(k: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "label", "embedding")
+      (0 until k).map { i =>
+        base.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("label"), col("embedding"))
+      }.reduce(_ unionAll _)
+    }
+
+    /** e06's IVF shape over a pre-scaled embeddings frame: fixed query
+      * set (the base table's vec_id < 5), codebook from cell means,
+      * probe top-2 cells, exact search inside probed cells.
+      */
+    def ivfPipeline(emb0: DataFrame): DataFrame = {
+      import graft.functions.Similarity
+      val emb = emb0.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val centroids = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("cell"), expr("transform(pc, p -> p.c)").as("cv"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cell"))
+      val probes = queries.crossJoin(broadcast(centroids))
+        .select(col("q_vec_id"), col("qv"), col("cell"),
+          Similarity.cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+        .select(col("q_vec_id"), col("qv"), col("cell"))
+      val cands = emb.select(col("vec_id").as("n_vec_id"),
+        col("label").as("cell"), col("v").as("cv"))
+      val simW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("sim").desc, col("n_vec_id"))
+      cands.join(broadcast(probes), Seq("cell"))
+        .filter(col("n_vec_id") =!= col("q_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          Similarity.cosine(col("qv"), col("cv")).as("sim"))
+        .withColumn("rn", row_number().over(simW)).filter(col("rn") <= 3)
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("k"), sum(col("sim")).as("s"))
+        .agg(count(lit(1)).as("n_queries"), round(sum(col("s")), 3).as("sim_mass"))
+    }
+
+    def run(label: String, body: Int => (Long, Long)): Unit = {
+      // warmup at 1x so codegen/reader init doesn't bill the first scale
+      body(1)
+      val results = scales.map { s =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val (units, aux) = body(s)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $label ${s}x  units=$units%9d  aux=$aux%7d  wall=$sec%7.2f s")
+        s -> sec
+      }
+      val (s0, t0) = results.head
+      results.foreach { case (s, t) =>
+        val linear = t0 * s / s0
+        println(f"[scale] $label ${s}x: $t%7.2f s  vs linear $linear%7.2f s  " +
+          f"ratio ${t / linear}%5.2f")
+      }
+    }
+
+    mode match {
+      case "w29" =>
+        // corpus dirs (reused across runs, like the bench)
+        val dirs = scales.map { s =>
+          s -> graft.sources.BenchCorpus.ensure(
+            s"${System.getProperty("java.io.tmpdir")}/graft_warc_scale_$s",
+            files = 16 * s, copiesPerFile = 100)
+        }.toMap
+        run("w29", { s =>
+          val row = pipeline(dirs(s)).collect().head
+          (row.getLong(0), row.getLong(1))
+        })
+      case "neardup" =>
+        run("neardup", { s =>
+          val row = graft.queries.Documents.neardupSummary(docsAt(s))
+            .collect().head
+          (row.getLong(0), row.getLong(3)) // n_docs, n_dup_pairs
+        })
+      case "ivf" =>
+        run("ivf", { s =>
+          val row = ivfPipeline(embAt(s)).collect().head
+          (row.getLong(0), 0L)
+        })
+      case other => sys.error(s"unknown mode $other (w29 | neardup | ivf)")
     }
     spark.stop()
   }
