@@ -394,6 +394,50 @@ object Multimodal {
     f(data, lit(nFrames))
   }
 
+  final case class PixelSample(x: Int, y: Int, r: Int, g: Int, b: Int)
+
+  /** Decode a JPEG (ImageIO's native baseline decoder) and sample an
+    * n×n grid of pixels at the deterministic positions
+    * x_i = floor((w-1)·i/(n-1)), same for y — the fixed-budget pixel
+    * probe a media pipeline stores per image instead of the bitmap
+    * (perceptual-hash seeds, solid-color/letterbox detection). Row
+    * order is (y, x) raster order. Null for undecodable bytes, never a
+    * task failure.
+    */
+  def jpegPixelGridOf(d: Array[Byte], n: Int): Seq[PixelSample] = {
+    if (d == null || d.length < 4 ||
+        (d(0) & 0xff) != 0xFF || (d(1) & 0xff) != 0xD8) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      def pos(i: Int, extent: Int): Int =
+        if (n == 1) 0 else ((extent - 1).toLong * i / (n - 1)).toInt
+      // single-band (grayscale) images: read the RAW sample — getRGB
+      // would push it through the linear-gray -> sRGB color transform
+      // (128 comes back 188), destroying the decoder's exact values
+      val gray = img.getRaster.getNumBands == 1
+      for { j <- 0 until n; i <- 0 until n } yield {
+        val x = pos(i, w)
+        val y = pos(j, h)
+        if (gray) {
+          val v = img.getRaster.getSample(x, y, 0)
+          PixelSample(x, y, v, v, v)
+        } else {
+          val p = img.getRGB(x, y)
+          PixelSample(x, y, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        }
+      }
+    } catch { case _: Throwable => null }
+  }
+
+  /** jpeg_pixel_grid(binary, n) -> array<struct<x,y,r,g,b>>. */
+  def jpegPixelGrid(data: Column, n: Int): Column = {
+    val f = udf((d: Array[Byte], k: Int) => Option(jpegPixelGridOf(d, k)))
+    f(data, lit(n))
+  }
+
   // — MP4 / ISO-BMFF container metadata: a pure box-header walk (ftyp
   //   brand, moov/mvhd timescale + duration, trak/tkhd track dims) —
   //   no codec involved, so duration and dimensions are REAL even though
@@ -565,11 +609,13 @@ object Multimodal {
     c => f(c)
   }
 
-  /** STUB — frame sampling for compressed AV containers whose codecs
-    * the JVM cannot decode (mp3/mp4-h264/webm…). WAV, multi-frame GIF
-    * and MJPEG-AVI ([[aviMjpegFrames]]) decode for real above; for the
-    * rest no codec library ships on this classpath (documented gap), so
-    * this returns deterministic pseudo-frames
+  /** STUB — MP4-family ONLY (h264/vp9/aac inside ISO-BMFF/webm: the
+    * codecs no stock JVM decodes). Every other media path is real and
+    * oracle-gated: WAV PCM ([[audioStatsOf]], m02), multi-frame GIF
+    * ([[gifFrameStatsOf]], m03), MJPEG-AVI ([[aviMjpegFramesOf]], m05),
+    * baseline JPEG pixels ([[jpegPixelGridOf]], m07 — hand-derived
+    * oracle), MP4 container metadata ([[mp4MetaOf]], m04). For the MP4
+    * frame-decode gap this returns deterministic pseudo-frames
     * (byte slices at evenly spaced offsets) so the Spark-side plumbing —
     * schema array<struct<offset,bytes>>, per-row batching, partition
     * parallelism — is real and tested, and a codec-backed implementation

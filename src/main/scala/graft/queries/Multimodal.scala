@@ -307,7 +307,91 @@ object Multimodal {
           m.getField("hasId3").cast("int").as("has_id3"))
         .orderBy(col("media_id"))
     }),
+
+    // Real pixel decode with a HAND-DERIVABLE oracle: crafted baseline
+    // JPEGs whose decoded samples are exact by construction (see
+    // craftGrayJpeg — DC-only blocks with Q=8 decode to 128+dc in every
+    // conforming decoder, no IDCT approximation), sampled on the 4x4
+    // deterministic pixel grid. This oracle-gates the JPEG decode path
+    // end to end; the avFrameSample stub remains only for MP4 (the JVM
+    // has no H.264/AAC codec), its GIF/MJPEG/JPEG paths are all real
+    // and pinned (m03/m05/m07).
+    "m07_jpeg_pixels" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = Seq(
+        (1, craftGrayJpeg(Seq(0))),                   // 8x8: all 128
+        (2, craftGrayJpeg(Seq(-64, 63))),             // 16x8: 64 | 191
+        (3, craftGrayJpeg(Seq(-100, -50, 50, 100))))  // 32x8: 28|78|178|228
+      s.createDataFrame(rows).toDF("jpeg_id", "data")
+        .select(col("jpeg_id"),
+          explode(M.jpegPixelGrid(col("data"), 4)).as("p"))
+        .select(col("jpeg_id"), col("p.x").as("x"), col("p.y").as("y"),
+          col("p.r").as("r"), col("p.g").as("g"), col("p.b").as("b"))
+        .orderBy(col("jpeg_id"), col("y"), col("x"))
+    }),
   )
+
+  /** Hand-crafted baseline grayscale JPEG: `dcs` flat 8×8 blocks laid
+    * out horizontally, quantization table all 8s, zero AC coefficients.
+    * The decoded value of block k is EXACTLY 128 + dcs(k) in every
+    * conforming decoder: the dequantized DC is dc·8, a DC-only IDCT
+    * yields the flat value dc·8/8 = dc with no AC terms to approximate,
+    * and the JPEG level shift adds 128 — so an oracle can derive every
+    * pixel by hand from the byte layout alone. Custom Huffman tables:
+    * DC categories 0–7 as 4-bit codes (code of category c = c), AC as
+    * the single 1-bit EOB code "0".
+    */
+  private[graft] def craftGrayJpeg(dcs: Seq[Int]): Array[Byte] = {
+    require(dcs.nonEmpty && dcs.forall(v => v > -128 && v < 128))
+    val w = 8 * dcs.length
+    val h = 8
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xFF); out.write(0xD8) // SOI
+    marker(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(8)) // DQT: all 8s
+    marker(0xC0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0)) // SOF0, 1 comp 1:1
+    marker(0xC4, Array[Byte](0x00) ++ // DC table: 8 codes of length 4
+      Array[Byte](0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 until 8).map(_.toByte))
+    marker(0xC4, Array[Byte](0x10) ++ // AC table: single 1-bit EOB code
+      (Array[Byte](1) ++ Array.fill[Byte](15)(0)) ++ Array[Byte](0))
+    marker(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    val body = new ByteArrayOutputStream()
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) { // byte-stuff 0xFF per spec
+          body.write(acc); if (acc == 0xFF) body.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    var prev = 0
+    dcs.foreach { v =>
+      val diff = v - prev
+      prev = v
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // 0 for 0
+      require(cat <= 7, s"DC diff $diff needs category $cat > 7")
+      putBits(cat, 4)
+      if (cat > 0) putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 1) // EOB
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    out.write(body.toByteArray)
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
 
   /** Minimal CBR MPEG audio stream: n identical Layer III frames
     * (4-byte header + zero payload), optionally prefixed by an ID3v2
@@ -427,5 +511,23 @@ object Multimodal {
          t(media_id, version, layer, bitrate_kbps, sample_rate, channels,
            n_frames, duration_s, has_id3)
          ORDER BY media_id""",
+    // Hand-derived from the crafted JPEG byte layout (craftGrayJpeg):
+    // block k of jpeg j decodes to exactly 128 + dc(j,k) — dc values
+    // (0), (-64,63), (-100,-50,50,100). 4x4 grid positions are
+    // floor((extent-1)*i/3): x in {0,2,4,7} (w=8), {0,5,10,15} (w=16),
+    // {0,10,20,31} (w=32); y in {0,2,4,7}. Each sampled x falls in
+    // block floor(x/8), so the gray value per (jpeg_id, x) is fixed and
+    // independent of y; r=g=b for a grayscale source.
+    "m07_jpeg_pixels" ->
+      """SELECT CAST(jpeg_id AS INT) AS jpeg_id, CAST(x AS INT) AS x,
+         CAST(y AS INT) AS y, CAST(v AS INT) AS r, CAST(v AS INT) AS g,
+         CAST(v AS INT) AS b
+         FROM (VALUES
+           (1,0,128),(1,2,128),(1,4,128),(1,7,128),
+           (2,0,64),(2,5,64),(2,10,191),(2,15,191),
+           (3,0,28),(3,10,78),(3,20,178),(3,31,228))
+           px(jpeg_id, x, v)
+         CROSS JOIN (VALUES (0),(2),(4),(7)) ys(y)
+         ORDER BY jpeg_id, y, x""",
   )
 }

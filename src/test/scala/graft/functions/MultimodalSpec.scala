@@ -272,6 +272,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("jpegPixelGridOf: crafted DC-only JPEG decodes to the hand-derived " +
+      "values; corrupt/non-JPEG input -> null; never throws") {
+    val j = graft.queries.Multimodal.craftGrayJpeg(Seq(-100, -50, 50, 100))
+    val grid = Multimodal.jpegPixelGridOf(j, 4)
+    assert(grid.size == 16)
+    // w=32: xs {0,10,20,31} -> blocks 0..3 -> 28/78/178/228 exactly
+    assert(grid.map(p => (p.x, p.r)).distinct.sortBy(_._1) ==
+      Seq((0, 28), (10, 78), (20, 178), (31, 228)))
+    assert(grid.forall(p => p.r == p.g && p.g == p.b))
+    // a 1x1 grid samples the origin only
+    assert(Multimodal.jpegPixelGridOf(j, 1) ==
+      Seq(Multimodal.PixelSample(0, 0, 28, 28, 28)))
+    assert(Multimodal.jpegPixelGridOf("nope".getBytes, 2) == null)
+    assert(Multimodal.jpegPixelGridOf(null, 2) == null)
+    // truncations of a valid JPEG: null or a decoded grid, never a throw
+    (2 until j.length by 7).foreach(k => Multimodal.jpegPixelGridOf(j.take(k), 2))
+    // color path still exercised (PNG -> getRGB branch)
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, 0x336699)))
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray
+    }
+    assert(Multimodal.jpegPixelGridOf(png, 2) == null) // not a JPEG: SOI gate
+  }
+
   test("av frame-sample stub: deterministic offsets, real plumbing") {
     val ss = spark; import ss.implicits._
     val payload = (0 until 1000).map(_.toByte).toArray
