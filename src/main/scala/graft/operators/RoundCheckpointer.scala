@@ -15,6 +15,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unpersist, because `supersededIds` holds ids this loop created
   * itself.
   */
+/** Round-shuffle sizing for iterative operators: a power-iteration /
+  * star-contraction round over a 69-node dup graph at 32 shuffle
+  * partitions pays ~32 empty tasks per stage per round — pure
+  * scheduling overhead that dominates wall time at fixture scale and
+  * adds driver pressure at any scale (the round-9 driver artifact
+  * billed 24s to d15's fixed rounds). When the iterated set is small,
+  * run the rounds at a partition count matched to the DATA (1 partition
+  * per 64k rows, floor 1); large graphs keep the session setting. The
+  * conf is scoped-and-restored around the loop; rounds run sequentially
+  * in one driver, like RoundCheckpointer assumes.
+  */
+private[graft] object RoundPartitions {
+  def scoped[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val current = try prev.toInt catch { case _: NumberFormatException => 200 }
+    val matched = math.max(1L, (rows + 65535) / 65536)
+    if (matched >= current) body
+    else {
+      spark.conf.set(key, matched.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+}
+
 private[graft] final class RoundCheckpointer(spark: SparkSession) {
   private val sc = spark.sparkContext
   private var liveIds: Set[Int] = Set.empty
@@ -46,5 +71,15 @@ private[graft] final class RoundCheckpointer(spark: SparkSession) {
     supersededIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     supersededIds = Set.empty
+  }
+
+  /** Drop EVERYTHING this checkpointer created, the live round
+    * included — for checkpoints of loop-INVARIANT tables whose useful
+    * life ends with the loop.
+    */
+  def releaseAll(): Unit = {
+    supersededIds ++= liveIds
+    liveIds = Set.empty
+    releaseSuperseded()
   }
 }

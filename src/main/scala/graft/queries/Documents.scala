@@ -949,6 +949,13 @@ object Documents {
     * localCheckpointed by the kernel's final round, so the stages can
     * be unpersisted before returning.
     */
+  /** Dev probe accessor: the d15 upstream dup-pairs frame (LSH verify
+    * output) for round-cost isolation in tools. */
+  private[graft] def dupPairsProbe(s: SparkSession, dir: String): DataFrame = {
+    val st = neardupStages(docsWithChains(s, dir))
+    st.dups.select(col("doc_a"), col("doc_b"))
+  }
+
   private[queries] def dupPagerank(d: DataFrame): DataFrame = {
     val st = neardupStages(d)
     try {
