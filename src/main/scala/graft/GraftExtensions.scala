@@ -77,5 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, "nfc_normalize(text)")
       graft.plans.NfcNormalizeExpr(args.head)
     }
+    inject("jpeg_pixel_grid")(
+      viaColumns("jpeg_pixel_grid", 2)(as =>
+        graft.functions.Multimodal.jpegPixelGrid(as.head, as(1))))
   }
 }

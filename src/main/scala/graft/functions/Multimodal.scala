@@ -433,9 +433,12 @@ object Multimodal {
   }
 
   /** jpeg_pixel_grid(binary, n) -> array<struct<x,y,r,g,b>>. */
-  def jpegPixelGrid(data: Column, n: Int): Column = {
+  def jpegPixelGrid(data: Column, n: Int): Column = jpegPixelGrid(data, lit(n))
+
+  /** Column-n variant (the SQL-surface registration form). */
+  def jpegPixelGrid(data: Column, n: Column): Column = {
     val f = udf((d: Array[Byte], k: Int) => Option(jpegPixelGridOf(d, k)))
-    f(data, lit(n))
+    f(data, n)
   }
 
   // — MP4 / ISO-BMFF container metadata: a pure box-header walk (ftyp

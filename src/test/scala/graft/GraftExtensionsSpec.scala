@@ -80,6 +80,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.map(_.getString(0)).contains("caf\u00e9 nfc"))
   }
 
+  test("jpeg_pixel_grid works from pure SQL against the crafted fixture") {
+    val j = graft.queries.Multimodal.craftGrayJpeg(Seq(-64, 63))
+    spark.createDataFrame(Seq((1, j))).toDF("id", "data")
+      .createOrReplaceTempView("ext_jpegs")
+    val rows = spark.sql(
+      """SELECT p.x, p.r FROM ext_jpegs
+         LATERAL VIEW explode(jpeg_pixel_grid(data, 2)) t AS p
+         ORDER BY p.y, p.x""").collect()
+    // 2x2 corners of the 16x8 image: x 0 -> block0 (64), x 15 -> block1 (191)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 64), (15, 191), (0, 64), (15, 191)))
+  }
+
   test("arity errors surface as analysis failures, not task failures") {
     val e = intercept[Exception](spark.sql("SELECT token_count()").collect())
     assert(e.getMessage.contains("token_count") ||
