@@ -1219,13 +1219,22 @@ object Documents {
   private[graft] def neardupSummary(d: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val st = neardupStages(d)
-    val removed = st.dups.select(col("doc_b").as("doc_id")).distinct().persist()
+    // snap the two stage outputs the summary re-reads into checkpoints:
+    // the six crossJoin branches below otherwise each carry a full copy
+    // of the minhash/LSH logical tree (persisted frames reuse blocks at
+    // runtime but keep their whole plan), so Catalyst analyzed ~6
+    // copies of the pipeline for one summary row
+    val inv = new graft.operators.RoundCheckpointer(d.sparkSession)
+    val cand = inv.next(st.cand)
+    val dups = inv.next(st.dups)
+    val mega = inv.next(st.megaBuckets)
+    val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
     try {
       val survivors = d.join(removed, Seq("doc_id"), "left_anti")
       val summary = d.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(st.megaBuckets.agg(count(lit(1)).as("n_mega_buckets")))
-        .crossJoin(st.cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(st.dups.agg(count(lit(1)).as("n_dup_pairs")))
+        .crossJoin(mega.agg(count(lit(1)).as("n_mega_buckets")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
         .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
         .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
       // eager materialization (checkpoint / localCheckpoint both run the
@@ -1238,6 +1247,7 @@ object Documents {
       }
     } finally {
       removed.unpersist(blocking = false)
+      inv.releaseAll()
       st.unpersistAll()
     }
   }

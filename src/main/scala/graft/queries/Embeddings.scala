@@ -648,15 +648,28 @@ object Embeddings {
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cid"), expr("transform(pc, p -> p.c)").as("cv"))
     val ckpt = new graft.operators.RoundCheckpointer(s)
-    var cents = ckpt.next(emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
-    var it = 0
-    while (it < iters) {
-      cents = ckpt.next(recenter(kmeansAssign(emb, cents)))
-      ckpt.releaseSuperseded()
-      it += 1
+    val invariants = new graft.operators.RoundCheckpointer(s)
+    // checkpoint the corpus once: rounds 1..iters and the caller's final
+    // assignment otherwise re-scan parquet (and re-run the transform)
+    // per round, and each round's plan re-analyzes the upstream tree;
+    // the count sizes the round shuffles to the data (a 4k-vector
+    // corpus iterates at 1 partition instead of a session-width stage
+    // of mostly-empty tasks per round)
+    val corpus = invariants.next(emb)
+    val rows = corpus.count()
+    val result = graft.operators.RoundPartitions.scoped(s, rows) {
+      var cents = ckpt.next(corpus.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv")))
+      var it = 0
+      while (it < iters) {
+        cents = ckpt.next(recenter(kmeansAssign(corpus, cents)))
+        ckpt.releaseSuperseded()
+        it += 1
+      }
+      cents
     }
-    cents
+    invariants.releaseAll()
+    result
   }
 
   /** The unrolled Lloyd chain shared by the e10/e11 oracles: expects an
