@@ -68,7 +68,20 @@ object WarcRetry {
           // stream died between records
           retriesLeft -= 1
           open(lastGoodEnd)
-        } else finished = true
+        } else {
+          // either clean end-of-archive, or the stream died with no
+          // retries left. The second case must NOT end silently — that
+          // is a truncation the caller can't see (the exc_loop error-row
+          // doctrine applies to exhausted retries too): surface one
+          // terminal error record.
+          if (reader != null && reader.streamError.isDefined)
+            nextRec = WarcRecord(filename, -1L, 0L, None, "unknown",
+              RecordType.mask("unknown"), None, -1L, HeaderMap.empty,
+              Array.emptyByteArray, None,
+              Some(s"stream error after $maxRetries retries: " +
+                reader.streamError.get))
+          finished = true
+        }
       }
     }
 

@@ -49,6 +49,37 @@ class RobustnessSpec extends AnyFunSuite {
     val recs = it.toVector
     assert(recs.size < 50)
     assert(recs.nonEmpty)
+    // the give-up is VISIBLE: the stream died and retries are spent, so
+    // the tail record must carry an error (truncated-record or the
+    // exhausted-retries terminal row) — never a silent short archive
+    assert(recs.last.error.isDefined, recs.last)
+  }
+
+  test("warc_retry: stream death BETWEEN records with retries exhausted " +
+      "surfaces a terminal error record, not silent truncation") {
+    // find a record boundary: parse the fixture and take a mid-archive
+    // record's end position as the kill point — the parser exhausts
+    // cleanly there, so only the streamError distinguishes truncation
+    // from end-of-archive
+    val probe = WarcRetry.iterator(
+      () => new java.io.ByteArrayInputStream(fixtureBytes), "probe")
+    val boundary = {
+      var pos = 0L
+      var n = 0
+      val (in, _) = WarcCodecs.open(new java.io.ByteArrayInputStream(fixtureBytes))
+      val rd = new WarcByteReader(in)
+      val p = new WarcParser(rd, "probe", WarcParseOptions(parseHttp = false))
+      while (p.hasNext && n < 10) { p.next(); n += 1; pos = rd.position }
+      pos
+    }
+    assert(probe.size == 50) // sanity: the probe itself sees the full archive
+    val it = WarcRetry.iterator(
+      () => new FlakyStream(fixtureBytes, boundary), "dead",
+      maxRetries = 0)
+    val recs = it.toVector
+    assert(recs.count(_.error.isEmpty) == 10) // the records before the kill
+    assert(recs.last.error.exists(_.contains("stream error after 0 retries")),
+      recs.last.error)
   }
 
   test("time guard interrupts a runaway kernel, passes a fast one") {
