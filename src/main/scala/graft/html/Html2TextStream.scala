@@ -229,7 +229,7 @@ object Html2TextStream {
         formattingOpen += 1
         if (t == "a") aOpen += 1 else if (t == "nobr") nobrOpen += 1
       }
-      if ((o.flags & TagFlags.BtnScopeBarrierF) != 0) btnBarrierOpen += 1
+      if ((o.flags & TagFlags.ScopeBarrierF) != 0 || t == "button") btnBarrierOpen += 1
       o.btnBarrierAtPush = btnBarrierOpen
       if (t == "p") pIdxStack += idx
       else if (t == "table") tableIdxStack += idx
@@ -248,7 +248,7 @@ object Html2TextStream {
         formattingOpen -= 1
         if (t == "a") aOpen -= 1 else if (t == "nobr") nobrOpen -= 1
       }
-      if ((o.flags & TagFlags.BtnScopeBarrierF) != 0) btnBarrierOpen -= 1
+      if ((o.flags & TagFlags.ScopeBarrierF) != 0 || t == "button") btnBarrierOpen -= 1
       if (t == "p") pIdxStack.remove(pIdxStack.size - 1)
       else if (t == "table") tableIdxStack.remove(tableIdxStack.size - 1)
       else if (t == "template") templateIdxStack.remove(templateIdxStack.size - 1)
@@ -483,6 +483,32 @@ object Html2TextStream {
         case _ =>
       }
       val efl = TagFlags(name)
+      if ((efl & TagFlags.FormattingF) != 0) {
+        val k = {
+          var i = stack.size - 1
+          while (i >= 0 && stack(i).tag != name) i -= 1
+          i
+        }
+        if (k < 0) return
+        // matched at the top: plain pop (the DOM adoption agency reduces
+        // to the same); anywhere deeper: AAA restructures — bail
+        if (k != stack.size - 1) throw Bail
+        popOne()
+        return
+      }
+      // `</br>` acts as a <br> start tag, mirroring the DOM parser
+      if (name == "br") { handleStartTag("br", NoAttrs, selfClosing = false); return }
+      def scopeWalk(extra1: String, extra2: String): Int = {
+        var k = stack.size - 1
+        while (k >= 0) {
+          val e = stack(k)
+          if (e.tag == name) return k
+          if ((e.flags & TagFlags.ScopeBarrierF) != 0 ||
+              e.tag == extra1 || e.tag == extra2) return -1
+          k -= 1
+        }
+        -1
+      }
       val idx =
         if ((efl & TagFlags.TableStructureF) != 0 || name == "table") {
           // TABLE scope, mirroring the DOM parser: stop at table/template
@@ -495,19 +521,45 @@ object Html2TextStream {
             else k -= 1
           }
           found
-        } else {
+        } else if (name == "p") {
+          // BUTTON scope via the O(1) barrier counter
+          if (pIdxStack.nonEmpty &&
+              btnBarrierOpen == stack(pIdxStack.last).btnBarrierAtPush)
+            pIdxStack.last
+          else -1
+        } else if (name == "li") {
+          scopeWalk("ol", "ul") // LIST ITEM scope
+        } else if (name == "dd" || name == "dt" ||
+            ScopedEndTags.contains(name)) {
+          scopeWalk(null, null)
+        } else if (name.length == 2 && name.charAt(0) == 'h' &&
+            name.charAt(1) >= '1' && name.charAt(1) <= '6') {
           var k = stack.size - 1
-          while (k >= 0 && stack(k).tag != name) k -= 1
-          k
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val e = stack(k)
+            val t = e.tag
+            val isHeading = t.length == 2 && t.charAt(0) == 'h' &&
+              t.charAt(1) >= '1' && t.charAt(1) <= '6'
+            if (isHeading) found = k
+            else if ((e.flags & TagFlags.ScopeBarrierF) != 0) k = -1
+            else k -= 1
+          }
+          found
+        } else {
+          // "any other end tag": stop (ignore the token) at the first
+          // special element that isn't the target, like the DOM parser
+          var k = stack.size - 1
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val e = stack(k)
+            if (e.tag == name) found = k
+            else if ((e.flags & TagFlags.SpecialF) != 0) k = -1
+            else k -= 1
+          }
+          found
         }
       if (idx < 0) return
-      if ((efl & TagFlags.FormattingF) != 0) {
-        // matched at the top: plain pop (the DOM adoption agency reduces
-        // to the same); anywhere deeper: AAA restructures — bail
-        if (idx != stack.size - 1) throw Bail
-        popOne()
-        return
-      }
       bailOnResidue(idx)
       while (stack.size > idx) popOne()
     }

@@ -27,9 +27,14 @@ import scala.collection.mutable
   * Scope/synthesis rules implemented per spec (r10): implicit table
   * sections (`<table><tr>` → table > tbody > tr; td/th synthesize the
   * missing tbody/tr; col synthesizes colgroup), BUTTON scope for every
-  * p-closing start tag, the dedicated li/dd/dt stack walk (stop at
-  * special-but-not-address/div/p, then close p in button scope), and
-  * TABLE scope for table-family end tags (barriers table/template).
+  * p-closing rule (start tags and `</p>`), the dedicated li/dd/dt stack
+  * walk (stop at special-but-not-address/div/p, then close p in button
+  * scope), TABLE scope for table-family end tags (barriers table/
+  * template), LIST ITEM scope for `</li>`, the named in-scope end-tag
+  * clauses for the block/container groups ([[ScopedEndTags]]), the
+  * any-heading `</hN>` rule, `</br>` acting as a br start tag, and the
+  * "any other end tag" rule (the first special element that isn't the
+  * target IGNORES the token, as browsers do).
   *
   * Documented deviations from the full spec (tolerant-parser scope):
   *  - template content is attached as regular children of the template
@@ -39,8 +44,8 @@ import scala.collection.mutable
   *    fragments inside them don't synthesize sections;
   *  - stray td/tr/th outside any table are kept as ordinary elements
   *    (the spec's in-body mode drops them; tolerant scope keeps soup);
-  *  - the generic "any other end tag" rule pops through special
-  *    elements instead of ignoring the token at the first one.
+  *  - a `</p>` with no p in button scope is ignored (the spec
+  *    synthesizes an empty p element there).
   *
   * Standing guarantees (unchanged):
   *  - a document ALWAYS has html/head/body elements;
@@ -238,17 +243,35 @@ object HtmlParser {
     "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th", "thead"),
     "tfoot" -> Set("tr", "td", "th", "tbody"))
 
-  /** Barrier elements for the WHATWG "has a p element in BUTTON scope"
-    * test (the variant every p-closing start tag uses): the generic
-    * scope barriers — applet/caption/table/td/th/marquee/object/
-    * template — plus button. html/head/body never sit on the below-body
-    * stack, so the stack bottom is the implicit html barrier. (SVG/
+  /** The WHATWG generic "has an element in scope" barrier set:
+    * applet/caption/table/td/th/marquee/object/template. html/head/body
+    * never sit on the below-body stack, so the stack bottom is the
+    * implicit html barrier. Scope VARIANTS extend this set: BUTTON
+    * scope adds button (p-closing rules), LIST ITEM scope adds ol/ul
+    * (`</li>`), TABLE scope replaces it with table/template. (SVG/
     * MathML integration-point barriers are subsumed by the foreign-
     * content handling: reconstruction/scope rules don't run in foreign
     * subtrees here.)
     */
-  private[html] val ButtonScopeBarriers = Set("applet", "caption", "table",
-    "td", "th", "marquee", "object", "template", "button")
+  private[html] val ScopeBarriers = Set("applet", "caption", "table",
+    "td", "th", "marquee", "object", "template")
+
+  /** End tags resolved by the spec's NAMED in-body clauses: "if the
+    * stack has an element in scope with the same tag name, generate
+    * implied end tags and pop until it has been popped; otherwise
+    * ignore the token". The block/container groups all share this
+    * shape (the applet/marquee/object clause additionally clears the
+    * formatting list to its marker — popRange does that via MarkerF).
+    * End tags NOT here — and not formatting / table-family / heading /
+    * p / li / dd / dt, which have their own variants — take the
+    * "any other end tag" walk that stops at special elements.
+    */
+  private[html] val ScopedEndTags = Set("address", "article", "aside",
+    "blockquote", "button", "center", "details", "dialog", "dir", "div",
+    "dl", "fieldset", "figcaption", "figure", "footer", "header", "hgroup",
+    "listing", "main", "menu", "nav", "ol", "pre", "search", "section",
+    "summary", "ul", "form", "applet", "marquee", "object", "select",
+    "textarea")
 
   /** The WHATWG formatting-element category (in-body insertion rules):
     * these participate in the active-formatting list / adoption agency.
@@ -356,7 +379,7 @@ object HtmlParser {
     final val ForeignRootF = 1 << 12 // svg | math
     final val BlockF = 1 << 13      // Html2Text.BlockElements
     final val BigBlockF = 1 << 14   // Html2Text.BigBlock
-    final val BtnScopeBarrierF = 1 << 15 // ButtonScopeBarriers
+    final val ScopeBarrierF = 1 << 15 // ScopeBarriers (generic scope)
 
     private val map = new java.util.HashMap[String, Integer]()
     private def add(tags: Iterable[String], f: Int): Unit = tags.foreach { t =>
@@ -374,7 +397,7 @@ object HtmlParser {
     add(TableAllowed, TableAllowedF)
     add(TableStructureTags, TableStructureF)
     add(NoReconstructTags, NoReconstructF)
-    add(ButtonScopeBarriers, BtnScopeBarrierF)
+    add(ScopeBarriers, ScopeBarrierF)
     add(Serializer.VoidElements, VoidF)
     add(Seq("svg", "math"), ForeignRootF)
     add(Html2Text.BlockElements, BlockF)
@@ -453,21 +476,29 @@ object HtmlParser {
     def switchToBody(): Unit =
       if (!inBody) { clearStack(); formatting.clear(); inBody = true }
 
-    /** Stack index of the nearest open `tag` within BUTTON scope (WHATWG
-      * "has a p element in button scope"): the downward walk stops at
-      * any barrier element, so a p inside a table cell / caption /
-      * button is invisible to p-closing start tags outside it.
+    /** Stack index of the nearest open `tag` within generic scope plus
+      * up to two extra barrier tags (null = unused): the downward walk
+      * stops at any barrier, so an element behind a table cell /
+      * caption / object boundary is invisible outside it. Button scope
+      * = extra "button"; list-item scope = extra "ol"/"ul".
       */
-    def indexInButtonScope(tag: String): Int = {
+    def indexInScope(tag: String, extra1: String = null,
+        extra2: String = null): Int = {
       var k = stack.size - 1
       while (k >= 0) {
         val e = stack(k)
         if (e.tag == tag) return k
-        if ((e.flags & TagFlags.BtnScopeBarrierF) != 0) return -1
+        if ((e.flags & TagFlags.ScopeBarrierF) != 0 ||
+            e.tag == extra1 || e.tag == extra2) return -1
         k -= 1
       }
       -1
     }
+
+    /** "has a p element in BUTTON scope" — the variant every p-closing
+      * rule uses.
+      */
+    def indexInButtonScope(tag: String): Int = indexInScope(tag, "button")
 
     /** Pop stack entries [idx, top] innermost-first: marker elements clear
       * the formatting list back to their marker; popped-through formatting
@@ -1057,11 +1088,18 @@ object HtmlParser {
       }
       val fl = TagFlags(name)
       if ((fl & TagFlags.FormattingF) != 0) { adoptionAgency(name); return }
-      // table-family end tags resolve in TABLE scope (barriers: table /
-      // template): `</td>` inside a nested table must not pop out of it,
-      // and `</table>` inside a template must not close a table outside.
+      // spec `</br>`: acts as a <br> START tag (browsers insert the
+      // element); there is never an open br to close (void)
+      if (name == "br") {
+        handleStartTag("br", mutable.ArrayBuffer.empty, selfClosing = false)
+        return
+      }
       val idx =
         if ((fl & TagFlags.TableStructureF) != 0 || name == "table") {
+          // table-family end tags resolve in TABLE scope (barriers:
+          // table / template): `</td>` inside a nested table must not
+          // pop out of it, and `</table>` inside a template must not
+          // close a table outside.
           var k = stack.size - 1
           var found = -1
           while (k >= 0 && found < 0) {
@@ -1071,9 +1109,51 @@ object HtmlParser {
             else k -= 1
           }
           found
-        } else lastIndexTag(stack, name)
+        } else if (name == "p") {
+          // dedicated `</p>` rule: close the p in BUTTON scope (popping
+          // through non-barrier specials like div), ignore otherwise
+          indexInButtonScope("p")
+        } else if (name == "li") {
+          // LIST ITEM scope (generic barriers + ol/ul)
+          indexInScope("li", "ol", "ul")
+        } else if (name == "dd" || name == "dt" ||
+            ScopedEndTags.contains(name)) {
+          // named clause: element in generic scope closes (popping
+          // implied-end/non-special content above it), else ignored
+          indexInScope(name)
+        } else if (name.length == 2 && name.charAt(0) == 'h' &&
+            name.charAt(1) >= '1' && name.charAt(1) <= '6') {
+          // `</hN>` closes the nearest open heading of ANY rank in scope
+          var k = stack.size - 1
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val e = stack(k)
+            val t = e.tag
+            val isHeading = t.length == 2 && t.charAt(0) == 'h' &&
+              t.charAt(1) >= '1' && t.charAt(1) <= '6'
+            if (isHeading) found = k
+            else if ((e.flags & TagFlags.ScopeBarrierF) != 0) k = -1
+            else k -= 1
+          }
+          found
+        } else {
+          // the spec's "any other end tag" rule: walk down; a matching
+          // node pops (with everything above it — subsumes the implied
+          // end tags), but the first SPECIAL element that isn't the
+          // target IGNORES the token, like browsers — `<span><div>
+          // </span>` must not destroy the div's subtree placement
+          var k = stack.size - 1
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val e = stack(k)
+            if (e.tag == name) found = k
+            else if ((e.flags & TagFlags.SpecialF) != 0) k = -1
+            else k -= 1
+          }
+          found
+        }
       if (idx >= 0) popRange(idx)
-      // unmatched end tags are ignored (tolerant)
+      // unmatched / out-of-scope end tags are ignored (spec + tolerant)
     }
 
     // assemble structure: doctype (already on doc) then html(head, body)

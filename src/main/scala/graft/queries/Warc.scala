@@ -766,8 +766,8 @@ object Warc {
       """SELECT CAST(full_len AS INT) AS full_len, CAST(main_len AS INT) AS main_len
          FROM (VALUES
          (503,209),(890,377),(1427,1286),(1507,866),(1514,1180),(1527,302),
-         (1587,192),(1726,880),(1790,584),(2331,1933),(2762,2273),(3716,239),
-         (3748,2850),(6421,6393),(6685,6493),(13033,1482))
+         (1587,192),(1726,880),(1790,584),(2331,319),(2762,657),(3716,239),
+         (3753,2851),(6421,6393),(6685,6493),(13033,1482))
          t(full_len, main_len) ORDER BY full_len""",
     "w14_warc_roundtrip" ->
       """SELECT CAST(16 AS BIGINT) AS n, CAST(518445 AS BIGINT) AS total_bytes,
@@ -782,16 +782,16 @@ object Warc {
     // corpus copies x (16 docs, 51,167 extracted chars) per copy
     "w19_html_extract10k" ->
       """SELECT CAST(25600 AS BIGINT) AS n_docs,
-         CAST(81867200 AS BIGINT) AS total_len""",
+         CAST(81875200 AS BIGINT) AS total_len""",
     // disclosed self-pin (extraction is not expressible in DuckDB): all
-    // 16 fixture responses extract non-empty text (102551 UTF-8 bytes
+    // 16 fixture responses extract non-empty text (102556 UTF-8 bytes
     // total), every conversion record round-trips with a verified
     // digest and a WARC-Refers-To back-link. regen_pins.py re-derives
     // the row from Verify output.
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
          CAST(16 AS BIGINT) AS n_conversion,
-         CAST(102551 AS BIGINT) AS total_text_bytes,
+         CAST(102556 AS BIGINT) AS total_text_bytes,
          CAST(16 AS BIGINT) AS n_digest_ok,
          CAST(16 AS BIGINT) AS n_refers""",
     // disclosed self-pin: the 50 fixture records across their three

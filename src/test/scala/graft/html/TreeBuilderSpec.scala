@@ -288,4 +288,47 @@ class TreeBuilderSpec extends AnyFunSuite {
     assert(bodyHtml("<table><template></table>x</template><tr><td>y</td></tr></table>") ==
       "<table><template>x</template><tbody><tr><td>y</td></tr></tbody></table>")
   }
+
+  // — end-tag rules: named clauses, any-other-end-tag, </p>, </br> —
+
+  test("any other end tag: a special element between ignores the token") {
+    // </span> with an open div above the span is ignored (browser
+    // behavior) — x lands inside the div, which stays inside the span
+    assert(bodyHtml("<span><div></span>x</div>y") ==
+      "<span><div>x</div>y</span>")
+  }
+
+  test("named-clause end tag still closes through non-special content") {
+    assert(bodyHtml("<ul><li>one<li>two</ul>after") ==
+      "<ul><li>one</li><li>two</li></ul>after")
+  }
+
+  test("</div> pops an open p (implied end); a stray </p> is ignored") {
+    assert(bodyHtml("<div><p>a</div>b") == "<div><p>a</p></div>b")
+    // no p in button scope at </p>: the spec would synthesize an EMPTY
+    // p there; the tolerant scope (documented deviation) ignores the
+    // stray token instead — no content moves either way
+    assert(bodyHtml("<p><div>a</p>b</div>") == "<p></p><div>ab</div>")
+  }
+
+  test("</p> with the p behind a button barrier is ignored") {
+    assert(bodyHtml("<p>a<button>b</p>c</button>d") ==
+      "<p>a<button>b<p>c</p></button>d</p>"
+        .replace("<p>c</p>", "c")) // no implicit-p synthesis: c stays in the button
+  }
+
+  test("</br> acts as a br start tag") {
+    assert(bodyHtml("a</br>b") == "a<br>b")
+  }
+
+  test("</h2> closes an open h3 (any-heading rule)") {
+    assert(bodyHtml("<h3>title</h2>rest") == "<h3>title</h3>rest")
+  }
+
+  test("</li> outside list-item scope is ignored") {
+    // the ul barrier hides the OUTER li; with no li inside the inner
+    // list yet, the stray </li> is ignored instead of popping the ul
+    assert(bodyHtml("<ul><li>a<ul></li><li>b</ul></li></ul>") ==
+      "<ul><li>a<ul><li>b</li></ul></li></ul>")
+  }
 }
