@@ -363,6 +363,11 @@ object Html2TextStream {
       // DOM parser closes the open table before a nested <table>
       if (name == "table" && parentTableCtx && tableIdxStack.nonEmpty)
         throw Bail
+      // stray table-structure tags with no open table/template are
+      // ignored, mirroring the DOM parser
+      if ((fl & TagFlags.TableStructureF) != 0 && !inForeign &&
+          tableIdxStack.isEmpty && templateIdxStack.isEmpty)
+        return None
       // <a>/<nobr> with one already open: adoption-agency implied close.
       // When the open element is AT THE TOP of the stack the agency has
       // no furthest block and reduces to pop + list-entry removal — a

@@ -42,10 +42,12 @@ import scala.collection.mutable
   *    it like browser innerHTML; extraction skips it via the skip list;
   *    template subtrees also keep the generic insertion mode, so table
   *    fragments inside them don't synthesize sections;
-  *  - stray td/tr/th outside any table are kept as ordinary elements
-  *    (the spec's in-body mode drops them; tolerant scope keeps soup);
   *  - a `</p>` with no p in button scope is ignored (the spec
   *    synthesizes an empty p element there).
+  *
+  * Stray table-structure tags outside any table (and outside template
+  * content) are IGNORED per the in-body mode — `<td>x` in body keeps x
+  * and drops the td, as browsers do (r10; previously kept as soup).
   *
   * Standing guarantees (unchanged):
   *  - a document ALWAYS has html/head/body elements;
@@ -959,6 +961,17 @@ object HtmlParser {
       if (name == "table" && (currentParent.flags & TagFlags.TableCtxF) != 0) {
         val ti = lastIndexTag(stack, "table")
         if (ti >= 0) popRange(ti)
+      }
+
+      // stray table-structure tags with NO open table (and no template —
+      // template content legitimately holds table fragments) are
+      // IGNORED, like the spec's in-body mode: `<td>x` in body keeps x
+      // and drops the td. The walk stops at table/template so a
+      // template boundary keeps its own context.
+      if ((fl & TagFlags.TableStructureF) != 0 && !inForeign) {
+        var k = stack.size - 1
+        while (k >= 0 && stack(k).tag != "table" && stack(k).tag != "template") k -= 1
+        if (k < 0) return None
       }
 
       // "clear the stack back to a table (row) context": table-structure

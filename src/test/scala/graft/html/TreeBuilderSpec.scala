@@ -44,7 +44,17 @@ class TreeBuilderSpec extends AnyFunSuite {
 
   test("AAA: cell marker stops formatting from leaking out") {
     // td pushes a scope marker: the unclosed <b> dies with the cell
-    assert(bodyHtml("<td><b>x</td>y") == "<td><b>x</b></td>y")
+    // (y lands in row context and fosters before the table)
+    assert(bodyHtml("<table><tr><td><b>x</td>y</table>z") ==
+      "y<table><tbody><tr><td><b>x</b></td></tr></tbody></table>z")
+  }
+
+  test("stray td/tr outside any table are dropped, their content kept") {
+    assert(bodyHtml("<td><b>x</td>y") == "<b>xy</b>")
+    assert(bodyHtml("a<tr>b<td>c") == "abc")
+    // inside a template the fragment is legitimate and kept
+    assert(bodyHtml("<body><template><tr><td>cell</td></tr></template>") ==
+      "<template><tr><td>cell</td></tr></template>")
   }
 
   test("AAA: matched formatting end tags are plain pops") {
