@@ -527,11 +527,21 @@ object Html2TextStream {
           }
           found
         } else if (name == "p") {
-          // BUTTON scope via the O(1) barrier counter
+          // BUTTON scope via the O(1) barrier counter; no p in scope ->
+          // the DOM parser inserts an empty p element (start visit only,
+          // no child so no end visit) — mirror it
           if (pIdxStack.nonEmpty &&
               btnBarrierOpen == stack(pIdxStack.last).btnBarrierAtPush)
             pIdxStack.last
-          else -1
+          else {
+            if (inBody && !(parentTableCtx && fosterActive)) {
+              val wasSuppressed = suppressed
+              markChild()
+              if (!wasSuppressed)
+                emitTag("p", TagFlags("p"), NoAttrs, stack.size + 1, isEnd = false)
+            }
+            -1
+          }
         } else if (name == "li") {
           scopeWalk("ol", "ul") // LIST ITEM scope
         } else if (name == "dd" || name == "dt" ||

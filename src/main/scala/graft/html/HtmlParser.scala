@@ -41,9 +41,7 @@ import scala.collection.mutable
   *    element (not a separate fragment node) — serialization round-trips
   *    it like browser innerHTML; extraction skips it via the skip list;
   *    template subtrees also keep the generic insertion mode, so table
-  *    fragments inside them don't synthesize sections;
-  *  - a `</p>` with no p in button scope is ignored (the spec
-  *    synthesizes an empty p element there).
+  *    fragments inside them don't synthesize sections.
   *
   * Stray table-structure tags outside any table (and outside template
   * content) are IGNORED per the in-body mode — `<td>x` in body keeps x
@@ -1124,8 +1122,15 @@ object HtmlParser {
           found
         } else if (name == "p") {
           // dedicated `</p>` rule: close the p in BUTTON scope (popping
-          // through non-barrier specials like div), ignore otherwise
-          indexInButtonScope("p")
+          // through non-barrier specials like div); with no p in scope
+          // the spec inserts an EMPTY p element and closes it — do that
+          // (in body, outside table structure where it would foster)
+          val pi = indexInButtonScope("p")
+          if (pi < 0 && inBody && !fosterNeeded(currentParent)) {
+            budget()
+            insertElementNode(new DomNode(NodeType.Element, "p"))
+          }
+          pi
         } else if (name == "li") {
           // LIST ITEM scope (generic barriers + ol/ul)
           indexInScope("li", "ol", "ul")

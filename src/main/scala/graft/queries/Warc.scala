@@ -765,7 +765,7 @@ object Warc {
     "w13_warc_extract" ->
       """SELECT CAST(full_len AS INT) AS full_len, CAST(main_len AS INT) AS main_len
          FROM (VALUES
-         (503,209),(890,377),(1427,1286),(1507,866),(1514,1180),(1527,302),
+         (504,210),(890,377),(1427,1286),(1507,866),(1514,1180),(1527,302),
          (1587,192),(1726,880),(1790,584),(2331,319),(2762,657),(3716,239),
          (3753,2851),(6421,6393),(6685,6493),(13033,1482))
          t(full_len, main_len) ORDER BY full_len""",
@@ -782,16 +782,16 @@ object Warc {
     // corpus copies x (16 docs, 51,167 extracted chars) per copy
     "w19_html_extract10k" ->
       """SELECT CAST(25600 AS BIGINT) AS n_docs,
-         CAST(81875200 AS BIGINT) AS total_len""",
+         CAST(81876800 AS BIGINT) AS total_len""",
     // disclosed self-pin (extraction is not expressible in DuckDB): all
-    // 16 fixture responses extract non-empty text (102556 UTF-8 bytes
+    // 16 fixture responses extract non-empty text (102557 UTF-8 bytes
     // total), every conversion record round-trips with a verified
     // digest and a WARC-Refers-To back-link. regen_pins.py re-derives
     // the row from Verify output.
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
          CAST(16 AS BIGINT) AS n_conversion,
-         CAST(102556 AS BIGINT) AS total_text_bytes,
+         CAST(102557 AS BIGINT) AS total_text_bytes,
          CAST(16 AS BIGINT) AS n_digest_ok,
          CAST(16 AS BIGINT) AS n_refers""",
     // disclosed self-pin: the 50 fixture records across their three
@@ -819,7 +819,7 @@ object Warc {
       """SELECT CAST(25600 AS BIGINT) AS n_pages,
          CAST(25600 AS BIGINT) AS n_quality_pages,
          CAST(16 AS BIGINT) AS n_unique_docs, CAST(7 AS BIGINT) AS n_langs,
-         CAST(14 AS BIGINT) AS n_train, CAST(1 AS BIGINT) AS n_val,
+         CAST(13 AS BIGINT) AS n_train, CAST(2 AS BIGINT) AS n_val,
          CAST(1 AS BIGINT) AS n_test""",
     // the oracle RECOMPUTES the decoded digests from the same plaintext
     // constructions the fixture writer uses — a drift in any decode step

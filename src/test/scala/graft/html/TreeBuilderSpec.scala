@@ -313,18 +313,19 @@ class TreeBuilderSpec extends AnyFunSuite {
       "<ul><li>one</li><li>two</li></ul>after")
   }
 
-  test("</div> pops an open p (implied end); a stray </p> is ignored") {
+  test("</div> pops an open p (implied end); a stray </p> synthesizes " +
+      "an empty p, per spec") {
     assert(bodyHtml("<div><p>a</div>b") == "<div><p>a</p></div>b")
-    // no p in button scope at </p>: the spec would synthesize an EMPTY
-    // p there; the tolerant scope (documented deviation) ignores the
-    // stray token instead — no content moves either way
-    assert(bodyHtml("<p><div>a</p>b</div>") == "<p></p><div>ab</div>")
+    // no p in button scope at </p>: the spec inserts an empty p element
+    // and closes it (browser tree)
+    assert(bodyHtml("<p><div>a</p>b</div>") == "<p></p><div>a<p></p>b</div>")
+    assert(bodyHtml("x</p>y") == "x<p></p>y")
   }
 
-  test("</p> with the p behind a button barrier is ignored") {
+  test("</p> with the p behind a button barrier synthesizes an empty p " +
+      "inside the button (the outer p stays open)") {
     assert(bodyHtml("<p>a<button>b</p>c</button>d") ==
-      "<p>a<button>b<p>c</p></button>d</p>"
-        .replace("<p>c</p>", "c")) // no implicit-p synthesis: c stays in the button
+      "<p>a<button>b<p></p>c</button>d</p>")
   }
 
   test("</br> acts as a br start tag") {
