@@ -509,22 +509,30 @@ object Warc {
       val batch = s.read.format("warc").load(fixture)
         .select(col("record_date"), col("record_type"), col("content_length"))
       val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w32_stage"
-      batch.write.mode("overwrite").parquet(stage)
-      val stream = s.readStream.schema(batch.schema).parquet(stage)
-      val qname = "graft_w32_mem"
-      val q = EventTime.windowedTypeCounts(stream)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
-      try q.processAllAvailable() finally q.stop()
-      def shape(df: DataFrame): DataFrame = df.select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("record_type"), col("n_records"), col("total_bytes"))
-      val streamed = shape(s.table(qname))
-      val batchRes = shape(EventTime.windowedTypeCounts(batch))
-      val mismatches = streamed.exceptAll(batchRes).count() +
-        batchRes.exceptAll(streamed).count()
-      streamed.withColumn("batch_equal", lit(mismatches == 0L))
-        .orderBy(col("window_start"), col("record_type"))
+      // the stateful streaming agg instantiates one STATE STORE per
+      // shuffle partition per micro-batch: at the session's 32
+      // partitions that is 32 store setups/commits for a 50-record
+      // fixture, pure fixed cost. Scope the gate's queries to
+      // data-sized partitions (RoundPartitions; at real scale rows/64k
+      // keeps the session setting).
+      graft.operators.RoundPartitions.scoped(s, 50) {
+        batch.write.mode("overwrite").parquet(stage)
+        val stream = s.readStream.schema(batch.schema).parquet(stage)
+        val qname = "graft_w32_mem"
+        val q = EventTime.windowedTypeCounts(stream)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+        try q.processAllAvailable() finally q.stop()
+        def shape(df: DataFrame): DataFrame = df.select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("record_type"), col("n_records"), col("total_bytes"))
+        val streamed = shape(s.table(qname))
+        val batchRes = shape(EventTime.windowedTypeCounts(batch))
+        val mismatches = streamed.exceptAll(batchRes).count() +
+          batchRes.exceptAll(streamed).count()
+        streamed.withColumn("batch_equal", lit(mismatches == 0L))
+          .orderBy(col("window_start"), col("record_type"))
+      }
     }),
 
     "w31_wet_export" -> ((s, _) => {
