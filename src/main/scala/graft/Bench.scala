@@ -176,7 +176,14 @@ object Bench {
       total / ((System.nanoTime() - t0) / 1e9)
     }
     val tmp = System.getProperty("java.io.tmpdir")
-    def tryRate(f: => Double): Double = try f catch { case _: Throwable => -1.0 }
+    // max-of-2 for the single-thread rows: they are the artifact's
+    // BASELINE-claim carriers and a single measurement inherits
+    // whatever contention window it lands in (observed 2-3x swings
+    // between consecutive in-process runs); the max is the least
+    // interfered measurement, the analog of the sweep's min-of-2 walls
+    def tryRate(f: => Double): Double =
+      try { val first = f; val second = f; math.max(first, second) }
+      catch { case _: Throwable => -1.0 }
     val singleThread: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else Seq(
