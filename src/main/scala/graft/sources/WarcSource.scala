@@ -129,6 +129,17 @@ class WarcTable(options: CaseInsensitiveStringMap)
 }
 
 object WarcInput {
+  /** `s3://bucket/key` inputs (the reference CLI's S3 URL form,
+    * fastwarc-py/fastwarc/cli.py:291-348) route to the `s3a` connector
+    * — the maintained Hadoop S3 client — unless the deployment has
+    * bound its own `fs.s3.impl`. Rewrite is at path-parse time so
+    * listing, splits and the scan all see one scheme.
+    */
+  private[sources] def normalizeScheme(p: String, conf: Configuration): String =
+    if (p.startsWith("s3://") && conf.get("fs.s3.impl") == null)
+      "s3a://" + p.substring(5)
+    else p
+
   /** Load paths arrive as option "paths" (JSON array) or "path". */
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { json =>
@@ -141,7 +152,8 @@ object WarcInput {
 
   /** Expand globs / directories into concrete files (driver side). */
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
-    paths.flatMap { p =>
+    paths.flatMap { p0 =>
+      val p = normalizeScheme(p0, conf)
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
@@ -653,9 +665,11 @@ class WarcWriteBuilder(
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
-        val path = Option(options.get("path"))
-          .orElse(WarcInput.paths(options).headOption)
-          .getOrElse(throw new IllegalArgumentException("warc write requires a path"))
+        val path = WarcInput.normalizeScheme(
+          Option(options.get("path"))
+            .orElse(WarcInput.paths(options).headOption)
+            .getOrElse(throw new IllegalArgumentException("warc write requires a path")),
+          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
         val codec = Option(options.get("compression")).getOrElse("gzip")
         val checksum = options.getBoolean("checksum", false)
         val memberIndex = options.getBoolean("member_index", false)

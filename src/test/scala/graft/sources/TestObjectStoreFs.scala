@@ -25,6 +25,23 @@ class TestObjectStoreFs extends RawLocalFileSystem {
   override def getUri: URI = if (uri != null) uri else URI.create("testfs:///")
 }
 
+/** `s3` scheme double: proves the deployment-override path of the
+  * reference-style `s3://` input handling — when `fs.s3.impl` IS bound,
+  * the scan must use it verbatim instead of rewriting to s3a.
+  */
+class S3SchemeTestFs extends RawLocalFileSystem {
+  private var uri: URI = _
+  override def getScheme: String = "s3"
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    uri = Option(name.getAuthority) match {
+      case Some(a) if a.nonEmpty => URI.create(s"${name.getScheme}://$a")
+      case _ => URI.create(s"${name.getScheme}:///")
+    }
+  }
+  override def getUri: URI = if (uri != null) uri else URI.create("s3:///")
+}
+
 /** Flaky object-store double: the FIRST open of each path returns a
   * stream that dies (IOException, as a dropped connection would) after
   * `DieAfterBytes` raw bytes — mid-payload for the fixture archives —

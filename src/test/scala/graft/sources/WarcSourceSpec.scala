@@ -212,6 +212,26 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.count() == 100L)
   }
 
+  test("s3:// inputs: rewritten to the s3a connector unless the " +
+      "deployment bound fs.s3.impl, which is then used verbatim") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    // no fs.s3.impl: the reference-style s3:// URL routes to s3a
+    assert(WarcInput.normalizeScheme("s3://bucket/crawl/a.warc.gz", conf) ==
+      "s3a://bucket/crawl/a.warc.gz")
+    // other schemes untouched
+    assert(WarcInput.normalizeScheme("s3a://b/k", conf) == "s3a://b/k")
+    assert(WarcInput.normalizeScheme("file:///x.warc", conf) == "file:///x.warc")
+    conf.set("fs.s3.impl", classOf[S3SchemeTestFs].getName)
+    assert(WarcInput.normalizeScheme("s3://bucket/k", conf) == "s3://bucket/k")
+    // end-to-end through a bound fs.s3.impl: the scan reads s3:// verbatim
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.s3.impl", classOf[S3SchemeTestFs].getName)
+    try {
+      val df = spark.read.format("warc").load(s"s3://$DataDir/warcfile.warc.gz")
+      assert(df.count() == 50L)
+    } finally spark.sparkContext.hadoopConfiguration.unset("fs.s3.impl")
+  }
+
   test("stream_retries: first read attempt dies mid-payload through the " +
       "FS layer; the scan resumes and returns all records, zero error rows") {
     spark.sparkContext.hadoopConfiguration.set(
