@@ -95,7 +95,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def sweep(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+    def sweep(): Seq[(String, Double, Boolean)] = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -104,16 +104,19 @@ object Bench {
       // materialize EVERY column via the noop sink: a bare count() lets
       // Catalyst prune un-referenced projected kernels (simhash, minhash,
       // extract_plain_text, ...) so their cost would never be timed
+      var failed = false
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         // a failed query must NOT silently report its elapsed time as a
         // success — record it so the bench line shows the breakage
+        failed = true
         if (!errors.exists(_._1 == name))
           errors ::= (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-      name -> sec
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs" +
+        (if (failed) "  (FAILED)" else ""))
+      (name, sec, failed)
     }
     // min-of-N per query: identical-commit sweeps on the driver host have
     // swung individual queries 2-5x in opposite directions (memory-
@@ -125,8 +128,14 @@ object Bench {
       System.err.println(s"[bench] -- sweep $r/$nRuns --")
       sweep()
     }
+    // min over SUCCESSFUL runs only: a fast failure (instant analysis
+    // error) must not replace a valid timing as the signal-of-record;
+    // a query that failed every run reports its min elapsed anyway
+    // (the error field marks it broken)
     val results = selected.map { case (name, _) =>
-      name -> runs.map(_.toMap.apply(name)).min
+      val all = runs.map(_.find(_._1 == name).get)
+      val ok = all.filterNot(_._3)
+      name -> (if (ok.nonEmpty) ok.map(_._2).min else all.map(_._2).min)
     }
     // work-unit counts for the fixed-corpus headline queries (corpus
     // shape is pinned by their oracles: 32 files x 50 copies x 50
@@ -143,9 +152,11 @@ object Bench {
       "w19_html_extract10k" -> (benchDocs, "docs"),
       "w29_training_pipeline" -> (benchDocs, "docs"))
     val rates = results.flatMap { case (name, sec) =>
-      workUnits.get(name).filter(_ => sec > 0).map { case (n, unit) =>
-        (name, n, unit, n / sec)
-      }
+      // no derived rate for a query that errored: units/elapsed of a
+      // failure is not a throughput
+      workUnits.get(name)
+        .filter(_ => sec > 0 && !errors.exists(_._1 == name))
+        .map { case (n, unit) => (name, n, unit, n / sec) }
     }
     // Single-stream steady-state scan rates, measured in-artifact: the
     // 80k-record corpus split 32 ways gives ~2.5k records/task, so the
@@ -223,7 +234,7 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val runsJson = runs.zipWithIndex.map { case (r, i) =>
       jstr(s"run${i + 1}") + ":" +
-        r.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+        r.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val ratesJson = rates.map { case (name, n, unit, rate) =>
       jstr(name) + s""":{"units":$n,"unit":${jstr(unit)},"per_sec":${math.round(rate)}}"""

@@ -42,13 +42,36 @@ object WarcRetry {
     private var nextRec: WarcRecord = _
     private var finished = false
 
-    private def open(resumeAt: Long): Unit = {
+    /** (Re)open at `resumeAt`; false when the fresh stream could not
+      * reach the resume position (it died or came up short during the
+      * skip-forward) — ANOTHER failed attempt, not end-of-archive.
+      */
+    private def open(resumeAt: Long): Boolean = {
       val (stream, _) = WarcCodecs.open(factory())
       reader = new WarcByteReader(stream)
-      if (resumeAt > 0 && !reader.skipFully(resumeAt)) { finished = true; return }
+      if (resumeAt > 0 && !reader.skipFully(resumeAt)) { parser = null; return false }
       parser = new WarcParser(reader, filename, opts)
+      true
     }
     open(0L)
+
+    /** Reopen until one attempt reaches the resume point or retries run
+      * out; false = retries exhausted (a terminal condition the caller
+      * must surface, never a silent end).
+      */
+    private var resumeFailed = false
+    private def reopenWithRetries(): Boolean = {
+      var ok = false
+      while (!ok && retriesLeft > 0) {
+        retriesLeft -= 1
+        ok = open(lastGoodEnd)
+      }
+      // a failed skip-forward on a CLEAN-short stream leaves no
+      // streamError behind — remember the failure so the terminal
+      // branch still surfaces it
+      if (!ok) resumeFailed = true
+      ok
+    }
 
     private def advance(): Unit = {
       while (nextRec == null && !finished) {
@@ -56,30 +79,28 @@ object WarcRetry {
         if (hadNext) {
           val r = parser.next()
           if (r.error.exists(_.startsWith("truncated record")) &&
-              reader.streamError.isDefined && retriesLeft > 0) {
-            // stream died mid-record: reopen and re-read this record
-            retriesLeft -= 1
-            open(lastGoodEnd)
+              reader.streamError.isDefined && retriesLeft > 0 &&
+              reopenWithRetries()) {
+            // stream died mid-record: reopened; re-read this record
           } else {
             lastGoodEnd = reader.position
             nextRec = r
           }
-        } else if (reader != null && reader.streamError.isDefined && retriesLeft > 0) {
-          // stream died between records
-          retriesLeft -= 1
-          open(lastGoodEnd)
+        } else if (reader != null && reader.streamError.isDefined &&
+            retriesLeft > 0 && reopenWithRetries()) {
+          // stream died between records: reopened; continue
         } else {
           // either clean end-of-archive, or the stream died with no
-          // retries left. The second case must NOT end silently — that
-          // is a truncation the caller can't see (the exc_loop error-row
-          // doctrine applies to exhausted retries too): surface one
-          // terminal error record.
-          if (reader != null && reader.streamError.isDefined)
+          // (successful) retries left. The second case must NOT end
+          // silently — that is a truncation the caller can't see (the
+          // exc_loop error-row doctrine applies to exhausted retries
+          // too): surface one terminal error record.
+          if (reader != null && (reader.streamError.isDefined || resumeFailed))
             nextRec = WarcRecord(filename, -1L, 0L, None, "unknown",
               RecordType.mask("unknown"), None, -1L, HeaderMap.empty,
               Array.emptyByteArray, None,
               Some(s"stream error after $maxRetries retries: " +
-                reader.streamError.get))
+                reader.streamError.getOrElse("resume skip-forward failed")))
           finished = true
         }
       }

@@ -526,6 +526,20 @@ object Html2TextStream {
             else k -= 1
           }
           found
+        } else if (name == "form") {
+          // spec `</form>` removes the form from the stack WITHOUT
+          // popping what's above it. At the top (after implied end tags)
+          // that reduces to plain pops; a mid-stack removal leaves later
+          // end visits out of LIFO order — unrepresentable in a single
+          // forward pass, so that input takes the DOM path.
+          val fi = scopeWalk(null, null)
+          if (fi >= 0) {
+            while (stack.size - 1 > fi &&
+                (stack.last.flags & TagFlags.MarkerF) == 0 &&
+                ImpliedEndTags.contains(stack.last.tag)) popOne()
+            if (fi == stack.size - 1) popOne() else throw Bail
+          }
+          -1
         } else if (name == "p") {
           // BUTTON scope via the O(1) barrier counter; no p in scope ->
           // the DOM parser inserts an empty p element (start visit only,
@@ -537,7 +551,10 @@ object Html2TextStream {
             if (inBody && !(parentTableCtx && fosterActive)) {
               val wasSuppressed = suppressed
               markChild()
-              if (!wasSuppressed)
+              // same visit rule as any synthesized element: the skip
+              // list suppresses the start visit (the DOM walk emits no
+              // events for skip-list tags)
+              if (!wasSuppressed && !skip.contains("p"))
                 emitTag("p", TagFlags("p"), NoAttrs, stack.size + 1, isEnd = false)
             }
             -1

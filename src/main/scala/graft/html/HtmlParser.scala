@@ -270,8 +270,12 @@ object HtmlParser {
     "blockquote", "button", "center", "details", "dialog", "dir", "div",
     "dl", "fieldset", "figcaption", "figure", "footer", "header", "hgroup",
     "listing", "main", "menu", "nav", "ol", "pre", "search", "section",
-    "summary", "ul", "form", "applet", "marquee", "object", "select",
+    "summary", "ul", "applet", "marquee", "object", "select",
     "textarea")
+
+  /** Tags the spec's "generate implied end tags" step closes. */
+  private[html] val ImpliedEndTags = Set("p", "li", "dd", "dt", "option",
+    "optgroup", "rp", "rt")
 
   /** The WHATWG formatting-element category (in-body insertion rules):
     * these participate in the active-formatting list / adoption agency.
@@ -1120,6 +1124,22 @@ object HtmlParser {
             else k -= 1
           }
           found
+        } else if (name == "form") {
+          // spec `</form>` (no form pointer/template modeling needed for
+          // the tolerant scope): the form element is REMOVED from the
+          // stack wherever it sits — elements ABOVE it stay open, so
+          // `<form><div>x</form>more` keeps `more` inside the div like
+          // browsers. Implied end tags at the top pop first.
+          val fi = indexInScope("form")
+          if (fi >= 0) {
+            while (stack.size - 1 > fi &&
+                (stack.last.flags & TagFlags.MarkerF) == 0 &&
+                ImpliedEndTags.contains(stack.last.tag))
+              popRange(stack.size - 1)
+            val e = stack.remove(fi)
+            e.onStack = false
+          }
+          -1 // removal handled here; nothing to popRange
         } else if (name == "p") {
           // dedicated `</p>` rule: close the p in BUTTON scope (popping
           // through non-barrier specials like div); with no p in scope

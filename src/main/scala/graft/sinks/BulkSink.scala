@@ -224,9 +224,18 @@ object BulkSink {
       indexSettings: Map[String, String] = Map.empty,
       indexMappings: String = "{}"): Iterator[(String, String)] => Unit = { rows =>
     val backend = newBackend()
-    ensureIndex.foreach(backend.ensureIndex(_, indexSettings, indexMappings))
-    val sink = new BulkSink(backend, bufferSize, chunkSize)
-    try rows.foreach { case (id, doc) => sink.add(id, doc) }
-    finally sink.close()
+    // until the sink owns the backend, a bootstrap failure must close
+    // it here — an ensureIndex throw would otherwise leak the opened
+    // per-partition stream across task retries
+    var sinkOwns = false
+    try {
+      ensureIndex.foreach(backend.ensureIndex(_, indexSettings, indexMappings))
+      val sink = new BulkSink(backend, bufferSize, chunkSize)
+      sinkOwns = true
+      try rows.foreach { case (id, doc) => sink.add(id, doc) }
+      finally sink.close()
+    } finally {
+      if (!sinkOwns) { try backend.close() catch { case _: Exception => } }
+    }
   }
 }

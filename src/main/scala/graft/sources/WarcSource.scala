@@ -940,7 +940,8 @@ class WarcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(parseOpts, required, fsProps)
+    new WarcReaderFactory(parseOpts, required, fsProps,
+      options.getInt("stream_retries", 0))
 }
 
 object WarcMicroBatchStream {

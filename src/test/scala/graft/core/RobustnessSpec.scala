@@ -82,6 +82,23 @@ class RobustnessSpec extends AnyFunSuite {
       recs.last.error)
   }
 
+  test("warc_retry: resume attempts that cannot reach the skip-forward " +
+      "point burn retries and surface a terminal error, never silence") {
+    // first attempt dies mid-archive; every reopen serves a CLEAN-short
+    // stream that ends before the resume point (no IOException), the
+    // hardest case to see — a silent short archive would be invisible
+    var attempt = 0
+    val it = WarcRetry.iterator(() => {
+      attempt += 1
+      if (attempt == 1) new FlakyStream(fixtureBytes, 100000L)
+      else new java.io.ByteArrayInputStream(fixtureBytes, 0, 20000)
+    }, "dead", maxRetries = 2)
+    val recs = it.toVector
+    assert(recs.count(_.error.isEmpty) < 50)
+    assert(recs.last.error.exists(_.contains("after 2 retries")), recs.last.error)
+    assert(attempt == 3) // the original + both retries were attempted
+  }
+
   test("time guard interrupts a runaway kernel, passes a fast one") {
     val fast = TimeGuard.timeLimited(5000) { 21 * 2 }
     assert(fast == Right(42))

@@ -21,6 +21,9 @@ class Html2TextStreamSpec extends AnyFunSuite {
     "noscript" -> Options(noscript = true),
     "no bullets" -> Options(listBullets = false),
     "skip custom tags" -> Options(skipElements = Seq("nav", "footer")),
+    // p in the skip list: the stray-</p> empty-p synthesis must respect
+    // it (the DOM walk emits no events for skip-list tags)
+    "skip p" -> Options(skipElements = Seq("p", "aside")),
     "everything on" -> Options(links = true, formFields = true,
       noscript = true, altTexts = true),
     "off + links + fields" -> Options(formatting = FormatOff, links = true,
@@ -86,6 +89,12 @@ class Html2TextStreamSpec extends AnyFunSuite {
       "<iframe><a href=x>raw, not a link</a></iframe>visible",
       "<p>before<plaintext><b>literal</b> to eof",
       "<center>old-school</center><dialog>d</dialog><p>p<listing>l</listing>",
+      "x</p>y<div>a</p>b</div>",           // stray-</p> empty-p synthesis
+      "<form><input>x</form>y",            // </form> at the top of the stack
+      "<span><div>in</span>tact</div>out", // any-other end tag ignored at special
+      "a<tr>b<td>c",                       // stray table tags dropped
+      "t</br>u",                           // </br> as a br start tag
+      "<h3>head</h2>after",                // any-heading close rule
     )
     soups.zipWithIndex.foreach { case (s, i) => diff(s"soup $i", s) }
   }

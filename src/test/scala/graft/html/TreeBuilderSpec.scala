@@ -336,6 +336,16 @@ class TreeBuilderSpec extends AnyFunSuite {
     assert(bodyHtml("<h3>title</h2>rest") == "<h3>title</h3>rest")
   }
 
+  test("</form> removes the form from the stack without closing what's " +
+      "above it") {
+    // browsers keep `more` inside the still-open div (the form element
+    // is removed from the open stack, not popped through)
+    assert(bodyHtml("<form><div>x</form>more</div>after") ==
+      "<form><div>xmore</div></form>after")
+    // at the top of the stack it reduces to a plain close
+    assert(bodyHtml("<form><input>x</form>y") == "<form><input>x</form>y")
+  }
+
   test("</li> outside list-item scope is ignored") {
     // the ul barrier hides the OUTER li; with no li inside the inner
     // list yet, the stray </li> is ignored instead of popping the ul

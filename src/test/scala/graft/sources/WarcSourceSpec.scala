@@ -236,28 +236,29 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FS layer; the scan resumes and returns all records, zero error rows") {
     spark.sparkContext.hadoopConfiguration.set(
       "fs.flakyfs.impl", classOf[FlakyObjectStoreFs].getName)
-    FlakyObjectStoreFs.reset()
-    val df = spark.read.format("warc")
-      .option("stream_retries", "3")
-      .load(s"flakyfs://$DataDir/warcfile.warc.gz")
-      .select("record_id", "record_type", "content_length", "error")
-    val rows = df.collect()
-    assert(rows.length == 50, s"expected all 50 records, got ${rows.length}")
-    assert(rows.forall(_.isNullAt(3)), "no error rows after a successful resume")
-    // the flaky double really fired: the path was opened at least twice
-    // (dead first attempt + clean resume)
-    assert(FlakyObjectStoreFs.opensOf(s"$DataDir/warcfile.warc.gz") >= 2)
-    // resume skips duplicates: ids are exactly the clean scan's
-    val clean = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
-      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
-    assert(rows.map(_.getString(0)).sorted.toSeq == clean)
-    // control: WITHOUT stream_retries the same flaky read surfaces the
-    // death as a terminal error row (exc_loop doctrine), not a resume
-    FlakyObjectStoreFs.reset()
-    val noRetry = spark.read.format("warc")
-      .load(s"flakyfs://$DataDir/warcfile.warc.gz")
-      .select("error").collect()
-    assert(noRetry.exists(!_.isNullAt(0)), "stream death must surface in `error`")
-    assert(noRetry.length < 50 + 1 || noRetry.exists(!_.isNullAt(0)))
+    try {
+      FlakyObjectStoreFs.reset()
+      val df = spark.read.format("warc")
+        .option("stream_retries", "3")
+        .load(s"flakyfs://$DataDir/warcfile.warc.gz")
+        .select("record_id", "record_type", "content_length", "error")
+      val rows = df.collect()
+      assert(rows.length == 50, s"expected all 50 records, got ${rows.length}")
+      assert(rows.forall(_.isNullAt(3)), "no error rows after a successful resume")
+      // the flaky double really fired: the path was opened at least twice
+      // (dead first attempt + clean resume)
+      assert(FlakyObjectStoreFs.opensOf(s"$DataDir/warcfile.warc.gz") >= 2)
+      // resume skips duplicates: ids are exactly the clean scan's
+      val clean = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+        .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+      assert(rows.map(_.getString(0)).sorted.toSeq == clean)
+      // control: WITHOUT stream_retries the same flaky read surfaces the
+      // death as a terminal error row (exc_loop doctrine), not a resume
+      FlakyObjectStoreFs.reset()
+      val noRetry = spark.read.format("warc")
+        .load(s"flakyfs://$DataDir/warcfile.warc.gz")
+        .select("error").collect()
+      assert(noRetry.exists(!_.isNullAt(0)), "stream death must surface in `error`")
+    } finally spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
   }
 }
