@@ -42,18 +42,30 @@ object WarcRetry {
     private var nextRec: WarcRecord = _
     private var finished = false
 
+    /** Message from the most recent open attempt that THREW (factory or
+      * codec sniff) — the reference counts stream_factory exceptions as
+      * failed attempts too (itertools.pyx:66-155), and connection-refused
+      * on reopen is the common flaky-remote failure mode.
+      */
+    private var lastOpenError: Option[String] = None
+
     /** (Re)open at `resumeAt`; false when the fresh stream could not
       * reach the resume position (it died or came up short during the
-      * skip-forward) — ANOTHER failed attempt, not end-of-archive.
+      * skip-forward), or when the factory / codec sniff itself threw —
+      * either way ANOTHER failed attempt, not end-of-archive.
       */
-    private def open(resumeAt: Long): Boolean = {
-      val (stream, _) = WarcCodecs.open(factory())
-      reader = new WarcByteReader(stream)
-      if (resumeAt > 0 && !reader.skipFully(resumeAt)) { parser = null; return false }
-      parser = new WarcParser(reader, filename, opts)
-      true
-    }
-    open(0L)
+    private def open(resumeAt: Long): Boolean =
+      try {
+        val (stream, _) = WarcCodecs.open(factory())
+        reader = new WarcByteReader(stream)
+        if (resumeAt > 0 && !reader.skipFully(resumeAt)) { parser = null; false }
+        else { parser = new WarcParser(reader, filename, opts); true }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          lastOpenError = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          parser = null
+          false
+      }
 
     /** Reopen until one attempt reaches the resume point or retries run
       * out; false = retries exhausted (a terminal condition the caller
@@ -72,6 +84,9 @@ object WarcRetry {
       if (!ok) resumeFailed = true
       ok
     }
+    // the INITIAL open can fail the same way a reopen can (connection
+    // refused before the first byte) — burn retries on it too
+    if (!open(0L)) reopenWithRetries()
 
     private def advance(): Unit = {
       while (nextRec == null && !finished) {
@@ -95,12 +110,13 @@ object WarcRetry {
           // silently — that is a truncation the caller can't see (the
           // exc_loop error-row doctrine applies to exhausted retries
           // too): surface one terminal error record.
-          if (reader != null && (reader.streamError.isDefined || resumeFailed))
+          if ((reader != null && reader.streamError.isDefined) || resumeFailed)
             nextRec = WarcRecord(filename, -1L, 0L, None, "unknown",
               RecordType.mask("unknown"), None, -1L, HeaderMap.empty,
               Array.emptyByteArray, None,
               Some(s"stream error after $maxRetries retries: " +
-                reader.streamError.getOrElse("resume skip-forward failed")))
+                Option(reader).flatMap(_.streamError).orElse(lastOpenError)
+                  .getOrElse("resume skip-forward failed")))
           finished = true
         }
       }

@@ -25,6 +25,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per 64k rows, floor 1); large graphs keep the session setting. The
   * conf is scoped-and-restored around the loop; rounds run sequentially
   * in one driver, like RoundCheckpointer assumes.
+  *
+  * CONSTRAINT (applies to every entry point that reaches this:
+  * neardupSummary, kmeans, PageRank, connected components, the w29/w32
+  * pipelines): `spark.sql.shuffle.partitions` is SESSION-global, so any
+  * query planned CONCURRENTLY on the same SparkSession — a
+  * multi-threaded driver firing jobs in parallel — would plan at the
+  * reduced count while the loop runs. A `newSession()` would not help
+  * here: a Dataset plans against the conf of the session it was created
+  * from, so isolation would require re-rooting every input DataFrame.
+  * Concurrent STREAMING queries are guarded explicitly below (micro-
+  * batches plan whenever their trigger fires, the one concurrent shape
+  * this engine itself creates); for a concurrently-querying batch
+  * driver, run iterative operators on their own SparkSession.
   */
 private[graft] object RoundPartitions {
   def scoped[T](spark: SparkSession, rows: Long)(body: => T): T = {
@@ -32,7 +45,10 @@ private[graft] object RoundPartitions {
     val prev = spark.conf.get(key)
     val current = try prev.toInt catch { case _: NumberFormatException => 200 }
     val matched = math.max(1L, (rows + 65535) / 65536)
-    if (matched >= current) body
+    // a live streaming query on this session plans its next micro-batch
+    // whenever the trigger fires — never shrink the conf under it; the
+    // reduction is a perf tweak, correctness never depends on it
+    if (matched >= current || spark.streams.active.nonEmpty) body
     else {
       spark.conf.set(key, matched.toString)
       try body finally spark.conf.set(key, prev)

@@ -120,25 +120,32 @@ final class HadoopJsonLinesBackend(
     Seq.empty
   }
 
-  /** create-if-absent through the Hadoop FS: `create(overwrite=false)`
-    * is the atomicity point; a FileAlreadyExistsException from a
-    * concurrent winner (the 400-on-exists analog) is tolerated as
-    * success, and existing metadata is never overwritten.
+  /** create-if-absent through the Hadoop FS, via write-to-temp +
+    * rename-if-absent: Hadoop `rename` refuses an existing destination
+    * (returns false / throws) on stores with atomic rename (HDFS,
+    * local), so exactly one racer publishes and the loser cleans up its
+    * temp — the 400-on-exists analog. On object stores WITHOUT atomic
+    * rename (S3A emulates it as copy+delete) the contract degrades to
+    * BEST-EFFORT: two racers can both publish and the later copy wins.
+    * That only diverges when concurrent jobs race with DIFFERENT
+    * settings on such a store; same-job racers write identical bytes.
     */
   override def ensureIndex(index: String, settings: Map[String, String],
       mappings: String): Unit = {
     val meta = new org.apache.hadoop.fs.Path(dir, s"_index-$index.json")
-    if (!fs.exists(meta)) {
-      try {
-        val o = fs.create(meta, false)
-        try o.write((BulkBackend.indexMetaJson(settings, mappings) + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally o.close()
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // lost the race: fine
-        case _: java.nio.file.FileAlreadyExistsException => // RawLocalFs variant
+    if (fs.exists(meta)) return
+    val metaTmp = new org.apache.hadoop.fs.Path(dir, s"._index-$index.$attemptTag.tmp")
+    val o = fs.create(metaTmp, true)
+    try o.write((BulkBackend.indexMetaJson(settings, mappings) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+    val won =
+      try !fs.exists(meta) && fs.rename(metaTmp, meta)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
       }
-    }
+    if (!won && fs.exists(metaTmp)) fs.delete(metaTmp, false)
   }
 
   /** Publish this attempt's output under the deterministic name. */

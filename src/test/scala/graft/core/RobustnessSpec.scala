@@ -99,6 +99,37 @@ class RobustnessSpec extends AnyFunSuite {
     assert(attempt == 3) // the original + both retries were attempted
   }
 
+  test("warc_retry: a factory that THROWS on reopen burns a retry and " +
+      "the scan still completes once a good stream comes up") {
+    // the reference counts stream_factory exceptions toward retry_count
+    // (itertools.pyx) — connection refused on reopen must not escape the
+    // retry loop and fail the task
+    var attempt = 0
+    val it = WarcRetry.iterator(() => {
+      attempt += 1
+      attempt match {
+        case 1 => new FlakyStream(fixtureBytes, 100000L)
+        case 2 => throw new IOException("connection refused")
+        case _ => new ByteArrayInputStream(fixtureBytes)
+      }
+    }, "flaky-factory", maxRetries = 5)
+    val recs = it.toVector
+    assert(recs.size == 50)
+    assert(recs.count(_.error.isDefined) == 0)
+    assert(attempt == 3)
+  }
+
+  test("warc_retry: a factory that ALWAYS throws (even on first open) " +
+      "exhausts retries and surfaces the exception, never a crash") {
+    val it = WarcRetry.iterator(
+      () => throw new IOException("connection refused"),
+      "dead-factory", maxRetries = 2)
+    val recs = it.toVector
+    assert(recs.size == 1)
+    assert(recs.head.error.exists(e =>
+      e.contains("after 2 retries") && e.contains("connection refused")), recs.head.error)
+  }
+
   test("time guard interrupts a runaway kernel, passes a fast one") {
     val fast = TimeGuard.timeLimited(5000) { 21 * 2 }
     assert(fast == Right(42))
