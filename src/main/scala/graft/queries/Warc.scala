@@ -402,6 +402,42 @@ object Warc {
              sum(col("content_length")).as("total_bytes"))
     }),
 
+    // Foreign-archive side of the member-index loop (the w27 rescan
+    // needs the sidecar the WRITER emitted; a stock Common Crawl file
+    // has none — the reference covers it with Beam's dynamic splitting,
+    // beam/warcio.py:101-109): graft.core.MemberIndex walks the foreign
+    // container ONCE (gzip members proven by RFC 1952 parsing +
+    // Inflater byte accounting, never magic-guessing), emits the same
+    // .idx sidecar, and every scan after is member-parallel. The row
+    // pins indexed-scan totals == plain serial-scan totals in-query.
+    "w36_foreign_member_index" -> ((s, _) => {
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_w36_foreign")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      dir.mkdirs()
+      val copy = new java.io.File(dir, "foreign.warc.gz")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        "/root/reference/tests/data/warcfile.warc.gz"), copy.toPath)
+      val rc = graft.tools.Cli.run(Array("index", "--members", copy.getPath),
+        new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+      require(rc == 0, "member-index build failed")
+      val nMembers = {
+        val src = scala.io.Source.fromFile(copy.getPath + ".idx", "UTF-8")
+        try src.getLines().size finally src.close()
+      }
+      def totals(df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+      val indexed = totals(s.read.format("warc")
+        .option("member_index", dir.getPath)
+        .option("max_partition_bytes", 16 * 1024) // force member-group splits
+        .load(copy.getPath))
+      val plain = totals(s.read.format("warc").load(copy.getPath))
+      val mism = indexed.exceptAll(plain).count() + plain.exceptAll(indexed).count()
+      indexed.withColumn("n_members", lit(nMembers.toLong))
+        .withColumn("plain_equal", lit(mism == 0L))
+    }),
+
     // Header predicates (#24: is_warc_10/11, has_*_digest, is_concurrent
     // — warc.pyx:1276-1344) over the native codegen'd header lookups;
     // ground truth from the independent python parse of the fixture
@@ -859,6 +895,14 @@ object Warc {
     "w27_member_index_rescan" ->
       """SELECT CAST(2000 AS BIGINT) AS n_records,
          CAST(21113840 AS BIGINT) AS total_bytes""",
+    // foreign fixture: the reference's own 50-record archive, totals
+    // the single-copy sums w27's 40x pin derives from; 50 gzip members
+    // (record-per-member), indexed == plain pinned in-query
+    "w36_foreign_member_index" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS total_bytes,
+         CAST(50 AS BIGINT) AS n_members,
+         CAST(1 AS BOOLEAN) AS plain_equal""",
     // Inline-fixture pin: the full rewritten documents, hand-derivable
     // from the three fixture strings in the query (strip script/style/
     // .ads, stamp rel=nofollow, absolutize relative URLs per base).

@@ -35,6 +35,29 @@ object Cli {
     try args.head match {
       case "index" =>
         if (pos.isEmpty) { usage(out); return 2 }
+        if (flag("members")) {
+          // member-index builder for FOREIGN archives: one sequential
+          // container walk per file emits the same `.idx` sidecar the
+          // WARC sink writes, unlocking the scan's member-parallel
+          // intra-file splits on stock Common Crawl files
+          var rc = 0
+          pos.foreach { f =>
+            val in = new FileInputStream(f)
+            val res = try MemberIndex.scan(in) finally in.close()
+            val base = new java.io.File(f).getName
+            val idxPath = f + ".idx"
+            val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+              new java.io.OutputStreamWriter(new FileOutputStream(idxPath),
+                java.nio.charset.StandardCharsets.UTF_8)))
+            try res.offsets.foreach(o =>
+              w.println(s"""{"filename":${jsonStr(base)},"offset":$o}"""))
+            finally w.close()
+            out.println(s"$idxPath: ${res.offsets.size} members (${res.codec})" +
+              res.error.map(e => s"; INCOMPLETE: $e").getOrElse(""))
+            if (!res.isComplete) rc = 1
+          }
+          return rc
+        }
         val fields = flagVal("fields").getOrElse("offset,warc-type,warc-target-uri")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         pos.foreach(f => index(f, fields, out))
@@ -73,6 +96,7 @@ object Cli {
   private def usage(out: PrintStream): Unit = out.println(
     """usage: graft.tools.Cli <subcommand> [args]
       |  index <files...> [--fields=offset,length,filename,warc-type,warc-target-uri,http:status,...]
+      |  index <files...> --members        (emit <file>.idx member-offset sidecars for parallel rescan)
       |  extract <file> <offset> [--payload | --headers]
       |  recompress <infile> <outfile> [--codec=gzip|lz4|none] [--checksum]
       |  verify <file> [--payloads]
