@@ -571,6 +571,60 @@ object Warc {
       }
     }),
 
+    // The LLM-ingest front door as a STREAMING query (continuous crawl
+    // -> dedup -> sink): the WARC micro-batch source feeds a
+    // watermarked `dropDuplicatesWithinWatermark` on the content
+    // fingerprint — d01's first-seen semantics in the micro-batch path,
+    // with state bounded to fingerprints inside the watermark horizon
+    // (the property that holds at 100 TB/day where an unbounded
+    // dropDuplicates never GCs). Driven like w32: land crawl-a, then
+    // TWO re-crawls of the same pages land in LATER micro-batches
+    // (late event times, new batches) and must all be absorbed by
+    // state carried across batches. Batch equivalence (distinct fps of
+    // everything landed) is pinned in-row.
+    "w35_streaming_dedup" -> ((s, _) => {
+      val landing = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_w35_landing")
+      org.apache.commons.io.FileUtils.deleteDirectory(landing)
+      landing.mkdirs()
+      val fixture = java.nio.file.Paths.get(
+        "/root/reference/tests/data/warcfile.warc.gz")
+      def land(name: String): Unit =
+        java.nio.file.Files.copy(fixture, new java.io.File(landing, name).toPath)
+      land("crawl-a.warc.gz")
+      val deduped = s.readStream.format("warc")
+        .option("record_types", "response").load(landing.getPath)
+        .select(col("record_date").as("ts"), md5(col("http_body")).as("fp"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("fp")
+      graft.operators.RoundPartitions.scoped(s, 50) {
+        val qname = "graft_w35_mem"
+        val q = deduped.writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try {
+          q.processAllAvailable()
+          land("crawl-b.warc.gz") // re-crawl: 16 duplicate pages, later batch
+          q.processAllAvailable()
+          land("crawl-c.warc.gz") // and once more
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = s.table(qname).select(col("fp"))
+        val batchAll = s.read.format("warc").option("record_types", "response")
+          .load(landing.getPath)
+          .select(md5(col("http_body")).as("fp"))
+        val batchDistinct = batchAll.distinct()
+        val mismatches = streamed.exceptAll(batchDistinct).count() +
+          batchDistinct.exceptAll(streamed).count()
+        val nInput = batchAll.count()
+        streamed.agg(count(lit(1)).as("n_first"))
+          .withColumn("n_input", lit(nInput))
+          .withColumn("n_dup_suppressed", lit(nInput) - col("n_first"))
+          .withColumn("batch_equal", lit(mismatches == 0L))
+          .select(col("n_input"), col("n_first"), col("n_dup_suppressed"),
+            col("batch_equal"))
+      }
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -889,6 +943,14 @@ object Warc {
       """SELECT CAST(50 AS BIGINT) AS n_records,
          CAST(527846 AS BIGINT) AS sum_content_length,
          CAST(16 AS BIGINT) AS n_digest_ok""",
+    // 3 landings x 16 fixture responses through the streaming dedup
+    // gate: 16 distinct page bodies emit once each (first landing),
+    // the two re-crawl landings are absorbed by cross-micro-batch
+    // state; batch_equal pins streamed firsts == batch distinct fps
+    "w35_streaming_dedup" ->
+      """SELECT CAST(48 AS BIGINT) AS n_input, CAST(16 AS BIGINT) AS n_first,
+         CAST(32 AS BIGINT) AS n_dup_suppressed,
+         CAST(1 AS BOOLEAN) AS batch_equal""",
     // 40 copies of the 50-record fixture through the write->index->
     // parallel-rescan loop; totals are 40x the independently-derived
     // single-copy sums (see w23/w25).

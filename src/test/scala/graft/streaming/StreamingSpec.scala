@@ -222,4 +222,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(expired("a") == 3L && expired("b") == 0L)
     } finally query.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: late arrivals across micro-batches " +
+      "are deduped inside the horizon and dropped beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $t")
+    val query = mem.toDF.toDF("ts", "fp")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: A and B at 10:00, plus a 13:00 row that will advance
+      // the watermark to 12:00 once the batch commits
+      mem.addData((ts("10:00:00"), "A"), (ts("10:00:00"), "B"), (ts("13:00:00"), "W"))
+      query.processAllAvailable()
+      // batch 2, all LATE event times in a new micro-batch:
+      //  - duplicate A at 10:30 (behind the 12:00 watermark): dropped by
+      //    the watermark filter, so still suppressed — never re-emitted
+      //  - NEW fp C at 10:30 (behind the watermark): dropped entirely;
+      //    this is the state-bounding contract that holds at 100 TB/day
+      //  - NEW fp D at 12:30 (late but inside the horizon): emitted once
+      //  - duplicate D at 12:31 in the same batch: suppressed
+      mem.addData((ts("10:30:00"), "A"), (ts("10:30:00"), "C"),
+        (ts("12:30:00"), "D"), (ts("12:31:00"), "D"))
+      query.processAllAvailable()
+      val emitted = spark.sql("SELECT fp FROM wm_dedup ORDER BY fp").collect()
+        .map(_.getString(0)).toSeq
+      assert(emitted == Seq("A", "B", "D", "W"), emitted)
+    } finally query.stop()
+  }
 }
