@@ -153,7 +153,9 @@ object CssSelector {
       */
     def allMatches(root: DomNode): Vector[DomNode] = {
       val out = Vector.newBuilder[DomNode]
-      DomTraversal.preOrder(root) { n =>
+      // document-tree walk: template content is fragment-scoped, so
+      // selectors never see inside a template (lexbor/browser parity)
+      DomTraversal.preOrderDocument(root) { n =>
         if ((n ne root) && n.isElement && anyMatch(n)) out += n
         true
       }
@@ -162,7 +164,7 @@ object CssSelector {
 
     def firstMatch(root: DomNode): Option[DomNode] = {
       var found: DomNode = null
-      DomTraversal.preOrder(root) { n =>
+      DomTraversal.preOrderDocument(root) { n =>
         if (found == null && (n ne root) && n.isElement && anyMatch(n))
           found = n
         found == null // stop descending once found

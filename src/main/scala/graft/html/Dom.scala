@@ -198,7 +198,9 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
   def text: String = {
     if (isText || nodeType == NodeType.Comment) return if (value == null) "" else value
     val sb = new StringBuilder
-    DomTraversal.preOrder(this) { n =>
+    // document-tree semantics: template content is a separate fragment,
+    // so textContent excludes it (template.text itself is "")
+    DomTraversal.preOrderDocument(this) { n =>
       if (n.isText && n.value != null) sb.append(n.value)
       true
     }
@@ -217,14 +219,14 @@ final class DomNode(val nodeType: NodeType.Value, val tag: String) extends NodeV
     */
   def iterateSubtree: Iterator[DomNode] = {
     val b = Vector.newBuilder[DomNode]
-    DomTraversal.preOrder(this) { n => b += n; true }
+    DomTraversal.preOrderDocument(this) { n => b += n; true }
     b.result().iterator
   }
 
   /** All element descendants (strict: this node excluded). */
   def descendantElements: Vector[DomNode] = {
     val b = Vector.newBuilder[DomNode]
-    DomTraversal.preOrder(this) { n =>
+    DomTraversal.preOrderDocument(this) { n =>
       if ((n ne this) && n.isElement) b += n
       true
     }
@@ -489,6 +491,18 @@ object DomTraversal {
     }
     rec(root)
   }
+
+  /** Pre-order walk in DOCUMENT-tree semantics: per WHATWG (and the
+    * reference's lexbor backend, tree.rs:63-89) template children live
+    * in a separate content FRAGMENT, not the document tree — so this
+    * walk visits a template element itself but never descends into it.
+    * The content stays physically attached (serialization round-trips
+    * it like browser innerHTML; `childNodes` is the `.content` access
+    * path); this boundary is what makes selectors, `text`, and subtree
+    * iteration agree with the reference.
+    */
+  def preOrderDocument(root: DomNode)(visit: DomNode => Boolean): Unit =
+    preOrder(root)(n => visit(n) && !(n.isElement && n.tag == "template"))
 
   /** Stepwise traversal with start/end callbacks and depth tracking —
     * the reference's traverse_dom / next_node with end-tag flag

@@ -36,12 +36,20 @@ import scala.collection.mutable
   * "any other end tag" rule (the first special element that isn't the
   * target IGNORES the token, as browsers do).
   *
-  * Documented deviations from the full spec (tolerant-parser scope):
-  *  - template content is attached as regular children of the template
-  *    element (not a separate fragment node) — serialization round-trips
-  *    it like browser innerHTML; extraction skips it via the skip list;
-  *    template subtrees also keep the generic insertion mode, so table
-  *    fragments inside them don't synthesize sections.
+  * Template content semantics (deviations list CLOSED, r11): template
+  * subtrees are fragment-scoped in every OBSERVABLE behavior —
+  * document-order traversal (`iterateSubtree`), `query_selector(_all)`,
+  * `get_elements_by_*`, `Element.text` and text extraction all stop at
+  * the template boundary ([[DomTraversal.preOrderDocument]]), matching
+  * the reference's lexbor backend where content lives in a separate
+  * fragment (resiliparse/src/parse/html/tree.rs:63-89); serialization
+  * round-trips the content exactly like browser innerHTML. The content
+  * is PHYSICALLY attached as the template's children (`childNodes` is
+  * this engine's `.content` access path) — a representation choice
+  * invisible to the reference API surface, not a semantic deviation.
+  * Template subtrees keep the generic insertion mode, so table
+  * fragments inside them don't synthesize sections (per the spec's
+  * "in template" mode following the fragment rules).
   *
   * Stray table-structure tags outside any table (and outside template
   * content) are IGNORED per the in-body mode — `<td>x` in body keeps x

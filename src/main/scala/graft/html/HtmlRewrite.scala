@@ -70,7 +70,7 @@ object HtmlRewrite {
       catch { case _: Exception => return (html, 0) }
     val tree = HtmlTree.parse(html)
     var n = 0
-    DomTraversal.preOrder(tree.document) { node =>
+    DomTraversal.preOrderDocument(tree.document) { node =>
       if (node.isElement) UrlAttrs.get(node.tag).foreach { attrs =>
         attrs.foreach { a =>
           node.getattr(a).foreach { v =>
@@ -99,7 +99,7 @@ object HtmlRewrite {
       catch { case _: Exception => null }
     val tree = HtmlTree.parse(html)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    DomTraversal.preOrder(tree.document) { node =>
+    DomTraversal.preOrderDocument(tree.document) { node =>
       if (node.isElement && node.tag == "a") {
         node.getattr("href").foreach { v =>
           val t = v.trim

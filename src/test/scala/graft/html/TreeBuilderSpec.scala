@@ -174,6 +174,40 @@ class TreeBuilderSpec extends AnyFunSuite {
     assert(t.body.text == "y")
   }
 
+  // — template fragment semantics (r11: the observable surface matches
+  //   lexbor's separate content fragment, tree.rs:63-89) —
+
+  test("template: selectors never see into template content; the template " +
+      "element itself is selectable") {
+    val t = HtmlTree.parse(
+      "<body><template><p class='x' id='in'>hidden</p></template>" +
+        "<p class='x' id='out'>shown</p>")
+    assert(t.body.querySelectorAll("p.x").map(_.id) == Vector("out"))
+    assert(t.body.querySelectorAll("template").size == 1)
+    assert(t.body.getElementsByTagName("p").map(_.id) == Vector("out"))
+    assert(t.document.getElementById("in").isEmpty)
+    assert(t.body.querySelector("template p").isEmpty) // browser parity
+  }
+
+  test("template: Element.text is fragment-scoped (template.text is empty, " +
+      "ancestors exclude the content)") {
+    val t = HtmlTree.parse("<body>a<template>hidden</template>b")
+    assert(t.body.text == "ab")
+    val tpl = t.body.querySelector("template").get
+    assert(tpl.text == "")
+    // the content is still REACHABLE (this engine's `.content` path) and
+    // serialization round-trips it like browser innerHTML
+    assert(tpl.childNodes.map(_.value) == Vector("hidden"))
+    assert(tpl.html == "<template>hidden</template>")
+  }
+
+  test("template: iterateSubtree is document-order (stops at the fragment " +
+      "boundary, template element included)") {
+    val t = HtmlTree.parse("<body><template><p>x</p></template><span>y</span>")
+    val tags = t.body.iterateSubtree.filter(_.isElement).map(_.tag).toVector
+    assert(tags == Vector("body", "template", "span"))
+  }
+
   // — tokenizer-level spec behaviors (round 8) —
 
   test("self-closing slash is ignored on HTML elements") {
