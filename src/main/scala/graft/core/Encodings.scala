@@ -271,6 +271,7 @@ object Encodings {
       } else data
     val raw: Option[String] =
       if (sample.isEmpty) None
+      else if (looksLikeThai(sample)) Some("tis-620")
       else Try {
         val det = detector.get()
         det.setText(sample)
@@ -278,6 +279,43 @@ object Encodings {
       }.toOption.flatten
     if (html5Compatible) Some(raw.flatMap(n => whatwg.get(n.trim.toLowerCase)).getOrElse("utf-8"))
     else raw.map(_.toLowerCase)
+  }
+
+  /** Structural TIS-620 (Thai) detector. ICU's CharsetDetector carries no
+    * Thai recognizer at all — genuine TIS-620 text comes back as euc_jp
+    * garbage — while the reference's uchardet detects it natively
+    * (resiliparse-py/resiliparse/parse/encoding.pyx:196-258). Thai
+    * orthography gives a strict byte-level signature no other single-byte
+    * script satisfies: every high byte sits in the TIS-620 Thai block,
+    * combining marks (upper/lower vowels and tone marks) appear at Thai
+    * frequency but ONLY after a Thai base character — whereas real
+    * Cyrillic/Greek/Hebrew/Arabic text places word-INITIAL letters on
+    * those same byte values (и=0xE8, η=0xE7, י=0xE9, ش=0xD4 …), failing
+    * the positional test on the first word boundary. Runs before ICU;
+    * a false here costs one linear scan of the sample.
+    */
+  private def looksLikeThai(sample: Array[Byte]): Boolean = {
+    var high = 0; var cons = 0; var comb = 0
+    var prevThaiBase = false
+    var i = 0
+    while (i < sample.length) {
+      val b = sample(i) & 0xff
+      if (b >= 0x80) {
+        // outside the TIS-620 assignment (incl. the 0xDB-0xDE gap) → not Thai
+        if (b < 0xa1 || b > 0xfb || (b >= 0xdb && b <= 0xde)) return false
+        high += 1
+        val isCons = b <= 0xce                       // ก..ฮ
+        val isComb = b == 0xd1 || (b >= 0xd4 && b <= 0xda) ||
+          (b >= 0xe7 && b <= 0xee)                   // upper/lower vowels, tones
+        if (isCons) cons += 1
+        if (isComb) { if (!prevThaiBase) return false; comb += 1 }
+        // marks stack (vowel-above + tone); spacing vowels ะ า ำ also carry tones
+        prevThaiBase = isCons || isComb || b == 0xd0 || b == 0xd2 || b == 0xd3
+      } else prevThaiBase = false
+      i += 1
+    }
+    // Thai text: consonants dominate, combining marks common (≥5%)
+    high >= 16 && cons * 2 >= high && comb * 20L >= high
   }
 
   private def hasUtf16Bom(data: Array[Byte]): Boolean =

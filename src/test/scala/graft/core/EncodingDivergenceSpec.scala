@@ -17,7 +17,15 @@ import java.nio.charset.Charset
   *  - GBK simplified-Chinese text detects as gb18030 — a strict decode
   *    SUPERSET of GBK, so every byte decodes to the same text;
   *  - pure-ASCII text detects as cp1252 (uchardet says ASCII) — the two
-  *    decode identically on ASCII bytes, a label-only divergence.
+  *    decode identically on ASCII bytes, a label-only divergence;
+  *  - cp1255 unpointed Hebrew detects as iso8859-8 — the 27 Hebrew
+  *    letters occupy identical byte positions in both, so consonantal
+  *    text (the web norm) decodes identically; only niqqud points
+  *    (cp1255 0xC0-0xCF, unassigned in 8859-8) would differ.
+  *
+  * TIS-620 Thai is detected by this engine's own structural pre-pass
+  * (ICU has no Thai recognizer); the spec pins both the positive case
+  * and that dense Cyrillic/Hebrew text cannot trigger it.
   */
 class EncodingDivergenceSpec extends AnyFunSuite {
 
@@ -60,7 +68,29 @@ class EncodingDivergenceSpec extends AnyFunSuite {
       "Mixed scripts: Привет мир, 你好世界, こんにちは世界, 안녕 세계, " +
       "γειά σου κόσμε, مرحبا بالعالم — all in one UTF-8 document." * 4),
     ("utf-16le", "plain ascii payload in utf-16 little endian" * 8),
+    ("windows-1256",
+      "اللغة العربية هي إحدى اللغات السامية، ويتحدث بها أكثر من أربعمائة " +
+      "مليون نسمة في الوطن العربي. تُكتب العربية من اليمين إلى اليسار " +
+      "وتحتوي على ثمانية وعشرين حرفاً أساسياً." * 4),
+    ("windows-1255",
+      "השפה העברית היא שפה שמית המדוברת בישראל. האלפבית העברי מכיל עשרים " +
+      "ושתיים אותיות והכתיבה היא מימין לשמאל. העברית המודרנית התחדשה " +
+      "במאה התשע עשרה." * 4),
+    ("iso-8859-8",
+      "השפה העברית היא שפה שמית המדוברת בישראל. האלפבית העברי מכיל עשרים " +
+      "ושתיים אותיות והכתיבה היא מימין לשמאל." * 4),
+    ("tis-620",
+      "ภาษาไทยเป็นภาษาราชการของประเทศไทย มีตัวอักษรสี่สิบสี่ตัว " +
+      "การเขียนภาษาไทยไม่มีการเว้นวรรคระหว่างคำ " +
+      "ผู้พูดภาษาไทยมีจำนวนมากกว่าหกสิบล้านคน" * 4),
+    ("windows-1254",
+      "Türkçe, Türkiye'nin resmî dilidir. Türk alfabesi yirmi dokuz " +
+      "harften oluşur. Pijamalı hasta yağız şoföre çabucak güvendi. " +
+      "Öğrenciler İstanbul'da güzel şiirler öğreniyorlar." * 4),
   )
+
+  // truths whose DETECTED label legitimately differs (documented deltas)
+  private val divergent = Set("gbk", "windows-1255")
 
   private def encode(text: String, enc: String): Array[Byte] = enc match {
     case "utf-16le" => text.getBytes(Charset.forName("UTF-16LE"))
@@ -69,7 +99,7 @@ class EncodingDivergenceSpec extends AnyFunSuite {
   }
 
   test("detector pins canonical ground truth on the agreeing corpus") {
-    samples.filterNot(_._1 == "gbk").foreach { case (truth, text) =>
+    samples.filterNot(s => divergent(s._1)).foreach { case (truth, text) =>
       val canon = Encodings.mapToHtml5(truth, fallbackUtf8 = false).get
       val detected = Encodings.detectEncoding(encode(text, truth))
       assert(detected.contains(canon), s"$truth: expected $canon, got $detected")
@@ -109,6 +139,30 @@ class EncodingDivergenceSpec extends AnyFunSuite {
     val asciiBytes = ascii.getBytes(Charset.forName("US-ASCII"))
     assert(Encodings.detectEncoding(asciiBytes).contains("cp1252"))
     assert(Encodings.bytesToStr(asciiBytes, "cp1252") == ascii)
+
+    // delta 3: cp1255 unpointed Hebrew detects as iso8859-8 — letter
+    // bytes coincide, so the decode is identical on consonantal text
+    val heb = samples.find(_._1 == "windows-1255").get
+    val hebBytes = encode(heb._2, "windows-1255")
+    assert(Encodings.detectEncoding(hebBytes).contains("iso8859-8"))
+    assert(Encodings.bytesToStr(hebBytes, "iso8859-8") ==
+      Encodings.bytesToStr(hebBytes, "cp1255"))
+  }
+
+  test("structural Thai pre-pass: positive pin and non-Thai rejection") {
+    // positive: TIS-620 Thai detects as the WHATWG-canonical iso8859-11
+    // (ICU alone would answer euc_jp and decode to garbage)
+    val thai = samples.find(_._1 == "tis-620").get
+    val thaiBytes = encode(thai._2, "tis-620")
+    assert(Encodings.detectEncoding(thaiBytes).contains("iso8859-11"))
+    // negatives: dense single-byte text in OTHER scripts must fall
+    // through to ICU and keep its own label — word-initial letters on
+    // Thai combining-mark byte values fail the positional test
+    for (neg <- Seq("windows-1251", "iso-8859-8", "windows-1256", "iso-8859-7")) {
+      val s = samples.find(_._1 == neg).get
+      val det = Encodings.detectEncoding(encode(s._2, neg))
+      assert(!det.contains("iso8859-11"), s"$neg misdetected as Thai")
+    }
   }
 
   /** Every sample decodes losslessly under its DETECTED encoding — the
