@@ -18,6 +18,44 @@ object Documents {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** Paragraph-level corpus dedup core (C4/Dolma scrub): split each
+    * document's `text` into '. '-separated paragraphs and keep only the
+    * globally FIRST occurrence of each exact paragraph (min (doc_id,
+    * idx) over its md5). Returns the surviving (doc_id, idx, par) rows.
+    *
+    * `carryText = false` (default, the d09 shape): the rank shuffle
+    * carries only (md5, doc_id, idx) and survivors re-join their text by
+    * the UNIFORM key (doc_id, idx) — the paragraph explode is evaluated
+    * twice, deliberately, because the boilerplate being deduped makes
+    * the fingerprint-partitioned rank shuffle's hottest keys the widest
+    * rows (skew), and re-scanning columnar storage is cheaper than
+    * shuffling skewed text.
+    *
+    * `carryText = true`: one pass — paragraph text rides through the
+    * rank shuffle. For storage where a second scan is the expensive term
+    * (remote object store, row-oriented or heavily-compressed formats)
+    * and the corpus is known boilerplate-light. Identical output
+    * (ParagraphDedupModeSpec pins the equivalence); SCALING.md §3
+    * documents the trade.
+    */
+  private[graft] def paragraphDedup(all: DataFrame, carryText: Boolean = false): DataFrame = {
+    val pars = all.select(col("doc_id"),
+      posexplode(split(col("text"), "\\. ")).as(Seq("idx", "par")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    if (carryText)
+      pars.withColumn("h", md5(col("par")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("idx"), col("par"))
+    else {
+      val keptKeys = pars
+        .select(col("doc_id"), col("idx"), md5(col("par")).as("h"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("idx"))
+      pars.join(keptKeys, Seq("doc_id", "idx"))
+    }
+  }
+
   /** Language marker words; scoring = count of marker tokens per language,
     * argmax with fixed priority order (en,de,es,fr,zh), 'und' if all zero.
     */
@@ -663,16 +701,7 @@ object Documents {
           lit(". shared boilerplate cookie notice. unique tail "),
           col("id").cast("string")).as("text"))
       val all = docs(s, dir).select(col("doc_id"), col("text")).unionAll(extra)
-      val pars = all.select(col("doc_id"),
-        posexplode(split(col("text"), "\\. ")).as(Seq("idx", "par")))
-      // rank on hashes only; text stays partition-local
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-      val keptKeys = pars
-        .select(col("doc_id"), col("idx"), md5(col("par")).as("h"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("idx"))
-      val reassembled = pars.join(keptKeys, Seq("doc_id", "idx"))
+      val reassembled = paragraphDedup(all)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           md5(concat_ws(". ",

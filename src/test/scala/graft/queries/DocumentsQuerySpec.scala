@@ -255,4 +255,28 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = docs.count()
     assert(res.getLong(0) == n && res.getLong(1) == n)
   }
+
+  test("d09 paragraphDedup: carryText mode is row-identical to the re-join mode") {
+    import org.apache.spark.sql.functions._
+    // real corpus plus injected boilerplate sharing a middle paragraph
+    // (the case where the two topologies could plausibly diverge)
+    val extra = spark.range(50).select((col("id") + 2000000L).as("doc_id"),
+      concat(lit("intro segment "), col("id").cast("string"),
+        lit(". shared boilerplate cookie notice. unique tail "),
+        col("id").cast("string")).as("text"))
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionAll(extra)
+    def rows(carry: Boolean) =
+      Documents.paragraphDedup(all, carryText = carry)
+        .select("doc_id", "idx", "par").orderBy("doc_id", "idx")
+        .collect().toSeq
+    val rejoin = rows(carry = false)
+    val carried = rows(carry = true)
+    assert(rejoin == carried)
+    // boilerplate survived exactly once: doc 2000000 keeps 3 paragraphs,
+    // the other 49 keep 2
+    val kept = carried.filter(_.getLong(0) >= 2000000L)
+      .groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+    assert(kept(2000000L) == 3 && kept.count(_._2 == 2) == 49)
+  }
 }
