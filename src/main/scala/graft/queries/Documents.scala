@@ -604,6 +604,32 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // Sliding-window chunking (the retrieval-index / finetune-prep
+    // staple: fixed 64-token windows, stride 48, so consecutive chunks
+    // overlap by 16 tokens and no token is lost — the HF
+    // return_overflowing_tokens layout). Chunk count per doc is
+    // 1 + ceil((n-W)/S); the final window clips at the document end.
+    // One scan, per-row sequence+slice kernels, explode factor ≈ n/S;
+    // nothing shuffles but the output sort — the 100 TB chunker is
+    // embarrassingly parallel by construction.
+    "t24_chunk_overlap" -> ((s, dir) => {
+      val W = 64; val S = 48
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(expr(
+            s"sequence(0L, if(n <= $W, 0L, cast(ceil((n - $W) / cast($S as double)) as long)))"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S).as("start_tok"),
+          expr(s"slice(tk, cast(chunk_idx * $S + 1 as int), $W)").as("ck"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("ck")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("ck"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // — dedup family —
     "d01_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -1756,6 +1782,22 @@ object Documents {
            round(sum(term) / sum(n_occ), 4) AS dsir_score,
            round(sum(term) / sum(n_occ), 4) > 0 AS keep
          FROM sc GROUP BY doc_id, source ORDER BY doc_id""",
+    "t24_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         sz AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t),
+         c AS (SELECT doc_id, tk, n,
+           unnest(generate_series(0, CASE WHEN n <= 64 THEN 0
+             ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+           FROM sz),
+         ck AS (SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+           tk[CAST(chunk_idx * 48 + 1 AS BIGINT)
+              :CAST(least(chunk_idx * 48 + 64, n) AS BIGINT)] AS ck
+           FROM c)
+         SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_md5
+         FROM ck ORDER BY doc_id, chunk_idx""",
     "t15_source_mix" ->
       """WITH s AS (SELECT source, doc_id,
            20 + (strpos('0123456789abcdef', substring(md5(source), 1, 1)) - 1) * 5
