@@ -438,6 +438,61 @@ object Warc {
         .withColumn("plain_equal", lit(mism == 0L))
     }),
 
+    // WAT-style derived archive (the Common Crawl *.warc.wat.gz
+    // product, the third of the WARC/WAT/WET trio — w31 covers WET):
+    // per response record, a WARC `metadata` record whose payload is a
+    // JSON envelope summary — target URI, HTTP status/content-type,
+    // page title, outbound links — WARC-Refers-To linking back to the
+    // source. Built entirely in-plan (to_json over a struct; one
+    // extraction pass for title+links), written through the same warc
+    // sink, then re-scanned and the JSON parsed BACK with from_json to
+    // prove the loop closes: every metadata record re-parses, refers to
+    // a source, and the link mass matches the corpus. At 100 TB this is
+    // scan → kernel → sink with zero shuffles.
+    "w37_wat_export" -> ((s, _) => {
+      import graft.functions.{WarcCols, Web}
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w37_wat"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id").as("src_id"),
+          WarcCols.targetUri(col("headers")).as("uri"),
+          col("record_date"), col("http_status"), col("http_content_type"),
+          Web.htmlTitle(col("http_body"), col("http_charset")).as("title"),
+          Web.extractLinks(col("http_body"), col("http_charset"),
+            WarcCols.targetUri(col("headers"))).as("links"))
+        .select(
+          concat(lit("<urn:wat:"), md5(col("src_id")), lit(">")).as("record_id"),
+          lit("metadata").as("record_type"),
+          col("record_date"),
+          array(
+            struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
+            struct(lit("WARC-Refers-To").as("key"), col("src_id").as("value")),
+            struct(lit("Content-Type").as("key"),
+              lit("application/json").as("value"))).as("headers"),
+          encode(to_json(struct(col("uri"), col("http_status").as("status"),
+            col("http_content_type").as("content_type"), col("title"),
+            size(col("links")).as("n_links"), col("links"))), "UTF-8")
+            .as("content"))
+        .coalesce(1)
+        .write.format("warc").option("checksum", "true")
+        .mode("append").save(out)
+      val watSchema = "uri string, status int, content_type string, " +
+        "title string, n_links bigint, links array<string>"
+      s.read.format("warc").load(out)
+        .select(col("record_type"), col("block_digest_ok"), col("headers"),
+          from_json(decode(col("content"), "UTF-8"),
+            org.apache.spark.sql.types.StructType.fromDDL(watSchema)).as("j"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("record_type") === "metadata", 1L).otherwise(0L))
+            .as("n_metadata"),
+          sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"),
+          count(WarcCols.header(col("headers"), "WARC-Refers-To")).as("n_refers"),
+          sum(when(col("j.uri").isNotNull, 1L).otherwise(0L)).as("n_json_ok"),
+          sum(col("j.n_links")).as("total_links"),
+          count(col("j.title")).as("n_titled"))
+    }),
+
     // Header predicates (#24: is_warc_10/11, has_*_digest, is_concurrent
     // — warc.pyx:1276-1344) over the native codegen'd header lookups;
     // ground truth from the independent python parse of the fixture
@@ -886,6 +941,19 @@ object Warc {
     // total), every conversion record round-trips with a verified
     // digest and a WARC-Refers-To back-link. regen_pins.py re-derives
     // the row from Verify output.
+    // disclosed self-pin (derived-archive loop closure is not
+    // SQL-expressible): all 16 responses produce a metadata record that
+    // re-parses from JSON with digest + Refers-To intact; total_links
+    // 1198 is the raw extractLinks mass, of which w30's independently
+    // pinned 1195 are the host-parseable subset.
+    "w37_wat_export" ->
+      """SELECT CAST(16 AS BIGINT) AS n_records,
+         CAST(16 AS BIGINT) AS n_metadata,
+         CAST(16 AS BIGINT) AS n_digest_ok,
+         CAST(16 AS BIGINT) AS n_refers,
+         CAST(16 AS BIGINT) AS n_json_ok,
+         CAST(1198 AS BIGINT) AS total_links,
+         CAST(16 AS BIGINT) AS n_titled""",
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
          CAST(16 AS BIGINT) AS n_conversion,
