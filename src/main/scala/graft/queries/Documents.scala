@@ -911,6 +911,21 @@ object Documents {
       } finally st.unpersistAll()
     }),
 
+    // Incremental (cross-corpus) near-dup gate — the snapshot-ingest
+    // topology: a NEW crawl snapshot (here: odd doc_ids) deduped
+    // against the EXISTING corpus (even doc_ids) without ever touching
+    // the existing side. Asymmetric band join: the new side's band
+    // keys probe the existing side's — at 100 TB the existing side's
+    // banding is the stored index (computed once per corpus, appended
+    // per snapshot; d17's bloom gate is the exact-hash analogue of
+    // this LSH gate). Both sides carry the 64-cap skew guard so one
+    // viral template in EITHER corpus can't turn the probe quadratic.
+    "d20_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      incrementalNeardup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+
     // Keeper-POLICY dedup (the reference CLI's dedup semantics,
     // resiliparse-py/resiliparse/cli.py:310-314: which member of a
     // duplicate cluster survives is a POLICY, not always "first"):
@@ -1261,6 +1276,67 @@ object Documents {
       .persist()
     val dups = scored.filter(col("jac") >= 0.5)
     NeardupStages(bands, bucketSizes, megaBuckets, cand, scored, dups)
+  }
+
+  /** Incremental near-dup gate: admit each `incoming` document only if
+    * no `existing` document is its near-duplicate (verified token
+    * Jaccard >= 0.5 over LSH band-key candidates). The existing corpus
+    * is read-only — candidates flow one way, incoming band keys probing
+    * existing ones, so at scale the existing side's banding is a stored
+    * index and each snapshot pays one banded scan of itself plus a
+    * key-local join. Each side is independently skew-guarded (64-cap):
+    * a viral template in the index must not explode every future
+    * snapshot's probe, and vice versa. Returns an eagerly-materialized
+    * 1-row summary; every intermediate is unpersisted before returning.
+    */
+  private[graft] def incrementalNeardup(existing: DataFrame,
+      incoming: DataFrame): DataFrame = {
+    val maxBucket = 64
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    def stages(d: DataFrame): (DataFrame, DataFrame) = {
+      val bands = d.withColumn("sig", minhashShingleSigCW(col("text"), 3, 8))
+        .select(col("doc_id"),
+          posexplode(lshBands(col("sig"), 4, 2)).as(Seq("band_id", "band_key")))
+        .persist()
+      val sizes = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("bucket_n")).persist()
+      persisted += bands; persisted += sizes
+      val safe = sizes.filter(col("bucket_n") <= maxBucket)
+        .select("band_id", "band_key")
+      (bands.join(safe, Seq("band_id", "band_key")),
+        sizes.filter(col("bucket_n") > maxBucket))
+    }
+    val (bandsA, megaA) = stages(existing)
+    val (bandsB, megaB) = stages(incoming)
+    val cand = bandsB.alias("b").join(bandsA.alias("a"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().persist()
+    persisted += cand
+    val gramsA = existing.select(col("doc_id").as("doc_a"),
+      array_distinct(tokens(col("text"))).as("ga"))
+    val gramsB = incoming.select(col("doc_id").as("doc_b"),
+      array_distinct(tokens(col("text"))).as("gb"))
+    val dups = cand.join(gramsA, "doc_a").join(gramsB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+         size(array_union(col("ga"), col("gb")))).as("jac"))
+      .filter(col("jac") >= 0.5).persist()
+    persisted += dups
+    val dropped = dups.select(col("doc_b").as("doc_id")).distinct()
+    val admitted = incoming.join(dropped, Seq("doc_id"), "left_anti")
+    val summary = existing.agg(count(lit(1)).as("n_existing"))
+      .crossJoin(incoming.agg(count(lit(1)).as("n_incoming")))
+      .crossJoin(megaA.agg(count(lit(1)).as("n_mega_existing")))
+      .crossJoin(megaB.agg(count(lit(1)).as("n_mega_incoming")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
+      .localCheckpoint()
+    persisted.foreach(_.unpersist(blocking = false))
+    summary
   }
 
   /** End-to-end near-dup pipeline summary: [[neardupStages]], then
@@ -2016,6 +2092,10 @@ object Documents {
               THEN CAST(n_hit AS DOUBLE) / n_truth END, 4) AS cand_recall
           FROM m"""
     },
+    "d20_incremental_neardup" -> incrementalNeardupOracleSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+      "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"),
+
     "d19_containment" -> {
       s"""WITH ${neardupStagesSql(
             s"""SELECT doc_id, text FROM documents
@@ -2102,6 +2182,69 @@ object Documents {
   )
 
   /** DuckDB rendition of [[neardupSummary]] over an arbitrary corpus. */
+  /** Per-corpus banding CTE chain with a name prefix — the front half of
+    * [[neardupStagesSql]] instantiated twice by the d20 incremental
+    * oracle (existing vs incoming corpora, independently skew-guarded).
+    */
+  private def neardupBandsSql(p: String, corpusSql: String): String =
+    s"""${p}corpus AS ($corpusSql),
+         ${p}toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM ${p}corpus),
+         ${p}sh AS (
+           SELECT doc_id, list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+             i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')) AS shingles
+           FROM ${p}toks),
+         ${p}hashed AS (
+           SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hashes FROM ${p}sh),
+         ${p}sig AS (
+           SELECT doc_id, list_transform(range(0, 8),
+             i -> list_aggregate(list_transform(hashes, h ->
+               (CAST(('0x' || substring(h, 1, 8)) AS BIGINT)
+                + i * CAST(('0x' || substring(h, 9, 8)) AS BIGINT)) % 4294967311),
+               'min')) AS sig
+           FROM ${p}hashed),
+         ${p}bands AS (
+           SELECT doc_id, bb.b AS band_id,
+             md5(CAST(sig[CAST(bb.b*2+1 AS INT)] AS VARCHAR) || '|' ||
+                 CAST(sig[CAST(bb.b*2+2 AS INT)] AS VARCHAR)) AS band_key
+           FROM ${p}sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         ${p}mega AS (
+           SELECT band_id, band_key FROM ${p}bands
+           GROUP BY band_id, band_key HAVING count(*) > 64),
+         ${p}safe AS (
+           SELECT band_id, band_key FROM ${p}bands
+           GROUP BY band_id, band_key HAVING count(*) <= 64),
+         ${p}sbands AS (
+           SELECT b.* FROM ${p}bands b JOIN ${p}safe s
+             ON b.band_id = s.band_id AND b.band_key = s.band_key)"""
+
+  private def incrementalNeardupOracleSql(existingSql: String,
+      incomingSql: String): String =
+    s"""WITH ${neardupBandsSql("a", existingSql)},
+         ${neardupBandsSql("b", incomingSql)},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bsbands b JOIN asbands a ON a.band_id = b.band_id
+             AND a.band_key = b.band_key),
+         gramsa AS (SELECT doc_id, list_distinct(tk) AS g FROM atoks),
+         gramsb AS (SELECT doc_id, list_distinct(tk) AS g FROM btoks),
+         dups AS (
+           SELECT doc_a, doc_b FROM cand
+           JOIN gramsa ga ON ga.doc_id = doc_a
+           JOIN gramsb gb ON gb.doc_id = doc_b
+           WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.g, gb.g))) >= 0.5),
+         dropped AS (SELECT DISTINCT doc_b FROM dups)
+         SELECT (SELECT count(*) FROM acorpus) AS n_existing,
+           (SELECT count(*) FROM bcorpus) AS n_incoming,
+           (SELECT count(*) FROM amega) AS n_mega_existing,
+           (SELECT count(*) FROM bmega) AS n_mega_incoming,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM dups) AS n_dup_pairs,
+           (SELECT count(*) FROM dropped) AS n_dropped,
+           (SELECT count(*) FROM bcorpus
+            WHERE doc_id NOT IN (SELECT doc_b FROM dropped)) AS n_admitted"""
+
   private def neardupOracleSql(corpusSql: String): String =
     s"""WITH ${neardupStagesSql(corpusSql)},
          removed AS (SELECT DISTINCT doc_b FROM dups)
