@@ -444,6 +444,43 @@ object Embeddings {
       recallVsExact(exact, approx)
     }),
 
+    // Matryoshka-style dimension-truncation gauge — the third storage
+    // lever next to int8 (e07/e16) and PQ (e09/e14): keep only the
+    // first d components of every vector (the MRL prefix property) and
+    // measure recall@3 of prefix-cosine search against the full-dim
+    // exact baseline, for d = 32 and 16 of 64. At 100 TB this decides
+    // how much of the index can live in the hot tier: a d-prefix
+    // search touches d/64 of the bytes with zero re-encoding (unlike
+    // int8/PQ, truncation needs no codebook — the slice IS the index).
+    // The gauge's finding on THIS corpus is the point: synthetic
+    // untrained vectors spread signal evenly across dims, so prefix
+    // recall collapses (~0.07 at d=32, 0 at d=16) while int8 (e16)
+    // holds — truncation is only a valid lever for MRL-trained
+    // embeddings, and this query is the check that catches it. Same
+    // brute-force shape as e16: query side broadcast, corpus streams,
+    // one scan per d.
+    "e18_truncation_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      Seq(32, 16).map { d =>
+        val t = emb.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("tv"))
+        val q = t.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("tv").as("qv"))
+        val c = t.select(col("vec_id").as("n_vec_id"), col("tv").as("cv"))
+        val sims = c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+          .select(col("q_vec_id"), col("n_vec_id"),
+            cosineRounded(col("qv"), col("cv")).as("sim"))
+        val approx = sims.groupBy(col("q_vec_id"))
+          .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+          .select(col("q_vec_id"), explode(col("top")).as("t"))
+          .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+        recallVsExact(exact, approx).withColumn("dims", lit(d.toLong))
+      }.reduce(_ unionAll _).orderBy(col("dims").desc, col("q_vec_id"))
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -1124,5 +1161,37 @@ object Embeddings {
               SELECT *, row_number() OVER (
                 PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
               FROM sims) r WHERE rn <= 3),
-          $recallTailSql""")
+          $recallTailSql""",
+    "e18_truncation_recall" ->
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          td AS (SELECT unnest([32, 16]) AS d),
+          t AS (SELECT td.d, vec_id, list_slice(v, 1, td.d) AS tv
+                FROM embq CROSS JOIN td),
+          q AS (SELECT d, vec_id AS q_vec_id, tv AS qv FROM t WHERE vec_id < 5),
+          c AS (SELECT d, vec_id AS n_vec_id, tv AS cv FROM t),
+          sims AS (
+            SELECT q.d, q_vec_id, n_vec_id,
+                   round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM q JOIN c ON c.d = q.d AND q_vec_id <> n_vec_id),
+          approx AS (
+            SELECT d, q_vec_id, n_vec_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY d, q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+              FROM sims) r WHERE rn <= 3),
+          hits AS (
+            SELECT a.d, e.q_vec_id, count(*) AS n_hits
+            FROM exact e JOIN approx a
+              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+            GROUP BY a.d, e.q_vec_id),
+          base AS (
+            SELECT td.d, q_vec_id, count(*) AS n_exact
+            FROM exact CROSS JOIN td GROUP BY td.d, q_vec_id)
+          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall,
+            CAST(b.d AS BIGINT) AS dims
+          FROM base b LEFT JOIN hits h
+            ON h.d = b.d AND h.q_vec_id = b.q_vec_id
+          ORDER BY b.d DESC, b.q_vec_id""")
 }
