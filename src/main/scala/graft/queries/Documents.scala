@@ -1290,7 +1290,7 @@ object Documents {
     * 1-row summary; every intermediate is unpersisted before returning.
     */
   private[graft] def incrementalNeardup(existing: DataFrame,
-      incoming: DataFrame): DataFrame = {
+      incoming: DataFrame, materialize: Boolean = true): DataFrame = {
     val maxBucket = 64
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     def stages(d: DataFrame): (DataFrame, DataFrame) = {
@@ -1334,9 +1334,12 @@ object Documents {
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
       .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
       .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
-      .localCheckpoint()
-    persisted.foreach(_.unpersist(blocking = false))
-    summary
+    if (!materialize) summary // plan-audit path: keep the full lineage
+    else {
+      val out = summary.localCheckpoint()
+      persisted.foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** End-to-end near-dup pipeline summary: [[neardupStages]], then

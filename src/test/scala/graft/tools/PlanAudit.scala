@@ -44,6 +44,9 @@ object PlanAudit {
     "t21_zipf" -> "wordcount partial-aggs map-side; the rank window sorts the VOCABULARY; regression is one agg over types",
     "w33_warc_scan_uncompressed" -> "uncompressed corpus: same envelope-only scan shape as w17; payloads skipped",
     "w34_warc_scan_lz4" -> "LZ4 corpus through the native frame decoder: same envelope-only scan shape as w17",
+    "t24_chunk_overlap" -> "one scan, per-row sequence+slice chunk kernels, explode ~n/stride; no shuffle below the output sort",
+    "d20_incremental_neardup" -> "asymmetric band probe: incoming keys join existing keys on (band_id, band_key), both sides independently skew-guarded; text only moves in the keyed gram re-joins",
+    "e18_truncation_recall" -> "per truncation the 5-query side BROADCASTs and the corpus streams once; top-k is partial-agg, never a window over candidates",
   )
 
   def main(args: Array[String]): Unit = {
@@ -68,6 +71,13 @@ object PlanAudit {
           .toDF("doc_id", "text")
         graft.queries.Documents.similarTopK(
           graft.Tables.documents(s, dir).select("doc_id", "text").unionAll(chains),
+          materialize = false)
+      },
+      "d20_incremental_neardup" -> { (s, dir) =>
+        import org.apache.spark.sql.functions.col
+        val d = graft.Tables.documents(s, dir).select("doc_id", "text")
+        graft.queries.Documents.incrementalNeardup(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
           materialize = false)
       })
     Queries.foreach { case (name, why) =>
