@@ -285,9 +285,41 @@ case class WarcInputPartition(
 class WarcScan(
     options: CaseInsensitiveStringMap,
     filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Planner size hint. Without it a V2 source reports
+    * `defaultSizeInBytes` (effectively +inf), so a JOIN against even a
+    * one-file archive can never choose broadcast — at 100 TB the common
+    * "enrich corpus with a small curated WARC set" join degrades to a
+    * full shuffle of the corpus. The estimate is deliberately coarse
+    * (a hint gates broadcast at ~10 MB; being 2× off is harmless):
+    * compressed archives count ~4× their on-disk bytes (text-dominant
+    * WARC payloads), and an envelope-only scan (payload pruned away)
+    * counts ~1/10 of the decompressed stream — headers are a sliver of
+    * a crawl archive's bytes. numRows stays unknown: record sizes vary
+    * by orders of magnitude and a bad row estimate is worse than none.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = WarcInput.withHttpFs(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val o = parseOpts
+    val bytes = WarcInput.listFiles(WarcInput.paths(options), conf)
+      .filter(st => WarcInput.isDataFile(st.getPath.getName))
+      .map { st =>
+        val raw = st.getLen
+        val decompressed =
+          if (WarcInput.looksUncompressed(st.getPath.getName)) raw else raw * 4
+        if (o.readPayload) decompressed else math.max(decompressed / 10, 1L)
+      }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String = {
     val o = parseOpts

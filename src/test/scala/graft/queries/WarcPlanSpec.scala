@@ -92,4 +92,31 @@ class WarcPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("nullif") || plan.contains("if ("),
       s"w31 pre-write frame lost its in-projection null gate:\n$plan")
   }
+
+  test("warc scan reports size statistics so a small archive side broadcasts") {
+    import org.apache.spark.sql.functions._
+    val warc = spark.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc.gz")
+      .filter(col("record_type") === "response")
+      .select(col("record_id"), col("content_length"))
+    // a "big" relational side: join on a derived key; without
+    // estimateStatistics the V2 relation sizes as defaultSizeInBytes
+    // (+inf) and this plans as a shuffle join even though the archive
+    // is ~1 MB on disk
+    val big = spark.range(100000)
+      .select(col("id"), (col("id") % 16).as("content_length"))
+    val plan = physicalPlan(big.join(warc, Seq("content_length")))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small warc side did not broadcast:\n$plan")
+    // and the estimate itself: envelope-only (payload pruned) must be
+    // an order of magnitude below a full-payload scan of the same file
+    def sizeOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = spark.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc.gz")
+      .select(col("record_id"), col("content"))
+    assert(sizeOf(full) > sizeOf(warc) * 5,
+      s"payload-pruned scan should size far below full scan: " +
+        s"${sizeOf(warc)} vs ${sizeOf(full)}")
+  }
 }
