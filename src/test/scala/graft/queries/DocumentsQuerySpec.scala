@@ -256,6 +256,36 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.getLong(0) == n && res.getLong(1) == n)
   }
 
+  test("bucketed fingerprint tables join with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    // The 100 TB posture for persistent dedup state: the corpus
+    // fingerprint index and each incoming snapshot's fingerprints are
+    // written bucketBy(fp), so the keeper join is co-located — no
+    // shuffle of either side, ever. This pins the plan property the
+    // SCALING.md §3 knob claims.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+    docs.write.mode("overwrite")
+      .bucketBy(8, "fp").sortBy("fp").saveAsTable("graft_fp_index")
+    docs.withColumn("doc_id", col("doc_id") + 1000000L).write.mode("overwrite")
+      .bucketBy(8, "fp").sortBy("fp").saveAsTable("graft_fp_incoming")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val joined = spark.table("graft_fp_index")
+        .join(spark.table("graft_fp_incoming"), "fp")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == docs.count()) // fp is unique per doc here
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_fp_index")
+      spark.sql("DROP TABLE IF EXISTS graft_fp_incoming")
+    }
+  }
+
   test("d09 paragraphDedup: carryText mode is row-identical to the re-join mode") {
     import org.apache.spark.sql.functions._
     // real corpus plus injected boilerplate sharing a middle paragraph
