@@ -165,6 +165,24 @@ class EncodingDivergenceSpec extends AnyFunSuite {
     }
   }
 
+  test("detector never throws and Thai pre-pass stays quiet on random bytes") {
+    val rnd = new java.util.Random(0x7ea1)
+    var thaiHits = 0
+    for (i <- 0 until 20000) {
+      val n = 1 + rnd.nextInt(if (i % 50 == 0) 8192 else 256)
+      val bytes = new Array[Byte](n)
+      rnd.nextBytes(bytes)
+      val det = Encodings.detectEncoding(bytes) // must not throw
+      if (det.contains("iso8859-11")) thaiHits += 1
+      // the decode ladder must also survive whatever label came back
+      assert(Encodings.bytesToStr(bytes, det.getOrElse("utf-8")) != null)
+    }
+    // uniform random bytes essentially never satisfy Thai orthography
+    // (every high byte in-block AND marks only after bases): a loud
+    // pre-pass here would mislabel binary-ish payloads corpus-wide
+    assert(thaiHits == 0, s"Thai pre-pass fired $thaiHits times on random bytes")
+  }
+
   /** Every sample decodes losslessly under its DETECTED encoding — the
     * property the pipeline actually relies on: a divergent label is
     * acceptable iff bytesToStr still yields the same usable text.
