@@ -35,10 +35,16 @@ object Warc {
     * below the projection and run decode->parse->extract twice per page.
     * The sink's `drop_null_content` option drops those rows at write time.
     */
-  def wetExportFrame(s: SparkSession): DataFrame = {
+  def wetExportFrame(s: SparkSession): DataFrame =
+    wetRows(scan(s, "warcfile.warc.gz").filter(col("record_type") === "response"))
+
+  /** WET conversion-record projection over a response frame — shared by
+    * the batch export (w31) and the streaming export (w38), so the
+    * derived-archive semantics cannot drift between the two paths.
+    */
+  def wetRows(responses: DataFrame): DataFrame = {
     import graft.functions.{WarcCols, Web}
-    scan(s, "warcfile.warc.gz")
-      .filter(col("record_type") === "response")
+    responses
       .select(col("record_id").as("src_id"),
         WarcCols.targetUri(col("headers")).as("uri"),
         col("record_date"),
@@ -680,6 +686,62 @@ object Warc {
       }
     }),
 
+    // Streaming derived-archive export — the continuous crawl→text
+    // pipeline closing the sink side of the streaming story (w32/w35
+    // cover the read side): the micro-batch WARC source feeds the SAME
+    // WET projection as the batch export (wetRows, shared with w31) and
+    // each micro-batch lands as WARC conversion records through the
+    // batch warc sink via foreachBatch — the standard Structured
+    // Streaming pattern for a batch-capable sink, giving per-batch
+    // atomic appends. Two crawl drops = two micro-batches; the derived
+    // archive re-scans to 2x the w31 totals and its payload-digest
+    // multiset must equal what the batch exporter would have produced
+    // over the same landing dir (streaming == batch, pinned in-result).
+    "w38_streaming_wet_export" -> ((s, _) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val landing = new java.io.File(s"$tmp/graft_w38_landing")
+      val out = s"$tmp/graft_w38_wet"
+      org.apache.commons.io.FileUtils.deleteDirectory(landing)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      landing.mkdirs()
+      val fixture = java.nio.file.Paths.get(
+        "/root/reference/tests/data/warcfile.warc.gz")
+      def land(name: String): Unit =
+        java.nio.file.Files.copy(fixture, new java.io.File(landing, name).toPath)
+      land("crawl-a.warc.gz")
+      val derived = wetRows(s.readStream.format("warc")
+        .option("record_types", "response").load(landing.getPath))
+      val q = derived.writeStream
+        .option("checkpointLocation", s"$tmp/graft_w38_ckpt_${System.nanoTime()}")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.coalesce(1).write.format("warc")
+            .option("checksum", "true").option("drop_null_content", "true")
+            .mode("append").save(out)
+        }.start()
+      try {
+        q.processAllAvailable()
+        land("crawl-b.warc.gz") // second crawl drop -> second micro-batch
+        q.processAllAvailable()
+      } finally q.stop()
+      val wet = s.read.format("warc").load(out)
+      val streamedDigests = wet.select(sha1(col("content")).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val batchDigests = wetRows(
+          s.read.format("warc").option("record_types", "response")
+            .load(landing.getPath))
+        .filter(col("content").isNotNull)
+        .select(sha1(col("content")).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val mism = streamedDigests.exceptAll(batchDigests).count() +
+        batchDigests.exceptAll(streamedDigests).count()
+      wet.agg(count(lit(1)).as("n_records"),
+        sum(when(col("record_type") === "conversion", 1L).otherwise(0L))
+          .as("n_conversion"),
+        sum(col("content_length")).as("total_text_bytes"),
+        sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"))
+        .withColumn("batch_equal", lit(mism == 0L))
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -954,6 +1016,16 @@ object Warc {
          CAST(16 AS BIGINT) AS n_json_ok,
          CAST(1198 AS BIGINT) AS total_links,
          CAST(16 AS BIGINT) AS n_titled""",
+    // disclosed self-pin: two micro-batches of the 16-response fixture
+    // through the shared wetRows projection = exactly 2x the w31 batch
+    // totals (102557 text bytes per crawl drop); batch_equal pins the
+    // streaming-vs-batch digest-multiset equivalence inside the result.
+    "w38_streaming_wet_export" ->
+      """SELECT CAST(32 AS BIGINT) AS n_records,
+         CAST(32 AS BIGINT) AS n_conversion,
+         CAST(205114 AS BIGINT) AS total_text_bytes,
+         CAST(32 AS BIGINT) AS n_digest_ok,
+         true AS batch_equal""",
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
          CAST(16 AS BIGINT) AS n_conversion,
