@@ -80,5 +80,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jpeg_pixel_grid")(
       viaColumns("jpeg_pixel_grid", 2)(as =>
         graft.functions.Multimodal.jpegPixelGrid(as.head, as(1))))
+    // encoding / content kernels: the pure-SQL crawl-processing surface
+    inject("detect_encoding")(
+      viaColumns("detect_encoding", 1)(as => graft.functions.Web.detectEncoding(as.head)))
+    inject("detect_mime")(
+      viaColumns("detect_mime", 1)(as => graft.functions.Web.detectMime(as.head)))
+    inject("bytes_to_str")(
+      viaColumns("bytes_to_str", 1)(as => graft.functions.Web.decodeText(as.head)))
+    inject("html_title")(
+      viaColumns("html_title", 2)(as => graft.functions.Web.htmlTitle(as.head, as(1))))
+    inject("extract_links")(
+      viaColumns("extract_links", 3)(as =>
+        graft.functions.Web.extractLinks(as.head, as(1), as(2))))
+    // dedup / similarity kernels
+    inject("minhash_signature") { args =>
+      require(args.length == 2, "minhash_signature(shingles, k)")
+      val k = args(1) match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature: k must be an int literal, got $other")
+      }
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        TextAnalysis.minhashSignature(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head), k))
+    }
+    inject("cosine_sim")(
+      viaColumns("cosine_sim", 2)(as =>
+        graft.functions.Similarity.cosine(as.head, as(1))))
   }
 }

@@ -98,4 +98,44 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("token_count") ||
       e.getMessage.toLowerCase.contains("argument"))
   }
+
+  test("encoding/content/dedup kernels from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Similarity, TextAnalysis, Web}
+    val s = spark
+    import s.implicits._
+    val html = "<html><head><title>T One</title></head>" +
+      "<body><a href='/x'>x</a><a href='http://b.example/y'>y</a></body></html>"
+    val df = Seq((html.getBytes("UTF-8"), "utf-8", "http://a.example/p/"))
+      .toDF("body", "cs", "base")
+    df.createOrReplaceTempView("ext_pages")
+    val viaSql = spark.sql(
+      """SELECT detect_encoding(body) AS enc, detect_mime(body) AS mime,
+         bytes_to_str(body) AS txt, html_title(body, cs) AS title,
+         extract_links(body, cs, base) AS links
+         FROM ext_pages""").head
+    val viaCols = df.select(Web.detectEncoding(col("body")),
+      Web.detectMime(col("body")), Web.decodeText(col("body")),
+      Web.htmlTitle(col("body"), col("cs")),
+      Web.extractLinks(col("body"), col("cs"), col("base"))).head
+    assert(viaSql.getString(0) == viaCols.getString(0))
+    assert(viaSql.getString(1) == viaCols.getString(1))
+    assert(viaSql.getString(2) == viaCols.getString(2))
+    assert(viaSql.getString(3) == "T One")
+    assert(viaSql.getSeq[String](4) == viaCols.getSeq[String](4) &&
+      viaSql.getSeq[String](4).contains("http://a.example/x"))
+
+    val toks = Seq(Seq("a b c", "b c d", "c d e")).toDF("sh")
+    toks.createOrReplaceTempView("ext_shingles")
+    val sigSql = spark.sql(
+      "SELECT minhash_signature(sh, 4) AS sig FROM ext_shingles").head.getSeq[Long](0)
+    val sigCol = toks.select(TextAnalysis.minhashSignature(col("sh"), 4)).head.getSeq[Long](0)
+    assert(sigSql == sigCol && sigSql.length == 4)
+
+    val vecs = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val cosSql = spark.sql("SELECT cosine_sim(a, b) AS c FROM ext_vecs").head.getDouble(0)
+    val cosCol = vecs.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(cosSql == cosCol && math.abs(cosSql - 0.5) < 1e-12)
+  }
 }
