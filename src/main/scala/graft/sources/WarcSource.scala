@@ -301,11 +301,14 @@ class WarcScan(
     * a crawl archive's bytes. numRows stays unknown: record sizes vary
     * by orders of magnitude and a bad row estimate is worse than none.
     */
-  override def estimateStatistics(): Statistics = {
+  // the planner may ask for statistics several times per query; the
+  // file listing is a driver-side FS round-trip (expensive on object
+  // stores with 100k archives), so compute once per Scan instance
+  private lazy val estimatedBytes: Long = {
     val conf = WarcInput.withHttpFs(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val o = parseOpts
-    val bytes = WarcInput.listFiles(WarcInput.paths(options), conf)
+    WarcInput.listFiles(WarcInput.paths(options), conf)
       .filter(st => WarcInput.isDataFile(st.getPath.getName))
       .map { st =>
         val raw = st.getLen
@@ -313,12 +316,13 @@ class WarcScan(
           if (WarcInput.looksUncompressed(st.getPath.getName)) raw else raw * 4
         if (o.readPayload) decompressed else math.max(decompressed / 10, 1L)
       }.sum
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
-    }
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(estimatedBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
   }
   override def toBatch: Batch = this
   override def description(): String = {
