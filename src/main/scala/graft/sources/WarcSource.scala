@@ -878,9 +878,10 @@ class WarcMicroBatchStream(
     parseOpts: WarcParseOptions,
     required: StructType,
     fsProps: Map[String, String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   /** Consumed-file offset. Exact membership for recent files plus a
     * modification-time cutoff below which every file is deemed consumed —
@@ -929,6 +930,47 @@ class WarcMicroBatchStream(
     val cutoff = maxMod - maxFileAgeMs
     FileSetOffset(cutoff,
       listed.filter(_.getModificationTime >= cutoff).map(_.getPath.toString).toSet)
+  }
+
+  /** Admission control (`max_files_per_trigger`): bound how many new
+    * archives one micro-batch admits, the FileStreamSource
+    * maxFilesPerTrigger contract. A restart against a 100k-archive
+    * backlog must trickle in bounded batches (bounded task count,
+    * bounded state-store update per trigger), not plan one giant batch.
+    * When a trigger is limited, the mod-time cutoff does NOT advance —
+    * unadmitted files would fall below it and be deemed consumed; the
+    * cutoff-based state GC resumes on the first caught-up trigger.
+    */
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("max_files_per_trigger")).map(_.toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FileSetOffset]
+    val listed = listSorted()
+    val fresh = listed.filter(st =>
+      !s.contains(st.getPath.toString, st.getModificationTime))
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    if (fresh.size <= cap) {
+      // caught up: full consume + normal horizon advance
+      val maxMod = if (listed.isEmpty) 0L else listed.map(_.getModificationTime).max
+      val cutoff = math.max(s.cutoff, maxMod - maxFileAgeMs)
+      FileSetOffset(cutoff,
+        (s.files ++ fresh.map(_.getPath.toString)).filter { p =>
+          listed.find(_.getPath.toString == p).forall(_.getModificationTime >= cutoff)
+        })
+    } else {
+      // limited: admit the oldest-listed slice, keep the horizon still
+      val admitted = fresh.sortBy(st => (st.getModificationTime, st.getPath.toString))
+        .take(cap)
+      FileSetOffset(s.cutoff, s.files ++ admitted.map(_.getPath.toString))
+    }
   }
   override def initialOffset(): Offset = FileSetOffset(Long.MinValue, Set.empty)
   override def deserializeOffset(json: String): Offset = {

@@ -54,6 +54,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("max_files_per_trigger bounds each micro-batch's admitted archives") {
+    val landing = Files.createTempDirectory("warc-landing-mft")
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    // a 3-file backlog BEFORE the query starts — the restart-with-backlog
+    // shape that must trickle, not land in one giant batch
+    for (n <- Seq("a", "b", "c"))
+      Files.copy(src, landing.resolve(s"backlog-$n.warc.gz"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.format("warc")
+      .option("max_files_per_trigger", "1").load(landing.toString)
+    val query = stream
+      .groupBy(col("record_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("warc_stream_mft")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.sql("SELECT sum(n) FROM warc_stream_mft").head.getLong(0) == 150L)
+      // 3 data-bearing micro-batches of 50 records each, never one of 150
+      val rowCounts = query.recentProgress.toSeq
+        .map(_.numInputRows).filter(_ > 0)
+      assert(rowCounts.count(_ == 50L) == 3 && !rowCounts.exists(_ > 50L),
+        s"expected 3 batches of 50, got $rowCounts")
+    } finally query.stop()
+  }
+
   test("streaming ingest dedups repeated page content across micro-batches") {
     // the streaming counterpart of d01 exact dedup: a landing dir keeps
     // receiving archives that re-crawl the same pages; watermarked
