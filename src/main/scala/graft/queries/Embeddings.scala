@@ -481,6 +481,39 @@ object Embeddings {
       }.reduce(_ unionAll _).orderBy(col("dims").desc, col("q_vec_id"))
     }),
 
+    // Binary (1-bit sign) quantization recall — the fourth and smallest
+    // rung of the compression ladder (float64 → int8 e07/e16 → PQ
+    // e09/e14 → prefix e18 → 1 bit/dim here): 64 dims pack into 8
+    // bytes, search is XOR + popcount (the cheapest distance there is),
+    // and recall@3 vs the full-precision exact baseline decides whether
+    // the 32× storage cut is admissible as a first-pass filter. Packed
+    // as two 32-bit halves so neither engine touches the BIGINT sign
+    // bit. One corpus scan; the 5-query side broadcasts.
+    "e19_binary_quantize_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val coded = emb.select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+          "acc + if(v[i] > 0d, shiftleft(1L, i), 0L))").as("c0"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+          "acc + if(v[i] > 0d, shiftleft(1L, i - 32), 0L))").as("c1"))
+      val q = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("c0").as("q0"), col("c1").as("q1"))
+      val c = coded.select(col("vec_id").as("n_vec_id"), col("c0"), col("c1"))
+      val sims = c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          (lit(64.0) - (expr("bit_count(c0 ^ q0)") + expr("bit_count(c1 ^ q1)"))
+            .cast("double")).as("sim"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      val approx = sims.groupBy(col("q_vec_id"))
+        .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), explode(col("top")).as("t"))
+        .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      recallVsExact(exact, approx)
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -1193,5 +1226,29 @@ object Embeddings {
             CAST(b.d AS BIGINT) AS dims
           FROM base b LEFT JOIN hits h
             ON h.d = b.d AND h.q_vec_id = b.q_vec_id
-          ORDER BY b.d DESC, b.q_vec_id""")
+          ORDER BY b.d DESC, b.q_vec_id""",
+    "e19_binary_quantize_recall" ->
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          coded AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(0, 32), i ->
+                CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS c0,
+              CAST(list_sum(list_transform(range(32, 64), i ->
+                CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS c1
+            FROM embq),
+          q AS (SELECT vec_id AS q_vec_id, c0 AS q0, c1 AS q1 FROM coded
+                WHERE vec_id < 5),
+          c AS (SELECT vec_id AS n_vec_id, c0, c1 FROM coded),
+          sims AS (
+            SELECT q_vec_id, n_vec_id,
+              64.0 - (bit_count(xor(c0, q0)) + bit_count(xor(c1, q1))) AS sim
+            FROM q CROSS JOIN c WHERE q_vec_id <> n_vec_id),
+          approx AS (
+            SELECT q_vec_id, n_vec_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+              FROM sims) r WHERE rn <= 3),
+          $recallTailSql""")
 }
