@@ -604,6 +604,50 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge TRAINING (Sennrich et al. 2016 — the tokenizer-side
+    // counterpart of t11's pre-tokenizer and t14's vocabulary): count
+    // adjacent symbol pairs over the word-frequency table, take the
+    // most frequent pair, fuse it corpus-wide, repeat. Three unrolled
+    // merge rounds; each round is one groupBy over exploded pairs plus
+    // a 1-row broadcast of the winning merge — the word table (the
+    // only state) is vocabulary-sized, never corpus-sized, which is
+    // why BPE training distributes: 100 TB of text collapses to a few
+    // million (word, freq) rows after the first aggregation. Symbols
+    // ride in '<c>' marker form so merge application is a plain
+    // left-to-right string replace — exactly BPE's greedy-left fuse
+    // (both engines' replace() is non-overlapping left-to-right).
+    "t25_bpe_merge_train" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
+      def step(ws: DataFrame): (DataFrame, DataFrame) = {
+        val top = ws
+          .select(col("freq"),
+            split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i+1] AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        val next = ws.crossJoin(broadcast(top))
+          .select(expr(
+            "replace(syms, concat('<', l, '><', r, '>'), concat('<', l, r, '>'))")
+            .as("syms"), col("freq"))
+        (top, next)
+      }
+      val (m1, w1) = step(words)
+      val (m2, w2) = step(w1)
+      val (m3, _) = step(w2)
+      Seq(m1, m2, m3).zipWithIndex.map { case (m, i) =>
+        m.select(lit(i + 1L).as("merge_rank"), col("l"), col("r"), col("cnt"))
+      }.reduce(_ unionAll _).orderBy(col("merge_rank"))
+    }),
+
     // Sliding-window chunking (the retrieval-index / finetune-prep
     // staple: fixed 64-token windows, stride 48, so consecutive chunks
     // overlap by 16 tokens and no token is lost — the HF
@@ -1861,6 +1905,42 @@ object Documents {
            round(sum(term) / sum(n_occ), 4) AS dsir_score,
            round(sum(term) / sum(n_occ), 4) > 0 AS keep
          FROM sc GROUP BY doc_id, source ORDER BY doc_id""",
+    "t25_bpe_merge_train" -> {
+      def pairsCte(p: String, w: String): String =
+        s"""$p AS (
+             SELECT a[CAST(i AS INT)] AS l, a[CAST(i + 1 AS INT)] AS r,
+               CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq,
+                 regexp_split_to_array(substring(syms, 2, length(syms) - 2), '><') AS a
+               FROM $w) t,
+               unnest(generate_series(1, len(a) - 1)) AS u(i)
+             GROUP BY 1, 2)"""
+      def mergeCte(m: String, p: String): String =
+        s"$m AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1)"
+      def applyCte(wNext: String, w: String, m: String): String =
+        s"""$wNext AS (
+             SELECT replace(syms, '<' || m.l || '><' || m.r || '>',
+               '<' || m.l || m.r || '>') AS syms, freq
+             FROM $w CROSS JOIN $m m)"""
+      s"""WITH w0 AS (
+           SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms,
+             CAST(count(*) AS BIGINT) AS freq
+           FROM (
+             SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS w
+             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   FROM documents)) t
+           WHERE length(w) >= 2 GROUP BY w),
+         ${pairsCte("p1", "w0")}, ${mergeCte("m1", "p1")},
+         ${applyCte("w1", "w0", "m1")},
+         ${pairsCte("p2", "w1")}, ${mergeCte("m2", "p2")},
+         ${applyCte("w2", "w1", "m2")},
+         ${pairsCte("p3", "w2")}, ${mergeCte("m3", "p3")}
+         SELECT CAST(1 AS BIGINT) AS merge_rank, l, r, cnt FROM m1
+         UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2
+         UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3
+         ORDER BY merge_rank"""
+    },
+
     "t24_chunk_overlap" ->
       """WITH t AS (SELECT doc_id,
            regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
