@@ -215,13 +215,13 @@ object Bench {
         }
       }
     val tmp = System.getProperty("java.io.tmpdir")
-    // max-of-2 for the single-thread rows: they are the artifact's
+    // max-of-3 for the single-thread rows: they are the artifact's
     // BASELINE-claim carriers and a single measurement inherits
     // whatever contention window it lands in (observed 2-3x swings
     // between consecutive in-process runs); the max is the least
     // interfered measurement, the analog of the sweep's min-of-2 walls
     def tryRate(f: => Double): Double =
-      try { val first = f; val second = f; math.max(first, second) }
+      try Seq(f, f, f).max
       catch { case _: Throwable => -1.0 }
     val singleThread: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty

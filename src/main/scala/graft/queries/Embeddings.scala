@@ -514,6 +514,62 @@ object Embeddings {
       recallVsExact(exact, approx)
     }),
 
+    // The production two-stage shape e19 motivates: binary codes alone
+    // recall ~0.33, so they are a FIRST-PASS FILTER — over-fetch the
+    // hamming top-k' (k' ≫ final k), then re-rank only those candidates
+    // in full precision and keep top-3. Measured at two over-fetch
+    // depths (16 and 64) from ONE hamming pass and ONE re-rank join, so
+    // the result is the recall-vs-overfetch curve the tiering decision
+    // actually reads. The corpus-sized work stays XOR+popcount on
+    // 8-byte codes (32× less IO than the vectors); exact cosine runs on
+    // ≤64 rows/query. At 100 TB the candidate join is an equi-join on
+    // n_vec_id against the vector store — candidates per query are
+    // bounded by the over-fetch constant, so the re-rank side never
+    // scales with the corpus.
+    "e20_binary_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val coded = emb.select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+          "acc + if(v[i] > 0d, shiftleft(1L, i), 0L))").as("c0"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+          "acc + if(v[i] > 0d, shiftleft(1L, i - 32), 0L))").as("c1"))
+      val q = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("c0").as("q0"), col("c1").as("q1"))
+      val c = coded.select(col("vec_id").as("n_vec_id"), col("c0"), col("c1"))
+      val hsims = c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          (lit(64.0) - (expr("bit_count(c0 ^ q0)") + expr("bit_count(c1 ^ q1)"))
+            .cast("double")).as("hsim"))
+      // one hamming top-64 pass; posexplode keeps the hamming rank so
+      // the 16-deep candidate set is a filter, not a second pass
+      val over = graft.functions.Similarity.topKAgg(64)
+      val cand = hsims.groupBy(col("q_vec_id"))
+        .agg(over(col("hsim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), posexplode(col("top")).as(Seq("rank", "t")))
+        .select(col("q_vec_id"), col("rank"), col("t._2").as("n_vec_id"))
+      // re-rank once for all 64: candidates joined back to full
+      // vectors; the 5-query vector side broadcasts
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val reranked = cand
+        .join(emb.select(col("vec_id").as("n_vec_id"), col("v").as("cv")), Seq("n_vec_id"))
+        .join(broadcast(qv), Seq("q_vec_id"))
+        .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      Seq(16, 64).map { depth =>
+        val approx = reranked.filter(col("rank") < depth)
+          .groupBy(col("q_vec_id"))
+          .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+          .select(col("q_vec_id"), explode(col("top")).as("t"))
+          .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+        recallVsExact(exact, approx).withColumn("overfetch", lit(depth.toLong))
+      }.reduce(_ unionAll _).orderBy(col("overfetch"), col("q_vec_id"))
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -1250,5 +1306,61 @@ object Embeddings {
               SELECT *, row_number() OVER (
                 PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
               FROM sims) r WHERE rn <= 3),
-          $recallTailSql""")
+          $recallTailSql""",
+
+    "e20_binary_rerank_recall" ->
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          coded AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(0, 32), i ->
+                CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS c0,
+              CAST(list_sum(list_transform(range(32, 64), i ->
+                CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS c1
+            FROM embq),
+          qb AS (SELECT vec_id AS q_vec_id, c0 AS q0, c1 AS q1 FROM coded
+                 WHERE vec_id < 5),
+          cb AS (SELECT vec_id AS n_vec_id, c0, c1 FROM coded),
+          hsims AS (
+            SELECT q_vec_id, n_vec_id,
+              64.0 - (bit_count(xor(c0, q0)) + bit_count(xor(c1, q1))) AS hsim
+            FROM qb CROSS JOIN cb WHERE q_vec_id <> n_vec_id),
+          cand AS (
+            SELECT q_vec_id, n_vec_id, rn FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY hsim DESC, n_vec_id ASC) AS rn
+              FROM hsims) r WHERE rn <= 64),
+          reranked AS (
+            SELECT cand.q_vec_id, cand.n_vec_id, cand.rn,
+              round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM cand
+            JOIN (SELECT vec_id AS n_vec_id, v AS cv FROM embq) n USING (n_vec_id)
+            JOIN (SELECT vec_id AS q_vec_id, v AS qv FROM embq WHERE vec_id < 5) q
+              USING (q_vec_id)),
+          approx AS (
+            SELECT CAST(d.overfetch AS BIGINT) AS overfetch, q_vec_id, n_vec_id
+            FROM (VALUES (16), (64)) d(overfetch)
+            CROSS JOIN LATERAL (
+              SELECT q_vec_id, n_vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn2
+                FROM reranked WHERE rn <= d.overfetch) r WHERE rn2 <= 3) a),
+          hits AS (
+            SELECT a.overfetch, e.q_vec_id, count(*) AS n_hits
+            FROM exact e JOIN approx a
+              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+            GROUP BY a.overfetch, e.q_vec_id),
+          base AS (
+            SELECT CAST(d.overfetch AS BIGINT) AS overfetch, q_vec_id,
+              count(*) AS n_exact
+            FROM exact CROSS JOIN (VALUES (16), (64)) d(overfetch)
+            GROUP BY d.overfetch, q_vec_id)
+          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall,
+            b.overfetch
+          FROM base b LEFT JOIN hits h
+            ON h.q_vec_id = b.q_vec_id AND h.overfetch = b.overfetch
+          ORDER BY b.overfetch, b.q_vec_id""")
 }

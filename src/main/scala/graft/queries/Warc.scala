@@ -742,6 +742,73 @@ object Warc {
         .withColumn("batch_equal", lit(mism == 0L))
     }),
 
+    // Revisit-record resolution — the DEDUPLICATED-CRAWL topology every
+    // long-running web archive uses (WARC/1.1 §6.7.2 identical-payload-
+    // digest profile; the reference models revisit as record-type bit 64,
+    // fastwarc warc.pyx:86-87, but leaves resolution to the reader).
+    // A recrawl whose payload digest is unchanged stores a tiny revisit
+    // record pointing at the first capture (WARC-Refers-To + the
+    // original's WARC-Payload-Digest) instead of the body. Resolution =
+    // equi-join of revisits to originals on the referred record id —
+    // replay and analytics see every capture at its logical size while
+    // storage holds one body. Build: write a two-crawl archive (crawl 1
+    // = the fixture's 16 responses; crawl 2 = 16 revisits) with the
+    // engine's own writer, re-read, resolve. At scale the original side
+    // is the record-id→(digest, length) index — orders of magnitude
+    // smaller than the corpus, so it broadcasts; revisits never shuffle.
+    "w39_revisit_resolve" -> ((s, _) => {
+      import graft.functions.WarcCols
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w39_revisit"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val resp = scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id"), col("record_date"), col("headers"), col("content"),
+          WarcCols.targetUri(col("headers")).as("uri"),
+          WarcCols.header(col("headers"), "WARC-Payload-Digest").as("pdigest"))
+      val originals = resp.select(col("record_id"), lit("response").as("record_type"),
+        col("record_date"), col("headers"), col("content"))
+      val revisits = resp
+        .select(col("record_id").as("src_id"), col("record_date"),
+          col("uri"), col("pdigest"))
+        .select(
+          concat(lit("<urn:revisit:"), md5(col("src_id")), lit(">")).as("record_id"),
+          lit("revisit").as("record_type"),
+          col("record_date"),
+          array(
+            struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
+            struct(lit("WARC-Refers-To").as("key"), col("src_id").as("value")),
+            struct(lit("WARC-Payload-Digest").as("key"), col("pdigest").as("value")),
+            struct(lit("WARC-Profile").as("key"),
+              lit("http://netpreserve.org/warc/1.1/revisit/identical-payload-digest")
+                .as("value"))).as("headers"),
+          lit(Array.emptyByteArray).as("content"))
+      originals.unionByName(revisits).coalesce(1)
+        .write.format("warc").option("checksum", "true").mode("append").save(out)
+      val recs = s.read.format("warc").load(out)
+      val orig = recs.filter(col("record_type") === "response")
+        .select(col("record_id").as("ref_id"),
+          col("content_length").as("orig_bytes"),
+          WarcCols.header(col("headers"), "WARC-Payload-Digest").as("orig_digest"))
+      val rev = recs.filter(col("record_type") === "revisit")
+        .select(WarcCols.header(col("headers"), "WARC-Refers-To").as("ref_id"),
+          col("content_length").as("rev_bytes"),
+          WarcCols.header(col("headers"), "WARC-Payload-Digest").as("rev_digest"))
+      val resolved = rev.join(broadcast(orig), Seq("ref_id"))
+      val respStats = recs.filter(col("record_type") === "response")
+        .agg(count(lit(1)).as("n_responses"),
+          sum(col("content_length")).as("resp_bytes"))
+      resolved.agg(
+          count(lit(1)).as("n_resolved"),
+          sum(when(col("rev_digest") === col("orig_digest"), 1L).otherwise(0L))
+            .as("n_digest_match"),
+          sum(col("orig_bytes")).as("resolved_logical_bytes"),
+          sum(col("rev_bytes")).as("revisit_stored_bytes"))
+        .crossJoin(broadcast(respStats)) // two 1-row aggregates
+        .select(col("n_responses"), col("n_resolved"), col("n_digest_match"),
+          (col("resp_bytes") + col("resolved_logical_bytes")).as("logical_bytes"),
+          (col("resp_bytes") + col("revisit_stored_bytes")).as("stored_bytes"))
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -1026,6 +1093,15 @@ object Warc {
          CAST(205114 AS BIGINT) AS total_text_bytes,
          CAST(32 AS BIGINT) AS n_digest_ok,
          true AS batch_equal""",
+    // 16 originals (518,445 content bytes, the w14 round-trip constant)
+    // + 16 zero-body revisits, every one resolving with a matching
+    // payload digest: logical corpus = 2 × 518,445
+    "w39_revisit_resolve" ->
+      """SELECT CAST(16 AS BIGINT) AS n_responses,
+         CAST(16 AS BIGINT) AS n_resolved,
+         CAST(16 AS BIGINT) AS n_digest_match,
+         CAST(1036890 AS BIGINT) AS logical_bytes,
+         CAST(518445 AS BIGINT) AS stored_bytes""",
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
          CAST(16 AS BIGINT) AS n_conversion,

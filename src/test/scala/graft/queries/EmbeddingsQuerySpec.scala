@@ -69,6 +69,27 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("e20 binary rerank: recall is monotone in over-fetch depth and " +
+      "the 64-deep rerank beats raw binary top-3 (e19)") {
+    def avg(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val curve = Embeddings.queries("e20_binary_rerank_recall")(
+        spark, "/root/testdata/sf0.001").collect()
+    val at16 = curve.filter(_.getAs[Long]("overfetch") == 16L)
+    val at64 = curve.filter(_.getAs[Long]("overfetch") == 64L)
+    assert(at16.length == 5 && at64.length == 5)
+    // deeper over-fetch can only add candidates: per-query recall@64 >=
+    // recall@16 (set containment, not just on average)
+    at16.zip(at64).foreach { case (a, b) =>
+      assert(a.getAs[Long]("q_vec_id") == b.getAs[Long]("q_vec_id"))
+      assert(b.getAs[Double]("recall") >= a.getAs[Double]("recall") - 1e-9)
+    }
+    val raw = avg(Embeddings.queries("e19_binary_quantize_recall")(
+      spark, "/root/testdata/sf0.001").collect())
+    assert(avg(at64) > raw,
+      s"64-deep rerank ${avg(at64)} should beat raw binary top-3 $raw")
+  }
+
   test("e13: k-means-trained IVF cells beat label cells on recall@3") {
     def avgRecall(q: String): Double = {
       val rows = Embeddings.queries(q)(spark, "/root/testdata/sf0.001").collect()
