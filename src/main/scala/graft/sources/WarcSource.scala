@@ -344,9 +344,18 @@ class WarcScan(
     val split = options.getBoolean("split_uncompressed", true)
     val maxPart = options.getLong("max_partition_bytes", 128L * 1024 * 1024)
     // member index: JSON-lines {"filename": ..., "offset": <compressed>}
-    // (a CDXJ over compressed coordinates); keyed by basename. The option
-    // accepts a file, a glob, or a directory of .idx sidecars (as the
-    // writer's member_index option emits them).
+    // (the writer's .idx / `index --members` sidecar) OR standard CDXJ
+    // (`<searchable-url> <timestamp> {json}` as pywb/OpenWayback and the
+    // reference CLI emit, with offset/filename inside the JSON block —
+    // possibly as STRINGS, which pywb writes) — so an archive that
+    // already ships a CDXJ gets member-parallel intra-file splits
+    // without ever running this engine's own index builder. Keyed by
+    // basename. The option accepts a file, a glob, or a directory of
+    // .idx sidecars. Offsets are deduped (a CDXJ lists one line per
+    // capture, several per member is legal) and need not start at 0 —
+    // the first slice is anchored to the file head below, so a
+    // responses-only CDXJ still yields a COMPLETE parallel scan
+    // (records between two indexed offsets ride in their slice).
     val memberIndex: Map[String, Seq[Long]] =
       Option(options.get("member_index")).map { idxPath =>
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -360,13 +369,20 @@ class WarcScan(
           val in = st.getPath.getFileSystem(conf).open(st.getPath)
           val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
                       finally in.close()
-          lines.filter(_.nonEmpty).map { l =>
-            val node = m.readTree(l)
-            val f = node.get("filename").asText()
-            val base = f.substring(f.lastIndexOf('/') + 1)
-            base -> node.get("offset").asLong()
+          lines.flatMap { l =>
+            val j = l.indexOf('{')
+            if (j < 0) None
+            else {
+              val node = m.readTree(l.substring(j))
+              val off = Option(node.get("offset")).flatMap { o =>
+                if (o.isNumber) Some(o.asLong())
+                else scala.util.Try(o.asText().trim.toLong).toOption
+              }
+              for (f <- Option(node.get("filename")).map(_.asText()); o <- off)
+                yield f.substring(f.lastIndexOf('/') + 1) -> o
+            }
           }
-        }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
       }.getOrElse(Map.empty)
 
     files.filter(st => WarcInput.isDataFile(st.getPath.getName)).flatMap { st =>
@@ -374,8 +390,12 @@ class WarcScan(
       val len = st.getLen
       val indexed = memberIndex.get(st.getPath.getName)
       if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
-        // chunk member offsets into ~maxPart compressed-byte slices
-        val offs = indexed.get
+        // chunk member offsets into ~maxPart compressed-byte slices;
+        // anchor at the file head (a foreign CDXJ's first indexed
+        // capture may start past offset 0 — earlier records must
+        // still be scanned) and drop offsets past EOF (stale index)
+        val offs0 = indexed.get.filter(o => o >= 0 && o < len)
+        val offs = if (offs0.headOption.contains(0L)) offs0 else 0L +: offs0
         val bounds = offs :+ len
         val parts = Vector.newBuilder[WarcInputPartition]
         var groupStart = 0
@@ -517,6 +537,14 @@ class WarcPartitionReader(
     * offsets to compressed member coordinates — the reference's
     * stream_pos semantics for compressed inputs, seekable by
     * WarcPointLookup.
+    *
+    * A SPARSE index (a foreign CDXJ listing only some captures) still
+    * scans completely: the multi-member gzip/LZ4 reader decodes straight
+    * through unindexed member boundaries inside each bounded slice. Only
+    * the `offset` column of those in-between records is then
+    * slice-relative (memberStart + decompressed offset) rather than a
+    * true compressed member address — totals and contents are unaffected;
+    * point-lookup addresses are exact only for indexed members.
     */
   private def memberIterator(): Iterator[WarcRecord] = {
     val bounds = part.memberOffsets :+ part.end

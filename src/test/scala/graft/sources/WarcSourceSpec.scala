@@ -123,6 +123,47 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.count() == 50L)
   }
 
+  test("standard CDXJ (surt+timestamp prefix, STRING offsets, sparse " +
+      "captures-only index) drives a complete parallel scan") {
+    import graft.core._
+    val (in, _) = WarcCodecs.open(
+      new java.io.FileInputStream(s"$DataDir/warcfile.warc"))
+    val recs = try new WarcParser(new WarcByteReader(in), "m",
+      WarcParseOptions()).toVector finally in.close()
+    val dir = java.nio.file.Files.createTempDirectory("cdxj-split")
+    val gz = dir.resolve("foreign.warc.gz")
+    val out = java.nio.file.Files.newOutputStream(gz)
+    val w = new WarcWriter.RecordStreamWriter(out, WarcWriter.Gzip)
+    val offsets = recs.map(w.write)
+    w.close()
+    // a pywb-style CDXJ: searchable-URL + timestamp lead fields, offset
+    // as a JSON STRING, one line per indexed capture only (every third
+    // member, never the first) — the archive's own index, not ours
+    val sparse = offsets.zipWithIndex.collect {
+      case (o, i) if i % 3 == 2 => o
+    }
+    assert(!sparse.contains(0L))
+    val cdxj = dir.resolve("foreign.cdxj")
+    java.nio.file.Files.write(cdxj, sparse.map(o =>
+      s"""org,example)/p$o 20230101000000 {"url": "http://example.org/p$o", """ +
+        s""""filename": "${gz.toString}", "offset": "$o", "status": "200"}""")
+      .mkString("\n").getBytes)
+
+    val df = spark.read.format("warc")
+      .option("member_index", cdxj.toString)
+      .option("max_partition_bytes", 16 * 1024)
+      .load(gz.toString)
+    assert(df.rdd.getNumPartitions > 1, "expected parallel member slices")
+    // COMPLETE scan: unindexed members (including the file head before
+    // the first indexed capture) ride in their slice
+    val plain = spark.read.format("warc").load(gz.toString)
+    assert(df.count() == 50L)
+    import org.apache.spark.sql.functions._
+    val a = df.agg(sum(col("content_length"))).head.getLong(0)
+    val b = plain.agg(sum(col("content_length"))).head.getLong(0)
+    assert(a == b, s"indexed scan content bytes $a != plain $b")
+  }
+
   test("headers column preserves order and duplicate keys") {
     import org.apache.spark.sql.functions._
     val row = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
