@@ -996,6 +996,61 @@ object Documents {
         .orderBy(col("cluster_id"))
     }),
 
+    // Canonical-URL dedup — the CRAWL-FRONTIER gate that runs before
+    // any content is even fetched: the same page arrives under
+    // www./apex hosts, mixed-case authorities, explicit default ports,
+    // trailing-slash variants and tracking-parameter decorations, and
+    // the frontier must recognize them as ONE capture slot. The corpus
+    // has no URL column, so each doc gets a deterministic MESSY url
+    // (t19's md5-digit derivation — both engines construct the
+    // identical string, fully computed oracle). Canonicalization then
+    // operates on the STRING, as a real frontier does: lowercase host,
+    // strip www., drop the https default port, trim the trailing
+    // slash, drop utm_* params, sort what survives. All of it is
+    // codegen'd string expressions in one scan; dedup is a
+    // groupBy(canonical) with map-side partial agg — one shuffle whose
+    // key count is the number of distinct PAGES, not captures. At
+    // 100 TB this is the cheapest dedup rung of all (runs on the
+    // manifest, not the content) and composes with d17's bloom gate
+    // for the incremental case.
+    "d21_url_canonical_dedup" -> ((s, dir) => {
+      val hex = (tag: String) => conv(substring(
+        md5(concat(lit(tag), col("doc_id").cast("string"))), 1, 1), 16, 10)
+        .cast("int")
+      val domain = element_at(array(UrlDomains.map(lit): _*), hex("host:") + 1)
+      val path = element_at(array(UrlPaths.map(lit): _*), hex("path:") + 1)
+      val messy = docs(s, dir).select(col("doc_id"), concat(
+          lit("https://"),
+          when(hex("www:") < 8, lit("WWW.")).otherwise(lit("")),
+          when(hex("case:") < 4, upper(domain)).otherwise(domain),
+          when(hex("port:") < 4, lit(":443")).otherwise(lit("")),
+          path,
+          when(hex("slash:") < 8 && path =!= "/", lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(hex("utm:") < 8, lit("utm_source=feed&")).otherwise(lit("")),
+          lit("p="), hex("p:").cast("string")).as("url"))
+      val host = regexp_extract(col("url"), "^https://([^/:?]+)", 1)
+      val rawPath = regexp_extract(col("url"), "^https://[^/?]+([^?]*)", 1)
+      val query = regexp_extract(col("url"), "\\?(.*)$", 1)
+      val chost = regexp_replace(lower(host), "^www\\.", "")
+      val trimmedPath = regexp_replace(rawPath, "/$", "")
+      val cpath = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+      val kept = array_join(array_sort(filter(split(query, "&"),
+        x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
+      val canonical = concat(lit("https://"), chost, cpath,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+      messy.select(col("doc_id"), canonical.as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("captures"))
+        .groupBy(regexp_extract(col("canonical"), "^https://([^/?]+)", 1)
+          .as("host"))
+        .agg(count(lit(1)).as("n_canonical"),
+          sum(col("captures")).as("n_docs"),
+          sum(col("captures") - 1).as("n_dup_docs"),
+          max(col("captures")).as("max_captures"))
+        .orderBy(col("host"))
+    }),
+
     // Bloom-filter INCREMENTAL dedup gate (the CCNet/Dolma "have we
     // already ingested this content" front door): the prior corpus is
     // summarized once into a bloom filter and every incoming document
@@ -2178,6 +2233,63 @@ object Documents {
     "d20_incremental_neardup" -> incrementalNeardupOracleSql(
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"),
+
+    "d21_url_canonical_dedup" -> {
+      val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
+      val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")
+      s"""WITH hx AS (SELECT doc_id,
+            strpos('0123456789abcdef', substring(
+              md5('host:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hhost,
+            strpos('0123456789abcdef', substring(
+              md5('path:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hpath,
+            strpos('0123456789abcdef', substring(
+              md5('www:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hwww,
+            strpos('0123456789abcdef', substring(
+              md5('case:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hcase,
+            strpos('0123456789abcdef', substring(
+              md5('port:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hport,
+            strpos('0123456789abcdef', substring(
+              md5('slash:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hslash,
+            strpos('0123456789abcdef', substring(
+              md5('utm:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hutm,
+            strpos('0123456789abcdef', substring(
+              md5('p:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hp
+          FROM documents),
+          u AS (SELECT doc_id, 'https://'
+            || CASE WHEN hwww < 8 THEN 'WWW.' ELSE '' END
+            || CASE WHEN hcase < 4
+                 THEN upper(([$domList])[hhost + 1])
+                 ELSE ([$domList])[hhost + 1] END
+            || CASE WHEN hport < 4 THEN ':443' ELSE '' END
+            || ([$pathList])[hpath + 1]
+            || CASE WHEN hslash < 8 AND ([$pathList])[hpath + 1] <> '/'
+                 THEN '/' ELSE '' END
+            || '?'
+            || CASE WHEN hutm < 8 THEN 'utm_source=feed&' ELSE '' END
+            || 'p=' || CAST(hp AS VARCHAR) AS url
+          FROM hx),
+          c AS (SELECT doc_id,
+            regexp_replace(lower(regexp_extract(
+              url, '^https://([^/:?]+)', 1)), '^www\\.', '') AS chost,
+            regexp_replace(regexp_extract(
+              url, '^https://[^/?]+([^?]*)', 1), '/$$', '') AS tpath,
+            array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(url, '\\?(.*)$$', 1), '&'),
+              x -> substring(x, 1, 4) <> 'utm_' AND x <> '')), '&') AS kept
+          FROM u),
+          canon AS (SELECT doc_id, 'https://' || chost
+            || CASE WHEN tpath = '' THEN '/' ELSE tpath END
+            || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical
+          FROM c),
+          g AS (SELECT canonical, count(*) AS captures
+            FROM canon GROUP BY canonical)
+          SELECT regexp_extract(canonical, '^https://([^/?]+)', 1) AS host,
+            count(*) AS n_canonical,
+            CAST(sum(captures) AS BIGINT) AS n_docs,
+            CAST(sum(captures - 1) AS BIGINT) AS n_dup_docs,
+            CAST(max(captures) AS BIGINT) AS max_captures
+          FROM g GROUP BY 1 ORDER BY host"""
+    },
 
     "d19_containment" -> {
       s"""WITH ${neardupStagesSql(
