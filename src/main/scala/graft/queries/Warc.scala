@@ -809,6 +809,95 @@ object Warc {
           (col("resp_bytes") + col("revisit_stored_bytes")).as("stored_bytes"))
     }),
 
+    // Continuation-record segmentation + reassembly (WARC/1.1 §5.18-20:
+    // WARC-Segment-Number / -Origin-ID / -Total-Length; the reference
+    // models `continuation` as record-type bit 128, warc.pyx:112-113,
+    // and leaves reassembly to the reader). A record too large for one
+    // archive block is written as a response segment 1 plus N
+    // continuation records pointing at it; reassembly groups
+    // continuations by origin id, orders by segment number and
+    // concatenates payloads. Build: re-write the fixture's 16 responses
+    // as 4 KiB segments with the engine's own writer, re-read,
+    // reassemble, and pin byte-exactness against the source payloads
+    // (md5 join on a src-digest key embedded in the origin id). At
+    // scale the shuffle moves segment-sized rows keyed by origin id —
+    // payload concat is bounded by one record's size, and the
+    // first-segment side joins by the same key, so nothing ever holds
+    // more than one logical record in memory.
+    "w40_segment_reassembly" -> ((s, _) => {
+      import graft.functions.WarcCols
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w40_segments"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val chunk = 4096
+      val resp = scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id").as("src_id"), col("record_date"),
+          WarcCols.targetUri(col("headers")).as("uri"), col("content"))
+      val withN = resp.withColumn("total_len", length(col("content")).cast("long"))
+        .withColumn("nseg",
+          ceil(col("total_len").cast("double") / chunk).cast("int"))
+      val origin = concat(lit("<urn:segment:"), md5(col("src_id")), lit(":1>"))
+      val segRows = withN
+        .select(col("src_id"), col("record_date"), col("uri"), col("content"),
+          col("total_len"), col("nseg"),
+          explode(sequence(lit(0), col("nseg") - 1)).as("segidx"))
+        .select(
+          when(col("segidx") === 0, origin)
+            .otherwise(concat(lit("<urn:segment:"), md5(col("src_id")),
+              lit(":"), (col("segidx") + 1).cast("string"), lit(">")))
+            .as("record_id"),
+          when(col("segidx") === 0, lit("response"))
+            .otherwise(lit("continuation")).as("record_type"),
+          col("record_date"),
+          filter(array(
+            struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
+            struct(lit("WARC-Segment-Number").as("key"),
+              (col("segidx") + 1).cast("string").as("value")),
+            when(col("segidx") > 0,
+              struct(lit("WARC-Segment-Origin-ID").as("key"),
+                origin.as("value"))),
+            when(col("segidx") === col("nseg") - 1 && col("nseg") > 1,
+              struct(lit("WARC-Segment-Total-Length").as("key"),
+                col("total_len").cast("string").as("value")))),
+            x => x.isNotNull).as("headers"),
+          expr(s"substring(content, segidx * $chunk + 1, $chunk)").as("content"))
+      segRows.coalesce(1)
+        .write.format("warc").option("checksum", "true").mode("append").save(out)
+      val recs = s.read.format("warc").load(out)
+      val firsts = recs.filter(col("record_type") === "response")
+        .select(col("record_id").as("origin_id"), col("content").as("c0"))
+      val tails = recs.filter(col("record_type") === "continuation")
+        .select(
+          WarcCols.header(col("headers"), "WARC-Segment-Origin-ID").as("origin_id"),
+          WarcCols.header(col("headers"), "WARC-Segment-Number")
+            .cast("int").as("segno"),
+          col("content").as("chunk_bytes"))
+        .groupBy(col("origin_id"))
+        .agg(array_sort(collect_list(
+          struct(col("segno"), col("chunk_bytes")))).as("parts"))
+      val reassembled = firsts.join(tails, Seq("origin_id"), "left")
+        .select(col("origin_id"),
+          concat(col("c0"),
+            coalesce(
+              aggregate(col("parts"), lit(Array.emptyByteArray),
+                (acc, x) => concat(acc, x.getField("chunk_bytes"))),
+              lit(Array.emptyByteArray))).as("payload"))
+      val src = resp.select(md5(col("src_id")).as("k"),
+        md5(col("content")).as("h"), length(col("content")).cast("long").as("len"))
+      val nRecords = recs.agg(count(lit(1)).as("n_records"))
+      reassembled
+        .withColumn("k",
+          regexp_extract(col("origin_id"), "urn:segment:([0-9a-f]+):", 1))
+        .join(broadcast(src), Seq("k"))
+        .agg(count(lit(1)).as("n_reassembled"),
+          sum(when(md5(col("payload")) === col("h"), 1L).otherwise(0L))
+            .as("n_bytes_match"),
+          sum(col("len")).as("total_bytes"))
+        .crossJoin(broadcast(nRecords)) // two 1-row aggregates
+        .select(col("n_records"), col("n_reassembled"),
+          col("n_bytes_match"), col("total_bytes"))
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -1093,6 +1182,14 @@ object Warc {
          CAST(205114 AS BIGINT) AS total_text_bytes,
          CAST(32 AS BIGINT) AS n_digest_ok,
          true AS batch_equal""",
+    // 16 responses at 4 KiB segments: sum(ceil(len/4096)) = 133 records;
+    // every origin reassembles byte-exactly (md5 == source md5) and the
+    // logical total is the w14 content-byte constant
+    "w40_segment_reassembly" ->
+      """SELECT CAST(133 AS BIGINT) AS n_records,
+         CAST(16 AS BIGINT) AS n_reassembled,
+         CAST(16 AS BIGINT) AS n_bytes_match,
+         CAST(518445 AS BIGINT) AS total_bytes""",
     // 16 originals (518,445 content bytes, the w14 round-trip constant)
     // + 16 zero-body revisits, every one resolving with a matching
     // payload digest: logical corpus = 2 × 518,445
