@@ -548,12 +548,15 @@ object Embeddings {
         .agg(over(col("hsim"), col("n_vec_id")).as("top"))
         .select(col("q_vec_id"), posexplode(col("top")).as(Seq("rank", "t")))
         .select(col("q_vec_id"), col("rank"), col("t._2").as("n_vec_id"))
-      // re-rank once for all 64: candidates joined back to full
-      // vectors; the 5-query vector side broadcasts
+      // re-rank once for all 64: the candidate set (bounded by
+      // overfetch × queries rows, NEVER corpus-sized) broadcasts to
+      // the vector store's scan, as does the 5-query vector side —
+      // the corpus is never shuffled for the re-rank
       val qv = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
-      val reranked = cand
-        .join(emb.select(col("vec_id").as("n_vec_id"), col("v").as("cv")), Seq("n_vec_id"))
+      val reranked = emb
+        .select(col("vec_id").as("n_vec_id"), col("v").as("cv"))
+        .join(broadcast(cand), Seq("n_vec_id"))
         .join(broadcast(qv), Seq("q_vec_id"))
         .select(col("q_vec_id"), col("rank"), col("n_vec_id"),
           cosineRounded(col("qv"), col("cv")).as("sim"))

@@ -47,6 +47,9 @@ object PlanAudit {
     "t24_chunk_overlap" -> "one scan, per-row sequence+slice chunk kernels, explode ~n/stride; no shuffle below the output sort",
     "d20_incremental_neardup" -> "asymmetric band probe: incoming keys join existing keys on (band_id, band_key), both sides independently skew-guarded; text only moves in the keyed gram re-joins",
     "e18_truncation_recall" -> "per truncation the 5-query side BROADCASTs and the corpus streams once; top-k is partial-agg, never a window over candidates",
+    "e20_binary_rerank_recall" -> "ONE hamming pass over 8-byte codes (query codes BROADCAST); the re-rank joins candidates back to vectors by id with the query-vector side broadcast; both depths filter the same pass",
+    "d21_url_canonical_dedup" -> "canonicalization is codegen'd string expressions in the scan; dedup is groupBy(canonical) with map-side partial agg — keys are pages, not captures",
+    "w40_segment_reassembly" -> "reassembly groups continuations by origin id (segment-sized rows only); the first-segment join and the md5-pin join broadcast their small sides",
   )
 
   def main(args: Array[String]): Unit = {
