@@ -492,11 +492,7 @@ object Embeddings {
     "e19_binary_quantize_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val coded = emb.select(col("vec_id"),
-        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
-          "acc + if(v[i] > 0d, shiftleft(1L, i), 0L))").as("c0"),
-        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
-          "acc + if(v[i] > 0d, shiftleft(1L, i - 32), 0L))").as("c1"))
+      val coded = signCodes(emb)
       val q = coded.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("c0").as("q0"), col("c1").as("q1"))
       val c = coded.select(col("vec_id").as("n_vec_id"), col("c0"), col("c1"))
@@ -529,11 +525,7 @@ object Embeddings {
     "e20_binary_rerank_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val coded = emb.select(col("vec_id"),
-        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
-          "acc + if(v[i] > 0d, shiftleft(1L, i), 0L))").as("c0"),
-        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
-          "acc + if(v[i] > 0d, shiftleft(1L, i - 32), 0L))").as("c1"))
+      val coded = signCodes(emb)
       val q = coded.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("c0").as("q0"), col("c1").as("q1"))
       val c = coded.select(col("vec_id").as("n_vec_id"), col("c0"), col("c1"))
@@ -591,6 +583,17 @@ object Embeddings {
     * result sets — the single gauge shared by e12 and e13 so the two
     * measurements can never drift apart.
     */
+  /** 1-bit sign codes over a (vec_id, v) frame, packed as two 32-bit
+    * halves so neither engine touches the BIGINT sign bit — the shared
+    * quantizer of e19 (raw-code recall) and e20 (re-rank curve).
+    */
+  private def signCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        "acc + if(v[i] > 0d, shiftleft(1L, i), 0L))").as("c0"),
+      expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+        "acc + if(v[i] > 0d, shiftleft(1L, i - 32), 0L))").as("c1"))
+
   private def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = exact.join(approx, Seq("q_vec_id", "n_vec_id"))
       .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
@@ -1162,6 +1165,20 @@ object Embeddings {
          FROM subs s JOIN refv k USING (sub_j)
          GROUP BY s.vec_id, s.sub_j)"""
 
+  /** The shared embq+coded CTE pair of the binary-quantization oracles
+    * (e19/e20) — the SQL mirror of [[signCodes]].
+    */
+  private val signCodesCteSql: String =
+    """embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          coded AS (SELECT vec_id,
+              CAST(list_sum(list_transform(range(0, 32), i ->
+                CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS c0,
+              CAST(list_sum(list_transform(range(32, 64), i ->
+                CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS c1
+            FROM embq),"""
+
   /** The shared SQL tail of the recall gauges: expects `exact` and
     * `approx` CTEs of (q_vec_id, n_vec_id) upstream — one text for
     * e12, e13 and e14, mirroring [[recallVsExact]].
@@ -1288,15 +1305,7 @@ object Embeddings {
           ORDER BY b.d DESC, b.q_vec_id""",
     "e19_binary_quantize_recall" ->
       s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
-          embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          coded AS (SELECT vec_id,
-              CAST(list_sum(list_transform(range(0, 32), i ->
-                CASE WHEN v[CAST(i + 1 AS INT)] > 0
-                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS c0,
-              CAST(list_sum(list_transform(range(32, 64), i ->
-                CASE WHEN v[CAST(i + 1 AS INT)] > 0
-                  THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS c1
-            FROM embq),
+          $signCodesCteSql
           q AS (SELECT vec_id AS q_vec_id, c0 AS q0, c1 AS q1 FROM coded
                 WHERE vec_id < 5),
           c AS (SELECT vec_id AS n_vec_id, c0, c1 FROM coded),
@@ -1313,15 +1322,7 @@ object Embeddings {
 
     "e20_binary_rerank_recall" ->
       s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
-          embq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          coded AS (SELECT vec_id,
-              CAST(list_sum(list_transform(range(0, 32), i ->
-                CASE WHEN v[CAST(i + 1 AS INT)] > 0
-                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS c0,
-              CAST(list_sum(list_transform(range(32, 64), i ->
-                CASE WHEN v[CAST(i + 1 AS INT)] > 0
-                  THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS c1
-            FROM embq),
+          $signCodesCteSql
           qb AS (SELECT vec_id AS q_vec_id, c0 AS q0, c1 AS q1 FROM coded
                  WHERE vec_id < 5),
           cb AS (SELECT vec_id AS n_vec_id, c0, c1 FROM coded),
