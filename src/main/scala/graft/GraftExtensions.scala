@@ -107,5 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim")(
       viaColumns("cosine_sim", 2)(as =>
         graft.functions.Similarity.cosine(as.head, as(1))))
+    inject("canonical_url")(
+      viaColumns("canonical_url", 1)(as =>
+        graft.functions.Web.canonicalUrl(as.head)))
   }
 }

@@ -292,4 +292,25 @@ object Web {
     }
     org.apache.spark.sql.functions.udaf(agg)
   }
+
+  /** canonical_url(url) — crawl-frontier URL canonicalization (the d21
+    * dedup key): lowercase the host, strip a leading `www.`, drop the
+    * https default port, trim the trailing slash (root stays `/`),
+    * drop `utm_*` tracking params and sort what survives. Pure Catalyst
+    * string expressions (NOT a UDF — this runs on every manifest row of
+    * a 100 TB crawl, it must stay inside whole-stage codegen).
+    */
+  def canonicalUrl(url: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val host = regexp_extract(url, "^https://([^/:?]+)", 1)
+    val rawPath = regexp_extract(url, "^https://[^/?]+([^?]*)", 1)
+    val query = regexp_extract(url, "\\?(.*)$", 1)
+    val chost = regexp_replace(lower(host), "^www\\.", "")
+    val trimmedPath = regexp_replace(rawPath, "/$", "")
+    val cpath = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
+    concat(lit("https://"), chost, cpath,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
 }

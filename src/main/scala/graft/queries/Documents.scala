@@ -1029,16 +1029,7 @@ object Documents {
           lit("?"),
           when(hex("utm:") < 8, lit("utm_source=feed&")).otherwise(lit("")),
           lit("p="), hex("p:").cast("string")).as("url"))
-      val host = regexp_extract(col("url"), "^https://([^/:?]+)", 1)
-      val rawPath = regexp_extract(col("url"), "^https://[^/?]+([^?]*)", 1)
-      val query = regexp_extract(col("url"), "\\?(.*)$", 1)
-      val chost = regexp_replace(lower(host), "^www\\.", "")
-      val trimmedPath = regexp_replace(rawPath, "/$", "")
-      val cpath = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
-      val kept = array_join(array_sort(filter(split(query, "&"),
-        x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
-      val canonical = concat(lit("https://"), chost, cpath,
-        when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+      val canonical = graft.functions.Web.canonicalUrl(col("url"))
       messy.select(col("doc_id"), canonical.as("canonical"))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("captures"))

@@ -138,4 +138,25 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cosCol = vecs.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
     assert(cosSql == cosCol && math.abs(cosSql - 0.5) < 1e-12)
   }
+
+  test("canonical_url from SQL matches the Column API and the frontier rules") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      "https://WWW.Example.COM:443/article/?utm_source=feed&p=3",
+      "https://example.com/article?p=3",
+      "https://www.example.com/",
+      "https://example.com?utm_source=x").toDF("u")
+    urls.createOrReplaceTempView("ext_urls")
+    val sql = spark.sql("SELECT canonical_url(u) AS c FROM ext_urls")
+      .collect().map(_.getString(0)).toSeq
+    val colApi = urls.select(graft.functions.Web.canonicalUrl(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(sql == colApi)
+    // the first two variants collapse to the same canonical page
+    assert(sql(0) == "https://example.com/article?p=3" && sql(0) == sql(1))
+    assert(sql(2) == "https://example.com/")
+    assert(sql(3) == "https://example.com/")
+  }
 }
