@@ -294,23 +294,30 @@ object Web {
   }
 
   /** canonical_url(url) — crawl-frontier URL canonicalization (the d21
-    * dedup key): lowercase the host, strip a leading `www.`, drop the
-    * https default port, trim the trailing slash (root stays `/`),
-    * drop `utm_*` tracking params and sort what survives. Pure Catalyst
-    * string expressions (NOT a UDF — this runs on every manifest row of
-    * a 100 TB crawl, it must stay inside whole-stage codegen).
+    * dedup key): lowercase the scheme and host, strip a leading `www.`,
+    * drop the scheme's DEFAULT port (443 for https, 80 for http — a
+    * non-default port is identity-bearing and survives), trim the
+    * trailing slash (root stays `/`), drop `utm_*` tracking params and
+    * sort what survives. Pure Catalyst string expressions (NOT a UDF —
+    * this runs on every manifest row of a 100 TB crawl, it must stay
+    * inside whole-stage codegen).
     */
   def canonicalUrl(url: Column): Column = {
     import org.apache.spark.sql.functions._
-    val host = regexp_extract(url, "^https://([^/:?]+)", 1)
-    val rawPath = regexp_extract(url, "^https://[^/?]+([^?]*)", 1)
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_extract(url, "^[A-Za-z]+://([^/:?]+)", 1)
+    val port = regexp_extract(url, "^[A-Za-z]+://[^/:?]+:([0-9]+)", 1)
+    val rawPath = regexp_extract(url, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
     val query = regexp_extract(url, "\\?(.*)$", 1)
     val chost = regexp_replace(lower(host), "^www\\.", "")
+    val defaultPort = (scheme === "https" && port === "443") ||
+      (scheme === "http" && port === "80") || port === ""
+    val cport = when(defaultPort, lit("")).otherwise(concat(lit(":"), port))
     val trimmedPath = regexp_replace(rawPath, "/$", "")
     val cpath = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
     val kept = array_join(array_sort(filter(split(query, "&"),
       x => substring(x, 1, 4) =!= "utm_" && x =!= "")), "&")
-    concat(lit("https://"), chost, cpath,
+    concat(scheme, lit("://"), chost, cport, cpath,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 }

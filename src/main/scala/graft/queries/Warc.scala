@@ -632,6 +632,83 @@ object Warc {
       }
     }),
 
+    // The streaming crawl FRONTIER gate — w35's shape, but keyed by
+    // d21's canonical URL instead of the content fingerprint, i.e. the
+    // gate that decides whether to FETCH at all. Crawl-b is a DISGUISED
+    // re-crawl of every page (scheme/host case flipped, `WWW.` grafted
+    // on, a `utm_source` decoration appended — the variants real feeds
+    // produce), written through the engine's own writer: a naive
+    // verbatim-URI gate sees 32 distinct URLs and fetches everything
+    // twice; the canonical gate recognizes 16 pages and suppresses the
+    // entire second crawl. Both counts are pinned in-row, so the result
+    // itself proves the canonicalization is the load-bearing step.
+    // State is canonical urls inside the watermark horizon — the
+    // bounded-state property that holds at 100 TB/day.
+    "w41_streaming_frontier" -> ((s, _) => {
+      import graft.functions.{WarcCols, Web}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val landing = new java.io.File(s"$tmp/graft_w41_landing")
+      org.apache.commons.io.FileUtils.deleteDirectory(landing)
+      landing.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc.gz"),
+        new java.io.File(landing, "crawl-a.warc.gz").toPath)
+      // crawl-b: same 16 pages under disguised URLs
+      val recrawlDir = s"$tmp/graft_w41_recrawl"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(recrawlDir))
+      val resp = scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id").as("src_id"), col("record_date"),
+          WarcCols.targetUri(col("headers")).as("uri"), col("content"))
+      val decorated = when(col("uri").contains("?"),
+          concat(col("uri"), lit("&utm_source=refeed")))
+        .otherwise(concat(col("uri"), lit("?utm_source=refeed")))
+      val disguised = regexp_replace(decorated, "^http://", "HTTP://WWW.")
+      resp.select(
+          concat(lit("<urn:recrawl:"), md5(col("src_id")), lit(">")).as("record_id"),
+          lit("response").as("record_type"),
+          col("record_date"),
+          array(struct(lit("WARC-Target-URI").as("key"),
+            disguised.as("value"))).as("headers"),
+          col("content"))
+        .coalesce(1)
+        .write.format("warc").option("checksum", "true")
+        .mode("append").save(recrawlDir)
+      val partFile = new java.io.File(recrawlDir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head
+      val gate = s.readStream.format("warc")
+        .option("record_types", "response").load(landing.getPath)
+        .select(col("record_date").as("ts"),
+          Web.canonicalUrl(WarcCols.targetUri(col("headers"))).as("curl"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("curl")
+      graft.operators.RoundPartitions.scoped(s, 50) {
+        val qname = "graft_w41_mem"
+        val q = gate.writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+        try {
+          q.processAllAvailable()
+          java.nio.file.Files.copy(partFile.toPath, // the disguised re-crawl lands
+            new java.io.File(landing, "crawl-b.warc.gz").toPath)
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = s.table(qname).select(col("curl"))
+        val batchUris = s.read.format("warc").option("record_types", "response")
+          .load(landing.getPath)
+          .select(WarcCols.targetUri(col("headers")).as("uri"))
+        val batchCanon = batchUris.select(Web.canonicalUrl(col("uri")).as("curl"))
+          .distinct()
+        val mismatches = streamed.exceptAll(batchCanon).count() +
+          batchCanon.exceptAll(streamed).count()
+        val nInput = batchUris.count()
+        val nNaive = batchUris.distinct().count()
+        streamed.agg(count(lit(1)).as("n_first"))
+          .select(lit(nInput).as("n_input"), lit(nNaive).as("n_naive_first"),
+            col("n_first"), (lit(nInput) - col("n_first")).as("n_dup_suppressed"),
+            lit(mismatches == 0L).as("batch_equal"))
+      }
+    }),
+
     // The LLM-ingest front door as a STREAMING query (continuous crawl
     // -> dedup -> sink): the WARC micro-batch source feeds a
     // watermarked `dropDuplicatesWithinWatermark` on the content
@@ -1181,6 +1258,15 @@ object Warc {
          CAST(32 AS BIGINT) AS n_conversion,
          CAST(205114 AS BIGINT) AS total_text_bytes,
          CAST(32 AS BIGINT) AS n_digest_ok,
+         true AS batch_equal""",
+    // 16 pages crawled twice (the second time disguised): the naive
+    // verbatim-URI gate sees 32 distinct URLs, the canonical gate 16 —
+    // the whole re-crawl suppressed, streaming == batch pinned in-row
+    "w41_streaming_frontier" ->
+      """SELECT CAST(32 AS BIGINT) AS n_input,
+         CAST(32 AS BIGINT) AS n_naive_first,
+         CAST(16 AS BIGINT) AS n_first,
+         CAST(16 AS BIGINT) AS n_dup_suppressed,
          true AS batch_equal""",
     // 16 responses at 4 KiB segments: sum(ceil(len/4096)) = 133 records;
     // every origin reassembles byte-exactly (md5 == source md5) and the
