@@ -147,7 +147,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://WWW.Example.COM:443/article/?utm_source=feed&p=3",
       "https://example.com/article?p=3",
       "https://www.example.com/",
-      "https://example.com?utm_source=x").toDF("u")
+      "https://example.com?utm_source=x",
+      "HTTP://WWW.Example.COM:80/a/",
+      "http://example.com/a",
+      "http://example.com:8080/a").toDF("u")
     urls.createOrReplaceTempView("ext_urls")
     val sql = spark.sql("SELECT canonical_url(u) AS c FROM ext_urls")
       .collect().map(_.getString(0)).toSeq
@@ -158,5 +161,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql(0) == "https://example.com/article?p=3" && sql(0) == sql(1))
     assert(sql(2) == "https://example.com/")
     assert(sql(3) == "https://example.com/")
+    // scheme-aware: http default port drops, a NON-default port survives
+    assert(sql(4) == "http://example.com/a" && sql(4) == sql(5))
+    assert(sql(6) == "http://example.com:8080/a")
   }
 }
