@@ -165,4 +165,34 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql(4) == "http://example.com/a" && sql(4) == sql(5))
     assert(sql(6) == "http://example.com:8080/a")
   }
+
+  test("canonical_url is idempotent over the messy-variant product space") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // the full combinatorial space of variants the canonicalizer
+    // handles; idempotence is what makes the output safe to STORE as a
+    // frontier key and re-gate against later
+    val urls = (for {
+      scheme <- Seq("http", "HTTPS")
+      www <- Seq("", "WWW.", "www.")
+      host <- Seq("Example.COM", "sub.example.org")
+      port <- Seq("", ":443", ":80", ":8080")
+      path <- Seq("", "/", "/a/b.html", "/a/b/")
+      qs <- Seq("", "?p=1", "?utm_source=x", "?utm_source=x&p=1&a=2")
+    } yield s"$scheme://$www$host$port$path$qs").toDF("u")
+    val once = urls.select(graft.functions.Web.canonicalUrl(col("u")).as("c1"))
+    val twice = once.select(col("c1"),
+      graft.functions.Web.canonicalUrl(col("c1")).as("c2"))
+    val broken = twice.filter(col("c1") =!= col("c2")).collect()
+    assert(broken.isEmpty,
+      s"canonical_url not idempotent for: ${broken.take(5).mkString(", ")}")
+    // and the space collapses to EXACTLY its identity-bearing product:
+    // 2 schemes x 2 hosts x 3 ports (empty, :8080, and the OTHER
+    // scheme's default, which is identity-bearing here) x 3 paths
+    // ("" and "/" and "/a/b/"-trimmed merge pairwise) x 3 param sets
+    // ("" and "?utm" merge; sorted "?a=2&p=1" and "?p=1" survive)
+    val n = once.distinct().count()
+    assert(n == 108L, s"expected 108 canonical of ${urls.count()}, got $n")
+  }
 }
