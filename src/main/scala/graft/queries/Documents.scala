@@ -480,6 +480,82 @@ object Documents {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt gate (RFC 9309) — the crawl-side politeness filter
+    // t19/d21 presuppose: per-domain robots TEXT is derived
+    // deterministically (both engines build the identical bytes), then
+    // REALLY parsed — lines → User-agent sections → per-section rules —
+    // and the crawler honors the most specific matching agent group
+    // (§2.2.1: the graftbot group supersedes `*` where present),
+    // longest-prefix rule wins, Allow wins length ties (§2.2.2), no
+    // match ⇒ allowed. Implementation is section assignment by
+    // nearest-preceding-User-agent line (a max(struct) per rule, no
+    // stateful scan) and gating by max(struct(prefix_len, allow)) per
+    // URL — the boolean tie-break IS the RFC's allow-wins rule. At
+    // 100 TB the parsed rules table is rows-per-rule ACROSS ALL HOSTS
+    // (millions of rows, megabytes) — it broadcasts, and the URL
+    // manifest is gated in one scan without shuffling.
+    "t26_robots_gate" -> ((s, dir) => {
+      val hexDoc = (tag: String) => conv(substring(
+        md5(concat(lit(tag), col("doc_id").cast("string"))), 1, 1), 16, 10)
+        .cast("int")
+      val hexDom = (tag: String) => conv(substring(
+        md5(concat(lit(tag), col("domain"))), 1, 1), 16, 10).cast("int")
+      val domainOfDoc = element_at(array(UrlDomains.map(lit): _*),
+        hexDoc("host:") + 1)
+      val domains = docs(s, dir).select(domainOfDoc.as("domain")).distinct()
+      val robots = domains.select(col("domain"), concat(
+        lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        when(hexDom("tmp:") < 8, lit("Disallow: /tmp\n")).otherwise(lit("")),
+        when(hexDom("bot:") < 4,
+          lit("\nUser-agent: graftbot\nDisallow: /private\n"))
+          .otherwise(lit(""))).as("txt"))
+      val lines = robots.select(col("domain"),
+        posexplode(split(col("txt"), "\n")).as(Seq("idx", "line")))
+      val uas = lines.filter(col("line").startsWith("User-agent: "))
+        .select(col("domain"), col("idx").as("ua_idx"),
+          substring(col("line"), 13, 100).as("agent"))
+      val rules = lines
+        .filter(col("line").startsWith("Allow: ") ||
+          col("line").startsWith("Disallow: "))
+        .select(col("domain"), col("idx").as("r_idx"),
+          col("line").startsWith("Allow: ").as("allow"),
+          when(col("line").startsWith("Allow: "),
+            substring(col("line"), 8, 200))
+            .otherwise(substring(col("line"), 11, 200)).as("prefix"))
+      val sectioned = rules.join(uas, Seq("domain"))
+        .filter(col("ua_idx") < col("r_idx"))
+        .groupBy(col("domain"), col("r_idx"), col("allow"), col("prefix"))
+        .agg(max(struct(col("ua_idx"), col("agent"))).as("s"))
+        .select(col("domain"), col("allow"), col("prefix"),
+          col("s.agent").as("agent"))
+      val botDomains = sectioned.filter(col("agent") === "graftbot")
+        .select(col("domain")).distinct().withColumn("has_bot", lit(true))
+      val chosen = sectioned.join(botDomains, Seq("domain"), "left")
+        .filter(when(coalesce(col("has_bot"), lit(false)),
+          col("agent") === "graftbot").otherwise(col("agent") === "*"))
+        .select(col("domain"), col("allow"), col("prefix"))
+      val urls = docs(s, dir).select(col("doc_id"),
+        domainOfDoc.as("domain"),
+        element_at(array(RobotsPaths.map(lit): _*),
+          hexDoc("rpath:") + 1).as("path"))
+      val gated = urls.join(broadcast(chosen), Seq("domain"), "left")
+        .select(col("doc_id"), col("domain"),
+          when(col("path").startsWith(col("prefix")),
+            struct(length(col("prefix")).as("l"), col("allow").as("a"))).as("m"))
+        .groupBy(col("doc_id"), col("domain"))
+        .agg(max(col("m")).as("best"))
+        .select(col("domain"),
+          coalesce(col("best.a"), lit(true)).as("allowed"))
+      gated.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"))
+        .join(broadcast(botDomains), Seq("domain"), "left")
+        .select(col("domain"), col("n_urls"), col("n_allowed"),
+          col("n_blocked"), coalesce(col("has_bot"), lit(false)).as("has_bot"))
+        .orderBy(col("domain"))
+    }),
+
     // Unicode NFC normalization + whitespace canonicalization (the
     // opening stage of every cleaning pipeline). The corpus is ASCII,
     // so both engines first derive the same DIRTY text (a combining
@@ -1168,6 +1244,16 @@ object Documents {
     "/index.html", "/article", "/page.php", "/image.jpg", "/doc.pdf",
     "/post", "/view.html", "/", "/item", "/read.html", "/download.jpg",
     "/entry", "/main.html", "/report.pdf", "/thread", "/home")
+
+  /** Robots-relevant path table for t26 — chosen to exercise the RFC's
+    * edge cases: literal-prefix semantics ("/privateer" IS blocked by
+    * "Disallow: /private"), longest-match Allow override
+    * ("/private/okay" matches "Allow: /private/ok"), and unruled paths.
+    */
+  private[queries] val RobotsPaths = Seq(
+    "/", "/article", "/private", "/private/ok", "/private/okay",
+    "/tmp/x", "/ok.html", "/tmp", "/private/sub", "/index.html",
+    "/about", "/p", "/tmp/", "/privateer", "/x/y", "/ok")
 
   /** Three-doc chains a—b—c where adjacent docs are near-dups (token
     * Jaccard 16/24 ≈ 0.667 ≥ 0.5) but the endpoints are not (12/28 ≈
@@ -2224,6 +2310,58 @@ object Documents {
     "d20_incremental_neardup" -> incrementalNeardupOracleSql(
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"),
+
+    "t26_robots_gate" -> {
+      val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
+      val rpathList = RobotsPaths.map(p => s"'$p'").mkString(", ")
+      s"""WITH doms AS (SELECT DISTINCT ([$domList])[strpos('0123456789abcdef',
+            substring(md5('host:'||CAST(doc_id AS VARCHAR)),1,1))] AS domain FROM documents),
+        robots AS (SELECT domain,
+          'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10)
+          || CASE WHEN strpos('0123456789abcdef', substring(md5('tmp:'||domain),1,1)) - 1 < 8
+               THEN 'Disallow: /tmp' || chr(10) ELSE '' END
+          || CASE WHEN strpos('0123456789abcdef', substring(md5('bot:'||domain),1,1)) - 1 < 4
+               THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /private' || chr(10) ELSE '' END
+          AS txt FROM doms),
+        lines AS (SELECT domain, CAST(u['i'] AS INT) AS idx, CAST(u['l'] AS VARCHAR) AS line FROM (
+            SELECT domain, unnest(list_transform(string_split(txt, chr(10)),
+              (x, i) -> {'i': i, 'l': x})) AS u FROM robots) z),
+        uas AS (SELECT domain, idx AS ua_idx, substring(line, 13, 100) AS agent
+          FROM lines WHERE starts_with(line, 'User-agent: ')),
+        rules AS (SELECT domain, idx AS r_idx, starts_with(line, 'Allow: ') AS allow,
+            CASE WHEN starts_with(line, 'Allow: ') THEN substring(line, 8, 200)
+                 ELSE substring(line, 11, 200) END AS prefix
+          FROM lines WHERE starts_with(line, 'Allow: ') OR starts_with(line, 'Disallow: ')),
+        sectioned AS (SELECT r.domain, r.allow, r.prefix, arg_max(u.agent, u.ua_idx) AS agent
+          FROM rules r JOIN uas u ON u.domain = r.domain AND u.ua_idx < r.r_idx
+          GROUP BY r.domain, r.r_idx, r.allow, r.prefix),
+        bots AS (SELECT DISTINCT domain FROM sectioned WHERE agent = 'graftbot'),
+        chosen AS (SELECT s.domain, s.allow, s.prefix FROM sectioned s
+          WHERE (s.domain IN (SELECT domain FROM bots) AND s.agent = 'graftbot')
+             OR (s.domain NOT IN (SELECT domain FROM bots) AND s.agent = '*')),
+        urls AS (SELECT doc_id,
+            ([$domList])[strpos('0123456789abcdef',
+              substring(md5('host:'||CAST(doc_id AS VARCHAR)),1,1))] AS domain,
+            ([$rpathList])[strpos('0123456789abcdef',
+              substring(md5('rpath:'||CAST(doc_id AS VARCHAR)),1,1))] AS path
+          FROM documents),
+        g AS (SELECT u.doc_id, u.domain, r.allow, r.prefix
+          FROM urls u LEFT JOIN chosen r
+            ON r.domain = u.domain AND starts_with(u.path, r.prefix)),
+        ranked AS (SELECT doc_id, domain, allow, row_number() OVER (
+            PARTITION BY doc_id ORDER BY (CASE WHEN prefix IS NULL THEN -1
+              ELSE len(prefix) END) DESC, allow DESC) AS rn FROM g),
+        dec AS (SELECT doc_id, domain,
+            CASE WHEN allow IS NULL THEN true ELSE allow END AS allowed
+          FROM ranked WHERE rn = 1),
+        agg AS (SELECT domain, count(*) AS n_urls,
+            CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+            CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
+          FROM dec GROUP BY domain)
+        SELECT a.domain, a.n_urls, a.n_allowed, a.n_blocked,
+          a.domain IN (SELECT domain FROM bots) AS has_bot
+        FROM agg a ORDER BY a.domain"""
+    },
 
     "d21_url_canonical_dedup" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
