@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis._
+import scala.jdk.CollectionConverters._
 
 /** Training-data-pipeline operators over the `documents` table: token
   * stats, quality scoring, language-ID, fingerprinting, exact dedup,
@@ -553,6 +554,53 @@ object Documents {
         .join(broadcast(botDomains), Seq("domain"), "left")
         .select(col("domain"), col("n_urls"), col("n_allowed"),
           col("n_blocked"), coalesce(col("has_bot"), lit(false)).as("has_bot"))
+        .orderBy(col("domain"))
+    }),
+
+    // sitemap.xml discovery — t26's companion on the URL-SUPPLY side:
+    // per-domain sitemap XML (deterministically derived, identical
+    // bytes in both engines) parsed with Spark's NATIVE from_xml into
+    // typed (loc, lastmod DATE, priority DOUBLE) rows — no UDF, no
+    // regex scraping on the engine side; the discovered count comes
+    // from the PARSED array, so the row proves the XML path works.
+    // Freshness and priority are the recrawl-scheduling signals. At
+    // 100 TB of sitemaps this is one scan with a per-row parse kernel
+    // and a partial-agg rollup — nothing shuffles but the 16-row
+    // summary. (The oracle cross-checks with regex extraction — two
+    // independent readings of the same bytes must agree.)
+    "t27_sitemap_discover" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val hexDom = (tag: String) => conv(substring(
+        md5(concat(lit(tag), col("domain"))), 1, 1), 16, 10).cast("int")
+      val domains = docs(s, dir).select(element_at(
+          array(UrlDomains.map(lit): _*),
+          conv(substring(md5(concat(lit("host:"), col("doc_id").cast("string"))),
+            1, 1), 16, 10).cast("int") + 1).as("domain"))
+        .distinct()
+      val n = lit(2) + (hexDom("n:") % 6)
+      val urlElems = transform(sequence(lit(1), n), j => concat(
+        lit("<url><loc>https://"), col("domain"), lit("/page"), j.cast("string"),
+        lit("</loc><lastmod>2024-01-"),
+        lpad(((conv(substring(md5(concat(lit("lm:"), col("domain"), lit(":"),
+          j.cast("string"))), 1, 1), 16, 10).cast("int") % 28) + 1).cast("string"),
+          2, "0"),
+        lit("</lastmod><priority>0."),
+        (conv(substring(md5(concat(lit("pr:"), col("domain"), lit(":"),
+          j.cast("string"))), 1, 1), 16, 10).cast("int") % 10).cast("string"),
+        lit("</priority></url>")))
+      val xml = concat(lit("<urlset>"), array_join(urlElems, ""), lit("</urlset>"))
+      val schema = StructType(Seq(StructField("url", ArrayType(StructType(Seq(
+        StructField("loc", StringType), StructField("lastmod", DateType),
+        StructField("priority", DoubleType)))))))
+      val parsed = domains.select(col("domain"),
+        from_xml(xml, schema, Map.empty[String, String].asJava).as("sm"))
+      parsed.select(col("domain"), explode(col("sm.url")).as("u"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_discovered"),
+          sum(when(col("u.lastmod") >= lit("2024-01-10").cast("date"), 1L)
+            .otherwise(0L)).as("n_fresh"),
+          max(col("u.priority")).as("max_priority"),
+          min(col("u.loc")).as("first_loc"))
         .orderBy(col("domain"))
     }),
 
@@ -2310,6 +2358,34 @@ object Documents {
     "d20_incremental_neardup" -> incrementalNeardupOracleSql(
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"),
+
+    // independent cross-read: Spark parses the sitemap with native
+    // from_xml; the oracle re-reads the identical bytes with regex
+    // extraction — agreement proves the typed XML path end-to-end
+    "t27_sitemap_discover" -> {
+      val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
+      s"""WITH doms AS (SELECT DISTINCT ([$domList])[strpos('0123456789abcdef',
+            substring(md5('host:'||CAST(doc_id AS VARCHAR)),1,1))] AS domain FROM documents),
+        sm AS (SELECT domain, '<urlset>' || list_aggregate(list_transform(
+            range(1, 2 + ((strpos('0123456789abcdef', substring(md5('n:'||domain),1,1)) - 1) % 6) + 1),
+            j -> '<url><loc>https://' || domain || '/page' || CAST(j AS VARCHAR)
+              || '</loc><lastmod>2024-01-'
+              || lpad(CAST(((strpos('0123456789abcdef', substring(md5('lm:'||domain||':'||CAST(j AS VARCHAR)),1,1)) - 1) % 28) + 1 AS VARCHAR), 2, '0')
+              || '</lastmod><priority>0.'
+              || CAST((strpos('0123456789abcdef', substring(md5('pr:'||domain||':'||CAST(j AS VARCHAR)),1,1)) - 1) % 10 AS VARCHAR)
+              || '</priority></url>'), 'string_agg', '') || '</urlset>' AS xml
+          FROM doms),
+        ex AS (SELECT domain,
+            unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc,
+            unnest(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod,
+            unnest(regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1)) AS priority
+          FROM sm)
+        SELECT domain, count(*) AS n_discovered,
+          CAST(sum(CASE WHEN CAST(lastmod AS DATE) >= DATE '2024-01-10' THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+          max(CAST(priority AS DOUBLE)) AS max_priority,
+          min(loc) AS first_loc
+        FROM ex GROUP BY domain ORDER BY domain"""
+    },
 
     "t26_robots_gate" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
