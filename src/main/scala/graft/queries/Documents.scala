@@ -19,6 +19,40 @@ object Documents {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** BPE word-frequency table (t25/t28): normalized words as '<c>'
+    * marker symbol strings with corpus frequencies — vocabulary-sized,
+    * the only training state BPE ever needs.
+    */
+  private def bpeWords(d: DataFrame): DataFrame =
+    d.select(explode(tokens(col("text"))).as("tok"))
+      .select(lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
+
+  /** One BPE merge round: count adjacent symbol pairs, pick the most
+    * frequent (ties broken lexically so both engines agree), fuse it
+    * corpus-wide via a 1-row broadcast. Returns (winning merge, fused
+    * word table).
+    */
+  private def bpeStep(ws: DataFrame): (DataFrame, DataFrame) = {
+    val top = ws
+      .select(col("freq"),
+        split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i+1] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+    val next = ws.crossJoin(broadcast(top))
+      .select(expr(
+        "replace(syms, concat('<', l, '><', r, '>'), concat('<', l, r, '>'))")
+        .as("syms"), col("freq"))
+    (top, next)
+  }
+
   /** Paragraph-level corpus dedup core (C4/Dolma scrub): split each
     * document's `text` into '. '-separated paragraphs and keep only the
     * globally FIRST occurrence of each exact paragraph (min (doc_id,
@@ -741,35 +775,48 @@ object Documents {
     // left-to-right string replace — exactly BPE's greedy-left fuse
     // (both engines' replace() is non-overlapping left-to-right).
     "t25_bpe_merge_train" -> ((s, dir) => {
-      val words = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .select(lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
-      def step(ws: DataFrame): (DataFrame, DataFrame) = {
-        val top = ws
-          .select(col("freq"),
-            split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i+1] AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        val next = ws.crossJoin(broadcast(top))
-          .select(expr(
-            "replace(syms, concat('<', l, '><', r, '>'), concat('<', l, r, '>'))")
-            .as("syms"), col("freq"))
-        (top, next)
-      }
-      val (m1, w1) = step(words)
-      val (m2, w2) = step(w1)
-      val (m3, _) = step(w2)
+      val (m1, w1) = bpeStep(bpeWords(docs(s, dir)))
+      val (m2, w2) = bpeStep(w1)
+      val (m3, _) = bpeStep(w2)
       Seq(m1, m2, m3).zipWithIndex.map { case (m, i) =>
         m.select(lit(i + 1L).as("merge_rank"), col("l"), col("r"), col("cnt"))
       }.reduce(_ unionAll _).orderBy(col("merge_rank"))
+    }),
+
+    // BPE ENCODE — the apply side of t25 and the last stage of the
+    // tokenizer path (t11 pre-tokenize -> t25 merge-train -> encode):
+    // the trained merge list is applied rank-by-rank to every word of
+    // every document, then each doc reports its token count and
+    // chars-per-token compression. The merge table is tiny (tens of
+    // thousands of ranks for a production tokenizer) so it BROADCASTS
+    // and encoding is a pure per-row replace chain — the corpus never
+    // shuffles; the only exchanges are the vocabulary-sized training
+    // aggregation and the output sort. Three unrolled ranks so the
+    // DuckDB oracle replays the identical train + encode end to end.
+    "t28_bpe_encode" -> ((s, dir) => {
+      val (m1, w1) = bpeStep(bpeWords(docs(s, dir)))
+      val (m2, w2) = bpeStep(w1)
+      val (m3, _) = bpeStep(w2)
+      def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
+        df.crossJoin(broadcast(m.select(col("l").as("_ml"), col("r").as("_mr"))))
+          .withColumn("syms", expr(
+            "replace(syms, concat('<', _ml, '><', _mr, '>'), concat('<', _ml, _mr, '>'))"))
+          .drop("_ml", "_mr")
+      val docWords = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .withColumn("syms", regexp_replace(col("w"), "(.)", "<$1>"))
+      val nSyms = length(col("syms")) - length(expr("replace(syms, '<', '')"))
+      applyMerge(applyMerge(applyMerge(docWords, m1), m2), m3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(nSyms).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("compression"))
+        .orderBy(col("doc_id"))
     }),
 
     // Sliding-window chunking (the retrieval-index / finetune-prep
@@ -2119,6 +2166,63 @@ object Documents {
          UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2
          UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3
          ORDER BY merge_rank"""
+    },
+
+    "t28_bpe_encode" -> {
+      def pairsCte(p: String, w: String): String =
+        s"""$p AS (
+             SELECT a[CAST(i AS INT)] AS l, a[CAST(i + 1 AS INT)] AS r,
+               CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq,
+                 regexp_split_to_array(substring(syms, 2, length(syms) - 2), '><') AS a
+               FROM $w) t,
+               unnest(generate_series(1, len(a) - 1)) AS u(i)
+             GROUP BY 1, 2)"""
+      def mergeCte(m: String, p: String): String =
+        s"$m AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1)"
+      def applyCte(wNext: String, w: String, m: String): String =
+        s"""$wNext AS (
+             SELECT replace(syms, '<' || m.l || '><' || m.r || '>',
+               '<' || m.l || m.r || '>') AS syms, freq
+             FROM $w CROSS JOIN $m m)"""
+      def encCte(sNext: String, sPrev: String, m: String): String =
+        s"""$sNext AS (
+             SELECT doc_id, w, replace(syms, '<' || m.l || '><' || m.r || '>',
+               '<' || m.l || m.r || '>') AS syms
+             FROM $sPrev CROSS JOIN $m m)"""
+      s"""WITH w0 AS (
+           SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms,
+             CAST(count(*) AS BIGINT) AS freq
+           FROM (
+             SELECT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS w
+             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   FROM documents)) t
+           WHERE length(w) >= 2 GROUP BY w),
+         ${pairsCte("p1", "w0")}, ${mergeCte("m1", "p1")},
+         ${applyCte("w1", "w0", "m1")},
+         ${pairsCte("p2", "w1")}, ${mergeCte("m2", "p2")},
+         ${applyCte("w2", "w1", "m2")},
+         ${pairsCte("p3", "w2")}, ${mergeCte("m3", "p3")},
+         dw AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS w
+             FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+               FROM documents)) t
+           WHERE length(w) >= 1),
+         s0 AS (SELECT doc_id, w,
+           regexp_replace(w, '(.)', '<\\1>', 'g') AS syms FROM dw),
+         ${encCte("s1", "s0", "m1")},
+         ${encCte("s2", "s1", "m2")},
+         ${encCte("s3", "s2", "m3")}
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(length(syms) - length(replace(syms, '<', ''))) AS BIGINT)
+             AS n_tokens,
+           round(sum(length(w)) * 1.0
+             / sum(length(syms) - length(replace(syms, '<', ''))), 6)
+             AS compression
+         FROM s3 GROUP BY doc_id ORDER BY doc_id"""
     },
 
     "t24_chunk_overlap" ->

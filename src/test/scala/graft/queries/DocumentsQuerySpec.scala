@@ -41,6 +41,20 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks == Seq("I", "'m", " sure", " we", "'ve", " seen", " 42", " cats", "!"))
   }
 
+  test("t28 BPE encode: trained merges fuse words exactly (tiny corpus)") {
+    val s = spark
+    import s.implicits._
+    // Hand-derived merges: m1=(h,e) (ties to (t,h) broken lexically),
+    // m2=(t,he), m3=(a,t) -> 'the' encodes to 1 token, 'cat'/'sat' to 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft_t28").toString
+    Seq((0L, "the the the cat"), (1L, "the cat sat"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Documents.queries("t28_bpe_encode")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 4L, 12L, 5L, 2.4), (1L, 3L, 9L, 5L, 1.8)))
+  }
+
   test("t12 PII redaction scrubs emails, IPs and phones in order") {
     val s = spark
     import s.implicits._
