@@ -975,6 +975,77 @@ object Warc {
           col("n_bytes_match"), col("total_bytes"))
     }),
 
+    // Dedup-on-WRITE — the storage-side counterpart of w39's read-side
+    // revisit resolution: given a crawl full of repeated payloads, the
+    // writer keeps ONE body per payload digest (the first capture by
+    // (filename, offset)) and emits a tiny WARC/1.1 §6.7.2 revisit
+    // record for every later capture — exactly how long-running archives
+    // (wayback, Common Crawl recrawls) keep storage sub-linear in crawl
+    // count. Topology: one digest-keyed aggregate whose result is
+    // UNIQUE-PAYLOAD-sized (pages, not captures — it broadcasts), one
+    // broadcast join back, conditional record construction in the same
+    // projection, ONE pass and ONE write; the corpus never shuffles.
+    // Input is the 25,600-capture bench corpus (1,600 copies of 16
+    // pages); the re-read + resolve proves the archive round-trips at
+    // full logical size while storing 16 bodies.
+    "w42_dedup_write" -> ((s, _) => {
+      import graft.functions.WarcCols
+      val dir = graft.sources.BenchCorpus.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
+        files = 32, copiesPerFile = 50)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w42_dedup"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val resp = s.read.format("warc").load(dir)
+        .filter(col("record_type") === "response")
+        .select(col("filename"), col("offset"), col("record_id"),
+          col("record_date"), col("headers"), col("content"),
+          WarcCols.header(col("headers"), "WARC-Payload-Digest").as("pdigest"),
+          WarcCols.targetUri(col("headers")).as("uri"))
+      val first = resp.groupBy(col("pdigest"))
+        .agg(min(struct(col("filename"), col("offset"), col("record_id"))).as("f"))
+        .select(col("pdigest"), col("f.filename").as("f_file"),
+          col("f.offset").as("f_off"), col("f.record_id").as("orig_id"))
+      val isOrig = col("filename") === col("f_file") && col("offset") === col("f_off")
+      resp.join(broadcast(first), Seq("pdigest"))
+        .select(
+          when(isOrig, col("record_id"))
+            .otherwise(concat(lit("<urn:revisit:"),
+              md5(concat_ws(":", col("filename"), col("offset"))), lit(">")))
+            .as("record_id"),
+          when(isOrig, lit("response")).otherwise(lit("revisit")).as("record_type"),
+          col("record_date"),
+          when(isOrig, col("headers")).otherwise(array(
+            struct(lit("WARC-Target-URI").as("key"), col("uri").as("value")),
+            struct(lit("WARC-Refers-To").as("key"), col("orig_id").as("value")),
+            struct(lit("WARC-Payload-Digest").as("key"), col("pdigest").as("value")),
+            struct(lit("WARC-Profile").as("key"),
+              lit("http://netpreserve.org/warc/1.1/revisit/identical-payload-digest")
+                .as("value")))).as("headers"),
+          when(isOrig, col("content"))
+            .otherwise(lit(Array.emptyByteArray)).as("content"))
+        .write.format("warc").option("checksum", "true").mode("append").save(out)
+      val recs = s.read.format("warc").load(out)
+      val orig = recs.filter(col("record_type") === "response")
+        .select(col("record_id").as("ref_id"), col("content_length").as("orig_bytes"))
+      val rev = recs.filter(col("record_type") === "revisit")
+        .select(WarcCols.header(col("headers"), "WARC-Refers-To").as("ref_id"),
+          col("content_length").as("rev_bytes"))
+      val origStats = orig.agg(count(lit(1)).as("n_stored_bodies"),
+        sum(col("orig_bytes")).as("stored_body_bytes"))
+      rev.join(broadcast(orig), Seq("ref_id"))
+        .agg(count(lit(1)).as("n_revisits"),
+          sum(col("orig_bytes")).as("revisit_logical_bytes"),
+          sum(col("rev_bytes")).as("revisit_stored_bytes"))
+        .crossJoin(broadcast(origStats)) // two 1-row aggregates
+        .select(
+          (col("n_stored_bodies") + col("n_revisits")).as("n_captures"),
+          col("n_stored_bodies"), col("n_revisits"),
+          (col("stored_body_bytes") + col("revisit_logical_bytes"))
+            .as("logical_bytes"),
+          (col("stored_body_bytes") + col("revisit_stored_bytes"))
+            .as("stored_bytes"))
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -1284,6 +1355,16 @@ object Warc {
          CAST(16 AS BIGINT) AS n_resolved,
          CAST(16 AS BIGINT) AS n_digest_match,
          CAST(1036890 AS BIGINT) AS logical_bytes,
+         CAST(518445 AS BIGINT) AS stored_bytes""",
+    // derived, not re-measured: the bench corpus is 32 files x 50 copies
+    // x 16 responses = 25,600 captures of 16 unique payloads, so dedup
+    // stores 16 bodies (w39 pins their rewritten sum, 518445 bytes) and
+    // 25,584 empty-content revisits; logical size = 1600 copies x 518445
+    "w42_dedup_write" ->
+      """SELECT CAST(25600 AS BIGINT) AS n_captures,
+         CAST(16 AS BIGINT) AS n_stored_bodies,
+         CAST(25584 AS BIGINT) AS n_revisits,
+         CAST(1600 * 518445 AS BIGINT) AS logical_bytes,
          CAST(518445 AS BIGINT) AS stored_bytes""",
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
