@@ -253,6 +253,87 @@ object Multimodal {
     c => f(c)
   }
 
+  final case class AudioWindow(windowIndex: Int, nFrames: Int, peak: Double,
+      rms: Double, zcr: Double)
+
+  /** Windowed 16-bit PCM features over the channel mixdown: for each
+    * window of `windowFrames` frames, peak |amplitude|, RMS, and
+    * zero-crossing rate (strict sign flips between consecutive frames
+    * WITHIN the window, over the window's frame count — so windows are
+    * independent and the boundary pair is never double-counted). This is
+    * the per-document audio feature matrix for corpus filtering
+    * (silence / clipping / tone-vs-speech heuristics): each payload
+    * expands to O(duration / window) rows with no shuffle, and a later
+    * aggregate over windows distributes like any tall table. The final
+    * window may be short; null (not an empty array) for non-WAV or
+    * non-16-bit payloads.
+    */
+  def audioWindowsOf(d: Array[Byte], windowFrames: Int): Seq[AudioWindow] = {
+    val meta = audioMetaOf(d)
+    if (meta == null || meta.bitsPerSample != 16 || windowFrames <= 0) return null
+    @inline def u8(i: Int) = d(i) & 0xff
+    def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    @inline def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
+    var pos = 12
+    var dataOff = -1
+    var dataLen = -1L
+    while (pos + 8 <= d.length && dataOff < 0) {
+      val id = fourcc(pos)
+      val len = le32(pos + 4)
+      if (id == "data") { dataOff = pos + 8; dataLen = math.min(len, (d.length - pos - 8).toLong) }
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (dataOff < 0) return null
+    val ch = meta.channels
+    val nFrames = (dataLen / 2 / ch).toInt
+    @inline def mix(t: Int): Double = {
+      var c = 0
+      var s = 0.0
+      while (c < ch) {
+        val i = dataOff + 2 * (t * ch + c)
+        s += ((d(i + 1) << 8) | u8(i)).toShort.toInt
+        c += 1
+      }
+      s / ch
+    }
+    val out = Seq.newBuilder[AudioWindow]
+    var w = 0
+    var start = 0
+    while (start < nFrames) {
+      val end = math.min(start + windowFrames, nFrames)
+      var peak = 0.0
+      var sumSq = 0.0
+      var crossings = 0
+      var prev = 0.0
+      var t = start
+      while (t < end) {
+        val v = mix(t)
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v * v
+        if (t > start && prev * v < 0) crossings += 1
+        prev = v
+        t += 1
+      }
+      val n = end - start
+      out += AudioWindow(w, n,
+        math.rint(peak * 1e6) / 1e6,
+        math.rint(math.sqrt(sumSq / n) * 1e6) / 1e6,
+        math.rint(crossings.toDouble / n * 1e6) / 1e6)
+      w += 1
+      start = end
+    }
+    out.result()
+  }
+
+  /** audio_windows(binary, n) -> array<struct<windowIndex,nFrames,peak,
+    * rms,zcr>> of windowed PCM features (null for non-16-bit-WAV).
+    */
+  def audioWindows(data: Column, windowFrames: Int): Column = {
+    val f = udf((d: Array[Byte], w: Int) => Option(audioWindowsOf(d, w)))
+    f(data, lit(windowFrames))
+  }
+
   // — video-ish frame sampling: multi-frame GIF decodes with ImageIO
   //   alone (no external codec), so animated GIF is the REAL sampled-
   //   decode path; other containers still go through the stub below —

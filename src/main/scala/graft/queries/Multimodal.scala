@@ -329,6 +329,34 @@ object Multimodal {
           col("p.r").as("r"), col("p.g").as("g"), col("p.b").as("b"))
         .orderBy(col("jpeg_id"), col("y"), col("x"))
     }),
+    // Windowed audio FEATURES (the per-document feature matrix, not just
+    // whole-file stats): per 400-frame window of the channel mixdown,
+    // peak / RMS / zero-crossing rate. Fixtures are exact by
+    // construction: a period-8 square wave flips sign every 4 frames
+    // (99 in-window flips per 400-frame window -> zcr 0.2475), a
+    // period-2 wave flips every frame (399/400, and the short 200-frame
+    // tail window 199/200), stereo silence is all zeros with a 41-frame
+    // tail, an 8-bit file and corrupt bytes yield one null row each.
+    "m08_audio_features" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val square8 = Array.tabulate(1600)(i => if ((i / 4) % 2 == 0) 8000 else -8000)
+      val square2 = Array.tabulate(1000)(i => if (i % 2 == 0) 8000 else -8000)
+      val rows = Seq(
+        (1L, makeWav(1, 8000, 16, square8)),
+        (2L, makeWav(1, 8000, 16, square2)),
+        (3L, makeWav(2, 44100, 16, new Array[Int](882))), // 441 stereo silence frames
+        (4L, makeWav(1, 8000, 8, Array.fill(800)(128))),  // 8-bit: no 16-bit features
+        (5L, "not audio at all".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      df.select(col("media_id"),
+          explode_outer(M.audioWindows(col("payload"), 400)).as("w"))
+        .select(col("media_id"),
+          col("w.windowIndex").as("window_index"),
+          col("w.nFrames").as("n_frames"),
+          col("w.peak").as("peak"), col("w.rms").as("rms"),
+          col("w.zcr").as("zcr"))
+        .orderBy(col("media_id"), col("window_index"))
+    }),
   )
 
   /** Hand-crafted baseline grayscale JPEG: `dcs` flat 8×8 blocks laid
@@ -529,5 +557,30 @@ object Multimodal {
            px(jpeg_id, x, v)
          CROSS JOIN (VALUES (0),(2),(4),(7)) ys(y)
          ORDER BY jpeg_id, y, x""",
+    // Hand-derivable: the period-8 square flips sign at frames 4,8,...,
+    // 396 inside every 400-frame window (99 flips, boundary pair not
+    // counted) -> zcr 99/400; the period-2 square flips at every
+    // in-window pair -> 399/400 and 199/200 for the tail; |amplitude|
+    // is 8000 everywhere for both -> peak = rms = 8000; silence is all
+    // zeros (441 = 400 + 41 frames); 8-bit and corrupt rows are null.
+    "m08_audio_features" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         CAST(window_index AS INT) AS window_index,
+         CAST(n_frames AS INT) AS n_frames,
+         CAST(peak AS DOUBLE) AS peak, CAST(rms AS DOUBLE) AS rms,
+         CAST(zcr AS DOUBLE) AS zcr FROM (VALUES
+         (1, 0, 400, 8000.0, 8000.0, 0.2475),
+         (1, 1, 400, 8000.0, 8000.0, 0.2475),
+         (1, 2, 400, 8000.0, 8000.0, 0.2475),
+         (1, 3, 400, 8000.0, 8000.0, 0.2475),
+         (2, 0, 400, 8000.0, 8000.0, 0.9975),
+         (2, 1, 400, 8000.0, 8000.0, 0.9975),
+         (2, 2, 200, 8000.0, 8000.0, 0.995),
+         (3, 0, 400, 0.0, 0.0, 0.0),
+         (3, 1, 41, 0.0, 0.0, 0.0),
+         (4, NULL, NULL, NULL, NULL, NULL),
+         (5, NULL, NULL, NULL, NULL, NULL))
+         t(media_id, window_index, n_frames, peak, rms, zcr)
+         ORDER BY media_id, window_index""",
   )
 }

@@ -76,6 +76,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.audioStatsOf(makeWav(1, 8000, 8, Array.fill(64)(128))) == null)
   }
 
+  test("audioWindowsOf: windowed peak/rms/zcr with independent windows") {
+    // period-8 square over 1000 frames, window 400: two full windows
+    // (99 in-window sign flips each) and a 200-frame tail (49 flips)
+    val sq = Array.tabulate(1000)(i => if ((i / 4) % 2 == 0) 6000 else -6000)
+    val ws = Multimodal.audioWindowsOf(makeWav(1, 8000, 16, sq), 400)
+    assert(ws == Seq(
+      Multimodal.AudioWindow(0, 400, 6000.0, 6000.0, 0.2475),
+      Multimodal.AudioWindow(1, 400, 6000.0, 6000.0, 0.2475),
+      Multimodal.AudioWindow(2, 200, 6000.0, 6000.0, 0.245)))
+    // stereo mixdown: L = +4000, R = -4000 averages to silence
+    val stereo = Array.tabulate(200)(i => if (i % 2 == 0) 4000 else -4000)
+    val sws = Multimodal.audioWindowsOf(makeWav(2, 8000, 16, stereo), 50)
+    assert(sws == Seq(
+      Multimodal.AudioWindow(0, 50, 0.0, 0.0, 0.0),
+      Multimodal.AudioWindow(1, 50, 0.0, 0.0, 0.0)))
+    // non-16-bit and corrupt payloads are null, not empty
+    assert(Multimodal.audioWindowsOf(makeWav(1, 8000, 8, Array.fill(64)(128)), 50) == null)
+    assert(Multimodal.audioWindowsOf("nope".getBytes, 50) == null)
+  }
+
   test("gifFrameStatsOf samples evenly spaced frames of an animated gif") {
     val out = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
