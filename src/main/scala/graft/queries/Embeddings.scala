@@ -565,6 +565,74 @@ object Embeddings {
       }.reduce(_ unionAll _).orderBy(col("overfetch"), col("q_vec_id"))
     }),
 
+    // Combined IVF+PQ — the two scale levers composed into the one
+    // index a 100 TB ANN deployment actually runs (the FAISS IVFPQ
+    // shape, Jégou et al. 2011 §V): the coarse quantizer (e06's label
+    // cells) bounds WHICH vectors are scored (top-2 probed cells, ~2/8
+    // of the corpus) and PQ asymmetric distance (e14's 8×16 broadcast
+    // table) bounds WHAT is read per vector (the 8-byte code — the
+    // float corpus is never touched by the search). Codes are raw-
+    // vector PQ, not residual PQ (FAISS `by_residual=false`): one
+    // shared codebook keeps the e09/e14/e21 family on the same pin.
+    // Topology: the only corpus-sized shuffle is tagging codes with
+    // their cell (a vec_id equi-join; in production the code table is
+    // STORED cell-partitioned so even that disappears); probes and
+    // distance tables are broadcast, ranking is a per-query window
+    // over ≤2 cells of candidates. Recall@3 vs the brute-force L2
+    // truth says what the double approximation costs.
+    "e21_ivfpq_recall" -> ((s, dir) => {
+      val embl = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      val emb = embl.select(col("vec_id"), col("v"))
+      val codebook = pqCodebook(emb)
+      val enc = pqEncode(emb, codebook)
+      // coarse codebook: per-cell mean vectors (e06's construction)
+      val centroids = embl
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("cell"), expr("transform(pc, p -> p.c)").as("cv"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cell"))
+      val probes = qs.crossJoin(broadcast(centroids))
+        .select(col("q_vec_id"), col("cell"), cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+        .select(col("q_vec_id"), col("cell"))
+      // ADC table: per (query, sub_j, code) distance, rounded BEFORE
+      // the 8-way sum (same last-ulp doctrine as e14)
+      val qsub = qs.select(col("q_vec_id"), posexplode(
+          transform(sequence(lit(0), lit(7)),
+            j => slice(col("qv"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "qsv")))
+      val dtable = qsub.join(broadcast(codebook), Seq("sub_j"))
+        .select(col("q_vec_id"), col("sub_j"), col("code"),
+          round(sqDistCol(col("qsv"), col("cv")), 6).as("d"))
+      val cells = embl.select(col("vec_id"), col("label").as("cell"))
+      val approxW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("ad").asc, col("n_vec_id").asc)
+      val approx = enc.join(cells, Seq("vec_id"))
+        .select(col("vec_id").as("n_vec_id"), col("cell"), col("sub_j"), col("code"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .join(broadcast(dtable), Seq("q_vec_id", "sub_j", "code"))
+        .groupBy(col("q_vec_id"), col("n_vec_id"))
+        .agg(round(sum(col("d")), 6).as("ad"))
+        .withColumn("rn", row_number().over(approxW)).filter(col("rn") <= 3)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      // truth side: brute-force L2 top-3 (the e14 gauge's exact side)
+      val exactW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("ed").asc, col("n_vec_id").asc)
+      val exact = emb.select(col("vec_id").as("n_vec_id"), col("v"))
+        .join(broadcast(qs), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          round(sqDistCol(col("qv"), col("v")), 6).as("ed"))
+        .withColumn("rn", row_number().over(exactW)).filter(col("rn") <= 3)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      recallVsExact(exact, approx)
+    }),
+
     "e05_centroids_full" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -1096,6 +1164,58 @@ object Embeddings {
            FROM enc e JOIN dtable d
              ON d.sub_j = e.sub_j AND d.code = e.best.c
            WHERE d.q_vec_id <> e.vec_id
+           GROUP BY d.q_vec_id, e.vec_id),
+         approx AS (SELECT q_vec_id, n_vec_id FROM (
+             SELECT q_vec_id, n_vec_id, row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY ad ASC, n_vec_id ASC) AS rn
+             FROM ad) WHERE rn <= 3),
+         ed AS (SELECT q.q_vec_id, e.vec_id AS n_vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (q.qv[CAST(i AS INT)] - e.v[CAST(i AS INT)])
+                  * (q.qv[CAST(i AS INT)] - e.v[CAST(i AS INT)]))), 6) AS ed
+           FROM emb e CROSS JOIN qs q WHERE q.q_vec_id <> e.vec_id),
+         exact AS (SELECT q_vec_id, n_vec_id FROM (
+             SELECT q_vec_id, n_vec_id, row_number() OVER (
+               PARTITION BY q_vec_id ORDER BY ed ASC, n_vec_id ASC) AS rn
+             FROM ed) WHERE rn <= 3),
+         $recallTailSql""",
+    // pqChain supplies emb/refv/enc; embl re-reads with the label so
+    // the coarse-cell CTEs (cent/centv, the e06 construction) and the
+    // code->cell tag compose without touching the PQ chain's names.
+    "e21_ivfpq_recall" ->
+      s"""WITH $pqChainSql,
+         embl AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+         cent AS (
+           SELECT label AS cell, pos, round(avg(x), 6) AS c FROM (
+             SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x
+             FROM embl) e
+           GROUP BY label, pos),
+         centv AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY cell),
+         qs AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+         probes AS (
+           SELECT q_vec_id, cell FROM (
+             SELECT q.q_vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.q_vec_id
+                 ORDER BY $dotSql / ($qNormSql * $cNormSql) DESC, c.cell) AS rn
+             FROM qs q CROSS JOIN centv c) p WHERE rn <= 2),
+         qsub AS (SELECT q_vec_id, CAST(jj.j AS BIGINT) AS sub_j,
+             list_slice(qv, CAST(jj.j * 8 + 1 AS INT),
+               CAST(jj.j * 8 + 8 AS INT)) AS qsv
+           FROM qs CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+         dtable AS (SELECT q.q_vec_id, q.sub_j, k.code,
+             round(list_sum(list_transform(range(1, 9),
+               i -> (q.qsv[CAST(i AS INT)] - k.cv[CAST(i AS INT)])
+                  * (q.qsv[CAST(i AS INT)] - k.cv[CAST(i AS INT)]))), 6) AS d
+           FROM qsub q JOIN refv k USING (sub_j)),
+         cells AS (SELECT vec_id, label AS cell FROM embl),
+         ad AS (SELECT d.q_vec_id, e.vec_id AS n_vec_id,
+             round(sum(d.d), 6) AS ad
+           FROM enc e JOIN cells cl ON cl.vec_id = e.vec_id
+             JOIN probes p ON p.cell = cl.cell
+             JOIN dtable d ON d.q_vec_id = p.q_vec_id
+               AND d.sub_j = e.sub_j AND d.code = e.best.c
+           WHERE p.q_vec_id <> e.vec_id
            GROUP BY d.q_vec_id, e.vec_id),
          approx AS (SELECT q_vec_id, n_vec_id FROM (
              SELECT q_vec_id, n_vec_id, row_number() OVER (

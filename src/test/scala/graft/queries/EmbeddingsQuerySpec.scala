@@ -104,6 +104,26 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     assert(trainedCells > 0.8)
   }
 
+  test("e21 ivfpq: candidates restricted to probed cells, ADC ranks them, " +
+      "recall bounded by the e12 cell ceiling") {
+    val out = Embeddings.queries("e21_ivfpq_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val (nExact, nHits, recall) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact === 3)
+      assert(nHits >= 0 && nHits <= nExact)
+      assert(math.abs(recall - nHits.toDouble / nExact) < 1e-3)
+    }
+    // the coarse stage is e12's label cells (cosine probe) while the
+    // truth here is L2, so IVFPQ recall can only lose vs scoring the
+    // probed cells exactly — it must never exceed 1.0 and the PQ stage
+    // must still return a full top-3 per query (ADC always ranks the
+    // whole probed candidate set, never fewer than k)
+    out.foreach(r => assert(r.getDouble(3) <= 1.0))
+  }
+
   test("srpBandKeys band 0 == srpBucket (kernel vs HOF parity)") {
     val s = spark
     import s.implicits._
