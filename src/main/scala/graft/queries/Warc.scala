@@ -1046,6 +1046,79 @@ object Warc {
             .as("stored_bytes"))
     }),
 
+    // Crawl-snapshot DELTA — the recrawl planner's core question: given
+    // two snapshots of the same URL space, which pages are new, gone,
+    // changed, unchanged, and how many bytes must actually be refetched?
+    // Snapshot A = the fixture's 16 pages written as an archive;
+    // snapshot B = a deterministic "recrawl" derived by the first hex
+    // char of md5(uri) (0-3 gone, 4-7 body changed, rest untouched)
+    // plus 3 brand-new pages — both written with checksum=true so the
+    // WRITER recomputes each block digest and the comparison tests real
+    // re-crawled bytes, not carried-over header text. The delta itself
+    // is one full-outer join keyed by URL: at 100 TB both snapshot
+    // listings are (url, digest, bytes) CDX-shaped tables co-partitioned
+    // by URL, so the join is the natural URL-keyed shuffle and nothing
+    // corpus-sized is ever broadcast. Classification and the refetch
+    // budget are one projection + one partial agg over the joined rows.
+    "w43_crawl_delta" -> ((s, _) => {
+      import graft.functions.WarcCols
+      val tmp = System.getProperty("java.io.tmpdir")
+      val outA = s"$tmp/graft_w43_snap_a"
+      val outB = s"$tmp/graft_w43_snap_b"
+      Seq(outA, outB).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      val pages = scan(s, "warcfile.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("record_id"), lit("response").as("record_type"),
+          col("record_date"), col("headers"), col("content"),
+          WarcCols.targetUri(col("headers")).as("uri"))
+      val base = pages.drop("uri")
+      base.write.format("warc").option("checksum", "true")
+        .mode("append").save(outA)
+      val bucket = substring(md5(col("uri")), 1, 1)
+      val survivors = pages.filter(!bucket.isin("0", "1", "2", "3"))
+        .select(col("record_id"), col("record_type"), col("record_date"),
+          col("headers"),
+          when(bucket.isin("4", "5", "6", "7"),
+            concat(col("content"), lit(" <!-- v2 -->".getBytes("ascii"))))
+            .otherwise(col("content")).as("content"))
+      val newcomers = s.range(3)
+        .select(concat(lit("<urn:new:"), col("id"), lit(">")).as("record_id"),
+          lit("resource").as("record_type"),
+          to_timestamp(lit("2026-02-01 00:00:00")).as("record_date"),
+          array(
+            struct(lit("WARC-Target-URI").as("key"),
+              concat(lit("http://example.com/delta/new-"), col("id")).as("value")),
+            struct(lit("Content-Type").as("key"),
+              lit("text/plain").as("value"))).as("headers"),
+          concat(lit("new page "), col("id")).cast("binary").as("content"))
+      survivors.unionByName(newcomers)
+        .write.format("warc").option("checksum", "true")
+        .mode("append").save(outB)
+      def listing(dir: String) = s.read.format("warc").load(dir)
+        .select(WarcCols.targetUri(col("headers")).as("uri"),
+          WarcCols.header(col("headers"), "WARC-Block-Digest").as("digest"),
+          col("content_length"))
+      val a = listing(outA)
+        .select(col("uri"), col("digest").as("digest_a"))
+      val b = listing(outB)
+        .select(col("uri"), col("digest").as("digest_b"),
+          col("content_length").as("b_bytes"))
+      val status = when(col("digest_a").isNull, "new")
+        .when(col("digest_b").isNull, "gone")
+        .when(col("digest_a") =!= col("digest_b"), "changed")
+        .otherwise("unchanged")
+      a.join(b, Seq("uri"), "full_outer")
+        .select(status.as("status"), col("b_bytes"))
+        .agg(
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "gone", 1L).otherwise(0L)).as("n_gone"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+          sum(when(col("status").isin("new", "changed"), col("b_bytes"))
+            .otherwise(0L)).as("refetch_bytes"))
+    }),
+
     "w31_wet_export" -> ((s, _) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -1366,6 +1439,17 @@ object Warc {
          CAST(25584 AS BIGINT) AS n_revisits,
          CAST(1600 * 518445 AS BIGINT) AS logical_bytes,
          CAST(518445 AS BIGINT) AS stored_bytes""",
+    // independently derived from the raw fixture bytes (python gzip +
+    // header parse, NOT this engine): md5(uri) first hex char over the
+    // 16 page URIs splits 3 gone (buckets 1,2,3) / 4 changed (4,6,7,7)
+    // / 9 unchanged; changed bodies sum 146,660 bytes + 4 x 12-byte
+    // " <!-- v2 -->" marker = 146,708, plus 3 new 10-byte pages -> 146,738
+    "w43_crawl_delta" ->
+      """SELECT CAST(3 AS BIGINT) AS n_new,
+         CAST(3 AS BIGINT) AS n_gone,
+         CAST(4 AS BIGINT) AS n_changed,
+         CAST(9 AS BIGINT) AS n_unchanged,
+         CAST(146738 AS BIGINT) AS refetch_bytes""",
     "w31_wet_export" ->
       """SELECT CAST(16 AS BIGINT) AS n_records,
          CAST(16 AS BIGINT) AS n_conversion,
