@@ -513,6 +513,62 @@ object Multimodal {
     } catch { case _: Throwable => null }
   }
 
+  final case class DHash(h0: Long, h1: Long)
+
+  /** Perceptual difference hash (dHash, 64-bit) of a JPEG: sample a
+    * 9-column × 8-row luma grid at x_i = floor((w-1)·i/8),
+    * y_j = floor((h-1)·j/7) (the [[jpegPixelGridOf]] position rule),
+    * set bit (j·8+i) when luma[j][i] > luma[j][i+1]. This is the
+    * standard image near-dup fingerprint: 8 bytes per image, robust to
+    * re-encode/resize, searchable by hamming distance. Packed as two
+    * 32-bit halves so neither engine touches the BIGINT sign bit (the
+    * e19 sign-code doctrine). Gray images read the raw band (exact
+    * decoder values); RGB uses integer ITU-R 601 luma. Null for
+    * undecodable bytes, never a task failure.
+    */
+  def jpegDhashOf(d: Array[Byte]): DHash = {
+    if (d == null || d.length < 4 ||
+        (d(0) & 0xff) != 0xFF || (d(1) & 0xff) != 0xD8) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = img.getRaster.getNumBands == 1
+      def luma(x: Int, y: Int): Int =
+        if (gray) img.getRaster.getSample(x, y, 0)
+        else {
+          val p = img.getRGB(x, y)
+          (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        }
+      var h0 = 0L
+      var h1 = 0L
+      var j = 0
+      while (j < 8) {
+        val y = ((h - 1).toLong * j / 7).toInt
+        var prev = luma(0, y)
+        var i = 0
+        while (i < 8) {
+          val nxt = luma(((w - 1).toLong * (i + 1) / 8).toInt, y)
+          if (prev > nxt) {
+            val b = j * 8 + i
+            if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
+          }
+          prev = nxt
+          i += 1
+        }
+        j += 1
+      }
+      DHash(h0, h1)
+    } catch { case _: Throwable => null }
+  }
+
+  /** jpeg_dhash(binary) -> struct<h0 bigint, h1 bigint> (null-safe). */
+  def jpegDhash(data: Column): Column = {
+    val f = udf((d: Array[Byte]) => Option(jpegDhashOf(d)))
+    f(data)
+  }
+
   /** jpeg_pixel_grid(binary, n) -> array<struct<x,y,r,g,b>>. */
   def jpegPixelGrid(data: Column, n: Int): Column = jpegPixelGrid(data, lit(n))
 

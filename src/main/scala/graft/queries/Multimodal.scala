@@ -357,7 +357,79 @@ object Multimodal {
           col("w.zcr").as("zcr"))
         .orderBy(col("media_id"), col("window_index"))
     }),
+
+    // Image near-dup DEDUP — the multimodal leg of the dedup family
+    // (d02 MinHash for text, e08 SRP for embeddings, this for images):
+    // 64-bit perceptual dHash per image (8 bytes, from REAL decoded
+    // pixels via the m07 decoder), banded into 4×16-bit LSH keys, a
+    // bucket equi-join proposes candidates (never all pairs — the d08
+    // mega-bucket cap applies), and a hamming≤3 verify on the 8-byte
+    // codes confirms. Any pair within hamming 3 shares a clean band by
+    // pigeonhole, so candidate recall is exact for the verify
+    // threshold. Fixture images are crafted 8×8-block grids (64×64 px,
+    // exact pixels by construction): two identical, two one/two-block
+    // mutations, an unrelated pattern with its own mutated twin, and a
+    // non-JPEG row that must become NULL and drop out — the oracle
+    // re-derives every hash from the block values alone, so decoder,
+    // sampler, packer and join are all on the hook. At 100 TB: codes
+    // are 8 bytes/image, bands shuffle (img_id, band, key) only, and
+    // the verify join touches codes, never pixels.
+    "m09_image_neardup" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = m09Grids.map { case (id, g) =>
+        (id.toLong, craftGrayJpeg2D(g))
+      } :+ ((99L, "not a jpeg at all".getBytes))
+      val df = s.createDataFrame(rows).toDF("img_id", "payload")
+      val codes = df
+        .select(col("img_id"), M.jpegDhash(col("payload")).as("dh"))
+        .filter(col("dh").isNotNull)
+        .select(col("img_id"), col("dh.h0").as("h0"), col("dh.h1").as("h1"))
+      val bands = codes.select(col("img_id"), posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bkey")))
+      val kept = bands.groupBy(col("band_id"), col("bkey"))
+        .agg(count(lit(1)).as("n_in_bucket"))
+        .filter(col("n_in_bucket") <= 64)
+        .select(col("band_id"), col("bkey"))
+      val pruned = bands.join(kept, Seq("band_id", "bkey"))
+      val cand = pruned.as("a").join(pruned.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"))
+        .distinct()
+      cand
+        .join(codes.select(col("img_id").as("img_a"),
+          col("h0").as("a0"), col("h1").as("a1")), "img_a")
+        .join(codes.select(col("img_id").as("img_b"),
+          col("h0").as("b0"), col("h1").as("b1")), "img_b")
+        .select(col("img_a"), col("img_b"),
+          (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("img_a"), col("img_b"))
+    }),
   )
+
+  /** The m09 fixture block grids (8×8 blocks = 64×64 px each). Grid 1 =
+    * a checkerboard; 2 = exact copy; 3/4 = one- and two-block
+    * mutations, each flipping exactly one sampled comparison (block
+    * col 7 is sampled only at grid col 8, so a (r,7) mutation flips
+    * only bit r·8+7); 5 = an unrelated deterministic pattern; 6 = 5
+    * with one such mutation. Hamming by construction: (1,2)=0,
+    * (1,3)=(2,3)=(3,4)=(5,6)=1, (1,4)=(2,4)=2.
+    */
+  private[graft] def m09Grids: Seq[(Int, Seq[Seq[Int]])] = {
+    val a = Seq.tabulate(8, 8)((r, c) => ((c + r) % 2) * 60 - 30)
+    val e = Seq.tabulate(8, 8)((r, c) => ((c * 3 + r * 5) % 7) * 15 - 45)
+    def mut(g: Seq[Seq[Int]], r: Int, c: Int, v: Int) =
+      g.updated(r, g(r).updated(c, v))
+    Seq(1 -> a, 2 -> a, 3 -> mut(a, 5, 7, 40),
+      4 -> mut(mut(a, 2, 7, 40), 5, 7, 40), 5 -> e, 6 -> mut(e, 3, 7, 40))
+  }
 
   /** Hand-crafted baseline grayscale JPEG: `dcs` flat 8×8 blocks laid
     * out horizontally, quantization table all 8s, zero AC coefficients.
@@ -369,10 +441,21 @@ object Multimodal {
     * DC categories 0–7 as 4-bit codes (code of category c = c), AC as
     * the single 1-bit EOB code "0".
     */
-  private[graft] def craftGrayJpeg(dcs: Seq[Int]): Array[Byte] = {
+  private[graft] def craftGrayJpeg(dcs: Seq[Int]): Array[Byte] =
+    craftGrayJpeg2D(Seq(dcs))
+
+  /** 2-D variant of [[craftGrayJpeg]]: `grid` is a rectangular block
+    * grid (row-major raster order, exactly how baseline JPEG scans
+    * 1-component MCUs), so images taller than one block row — the shape
+    * the m09 perceptual hash needs — keep the same exact-pixel
+    * guarantee: pixel of block (r,c) = 128 + grid(r)(c).
+    */
+  private[graft] def craftGrayJpeg2D(grid: Seq[Seq[Int]]): Array[Byte] = {
+    require(grid.nonEmpty && grid.forall(_.length == grid.head.length))
+    val dcs = grid.flatten
     require(dcs.nonEmpty && dcs.forall(v => v > -128 && v < 128))
-    val w = 8 * dcs.length
-    val h = 8
+    val w = 8 * grid.head.length
+    val h = 8 * grid.length
     val out = new ByteArrayOutputStream()
     def marker(m: Int, payload: Array[Byte]): Unit = {
       out.write(0xFF); out.write(m)
@@ -582,5 +665,63 @@ object Multimodal {
          (5, NULL, NULL, NULL, NULL, NULL))
          t(media_id, window_index, n_frames, peak, rms, zcr)
          ORDER BY media_id, window_index""",
+    // the oracle re-derives every dHash from the block grids alone
+    // (sampled pixel of (j,i) = 128 + dc at block (y//8, x//8) with
+    // x = 63i//8, y = 63j//7 — the craft theorem), then mirrors the
+    // band/bucket/hamming pipeline in SQL; only the grid VALUES are
+    // shared with the fixture builder
+    "m09_image_neardup" -> {
+      val values = m09Grids.map { case (id, g) =>
+        s"($id, ${g.flatten.mkString("[", ", ", "]")})"
+      }.mkString(",\n           ")
+      s"""WITH imgs(img_id, dc) AS (VALUES
+           $values),
+         grid AS (
+           SELECT img_id, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+             128 + dc[CAST(((63 * j) // 7 // 8) * 8
+                         + ((63 * i) // 8 // 8) + 1 AS INT)] AS v
+           FROM imgs,
+             (SELECT unnest(range(0, 8)) AS j) jj,
+             (SELECT unnest(range(0, 9)) AS i) ii),
+         bits AS (
+           SELECT g1.img_id, g1.j, g1.i AS cmp,
+             CASE WHEN g1.v > g2.v THEN 1 ELSE 0 END AS bit
+           FROM grid g1 JOIN grid g2
+             ON g2.img_id = g1.img_id AND g2.j = g1.j AND g2.i = g1.i + 1
+           WHERE g1.i < 8),
+         codes AS (
+           SELECT img_id,
+             CAST(sum(CASE WHEN j * 8 + cmp < 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp))
+               ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN j * 8 + cmp >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp - 32))
+               ELSE 0 END) AS BIGINT) AS h1
+           FROM bits GROUP BY img_id),
+         bands AS (
+           SELECT img_id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
+           UNION ALL SELECT img_id, 1, (h0 >> 16) & 65535 FROM codes
+           UNION ALL SELECT img_id, 2, h1 & 65535 FROM codes
+           UNION ALL SELECT img_id, 3, (h1 >> 16) & 65535 FROM codes),
+         kept AS (SELECT band_id, bkey FROM bands
+                  GROUP BY band_id, bkey HAVING count(*) <= 64),
+         pruned AS (SELECT b.img_id, b.band_id, b.bkey
+                    FROM bands b JOIN kept k
+                      ON b.band_id = k.band_id AND b.bkey = k.bkey),
+         cand AS (
+           SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+           FROM pruned a JOIN pruned b
+             ON a.band_id = b.band_id AND a.bkey = b.bkey
+               AND a.img_id < b.img_id),
+         pairs AS (
+           SELECT c.img_a, c.img_b,
+             bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS hamming
+           FROM cand c JOIN codes x ON x.img_id = c.img_a
+                       JOIN codes y ON y.img_id = c.img_b)
+         SELECT CAST(img_a AS BIGINT) AS img_a,
+           CAST(img_b AS BIGINT) AS img_b,
+           CAST(hamming AS BIGINT) AS hamming
+         FROM pairs WHERE hamming <= 3 ORDER BY img_a, img_b"""
+    },
   )
 }

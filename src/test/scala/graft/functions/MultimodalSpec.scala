@@ -319,6 +319,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.jpegPixelGridOf(png, 2) == null) // not a JPEG: SOI gate
   }
 
+  test("jpegDhashOf: hand-derivable hash over a crafted 2-D grid; " +
+      "mutations flip exactly the constructed bits; garbage -> null") {
+    import graft.queries.{Multimodal => Q}
+    val grids = Q.m09Grids.toMap
+    val h1 = Multimodal.jpegDhashOf(Q.craftGrayJpeg2D(grids(1)))
+    val h2 = Multimodal.jpegDhashOf(Q.craftGrayJpeg2D(grids(2)))
+    val h3 = Multimodal.jpegDhashOf(Q.craftGrayJpeg2D(grids(3)))
+    val h5 = Multimodal.jpegDhashOf(Q.craftGrayJpeg2D(grids(5)))
+    val h6 = Multimodal.jpegDhashOf(Q.craftGrayJpeg2D(grids(6)))
+    def ham(a: Multimodal.DHash, b: Multimodal.DHash): Int =
+      java.lang.Long.bitCount(a.h0 ^ b.h0) + java.lang.Long.bitCount(a.h1 ^ b.h1)
+    assert(h1 == h2)                       // identical bytes, identical hash
+    assert(ham(h1, h3) == 1)               // (5,7) mutation = bit 47 only
+    assert((h1.h1 ^ h3.h1) == (1L << 15) && h1.h0 == h3.h0)
+    assert(ham(h5, h6) == 1)               // (3,7) mutation = bit 31 only
+    assert((h5.h0 ^ h6.h0) == (1L << 31) && h5.h1 == h6.h1)
+    // halves never touch the sign bit (each packs 32 bits unsigned)
+    Seq(h1, h3, h5, h6).foreach { h =>
+      assert(h.h0 >= 0 && h.h0 <= 0xFFFFFFFFL && h.h1 >= 0 && h.h1 <= 0xFFFFFFFFL)
+    }
+    // checkerboard row 0: cols sampled [0,0,1..7], px = 128 + (c%2)*60-30
+    // -> comparisons: eq,0<1: 0; then alternating 1,0,...  => bits 2,4,6
+    assert((h1.h0 & 0xFFL) === ((1L << 2) | (1L << 4) | (1L << 6)))
+    assert(Multimodal.jpegDhashOf("garbage".getBytes) == null)
+    assert(Multimodal.jpegDhashOf(null) == null)
+  }
+
   test("av frame-sample stub: deterministic offsets, real plumbing") {
     val ss = spark; import ss.implicits._
     val payload = (0 until 1000).map(_.toByte).toArray
