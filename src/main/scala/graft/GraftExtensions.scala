@@ -110,5 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("canonical_url")(
       viaColumns("canonical_url", 1)(as =>
         graft.functions.Web.canonicalUrl(as.head)))
+    inject("jpeg_dhash")(
+      viaColumns("jpeg_dhash", 1)(as =>
+        graft.functions.Multimodal.jpegDhash(as.head)))
   }
 }

@@ -93,6 +93,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0, 64), (15, 191), (0, 64), (15, 191)))
   }
 
+  test("jpeg_dhash from SQL matches the kernel on a crafted 2-D grid") {
+    val g = graft.queries.Multimodal.m09Grids.head._2
+    val j = graft.queries.Multimodal.craftGrayJpeg2D(g)
+    spark.createDataFrame(Seq((1, j), (2, "junk".getBytes)))
+      .toDF("id", "data").createOrReplaceTempView("ext_dhash")
+    val rows = spark.sql(
+      """SELECT id, jpeg_dhash(data).h0 AS h0, jpeg_dhash(data).h1 AS h1
+         FROM ext_dhash ORDER BY id""").collect()
+    val want = graft.functions.Multimodal.jpegDhashOf(j)
+    assert(rows(0).getLong(1) == want.h0 && rows(0).getLong(2) == want.h1)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("arity errors surface as analysis failures, not task failures") {
     val e = intercept[Exception](spark.sql("SELECT token_count()").collect())
     assert(e.getMessage.contains("token_count") ||

@@ -50,6 +50,9 @@ object PlanAudit {
     "e20_binary_rerank_recall" -> "ONE hamming pass over 8-byte codes (query codes BROADCAST); the re-rank joins candidates back to vectors by id with the query-vector side broadcast; both depths filter the same pass",
     "d21_url_canonical_dedup" -> "canonicalization is codegen'd string expressions in the scan; dedup is groupBy(canonical) with map-side partial agg — keys are pages, not captures",
     "w40_segment_reassembly" -> "reassembly groups continuations by origin id (segment-sized rows only); the first-segment join and the md5-pin join broadcast their small sides",
+    "e21_ivfpq_recall" -> "IVFPQ: coarse probes and per-query ADC tables BROADCAST; the scored side carries (vec_id, sub_j, code) rows restricted to probed cells; ranking windows order bounded candidates, never the corpus",
+    "m09_image_neardup" -> "image dedup over 8-byte dHash codes: bands shuffle (img_id, band, key) only; candidates from a bucket equi-join behind the 64-cap guard; the hamming verify joins codes, never pixels",
+    "w43_crawl_delta" -> "snapshot listings meet in ONE full-outer join keyed by URL (CDX-shaped, co-partitionable at scale); classification and the refetch budget are a projection + partial agg over the joined rows",
   )
 
   def main(args: Array[String]): Unit = {
