@@ -485,6 +485,10 @@ object Documents {
     // the model IS a distributed table.
     "t18_bigram_perplexity" -> ((s, dir) => bigramPerplexity(docs(s, dir))),
 
+    // t18 upgraded to interpolated Kneser-Ney (the smoothing KenLM-style
+    // production filters actually run) — see [[knPerplexity]].
+    "t29_kn_perplexity" -> ((s, dir) => knPerplexity(docs(s, dir))),
+
     // URL-level quality filtering (the C4 §2.2 / CCNet front gate:
     // domain blocklists, media-file extensions, session-id query
     // strings). The corpus has no URL column, so each doc gets a
@@ -1500,6 +1504,52 @@ object Documents {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1999, absolute discount D = 0.75) trained on the corpus
+    * and scored over it — t18's Laplace gate upgraded to the smoothing
+    * production LM filters (KenLM, the CCNet pipeline) actually use:
+    * P(w2|w1) = max(c−D,0)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··).
+    * Everything derives from ONE distributed bigram-type table: context
+    * totals + distinct-successor counts from a groupBy(w1), the
+    * continuation distribution from a groupBy(w2), the type total as a
+    * 1-row broadcast — no driver-side model object. Self-scoring means
+    * every context is attested, so the interpolated probability is
+    * strictly positive with no OOV floor.
+    */
+  private[queries] def knPerplexity(d: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val tk = d.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val pairs = tk.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // same non-persist doctrine as [[bigramPerplexity]]: the scoring
+    // join's (w1, w2) exchange is the bigram-count subplan, ReuseExchange
+    // dedups it instead of pinning exploded text in executor memory
+    val cBg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+    val ctx = cBg.groupBy(col("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_fw"))
+    val cont = cBg.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bw"))
+    val types = cBg.agg(count(lit(1)).as("n_types"))
+    pairs
+      .join(cBg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(
+          greatest(col("c_bg") - lit(discount), lit(0.0)) / col("c_w1") +
+          lit(discount) * col("n1p_fw") / col("c_w1") *
+            col("n1p_bw") / col("n_types"))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp") / col("n_bigrams"), 4).as("avg_logprob"),
+        round(exp(-col("lp") / col("n_bigrams")), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   private def neardupStages(d: DataFrame): NeardupStages = {
     // banding is consumed twice (self-join) and candidates feed several
     // downstream consumers: persist the small intermediates so the
@@ -2044,6 +2094,29 @@ object Documents {
           sc AS (SELECT f.doc_id, count(*) AS n_bigrams,
               sum(ln((c_bg + 1.0) / (c_w1 + v.v))) AS lp
             FROM flat f JOIN cbg USING (w1, w2) JOIN cw1 USING (w1) CROSS JOIN v
+            GROUP BY f.doc_id)
+          SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+            round(lp / n_bigrams, 4) AS avg_logprob,
+            round(exp(-lp / n_bigrams), 2) AS ppl
+          FROM sc ORDER BY doc_id""",
+    // expression shapes mirror the Spark kernel term-for-term (left-assoc
+    // mul/div chain) so both engines run the same IEEE operation order
+    "t29_kn_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSqlDuck AS tk FROM documents),
+          flat AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+              i -> {'w1': tk[CAST(i AS INT)], 'w2': tk[CAST(i + 1 AS INT)]})) AS p
+            FROM toks)),
+          cbg AS (SELECT w1, w2, count(*) AS c_bg FROM flat GROUP BY w1, w2),
+          ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
+              count(*) AS n1p_fw FROM cbg GROUP BY w1),
+          cont AS (SELECT w2, count(*) AS n1p_bw FROM cbg GROUP BY w2),
+          ty AS (SELECT count(*) AS n_types FROM cbg),
+          sc AS (SELECT f.doc_id, count(*) AS n_bigrams,
+              sum(ln(greatest(c_bg - 0.75, 0.0) / c_w1
+                     + 0.75 * n1p_fw / c_w1 * n1p_bw / n_types)) AS lp
+            FROM flat f JOIN cbg USING (w1, w2) JOIN ctx USING (w1)
+              JOIN cont USING (w2) CROSS JOIN ty
             GROUP BY f.doc_id)
           SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
             round(lp / n_bigrams, 4) AS avg_logprob,

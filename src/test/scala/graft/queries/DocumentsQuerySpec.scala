@@ -109,6 +109,36 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(0L)._3 - math.rint(math.exp(-lp0) * 100) / 100) < 1e-9)
   }
 
+  test("t29 KN perplexity: hand-computed interpolated scores, and the " +
+      "model normalizes to 1 over the vocabulary per context") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = Documents.knPerplexity(docsDf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // bigram types: (a b) c=3, (b a) c=1, (b c) c=1 -> N1+(a.)=1,
+    // N1+(b.)=2, c(a)=3, c(b)=2; continuation: N1+(.b)=1, N1+(.a)=1,
+    // N1+(.c)=1, total types T=3
+    val D = 0.75
+    def p(cBg: Double, cW1: Double, fw: Double, bw: Double) =
+      math.max(cBg - D, 0) / cW1 + D * fw / cW1 * bw / 3.0
+    val pBgivenA = p(3, 3, 1, 1) // P(b|a)
+    val pAgivenB = p(1, 2, 2, 1) // P(a|b)
+    val pCgivenB = p(1, 2, 2, 1) // P(c|b)
+    val lp0 = (math.log(pBgivenA) + math.log(pAgivenB) + math.log(pBgivenA)) / 3
+    val lp1 = (math.log(pBgivenA) + math.log(pCgivenB)) / 2
+    assert(out(0L)._1 == 3L && out(1L)._1 == 2L)
+    assert(math.abs(out(0L)._2 - BigDecimal(lp0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(1L)._2 - BigDecimal(lp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out(0L)._3 - math.rint(math.exp(-lp0) * 100) / 100) < 1e-9)
+    // Chen & Goodman sanity: sum over the FULL vocab {a,b,c} of P(.|w1)
+    // is exactly 1 (unseen continuations score lambda(w1) * Pcont(w2))
+    def lambda(cW1: Double, fw: Double) = D * fw / cW1
+    val sumA = pBgivenA + lambda(3, 1) * (1 / 3.0) + lambda(3, 1) * (1 / 3.0)
+    val sumB = pAgivenB + pCgivenB + lambda(2, 2) * (1 / 3.0)
+    assert(math.abs(sumA - 1.0) < 1e-12 && math.abs(sumB - 1.0) < 1e-12)
+  }
+
   test("d09 paragraph dedup keeps the first occurrence of shared boilerplate") {
     val s = spark
     import org.apache.spark.sql.functions._
