@@ -334,6 +334,37 @@ object Multimodal {
     f(data, lit(windowFrames))
   }
 
+  /** 64-bit audio near-dup fingerprint: sign-of-delta over the windowed
+    * RMS envelope of the channel mixdown — bit i set when
+    * rms[i+1] > rms[i] across the first 65 windows (the dHash idea
+    * applied to the loudness envelope, so the code survives
+    * gain-preserving re-encodes that keep the envelope SHAPE). Needs at
+    * least 65 windows; null otherwise, and null for non-16-bit-WAV
+    * payloads. Packed as two 32-bit halves (the e19/m09 sign-code
+    * doctrine). Searchable by hamming distance exactly like the image
+    * dHash — m09 and m10 share one banded pair pipeline.
+    */
+  def audioFingerprintOf(d: Array[Byte], windowFrames: Int): DHash = {
+    val ws = audioWindowsOf(d, windowFrames)
+    if (ws == null || ws.length < 65) return null
+    var h0 = 0L
+    var h1 = 0L
+    var i = 0
+    while (i < 64) {
+      if (ws(i + 1).rms > ws(i).rms) {
+        if (i < 32) h0 |= 1L << i else h1 |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    DHash(h0, h1)
+  }
+
+  /** audio_fingerprint(binary, windowFrames) -> struct<h0,h1> (null-safe). */
+  def audioFingerprint(data: Column, windowFrames: Int): Column = {
+    val f = udf((d: Array[Byte], w: Int) => Option(audioFingerprintOf(d, w)))
+    f(data, lit(windowFrames))
+  }
+
   // — video-ish frame sampling: multi-frame GIF decodes with ImageIO
   //   alone (no external codec), so animated GIF is the REAL sampled-
   //   decode path; other containers still go through the stub below —

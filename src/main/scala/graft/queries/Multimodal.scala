@@ -22,7 +22,7 @@ object Multimodal {
   }
 
   /** Minimal PCM WAV builder (RIFF + fmt + data). */
-  private def makeWav(channels: Int, rate: Int, bits: Int,
+  private[graft] def makeWav(channels: Int, rate: Int, bits: Int,
       samples: Array[Int]): Array[Byte] = {
     val blockAlign = channels * bits / 8
     val dataLen = samples.length * bits / 8
@@ -384,35 +384,108 @@ object Multimodal {
         .select(col("img_id"), M.jpegDhash(col("payload")).as("dh"))
         .filter(col("dh").isNotNull)
         .select(col("img_id"), col("dh.h0").as("h0"), col("dh.h1").as("h1"))
-      val bands = codes.select(col("img_id"), posexplode(array(
-          col("h0").bitwiseAND(lit(65535L)),
-          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
-          col("h1").bitwiseAND(lit(65535L)),
-          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
-          .as(Seq("band_id", "bkey")))
-      val kept = bands.groupBy(col("band_id"), col("bkey"))
-        .agg(count(lit(1)).as("n_in_bucket"))
-        .filter(col("n_in_bucket") <= 64)
-        .select(col("band_id"), col("bkey"))
-      val pruned = bands.join(kept, Seq("band_id", "bkey"))
-      val cand = pruned.as("a").join(pruned.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"))
-        .distinct()
-      cand
-        .join(codes.select(col("img_id").as("img_a"),
-          col("h0").as("a0"), col("h1").as("a1")), "img_a")
-        .join(codes.select(col("img_id").as("img_b"),
-          col("h0").as("b0"), col("h1").as("b1")), "img_b")
-        .select(col("img_a"), col("img_b"),
-          (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy(col("img_a"), col("img_b"))
+      bandedHammingPairs(codes, "img_id", "img_a", "img_b")
+    }),
+
+    // Audio near-dup DEDUP — the third modality of the dedup family
+    // (text d02, embeddings e08, images m09, audio here): a 64-bit
+    // sign-of-delta fingerprint over the windowed RMS envelope (the
+    // dHash idea applied to loudness shape, computed from REAL decoded
+    // PCM via the m08 window kernel), searched by the SAME banded
+    // hamming pipeline as m09 — one shared implementation, two
+    // modalities. Fixtures are square waves whose per-window amplitude
+    // IS the window RMS (constant |amplitude| over a window makes
+    // rms = amp exactly), so the oracle re-derives every fingerprint
+    // from the amplitude lists alone. Mutating only the LAST window's
+    // amplitude flips exactly bit 63; mutating the first flips bit 0 —
+    // hamming by construction: (1,2)=0, (1,3)=(3,4)=(5,6)=1, (1,4)=2.
+    // An 8-bit WAV and a garbage row must null out and drop.
+    "m10_audio_neardup" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = m10Amps.map { case (id, amps) =>
+        (id.toLong, makeWav(1, 8000, 16, squareSamples(amps, 400)))
+      } :+ ((98L, makeWav(1, 8000, 8, Array.fill(800)(128)))) :+
+        ((99L, "definitely not audio".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      val codes = df
+        .select(col("media_id"), M.audioFingerprint(col("payload"), 400).as("fp"))
+        .filter(col("fp").isNotNull)
+        .select(col("media_id"), col("fp.h0").as("h0"), col("fp.h1").as("h1"))
+      bandedHammingPairs(codes, "media_id", "media_a", "media_b")
     }),
   )
+
+  /** Banded-hamming near-dup pairs over 64-bit codes packed as two
+    * 32-bit halves (`h0`/`h1`): 4×16-bit LSH band keys, candidates from
+    * a bucket equi-join behind the 64-cap mega-bucket guard (the d08
+    * doctrine), exact hamming <= `maxHamming` verified on the 8-byte
+    * codes. Any pair within hamming 3 shares a clean band by
+    * pigeonhole, so candidate recall is exact at the default
+    * threshold. Shared by m09 (image dHash) and m10 (audio
+    * fingerprint): at 100 TB only (id, band, 16-bit key) rows shuffle
+    * and the verify join touches codes, never payloads.
+    */
+  private def bandedHammingPairs(codes: DataFrame, idCol: String,
+      outA: String, outB: String, maxHamming: Int = 3): DataFrame = {
+    val bands = codes.select(col(idCol).as("_id"), posexplode(array(
+        col("h0").bitwiseAND(lit(65535L)),
+        shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+        col("h1").bitwiseAND(lit(65535L)),
+        shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_id", "bkey")))
+    val kept = bands.groupBy(col("band_id"), col("bkey"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") <= 64)
+      .select(col("band_id"), col("bkey"))
+    val pruned = bands.join(kept, Seq("band_id", "bkey"))
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as(outA), col("b._id").as(outB))
+      .distinct()
+    cand
+      .join(codes.select(col(idCol).as(outA),
+        col("h0").as("a0"), col("h1").as("a1")), outA)
+      .join(codes.select(col(idCol).as(outB),
+        col("h0").as("b0"), col("h1").as("b1")), outB)
+      .select(col(outA), col(outB),
+        (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col(outA), col(outB))
+  }
+
+  /** The m10 fixture amplitude envelopes (65 windows each; window RMS =
+    * amplitude exactly for a constant-|amplitude| square wave). 1 = a
+    * deterministic envelope; 2 = exact copy; 3/4 = last-window and
+    * first+last-window mutations (each end window participates in ONE
+    * delta comparison, so they flip exactly bits 63 / 0 and 63); 5 = an
+    * unrelated envelope; 6 = 5 with the last window mutated.
+    */
+  private[graft] def m10Amps: Seq[(Int, Seq[Int])] = {
+    val a = Seq.tabulate(65)(w => 100 + ((w * 7) % 13) * 50)
+    val e = Seq.tabulate(65)(w => 100 + ((w * 5 + 3) % 11) * 60)
+    Seq(1 -> a, 2 -> a, 3 -> a.updated(64, 800),
+      4 -> a.updated(0, 500).updated(64, 800), 5 -> e, 6 -> e.updated(64, 900))
+  }
+
+  /** Square-wave PCM (period 8) whose amplitude is constant within each
+    * `windowFrames`-sized window: amps(w) for window w.
+    */
+  private[graft] def squareSamples(amps: Seq[Int], windowFrames: Int): Array[Int] = {
+    val out = new Array[Int](amps.length * windowFrames)
+    var w = 0
+    while (w < amps.length) {
+      var i = 0
+      while (i < windowFrames) {
+        out(w * windowFrames + i) = if ((i / 4) % 2 == 0) amps(w) else -amps(w)
+        i += 1
+      }
+      w += 1
+    }
+    out
+  }
 
   /** The m09 fixture block grids (8×8 blocks = 64×64 px each). Grid 1 =
     * a checkerboard; 2 = exact copy; 3/4 = one- and two-block
@@ -690,7 +763,7 @@ object Multimodal {
              ON g2.img_id = g1.img_id AND g2.j = g1.j AND g2.i = g1.i + 1
            WHERE g1.i < 8),
          codes AS (
-           SELECT img_id,
+           SELECT img_id AS id,
              CAST(sum(CASE WHEN j * 8 + cmp < 32
                THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp))
                ELSE 0 END) AS BIGINT) AS h0,
@@ -698,30 +771,59 @@ object Multimodal {
                THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp - 32))
                ELSE 0 END) AS BIGINT) AS h1
            FROM bits GROUP BY img_id),
-         bands AS (
-           SELECT img_id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
-           UNION ALL SELECT img_id, 1, (h0 >> 16) & 65535 FROM codes
-           UNION ALL SELECT img_id, 2, h1 & 65535 FROM codes
-           UNION ALL SELECT img_id, 3, (h1 >> 16) & 65535 FROM codes),
-         kept AS (SELECT band_id, bkey FROM bands
-                  GROUP BY band_id, bkey HAVING count(*) <= 64),
-         pruned AS (SELECT b.img_id, b.band_id, b.bkey
-                    FROM bands b JOIN kept k
-                      ON b.band_id = k.band_id AND b.bkey = k.bkey),
-         cand AS (
-           SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
-           FROM pruned a JOIN pruned b
-             ON a.band_id = b.band_id AND a.bkey = b.bkey
-               AND a.img_id < b.img_id),
-         pairs AS (
-           SELECT c.img_a, c.img_b,
-             bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS hamming
-           FROM cand c JOIN codes x ON x.img_id = c.img_a
-                       JOIN codes y ON y.img_id = c.img_b)
-         SELECT CAST(img_a AS BIGINT) AS img_a,
-           CAST(img_b AS BIGINT) AS img_b,
-           CAST(hamming AS BIGINT) AS hamming
-         FROM pairs WHERE hamming <= 3 ORDER BY img_a, img_b"""
+         ${hammingTailSql("img_a", "img_b")}"""
+    },
+    // the oracle re-derives every fingerprint from the amplitude lists
+    // alone (window RMS of a constant-|amplitude| square wave = the
+    // amplitude, exactly), then the shared banded-hamming tail
+    "m10_audio_neardup" -> {
+      val values = m10Amps.map { case (id, amps) =>
+        s"($id, ${amps.mkString("[", ", ", "]")})"
+      }.mkString(",\n           ")
+      s"""WITH media(media_id, amp) AS (VALUES
+           $values),
+         bits AS (
+           SELECT media_id, CAST(i AS INT) AS cmp,
+             CASE WHEN amp[CAST(i + 2 AS INT)] > amp[CAST(i + 1 AS INT)]
+               THEN 1 ELSE 0 END AS bit
+           FROM media, (SELECT unnest(range(0, 64)) AS i) ii),
+         codes AS (
+           SELECT media_id AS id,
+             CAST(sum(CASE WHEN cmp < 32
+               THEN bit * (CAST(1 AS BIGINT) << cmp) ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN cmp >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (cmp - 32))
+               ELSE 0 END) AS BIGINT) AS h1
+           FROM bits GROUP BY media_id),
+         ${hammingTailSql("media_a", "media_b")}"""
     },
   )
+
+  /** DuckDB mirror of [[bandedHammingPairs]] — expects a
+    * `codes(id, h0, h1)` CTE upstream; one text shared by the m09 and
+    * m10 oracles so the two modalities can never drift.
+    */
+  private def hammingTailSql(outA: String, outB: String): String =
+    s"""bands AS (
+         SELECT id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
+         UNION ALL SELECT id, 1, (h0 >> 16) & 65535 FROM codes
+         UNION ALL SELECT id, 2, h1 & 65535 FROM codes
+         UNION ALL SELECT id, 3, (h1 >> 16) & 65535 FROM codes),
+       kept AS (SELECT band_id, bkey FROM bands
+                GROUP BY band_id, bkey HAVING count(*) <= 64),
+       pruned AS (SELECT b.id, b.band_id, b.bkey
+                  FROM bands b JOIN kept k
+                    ON b.band_id = k.band_id AND b.bkey = k.bkey),
+       cand AS (
+         SELECT DISTINCT a.id AS $outA, b.id AS $outB
+         FROM pruned a JOIN pruned b
+           ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id),
+       pairs AS (
+         SELECT c.$outA, c.$outB,
+           bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS hamming
+         FROM cand c JOIN codes x ON x.id = c.$outA
+                     JOIN codes y ON y.id = c.$outB)
+       SELECT CAST($outA AS BIGINT) AS $outA, CAST($outB AS BIGINT) AS $outB,
+         CAST(hamming AS BIGINT) AS hamming
+       FROM pairs WHERE hamming <= 3 ORDER BY $outA, $outB"""
 }

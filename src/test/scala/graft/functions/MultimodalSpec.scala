@@ -346,6 +346,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.jpegDhashOf(null) == null)
   }
 
+  test("audioFingerprintOf: end-window mutations flip exactly bits 63/0; " +
+      "short, 8-bit, and garbage payloads -> null") {
+    import graft.queries.{Multimodal => Q}
+    val amps = Q.m10Amps.toMap
+    def fp(id: Int) = Multimodal.audioFingerprintOf(Q.makeWav(1, 8000, 16,
+      Q.squareSamples(amps(id), 400)), 400)
+    val (f1, f2, f3, f4, f5, f6) = (fp(1), fp(2), fp(3), fp(4), fp(5), fp(6))
+    assert(f1 == f2)
+    assert(f1.h0 == f3.h0 && (f1.h1 ^ f3.h1) == (1L << 31)) // bit 63 only
+    assert((f1.h0 ^ f4.h0) == 1L && (f1.h1 ^ f4.h1) == (1L << 31)) // bits 0+63
+    assert(f5.h1 != f6.h1 || f5.h0 != f6.h0)
+    assert(java.lang.Long.bitCount(f5.h0 ^ f6.h0) +
+      java.lang.Long.bitCount(f5.h1 ^ f6.h1) == 1)
+    // 64 windows only -> too short for 64 deltas -> null
+    assert(Multimodal.audioFingerprintOf(Q.makeWav(1, 8000, 16,
+      Q.squareSamples(amps(1).take(64), 400)), 400) == null)
+    assert(Multimodal.audioFingerprintOf(Q.makeWav(1, 8000, 8,
+      Array.fill(800)(128)), 400) == null)
+    assert(Multimodal.audioFingerprintOf("nope".getBytes, 400) == null)
+    assert(Multimodal.audioFingerprintOf(null, 400) == null)
+  }
+
   test("av frame-sample stub: deterministic offsets, real plumbing") {
     val ss = spark; import ss.implicits._
     val payload = (0 until 1000).map(_.toByte).toArray
