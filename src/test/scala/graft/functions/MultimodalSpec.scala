@@ -255,6 +255,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 to avi.length).foreach(n => Multimodal.aviMjpegFramesOf(avi.take(n), 3))
   }
 
+  test("jpegDhashOf / audioFingerprintOf never throw: random bytes and " +
+      "all truncations of valid payloads") {
+    import graft.queries.{Multimodal => Q}
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { i =>
+      val len = rnd.nextInt(500)
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (i % 3 == 0 && len >= 12) {
+        // plausible preludes: JPEG SOI / RIFF WAVE
+        if (i % 6 == 0) { bytes(0) = 0xFF.toByte; bytes(1) = 0xD8.toByte }
+        else {
+          "RIFF".getBytes.copyToArray(bytes, 0)
+          "WAVE".getBytes.copyToArray(bytes, 8)
+        }
+      }
+      Multimodal.jpegDhashOf(bytes)          // must not throw
+      Multimodal.audioFingerprintOf(bytes, 400)
+    }
+    val jpeg = Q.craftGrayJpeg2D(Q.m09Grids.head._2)
+    (0 to jpeg.length by 13).foreach(n => Multimodal.jpegDhashOf(jpeg.take(n)))
+    val wav = Q.makeWav(1, 8000, 16, Q.squareSamples(Q.m10Amps.head._2, 400))
+    (0 to wav.length by 997).foreach(n =>
+      Multimodal.audioFingerprintOf(wav.take(n), 400))
+  }
+
   test("mp3MetaOf: frame walk, ID3 skip, lost sync, never throws") {
     def frame(header: Array[Int], len: Int): Array[Byte] = {
       val f = new Array[Byte](len)
