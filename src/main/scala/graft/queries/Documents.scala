@@ -1276,6 +1276,37 @@ object Documents {
             col("n_false_pos").cast("double") /
               (col("n_incoming") - col("n_true_dup"))), 4))
     }),
+
+    // SimHash near-dup detection (Manku, Jain & Sarma 2007 — Google's
+    // crawl-dedup design, and the THIRD candidate-generation scheme in
+    // this engine next to MinHash-LSH (d07) and SRP bands (e08)): the
+    // d06 64-bit fingerprint searched by hamming distance <= 3 through
+    // the SAME banded pipeline as the image (m09) and audio (m10)
+    // codes — 4×16-bit band keys, bucket equi-join behind the 64-cap
+    // guard (pigeonhole guarantees any <=3-bit pair shares a clean
+    // band), exact hamming verify on the 8-byte codes. Injected exact
+    // copies of docs 0-4 guarantee hamming-0 positives at every SF;
+    // one-token-appended copies of docs 5-9 probe the near regime —
+    // whatever the kernel says, the oracle recomputes identically.
+    // At 100 TB this is the cheapest text near-dup rung: 8 bytes per
+    // doc of index state, no shingle explosion, one band shuffle.
+    "d22_simhash_neardup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val appended = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" appendix")).as("text"))
+      val all = base.unionAll(copies).unionAll(appended)
+      // halves from the 16-hex fingerprint, MSB-first per half: any
+      // fixed bit permutation preserves hamming, so the packing only
+      // has to MATCH the oracle, not the counter order
+      val codes = all.select(col("doc_id"), simhash64(col("text")).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(col("sh"), 1, 8), 16, 10).cast("long").as("h0"),
+          conv(substring(col("sh"), 9, 8), 16, 10).cast("long").as("h1"))
+      Multimodal.bandedHammingPairs(codes, "doc_id", "doc_a", "doc_b")
+    }),
   )
 
   /** PageRank over the verified dup pairs (see the d15 registry
@@ -1740,6 +1771,33 @@ object Documents {
   }
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** DuckDB rendition of the d06 64-bit SimHash over a
+    * `(doc_id, text)` source: defines `simcnt` (per-bit ±1 counters)
+    * and `shx(doc_id, simhash64)` — shared by the d06 and d22 oracles.
+    * Plain-string substitution (no s-interpolation) because the SQL
+    * body carries regex backslashes.
+    */
+  private def simhash64Sql(src: String): String =
+    """simcnt AS (
+         SELECT doc_id,
+           list_transform(range(0, 64), j ->
+             list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+               CASE WHEN ((strpos('0123456789abcdef',
+                     substring(md5(t), CAST(j // 4 + 1 AS INT), 1)) - 1)
+                   // CAST(pow(2, j % 4) AS INT)) % 2 = 1
+                 THEN 1 ELSE -1 END))) AS cnt
+         FROM __SRC__),
+       shx AS (
+         SELECT doc_id,
+           array_to_string(list_transform(range(0, 16), k ->
+             substring('0123456789abcdef',
+               CAST(1 + (CASE WHEN cnt[CAST(k*4+1 AS INT)] > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN cnt[CAST(k*4+2 AS INT)] > 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN cnt[CAST(k*4+3 AS INT)] > 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN cnt[CAST(k*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
+               1)), '') AS simhash64
+         FROM simcnt)""".replace("__SRC__", src)
 
   /** DuckDB mirror of [[graft.functions.TextAnalysis.qualityScore]]
     * (the t02 composite) as a bare expression over a relation exposing
@@ -2388,24 +2446,36 @@ object Documents {
       s"""SELECT doc_id, ${graft.functions.TextAnalysis.simhash16DuckSql("text")} AS simhash
           FROM documents ORDER BY doc_id""",
     "d06_simhash64" ->
-      """WITH c AS (
-           SELECT doc_id,
-             list_transform(range(0, 64), j ->
-               list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
-                 CASE WHEN ((strpos('0123456789abcdef',
-                       substring(md5(t), CAST(j // 4 + 1 AS INT), 1)) - 1)
-                     // CAST(pow(2, j % 4) AS INT)) % 2 = 1
-                   THEN 1 ELSE -1 END))) AS cnt
-           FROM documents)
-         SELECT doc_id,
-           array_to_string(list_transform(range(0, 16), k ->
-             substring('0123456789abcdef',
-               CAST(1 + (CASE WHEN cnt[CAST(k*4+1 AS INT)] > 0 THEN 1 ELSE 0 END)
-                      + (CASE WHEN cnt[CAST(k*4+2 AS INT)] > 0 THEN 2 ELSE 0 END)
-                      + (CASE WHEN cnt[CAST(k*4+3 AS INT)] > 0 THEN 4 ELSE 0 END)
-                      + (CASE WHEN cnt[CAST(k*4+4 AS INT)] > 0 THEN 8 ELSE 0 END) AS INT),
-               1)), '') AS simhash64
-         FROM c ORDER BY doc_id""",
+      ("WITH " + simhash64Sql("documents") +
+        " SELECT doc_id, simhash64 FROM shx ORDER BY doc_id"),
+    // same fingerprint chain over the injected corpus, halves parsed
+    // MSB-first per 8-hex half (a fixed bit permutation — hamming is
+    // permutation-invariant, the packing only has to match the kernel),
+    // then the shared banded-hamming tail (m09/m10's)
+    "d22_simhash_neardup" -> {
+      val corpus =
+        """corpus AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5
+             UNION ALL
+             SELECT doc_id + 3000000, text || ' appendix' FROM documents
+             WHERE doc_id >= 5 AND doc_id < 10)"""
+      val codes =
+        """codes AS (
+             SELECT doc_id AS id,
+               CAST(list_sum(list_transform(range(0, 8), k ->
+                 (strpos('0123456789abcdef',
+                   substring(simhash64, CAST(k + 1 AS INT), 1)) - 1)
+                 * CAST(pow(16, 7 - k) AS BIGINT))) AS BIGINT) AS h0,
+               CAST(list_sum(list_transform(range(0, 8), k ->
+                 (strpos('0123456789abcdef',
+                   substring(simhash64, CAST(k + 9 AS INT), 1)) - 1)
+                 * CAST(pow(16, 7 - k) AS BIGINT))) AS BIGINT) AS h1
+             FROM shx)"""
+      "WITH " + corpus + ",\n " + simhash64Sql("corpus") + ",\n " + codes +
+        ",\n " + Multimodal.hammingTailSql("doc_a", "doc_b")
+    },
     "d10_decontaminate" -> {
       val shingleSql =
         s"""list_distinct(list_transform(

@@ -425,7 +425,7 @@ object Multimodal {
     * fingerprint): at 100 TB only (id, band, 16-bit key) rows shuffle
     * and the verify join touches codes, never payloads.
     */
-  private def bandedHammingPairs(codes: DataFrame, idCol: String,
+  private[graft] def bandedHammingPairs(codes: DataFrame, idCol: String,
       outA: String, outB: String, maxHamming: Int = 3): DataFrame = {
     val bands = codes.select(col(idCol).as("_id"), posexplode(array(
         col("h0").bitwiseAND(lit(65535L)),
@@ -803,7 +803,7 @@ object Multimodal {
     * `codes(id, h0, h1)` CTE upstream; one text shared by the m09 and
     * m10 oracles so the two modalities can never drift.
     */
-  private def hammingTailSql(outA: String, outB: String): String =
+  private[graft] def hammingTailSql(outA: String, outB: String): String =
     s"""bands AS (
          SELECT id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
          UNION ALL SELECT id, 1, (h0 >> 16) & 65535 FROM codes

@@ -139,6 +139,23 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sumA - 1.0) < 1e-12 && math.abs(sumB - 1.0) < 1e-12)
   }
 
+  test("d22 simhash near-dup: injected exact copies surface at hamming 0; " +
+      "every reported pair is within the threshold") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val rows = Documents.queries("d22_simhash_neardup")(s, "/root/testdata/sf0.001")
+      .collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 5L).foreach { i =>
+      assert(pairs.get((i, i + 3000000L)).contains(0L),
+        s"exact copy of doc $i must pair at hamming 0; got ${pairs.get((i, i + 3000000L))}")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= 3))
+    // banding recall guarantee: every <=3 pair among the injected ids
+    // must have been FOUND (pigeonhole: 4 bands, <=3 differing bits)
+    assert(rows.length >= 5)
+  }
+
   test("d09 paragraph dedup keeps the first occurrence of shared boilerplate") {
     val s = spark
     import org.apache.spark.sql.functions._
