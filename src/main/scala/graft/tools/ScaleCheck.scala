@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *    (fresh vec_ids, same label cells — the fixed-codebook regime),
   *    with the query set held constant: probed-cell candidate volume
   *    scales ×k, broadcast sides stay O(1).
+  *  - `hamming` (d22/m09/m10 shape): the shared banded-hamming dedup
+  *    over 64-bit SimHash codes of the documents table scaled k× by
+  *    per-copy XOR masks — XOR by a constant is a hamming-space
+  *    ISOMETRY, so every copy's within-copy pair distances (and
+  *    therefore its near-dup structure) are preserved exactly while
+  *    band keys shift; fingerprints are computed ONCE (checkpointed)
+  *    so the mode measures the search, not the hashing.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -176,7 +183,28 @@ object ScaleCheck {
           val row = ivfPipeline(embAt(s), embAt(1)).collect().head
           (row.getLong(0), 0L)
         })
-      case other => sys.error(s"unknown mode $other (w29 | neardup | ivf)")
+      case "hamming" =>
+        val base = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.simhash64(col("text")).as("sh"))
+          .select(col("doc_id"),
+            conv(substring(col("sh"), 1, 8), 16, 10).cast("long").as("h0"),
+            conv(substring(col("sh"), 9, 8), 16, 10).cast("long").as("h1"))
+          .localCheckpoint()
+        val baseN = base.count()
+        def codesAt(k: Int): DataFrame =
+          (0 until k).map { i =>
+            val m0 = (i.toLong * 0x9E3779B9L) & 0xFFFFFFFFL
+            val m1 = (i.toLong * 0x85EBCA6BL) & 0xFFFFFFFFL
+            base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              expr(s"h0 ^ ${m0}L").as("h0"), expr(s"h1 ^ ${m1}L").as("h1"))
+          }.reduce(_ unionAll _)
+        run("hamming", { s =>
+          val pairs = graft.queries.Multimodal.bandedHammingPairs(
+            codesAt(s), "doc_id", "doc_a", "doc_b").count()
+          (s.toLong * baseN, pairs)
+        })
+      case other => sys.error(s"unknown mode $other (w29 | neardup | ivf | hamming)")
     }
     spark.stop()
   }
