@@ -441,7 +441,12 @@ object Multimodal {
     * lookup handle a 100 TB media pipeline stores instead of pixels).
     * Corrupt containers or frames -> null, never a task failure.
     */
-  def aviMjpegFramesOf(d: Array[Byte], n: Int): Seq[AviFrameStat] = {
+  /** The `##dc`/`##db` stream-0 video chunks of an MJPEG AVI as
+    * (offset, size) pairs — the shared RIFF walk of
+    * [[aviMjpegFramesOf]] and [[aviFrameDhashesOf]]. Null for non-AVI
+    * bytes or a container with no video chunks.
+    */
+  private def aviVideoChunks(d: Array[Byte]): Seq[(Long, Int)] = {
     if (d == null || d.length < 12) return null
     @inline def u8(i: Int) = d(i) & 0xff
     @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -466,13 +471,22 @@ object Multimodal {
         }
       }
       walk(12, math.min(12L + le32(4) - 4, d.length.toLong).toInt)
-      val total = frames.length
-      if (total == 0) return null
-      // same sampling rule as gifFrameStatsOf: all frames when <= n,
-      // else an even stride
-      val picks =
-        if (total <= n) 0 until total
-        else (0 until n).map(i => (total.toLong * i / n).toInt)
+      if (frames.isEmpty) null else frames.toSeq
+    } catch { case _: Throwable => null }
+  }
+
+  /** Evenly spaced sample of `total` items, the shared rule of all the
+    * frame samplers: all when <= n, else stride total/n.
+    */
+  private def evenPicks(total: Int, n: Int): Seq[Int] =
+    if (total <= n) 0 until total
+    else (0 until n).map(i => (total.toLong * i / n).toInt)
+
+  def aviMjpegFramesOf(d: Array[Byte], n: Int): Seq[AviFrameStat] = {
+    val frames = aviVideoChunks(d)
+    if (frames == null) return null
+    try {
+      val picks = evenPicks(frames.length, n)
       picks.map { idx =>
         val (off, len) = frames(idx)
         val img = javax.imageio.ImageIO.read(
@@ -503,6 +517,35 @@ object Multimodal {
     */
   def aviMjpegFrames(data: Column, nFrames: Int = 4): Column = {
     val f = udf((d: Array[Byte], n: Int) => Option(aviMjpegFramesOf(d, n)))
+    f(data, lit(nFrames))
+  }
+
+  final case class FrameHash(frameIndex: Int, h0: Long, h1: Long)
+
+  /** Per-sampled-frame perceptual dHash over an MJPEG AVI — the VIDEO
+    * near-dup fingerprint: up to n evenly spaced frames, each decoded
+    * (real baseline-JPEG decode) and hashed by [[jpegDhashOf]]'s
+    * 9×8 luma-grid rule; frameIndex is the SAMPLE position (0..n-1) so
+    * fingerprints of different clips align position-by-position. Null
+    * for non-AVI containers or any undecodable sampled frame.
+    */
+  def aviFrameDhashesOf(d: Array[Byte], n: Int): Seq[FrameHash] = {
+    val frames = aviVideoChunks(d)
+    if (frames == null) return null
+    try {
+      evenPicks(frames.length, n).zipWithIndex.map { case (idx, k) =>
+        val (off, len) = frames(idx)
+        val h = jpegDhashOf(
+          java.util.Arrays.copyOfRange(d, off.toInt, off.toInt + len))
+        if (h == null) return null
+        FrameHash(k, h.h0, h.h1)
+      }
+    } catch { case _: Throwable => null }
+  }
+
+  /** mjpeg_frame_dhash(binary, n) -> array<struct<frameIndex,h0,h1>>. */
+  def aviFrameDhashes(data: Column, nFrames: Int = 4): Column = {
+    val f = udf((d: Array[Byte], n: Int) => Option(aviFrameDhashesOf(d, n)))
     f(data, lit(nFrames))
   }
 

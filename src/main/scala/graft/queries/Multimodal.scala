@@ -74,7 +74,7 @@ object Multimodal {
   /** Minimal MJPEG AVI: RIFF(AVI ) > LIST(hdrl) > avih, LIST(movi) >
     * one 00dc chunk per frame, each a real ImageIO-encoded JPEG.
     */
-  private def makeAvi(w: Int, h: Int, usPerFrame: Int,
+  private[graft] def makeAvi(w: Int, h: Int, usPerFrame: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     val avih = java.nio.ByteBuffer.allocate(56)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -413,6 +413,55 @@ object Multimodal {
         .select(col("media_id"), col("fp.h0").as("h0"), col("fp.h1").as("h1"))
       bandedHammingPairs(codes, "media_id", "media_a", "media_b")
     }),
+
+    // VIDEO near-dup DEDUP — the fourth modality (text d22, image m09,
+    // audio m10): a clip's fingerprint is the SEQUENCE of per-sampled-
+    // frame dHashes (4 evenly spaced frames, each REAL baseline-JPEG
+    // decode via m05's container walk), two clips are near-dups when
+    // they sample the same frame count and EVERY aligned frame pair is
+    // within hamming 3. Candidates come from banding the FIRST frame's
+    // code through the shared m09/m10 pipeline (a clip within the
+    // all-frames rule is within 3 on frame 0, so banding recall is
+    // exact); the verify joins the remaining 8-byte frame codes by
+    // sample position — pixels are touched once, at hash time. The
+    // fixture set: identical clips, a last-frame one-block mutation, an
+    // unrelated pair with a first-frame mutation, a 3-frame PREFIX of
+    // clip 1 (same frames, fewer — must be excluded by the frame-count
+    // rule), and a garbage row that must null out.
+    "m11_video_neardup" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = m11Clips.map { case (id, grids) =>
+        (id.toLong, makeAvi(64, 64, 40000, grids.map(craftGrayJpeg2D)))
+      } :+ ((99L, "definitely not a video".getBytes))
+      val df = s.createDataFrame(rows).toDF("media_id", "payload")
+      val fh = df.select(col("media_id"),
+          M.aviFrameDhashes(col("payload"), 4).as("fhs"))
+        .filter(col("fhs").isNotNull)
+      val frames = fh.select(col("media_id"), explode(col("fhs")).as("f"))
+        .select(col("media_id"), col("f.frameIndex").as("fidx"),
+          col("f.h0").as("h0"), col("f.h1").as("h1"))
+      val nf = fh.select(col("media_id"), size(col("fhs")).as("n"))
+      val cand = bandedHammingPairs(frames.filter(col("fidx") === 0),
+          "media_id", "media_a", "media_b")
+        .select(col("media_a"), col("media_b"))
+      cand
+        .join(nf.select(col("media_id").as("media_a"), col("n").as("na")), "media_a")
+        .join(nf.select(col("media_id").as("media_b"), col("n").as("nb")), "media_b")
+        .filter(col("na") === col("nb"))
+        .join(frames.select(col("media_id").as("media_a"), col("fidx"),
+          col("h0").as("a0"), col("h1").as("a1")), Seq("media_a"))
+        .join(frames.select(col("media_id").as("media_b"), col("fidx"),
+          col("h0").as("b0"), col("h1").as("b1")), Seq("media_b", "fidx"))
+        .groupBy(col("media_a"), col("media_b"), col("na"))
+        .agg(max(expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)"))
+          .as("max_frame_hamming"),
+          count(lit(1)).as("n_compared"))
+        .filter(col("max_frame_hamming") <= 3 && col("n_compared") === col("na"))
+        .select(col("media_a"), col("media_b"),
+          col("na").cast("long").as("n_frames"),
+          col("max_frame_hamming").cast("long").as("max_frame_hamming"))
+        .orderBy(col("media_a"), col("media_b"))
+    }),
   )
 
   /** Banded-hamming near-dup pairs over 64-bit codes packed as two
@@ -468,6 +517,28 @@ object Multimodal {
     val e = Seq.tabulate(65)(w => 100 + ((w * 5 + 3) % 11) * 60)
     Seq(1 -> a, 2 -> a, 3 -> a.updated(64, 800),
       4 -> a.updated(0, 500).updated(64, 800), 5 -> e, 6 -> e.updated(64, 900))
+  }
+
+  /** The m11 fixture clips: per-video frame grids (8×8 blocks each,
+    * the m09 craft theorem). 1 = four distinct patterned frames; 2 =
+    * exact copy; 3 = clip 1 with frame 3's block (5,7) mutated to flip
+    * ONE sampled comparison (max frame hamming 1); 4 = unrelated
+    * frames; 5 = clip 4 with frame 0's block (2,7) flipped likewise;
+    * 6 = the first THREE frames of clip 1 (frame-count rule must
+    * exclude it despite identical frames).
+    */
+  private[graft] def m11Clips: Seq[(Int, Seq[Seq[Seq[Int]]])] = {
+    def g(sa: Int, sb: Int) =
+      Seq.tabulate(8, 8)((r, c) => ((c * sa + r * sb) % 7) * 15 - 45)
+    def mut(grid: Seq[Seq[Int]], r: Int, c: Int, v: Int) =
+      grid.updated(r, grid(r).updated(c, v))
+    val v1 = Seq(g(3, 5), g(2, 7), g(5, 3), g(4, 9))
+    // g(4,9) at (5,6)=45 > (5,7)=0 -> bit set; 50 un-sets it
+    val v3 = v1.updated(3, mut(v1(3), 5, 7, 50))
+    val v4 = Seq(g(6, 1), g(1, 6), g(7, 2), g(2, 9))
+    // g(6,1) at (2,6)=0 > (2,7)=-15 -> bit set; 10 un-sets it
+    val v5 = v4.updated(0, mut(v4(0), 2, 7, 10))
+    Seq(1 -> v1, 2 -> v1, 3 -> v3, 4 -> v4, 5 -> v5, 6 -> v1.take(3))
   }
 
   /** Square-wave PCM (period 8) whose amplitude is constant within each
@@ -797,13 +868,73 @@ object Multimodal {
            FROM bits GROUP BY media_id),
          ${hammingTailSql("media_a", "media_b")}"""
     },
+    "m11_video_neardup" -> m11OracleSql,
   )
 
-  /** DuckDB mirror of [[bandedHammingPairs]] — expects a
-    * `codes(id, h0, h1)` CTE upstream; one text shared by the m09 and
-    * m10 oracles so the two modalities can never drift.
+  /** m11's oracle: per-(clip, frame) dHashes re-derived from the block
+    * grids (the m09 pixel theorem), frame-0 codes through the shared
+    * candidate CTEs, then the frame-aligned max-hamming verify +
+    * frame-count rule in SQL.
     */
-  private[graft] def hammingTailSql(outA: String, outB: String): String =
+  private def m11OracleSql: String = {
+    val values = m11Clips.flatMap { case (id, grids) =>
+      grids.zipWithIndex.map { case (g, fidx) =>
+        s"($id, $fidx, ${g.flatten.mkString("[", ", ", "]")})"
+      }
+    }.mkString(",\n           ")
+    s"""WITH clips(media_id, fidx, dc) AS (VALUES
+           $values),
+         grid AS (
+           SELECT media_id, fidx, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+             128 + dc[CAST(((63 * j) // 7 // 8) * 8
+                         + ((63 * i) // 8 // 8) + 1 AS INT)] AS v
+           FROM clips,
+             (SELECT unnest(range(0, 8)) AS j) jj,
+             (SELECT unnest(range(0, 9)) AS i) ii),
+         bits AS (
+           SELECT g1.media_id, g1.fidx, g1.j, g1.i AS cmp,
+             CASE WHEN g1.v > g2.v THEN 1 ELSE 0 END AS bit
+           FROM grid g1 JOIN grid g2
+             ON g2.media_id = g1.media_id AND g2.fidx = g1.fidx
+               AND g2.j = g1.j AND g2.i = g1.i + 1
+           WHERE g1.i < 8),
+         fcodes AS (
+           SELECT media_id, fidx,
+             CAST(sum(CASE WHEN j * 8 + cmp < 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp))
+               ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN j * 8 + cmp >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp - 32))
+               ELSE 0 END) AS BIGINT) AS h1
+           FROM bits GROUP BY media_id, fidx),
+         codes AS (SELECT media_id AS id, h0, h1 FROM fcodes WHERE fidx = 0),
+         ${hammingCandSql("media_a", "media_b")},
+         nf AS (SELECT media_id, count(*) AS n FROM fcodes GROUP BY media_id),
+         per AS (
+           SELECT c.media_a, c.media_b,
+             bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS fham
+           FROM cand c
+             JOIN fcodes x ON x.media_id = c.media_a
+             JOIN fcodes y ON y.media_id = c.media_b AND y.fidx = x.fidx),
+         agg AS (
+           SELECT media_a, media_b, max(fham) AS max_frame_hamming,
+             count(*) AS n_compared
+           FROM per GROUP BY media_a, media_b)
+         SELECT CAST(g.media_a AS BIGINT) AS media_a,
+           CAST(g.media_b AS BIGINT) AS media_b,
+           CAST(a.n AS BIGINT) AS n_frames,
+           CAST(g.max_frame_hamming AS BIGINT) AS max_frame_hamming
+         FROM agg g JOIN nf a ON a.media_id = g.media_a
+                    JOIN nf b ON b.media_id = g.media_b
+         WHERE g.max_frame_hamming <= 3 AND a.n = b.n AND g.n_compared = a.n
+         ORDER BY media_a, media_b"""
+  }
+
+  /** The candidate half of [[hammingTailSql]] — band/bucket/cand CTEs
+    * over a `codes(id, h0, h1)` CTE upstream; m11 reuses it with its
+    * own per-frame verify instead of the pairwise hamming select.
+    */
+  private[graft] def hammingCandSql(outA: String, outB: String): String =
     s"""bands AS (
          SELECT id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
          UNION ALL SELECT id, 1, (h0 >> 16) & 65535 FROM codes
@@ -817,7 +948,14 @@ object Multimodal {
        cand AS (
          SELECT DISTINCT a.id AS $outA, b.id AS $outB
          FROM pruned a JOIN pruned b
-           ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id),
+           ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id)"""
+
+  /** DuckDB mirror of [[bandedHammingPairs]] — expects a
+    * `codes(id, h0, h1)` CTE upstream; one text shared by the m09, m10
+    * and d22 oracles so the modalities can never drift.
+    */
+  private[graft] def hammingTailSql(outA: String, outB: String): String =
+    s"""${hammingCandSql(outA, outB)},
        pairs AS (
          SELECT c.$outA, c.$outB,
            bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS hamming

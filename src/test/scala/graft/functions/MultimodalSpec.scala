@@ -280,6 +280,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.audioFingerprintOf(wav.take(n), 400))
   }
 
+  test("aviFrameDhashesOf: sample-position indexing, per-frame hashes " +
+      "match jpegDhashOf, null on garbage and undecodable frames") {
+    import graft.queries.{Multimodal => Q}
+    val clips = Q.m11Clips.toMap
+    def avi(grids: Seq[Seq[Seq[Int]]]) =
+      Q.makeAvi(64, 64, 40000, grids.map(Q.craftGrayJpeg2D))
+    val fhs = Multimodal.aviFrameDhashesOf(avi(clips(1)), 4)
+    assert(fhs.map(_.frameIndex) == Seq(0, 1, 2, 3))
+    clips(1).zipWithIndex.foreach { case (g, k) =>
+      val want = Multimodal.jpegDhashOf(Q.craftGrayJpeg2D(g))
+      assert(fhs(k).h0 == want.h0 && fhs(k).h1 == want.h1)
+    }
+    // 6-frame clip sampled at 4: positions re-index 0..3, frames 0,1,3,4
+    val six = avi(clips(1) ++ clips(4).take(2))
+    assert(Multimodal.aviFrameDhashesOf(six, 4).map(_.frameIndex) == Seq(0, 1, 2, 3))
+    assert(Multimodal.aviFrameDhashesOf("nope".getBytes, 4) == null)
+    assert(Multimodal.aviFrameDhashesOf(null, 4) == null)
+  }
+
   test("mp3MetaOf: frame walk, ID3 skip, lost sync, never throws") {
     def frame(header: Array[Int], len: Int): Array[Byte] = {
       val f = new Array[Byte](len)
