@@ -643,6 +643,57 @@ object Multimodal {
     f(data)
   }
 
+  final case class ResizedPixel(x: Int, y: Int, gray: Double)
+
+  /** Box-filter image RESIZE to `ow`×`oh` grayscale — the thumbnail /
+    * model-input-normalization step of a multimodal pipeline, done as
+    * exact area averaging: output cell (x, y) averages the luma of the
+    * source rectangle [x·w/ow, (x+1)·w/ow) × [y·h/oh, (y+1)·h/oh)
+    * (integer boundaries, so cells partition the image exactly and the
+    * result is derivable on paper for block-flat fixtures). Gray
+    * images read the raw band; RGB uses integer ITU-R 601 luma (the
+    * [[jpegDhashOf]] rule). Values rounded to 6 dp. Null for
+    * undecodable bytes, never a task failure.
+    */
+  def imageResizeOf(d: Array[Byte], ow: Int, oh: Int): Seq[ResizedPixel] = {
+    if (d == null || d.length < 4 || ow <= 0 || oh <= 0) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < ow || h < oh) return null
+      val gray = img.getRaster.getNumBands == 1
+      def luma(x: Int, y: Int): Int =
+        if (gray) img.getRaster.getSample(x, y, 0)
+        else {
+          val p = img.getRGB(x, y)
+          (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        }
+      for (r <- 0 until oh; c <- 0 until ow) yield {
+        val y0 = (h.toLong * r / oh).toInt
+        val y1 = (h.toLong * (r + 1) / oh).toInt
+        val x0 = (w.toLong * c / ow).toInt
+        val x1 = (w.toLong * (c + 1) / ow).toInt
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(x, y); x += 1 }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        ResizedPixel(c, r, math.rint(s.toDouble / n * 1e6) / 1e6)
+      }
+    } catch { case _: Throwable => null }
+  }
+
+  /** image_resize(binary, ow, oh) -> array<struct<x,y,gray>> (null-safe). */
+  def imageResize(data: Column, ow: Int, oh: Int): Column = {
+    val f = udf((d: Array[Byte], a: Int, b: Int) => Option(imageResizeOf(d, a, b)))
+    f(data, lit(ow), lit(oh))
+  }
+
   /** jpeg_pixel_grid(binary, n) -> array<struct<x,y,r,g,b>>. */
   def jpegPixelGrid(data: Column, n: Int): Column = jpegPixelGrid(data, lit(n))
 

@@ -414,6 +414,32 @@ object Multimodal {
       bandedHammingPairs(codes, "media_id", "media_a", "media_b")
     }),
 
+    // Image RESIZE (the brief's decode / feature-extract / RESIZE /
+    // frame-sample quartet): exact box-filter thumbnails at 8×8 and
+    // 4×4 over the crafted 64×64 images — the model-input
+    // normalization step of a multimodal pipeline, per-row kernel, no
+    // shuffle below the output sort. The craft theorem makes every
+    // output cell hand-derivable: an 8×8 thumbnail cell covers exactly
+    // one flat block (gray = 128 + dc), a 4×4 cell averages a 2×2
+    // block quad (gray = 128 + quad-mean, exact in binary since the
+    // divisor is a power of two). The junk row must decode to null and
+    // drop, never fail the task.
+    "m12_image_thumbnail" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val grids = m09Grids.toMap
+      val rows = Seq(1, 5).map(id =>
+        (id.toLong, craftGrayJpeg2D(grids(id)))) :+
+        ((99L, "not an image".getBytes))
+      val df = s.createDataFrame(rows).toDF("img_id", "payload")
+      Seq(8, 4).map { n =>
+        df.select(col("img_id"),
+            explode(M.imageResize(col("payload"), n, n)).as("p"))
+          .select(col("img_id"), lit(n.toLong).as("size"),
+            col("p.y").as("y"), col("p.x").as("x"), col("p.gray").as("gray"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("img_id"), col("size").desc, col("y"), col("x"))
+    }),
+
     // VIDEO near-dup DEDUP — the fourth modality (text d22, image m09,
     // audio m10): a clip's fingerprint is the SEQUENCE of per-sampled-
     // frame dHashes (4 evenly spaced frames, each REAL baseline-JPEG
@@ -869,6 +895,34 @@ object Multimodal {
          ${hammingTailSql("media_a", "media_b")}"""
     },
     "m11_video_neardup" -> m11OracleSql,
+    // each thumbnail cell derives from the block grid alone: one flat
+    // block at 8x8, a 2x2 quad mean at 4x4 (exact: divisor 4)
+    "m12_image_thumbnail" -> {
+      val values = Seq(1, 5).map { id =>
+        val g = m09Grids.toMap.apply(id)
+        s"($id, ${g.flatten.mkString("[", ", ", "]")})"
+      }.mkString(",\n           ")
+      s"""WITH imgs(img_id, dc) AS (VALUES
+           $values),
+         cells AS (
+           SELECT img_id, 8 AS size, CAST(r.y AS INT) AS y, CAST(c.x AS INT) AS x,
+             CAST(128 + dc[CAST(r.y * 8 + c.x + 1 AS INT)] AS DOUBLE) AS gray
+           FROM imgs,
+             (SELECT unnest(range(0, 8)) AS y) r,
+             (SELECT unnest(range(0, 8)) AS x) c
+           UNION ALL
+           SELECT img_id, 4, CAST(r.y AS INT), CAST(c.x AS INT),
+             128 + (dc[CAST(r.y * 2 * 8 + c.x * 2 + 1 AS INT)]
+                  + dc[CAST(r.y * 2 * 8 + c.x * 2 + 2 AS INT)]
+                  + dc[CAST((r.y * 2 + 1) * 8 + c.x * 2 + 1 AS INT)]
+                  + dc[CAST((r.y * 2 + 1) * 8 + c.x * 2 + 2 AS INT)]) / 4.0
+           FROM imgs,
+             (SELECT unnest(range(0, 4)) AS y) r,
+             (SELECT unnest(range(0, 4)) AS x) c)
+         SELECT CAST(img_id AS BIGINT) AS img_id, CAST(size AS BIGINT) AS size,
+           y, x, gray
+         FROM cells ORDER BY img_id, size DESC, y, x"""
+    },
   )
 
   /** m11's oracle: per-(clip, frame) dHashes re-derived from the block

@@ -280,6 +280,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.audioFingerprintOf(wav.take(n), 400))
   }
 
+  test("imageResizeOf: exact box averages on the crafted grid; " +
+      "upscale/garbage -> null") {
+    import graft.queries.{Multimodal => Q}
+    val g = Q.m09Grids.head._2
+    val j = Q.craftGrayJpeg2D(g)
+    val t8 = Multimodal.imageResizeOf(j, 8, 8)
+    assert(t8.length == 64)
+    t8.foreach(p => assert(p.gray == 128.0 + g(p.y)(p.x)))
+    val t4 = Multimodal.imageResizeOf(j, 4, 4)
+    assert(t4.length == 16)
+    t4.foreach { p =>
+      val quad = Seq(g(p.y * 2)(p.x * 2), g(p.y * 2)(p.x * 2 + 1),
+        g(p.y * 2 + 1)(p.x * 2), g(p.y * 2 + 1)(p.x * 2 + 1))
+      assert(p.gray == 128.0 + quad.sum / 4.0)
+    }
+    // a 1x1 "resize" is the global mean
+    val t1 = Multimodal.imageResizeOf(j, 1, 1)
+    assert(t1 == Seq(Multimodal.ResizedPixel(0, 0,
+      math.rint((128.0 + g.flatten.sum / 64.0) * 1e6) / 1e6)))
+    assert(Multimodal.imageResizeOf(j, 128, 128) == null) // upscale: out of scope
+    assert(Multimodal.imageResizeOf("junk".getBytes, 4, 4) == null)
+    assert(Multimodal.imageResizeOf(null, 4, 4) == null)
+  }
+
   test("aviFrameDhashesOf: sample-position indexing, per-frame hashes " +
       "match jpegDhashOf, null on garbage and undecodable frames") {
     import graft.queries.{Multimodal => Q}
