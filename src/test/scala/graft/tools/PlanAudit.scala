@@ -53,6 +53,8 @@ object PlanAudit {
     "e21_ivfpq_recall" -> "IVFPQ: coarse probes and per-query ADC tables BROADCAST; the scored side carries (vec_id, sub_j, code) rows restricted to probed cells; ranking windows order bounded candidates, never the corpus",
     "m09_image_neardup" -> "image dedup over 8-byte dHash codes: bands shuffle (img_id, band, key) only; candidates from a bucket equi-join behind the 64-cap guard; the hamming verify joins codes, never pixels",
     "w43_crawl_delta" -> "snapshot listings meet in ONE full-outer join keyed by URL (CDX-shaped, co-partitionable at scale); classification and the refetch budget are a projection + partial agg over the joined rows",
+    "d22_simhash_neardup" -> "SimHash near-dup through the shared banded-hamming pipeline: fingerprints in-scan, bands shuffle (id, band, 16-bit key), the verify joins 8-byte codes — no shingle explosion anywhere",
+    "m11_video_neardup" -> "video near-dup: candidates band frame-0 codes; the per-frame verify joins (media_id, fidx, h0, h1) rows by sample position — pixels are decoded once, at hash time",
   )
 
   def main(args: Array[String]): Unit = {
