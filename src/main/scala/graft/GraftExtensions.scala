@@ -113,5 +113,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jpeg_dhash")(
       viaColumns("jpeg_dhash", 1)(as =>
         graft.functions.Multimodal.jpegDhash(as.head)))
+    inject("audio_fingerprint") { args =>
+      require(args.length == 2, "audio_fingerprint(payload, window_frames)")
+      val w = args(1) match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"audio_fingerprint: window_frames must be an int literal, got $other")
+      }
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        graft.functions.Multimodal.audioFingerprint(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head), w))
+    }
+    inject("image_resize") { args =>
+      require(args.length == 3, "image_resize(payload, out_w, out_h)")
+      def intLit(e: Expression, n: String): Int = e match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"image_resize: $n must be an int literal, got $other")
+      }
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        graft.functions.Multimodal.imageResize(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head),
+          intLit(args(1), "out_w"), intLit(args(2), "out_h")))
+    }
+    inject("mjpeg_frame_dhash") { args =>
+      require(args.length == 2, "mjpeg_frame_dhash(payload, n_frames)")
+      val n = args(1) match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"mjpeg_frame_dhash: n_frames must be an int literal, got $other")
+      }
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        graft.functions.Multimodal.aviFrameDhashes(
+          org.apache.spark.sql.GraftColumnBridge.column(args.head), n))
+    }
   }
 }

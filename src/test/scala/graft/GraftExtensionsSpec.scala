@@ -106,6 +106,28 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
 
+  test("audio_fingerprint / image_resize / mjpeg_frame_dhash from SQL " +
+      "match the kernels") {
+    import graft.queries.{Multimodal => Q}
+    val wav = Q.makeWav(1, 8000, 16, Q.squareSamples(Q.m10Amps.head._2, 400))
+    val jpeg = Q.craftGrayJpeg2D(Q.m09Grids.head._2)
+    val avi = Q.makeAvi(64, 64, 40000,
+      Q.m11Clips.head._2.map(Q.craftGrayJpeg2D))
+    spark.createDataFrame(Seq((1, wav, jpeg, avi)))
+      .toDF("id", "wav", "jpeg", "avi").createOrReplaceTempView("ext_media")
+    val r = spark.sql(
+      """SELECT audio_fingerprint(wav, 400).h0 AS a0,
+           size(image_resize(jpeg, 4, 4)) AS np,
+           size(mjpeg_frame_dhash(avi, 4)) AS nf,
+           mjpeg_frame_dhash(avi, 4)[0].h0 AS f0
+         FROM ext_media""").collect()(0)
+    assert(r.getLong(0) ==
+      graft.functions.Multimodal.audioFingerprintOf(wav, 400).h0)
+    assert(r.getInt(1) == 16 && r.getInt(2) == 4)
+    assert(r.getLong(3) == graft.functions.Multimodal.jpegDhashOf(
+      Q.craftGrayJpeg2D(Q.m11Clips.head._2.head)).h0)
+  }
+
   test("arity errors surface as analysis failures, not task failures") {
     val e = intercept[Exception](spark.sql("SELECT token_count()").collect())
     assert(e.getMessage.contains("token_count") ||
