@@ -255,6 +255,34 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 to avi.length).foreach(n => Multimodal.aviMjpegFramesOf(avi.take(n), 3))
   }
 
+  test("bandedHammingPairs == brute force over 330 random codes with " +
+      "planted 0-3-bit near-dups (pigeonhole recall is exact)") {
+    val rnd = new scala.util.Random(2026)
+    val base = (0 until 300).map(i =>
+      (i.toLong, rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
+    val planted = (0 until 30).map { k =>
+      val (_, h0, h1) = base(rnd.nextInt(300))
+      var (m0, m1) = (h0, h1)
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        val b = rnd.nextInt(64)
+        if (b < 32) m0 ^= 1L << b else m1 ^= 1L << (b - 32)
+      }
+      (1000L + k, m0, m1)
+    }
+    val all = base ++ planted
+    val df = spark.createDataFrame(all).toDF("id", "h0", "h1")
+    val got = graft.queries.Multimodal.bandedHammingPairs(df, "id", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- all.indices
+      j <- (i + 1) until all.length
+      h = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) +
+        java.lang.Long.bitCount(all(i)._3 ^ all(j)._3)
+      if h <= 3
+    } yield (all(i)._1 min all(j)._1, all(i)._1 max all(j)._1, h.toLong)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("jpegDhashOf / audioFingerprintOf never throw: random bytes and " +
       "all truncations of valid payloads") {
     import graft.queries.{Multimodal => Q}
