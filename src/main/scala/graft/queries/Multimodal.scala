@@ -502,32 +502,34 @@ object Multimodal {
     */
   private[graft] def bandedHammingPairs(codes: DataFrame, idCol: String,
       outA: String, outB: String, maxHamming: Int = 3): DataFrame = {
-    val bands = codes.select(col(idCol).as("_id"), posexplode(array(
-        col("h0").bitwiseAND(lit(65535L)),
-        shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
-        col("h1").bitwiseAND(lit(65535L)),
-        shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
-        .as(Seq("band_id", "bkey")))
+    // the 8-byte codes RIDE the band explode (16 extra bytes per band
+    // row) so the (band_id, bkey) exchange is the single site feeding
+    // all three consumers — the size guard and both self-join sides
+    // (the e08 ReusedExchange doctrine) — and the expensive upstream
+    // kernel (JPEG decode for m09, the SimHash UDF for d22) evaluates
+    // ONCE; the verify reads codes off the joined band rows instead of
+    // re-joining the code table, so no kernel re-evaluation anywhere.
+    val bands = codes.select(col(idCol).as("_id"), col("h0"), col("h1"),
+        posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bkey")))
     val kept = bands.groupBy(col("band_id"), col("bkey"))
       .agg(count(lit(1)).as("n_in_bucket"))
       .filter(col("n_in_bucket") <= 64)
       .select(col("band_id"), col("bkey"))
     val pruned = bands.join(kept, Seq("band_id", "bkey"))
-    val cand = pruned.as("a").join(pruned.as("b"),
+    pruned.as("a").join(pruned.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bkey") === col("b.bkey") &&
           col("a._id") < col("b._id"))
-      .select(col("a._id").as(outA), col("b._id").as(outB))
-      .distinct()
-    cand
-      .join(codes.select(col(idCol).as(outA),
-        col("h0").as("a0"), col("h1").as("a1")), outA)
-      .join(codes.select(col(idCol).as(outB),
-        col("h0").as("b0"), col("h1").as("b1")), outB)
-      .select(col(outA), col(outB),
-        (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)"))
+      .select(col("a._id").as(outA), col("b._id").as(outB),
+        (expr("bit_count(a.h0 ^ b.h0)") + expr("bit_count(a.h1 ^ b.h1)"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col(outA), col(outB))
   }
 

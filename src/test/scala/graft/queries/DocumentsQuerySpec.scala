@@ -156,6 +156,23 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length >= 5)
   }
 
+  test("d22 at cluster scale reuses the band exchange (simhash kernel " +
+      "runs once)") {
+    // codes ride the band rows, so under sort-merge joins (the 100 TB
+    // regime — force it by disabling broadcast) the guard and both
+    // self-join sides hang off ONE (band_id, bkey) exchange and AQE
+    // must dedup it into ReusedExchange reads instead of re-running
+    // the SimHash kernel per consumer
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Documents.queries("d22_simhash_neardup")(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(plan).nonEmpty, plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("d09 paragraph dedup keeps the first occurrence of shared boilerplate") {
     val s = spark
     import org.apache.spark.sql.functions._
