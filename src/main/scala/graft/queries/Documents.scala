@@ -1291,13 +1291,7 @@ object Documents {
     // At 100 TB this is the cheapest text near-dup rung: 8 bytes per
     // doc of index state, no shingle explosion, one band shuffle.
     "d22_simhash_neardup" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
-      val copies = base.filter(col("doc_id") < 5)
-        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
-      val appended = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(col("text"), lit(" appendix")).as("text"))
-      val all = base.unionAll(copies).unionAll(appended)
+      val all = simhashCorpus(s, dir)
       // halves from the 16-hex fingerprint, MSB-first per half: any
       // fixed bit permutation preserves hamming, so the packing only
       // has to MATCH the oracle, not the counter order
@@ -1307,7 +1301,73 @@ object Documents {
           conv(substring(col("sh"), 9, 8), 16, 10).cast("long").as("h1"))
       Multimodal.bandedHammingPairs(codes, "doc_id", "doc_a", "doc_b")
     }),
+
+    // SimHash CALIBRATION gauge — the d16/e12 doctrine applied to the
+    // d22 rung: what does "hamming <= k" MEAN in verified token-Jaccard
+    // terms? Per detected hamming level: pair count, mean true Jaccard
+    // and how many clear the jac >= 0.5 dedup bar — the table a
+    // practitioner reads to pick the simhash threshold (hamming 0 =
+    // exact copies at jac 1.0; each extra bit trades recall for
+    // precision). Composes d22's pipeline verbatim (the gauge can
+    // never drift from the gauged); the verify join touches token sets
+    // only for DETECTED pairs, so its volume is O(pairs), not corpus.
+    "d23_simhash_gauge" -> ((s, dir) => {
+      val pairs = queries("d22_simhash_neardup")(s, dir)
+      val g = simhashCorpus(s, dir).select(col("doc_id"),
+        array_distinct(tokens(col("text"))).as("g"))
+      pairs
+        .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+        .select(col("hamming"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))), 6).as("jac"))
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jac")), 4).as("mean_jaccard"),
+          sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_jac_dups"))
+        .orderBy(col("hamming"))
+    }),
+
+    // Temperature-scaled source resampling (the multilingual/source
+    // balancing op of XLM-R / BLOOM-style pretraining: upsample the
+    // tail, damp the head): sampling weight q_s ∝ p_s^(1/τ) with τ = 2,
+    // i.e. the exponent is SQRT — chosen deliberately because IEEE
+    // sqrt is correctly rounded in both engines while pow is not, so
+    // even the mixing math is oracle-gated bit-for-bit. Output per
+    // source: share p, temperature weight q, and the boost factor
+    // q/p a sampler applies per document. Topology: one groupBy for
+    // counts, two 1-row broadcasts (total, normalizer) — the corpus
+    // is never reshuffled; at 100 TB the boost column joins back to
+    // documents by source as a broadcast.
+    "t30_temperature_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val p = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("p"))
+      val z = p.agg(round(sum(round(sqrt(col("p")), 6)), 6).as("z"))
+      p.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("p"),
+          round(round(sqrt(col("p")), 6) / col("z"), 6).as("q"),
+          round(round(sqrt(col("p")), 6) / col("z") / col("p"), 4).as("boost"))
+        .orderBy(col("source"))
+    }),
   )
+
+  /** The d22/d23 corpus: documents plus exact copies of docs 0-4
+    * (guaranteed hamming-0 positives at every SF) and one-token-
+    * appended copies of docs 5-9 (the near regime).
+    */
+  private def simhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val appended = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" appendix")).as("text"))
+    base.unionAll(copies).unionAll(appended)
+  }
 
   /** PageRank over the verified dup pairs (see the d15 registry
     * comment): the LSH stages produce the graph, the iterative kernel
@@ -1772,6 +1832,32 @@ object Documents {
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
 
+  /** The d22/d23 oracle corpus CTE — mirror of [[simhashCorpus]]. */
+  private val simhashCorpusSql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5
+         UNION ALL
+         SELECT doc_id + 3000000, text || ' appendix' FROM documents
+         WHERE doc_id >= 5 AND doc_id < 10)"""
+
+  /** The `codes(id, h0, h1)` CTE over `shx` — the two 32-bit halves of
+    * the hex fingerprint, MSB-first per half (shared by d22/d23).
+    */
+  private val simhashCodesSql: String =
+    """codes AS (
+         SELECT doc_id AS id,
+           CAST(list_sum(list_transform(range(0, 8), k ->
+             (strpos('0123456789abcdef',
+               substring(simhash64, CAST(k + 1 AS INT), 1)) - 1)
+             * CAST(pow(16, 7 - k) AS BIGINT))) AS BIGINT) AS h0,
+           CAST(list_sum(list_transform(range(0, 8), k ->
+             (strpos('0123456789abcdef',
+               substring(simhash64, CAST(k + 9 AS INT), 1)) - 1)
+             * CAST(pow(16, 7 - k) AS BIGINT))) AS BIGINT) AS h1
+         FROM shx)"""
+
   /** DuckDB rendition of the d06 64-bit SimHash over a
     * `(doc_id, text)` source: defines `simcnt` (per-bit ±1 counters)
     * and `shx(doc_id, simhash64)` — shared by the d06 and d22 oracles.
@@ -2180,6 +2266,48 @@ object Documents {
             round(lp / n_bigrams, 4) AS avg_logprob,
             round(exp(-lp / n_bigrams), 2) AS ppl
           FROM sc ORDER BY doc_id""",
+    // the d22 chain kept as CTEs (hammingCandSql, not the terminal
+    // tail), then per-hamming-level Jaccard over the detected pairs
+    "d23_simhash_gauge" -> {
+      val spairs =
+        """spairs AS (
+             SELECT c.doc_a, c.doc_b,
+               bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS hamming
+             FROM cand c JOIN codes x ON x.id = c.doc_a
+                         JOIN codes y ON y.id = c.doc_b)"""
+      val scored =
+        s"""grams AS (SELECT doc_id, list_distinct($tokSqlDuck) AS g FROM corpus),
+           scored AS (
+             SELECT k.hamming,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))), 6) AS jac
+             FROM spairs k JOIN grams a ON a.doc_id = k.doc_a
+                           JOIN grams b ON b.doc_id = k.doc_b
+             WHERE k.hamming <= 3)"""
+      "WITH " + simhashCorpusSql + ",\n " + simhash64Sql("corpus") +
+        ",\n " + simhashCodesSql + ",\n " +
+        Multimodal.hammingCandSql("doc_a", "doc_b") + ",\n " + spairs +
+        ",\n " + scored +
+        """
+         SELECT CAST(hamming AS BIGINT) AS hamming,
+           count(*) AS n_pairs,
+           round(avg(jac), 4) AS mean_jaccard,
+           CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_jac_dups
+         FROM scored GROUP BY hamming ORDER BY hamming"""
+    },
+    "t30_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+             GROUP BY source),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+         p AS (SELECT source, n_docs,
+             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS p
+           FROM c CROSS JOIN t),
+         z AS (SELECT round(sum(round(sqrt(p), 6)), 6) AS z FROM p)
+         SELECT source, n_docs, p,
+           round(round(sqrt(p), 6) / z, 6) AS q,
+           round(round(sqrt(p), 6) / z / p, 4) AS boost
+         FROM p CROSS JOIN z ORDER BY source""",
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
       val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")
@@ -2452,30 +2580,10 @@ object Documents {
     // MSB-first per 8-hex half (a fixed bit permutation — hamming is
     // permutation-invariant, the packing only has to match the kernel),
     // then the shared banded-hamming tail (m09/m10's)
-    "d22_simhash_neardup" -> {
-      val corpus =
-        """corpus AS (
-             SELECT doc_id, text FROM documents
-             UNION ALL
-             SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5
-             UNION ALL
-             SELECT doc_id + 3000000, text || ' appendix' FROM documents
-             WHERE doc_id >= 5 AND doc_id < 10)"""
-      val codes =
-        """codes AS (
-             SELECT doc_id AS id,
-               CAST(list_sum(list_transform(range(0, 8), k ->
-                 (strpos('0123456789abcdef',
-                   substring(simhash64, CAST(k + 1 AS INT), 1)) - 1)
-                 * CAST(pow(16, 7 - k) AS BIGINT))) AS BIGINT) AS h0,
-               CAST(list_sum(list_transform(range(0, 8), k ->
-                 (strpos('0123456789abcdef',
-                   substring(simhash64, CAST(k + 9 AS INT), 1)) - 1)
-                 * CAST(pow(16, 7 - k) AS BIGINT))) AS BIGINT) AS h1
-             FROM shx)"""
-      "WITH " + corpus + ",\n " + simhash64Sql("corpus") + ",\n " + codes +
-        ",\n " + Multimodal.hammingTailSql("doc_a", "doc_b")
-    },
+    "d22_simhash_neardup" ->
+      ("WITH " + simhashCorpusSql + ",\n " + simhash64Sql("corpus") +
+        ",\n " + simhashCodesSql + ",\n " +
+        Multimodal.hammingTailSql("doc_a", "doc_b")),
     "d10_decontaminate" -> {
       val shingleSql =
         s"""list_distinct(list_transform(

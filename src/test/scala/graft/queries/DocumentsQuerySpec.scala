@@ -173,6 +173,41 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("d23 calibration: hamming 0 means Jaccard 1.0; levels partition " +
+      "the d22 pair set") {
+    val s = spark
+    val gauge = Documents.queries("d23_simhash_gauge")(s, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // hamming 0 is dominated by the exact copies but ALSO catches
+    // one-token-appended twins whose sign counters never flip — the
+    // simhash property the gauge exists to quantify: mean Jaccard
+    // stays near-1 and every hamming-0 pair clears the dedup bar
+    assert(gauge.contains(0L))
+    assert(gauge(0L)._2 >= 0.98 && gauge(0L)._3 == gauge(0L)._1)
+    // the gauge's pair count equals d22's output size (same pipeline)
+    val n22 = Documents.queries("d22_simhash_neardup")(s, "/root/testdata/sf0.001")
+      .count()
+    assert(gauge.values.map(_._1).sum == n22)
+  }
+
+  test("t30 temperature mix: weights normalize, head damped, tail boosted") {
+    val s = spark
+    val rows = Documents.queries("t30_temperature_mix")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3) // p sums to 1
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3) // q sums to 1
+    // sqrt damping: the largest source gets the smallest boost and
+    // vice versa; every boost is q/p
+    val byP = rows.sortBy(_._3)
+    assert(byP.last._5 <= byP.head._5)
+    rows.foreach { case (_, _, p, q, boost) =>
+      assert(math.abs(boost - q / p) < 2e-4)
+    }
+  }
+
   test("d09 paragraph dedup keeps the first occurrence of shared boilerplate") {
     val s = spark
     import org.apache.spark.sql.functions._
