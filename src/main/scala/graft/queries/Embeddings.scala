@@ -565,6 +565,47 @@ object Embeddings {
       }.reduce(_ unionAll _).orderBy(col("overfetch"), col("q_vec_id"))
     }),
 
+    // IVF probe-count CURVE — the e20 doctrine for the IVF knob: from
+    // ONE candidate pass (cells ranked <= 4 per query, each candidate
+    // tagged with its cell's probe rank), measure recall@3 at probes =
+    // 1, 2 and 4 — the recall-vs-scan-fraction tradeoff an IVF
+    // deployment tunes (each probe step scans another ~1/k of the
+    // corpus). Coarse quantizer = e10/e13's trained k-means, so the
+    // curve extends the e13 point measurement into the tuning table.
+    "e22_ivf_probe_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = kmeansCentroids(s, emb, k = 8, iters = 3)
+      val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cid"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cid"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .select(col("q_vec_id"), col("qv"), col("cid"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("cell_rank", row_number().over(probeW))
+        .filter(col("cell_rank") <= 4)
+        .select(col("q_vec_id"), col("qv"), col("cid"), col("cell_rank"))
+      val cands = emb.join(cells, Seq("vec_id"))
+        .select(col("vec_id").as("n_vec_id"), col("cid"), col("v").as("cv"))
+      val sims = cands.join(broadcast(probes), Seq("cid"))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"), col("cell_rank"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      val exact = queries("e01_knn_cosine_baseline")(s, dir)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      Seq(1, 2, 4).map { k =>
+        val approx = sims.filter(col("cell_rank") <= k)
+          .groupBy(col("q_vec_id"))
+          .agg(topk(col("sim"), col("n_vec_id")).as("top"))
+          .select(col("q_vec_id"), explode(col("top")).as("t"))
+          .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+        recallVsExact(exact, approx).withColumn("probes", lit(k.toLong))
+      }.reduce(_ unionAll _).orderBy(col("probes"), col("q_vec_id"))
+    }),
+
     // Combined IVF+PQ — the two scale levers composed into the one
     // index a 100 TB ANN deployment actually runs (the FAISS IVFPQ
     // shape, Jégou et al. 2011 §V): the coarse quantizer (e06's label
@@ -1368,6 +1409,68 @@ object Embeddings {
       s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
           approx AS (${baseOracleSql("e06_ivf_knn")}),
           $recallTailSql""",
+    // e13's probe/search chain widened to cell_rank <= 4, then the e20
+    // per-depth LATERAL tail over probes (1, 2, 4)
+    "e22_ivf_probe_curve" -> {
+      val qvCentDot =
+        """list_sum(list_transform(range(1, 65),
+             i -> q.qv[CAST(i AS INT)] * c.cv[CAST(i AS INT)]))"""
+      val qvNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)])))"""
+      val centNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> c.cv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])))"""
+      val candDot =
+        """list_sum(list_transform(range(1, 65),
+             i -> p.qv[CAST(i AS INT)] * a.v[CAST(i AS INT)]))"""
+      val pNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> p.qv[CAST(i AS INT)] * p.qv[CAST(i AS INT)])))"""
+      val candNorm =
+        """sqrt(list_sum(list_transform(range(1, 65),
+             i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)])))"""
+      s"""WITH exact AS (${baseOracleSql("e01_knn_cosine_baseline")}),
+          emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          $kmeansChainSql,
+          q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+          probes AS (
+            SELECT q_vec_id, qv, cid, rn AS cell_rank FROM (
+              SELECT q.q_vec_id, q.qv, c.cid,
+                row_number() OVER (PARTITION BY q.q_vec_id
+                  ORDER BY $qvCentDot / ($qvNorm * $centNorm) DESC, c.cid) AS rn
+              FROM q CROSS JOIN cents3 c) p WHERE rn <= 4),
+          sims AS (
+            SELECT p.q_vec_id, a.vec_id AS n_vec_id, p.cell_rank,
+              round($candDot / ($pNorm * $candNorm), 6) AS sim
+            FROM probes p
+            JOIN a4 a ON a.best.c = p.cid AND a.vec_id <> p.q_vec_id),
+          approx AS (
+            SELECT CAST(d.probes AS BIGINT) AS probes, q_vec_id, n_vec_id
+            FROM (VALUES (1), (2), (4)) d(probes)
+            CROSS JOIN LATERAL (
+              SELECT q_vec_id, n_vec_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn2
+                FROM sims WHERE cell_rank <= d.probes) r WHERE rn2 <= 3) a),
+          hits AS (
+            SELECT a.probes, e.q_vec_id, count(*) AS n_hits
+            FROM exact e JOIN approx a
+              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+            GROUP BY a.probes, e.q_vec_id),
+          base AS (
+            SELECT CAST(d.probes AS BIGINT) AS probes, q_vec_id,
+              count(*) AS n_exact
+            FROM exact CROSS JOIN (VALUES (1), (2), (4)) d(probes)
+            GROUP BY d.probes, q_vec_id)
+          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall,
+            b.probes
+          FROM base b LEFT JOIN hits h
+            ON h.q_vec_id = b.q_vec_id AND h.probes = b.probes
+          ORDER BY b.probes, b.q_vec_id"""
+    },
     // e16: e01's brute-force search over int8-dequantized vectors
     // (e07's quantizer, q * scale / 127), recall'd against the float
     // exact baseline through the shared tail.

@@ -104,6 +104,26 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     assert(trainedCells > 0.8)
   }
 
+  test("e22 probe curve: recall is monotone in probe count and matches " +
+      "e13 at probes = 2") {
+    val curve = Embeddings.queries("e22_ivf_probe_curve")(
+      spark, "/root/testdata/sf0.001").collect()
+      .groupBy(_.getAs[Long]("probes"))
+      .view.mapValues(rs => rs.map(r =>
+        r.getAs[Long]("q_vec_id") -> r.getAs[Double]("recall")).toMap).toMap
+    assert(curve.keySet == Set(1L, 2L, 4L))
+    // more probes can only ADD candidates: per-query monotone recall
+    curve(1L).keys.foreach { q =>
+      assert(curve(2L)(q) >= curve(1L)(q) - 1e-9)
+      assert(curve(4L)(q) >= curve(2L)(q) - 1e-9)
+    }
+    // probes = 2 IS e13's configuration — the curve point must equal it
+    val e13 = Embeddings.queries("e13_kmeans_ivf_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("q_vec_id") -> r.getAs[Double]("recall")).toMap
+    assert(curve(2L) == e13)
+  }
+
   test("e21 ivfpq: candidates restricted to probed cells, ADC ranks them, " +
       "recall bounded by the e12 cell ceiling") {
     val out = Embeddings.queries("e21_ivfpq_recall")(spark, "/root/testdata/sf0.001")
