@@ -388,12 +388,7 @@ object Multimodal {
       reader.setInput(stream, false, true)
       val total = reader.getNumImages(true)
       if (total <= 0) return null
-      // fewer frames than requested -> take them all; otherwise evenly
-      // spaced stride (total*i/n collapses to duplicate picks when
-      // 1 < total < n, so the <= n case is explicit)
-      val picks =
-        if (total <= n) 0 until total
-        else (0 until n).map(i => (total.toLong * i / n).toInt)
+      val picks = evenPicks(total, n)
       picks.map { idx =>
         val img = reader.read(idx)
         var (r, g, b) = (0L, 0L, 0L)
@@ -430,21 +425,11 @@ object Multimodal {
   final case class AviFrameStat(frameIndex: Int, offset: Long, width: Int,
       height: Int, meanR: Double, meanG: Double, meanB: Double)
 
-  /** COMPRESSED-AV frame sampling for MJPEG-in-AVI — the one AV codec
-    * family the stock JVM really decodes (each frame is a baseline
-    * JPEG, ImageIO's native reader). Walks the RIFF container (LIST
-    * chunks recursively, so frames inside `movi`/`rec ` lists are all
-    * found), collects the `##dc`/`##db` video chunks of stream 0, and
-    * decodes up to `n` evenly spaced frames to pixel stats — the same
-    * sampled-decode contract as [[gifFrameStatsOf]], plus the byte
-    * offset of each sampled frame inside the container (the point-
-    * lookup handle a 100 TB media pipeline stores instead of pixels).
-    * Corrupt containers or frames -> null, never a task failure.
-    */
   /** The `##dc`/`##db` stream-0 video chunks of an MJPEG AVI as
-    * (offset, size) pairs — the shared RIFF walk of
-    * [[aviMjpegFramesOf]] and [[aviFrameDhashesOf]]. Null for non-AVI
-    * bytes or a container with no video chunks.
+    * (offset, size) pairs — the shared RIFF walk (LIST chunks
+    * recursively, so frames inside `movi`/`rec ` lists are all found)
+    * of [[aviMjpegFramesOf]] and [[aviFrameDhashesOf]]. Null for
+    * non-AVI bytes or a container with no video chunks.
     */
   private def aviVideoChunks(d: Array[Byte]): Seq[(Long, Int)] = {
     if (d == null || d.length < 12) return null
@@ -476,18 +461,35 @@ object Multimodal {
   }
 
   /** Evenly spaced sample of `total` items, the shared rule of all the
-    * frame samplers: all when <= n, else stride total/n.
+    * frame samplers (GIF, MJPEG stats, MJPEG dHash): all when <= n —
+    * explicit, because total·i/n collapses to duplicate picks when
+    * 1 < total < n — else stride total/n.
     */
   private def evenPicks(total: Int, n: Int): Seq[Int] =
     if (total <= n) 0 until total
     else (0 until n).map(i => (total.toLong * i / n).toInt)
 
+  /** COMPRESSED-AV frame sampling for MJPEG-in-AVI — the one AV codec
+    * family the stock JVM really decodes (each frame is a baseline
+    * JPEG, ImageIO's native reader). Collects the video chunks via
+    * [[aviVideoChunks]] and decodes up to `n` evenly spaced frames to
+    * pixel stats — the same sampled-decode contract as
+    * [[gifFrameStatsOf]], plus the byte offset of each sampled frame
+    * inside the container (the point-lookup handle a 100 TB media
+    * pipeline stores instead of pixels). Corrupt containers or
+    * frames -> null, never a task failure.
+    */
   def aviMjpegFramesOf(d: Array[Byte], n: Int): Seq[AviFrameStat] = {
     val frames = aviVideoChunks(d)
     if (frames == null) return null
     try {
+      // plain loop: a `return` from inside map's closure would throw
+      // NonLocalReturnControl into the catch-all (see aviFrameDhashesOf)
       val picks = evenPicks(frames.length, n)
-      picks.map { idx =>
+      val out = Seq.newBuilder[AviFrameStat]
+      var k = 0
+      while (k < picks.length) {
+        val idx = picks(k)
         val (off, len) = frames(idx)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(d, off.toInt, len))
@@ -505,10 +507,12 @@ object Multimodal {
           y += 1
         }
         val np = w.toLong * h
-        AviFrameStat(idx, off, w, h,
+        out += AviFrameStat(idx, off, w, h,
           math.rint(r * 100.0 / np) / 100, math.rint(g * 100.0 / np) / 100,
           math.rint(b * 100.0 / np) / 100)
+        k += 1
       }
+      out.result()
     } catch { case _: Throwable => null }
   }
 
@@ -533,13 +537,22 @@ object Multimodal {
     val frames = aviVideoChunks(d)
     if (frames == null) return null
     try {
-      evenPicks(frames.length, n).zipWithIndex.map { case (idx, k) =>
-        val (off, len) = frames(idx)
+      // plain loop, no early return inside a closure: a `return` from a
+      // lambda throws NonLocalReturnControl, which the catch-all below
+      // would swallow — correct by coincidence and fragile under any
+      // future catch narrowing
+      val picks = evenPicks(frames.length, n)
+      val out = Seq.newBuilder[FrameHash]
+      var k = 0
+      while (k < picks.length) {
+        val (off, len) = frames(picks(k))
         val h = jpegDhashOf(
           java.util.Arrays.copyOfRange(d, off.toInt, off.toInt + len))
-        if (h == null) return null
-        FrameHash(k, h.h0, h.h1)
+        if (h == null) return null // undecodable sampled frame: whole clip is null
+        out += FrameHash(k, h.h0, h.h1)
+        k += 1
       }
+      out.result()
     } catch { case _: Throwable => null }
   }
 

@@ -1360,7 +1360,12 @@ object Documents {
     * appended copies of docs 5-9 (the near regime).
     */
   private def simhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    // null text is excluded HERE, symmetrically with the oracle corpus
+    // CTE: otherwise Spark drops null-fingerprint rows at the band join
+    // (null keys never equi-join) while the SQL chain would hash them
+    // to an all-zero fingerprint and pair them at hamming 0
     val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
     val copies = base.filter(col("doc_id") < 5)
       .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
     val appended = base.filter(col("doc_id") >= 5 && col("doc_id") < 10)
@@ -1835,12 +1840,13 @@ object Documents {
   /** The d22/d23 oracle corpus CTE — mirror of [[simhashCorpus]]. */
   private val simhashCorpusSql: String =
     """corpus AS (
-         SELECT doc_id, text FROM documents
+         SELECT doc_id, text FROM documents WHERE text IS NOT NULL
          UNION ALL
-         SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5
+         SELECT doc_id + 3000000, text FROM documents
+         WHERE doc_id < 5 AND text IS NOT NULL
          UNION ALL
          SELECT doc_id + 3000000, text || ' appendix' FROM documents
-         WHERE doc_id >= 5 AND doc_id < 10)"""
+         WHERE doc_id >= 5 AND doc_id < 10 AND text IS NOT NULL)"""
 
   /** The `codes(id, h0, h1)` CTE over `shx` — the two 32-bit halves of
     * the hex fingerprint, MSB-first per half (shared by d22/d23).

@@ -1063,6 +1063,10 @@ object Warc {
     "w43_crawl_delta" -> ((s, _) => {
       import graft.functions.WarcCols
       val tmp = System.getProperty("java.io.tmpdir")
+      // fixed tmp paths = the registry-wide fixture doctrine (w31/w39/
+      // w40/w42): one driver per host, delete-then-write per invocation.
+      // Concurrent drivers on one machine would race these directories —
+      // as they would every other write-fixture query.
       val outA = s"$tmp/graft_w43_snap_a"
       val outB = s"$tmp/graft_w43_snap_b"
       Seq(outA, outB).foreach(d =>
