@@ -255,13 +255,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 to avi.length).foreach(n => Multimodal.aviMjpegFramesOf(avi.take(n), 3))
   }
 
-  test("bandedHammingPairs == brute force over 330 random codes with " +
+  test("bandedHammingPairs == brute force over 990 random codes with " +
       "planted 0-3-bit near-dups (pigeonhole recall is exact)") {
     val rnd = new scala.util.Random(2026)
-    val base = (0 until 300).map(i =>
+    val base = (0 until 900).map(i =>
       (i.toLong, rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
-    val planted = (0 until 30).map { k =>
-      val (_, h0, h1) = base(rnd.nextInt(300))
+    val planted = (0 until 90).map { k =>
+      val (_, h0, h1) = base(rnd.nextInt(900))
       var (m0, m1) = (h0, h1)
       (0 until rnd.nextInt(4)).foreach { _ =>
         val b = rnd.nextInt(64)
