@@ -73,7 +73,7 @@ private[graft] final class RoundCheckpointer(spark: SparkSession) {
     // subsequent round to recompute the full upstream lineage (found
     // as d15 re-running the whole LSH pipeline on 9 of its 10 rounds).
     // Cache rdds are never checkpointed; the localCheckpoint rdd is.
-    liveIds = (sc.getPersistentRDDs -- pre)
+    liveIds = (sc.getPersistentRDDs.view.filterKeys(!pre.contains(_)))
       .collect { case (id, rdd) if rdd.isCheckpointed => id }.toSet
     ck
   }

@@ -1361,7 +1361,7 @@ object Embeddings {
   /** e12 wraps the e01/e06 oracle SQL verbatim as subqueries, so the
     * recall measurement can never drift from the measured queries.
     */
-  val oracleSql: Map[String, String] = baseOracleSql + (
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "e13_kmeans_ivf_recall" -> {
       // probe/search SQL mirrors the e06 oracle but the codebook is the
       // trained cents3 and cells come from a4 (the kmeans chain)
