@@ -180,6 +180,66 @@ object TimeGuard {
       Thread.interrupted() // clear any interrupt that landed before `done`
     }
   }
+
+  /** The reference's `progress_loop` semantics (itertools.pyx /
+    * process_guard.pyx progress(): a heartbeat RESETS the guard): a
+    * kernel that keeps reporting progress is never interrupted — only
+    * a STALLED one. `f` receives the heartbeat thunk; the watchdog
+    * samples at maxMillis/4 granularity, so interruption lands within
+    * ~1.25× the budget after the LAST heartbeat. Same
+    * delivery-vs-completion locking discipline as [[timeLimited]].
+    */
+  def timeLimitedWithProgress[T](maxMillis: Long)(
+      f: (() => Unit) => T): Either[String, T] = {
+    val worker = Thread.currentThread()
+    val lock = new Object
+    var done = false
+    var fired = false
+    @volatile var deadline = System.nanoTime() + maxMillis * 1000000L
+    val heartbeat: () => Unit =
+      () => deadline = System.nanoTime() + maxMillis * 1000000L
+    val period = math.max(1L, maxMillis / 4)
+    val task = watchdog.scheduleAtFixedRate(new Runnable {
+      override def run(): Unit = lock.synchronized {
+        if (!done && !fired && System.nanoTime() > deadline) {
+          fired = true; worker.interrupt()
+        }
+      }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def firedNow: Boolean = lock.synchronized(fired)
+    try {
+      val out = f(heartbeat)
+      if (firedNow) Left(s"time guard: stalled past ${maxMillis}ms")
+      else Right(out)
+    } catch {
+      case _: InterruptedException => Left(s"time guard: stalled past ${maxMillis}ms")
+      case e: Throwable =>
+        if (firedNow) Left(s"time guard: stalled past ${maxMillis}ms")
+        else Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      lock.synchronized { done = true }
+      task.cancel(false)
+      Thread.interrupted()
+    }
+  }
+
+  /** `progress_loop(it, budget)`: drive an iterator under a PER-ITEM
+    * stall budget — each yielded element re-arms the guard, so a long
+    * but steadily-progressing stream is never killed while one stuck
+    * element still is. Returns the number of items processed or the
+    * stall error.
+    */
+  def progressLoop[T](it: Iterator[T], maxMillisPerItem: Long)(
+      body: T => Unit): Either[String, Long] =
+    timeLimitedWithProgress(maxMillisPerItem) { heartbeat =>
+      var n = 0L
+      while (it.hasNext) {
+        body(it.next())
+        heartbeat()
+        n += 1
+      }
+      n
+    }
 }
 
 /** Per-record MEMORY containment beyond the static budgets (node count,

@@ -147,6 +147,30 @@ class RobustnessSpec extends AnyFunSuite {
     assert(err.swap.exists(_.contains("boom")))
   }
 
+  test("progress_loop semantics: steady progress is never interrupted, " +
+      "a stalled element still is") {
+    // 20 items x 40ms = 800ms total work under a 150ms PER-ITEM budget:
+    // total >> budget, but every heartbeat re-arms the guard
+    val steady = TimeGuard.progressLoop((0 until 20).iterator, 150) { _ =>
+      Thread.sleep(40)
+    }
+    assert(steady == Right(20L))
+    // one element stalls past the budget -> interrupted, loop reports it
+    var processed = 0
+    val t0 = System.nanoTime()
+    val stalled = TimeGuard.progressLoop((0 until 20).iterator, 150) { i =>
+      if (i == 3) Thread.sleep(10000) else processed += 1
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(stalled.isLeft && stalled.swap.exists(_.contains("stalled")))
+    assert(processed == 3 && elapsedMs < 5000)
+    // kernel exceptions surface as the error value, not a throw
+    val err = TimeGuard.timeLimitedWithProgress(1000) { _ =>
+      throw new RuntimeException("boom")
+    }
+    assert(err.swap.exists(_.contains("boom")))
+  }
+
   test("point lookup extracts single records by writer-reported offsets") {
     // write 5 records as gzip members, remembering each member offset
     val (in, _) = WarcCodecs.open(new ByteArrayInputStream(fixtureBytes))
