@@ -212,23 +212,33 @@ object Multimodal {
     * quality filtering (silence / clipping detection) at corpus scale.
     * Null for non-WAV or non-16-bit payloads.
     */
-  def audioStatsOf(d: Array[Byte]): AudioStats = {
-    val meta = audioMetaOf(d)
-    if (meta == null || meta.bitsPerSample != 16) return null
-    // find the data chunk again (cheap: headers are tiny)
+  /** Locate the `data` chunk of a RIFF/WAVE payload: (offset, clipped
+    * length) or null — the shared re-walk of [[audioStatsOf]] and
+    * [[audioWindowsOf]] (cheap: headers are tiny; validation already
+    * happened in [[audioMetaOf]]).
+    */
+  private def wavDataChunk(d: Array[Byte]): (Int, Long) = {
     @inline def u8(i: Int) = d(i) & 0xff
     def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
     @inline def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
     var pos = 12
-    var dataOff = -1
-    var dataLen = -1L
-    while (pos + 8 <= d.length && dataOff < 0) {
+    while (pos + 8 <= d.length) {
       val id = fourcc(pos)
       val len = le32(pos + 4)
-      if (id == "data") { dataOff = pos + 8; dataLen = math.min(len, (d.length - pos - 8).toLong) }
+      if (id == "data")
+        return (pos + 8, math.min(len, (d.length - pos - 8).toLong))
       pos += 8 + len.toInt + (len.toInt & 1)
     }
-    if (dataOff < 0) return null
+    null
+  }
+
+  def audioStatsOf(d: Array[Byte]): AudioStats = {
+    val meta = audioMetaOf(d)
+    if (meta == null || meta.bitsPerSample != 16) return null
+    @inline def u8(i: Int) = d(i) & 0xff
+    val chunk = wavDataChunk(d)
+    if (chunk == null) return null
+    val (dataOff, dataLen) = chunk
     val n = (dataLen / 2).toInt
     if (n == 0) return AudioStats(0, 0.0, 0.0)
     var peak = 0
@@ -272,18 +282,9 @@ object Multimodal {
     val meta = audioMetaOf(d)
     if (meta == null || meta.bitsPerSample != 16 || windowFrames <= 0) return null
     @inline def u8(i: Int) = d(i) & 0xff
-    def fourcc(i: Int) = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    @inline def le32(i: Int) = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
-    var pos = 12
-    var dataOff = -1
-    var dataLen = -1L
-    while (pos + 8 <= d.length && dataOff < 0) {
-      val id = fourcc(pos)
-      val len = le32(pos + 4)
-      if (id == "data") { dataOff = pos + 8; dataLen = math.min(len, (d.length - pos - 8).toLong) }
-      pos += 8 + len.toInt + (len.toInt & 1)
-    }
-    if (dataOff < 0) return null
+    val chunk = wavDataChunk(d)
+    if (chunk == null) return null
+    val (dataOff, dataLen) = chunk
     val ch = meta.channels
     val nFrames = (dataLen / 2 / ch).toInt
     @inline def mix(t: Int): Double = {

@@ -36,6 +36,10 @@ object Documents {
     * word table).
     */
   private def bpeStep(ws: DataFrame): (DataFrame, DataFrame) = {
+    // both outputs are localCheckpointed: t25 chains three steps and t28
+    // additionally re-reads every merge in its encode pass, so an
+    // uncheckpointed chain re-runs the corpus-wide pair aggregation ~6
+    // times (each m_k/w_k subtree embeds the whole upstream chain)
     val top = ws
       .select(col("freq"),
         split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("a"))
@@ -46,10 +50,17 @@ object Documents {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-    val next = ws.crossJoin(broadcast(top))
+      .localCheckpoint()
+    // LEFT join on true + coalesce: an EMPTY merge table (a corpus with
+    // no adjacent pair at all) must be a fuse NO-OP, not a crossJoin row
+    // annihilator; replace() with a null pattern yields null, so the
+    // coalesce falls back to the unfused symbols
+    val next = ws.join(broadcast(top), lit(true), "left")
       .select(expr(
-        "replace(syms, concat('<', l, '><', r, '>'), concat('<', l, r, '>'))")
+        "coalesce(replace(syms, concat('<', l, '><', r, '>'), " +
+          "concat('<', l, r, '>')), syms)")
         .as("syms"), col("freq"))
+      .localCheckpoint()
     (top, next)
   }
 
@@ -801,10 +812,14 @@ object Documents {
       val (m1, w1) = bpeStep(bpeWords(docs(s, dir)))
       val (m2, w2) = bpeStep(w1)
       val (m3, _) = bpeStep(w2)
+      // LEFT join on true + coalesce (the bpeStep fuse doctrine): an
+      // empty merge table is a no-op, never a crossJoin row annihilator
       def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
-        df.crossJoin(broadcast(m.select(col("l").as("_ml"), col("r").as("_mr"))))
+        df.join(broadcast(m.select(col("l").as("_ml"), col("r").as("_mr"))),
+            lit(true), "left")
           .withColumn("syms", expr(
-            "replace(syms, concat('<', _ml, '><', _mr, '>'), concat('<', _ml, _mr, '>'))"))
+            "coalesce(replace(syms, concat('<', _ml, '><', _mr, '>'), " +
+              "concat('<', _ml, _mr, '>')), syms)"))
           .drop("_ml", "_mr")
       val docWords = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -2411,9 +2426,9 @@ object Documents {
         s"$m AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1)"
       def applyCte(wNext: String, w: String, m: String): String =
         s"""$wNext AS (
-             SELECT replace(syms, '<' || m.l || '><' || m.r || '>',
-               '<' || m.l || m.r || '>') AS syms, freq
-             FROM $w CROSS JOIN $m m)"""
+             SELECT coalesce(replace(syms, '<' || m.l || '><' || m.r || '>',
+               '<' || m.l || m.r || '>'), syms) AS syms, freq
+             FROM $w LEFT JOIN $m m ON TRUE)"""
       s"""WITH w0 AS (
            SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms,
              CAST(count(*) AS BIGINT) AS freq
@@ -2447,14 +2462,15 @@ object Documents {
         s"$m AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1)"
       def applyCte(wNext: String, w: String, m: String): String =
         s"""$wNext AS (
-             SELECT replace(syms, '<' || m.l || '><' || m.r || '>',
-               '<' || m.l || m.r || '>') AS syms, freq
-             FROM $w CROSS JOIN $m m)"""
+             SELECT coalesce(replace(syms, '<' || m.l || '><' || m.r || '>',
+               '<' || m.l || m.r || '>'), syms) AS syms, freq
+             FROM $w LEFT JOIN $m m ON TRUE)"""
       def encCte(sNext: String, sPrev: String, m: String): String =
         s"""$sNext AS (
-             SELECT doc_id, w, replace(syms, '<' || m.l || '><' || m.r || '>',
-               '<' || m.l || m.r || '>') AS syms
-             FROM $sPrev CROSS JOIN $m m)"""
+             SELECT doc_id, w, coalesce(replace(syms,
+               '<' || m.l || '><' || m.r || '>',
+               '<' || m.l || m.r || '>'), syms) AS syms
+             FROM $sPrev LEFT JOIN $m m ON TRUE)"""
       s"""WITH w0 AS (
            SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms,
              CAST(count(*) AS BIGINT) AS freq

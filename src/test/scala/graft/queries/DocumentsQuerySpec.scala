@@ -55,6 +55,21 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((0L, 4L, 12L, 5L, 2.4), (1L, 3L, 9L, 5L, 1.8)))
   }
 
+  test("t28 BPE encode: a corpus with no mergeable pair is a fuse no-op, " +
+      "never a row annihilator") {
+    val s = spark
+    import s.implicits._
+    // every normalized word is a single letter -> bpeWords' >=2-char
+    // filter leaves training EMPTY; the encode must still emit per-doc
+    // rows (one token per character) instead of crossJoin-ing to zero
+    val dir = java.nio.file.Files.createTempDirectory("graft_t28e").toString
+    Seq((0L, "a b c"), (1L, "x y"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Documents.queries("t28_bpe_encode")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 3L), (1L, 2L, 2L)))
+  }
+
   test("t12 PII redaction scrubs emails, IPs and phones in order") {
     val s = spark
     import s.implicits._
