@@ -1368,7 +1368,169 @@ object Documents {
           round(round(sqrt(col("p")), 6) / col("z") / col("p"), 4).as("boost"))
         .orderBy(col("source"))
     }),
+
+    // Deterministic global-shuffle shard layout (the training-set
+    // WRITER topology: every pretraining run wants its corpus in K
+    // shards, globally permuted, reproducibly). Bucketing by a uniform
+    // hash AND ordering within each bucket by that same hash is a
+    // global permutation with NO global sort — at 100 TB this is
+    // exactly `repartition(shard).sortWithinPartitions(h)` feeding K
+    // independent shard writers, and the buckets are balanced by hash
+    // uniformity (no ntile, no count-dependent ranges). The per-shard
+    // layout_md5 over the ordered doc_id sequence is the determinism
+    // witness: any engine, any cluster size, byte-identical shards.
+    "t31_shard_layout" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("ord:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), h.as("h"), tokenCount(col("text")).as("n_tokens"))
+        .groupBy(expr("h * 8 div 4294967296").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",")).as("layout_md5"))
+        .orderBy(col("shard"))
+    }),
+
+    // Temperature resampling EXECUTED (t30 gives the mixing weights;
+    // this materializes them): per-doc copy count = floor(factor) plus
+    // a stochastically-rounded extra copy iff a uniform doc-hash falls
+    // under the fractional part — deterministic, so the resampled
+    // corpus is auditable and re-runnable anywhere. The corpus's real
+    // sources are uniform (25 docs each — resampling would be a
+    // no-op), so docs are first binned by floor(sqrt(doc_id % 100)),
+    // a Zipf-ish 5/15/…/95 skew that exercises genuine up- AND
+    // down-sampling. Topology: one count aggregate, two 1-row
+    // broadcasts, then the factor table broadcast-joins back to the
+    // corpus — the full-size data shuffles ZERO times.
+    "t32_resample_exec" -> ((s, dir) => {
+      val bin = concat(lit("b"),
+        floor(sqrt(col("doc_id") % 100)).cast("long").cast("string"))
+      val base = docs(s, dir).select(col("doc_id"), bin.as("bin"))
+      val c = base.groupBy(col("bin")).agg(count(lit(1)).as("n_docs"))
+      val tot = c.agg(sum(col("n_docs")).as("n_total"))
+      val p = c.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_docs"), col("n_total"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("p"))
+      val z = p.agg(round(sum(round(sqrt(col("p")), 6)), 6).as("z"))
+      val f = p.crossJoin(broadcast(z))
+        .select(col("bin"), col("n_docs"),
+          round(round(round(sqrt(col("p")), 6) / col("z"), 6)
+            * col("n_total") / col("n_docs"), 6).as("factor"))
+      val u = conv(substring(md5(concat(lit("rs:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      base.join(broadcast(f), "bin")
+        .select(col("bin"), col("n_docs"), col("factor"),
+          (floor(col("factor")).cast("long") +
+            when(u < floor((col("factor") - floor(col("factor")))
+              * 4294967296d).cast("long"), 1L).otherwise(0L)).as("n_copies"))
+        .groupBy(col("bin"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("factor")).as("factor"),
+          sum(col("n_copies")).as("n_out"),
+          round(sum(col("n_copies")).cast("double") / max(col("n_docs")), 6)
+            .as("realized"))
+        .orderBy(col("bin"))
+    }),
+
+    // MinHash-LSH band PLANNER (the table a 100 TB dedup run starts
+    // from): for each (rows-per-band r, bands b) split of a 128-hash
+    // signature, the S-curve P(candidate | jaccard s) = 1-(1-s^r)^b
+    // on a 0.05 grid, the grid s at which detection crosses 50%, and
+    // the false-positive / false-negative probability mass around the
+    // production threshold 0.8 (grid Riemann sums in exact integer
+    // micro-units — double summation ORDER never touches the oracle
+    // compare). Every power is an explicit squaring chain because IEEE
+    // multiplication is exact-deterministic while pow() is not. The
+    // numbers reproduce why d07's pipeline runs r=8, b=16: 40x less
+    // FP mass than r=4 at 26x less FN mass than r=16.
+    "d24_lsh_plan" -> ((s, dir) => {
+      import s.implicits._
+      val g = s.range(1, 20).select(col("id").as("i"),
+        (col("id").cast("double") * 0.05).as("s"))
+      val rb = Seq((2, 64), (4, 32), (8, 16), (16, 8)).toDF("r", "b")
+      val curve = rb.crossJoin(broadcast(g))
+        .withColumn("s2", col("s") * col("s"))
+        .withColumn("s4", col("s2") * col("s2"))
+        .withColumn("s8", col("s4") * col("s4"))
+        .withColumn("s16", col("s8") * col("s8"))
+        .withColumn("q", lit(1d) - when(col("r") === 2, col("s2"))
+          .when(col("r") === 4, col("s4"))
+          .when(col("r") === 8, col("s8")).otherwise(col("s16")))
+        .withColumn("qq2", col("q") * col("q"))
+        .withColumn("qq4", col("qq2") * col("qq2"))
+        .withColumn("qq8", col("qq4") * col("qq4"))
+        .withColumn("qq16", col("qq8") * col("qq8"))
+        .withColumn("qq32", col("qq16") * col("qq16"))
+        .withColumn("qq64", col("qq32") * col("qq32"))
+        .withColumn("qb", when(col("b") === 8, col("qq8"))
+          .when(col("b") === 16, col("qq16"))
+          .when(col("b") === 32, col("qq32")).otherwise(col("qq64")))
+        .withColumn("p_u6", round((lit(1d) - col("qb")) * 1000000d).cast("long"))
+      curve.groupBy(col("r"), col("b"))
+        .agg((min(when(col("p_u6") >= 500000L, col("i"))) * 5).as("s50_pct"),
+          sum(when(col("i") < 16, col("p_u6")).otherwise(0L)).as("fp_mass_u6"),
+          sum(when(col("i") >= 16, lit(1000000L) - col("p_u6")).otherwise(0L))
+            .as("fn_mass_u6"))
+        .orderBy(col("r"))
+    }),
+
+    // EXACT repeated-substring detection via the sorted-suffix topology
+    // of Lee et al. 2021 (d14 is the winnowed APPROXIMATION; this is
+    // the exact rung: sort all suffixes, then repeated substrings >= L
+    // are precisely the ADJACENT pairs whose L-char prefixes match) —
+    // see [[suffixDups]] for the partition-by-suffix-prefix trick that
+    // makes the adjacency window distributed without losing a single
+    // reportable pair.
+    "d25_suffix_dups" -> ((s, dir) => suffixDups(docs(s, dir), prefixLen = 4)),
   )
+
+  /** Sorted-suffix adjacency counters (d25). Every WORD-START suffix
+    * (truncated to 64 chars) sorts in one global order; the LCP of
+    * adjacent neighbors bounds every repeat, so pairs whose 20/30/40/64
+    * char prefixes match count exact repeated substrings of those
+    * lengths (Lee et al. 2021's suffix-array scan, re-expressed as
+    * sort + lead()).
+    *
+    * The scale trick: the window partitions by the suffix's first
+    * `prefixLen` chars. Each partition is a CONTIGUOUS RANGE of the
+    * global suffix order (the order starts with those same chars), so
+    * within-partition adjacency IS global adjacency, and the only lost
+    * pairs — at partition boundaries — have LCP < prefixLen, strictly
+    * below every reported threshold. The counters are therefore
+    * EXACTLY the single-window answer with no single-partition window
+    * anywhere; `prefixLen` is the parallelism knob (4 is plenty here;
+    * 8+ spreads 100 TB, and `prefixLen = 0` degenerates to the global
+    * window — the equivalence a spec pins). Shuffle volume: one
+    * (doc_id, pos, <=64-char suffix) exchange over word starts — the
+    * same order of magnitude as the corpus itself, the price of
+    * exactness that d14's fingerprints avoid.
+    */
+  private[queries] def suffixDups(d: DataFrame, prefixLen: Int): DataFrame = {
+    val starts = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("p"))
+      .filter((col("p") === 1 || expr("substring(text, p - 1, 1)") === " ") &&
+        expr("substring(text, p, 1)") =!= " ")
+      .select(col("doc_id"), col("p"), expr("substring(text, p, 64)").as("suf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("suf"), 1, prefixLen))
+      .orderBy(col("suf"), col("doc_id"), col("p"))
+    starts
+      .select(col("doc_id"), col("suf"),
+        lead(col("suf"), 1).over(w).as("nsuf"),
+        lead(col("doc_id"), 1).over(w).as("ndoc"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(substring(col("suf"), 1, 20) === substring(col("nsuf"), 1, 20),
+          1L).otherwise(0L)).as("n_lcp20"),
+        sum(when(substring(col("suf"), 1, 30) === substring(col("nsuf"), 1, 30),
+          1L).otherwise(0L)).as("n_lcp30"),
+        sum(when(substring(col("suf"), 1, 40) === substring(col("nsuf"), 1, 40),
+          1L).otherwise(0L)).as("n_lcp40"),
+        sum(when(col("suf") === col("nsuf"), 1L).otherwise(0L)).as("n_lcp64"),
+        sum(when(substring(col("suf"), 1, 30) === substring(col("nsuf"), 1, 30)
+          && col("doc_id") =!= col("ndoc"), 1L).otherwise(0L))
+          .as("n_cross_doc_lcp30"))
+  }
 
   /** The d22/d23 corpus: documents plus exact copies of docs 0-4
     * (guaranteed hamming-0 positives at every SF) and one-token-
@@ -2329,6 +2491,96 @@ object Documents {
            round(round(sqrt(p), 6) / z, 6) AS q,
            round(round(sqrt(p), 6) / z / p, 4) AS boost
          FROM p CROSS JOIN z ORDER BY source""",
+    "t31_shard_layout" ->
+      s"""WITH h AS (SELECT doc_id,
+            CAST(len($tokSqlDuck) AS BIGINT) AS n_tokens,
+            CAST(('0x' || substring(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+          FROM documents)
+          SELECT CAST(h * 8 // 4294967296 AS BIGINT) AS shard,
+            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+            md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id))
+              AS layout_md5
+          FROM h GROUP BY 1 ORDER BY 1""",
+    "t32_resample_exec" ->
+      """WITH s AS (SELECT doc_id,
+           'b' || CAST(CAST(floor(sqrt(doc_id % 100)) AS BIGINT) AS VARCHAR) AS bin
+         FROM documents),
+         c AS (SELECT bin, count(*) AS n_docs FROM s GROUP BY bin),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+         p AS (SELECT bin, n_docs, n_total,
+             round(CAST(n_docs AS DOUBLE) / n_total, 6) AS p
+           FROM c CROSS JOIN t),
+         z AS (SELECT round(sum(round(sqrt(p), 6)), 6) AS z FROM p),
+         f AS (SELECT bin, n_docs,
+             round(round(round(sqrt(p), 6) / z, 6) * n_total / n_docs, 6) AS factor
+           FROM p CROSS JOIN z),
+         d AS (SELECT s.doc_id, s.bin, f.n_docs, f.factor,
+             CAST(floor(f.factor) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substring(
+                   md5('rs:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 < CAST(floor((f.factor - floor(f.factor)) * 4294967296) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+           FROM s JOIN f ON s.bin = f.bin)
+         SELECT bin, max(n_docs) AS n_docs, max(factor) AS factor,
+           CAST(sum(n_copies) AS BIGINT) AS n_out,
+           round(CAST(sum(n_copies) AS DOUBLE) / max(n_docs), 6) AS realized
+         FROM d GROUP BY bin ORDER BY bin""",
+    "d24_lsh_plan" ->
+      """WITH g AS (SELECT CAST(i AS BIGINT) AS i, CAST(i AS DOUBLE) * 0.05 AS s
+           FROM generate_series(1, 19) AS t(i)),
+         rb AS (SELECT * FROM (VALUES (2, 64), (4, 32), (8, 16), (16, 8)) AS v(r, b)),
+         x1 AS (SELECT rb.r, rb.b, g.i, g.s, s*s AS s2 FROM rb CROSS JOIN g),
+         x2 AS (SELECT *, s2*s2 AS s4 FROM x1),
+         x3 AS (SELECT *, s4*s4 AS s8 FROM x2),
+         x4 AS (SELECT *, s8*s8 AS s16 FROM x3),
+         pr AS (SELECT r, b, i,
+             1 - CASE r WHEN 2 THEN s2 WHEN 4 THEN s4 WHEN 8 THEN s8
+                 ELSE s16 END AS q
+           FROM x4),
+         q2 AS (SELECT *, q*q AS qq2 FROM pr),
+         q4 AS (SELECT *, qq2*qq2 AS qq4 FROM q2),
+         q8 AS (SELECT *, qq4*qq4 AS qq8 FROM q4),
+         q16 AS (SELECT *, qq8*qq8 AS qq16 FROM q8),
+         q32 AS (SELECT *, qq16*qq16 AS qq32 FROM q16),
+         q64 AS (SELECT *, qq32*qq32 AS qq64 FROM q32),
+         d AS (SELECT r, b, i, CAST(round((1 - CASE b WHEN 8 THEN qq8
+                 WHEN 16 THEN qq16 WHEN 32 THEN qq32 ELSE qq64 END)
+               * 1000000) AS BIGINT) AS p_u6
+           FROM q64)
+         SELECT r, b,
+           CAST(min(CASE WHEN p_u6 >= 500000 THEN i END) * 5 AS BIGINT) AS s50_pct,
+           CAST(sum(CASE WHEN i < 16 THEN p_u6 ELSE 0 END) AS BIGINT) AS fp_mass_u6,
+           CAST(sum(CASE WHEN i >= 16 THEN 1000000 - p_u6 ELSE 0 END) AS BIGINT)
+             AS fn_mass_u6
+         FROM d GROUP BY r, b ORDER BY r""",
+    "d25_suffix_dups" ->
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+           FROM documents WHERE text IS NOT NULL),
+         starts AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             substring(text, CAST(p AS INT), 64) AS suf
+           FROM pos
+           WHERE (p = 1 OR substring(text, CAST(p AS INT) - 1, 1) = ' ')
+             AND substring(text, CAST(p AS INT), 1) <> ' '),
+         nbr AS (
+           SELECT doc_id, suf,
+             lead(suf) OVER (ORDER BY suf, doc_id, p) AS nsuf,
+             lead(doc_id) OVER (ORDER BY suf, doc_id, p) AS ndoc
+           FROM starts)
+         SELECT
+           count(*) AS n_positions,
+           CAST(sum(CASE WHEN substring(suf, 1, 20) = substring(nsuf, 1, 20)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_lcp20,
+           CAST(sum(CASE WHEN substring(suf, 1, 30) = substring(nsuf, 1, 30)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_lcp30,
+           CAST(sum(CASE WHEN substring(suf, 1, 40) = substring(nsuf, 1, 40)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_lcp40,
+           CAST(sum(CASE WHEN suf = nsuf THEN 1 ELSE 0 END) AS BIGINT) AS n_lcp64,
+           CAST(sum(CASE WHEN substring(suf, 1, 30) = substring(nsuf, 1, 30)
+             AND doc_id <> ndoc THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_lcp30
+         FROM nbr""",
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
       val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")

@@ -437,4 +437,99 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_.getLong(0)).view.mapValues(_.size).toMap
     assert(kept(2000000L) == 3 && kept.count(_._2 == 2) == 49)
   }
+
+  test("t31 shard layout: shards partition the corpus and the layout is " +
+      "a deterministic permutation") {
+    val s = spark
+    def run() = Documents.queries("t31_shard_layout")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val a = run()
+    val total = s.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    // every shard id in [0, 8), no shard empty at 500 docs, counts
+    // partition the corpus exactly
+    assert(a.map(_._1).toSeq == a.map(_._1).toSeq.sorted)
+    assert(a.forall(t => t._1 >= 0 && t._1 < 8))
+    assert(a.map(_._2).sum == total)
+    // hash-uniform balance: no shard further than 2x from the mean
+    val mean = total.toDouble / a.length
+    a.foreach(t => assert(t._2 > mean / 2 && t._2 < mean * 2))
+    // re-running reproduces the identical per-shard byte layout
+    assert(run().toSeq == a.toSeq)
+  }
+
+  test("t32 resample exec: tail bins upsampled, head bins downsampled, " +
+      "copy counts within the stochastic-rounding envelope") {
+    val s = spark
+    val rows = Documents.queries("t32_resample_exec")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length >= 5)
+    // factor decreases as bin size grows (temperature damping)
+    val byN = rows.sortBy(_._2)
+    assert(byN.head._3 > 1.0 && byN.last._3 < 1.0)
+    assert(byN.map(_._3).reverse.toSeq == byN.map(_._3).reverse.toSeq.sorted)
+    rows.foreach { case (_, n, factor, nOut, realized) =>
+      // floor(f)*n <= n_out <= ceil(f)*n — stochastic rounding never
+      // leaves the unit envelope around f*n
+      assert(nOut >= math.floor(factor).toLong * n)
+      assert(nOut <= math.ceil(factor).toLong * n)
+      assert(math.abs(realized - nOut.toDouble / n) < 1e-4)
+    }
+  }
+
+  test("d24 LSH plan: wider bands catch earlier (more FP), taller bands " +
+      "catch later (more FN), and the production point sits between") {
+    val s = spark
+    val rows = Documents.queries("d24_lsh_plan")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8, 16))
+    rows.foreach { case (r, b, _, _, _) => assert(r * b == 128) }
+    // s50 grid threshold strictly increases with r; FP mass strictly
+    // decreases; FN mass is non-decreasing
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted &&
+      rows.map(_._3).distinct.length == 4)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse &&
+      rows.map(_._4).distinct.length == 4)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).toSeq.sorted)
+    // the production choice (r=8, b=16) crosses 50% at s=0.70, below
+    // the 0.8 dedup bar but above the r=4 noise floor
+    val prod = rows.find(_._1 == 8).get
+    assert(prod._3 == 70L)
+  }
+
+  test("d25 suffix dups: hand-derived counters, and the partitioned window " +
+      "equals the single global window exactly") {
+    val s = spark
+    import s.implicits._
+    // phrase P (45 chars) shared by docs 0/1; doc 2 repeats a 15-char
+    // phrase internally (below every threshold); doc 3 is unique.
+    // Word-start suffix LCPs across docs 0/1: shared..=46, boiler..=39,
+    // cookie..=27, consent..=20, notice..=12, text..=5
+    // -> lcp20: 4 pairs, lcp30: 2, lcp40: 1, lcp64: 0, cross30: 2
+    val phrase = "shared boilerplate cookie consent notice text"
+    val docs = Seq(
+      (0L, s"alpha $phrase omega"),
+      (1L, s"beta $phrase gamma"),
+      (2L, "repeat me twice repeat me twice tail"),
+      (3L, "entirely unique content here")).toDF("doc_id", "text")
+    def counters(prefixLen: Int) = {
+      val r = Documents.suffixDups(docs, prefixLen).collect()(0)
+      (0 to 5).map(r.getLong).toSeq
+    }
+    val part = counters(4)
+    assert(part == Seq(27L, 4L, 2L, 1L, 0L, 2L))
+    // prefixLen = 0 degenerates to ONE global window — the boundary-loss
+    // argument (lost pairs have LCP < prefixLen < every threshold) says
+    // the distributed counters must be identical
+    assert(counters(0) == part)
+  }
+
+  test("d25 suffix dups: partition/global equivalence holds on the real corpus") {
+    val s = spark
+    val d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val part = Documents.suffixDups(d, prefixLen = 4).collect()(0).toSeq
+    val glob = Documents.suffixDups(d, prefixLen = 0).collect()(0).toSeq
+    assert(part == glob)
+  }
 }

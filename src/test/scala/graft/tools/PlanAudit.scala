@@ -55,6 +55,9 @@ object PlanAudit {
     "w43_crawl_delta" -> "snapshot listings meet in ONE full-outer join keyed by URL (CDX-shaped, co-partitionable at scale); classification and the refetch budget are a projection + partial agg over the joined rows",
     "d22_simhash_neardup" -> "SimHash near-dup through the shared banded-hamming pipeline: fingerprints in-scan, bands shuffle (id, band, 16-bit key), the verify joins 8-byte codes — no shingle explosion anywhere",
     "m11_video_neardup" -> "video near-dup: candidates band frame-0 codes; the per-frame verify joins (media_id, fidx, h0, h1) rows by sample position — pixels are decoded once, at hash time",
+    "t31_shard_layout" -> "shard-writer layout: ONE exchange on the hash-derived shard key, the ordered layout digest folds inside the aggregate — no global sort anywhere",
+    "t32_resample_exec" -> "the factor table builds from a count agg + two 1-row broadcasts and BROADCAST-joins back to the corpus — the full-size side is never reshuffled",
+    "d25_suffix_dups" -> "sorted-suffix adjacency: the window partitions by the suffix prefix (contiguous ranges of the global suffix order) — NO single-partition window; one exchange of (doc_id, pos, <=64B suffix) rows",
   )
 
   def main(args: Array[String]): Unit = {
