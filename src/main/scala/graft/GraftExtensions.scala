@@ -77,6 +77,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.length == 1, "nfc_normalize(text)")
       graft.plans.NfcNormalizeExpr(args.head)
     }
+    inject("blocklist_counts") { args =>
+      // blocklist_counts(text, 'term1', 'term2', ...) -> array<long>
+      require(args.length >= 2,
+        "blocklist_counts(text, term [, term ...]) — terms are string literals")
+      val terms = args.tail.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"blocklist_counts: terms must be string literals, got $other")
+      }
+      graft.plans.BlocklistCountsExpr(args.head, terms)
+    }
     inject("jpeg_pixel_grid")(
       viaColumns("jpeg_pixel_grid", 2)(as =>
         graft.functions.Multimodal.jpegPixelGrid(as.head, as(1))))

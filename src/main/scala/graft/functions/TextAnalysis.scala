@@ -35,6 +35,17 @@ object TextAnalysis {
       graft.plans.NfcNormalizeExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** Per-pattern Aho–Corasick blocklist match counts (leftmost
+    * non-overlapping per pattern) — `array<long>` index-aligned with
+    * `patterns`; native codegen expression
+    * ([[graft.plans.BlocklistCountsExpr]]). One automaton walk per
+    * document, O(len + matches) regardless of blocklist size.
+    */
+  def blocklistCounts(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.BlocklistCountsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), patterns))
+
   /** Punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
     round((length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")

@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern matcher — the blocklist gate every
+  * large-scale training-data pipeline runs (C4's banned-word list,
+  * Raffel et al. 2020 §2.2; CCNet/RefinedWeb domain+term gates). One
+  * automaton walk per document finds every blocklist term at once:
+  * O(len(text) + matches), independent of blocklist size — at 100 TB
+  * with a multi-thousand-term list this is the difference between one
+  * scan and thousands of `contains` passes.
+  *
+  * Match semantics are leftmost non-overlapping PER PATTERN (what
+  * `replace(t, p, '')` counts, so the DuckDB oracle states the same
+  * counts in closed form): occurrences of different patterns may
+  * overlap each other, occurrences of one pattern never self-overlap.
+  * Matching is case-sensitive — callers lowercase via Spark's `lower`
+  * so case folding stays in the engine (symmetric with the oracle's
+  * `lower(text)`), not re-implemented here.
+  *
+  * The automaton rebuilds lazily from the pattern array after
+  * serialization (fields are @transient), so shipping the expression to
+  * executors ships only the strings; each executor compiles once.
+  */
+final class AhoCorasick(val patterns: Array[String]) extends Serializable {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "blocklist patterns must be non-empty strings")
+
+  // trie arrays, built on first use on each JVM
+  @transient private lazy val built: AhoCorasick.Built = AhoCorasick.build(patterns)
+
+  /** Per-pattern leftmost-non-overlapping match counts over `text`,
+    * index-aligned with `patterns`. Static-shaped output: every row
+    * yields an array of exactly `patterns.length` longs.
+    */
+  def counts(text: UTF8String): GenericArrayData = {
+    val b = built
+    val s = text.toString
+    val out = new Array[Long](patterns.length)
+    val lastEnd = new Array[Int](patterns.length)
+    var node = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      var next = b.step(node, c)
+      while (next < 0 && node != 0) { node = b.fail(node); next = b.step(node, c) }
+      node = if (next < 0) 0 else next
+      // emit every pattern ending here (output links pre-flattened)
+      val outs = b.out(node)
+      var j = 0
+      while (j < outs.length) {
+        val pid = outs(j)
+        val start = i + 1 - b.patLen(pid)
+        if (start >= lastEnd(pid)) { out(pid) += 1L; lastEnd(pid) = i + 1 }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object AhoCorasick {
+
+  /** Flattened automaton: per-node sorted char edges (binary-searched),
+    * fail links, and pre-flattened output pattern ids (each node's own
+    * terminal patterns plus everything reachable via fail links, so the
+    * match loop never chases fail links for output).
+    */
+  final case class Built(
+      edgeChars: Array[Array[Char]],
+      edgeTo: Array[Array[Int]],
+      fail: Array[Int],
+      out: Array[Array[Int]],
+      patLen: Array[Int]) {
+    def step(node: Int, c: Char): Int = {
+      val cs = edgeChars(node)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val m = cs(mid)
+        if (m == c) return edgeTo(node)(mid)
+        else if (m < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+  }
+
+  def build(patterns: Array[String]): Built = {
+    import scala.collection.mutable
+    val next = mutable.ArrayBuffer(mutable.TreeMap.empty[Char, Int])
+    val term = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+    // trie insertion
+    var pid = 0
+    while (pid < patterns.length) {
+      var node = 0
+      val p = patterns(pid)
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        node = next(node).getOrElse(c, {
+          next += mutable.TreeMap.empty[Char, Int]
+          term += mutable.ArrayBuffer.empty[Int]
+          val id = next.length - 1
+          next(node)(c) = id
+          id
+        })
+        i += 1
+      }
+      term(node) += pid
+      pid += 1
+    }
+    // BFS fail links; flatten outputs through fail chains as we go
+    val n = next.length
+    val fail = new Array[Int](n)
+    val out = new Array[Array[Int]](n)
+    out(0) = term(0).toArray
+    val queue = mutable.Queue.empty[Int]
+    for (v <- next(0).valuesIterator) { fail(v) = 0; queue += v }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      out(u) = (term(u) ++ out(fail(u))).toArray.sorted
+      for ((c, v) <- next(u)) {
+        var f = fail(u)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        fail(v) = next(f).get(c).filter(_ != v).getOrElse(0)
+        queue += v
+      }
+    }
+    Built(
+      edgeChars = next.map(_.keysIterator.toArray).toArray,
+      edgeTo = next.map(_.valuesIterator.toArray).toArray,
+      fail = fail,
+      out = out,
+      patLen = patterns.map(_.length))
+  }
+}
+
+/** Per-pattern blocklist match counts as a native codegen expression:
+  * `array<long>` index-aligned with the (literal) pattern list. The
+  * automaton object rides along as a codegen reference, so the call
+  * stays inside the whole-stage span — no UDF island in the middle of
+  * the per-document gate projection.
+  */
+case class BlocklistCountsExpr(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val automaton = new AhoCorasick(patterns.toArray)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "blocklist_counts"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blocklistAutomaton", automaton,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.counts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistCountsExpr =
+    copy(child = newChild)
+}

@@ -1482,7 +1482,45 @@ object Documents {
     // makes the adjacency window distributed without losing a single
     // reportable pair.
     "d25_suffix_dups" -> ((s, dir) => suffixDups(docs(s, dir), prefixLen = 4)),
+
+    // Aho–Corasick blocklist gate (the C4 §2.2 banned-word filter at
+    // production shape): ONE automaton walk per document finds every
+    // blocklist term at once — O(len + matches) however long the list —
+    // where per-term `contains` passes would re-scan the text per term.
+    // The kernel is a native codegen expression returning per-term
+    // counts; everything downstream (totals, matched-term list, the
+    // keep verdict) is plain column algebra in the same codegen span.
+    // Match semantics are leftmost non-overlapping per term, so the
+    // oracle states the identical counts in closed form via
+    // `replace()`. The term list deliberately exercises the automaton:
+    // "fast"/"fast merge" share a prefix (both must fire on "fast
+    // merge"), "low" is a proper suffix of corpus word "slow" (a
+    // fail-link output), "spamword" never occurs.
+    "t33_blocklist_gate" -> ((s, dir) => blocklistGate(docs(s, dir))),
   )
+
+  /** Lexically sorted blocklist for t33 (order is part of the contract:
+    * `hit_terms` joins matched terms in this order on both engines).
+    */
+  private[queries] val BlocklistTerms = Seq(
+    "agg row", "fast", "fast merge", "low", "merge batch",
+    "spamword", "stream", "value table")
+
+  private[queries] def blocklistGate(d: DataFrame): DataFrame = {
+    val withCounts = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        blocklistCounts(lower(col("text")), BlocklistTerms).as("c"))
+    val term = (i: Int) => element_at(col("c"), i + 1)
+    val idx = BlocklistTerms.indices
+    withCounts.select(col("doc_id"),
+        idx.map(term).reduce(_ + _).as("n_hits"),
+        idx.map(i => when(term(i) > 0L, 1L).otherwise(0L)).reduce(_ + _)
+          .as("n_terms"),
+        concat_ws(",", idx.map(i =>
+          when(term(i) > 0L, lit(BlocklistTerms(i)))): _*).as("hit_terms"))
+      .withColumn("keep", col("n_hits") <= 2L)
+      .orderBy(col("doc_id"))
+  }
 
   /** Sorted-suffix adjacency counters (d25). Every WORD-START suffix
     * (truncated to 64 chars) sorts in one global order; the LCP of
@@ -2581,6 +2619,30 @@ object Documents {
            CAST(sum(CASE WHEN substring(suf, 1, 30) = substring(nsuf, 1, 30)
              AND doc_id <> ndoc THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_lcp30
          FROM nbr""",
+    "t33_blocklist_gate" -> {
+      // closed-form per-term counts: leftmost non-overlapping matches
+      // are exactly what replace() removes
+      val cnt = BlocklistTerms.zipWithIndex.map { case (t, i) =>
+        s"(length(t) - length(replace(t, '$t', ''))) // ${t.length} AS c$i" }
+        .mkString(",\n             ")
+      val sum = BlocklistTerms.indices.map(i => s"c$i").mkString(" + ")
+      val nTerms = BlocklistTerms.indices
+        .map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val hitList = BlocklistTerms.zipWithIndex
+        .map { case (t, i) => s"CASE WHEN c$i > 0 THEN '$t' END" }
+        .mkString(",\n             ")
+      s"""WITH lt AS (SELECT doc_id, lower(text) AS t
+            FROM documents WHERE text IS NOT NULL),
+          c AS (SELECT doc_id,
+             $cnt
+           FROM lt)
+          SELECT doc_id, CAST($sum AS BIGINT) AS n_hits,
+            CAST($nTerms AS BIGINT) AS n_terms,
+            concat_ws(',',
+             $hitList) AS hit_terms,
+            ($sum) <= 2 AS keep
+          FROM c ORDER BY doc_id"""
+    },
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
       val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")

@@ -80,6 +80,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.map(_.getString(0)).contains("caf\u00e9 nfc"))
   }
 
+  test("blocklist_counts works from pure SQL and agrees with the Column API") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("slow fast merge fast", "nothing here").toDF("text")
+    df.createOrReplaceTempView("ext_bl")
+    val viaSql = spark.sql(
+      """SELECT blocklist_counts(text, 'fast', 'fast merge', 'low') AS c
+         FROM ext_bl ORDER BY c[0] DESC""").collect()
+    val viaCol = df.select(graft.functions.TextAnalysis
+        .blocklistCounts(col("text"), Seq("fast", "fast merge", "low")).as("c"))
+      .orderBy(element_at(col("c"), 1).desc).collect()
+    assert(viaSql.map(_.getSeq[Long](0)).toSeq == viaCol.map(_.getSeq[Long](0)).toSeq)
+    assert(viaSql.head.getSeq[Long](0) == Seq(2L, 1L, 1L))
+    // non-literal term is an analysis-time error
+    val e = intercept[Exception] {
+      spark.sql("SELECT blocklist_counts(text, text) FROM ext_bl").collect()
+    }
+    assert(e.getMessage.contains("string literals"))
+  }
+
   test("jpeg_pixel_grid works from pure SQL against the crafted fixture") {
     val j = graft.queries.Multimodal.craftGrayJpeg(Seq(-64, 63))
     spark.createDataFrame(Seq((1, j))).toDF("id", "data")

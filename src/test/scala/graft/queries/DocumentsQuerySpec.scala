@@ -532,4 +532,49 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     val glob = Documents.suffixDups(d, prefixLen = 0).collect()(0).toSeq
     assert(part == glob)
   }
+
+  test("t33 blocklist: Aho-Corasick counts = hand-derived leftmost " +
+    "non-overlapping matches (fail links, shared prefixes, overlap greed)") {
+    val pats = Array("fast", "fast merge", "low", "aa", "spamword")
+    val ac = new graft.plans.AhoCorasick(pats)
+    def counts(t: String): Seq[Long] =
+      ac.counts(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toLongArray().toSeq
+    // "fast merge" fires BOTH "fast" (prefix) and "fast merge";
+    // "slow" fires "low" via a fail-link output; "spamword" absent
+    assert(counts("slow fast merge fast") == Seq(2L, 1L, 1L, 0L, 0L))
+    // self-overlapping pattern: "aaa" has two AC matches of "aa" but
+    // only ONE leftmost non-overlapping (replace semantics); "aaaa"
+    // has two
+    assert(counts("aaa") == Seq(0L, 0L, 0L, 1L, 0L))
+    assert(counts("aaaa") == Seq(0L, 0L, 0L, 2L, 0L))
+    // empty text, no matches
+    assert(counts("") == Seq(0L, 0L, 0L, 0L, 0L))
+    // matches butting against string ends
+    assert(counts("fast") == Seq(1L, 0L, 0L, 0L, 0L))
+    assert(counts("low") == Seq(0L, 0L, 1L, 0L, 0L))
+  }
+
+  test("t33 blocklist gate: kernel column agrees with per-term contains " +
+    "algebra on the real corpus, and the plan is one codegen'd scan") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gate = Documents.blocklistGate(d)
+    // independent per-term recomputation via Spark's own replace()
+    val lt = lower(col("text"))
+    val alt = d.filter(col("text").isNotNull).select(col("doc_id"),
+        Documents.BlocklistTerms.map(t =>
+          ((length(lt) - length(regexp_replace(lt,
+            java.util.regex.Pattern.quote(t), ""))) / t.length)
+            .cast("long")).reduce(_ + _).as("n_hits"))
+      .orderBy(col("doc_id"))
+    val a = gate.select(col("doc_id"), col("n_hits")).collect().map(_.toSeq)
+    val b = alt.collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // at least one doc matched something and at least one term never fires
+    assert(gate.agg(sum(col("n_hits"))).collect()(0).getLong(0) > 0)
+    assert(!gate.select(col("hit_terms")).collect()
+      .exists(_.getString(0).contains("spamword")))
+  }
 }
