@@ -1497,7 +1497,80 @@ object Documents {
     // merge"), "low" is a proper suffix of corpus word "slow" (a
     // fail-link output), "spamword" never occurs.
     "t33_blocklist_gate" -> ((s, dir) => blocklistGate(docs(s, dir))),
+
+    // EXACT duplicate-span REMOVAL — the deletion half of Lee et al.
+    // 2021 (d25 detects repeats; this cuts them out, the operation a
+    // dedup run actually applies before training). Every word-start
+    // 40-char window that occurs >=2 times ANYWHERE in the corpus is
+    // flagged (the paper's remove-all-copies rule), per-doc flagged
+    // intervals merge into islands (classic gaps-and-islands, a
+    // doc-local window), and the cleaned text is rebuilt by folding
+    // the island list over the original string. Output carries the
+    // md5 of the cleaned text as the witness, never the text itself.
+    "d26_span_removal" -> ((s, dir) => spanRemoval(docs(s, dir), win = 40)),
   )
+
+  /** Exact duplicate-span removal (d26). Topology, in scale order:
+    *
+    *  1. word-start windows: one scan + explode, exactly d25's suffix
+    *     emission but truncated to `win` chars and restricted to
+    *     positions with a FULL window (shorter tails can't equal a
+    *     40-char window, so they can't be flagged);
+    *  2. the duplicate-window table: groupBy(window) HAVING count>=2 —
+    *     the one corpus-sized shuffle, same order of magnitude as
+    *     d25's suffix sort (the price of exactness; at 100 TB the key
+    *     could shrink to an md5 prefix at negligible collision risk,
+    *     kept as the raw window here so the semantics stay exact);
+    *  3. interval union per doc: gaps-and-islands over (doc_id, p)
+    *     pairs — a DOC-LOCAL window, never global;
+    *  4. cleaned-text rebuild: the island list (tiny per doc) folds
+    *     over the original text with `aggregate`, one pass, codegen'd.
+    *
+    * Docs with nothing flagged pass through via the left join with
+    * zero counters and their original text's md5.
+    */
+  private[queries] def spanRemoval(d: DataFrame, win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val starts = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("p"))
+      .filter((col("p") === 1 || expr("substring(text, p - 1, 1)") === " ") &&
+        expr("substring(text, p, 1)") =!= " " &&
+        col("p") + win <= length(col("text")) + 1)
+      .select(col("doc_id"), col("p"), expr(s"substring(text, p, $win)").as("w"))
+    val dupW = starts.groupBy(col("w"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("w"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = starts.join(dupW, "w")
+      .select(col("doc_id"), col("p"), (col("p") + win).as("e"))
+      .withColumn("maxe", max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("maxe").isNull || col("p") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), max(col("e")).as("e"), count(lit(1)).as("nf"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(sum(col("nf")).as("n_flagged"), count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("removed_chars"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("cleaned", when(col("ivs").isNull, col("text")).otherwise(
+        expr("""aggregate(ivs,
+                  struct(1 AS pos, CAST('' AS STRING) AS acc),
+                  (st, iv) -> struct(iv.e AS pos,
+                    concat(st.acc, substring(text, st.pos, iv.s - st.pos)) AS acc),
+                  st -> concat(st.acc,
+                    substring(text, st.pos, length(text) - st.pos + 1)))""")))
+      .select(col("doc_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Lexically sorted blocklist for t33 (order is part of the contract:
     * `hit_terms` joins matched terms in this order on both engines).
@@ -2643,6 +2716,46 @@ object Documents {
             ($sum) <= 2 AS keep
           FROM c ORDER BY doc_id"""
     },
+    "d26_span_removal" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+           FROM base),
+         starts AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+             substring(text, CAST(p AS INT), 40) AS w
+           FROM pos
+           WHERE (p = 1 OR substring(text, CAST(p AS INT) - 1, 1) = ' ')
+             AND substring(text, CAST(p AS INT), 1) <> ' '
+             AND p + 40 <= length(text) + 1),
+         dupw AS (SELECT w FROM starts GROUP BY w HAVING count(*) >= 2),
+         fl AS (SELECT doc_id, p, p + 40 AS e FROM starts JOIN dupw USING (w)),
+         m AS (SELECT doc_id, p, e, max(e) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM fl),
+         i0 AS (SELECT doc_id, p, e,
+             CASE WHEN maxe IS NULL OR p > maxe THEN 1 ELSE 0 END AS ni FROM m),
+         i1 AS (SELECT doc_id, p, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i0),
+         isl AS (SELECT doc_id, island, min(p) AS s, max(e) AS e,
+             count(*) AS nf FROM i1 GROUP BY doc_id, island),
+         segs AS (SELECT i.doc_id, i.s, i.e, i.nf, b.text,
+             coalesce(lag(i.e) OVER (PARTITION BY i.doc_id ORDER BY i.s), 1) AS ps
+           FROM isl i JOIN base b USING (doc_id)),
+         cln AS (SELECT doc_id,
+             CAST(sum(nf) AS BIGINT) AS n_flagged,
+             count(*) AS n_islands,
+             CAST(sum(e - s) AS BIGINT) AS removed_chars,
+             string_agg(substring(text, CAST(ps AS INT), CAST(s - ps AS INT)),
+               '' ORDER BY s)
+             || substring(text, CAST(max(e) AS INT),
+                  CAST(length(text) - max(e) + 1 AS INT)) AS cleaned
+           FROM segs GROUP BY doc_id, text)
+         SELECT b.doc_id,
+           coalesce(c.n_flagged, 0) AS n_flagged,
+           coalesce(c.n_islands, 0) AS n_islands,
+           coalesce(c.removed_chars, 0) AS removed_chars,
+           CAST(length(coalesce(c.cleaned, b.text)) AS BIGINT) AS kept_chars,
+           md5(coalesce(c.cleaned, b.text)) AS cleaned_md5
+         FROM base b LEFT JOIN cln c USING (doc_id)
+         ORDER BY b.doc_id""",
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
       val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")

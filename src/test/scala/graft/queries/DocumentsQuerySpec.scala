@@ -533,6 +533,60 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(part == glob)
   }
 
+  test("d26 span removal: matches a brute-force reference on a crafted " +
+    "corpus (cross-doc dups, within-doc overlap-merged islands, passthrough)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val win = 12
+    val phrase = "lorem ipsum dolor sit amet consectetur"
+    val docsSeq: Seq[(Long, String)] = Seq(
+      // the phrase twice in one doc (overlapping flagged windows must
+      // merge into islands) and once in another (cross-doc dup)
+      (0L, s"intro words $phrase middle filler $phrase tail end"),
+      (1L, s"other beginning $phrase closing words"),
+      // nothing shared: must pass through untouched
+      (2L, "completely unique text with no repeats whatsoever at all"),
+      // shorter than the window: no flaggable starts
+      (3L, "tiny doc"))
+    // brute-force reference
+    val all = for {
+      (id, t) <- docsSeq
+      p <- 1 to t.length
+      if (p == 1 || t.charAt(p - 2) == ' ') && t.charAt(p - 1) != ' ' &&
+        p + win <= t.length + 1
+    } yield (id, p, t.substring(p - 1, p - 1 + win))
+    val dup = all.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = docsSeq.map { case (id, t) =>
+      val fl = all.collect { case (i, p, w) if i == id && dup(w) => p }.sorted
+      // merge [p, p+win) intervals
+      val islands = fl.foldLeft(List.empty[(Int, Int)]) { case (acc, p) =>
+        acc match {
+          case (s0, e0) :: rest if p <= e0 => (s0, math.max(e0, p + win)) :: rest
+          case _ => (p, p + win) :: acc
+        }
+      }.reverse
+      val cleaned = {
+        val sb = new StringBuilder
+        var pos = 1
+        for ((s0, e0) <- islands) { sb.append(t.substring(pos - 1, s0 - 1)); pos = e0 }
+        sb.append(t.substring(pos - 1)).toString
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, fl.size.toLong, islands.size.toLong,
+        islands.map(x => x._2 - x._1).sum.toLong, cleaned.length.toLong, md)
+    }
+    // sanity on the fixture itself: doc0 must have MERGED islands
+    // (more flagged starts than islands) and doc2/3 pass through
+    assert(expected(0)._2 > expected(0)._3 && expected(0)._3 >= 1)
+    assert(expected(2)._4 == 0L && expected(3)._4 == 0L)
+    val got = Documents.spanRemoval(docsSeq.toDF("doc_id", "text"), win)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    assert(got == expected)
+  }
+
   test("t33 blocklist: Aho-Corasick counts = hand-derived leftmost " +
     "non-overlapping matches (fail links, shared prefixes, overlap greed)") {
     val pats = Array("fast", "fast merge", "low", "aa", "spamword")

@@ -59,6 +59,7 @@ object PlanAudit {
     "t32_resample_exec" -> "the factor table builds from a count agg + two 1-row broadcasts and BROADCAST-joins back to the corpus — the full-size side is never reshuffled",
     "d25_suffix_dups" -> "sorted-suffix adjacency: the window partitions by the suffix prefix (contiguous ranges of the global suffix order) — NO single-partition window; one exchange of (doc_id, pos, <=64B suffix) rows",
     "t33_blocklist_gate" -> "ONE codegen'd scan: the Aho-Corasick walk and all gate algebra evaluate in the scan projection; no shuffle below the output sort",
+    "d26_span_removal" -> "dup-window table = groupBy(40-char window) with map-side partial agg (the one corpus-sized shuffle, d25's price of exactness); island merge + cleaned-text fold are DOC-LOCAL windows and a per-row aggregate() — never global",
   )
 
   def main(args: Array[String]): Unit = {
