@@ -1508,6 +1508,38 @@ object Documents {
     // the island list over the original string. Output carries the
     // md5 of the cleaned text as the witness, never the text itself.
     "d26_span_removal" -> ((s, dir) => spanRemoval(docs(s, dir), win = 40)),
+
+    // Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES):
+    // the distributed one-pass way to draw a weighted eval-holdout /
+    // human-review sample from a corpus too big to sort. Each doc gets
+    // key u^(1/w) (u a deterministic md5-derived uniform, w its
+    // weight); the weighted sample of size k IS the top-k by key — on
+    // Spark that compiles to TakeOrderedAndProject (per-partition
+    // top-k, k-row merge; the q14 sketch shape), never a global sort.
+    // Weights are powers of two so u^(1/w) is an exact sqrt CHAIN —
+    // sqrt is IEEE-correctly-rounded in both engines while pow() is
+    // not, so even the ranking keys are oracle-exact (the d24/t30
+    // doctrine). The rank window orders the k=64 survivors, never the
+    // corpus.
+    "t34_weighted_sample" -> ((s, dir) => {
+      val w = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+        (conv(substring(md5(concat(lit("w:"), col("doc_id").cast("string"))),
+          1, 1), 16, 10).cast("int") % 4) + 1)
+      val u = conv(substring(md5(concat(lit("u:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / 4294967296d
+      val key = when(col("weight") === 1L, col("u"))
+        .when(col("weight") === 2L, sqrt(col("u")))
+        .when(col("weight") === 4L, sqrt(sqrt(col("u"))))
+        .otherwise(sqrt(sqrt(sqrt(col("u")))))
+      val top = docs(s, dir)
+        .select(col("doc_id"), w.as("weight"), u.as("u"))
+        .withColumn("key", key)
+        .orderBy(col("key").desc, col("doc_id")).limit(64)
+      top.select(row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("key").desc, col("doc_id"))).cast("long").as("rank"),
+          col("doc_id"), col("weight"), round(col("key"), 9).as("key"))
+        .orderBy(col("rank"))
+    }),
   )
 
   /** Exact duplicate-span removal (d26). Topology, in scale order:
@@ -2756,6 +2788,24 @@ object Documents {
            md5(coalesce(c.cleaned, b.text)) AS cleaned_md5
          FROM base b LEFT JOIN cln c USING (doc_id)
          ORDER BY b.doc_id""",
+    "t34_weighted_sample" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(1 << (CAST(('0x' || substring(
+               md5('w:' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) % 4)
+             AS BIGINT) AS weight,
+           CAST(CAST(('0x' || substring(
+               md5('u:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             AS DOUBLE) / 4294967296 AS u
+         FROM documents),
+         k AS (SELECT doc_id, weight,
+           CASE weight WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+             WHEN 4 THEN sqrt(sqrt(u)) ELSE sqrt(sqrt(sqrt(u))) END AS key
+         FROM b),
+         t AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 64)
+         SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, weight, round(key, 9) AS key
+         FROM t ORDER BY rank""",
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
       val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")

@@ -587,6 +587,42 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("t34 weighted sample: keys are u^(1/w) exactly, the output is the " +
+    "true top-64, heavy docs are overrepresented, and the plan is top-k") {
+    val s = spark
+    val df = Documents.queries("t34_weighted_sample")(s, "/root/testdata/sf0.01")
+    // plan: the corpus-wide selection must be TakeOrderedAndProject,
+    // never a global Sort + window over the corpus
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 64 && rows.map(_._1).toSeq == (1L to 64L))
+    // recompute every doc's key in plain Scala and check the top-64 set
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = (0L until 500L).map { id =>
+      val w = 1L << (java.lang.Integer.parseInt(md5hex(s"w:$id").substring(0, 1), 16) % 4)
+      val u = java.lang.Long.parseLong(md5hex(s"u:$id").substring(0, 8), 16)
+        .toDouble / 4294967296d
+      val key = w match {
+        case 1L => u; case 2L => math.sqrt(u); case 4L => math.sqrt(math.sqrt(u))
+        case _ => math.sqrt(math.sqrt(math.sqrt(u)))
+      }
+      (id, w, key)
+    }
+    val expTop = all.sortBy(x => (-x._3, x._1)).take(64)
+    assert(rows.map(_._2).toSeq == expTop.map(_._1))
+    assert(rows.map(_._3).toSeq == expTop.map(_._2))
+    rows.zip(expTop).foreach { case ((_, _, _, k), (_, _, ek)) =>
+      assert(math.abs(k - ek) < 1e-9) // k is round(key, 9)
+    }
+    // A-ES property: selection probability rises with weight — the
+    // sampled mean weight must exceed the corpus mean weight
+    val corpusMean = all.map(_._2).sum.toDouble / all.size
+    val sampleMean = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean)
+  }
+
   test("t33 blocklist: Aho-Corasick counts = hand-derived leftmost " +
     "non-overlapping matches (fail links, shared prefixes, overlap greed)") {
     val pats = Array("fast", "fast merge", "low", "aa", "spamword")
