@@ -1561,7 +1561,7 @@ object Documents {
     * Docs with nothing flagged pass through via the left join with
     * zero counters and their original text's md5.
     */
-  private[queries] def spanRemoval(d: DataFrame, win: Int): DataFrame = {
+  private[graft] def spanRemoval(d: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = d.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
     val starts = base

@@ -204,7 +204,19 @@ object ScaleCheck {
             codesAt(s), "doc_id", "doc_a", "doc_b").count()
           (s.toLong * baseN, pairs)
         })
-      case other => sys.error(s"unknown mode $other (w29 | neardup | ivf | hamming)")
+      case "spanrm" =>
+        // d26 shape: the dup-window groupBy is the corpus-sized shuffle
+        // under measurement; per-copy bijections preserve each copy's
+        // within-copy duplicate-window structure exactly (translation is
+        // a bijection on the window alphabet), so flagged spans scale
+        // ~×k with only incidental cross-copy collisions on top
+        run("spanrm", { s =>
+          val agg = graft.queries.Documents.spanRemoval(docsAt(s), win = 40)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_flagged")).as("n_flagged")).collect().head
+          (agg.getLong(0), agg.getLong(1))
+        })
+      case other => sys.error(s"unknown mode $other (w29 | neardup | ivf | hamming | spanrm)")
     }
     spark.stop()
   }

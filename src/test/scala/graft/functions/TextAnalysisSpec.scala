@@ -292,4 +292,34 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fpSet(norms(0)).intersect(fpSet(norms(1))).nonEmpty)
     assert(sel.count() == 2)
   }
+
+  test("t33 Aho-Corasick differential fuzz: 2000 random (patterns, text) " +
+    "pairs over a 3-char alphabet match the brute-force replace counts") {
+    // tiny alphabet forces dense pattern overlap: shared prefixes,
+    // proper-suffix fail links, self-overlapping patterns
+    val rnd = new scala.util.Random(0x533d33)
+    def randStr(maxLen: Int): String = {
+      val n = 1 + rnd.nextInt(maxLen)
+      String.valueOf(Array.fill(n)(('a' + rnd.nextInt(3)).toChar))
+    }
+    // brute force: greedy leftmost non-overlap per pattern = what
+    // String.replace removes
+    def brute(text: String, p: String): Long = {
+      var c = 0L; var i = text.indexOf(p)
+      while (i >= 0) { c += 1; i = text.indexOf(p, i + p.length) }
+      c
+    }
+    var iter = 0
+    while (iter < 2000) {
+      val pats = Seq.fill(1 + rnd.nextInt(6))(randStr(5)).distinct.toArray
+      val ac = new graft.plans.AhoCorasick(pats)
+      val text = randStr(60)
+      val got = ac.counts(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)).toLongArray()
+      val want = pats.map(brute(text, _))
+      assert(got.toSeq == want.toSeq,
+        s"iter $iter: text=$text pats=${pats.mkString("[", ",", "]")}")
+      iter += 1
+    }
+  }
 }
