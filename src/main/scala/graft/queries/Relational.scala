@@ -33,6 +33,37 @@ object Relational {
     * outside the window. Shuffles on (user_id, bin) like any hash
     * join — no nested loop, no range explosion.
     */
+  /** Strict-sequence funnel stage per user + the one-row summary (q19):
+    * a user reaches stage k+1 at the FIRST qualifying event after the
+    * event that granted stage k. One shuffle on user_id; the per-user
+    * (micros, event_id, type) triples sort inside the aggregate and a
+    * single aggregate() fold walks the state machine — no per-stage
+    * self-joins, no window re-sorts.
+    */
+  private[queries] def funnelStages(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+          col("event_type").as("ty")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"), expr("""aggregate(evs, 0, (st, x) ->
+          CASE WHEN st = 0 AND x.ty = 'view' THEN 1
+               WHEN st = 1 AND x.ty = 'click' THEN 2
+               WHEN st = 2 AND x.ty = 'purchase' THEN 3
+               ELSE st END)""").as("stage"))
+
+  private[queries] def funnelSummary(ev: DataFrame): DataFrame =
+    funnelStages(ev)
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_view").cast("double") / col("n_users"), 6).as("r_view"),
+        round(col("n_click").cast("double") / col("n_view"), 6).as("r_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 6)
+          .as("r_purchase"))
+
   private[queries] def cooccurPairs(ev: DataFrame, binUs: Long): DataFrame = {
     val left = ev.select(col("user_id"), col("event_id").as("a_id"),
         col("event_type").as("a_type"), col("us").as("a_us"))
@@ -309,6 +340,17 @@ object Relational {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Strict-sequence conversion funnel (view -> click -> purchase), the
+    // product-analytics staple: a user reaches stage k+1 at the FIRST
+    // qualifying event after the event that granted stage k. One shuffle
+    // on user_id; each user's (micros, event_id, type) triples sort
+    // inside the aggregate and a single aggregate() fold walks the state
+    // machine — no per-stage self-joins, no window re-sorts, and at
+    // 100 TB the shuffle carries 3-field structs, never props/values.
+    // The oracle states the same semantics as min-row_number chains
+    // (event_id uniqueness makes the orders identical).
+    "q19_funnel" -> ((s, dir) => funnelSummary(Tables.events(s, dir))),
+
     // Interval self-join (event co-occurrence): ordered pairs of events
     // by the same user within a 5-minute window, counted per type pair.
     // The naive form is a non-equi self-join (O(n^2) nested-loop at
@@ -530,6 +572,30 @@ object Relational {
       """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
          count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_funnel" ->
+      """WITH r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         v AS (SELECT user_id, min(rn) AS v_rn FROM r
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT r.user_id, min(rn) AS c_rn FROM r JOIN v USING (user_id)
+           WHERE event_type = 'click' AND rn > v_rn GROUP BY r.user_id),
+         p AS (SELECT r.user_id, min(rn) AS p_rn FROM r JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND rn > c_rn GROUP BY r.user_id),
+         u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+         s AS (SELECT (SELECT n_users FROM u) AS n_users,
+             (SELECT count(*) FROM v) AS n_view,
+             (SELECT count(*) FROM c) AS n_click,
+             (SELECT count(*) FROM p) AS n_purchase)
+         SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_view AS BIGINT) AS n_view,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           round(CAST(n_view AS DOUBLE) / n_users, 6) AS r_view,
+           round(CAST(n_click AS DOUBLE) / n_view, 6) AS r_click,
+           round(CAST(n_purchase AS DOUBLE) / n_click, 6) AS r_purchase
+         FROM s""",
     "q12_asof_attribution" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id,
          c.event_id AS click_event_id,

@@ -74,4 +74,32 @@ class RelationalQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(TextAnalysis.nfcNormalize(col("text"))).head
     assert(n.isNullAt(0))
   }
+  test("q19 funnel: strict-sequence state machine on crafted users") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1: full funnel in order; u2: click BEFORE the first view must not
+    // count (re-click after the view does); u3: purchase before click
+    // never counts -> stuck at stage 2; u4: no view at all -> stage 0;
+    // u5: view only -> stage 1
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "purchase"),
+      (2L, t(1), 10L, "click"), (2L, t(2), 11L, "view"), (2L, t(3), 12L, "click"),
+      (2L, t(4), 13L, "purchase"),
+      (3L, t(1), 20L, "view"), (3L, t(2), 21L, "purchase"), (3L, t(3), 22L, "click"),
+      (4L, t(1), 30L, "click"), (4L, t(2), 31L, "purchase"),
+      (5L, t(1), 40L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val stages = Relational.funnelStages(ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stages == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 0, 5L -> 1))
+    val sum = Relational.funnelSummary(ev).collect()(0)
+    assert((sum.getLong(0), sum.getLong(1), sum.getLong(2), sum.getLong(3)) ==
+      ((5L, 4L, 3L, 2L)))
+    // tie at identical ts resolves by event_id: view(e=1) then click(e=2)
+    // at the SAME instant still progresses
+    val tie = Seq((9L, t(1), 1L, "view"), (9L, t(1), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Relational.funnelStages(tie).collect()(0).getInt(1) == 2)
+  }
 }

@@ -61,6 +61,7 @@ object PlanAudit {
     "t33_blocklist_gate" -> "ONE codegen'd scan: the Aho-Corasick walk and all gate algebra evaluate in the scan projection; no shuffle below the output sort",
     "d26_span_removal" -> "dup-window table = groupBy(40-char window) with map-side partial agg (the one corpus-sized shuffle, d25's price of exactness); island merge + cleaned-text fold are DOC-LOCAL windows and a per-row aggregate() — never global",
     "t34_weighted_sample" -> "A-ES weighted sampling compiles to TakeOrderedAndProject (per-partition top-k, k-row merge); the rank window orders the 64 survivors, never the corpus",
+    "q19_funnel" -> "ONE shuffle on user_id (partial-agg collect_list); the funnel state machine folds inside the aggregate — no per-stage self-joins, no window re-sorts",
   )
 
   def main(args: Array[String]): Unit = {
