@@ -1509,6 +1509,18 @@ object Documents {
     // md5 of the cleaned text as the witness, never the text itself.
     "d26_span_removal" -> ((s, dir) => spanRemoval(docs(s, dir), win = 40)),
 
+    // Heaps'-law vocabulary growth (the t21 Zipf companion): distinct
+    // types vs cumulative tokens at 10 corpus prefixes, plus the fitted
+    // growth exponent beta (V = K n^beta as a log-log regression, the
+    // t21 recipe). The "distinct tokens in every prefix" problem is NOT
+    // 10 distinct-counts: each type contributes at its FIRST-appearance
+    // decile (one min() per type), and the prefix curve is a running
+    // sum over 10 rows. Everything map-side-combines; the only window
+    // orders 10 rows. The curve is the tokenizer-budget planning table:
+    // how fast vocabulary (and hence BPE merge tables, embedding rows)
+    // grows as the corpus scales.
+    "t35_heaps_law" -> ((s, dir) => heapsLaw(docs(s, dir))),
+
     // Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES):
     // the distributed one-pass way to draw a weighted eval-holdout /
     // human-review sample from a corpus too big to sort. Each doc gets
@@ -1541,6 +1553,38 @@ object Documents {
         .orderBy(col("rank"))
     }),
   )
+
+  /** Heaps'-law vocabulary-growth curve + exponent fit (t35). See the
+    * registry comment; factored so specs can feed crafted corpora with
+    * genuine (non-saturating) vocabulary growth.
+    */
+  private[queries] def heapsLaw(d0: DataFrame): DataFrame = {
+    val d = d0.filter(col("text").isNotNull)
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    def decileOf(c: Column) =
+      least(floor(c * 10 / col("n_docs")), lit(9L)).cast("int").as("decile")
+    val newTypes = toks.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(n)).select(decileOf(col("fd")))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val perDecile = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("ntk"))
+      .crossJoin(broadcast(n)).select(decileOf(col("doc_id")), col("ntk"))
+      .groupBy(col("decile")).agg(sum(col("ntk")).as("toks"),
+        count(lit(1)).as("nd"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val curve = perDecile.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"),
+        sum(col("nd")).over(wCum).as("n_docs_cum"),
+        sum(col("toks")).over(wCum).as("n_tokens_cum"),
+        sum(coalesce(col("new_types"), lit(0L))).over(wCum).as("n_types_cum"))
+    val fit = curve.agg(
+      round(expr("regr_slope(ln(n_types_cum), ln(n_tokens_cum))"), 4)
+        .as("heaps_beta"),
+      round(expr("regr_intercept(ln(n_types_cum), ln(n_tokens_cum))"), 4)
+        .as("heaps_lnk"))
+    curve.crossJoin(broadcast(fit)).orderBy(col("decile"))
+  }
 
   /** Exact duplicate-span removal (d26). Topology, in scale order:
     *
@@ -2806,6 +2850,38 @@ object Documents {
              AS rank,
            doc_id, weight, round(key, 9) AS key
          FROM t ORDER BY rank""",
+    "t35_heaps_law" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT count(*) AS n_docs FROM d),
+         toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM d),
+         fd AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY w),
+         nt AS (SELECT least(CAST(floor(fd * 10 / (SELECT n_docs FROM n))
+               AS INT), 9) AS decile, count(*) AS new_types
+           FROM fd GROUP BY 1),
+         tc AS (SELECT doc_id, count(*) AS ntk FROM toks GROUP BY doc_id),
+         td AS (SELECT least(CAST(floor(doc_id * 10 / (SELECT n_docs FROM n))
+               AS INT), 9) AS decile,
+             CAST(sum(ntk) AS BIGINT) AS toks, count(*) AS nd
+           FROM tc GROUP BY 1),
+         j AS (SELECT td.decile, td.nd, td.toks,
+             coalesce(nt.new_types, 0) AS new_types
+           FROM td LEFT JOIN nt USING (decile)),
+         c AS (SELECT decile,
+             CAST(sum(nd) OVER w AS BIGINT) AS n_docs_cum,
+             CAST(sum(toks) OVER w AS BIGINT) AS n_tokens_cum,
+             CAST(sum(new_types) OVER w AS BIGINT) AS n_types_cum
+           FROM j WINDOW w AS (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         f AS (SELECT
+             round(regr_slope(ln(n_types_cum), ln(n_tokens_cum)), 4)
+               AS heaps_beta,
+             round(regr_intercept(ln(n_types_cum), ln(n_tokens_cum)), 4)
+               AS heaps_lnk
+           FROM c)
+         SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.n_types_cum,
+           f.heaps_beta, f.heaps_lnk
+         FROM c CROSS JOIN f ORDER BY c.decile""",
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")
       val pathList = UrlPaths.map(p => s"'$p'").mkString(", ")

