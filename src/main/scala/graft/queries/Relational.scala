@@ -351,6 +351,34 @@ object Relational {
     // (event_id uniqueness makes the orders identical).
     "q19_funnel" -> ((s, dir) => funnelSummary(Tables.events(s, dir))),
 
+    // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    // the third mergeable sketch next to q14 KMV and q16 HLL: 4 hash
+    // rows × 64 counters summarize per-user event counts in 256 cells
+    // regardless of key cardinality. Build = one posexplode to (row,
+    // cell) pairs with map-side combine (the sketch IS a 256-row
+    // aggregate, mergeable by addition across any partitioning); query
+    // = each key probes its 4 cells and takes the min. 150 users into
+    // 64 columns FORCES collisions, so the one-sided error guarantee
+    // (estimate >= exact, never under) is exercised for real — the
+    // output carries exact counts beside the estimates as the gauge.
+    "q20_cm_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      def cell(i: Int) = (conv(substring(
+        md5(concat(lit(s"$i:"), col("k"))), 1, 8), 16, 10)
+        .cast("long") % 64).as(s"h$i")
+      val hashes = array((0 until 4).map(cell): _*)
+      val counters = ev.select(posexplode(hashes).as(Seq("i", "h")))
+        .groupBy(col("i"), col("h")).agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+      val probes = exact.select(col("k"), col("exact"),
+        posexplode(hashes).as(Seq("i", "h")))
+      probes.join(counters, Seq("i", "h"))
+        .groupBy(col("k"), col("exact")).agg(min(col("c")).as("cm_est"))
+        .select(col("k").as("user_key"), col("exact"), col("cm_est"),
+          (col("cm_est") - col("exact")).as("overest"))
+        .orderBy(col("cm_est").desc, col("user_key")).limit(10)
+    }),
+
     // Interval self-join (event co-occurrence): ordered pairs of events
     // by the same user within a 5-minute window, counted per type pair.
     // The naive form is a non-equi self-join (O(n^2) nested-loop at
@@ -596,6 +624,23 @@ object Relational {
            round(CAST(n_click AS DOUBLE) / n_view, 6) AS r_click,
            round(CAST(n_purchase AS DOUBLE) / n_click, 6) AS r_purchase
          FROM s""",
+    "q20_cm_heavy_hitters" ->
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         hs AS (SELECT k, i,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || k), 1, 8))
+               AS BIGINT) % 64 AS h
+           FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r),
+         counters AS (SELECT i, h, count(*) AS c FROM hs GROUP BY i, h),
+         exact AS (SELECT k, count(*) AS exact FROM ev GROUP BY k),
+         probes AS (SELECT DISTINCT e.k, e.exact, s.i, s.h
+           FROM exact e JOIN hs s ON e.k = s.k),
+         est AS (SELECT p.k, p.exact, min(c.c) AS cm_est
+           FROM probes p JOIN counters c ON p.i = c.i AND p.h = c.h
+           GROUP BY p.k, p.exact)
+         SELECT k AS user_key, CAST(exact AS BIGINT) AS exact,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - exact AS BIGINT) AS overest
+         FROM est ORDER BY cm_est DESC, user_key LIMIT 10""",
     "q12_asof_attribution" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id,
          c.event_id AS click_event_id,

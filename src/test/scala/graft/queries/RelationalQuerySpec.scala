@@ -74,6 +74,31 @@ class RelationalQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(TextAnalysis.nfcNormalize(col("text"))).head
     assert(n.isNullAt(0))
   }
+  test("q20 Count-Min: never undercounts, and the full top-10 matches a " +
+    "plain-Scala sketch recomputation") {
+    val s = spark
+    val got = Relational.queries("q20_cm_heavy_hitters")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact })
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+    // recompute the whole sketch in plain Scala
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cells(k: String): Seq[(Int, Long)] = (0 until 4).map(i =>
+      i -> java.lang.Long.parseLong(md5hex(s"$i:$k").substring(0, 8), 16) % 64)
+    val keys = s.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id").collect().map(_.getLong(0).toString)
+    val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val counters = keys.flatMap(cells).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val est = exact.map { case (k, ex) =>
+      (k, ex, cells(k).map(counters).min) }
+    val expTop = est.toSeq.sortBy(x => (-x._3, x._1)).take(10)
+      .map(x => (x._1, x._2, x._3, x._3 - x._2))
+    assert(got.toSeq == expTop)
+  }
+
   test("q19 funnel: strict-sequence state machine on crafted users") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,7 @@ object PlanAudit {
     "d26_span_removal" -> "dup-window table = groupBy(40-char window) with map-side partial agg (the one corpus-sized shuffle, d25's price of exactness); island merge + cleaned-text fold are DOC-LOCAL windows and a per-row aggregate() — never global",
     "t34_weighted_sample" -> "A-ES weighted sampling compiles to TakeOrderedAndProject (per-partition top-k, k-row merge); the rank window orders the 64 survivors, never the corpus",
     "q19_funnel" -> "ONE shuffle on user_id (partial-agg collect_list); the funnel state machine folds inside the aggregate — no per-stage self-joins, no window re-sorts",
+    "q20_cm_heavy_hitters" -> "the sketch IS a 256-row hash aggregate (map-side combine on (row, cell)); key probes join the tiny counter table; top-10 is TakeOrderedAndProject",
   )
 
   def main(args: Array[String]): Unit = {
