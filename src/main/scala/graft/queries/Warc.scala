@@ -632,6 +632,53 @@ object Warc {
       }
     }),
 
+    // Per-host SESSION windows in the micro-batch path — q18's gap-merge
+    // semantics as a STREAMING aggregation (native session_window over
+    // the WARC stream's event time), completing the streaming family:
+    // w32 tumbling windows, w35/w41 stateful dedup gates, w38 the sink
+    // side, sessions here. The 5-second gap splits each host's fixture
+    // captures into the same islands a batch session_window produces —
+    // batch equivalence is pinned in-row (Spark's unified-API claim,
+    // driver-checked). State = open sessions inside the watermark
+    // horizon, the bounded-state property at 100 TB/day.
+    "w44_streaming_sessions" -> ((s, _) => {
+      import graft.functions.WarcCols
+      val fixture = "/root/reference/tests/data/warcfile.warc.gz"
+      val batch = s.read.format("warc").option("record_types", "response")
+        .load(fixture)
+        .select(col("record_date").as("ts"),
+          regexp_extract(WarcCols.targetUri(col("headers")),
+            "^[a-zA-Z]+://([^/]+)", 1).as("host"),
+          col("content_length"))
+      def sessions(df: DataFrame): DataFrame = df
+        .groupBy(col("host"), session_window(col("ts"), "5 seconds"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+      def shape(df: DataFrame): DataFrame = df.select(col("host"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        (unix_micros(col("session_window.end"))
+          - unix_micros(col("session_window.start"))).as("span_us"),
+        col("n_records"), col("total_bytes"))
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w44_stage"
+      graft.operators.RoundPartitions.scoped(s, 50) {
+        batch.write.mode("overwrite").parquet(stage)
+        val stream = s.readStream.schema(batch.schema).parquet(stage)
+          .withWatermark("ts", "1 day")
+        val qname = "graft_w44_mem"
+        val q = sessions(stream)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = shape(s.table(qname))
+        val batchRes = shape(sessions(batch))
+        val mismatches = streamed.exceptAll(batchRes).count() +
+          batchRes.exceptAll(streamed).count()
+        streamed.withColumn("batch_equal", lit(mismatches == 0L))
+          .orderBy(col("host"), col("session_start"))
+      }
+    }),
+
     // The streaming crawl FRONTIER gate — w35's shape, but keyed by
     // d21's canonical URL instead of the content fingerprint, i.e. the
     // gate that decides whether to FETCH at all. Crawl-b is a DISGUISED
@@ -1511,6 +1558,33 @@ object Warc {
       """SELECT CAST(50 AS BIGINT) AS n_records,
          CAST(527846 AS BIGINT) AS sum_content_length,
          CAST(16 AS BIGINT) AS n_digest_ok""",
+    // disclosed self-pin like w32 (DuckDB cannot run a streaming
+    // query): the 16 fixture responses' per-host 5s-gap sessions,
+    // re-derivable from the fixture's WARC-Date/URI headers; the one
+    // host captured twice (06.live-radsport.ch, 44 min apart) MUST
+    // split into two sessions; batch_equal pins streamed == batch
+    "w44_streaming_sessions" ->
+      """SELECT host, session_start, CAST(5000000 AS BIGINT) AS span_us,
+         CAST(1 AS BIGINT) AS n_records, CAST(total_bytes AS BIGINT) AS total_bytes,
+         CAST(1 AS BOOLEAN) AS batch_equal FROM (VALUES
+         ('003338.cn', '2020-08-08 17:27:41', 36578),
+         ('01spb.ru', '2020-08-08 18:31:12', 104911),
+         ('035.psb556.com', '2020-08-08 18:39:41', 15432),
+         ('037426.cn', '2020-08-08 18:34:24', 8343),
+         ('041696.com', '2020-08-08 17:31:34', 15266),
+         ('044545.com', '2020-08-08 18:03:24', 38067),
+         ('0513mt.com', '2020-08-08 18:07:31', 23420),
+         ('05925.net', '2020-08-08 17:41:52', 15330),
+         ('06.live-radsport.ch', '2020-08-08 17:11:45', 33802),
+         ('06.live-radsport.ch', '2020-08-08 17:55:23', 36937),
+         ('0615235.com', '2020-08-08 18:16:00', 35537),
+         ('0755krk.com', '2020-08-08 17:40:13', 11153),
+         ('0760.jxtdw.com', '2020-08-08 17:22:01', 108477),
+         ('077678u.info', '2020-08-08 18:26:03', 10931),
+         ('0900-hovenier.nl', '2020-08-08 18:02:09', 16228),
+         ('096355.com', '2020-08-08 17:21:07', 8033))
+         t(host, session_start, total_bytes)
+         ORDER BY host, session_start""",
     // 3 landings x 16 fixture responses through the streaming dedup
     // gate: 16 distinct page bodies emit once each (first landing),
     // the two re-crawl landings are absorbed by cross-micro-batch

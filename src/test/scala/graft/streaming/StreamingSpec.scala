@@ -281,4 +281,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(emitted == Seq("A", "B", "D", "W"), emitted)
     } finally query.stop()
   }
+  test("session_window streaming: sessions MERGE across micro-batches " +
+      "inside the gap and split beyond it, equal to the batch rendition") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $t")
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("host"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes")).as("b"))
+      .select(col("host"),
+        date_format(col("session_window.start"), "HH:mm:ss").as("start"),
+        col("n"), col("b"))
+    val query = sessions(mem.toDF.toDF("ts", "host", "bytes")
+        .withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("sess_mem")
+      .outputMode("complete").start()
+    try {
+      // batch 1: host A twice within the gap; host B once
+      mem.addData((ts("10:00:00"), "A", 10L), (ts("10:03:00"), "A", 20L),
+        (ts("10:00:00"), "B", 5L))
+      query.processAllAvailable()
+      // batch 2: A again within 5 min of its last event -> same session
+      // MERGES ACROSS THE MICRO-BATCH BOUNDARY; then A after a >5 min
+      // silence -> a second session
+      mem.addData((ts("10:07:00"), "A", 30L), (ts("10:20:00"), "A", 40L))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sess_mem ORDER BY host, start")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == Seq(("A", "10:00:00", 3L, 60L), ("A", "10:20:00", 1L, 40L),
+        ("B", "10:00:00", 1L, 5L)), got)
+      // batch rendition of the union of both feeds is identical
+      val batch = sessions(Seq(
+        (ts("10:00:00"), "A", 10L), (ts("10:03:00"), "A", 20L),
+        (ts("10:00:00"), "B", 5L), (ts("10:07:00"), "A", 30L),
+        (ts("10:20:00"), "A", 40L)).toDF("ts", "host", "bytes"))
+        .orderBy(col("host"), col("start"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(batch == got)
+    } finally query.stop()
+  }
 }
