@@ -606,6 +606,60 @@ object Embeddings {
       }.reduce(_ unionAll _).orderBy(col("probes"), col("q_vec_id"))
     }),
 
+    // Multi-probe LSH (Lv et al. 2007) — e22's recall-vs-cost knob for
+    // the SRP side: instead of adding bands (more index state), probe
+    // the buckets whose 24-bit band key differs by <=2 bits from the
+    // query's. The probe side explodes each key into its 1+24+276
+    // hamming-ball variants and equi-joins the UNPROBED key table, so
+    // the topology stays a bucket join (no pairwise scan); a matched
+    // pair's probe LEVEL is exactly popcount(keyA^keyB) minimized over
+    // bands, so one candidate pass yields the whole curve (the e22
+    // trick). Recall truth = the 10 planted near-dup pairs of
+    // injectedCorpus; candidate volume beside it is the cost axis.
+    // Deliberately 2 bands x 24 rows AND a harder perturbation than
+    // injectedCorpus (±5/24 per-dim, cos ~0.98, vs ±5/128): sparse
+    // enough that probe-0 recall is LOW and the curve earns its keep.
+    "e23_multiprobe_lsh" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val pert = base.filter(col("vec_id") < 10)
+        .withColumn("v",
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, d) =>
+            x * (lit(1.0) +
+              ((d.cast("long") * 31 + col("vec_id") * 7) % 11 - 5).cast("double")
+                / 24.0)))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+      val corpus = base.unionAll(pert)
+      val keys = srpBandKeys(bands = 2, rows = 24)
+      val bands = corpus.select(col("vec_id"),
+        posexplode(keys(col("v"))).as(Seq("band_id", "bkey")))
+      val deltas = (Seq((0L, 0)) ++
+        (0 until 24).map(i => (1L << i, 1)) ++
+        (for { i <- 0 until 24; j <- i + 1 until 24 }
+          yield ((1L << i) | (1L << j), 2))).toSeq
+      val dDf = s.createDataFrame(deltas).toDF("delta", "level")
+      val probes = bands.crossJoin(broadcast(dDf))
+        .select(col("vec_id"), col("band_id"),
+          col("bkey").bitwiseXOR(col("delta")).as("pkey"), col("level"))
+      val pairLevels = probes.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.pkey") === col("b.bkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .agg(min(col("a.level")).as("lvl"))
+      val planted = (col("id_b") === col("id_a") + 100000L) && col("id_a") < 10
+      val lvls = s.createDataFrame(Seq(0, 1, 2).map(Tuple1(_))).toDF("probe_level")
+      lvls.join(pairLevels, col("lvl") <= col("probe_level"), "left")
+        .groupBy(col("probe_level"))
+        .agg(count(col("lvl")).as("n_candidates"),
+          sum(when(planted, 1L).otherwise(0L)).as("n_planted_found"))
+        .select(col("probe_level").cast("long").as("probe_level"),
+          col("n_candidates"),
+          col("n_planted_found"),
+          round(col("n_planted_found").cast("double") / 10d, 6).as("recall"))
+        .orderBy(col("probe_level"))
+    }),
+
     // Combined IVF+PQ — the two scale levers composed into the one
     // index a 100 TB ANN deployment actually runs (the FAISS IVFPQ
     // shape, Jégou et al. 2011 §V): the coarse quantizer (e06's label
@@ -1071,6 +1125,49 @@ object Embeddings {
             FROM sims)
           SELECT q_vec_id, n_vec_id, sim FROM ranked WHERE rn <= 3
           ORDER BY q_vec_id, sim DESC, n_vec_id""",
+    "e23_multiprobe_lsh" -> {
+      // same SRP weight family as e08's oracle, 2 bands x 24 rows; the
+      // oracle states candidate levels directly as the min-over-bands
+      // POPCOUNT of the key xor (the pipeline's probe enumeration finds
+      // exactly the pairs with some band popcount <= 2)
+      val rowsN = 24
+      def bandKeySql(b: Int): String = {
+        val terms = (0 until rowsN).map { r =>
+          val q = b * rowsN + r
+          s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+                d -> v[CAST(d AS INT)] * ((CAST(d - 1 AS BIGINT) * 2654435761 + ${q * 40503L})
+                      % 1024 - 511.5) / 1024.0)) > 0
+              THEN ${1L << r} ELSE 0 END)"""
+        }
+        s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+      }
+      val bandsSql = (0 until 2).map { b =>
+        s"SELECT vec_id, $b AS band_id, ${bandKeySql(b)} AS bkey FROM corpus"
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          pert AS (SELECT 100000 + vec_id AS vec_id,
+              list_transform(range(1, len(v) + 1), d -> v[CAST(d AS INT)] *
+                (1 + CAST((CAST(d - 1 AS BIGINT) * 31 + vec_id * 7) % 11 - 5 AS DOUBLE)
+                     / 24.0)) AS v
+            FROM base WHERE vec_id < 10),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+          keys AS ($bandsSql),
+          lvl AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              min(bit_count(xor(a.bkey, b.bkey))) AS lvl
+            FROM keys a JOIN keys b
+              ON a.band_id = b.band_id AND a.vec_id < b.vec_id
+            GROUP BY 1, 2),
+          levels AS (SELECT unnest(range(0, 3)) AS probe_level)
+          SELECT CAST(levels.probe_level AS BIGINT) AS probe_level,
+            count(lvl.lvl) AS n_candidates,
+            CAST(coalesce(sum(CASE WHEN lvl.id_b = lvl.id_a + 100000
+                AND lvl.id_a < 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+              AS n_planted_found,
+            round(coalesce(sum(CASE WHEN lvl.id_b = lvl.id_a + 100000
+                AND lvl.id_a < 10 THEN 1 ELSE 0 END), 0) / 10.0, 6) AS recall
+          FROM levels LEFT JOIN lvl ON lvl.lvl <= levels.probe_level
+          GROUP BY levels.probe_level ORDER BY probe_level"""
+    },
     "e08_embedding_neardup" -> {
       val bandsN = 4
       val rowsN = 16

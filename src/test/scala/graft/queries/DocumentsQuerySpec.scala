@@ -664,6 +664,52 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampleMean > corpusMean)
   }
 
+  test("d26 span removal differential fuzz: random 2-letter corpora at " +
+    "three window sizes match the brute force row for row") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0xd26)
+    def randDoc(): String = (0 until (5 + rnd.nextInt(70))).map { _ =>
+      if (rnd.nextInt(4) == 0) ' ' else ('a' + rnd.nextInt(2)).toChar
+    }.mkString.trim
+    for (win <- Seq(4, 8, 12)) {
+      val docsSeq = (0L until 40L).map(i => (i, randDoc()))
+        .filter(_._2.nonEmpty)
+      val all = for {
+        (id, t) <- docsSeq
+        p <- 1 to t.length
+        if (p == 1 || t.charAt(p - 2) == ' ') && t.charAt(p - 1) != ' ' &&
+          p + win <= t.length + 1
+      } yield (id, p, t.substring(p - 1, p - 1 + win))
+      val dup = all.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val expected = docsSeq.map { case (id, t) =>
+        val fl = all.collect { case (i, p, w) if i == id && dup(w) => p }.sorted
+        val islands = fl.foldLeft(List.empty[(Int, Int)]) { case (acc, p) =>
+          acc match {
+            case (s0, e0) :: rest if p <= e0 => (s0, math.max(e0, p + win)) :: rest
+            case _ => (p, p + win) :: acc
+          }
+        }.reverse
+        val cleaned = {
+          val sb = new StringBuilder
+          var pos = 1
+          for ((s0, e0) <- islands) { sb.append(t.substring(pos - 1, s0 - 1)); pos = e0 }
+          sb.append(t.substring(pos - 1)).toString
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, fl.size.toLong, islands.size.toLong,
+          islands.map(x => x._2 - x._1).sum.toLong, cleaned.length.toLong, md)
+      }
+      val got = Documents.spanRemoval(docsSeq.toDF("doc_id", "text"), win)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+      assert(got == expected, s"win=$win")
+      // the 2-letter alphabet must actually produce dup spans
+      assert(expected.map(_._4).sum > 0, s"win=$win produced no removals")
+    }
+  }
+
   test("t33 blocklist: Aho-Corasick counts = hand-derived leftmost " +
     "non-overlapping matches (fail links, shared prefixes, overlap greed)") {
     val pats = Array("fast", "fast merge", "low", "aa", "spamword")

@@ -192,4 +192,21 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.99)
     }
   }
+
+  test("e23 multi-probe LSH: recall and candidate volume are monotone in " +
+    "the probe radius, and probing never misses what probe-0 found") {
+    val rows = Embeddings.queries("e23_multiprobe_lsh")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    // candidates strictly grow with radius (each ball strictly contains
+    // the smaller one on this corpus), recall never drops
+    assert(rows(0)._2 < rows(1)._2 && rows(1)._2 < rows(2)._2)
+    assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3)
+    rows.foreach { case (_, n, found, recall) =>
+      assert(found <= 10 && recall == found / 10.0 && n >= found)
+    }
+    // the harder perturbation makes probe-0 genuinely lossy and the
+    // widest probe complete — the curve this gauge exists to show
+    assert(rows(0)._3 < 10L && rows(2)._3 == 10L)
+  }
 }

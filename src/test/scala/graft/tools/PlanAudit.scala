@@ -63,6 +63,7 @@ object PlanAudit {
     "t34_weighted_sample" -> "A-ES weighted sampling compiles to TakeOrderedAndProject (per-partition top-k, k-row merge); the rank window orders the 64 survivors, never the corpus",
     "q19_funnel" -> "ONE shuffle on user_id (partial-agg collect_list); the funnel state machine folds inside the aggregate — no per-stage self-joins, no window re-sorts",
     "q20_cm_heavy_hitters" -> "the sketch IS a 256-row hash aggregate (map-side combine on (row, cell)); key probes join the tiny counter table; top-10 is TakeOrderedAndProject",
+    "e23_multiprobe_lsh" -> "multi-probe stays a bucket EQUI-join: the probe side explodes hamming-ball key variants (301 deltas broadcast) against the unprobed key table; one candidate pass yields the whole probe curve",
   )
 
   def main(args: Array[String]): Unit = {
