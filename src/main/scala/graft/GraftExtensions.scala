@@ -124,6 +124,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jpeg_dhash")(
       viaColumns("jpeg_dhash", 1)(as =>
         graft.functions.Multimodal.jpegDhash(as.head)))
+    inject("image_dhash")(
+      viaColumns("image_dhash", 1)(as =>
+        graft.functions.Multimodal.imageDhash(as.head)))
     inject("audio_fingerprint") { args =>
       require(args.length == 2, "audio_fingerprint(payload, window_frames)")
       val w = args(1) match {

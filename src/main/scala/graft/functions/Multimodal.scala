@@ -620,40 +620,77 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
       if (img == null) return null
-      val w = img.getWidth
-      val h = img.getHeight
-      val gray = img.getRaster.getNumBands == 1
-      def luma(x: Int, y: Int): Int =
-        if (gray) img.getRaster.getSample(x, y, 0)
-        else {
-          val p = img.getRGB(x, y)
-          (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
-        }
-      var h0 = 0L
-      var h1 = 0L
-      var j = 0
-      while (j < 8) {
-        val y = ((h - 1).toLong * j / 7).toInt
-        var prev = luma(0, y)
-        var i = 0
-        while (i < 8) {
-          val nxt = luma(((w - 1).toLong * (i + 1) / 8).toInt, y)
-          if (prev > nxt) {
-            val b = j * 8 + i
-            if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
-          }
-          prev = nxt
-          i += 1
-        }
-        j += 1
+      dhashOfDecoded(img)
+    } catch { case _: Throwable => null }
+  }
+
+  /** The dHash grid/luma/bit-pack core over an already-decoded image —
+    * shared by [[jpegDhashOf]] and [[imageDhashOf]] so every container
+    * format hashes identical PIXELS to the identical CODE (the property
+    * m13's cross-format dedup rides on). Single-band rasters read raw
+    * samples ONLY when the color model is not palette-indexed: a GIF's
+    * one band holds palette indices, which must go through getRGB.
+    */
+  private def dhashOfDecoded(img: java.awt.image.BufferedImage): DHash = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    def luma(x: Int, y: Int): Int =
+      if (gray) img.getRaster.getSample(x, y, 0)
+      else {
+        val p = img.getRGB(x, y)
+        (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
       }
-      DHash(h0, h1)
+    var h0 = 0L
+    var h1 = 0L
+    var j = 0
+    while (j < 8) {
+      val y = ((h - 1).toLong * j / 7).toInt
+      var prev = luma(0, y)
+      var i = 0
+      while (i < 8) {
+        val nxt = luma(((w - 1).toLong * (i + 1) / 8).toInt, y)
+        if (prev > nxt) {
+          val b = j * 8 + i
+          if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
+        }
+        prev = nxt
+        i += 1
+      }
+      j += 1
+    }
+    DHash(h0, h1)
+  }
+
+  /** Format-agnostic [[jpegDhashOf]]: PNG/GIF/BMP/JPEG through the one
+    * dHash core, so a mixed-format corpus dedups TOGETHER — a PNG
+    * re-save of a JPEG's pixels lands at hamming 0 from the original.
+    * The magic-byte sniff ([[imageMetaOf]]) gates before ImageIO so
+    * arbitrary binary never reaches a decoder probe loop; WebP has no
+    * JDK ImageIO reader and returns null (disclosed, like avFrameSample).
+    */
+  def imageDhashOf(d: Array[Byte]): DHash = {
+    val meta = imageMetaOf(d)
+    if (meta == null || meta.format == "webp") return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d))
+      if (img == null) return null
+      dhashOfDecoded(img)
     } catch { case _: Throwable => null }
   }
 
   /** jpeg_dhash(binary) -> struct<h0 bigint, h1 bigint> (null-safe). */
   def jpegDhash(data: Column): Column = {
     val f = udf((d: Array[Byte]) => Option(jpegDhashOf(d)))
+    f(data)
+  }
+
+  /** image_dhash(binary) -> struct<h0 bigint, h1 bigint> (null-safe),
+    * any ImageIO-decodable container.
+    */
+  def imageDhash(data: Column): Column = {
+    val f = udf((d: Array[Byte]) => Option(imageDhashOf(d)))
     f(data)
   }
 

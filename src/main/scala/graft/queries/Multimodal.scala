@@ -440,6 +440,34 @@ object Multimodal {
         .orderBy(col("img_id"), col("size").desc, col("y"), col("x"))
     }),
 
+    // MIXED-FORMAT image dedup — m09 without the container blinders: a
+    // real crawl's images arrive as JPEG, PNG, GIF and BMP renditions
+    // of the same pixels, and a per-format fingerprint silently splits
+    // those duplicate classes. imageDhash routes every ImageIO
+    // container through ONE dHash core (single-band rasters read raw
+    // samples only when not palette-indexed — a GIF's band holds
+    // palette INDICES), so lossless re-saves of the same grid land at
+    // hamming 0 from the crafted JPEG whose decoded pixels the m09
+    // craft theorem fixes: the oracle derives every hash from the
+    // BLOCK VALUES alone and fans it out over the format copies.
+    // Corpus: the 6 m09 JPEGs + PNG and BMP re-saves of all 6 + a GIF
+    // of grid 1 + junk. Same banded pipeline, candidates never pixels.
+    "m13_mixed_image_neardup" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val gridsMap = m09Grids.toMap
+      val rows = m09Grids.map { case (id, g) => (id.toLong, craftGrayJpeg2D(g)) } ++
+        m09Grids.map { case (id, g) => (100L + id, makeGrayImage(g, "png")) } ++
+        m09Grids.map { case (id, g) => (200L + id, makeGrayImage(g, "bmp")) } :+
+        ((301L, makeGrayImage(gridsMap(1), "gif"))) :+
+        ((999L, "not an image at all".getBytes))
+      val df = s.createDataFrame(rows).toDF("img_id", "payload")
+      val codes = df
+        .select(col("img_id"), M.imageDhash(col("payload")).as("dh"))
+        .filter(col("dh").isNotNull)
+        .select(col("img_id"), col("dh.h0").as("h0"), col("dh.h1").as("h1"))
+      bandedHammingPairs(codes, "img_id", "img_a", "img_b")
+    }),
+
     // VIDEO near-dup DEDUP — the fourth modality (text d22, image m09,
     // audio m10): a clip's fingerprint is the SEQUENCE of per-sampled-
     // frame dHashes (4 evenly spaced frames, each REAL baseline-JPEG
@@ -594,6 +622,29 @@ object Multimodal {
     * with one such mutation. Hamming by construction: (1,2)=0,
     * (1,3)=(2,3)=(3,4)=(5,6)=1, (1,4)=(2,4)=2.
     */
+  /** Lossless grayscale rendition of an m09 block grid (each block a
+    * flat 8×8 of gray 128+dc) in any ImageIO container — the pixels a
+    * conforming decoder recovers from [[craftGrayJpeg2D]] of the same
+    * grid, so cross-format copies hash identically by construction.
+    */
+  private[graft] def makeGrayImage(grid: Seq[Seq[Int]], format: String): Array[Byte] = {
+    val h = grid.length * 8
+    val w = grid.head.length * 8
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, 128 + grid(y / 8)(x / 8))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
   private[graft] def m09Grids: Seq[(Int, Seq[Seq[Int]])] = {
     val a = Seq.tabulate(8, 8)((r, c) => ((c + r) % 2) * 60 - 30)
     val e = Seq.tabulate(8, 8)((r, c) => ((c * 3 + r * 5) % 7) * 15 - 45)
@@ -870,6 +921,47 @@ object Multimodal {
                THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp - 32))
                ELSE 0 END) AS BIGINT) AS h1
            FROM bits GROUP BY img_id),
+         ${hammingTailSql("img_a", "img_b")}"""
+    },
+    // m09's grid-derived hash table fanned out over the format copies
+    // (the pixels are identical by the lossless-rendition construction,
+    // so the hashes are too), then the shared banded-hamming tail
+    "m13_mixed_image_neardup" -> {
+      val values = m09Grids.map { case (id, g) =>
+        s"($id, ${g.flatten.mkString("[", ", ", "]")})"
+      }.mkString(",\n           ")
+      val copies = (m09Grids.map { case (id, _) => (id, id) } ++
+        m09Grids.map { case (id, _) => (100 + id, id) } ++
+        m09Grids.map { case (id, _) => (200 + id, id) } :+ ((301, 1)))
+        .map { case (img, gid) => s"($img, $gid)" }.mkString(", ")
+      s"""WITH imgs(gid, dc) AS (VALUES
+           $values),
+         grid AS (
+           SELECT gid, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+             128 + dc[CAST(((63 * j) // 7 // 8) * 8
+                         + ((63 * i) // 8 // 8) + 1 AS INT)] AS v
+           FROM imgs,
+             (SELECT unnest(range(0, 8)) AS j) jj,
+             (SELECT unnest(range(0, 9)) AS i) ii),
+         bits AS (
+           SELECT g1.gid, g1.j, g1.i AS cmp,
+             CASE WHEN g1.v > g2.v THEN 1 ELSE 0 END AS bit
+           FROM grid g1 JOIN grid g2
+             ON g2.gid = g1.gid AND g2.j = g1.j AND g2.i = g1.i + 1
+           WHERE g1.i < 8),
+         gcodes AS (
+           SELECT gid,
+             CAST(sum(CASE WHEN j * 8 + cmp < 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp))
+               ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN j * 8 + cmp >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp - 32))
+               ELSE 0 END) AS BIGINT) AS h1
+           FROM bits GROUP BY gid),
+         maps(img_id, gid) AS (VALUES $copies),
+         codes AS (
+           SELECT m.img_id AS id, g.h0, g.h1
+           FROM maps m JOIN gcodes g ON g.gid = m.gid),
          ${hammingTailSql("img_a", "img_b")}"""
     },
     // the oracle re-derives every fingerprint from the amplitude lists

@@ -474,4 +474,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.map(_.getLong(0)) == Seq(0L, 250L, 500L, 750L))
     assert(frames.forall(_.getAs[Array[Byte]](1).length == 16))
   }
+
+  test("imageDhashOf: PNG/BMP/GIF re-saves of a grid hash IDENTICALLY to " +
+    "the crafted JPEG (GIF exercises the palette-index luma path); junk " +
+    "and WebP magic return null; jpegDhashOf agrees on JPEG bytes") {
+    import graft.queries.{Multimodal => Q}
+    import graft.functions.{Multimodal => M}
+    for ((_, grid) <- Q.m09Grids.take(3)) {
+      val jpeg = M.jpegDhashOf(Q.craftGrayJpeg2D(grid))
+      assert(jpeg != null)
+      for (fmt <- Seq("png", "bmp", "gif")) {
+        val got = M.imageDhashOf(Q.makeGrayImage(grid, fmt))
+        assert(got == jpeg, s"format $fmt diverged")
+      }
+      assert(M.imageDhashOf(Q.craftGrayJpeg2D(grid)) == jpeg)
+    }
+    assert(M.imageDhashOf("definitely not an image".getBytes) == null)
+    assert(M.imageDhashOf(null) == null)
+    // a minimal WebP header sniffs as webp and is declined (no JDK reader)
+    val webp = "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "WEBPVP8 ".getBytes ++
+      Array.fill[Byte](14)(0)
+    assert(M.imageDhashOf(webp) == null)
+  }
 }
