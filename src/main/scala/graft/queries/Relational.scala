@@ -379,6 +379,37 @@ object Relational {
         .orderBy(col("cm_est").desc, col("user_key")).limit(10)
     }),
 
+    // Cohort retention triangle — the other product-analytics staple
+    // next to q19's funnel: users cohort by the week of their FIRST
+    // qualifying event, each later qualifying week lands in (cohort,
+    // week-offset) cells, and retention = cell actives / cohort size.
+    // The qualifying behavior is big-ticket purchases (value > 60):
+    // sparse enough (~3/user/month) that first occurrences SPREAD over
+    // weeks — 4 cohorts with ~0.5 weekly retention — where raw
+    // activity (67 events/user/month) degenerates to one all-1.0
+    // cohort. Three aggregations, all keyed and map-side-combinable;
+    // the corpus never moves wider than (user_id, week) pairs.
+    // offset-0 retention is 1.0 by construction (every user qualifies
+    // in their own first week), the spec's self-check.
+    "q21_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 60d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .cast("long").as("week"))
+      val firstW = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      val activity = ev.distinct()
+      val cells = activity.join(firstW, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = firstW.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+      cells.join(sizes, "cohort")
+        .select(col("cohort"), col("offset"), col("n_cohort"), col("n_active"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
     // Interval self-join (event co-occurrence): ordered pairs of events
     // by the same user within a 5-minute window, counted per type pair.
     // The naive form is a non-equi self-join (O(n^2) nested-loop at
@@ -624,6 +655,21 @@ object Relational {
            round(CAST(n_click AS DOUBLE) / n_view, 6) AS r_click,
            round(CAST(n_purchase AS DOUBLE) / n_click, 6) AS r_purchase
          FROM s""",
+    "q21_retention" ->
+      """WITH ev AS (SELECT user_id,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+             AS BIGINT) AS week
+         FROM events WHERE event_type = 'purchase' AND value > 60),
+         f AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, week FROM ev),
+         c AS (SELECT f.cohort, a.week - f.cohort AS offset,
+             count(*) AS n_active
+           FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+         s AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort)
+         SELECT c.cohort, c.offset, CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+         FROM c JOIN s USING (cohort) ORDER BY c.cohort, c.offset""",
     "q20_cm_heavy_hitters" ->
       """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
          hs AS (SELECT k, i,

@@ -99,6 +99,25 @@ class RelationalQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expTop)
   }
 
+  test("q21 retention: offset-0 is 1.0 by construction, actives never " +
+    "exceed the cohort, and the triangle is complete") {
+    val s = spark
+    val rows = Relational.queries("q21_retention")(s, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length >= 2,
+      "needs a multi-cohort triangle to be meaningful")
+    rows.filter(_._2 == 0L).foreach { case (_, _, nc, na, r) =>
+      assert(na == nc && r == 1.0)
+    }
+    rows.foreach { case (_, off, nc, na, r) =>
+      assert(off >= 0 && na <= nc && r == math.round(na.toDouble / nc * 1e6) / 1e6)
+    }
+    // every cohort has an offset-0 row
+    val cohorts = rows.map(_._1).distinct
+    assert(cohorts.forall(c => rows.exists(x => x._1 == c && x._2 == 0L)))
+  }
+
   test("q19 funnel: strict-sequence state machine on crafted users") {
     val s = spark
     import s.implicits._

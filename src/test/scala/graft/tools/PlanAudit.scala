@@ -65,6 +65,7 @@ object PlanAudit {
     "q20_cm_heavy_hitters" -> "the sketch IS a 256-row hash aggregate (map-side combine on (row, cell)); key probes join the tiny counter table; top-10 is TakeOrderedAndProject",
     "e23_multiprobe_lsh" -> "multi-probe stays a bucket EQUI-join: the probe side explodes hamming-ball key variants (301 deltas broadcast) against the unprobed key table; one candidate pass yields the whole probe curve",
     "m13_mixed_image_neardup" -> "mixed-format image dedup through the SAME banded pipeline as m09: one dHash core per container, bands shuffle (img_id, band, key) only, the verify joins 8-byte codes — pixels are decoded once, at hash time",
+    "q21_retention" -> "three keyed aggregations, all map-side-combinable; the corpus never moves wider than (user_id, week) pairs; cohort sizes join the cells on the (small) cohort key",
   )
 
   def main(args: Array[String]): Unit = {
