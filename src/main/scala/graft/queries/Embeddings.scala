@@ -606,6 +606,62 @@ object Embeddings {
       }.reduce(_ unionAll _).orderBy(col("probes"), col("q_vec_id"))
     }),
 
+    // FILTERED vector search — the vector-DB staple e06 doesn't cover:
+    // "nearest neighbors WHERE <predicate>". The naive strategy
+    // (post-filter: probe cells as if unfiltered, then apply the
+    // predicate) silently loses recall because the filtered survivors
+    // of the probed cells may not contain the filtered corpus's true
+    // neighbors — and the fix is more probes, not a new index. This
+    // gauge measures exactly that: truth = exact top-3 over the
+    // FILTERED corpus (a selectivity-0.5 vec_id-parity predicate,
+    // deliberately independent of the cell structure), approx =
+    // post-filtered IVF at probes 2 and 4 from ONE candidate pass (the
+    // e22 trick). At 100 TB the filter pushes into the candidate scan
+    // (codegen predicate on the cell-partitioned table) — the probe
+    // count is the only recall knob that survives arbitrary predicates.
+    "e24_filtered_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
+      val topk = graft.functions.Similarity.topKAgg(3)
+      def top3(sims: DataFrame): DataFrame = sims
+        .groupBy(col("q_vec_id")).agg(topk(col("sim"), col("n_vec_id")).as("top"))
+        .select(col("q_vec_id"), explode(col("top")).as("t"))
+        .select(col("q_vec_id"), col("t._2").as("n_vec_id"))
+      val exact = top3(emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("n_vec_id"), col("v").as("cv"))
+        .crossJoin(broadcast(qs))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          cosineRounded(col("qv"), col("cv")).as("sim")))
+      val centroids = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("cell"), expr("transform(pc, p -> p.c)").as("cv"))
+      val probeW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cell"))
+      val probes = qs.crossJoin(broadcast(centroids))
+        .select(col("q_vec_id"), col("qv"), col("cell"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("cell_rank", row_number().over(probeW))
+        .filter(col("cell_rank") <= 4)
+        .select(col("q_vec_id"), col("qv"), col("cell"), col("cell_rank"))
+      val sims = emb.filter(col("vec_id") % 2 === 0) // the filter pushes into the scan
+        .select(col("vec_id").as("n_vec_id"), col("label").as("cell"),
+          col("v").as("cv"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"), col("cell_rank"),
+          cosineRounded(col("qv"), col("cv")).as("sim"))
+      Seq(2, 4).map { k =>
+        recallVsExact(exact, top3(sims.filter(col("cell_rank") <= k)))
+          .withColumn("probes", lit(k.toLong))
+      }.reduce(_ unionAll _).orderBy(col("probes"), col("q_vec_id"))
+    }),
+
     // Multi-probe LSH (Lv et al. 2007) — e22's recall-vs-cost knob for
     // the SRP side: instead of adding bands (more index state), probe
     // the buckets whose 24-bit band key differs by <=2 bits from the
@@ -1125,6 +1181,59 @@ object Embeddings {
             FROM sims)
           SELECT q_vec_id, n_vec_id, sim FROM ranked WHERE rn <= 3
           ORDER BY q_vec_id, sim DESC, n_vec_id""",
+    "e24_filtered_ann" ->
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_vec_id, v AS qv FROM emb WHERE vec_id < 5),
+          fc AS (SELECT vec_id AS n_vec_id, v AS cv FROM emb WHERE vec_id % 2 = 0),
+          exsims AS (
+            SELECT q_vec_id, n_vec_id,
+                   round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM q CROSS JOIN fc WHERE q_vec_id <> n_vec_id),
+          exact AS (
+            SELECT q_vec_id, n_vec_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id ASC) AS rn
+              FROM exsims) t WHERE rn <= 3),
+          cent AS (
+            SELECT label AS cell, pos, round(avg(x), 6) AS c FROM (
+              SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS x FROM emb) e
+            GROUP BY label, pos),
+          centv AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY cell),
+          pr AS (
+            SELECT q_vec_id, qv, cell, rn AS cell_rank FROM (
+              SELECT q.q_vec_id, q.qv, c.cell, c.cv,
+                row_number() OVER (PARTITION BY q.q_vec_id
+                  ORDER BY $dotSql / ($qNormSql * $cNormSql) DESC, c.cell) AS rn
+              FROM q CROSS JOIN centv c) p WHERE rn <= 4),
+          sims AS (
+            SELECT p.q_vec_id, e.vec_id AS n_vec_id, p.cell_rank,
+              round($dotSql / ($qNormSql * $cNormSql), 6) AS sim
+            FROM (SELECT q_vec_id, qv, cell, cell_rank FROM pr) p
+            JOIN (SELECT vec_id, label, v AS cv FROM emb WHERE vec_id % 2 = 0) e
+              ON e.label = p.cell AND e.vec_id <> p.q_vec_id),
+          ks AS (SELECT unnest([2, 4]) AS probes),
+          approx AS (
+            SELECT probes, q_vec_id, n_vec_id FROM (
+              SELECT k.probes, s.q_vec_id, s.n_vec_id,
+                row_number() OVER (PARTITION BY k.probes, s.q_vec_id
+                  ORDER BY s.sim DESC, s.n_vec_id ASC) AS rn
+              FROM ks k JOIN sims s ON s.cell_rank <= k.probes) t
+            WHERE rn <= 3),
+          hits AS (
+            SELECT a.probes, e.q_vec_id, count(*) AS n_hits
+            FROM exact e JOIN approx a
+              ON a.q_vec_id = e.q_vec_id AND a.n_vec_id = e.n_vec_id
+            GROUP BY 1, 2),
+          base AS (
+            SELECT k.probes, e.q_vec_id, count(*) AS n_exact
+            FROM exact e CROSS JOIN ks k GROUP BY 1, 2)
+          SELECT b.q_vec_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact, 4) AS recall,
+            CAST(b.probes AS BIGINT) AS probes
+          FROM base b LEFT JOIN hits h
+            ON h.probes = b.probes AND h.q_vec_id = b.q_vec_id
+          ORDER BY b.probes, b.q_vec_id""",
     "e23_multiprobe_lsh" -> {
       // same SRP weight family as e08's oracle, 2 bands x 24 rows; the
       // oracle states candidate levels directly as the min-over-bands

@@ -193,6 +193,24 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("e24 filtered ANN: post-filter recall recovers with probe count " +
+    "and the truth set respects the predicate") {
+    val rows = Embeddings.queries("e24_filtered_ann")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(4), r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == Set(2L, 4L))
+    // per query, more probes never lose hits (same ranked pass, wider cut)
+    byProbe(2L).foreach { case (_, q, _, hits2, _) =>
+      val hits4 = byProbe(4L).find(_._2 == q).get._4
+      assert(hits4 >= hits2)
+    }
+    // the collapse is real on this corpus: probes=2 must be imperfect,
+    // probes=4 must strictly improve the total
+    assert(byProbe(2L).map(_._4).sum < byProbe(2L).map(_._3).sum)
+    assert(byProbe(4L).map(_._4).sum > byProbe(2L).map(_._4).sum)
+  }
+
   test("e23 multi-probe LSH: recall and candidate volume are monotone in " +
     "the probe radius, and probing never misses what probe-0 found") {
     val rows = Embeddings.queries("e23_multiprobe_lsh")(spark, "/root/testdata/sf0.01")

@@ -66,6 +66,7 @@ object PlanAudit {
     "e23_multiprobe_lsh" -> "multi-probe stays a bucket EQUI-join: the probe side explodes hamming-ball key variants (301 deltas broadcast) against the unprobed key table; one candidate pass yields the whole probe curve",
     "m13_mixed_image_neardup" -> "mixed-format image dedup through the SAME banded pipeline as m09: one dHash core per container, bands shuffle (img_id, band, key) only, the verify joins 8-byte codes — pixels are decoded once, at hash time",
     "q21_retention" -> "three keyed aggregations, all map-side-combinable; the corpus never moves wider than (user_id, week) pairs; cohort sizes join the cells on the (small) cohort key",
+    "e24_filtered_ann" -> "filtered ANN: the parity predicate evaluates inside the candidate scan (pushed filter), probes/centroids BROADCAST, both probe depths cut from ONE ranked candidate pass",
   )
 
   def main(args: Array[String]): Unit = {
