@@ -1692,7 +1692,7 @@ object Documents {
     * same order of magnitude as the corpus itself, the price of
     * exactness that d14's fingerprints avoid.
     */
-  private[queries] def suffixDups(d: DataFrame, prefixLen: Int): DataFrame = {
+  private[graft] def suffixDups(d: DataFrame, prefixLen: Int): DataFrame = {
     val starts = d.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("p"))

@@ -216,7 +216,17 @@ object ScaleCheck {
               sum(col("n_flagged")).as("n_flagged")).collect().head
           (agg.getLong(0), agg.getLong(1))
         })
-      case other => sys.error(s"unknown mode $other (w29 | neardup | ivf | hamming | spanrm)")
+      case "suffix" =>
+        // d25 shape: the word-start suffix SORT is the measured cost —
+        // the heaviest exact-dedup shuffle in the engine (O(corpus)
+        // suffix rows through a range sort)
+        run("suffix", { s =>
+          val row = graft.queries.Documents
+            .suffixDups(docsAt(s), prefixLen = 4).collect().head
+          (row.getLong(0), row.getLong(2)) // n_positions, n_lcp30
+        })
+      case other => sys.error(
+        s"unknown mode $other (w29 | neardup | ivf | hamming | spanrm | suffix)")
     }
     spark.stop()
   }
