@@ -1272,6 +1272,49 @@ object Warc {
     // the 16 fixture pages (mostly zh — see the w16 histogram), so the
     // gate is token count only and the output tracks language DIVERSITY
     // of the surviving set rather than filtering to one language.
+    // The CLEANING funnel — w29's sibling for the gate side of corpus
+    // prep: ONE extraction pass (same no-filter-between-projections
+    // doctrine, or the kernel runs twice), then per-page length gate +
+    // Aho-Corasick blocklist counts IN the same codegen span, dedup by
+    // content fingerprint, and the per-stage attrition counts a data
+    // curator actually reads: pages -> unique docs -> long enough ->
+    // blocklist-clean. Blocklist terms chosen to HIT real fixture
+    // pages ("copyright"/"login"/"sport" appear in 5/2/2 of the 16),
+    // so the gate provably fires. Only 32-char fingerprints + two
+    // small ints shuffle; map-side combine collapses the 1600 copies
+    // per page before the wire.
+    "w45_cleaning_funnel" -> ((s, _) => {
+      import graft.functions.{TextAnalysis => TA, Web}
+      val dir = graft.sources.BenchCorpus.ensure(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
+        files = 32, copiesPerFile = 50)
+      val bl = Seq("copyright", "login", "sport")
+      // the counts array materializes under an alias in its own select
+      // (the t33 pattern): CollapseProject declines to inline a
+      // non-cheap expression referenced 3x, so the automaton walks each
+      // page ONCE (w31's single-kernel-evaluation doctrine)
+      val perPage = s.read.format("warc")
+        .option("record_types", "response")
+        .load(dir)
+        .select(Web.extractPlainText(col("http_body"), col("http_charset")).as("text"))
+        .select(col("text"), TA.blocklistCounts(lower(col("text")), bl).as("c"))
+        .select(md5(col("text")).as("fp"),
+          (TA.tokenCount(col("text")) >= 50).cast("int").as("pass_len"),
+          bl.indices.map(i => element_at(col("c"), i + 1)).reduce(_ + _)
+            .as("n_hits"))
+      perPage.groupBy(col("fp"))
+        .agg(count(lit(1)).as("copies"), max(col("pass_len")).as("pass_len"),
+          max(col("n_hits")).as("n_hits"))
+        .agg(
+          sum(when(col("fp").isNotNull, col("copies"))).as("n_pages"),
+          count(col("fp")).as("n_unique_docs"),
+          sum(col("pass_len")).as("n_pass_len"),
+          sum(when(col("pass_len") === 1 && col("n_hits") > 0, 1L)
+            .otherwise(0L)).as("n_blocked"),
+          sum(when(col("pass_len") === 1 && col("n_hits") === 0, 1L)
+            .otherwise(0L)).as("n_clean"))
+    }),
+
     "w29_training_pipeline" -> ((s, _) => {
       import graft.functions.Web
       val dir = graft.sources.BenchCorpus.ensure(
@@ -1523,6 +1566,17 @@ object Warc {
          ('2020-08-08 18:00:00', 'response', 8, 252869))
          t(window_start, record_type, n_records, total_bytes)
          ORDER BY window_start, record_type""",
+    // disclosed self-pin (extraction is not expressible in DuckDB):
+    // 25600 pages dedup to the 16 unique fixture pages, all pass the
+    // 50-token gate, and the copyright/login/sport blocklist fires on
+    // 7 of them (5/2/2 per term with overlaps) leaving 9 clean — the
+    // per-term hits re-derivable from the fixture pages' extracted text
+    "w45_cleaning_funnel" ->
+      """SELECT CAST(25600 AS BIGINT) AS n_pages,
+         CAST(16 AS BIGINT) AS n_unique_docs,
+         CAST(16 AS BIGINT) AS n_pass_len,
+         CAST(7 AS BIGINT) AS n_blocked,
+         CAST(9 AS BIGINT) AS n_clean""",
     // disclosed self-pin (extraction + lang detect are not expressible
     // in DuckDB): 32 files x 50 copies x 16 response pages all extract
     // and pass the 50-token gate; dedup collapses them to the 16 unique

@@ -67,6 +67,7 @@ object PlanAudit {
     "m13_mixed_image_neardup" -> "mixed-format image dedup through the SAME banded pipeline as m09: one dHash core per container, bands shuffle (img_id, band, key) only, the verify joins 8-byte codes — pixels are decoded once, at hash time",
     "q21_retention" -> "three keyed aggregations, all map-side-combinable; the corpus never moves wider than (user_id, week) pairs; cohort sizes join the cells on the (small) cohort key",
     "e24_filtered_ann" -> "filtered ANN: the parity predicate evaluates inside the candidate scan (pushed filter), probes/centroids BROADCAST, both probe depths cut from ONE ranked candidate pass",
+    "w45_cleaning_funnel" -> "ONE extraction pass in the scan stage; length gate and Aho-Corasick blocklist evaluate in the same codegen span; only 32-char fingerprints + two small ints shuffle (map-side combine)",
   )
 
   def main(args: Array[String]): Unit = {
