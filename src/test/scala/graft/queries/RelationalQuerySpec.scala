@@ -99,6 +99,41 @@ class RelationalQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expTop)
   }
 
+  test("q19 funnel differential fuzz: 120 random event streams match a " +
+    "brute-force state machine, including same-timestamp pileups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0x19f)
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val events = for {
+      u <- 0L until 120L
+      n = 1 + rnd.nextInt(12)
+      i <- 0 until n
+    } yield (u,
+      // coarse seconds force frequent same-timestamp collisions, so the
+      // event_id tiebreak is genuinely exercised
+      new java.sql.Timestamp(1700000000000L + rnd.nextInt(5) * 1000L),
+      u * 1000L + i, types(rnd.nextInt(types.length)))
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._3))
+      val stage = ordered.foldLeft(0) { (st, e) =>
+        (st, e._4) match {
+          case (0, "view") => 1
+          case (1, "click") => 2
+          case (2, "purchase") => 3
+          case _ => st
+        }
+      }
+      u -> stage
+    }
+    val got = Relational.funnelStages(
+        events.toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    // the random corpus must actually exercise every stage
+    assert(expected.values.toSet == Set(0, 1, 2, 3))
+  }
+
   test("q21 retention: offset-0 is 1.0 by construction, actives never " +
     "exceed the cohort, and the triangle is complete") {
     val s = spark
