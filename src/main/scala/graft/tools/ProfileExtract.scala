@@ -113,6 +113,37 @@ object ProfileExtract {
       acc
     }
 
+    // Aho-Corasick blocklist throughput: the same extracted texts
+    // through automatons of 8 / 128 / 2048 synthetic terms — the
+    // list-size-independence claim (O(len + matches)) as numbers. The
+    // synthetic tail shares prefixes with real tokens so the automaton
+    // is dense, not a no-op root loop.
+    {
+      val texts = rows.map { case (b, cs) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          graft.html.Html2Text.extractFromHtml(
+            graft.html.HtmlTree.decodeForParse(b, cs), opts).toLowerCase)
+      }
+      val textBytes = texts.map(_.numBytes.toLong).sum
+      val base = Seq("copyright", "login", "sport", "news", "video",
+        "the best", "click", "2020")
+      for (n <- Seq(8, 128, 2048)) {
+        val terms = (base ++ (0 until (n - base.length)).map(i =>
+          s"term${i}x${"abcdefgh".substring(0, 1 + i % 7)}")).toArray
+        val ac = new graft.plans.AhoCorasick(terms)
+        var sink = 0L
+        for (_ <- 1 to math.max(1, rounds / 3))
+          texts.foreach(t => sink += ac.counts(t).numElements())
+        System.gc()
+        val t0 = System.nanoTime()
+        for (_ <- 1 to rounds) texts.foreach(t => sink += ac.counts(t).numElements())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val mb = rounds.toLong * textBytes / 1e6
+        println(f"blocklist n=$n%-5d        ${mb / sec}%9.1f MB/s   " +
+          f"(${rounds.toLong * rows.length / sec}%9.0f docs/s, sink=$sink)")
+      }
+    }
+
     // Thread-scaling sweep: the same full kernel under 1/4/8/16/32
     // concurrent threads. The bench runs the kernel on 16-32 executor
     // threads in one JVM; if per-thread throughput collapses here the

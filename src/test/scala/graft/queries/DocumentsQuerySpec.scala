@@ -732,6 +732,22 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts("low") == Seq(0L, 0L, 1L, 0L, 0L))
   }
 
+  test("t33 blocklist: non-ASCII patterns — CJK terms and astral-plane " +
+    "emoji match as exact substrings (UTF-16 surrogate pairs intact)") {
+    val pats = Array("日本語", "禁止ワード", "😀😀") // 😀😀
+    val ac = new graft.plans.AhoCorasick(pats)
+    def counts(t: String): Seq[Long] =
+      ac.counts(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toLongArray().toSeq
+    assert(counts("これは日本語のテキストです") == Seq(1L, 0L, 0L))
+    assert(counts("禁止ワードと日本語、また禁止ワード") == Seq(1L, 2L, 0L))
+    // three emoji = two overlapping pairs, greedy non-overlap counts ONE
+    assert(counts("x 😀😀😀 y") == Seq(0L, 0L, 1L))
+    // a lone high surrogate half must not match the pair pattern
+    assert(counts("x 😀 y") == Seq(0L, 0L, 0L))
+    assert(counts("") == Seq(0L, 0L, 0L))
+  }
+
   test("t33 blocklist gate: kernel column agrees with per-term contains " +
     "algebra on the real corpus, and the plan is one codegen'd scan") {
     val s = spark
