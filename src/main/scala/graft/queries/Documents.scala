@@ -1521,6 +1521,36 @@ object Documents {
     // grows as the corpus scales.
     "t35_heaps_law" -> ((s, dir) => heapsLaw(docs(s, dir))),
 
+    // Split-LEAKAGE audit — the check every train/eval split needs
+    // before anyone trusts an eval number: near-duplicate pairs that
+    // straddle t13's split boundaries are contamination (the eval doc
+    // is "novel" in name only). Composes the production stages
+    // verbatim: d07's LSH dup pairs over the chained corpus, t13's
+    // md5-derived split per side, then a symmetric split-pair matrix
+    // with the leak count. At 100 TB this runs on dup pairs (already
+    // bounded by the band/cap structure), never the corpus.
+    "d27_split_leakage" -> ((s, dir) => {
+      val st = neardupStages(docsWithChains(s, dir))
+      try {
+        def split(id: Column): Column = {
+          val v = conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
+            .cast("long")
+          when(v < 204, "train").when(v < 230, "val").otherwise("test")
+        }
+        val sp = st.dups.select(split(col("doc_a")).as("sa"),
+          split(col("doc_b")).as("sb"))
+        sp.select(
+            when(col("sa") <= col("sb"),
+              concat_ws("->", col("sa"), col("sb")))
+              .otherwise(concat_ws("->", col("sb"), col("sa"))).as("pair"),
+            when(col("sa") =!= col("sb"), 1L).otherwise(0L).as("leak"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("leak")).as("n_leaks"))
+          .orderBy(col("pair"))
+          .localCheckpoint()
+      } finally st.unpersistAll()
+    }),
+
     // Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES):
     // the distributed one-pass way to draw a weighted eval-holdout /
     // human-review sample from a corpus too big to sort. Each doc gets
@@ -3210,6 +3240,29 @@ object Documents {
             UNION ALL
             SELECT 1000000 + i AS doc_id, '$ViralTemplate' || i AS text
             FROM range(10000) t(i)"""),
+    "d27_split_leakage" -> {
+      def v(side: String): String =
+        s"""((strpos('0123456789abcdef',
+              substring(md5(CAST($side AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef',
+              substring(md5(CAST($side AS VARCHAR)), 2, 1)) - 1))"""
+      s"""WITH ${neardupStagesSql(
+        s"SELECT doc_id, text FROM documents UNION ALL $chainDocsSql")},
+         sv AS (SELECT ${v("doc_a")} AS va, ${v("doc_b")} AS vb FROM dups),
+         sp AS (SELECT
+             CASE WHEN va < 204 THEN 'train' WHEN va < 230 THEN 'val'
+                  ELSE 'test' END AS sa,
+             CASE WHEN vb < 204 THEN 'train' WHEN vb < 230 THEN 'val'
+                  ELSE 'test' END AS sb
+           FROM sv),
+         px AS (SELECT
+             CASE WHEN sa <= sb THEN sa || '->' || sb
+                  ELSE sb || '->' || sa END AS pair,
+             CASE WHEN sa <> sb THEN 1 ELSE 0 END AS leak
+           FROM sp)
+         SELECT pair, count(*) AS n_pairs, CAST(sum(leak) AS BIGINT) AS n_leaks
+         FROM px GROUP BY pair ORDER BY pair"""
+    },
     "d11_neardup_clusters" ->
       neardupClustersOracleSql(
         s"""SELECT doc_id, text FROM documents

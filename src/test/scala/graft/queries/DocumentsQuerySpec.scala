@@ -628,6 +628,23 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.last.getLong(3) > g.head.getLong(3))
   }
 
+  test("d27 split leakage: mixed split-pairs are ALL leaks, same-split " +
+    "pairs none, and the matrix total equals the pipeline's dup pairs") {
+    val s = spark
+    val rows = Documents.queries("d27_split_leakage")(s, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pair, n, leaks) =>
+      val Array(a, b) = pair.split("->")
+      assert(if (a == b) leaks == 0L else leaks == n, pair)
+    }
+    // the corpus must actually exhibit leakage (the audit's reason to exist)
+    assert(rows.map(_._3).sum > 0)
+    val total = rows.map(_._2).sum
+    val pipelinePairs = Documents.dupPairsProbe(s, "/root/testdata/sf0.01").count()
+    assert(total == pipelinePairs)
+  }
+
   test("t34 weighted sample: keys are u^(1/w) exactly, the output is the " +
     "true top-64, heavy docs are overrepresented, and the plan is top-k") {
     val s = spark
