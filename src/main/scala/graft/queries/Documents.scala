@@ -1551,6 +1551,35 @@ object Documents {
       } finally st.unpersistAll()
     }),
 
+    // STRATIFIED weighted sampling — t34 drawn PER SOURCE (the
+    // balanced-eval draw: k docs from every source however skewed the
+    // corpus mix). Same A-ES sqrt-chain keys; the per-group top-k runs
+    // through the partial-agg top-k Aggregator (each map task keeps <=k
+    // rows per source, buffers merge pairwise), so no window ever
+    // orders a source's full slice — the e04 doctrine applied to
+    // sampling. The rank window orders 20 sources x 4 survivors.
+    "t36_stratified_sample" -> ((s, dir) => {
+      val w = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+        (conv(substring(md5(concat(lit("w:"), col("doc_id").cast("string"))),
+          1, 1), 16, 10).cast("int") % 4) + 1)
+      val u = conv(substring(md5(concat(lit("u:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") / 4294967296d
+      val key = when(col("weight") === 1L, col("u"))
+        .when(col("weight") === 2L, sqrt(col("u")))
+        .when(col("weight") === 4L, sqrt(sqrt(col("u"))))
+        .otherwise(sqrt(sqrt(sqrt(col("u")))))
+      val topk = graft.functions.Similarity.topKAgg(4)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), w.as("weight"), u.as("u"))
+        .withColumn("key", key)
+        .groupBy(col("source"))
+        .agg(topk(col("key"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("r", "t")))
+        .select(col("source"), (col("r") + 1).cast("long").as("rank"),
+          col("t._2").as("doc_id"), round(col("t._1"), 9).as("key"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-ES):
     // the distributed one-pass way to draw a weighted eval-holdout /
     // human-review sample from a corpus too big to sort. Each doc gets
@@ -2862,6 +2891,26 @@ object Documents {
            md5(coalesce(c.cleaned, b.text)) AS cleaned_md5
          FROM base b LEFT JOIN cln c USING (doc_id)
          ORDER BY b.doc_id""",
+    "t36_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+           CAST(1 << (CAST(('0x' || substring(
+               md5('w:' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) % 4)
+             AS BIGINT) AS weight,
+           CAST(CAST(('0x' || substring(
+               md5('u:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             AS DOUBLE) / 4294967296 AS u
+         FROM documents),
+         k AS (SELECT doc_id, source,
+           CASE weight WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+             WHEN 4 THEN sqrt(sqrt(u)) ELSE sqrt(sqrt(sqrt(u))) END AS key
+         FROM b),
+         r AS (SELECT source, doc_id, key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY key DESC, doc_id) AS rank
+           FROM k)
+         SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+           round(key, 9) AS key
+         FROM r WHERE rank <= 4 ORDER BY source, rank""",
     "t34_weighted_sample" ->
       """WITH b AS (SELECT doc_id,
            CAST(1 << (CAST(('0x' || substring(

@@ -628,6 +628,45 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.last.getLong(3) > g.head.getLong(3))
   }
 
+  test("t36 stratified sample: exactly 4 per source, the per-source " +
+    "winners match a plain-Scala recompute, and the plan has no window " +
+    "over the corpus") {
+    val s = spark
+    val df = Documents.queries("t36_stratified_sample")(s, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-group top-k must be the partial-agg Aggregator, not a
+    // corpus-wide rank window (windows appear only if we regressed)
+    assert(!plan.contains("Window"), plan.take(1500))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.size == 20 && bySrc.values.forall(_.length == 4))
+    bySrc.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+    }
+    // recompute per-source top-4 in plain Scala
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.map { case (id, src) =>
+      val w = 1L << (java.lang.Integer.parseInt(md5hex(s"w:$id").substring(0, 1), 16) % 4)
+      val u = java.lang.Long.parseLong(md5hex(s"u:$id").substring(0, 8), 16)
+        .toDouble / 4294967296d
+      val key = w match {
+        case 1L => u; case 2L => math.sqrt(u); case 4L => math.sqrt(math.sqrt(u))
+        case _ => math.sqrt(math.sqrt(math.sqrt(u)))
+      }
+      (src, id, key)
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy(x => (-x._3, x._2)).take(4).map(_._2).toSeq).toMap
+    bySrc.foreach { case (src, g) =>
+      assert(g.sortBy(_._2).map(_._3).toSeq == exp(src), src)
+    }
+  }
+
   test("d27 split leakage: mixed split-pairs are ALL leaks, same-split " +
     "pairs none, and the matrix total equals the pipeline's dup pairs") {
     val s = spark
