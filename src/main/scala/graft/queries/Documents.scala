@@ -1551,6 +1551,35 @@ object Documents {
       } finally st.unpersistAll()
     }),
 
+    // The TOKEN-BUDGET table — the number a data lead actually asks
+    // for: how many training tokens survive each dedup rung. Three
+    // independent per-stage measurements over the same corpus (labeled
+    // per-stage savings, not a sequential pipeline): raw whitespace
+    // tokens, tokens after exact dedup (d01's first-occurrence rule),
+    // and tokens after duplicate-span removal (d26's cleaned text,
+    // re-tokenized). Each stage is an existing production topology;
+    // this query only adds the 1-row roll-ups and ratios.
+    "t37_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val raw = d.agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("raw_tokens"))
+      val firstPerMd5 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val exact = d.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(firstPerMd5))
+        .filter(col("rn") === 1)
+        .agg(sum(tokenCount(col("text"))).as("exact_tokens"))
+      val span = spanRemovalCleaned(d, win = 40)
+        .agg(sum(tokenCount(col("cleaned"))).as("span_tokens"))
+      raw.crossJoin(broadcast(exact)).crossJoin(broadcast(span))
+        .select(col("n_docs"), col("raw_tokens"), col("exact_tokens"),
+          col("span_tokens"),
+          round(col("exact_tokens").cast("double") / col("raw_tokens"), 6)
+            .as("exact_keep_ratio"),
+          round(col("span_tokens").cast("double") / col("raw_tokens"), 6)
+            .as("span_keep_ratio"))
+    }),
+
     // STRATIFIED weighted sampling — t34 drawn PER SOURCE (the
     // balanced-eval draw: k docs from every source however skewed the
     // corpus mix). Same A-ES sqrt-chain keys; the per-group top-k runs
@@ -1664,7 +1693,22 @@ object Documents {
     * Docs with nothing flagged pass through via the left join with
     * zero counters and their original text's md5.
     */
-  private[graft] def spanRemoval(d: DataFrame, win: Int): DataFrame = {
+  private[graft] def spanRemoval(d: DataFrame, win: Int): DataFrame =
+    spanRemovalCleaned(d, win)
+      .select(col("doc_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The d26 chain up to (and including) the cleaned text — factored so
+    * t37 can re-tokenize the cleaned column without re-stating the
+    * topology. Counter columns are null for untouched docs; `cleaned`
+    * always carries the (possibly original) text.
+    */
+  private[graft] def spanRemovalCleaned(d: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = d.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
     val starts = base
@@ -1698,13 +1742,6 @@ object Documents {
                     concat(st.acc, substring(text, st.pos, iv.s - st.pos)) AS acc),
                   st -> concat(st.acc,
                     substring(text, st.pos, length(text) - st.pos + 1)))""")))
-      .select(col("doc_id"),
-        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
-        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
-        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
-        length(col("cleaned")).cast("long").as("kept_chars"),
-        md5(col("cleaned")).as("cleaned_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** Lexically sorted blocklist for t33 (order is part of the contract:
@@ -2259,6 +2296,43 @@ object Documents {
   }
 
   private val tokSqlDuck = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** The d26 cleaned-text CTE chain (base → flagged windows → island
+    * merge → `cln` with counters + cleaned text) — shared by the d26
+    * oracle and t37's token-budget roll-up.
+    */
+  private val spanCleanCtesSql: String =
+    """base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+         FROM base),
+       starts AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+           substring(text, CAST(p AS INT), 40) AS w
+         FROM pos
+         WHERE (p = 1 OR substring(text, CAST(p AS INT) - 1, 1) = ' ')
+           AND substring(text, CAST(p AS INT), 1) <> ' '
+           AND p + 40 <= length(text) + 1),
+       dupw AS (SELECT w FROM starts GROUP BY w HAVING count(*) >= 2),
+       fl AS (SELECT doc_id, p, p + 40 AS e FROM starts JOIN dupw USING (w)),
+       m AS (SELECT doc_id, p, e, max(e) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM fl),
+       i0 AS (SELECT doc_id, p, e,
+           CASE WHEN maxe IS NULL OR p > maxe THEN 1 ELSE 0 END AS ni FROM m),
+       i1 AS (SELECT doc_id, p, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i0),
+       isl AS (SELECT doc_id, island, min(p) AS s, max(e) AS e,
+           count(*) AS nf FROM i1 GROUP BY doc_id, island),
+       segs AS (SELECT i.doc_id, i.s, i.e, i.nf, b.text,
+           coalesce(lag(i.e) OVER (PARTITION BY i.doc_id ORDER BY i.s), 1) AS ps
+         FROM isl i JOIN base b USING (doc_id)),
+       cln AS (SELECT doc_id,
+           CAST(sum(nf) AS BIGINT) AS n_flagged,
+           count(*) AS n_islands,
+           CAST(sum(e - s) AS BIGINT) AS removed_chars,
+           string_agg(substring(text, CAST(ps AS INT), CAST(s - ps AS INT)),
+             '' ORDER BY s)
+           || substring(text, CAST(max(e) AS INT),
+                CAST(length(text) - max(e) + 1 AS INT)) AS cleaned
+         FROM segs GROUP BY doc_id, text)"""
 
   /** The d22/d23 oracle corpus CTE — mirror of [[simhashCorpus]]. */
   private val simhashCorpusSql: String =
@@ -2852,37 +2926,7 @@ object Documents {
           FROM c ORDER BY doc_id"""
     },
     "d26_span_removal" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
-           FROM base),
-         starts AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
-             substring(text, CAST(p AS INT), 40) AS w
-           FROM pos
-           WHERE (p = 1 OR substring(text, CAST(p AS INT) - 1, 1) = ' ')
-             AND substring(text, CAST(p AS INT), 1) <> ' '
-             AND p + 40 <= length(text) + 1),
-         dupw AS (SELECT w FROM starts GROUP BY w HAVING count(*) >= 2),
-         fl AS (SELECT doc_id, p, p + 40 AS e FROM starts JOIN dupw USING (w)),
-         m AS (SELECT doc_id, p, e, max(e) OVER (PARTITION BY doc_id ORDER BY p
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM fl),
-         i0 AS (SELECT doc_id, p, e,
-             CASE WHEN maxe IS NULL OR p > maxe THEN 1 ELSE 0 END AS ni FROM m),
-         i1 AS (SELECT doc_id, p, e,
-             sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i0),
-         isl AS (SELECT doc_id, island, min(p) AS s, max(e) AS e,
-             count(*) AS nf FROM i1 GROUP BY doc_id, island),
-         segs AS (SELECT i.doc_id, i.s, i.e, i.nf, b.text,
-             coalesce(lag(i.e) OVER (PARTITION BY i.doc_id ORDER BY i.s), 1) AS ps
-           FROM isl i JOIN base b USING (doc_id)),
-         cln AS (SELECT doc_id,
-             CAST(sum(nf) AS BIGINT) AS n_flagged,
-             count(*) AS n_islands,
-             CAST(sum(e - s) AS BIGINT) AS removed_chars,
-             string_agg(substring(text, CAST(ps AS INT), CAST(s - ps AS INT)),
-               '' ORDER BY s)
-             || substring(text, CAST(max(e) AS INT),
-                  CAST(length(text) - max(e) + 1 AS INT)) AS cleaned
-           FROM segs GROUP BY doc_id, text)
+      s"""WITH $spanCleanCtesSql
          SELECT b.doc_id,
            coalesce(c.n_flagged, 0) AS n_flagged,
            coalesce(c.n_islands, 0) AS n_islands,
@@ -2891,6 +2935,25 @@ object Documents {
            md5(coalesce(c.cleaned, b.text)) AS cleaned_md5
          FROM base b LEFT JOIN cln c USING (doc_id)
          ORDER BY b.doc_id""",
+    "t37_token_budget" ->
+      s"""WITH $spanCleanCtesSql,
+         raw AS (SELECT count(*) AS n_docs,
+             CAST(sum(len($tokSqlDuck)) AS BIGINT) AS raw_tokens FROM base),
+         ex AS (SELECT CAST(sum(len($tokSqlDuck)) AS BIGINT) AS exact_tokens
+           FROM (SELECT text, row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM base) t
+           WHERE rn = 1),
+         withc AS (SELECT b.doc_id,
+             coalesce(c.cleaned, b.text) AS cleaned
+           FROM base b LEFT JOIN cln c USING (doc_id)),
+         sp AS (SELECT CAST(sum(len(regexp_split_to_array(trim(cleaned),
+             '\\s+'))) AS BIGINT) AS span_tokens FROM withc)
+         SELECT raw.n_docs, raw.raw_tokens, ex.exact_tokens, sp.span_tokens,
+           round(CAST(ex.exact_tokens AS DOUBLE) / raw.raw_tokens, 6)
+             AS exact_keep_ratio,
+           round(CAST(sp.span_tokens AS DOUBLE) / raw.raw_tokens, 6)
+             AS span_keep_ratio
+         FROM raw CROSS JOIN ex CROSS JOIN sp""",
     "t36_stratified_sample" ->
       """WITH b AS (SELECT doc_id, source,
            CAST(1 << (CAST(('0x' || substring(

@@ -667,6 +667,22 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t37 token budget: raw count matches a Scala recompute, exact " +
+    "dedup never gains tokens, span removal genuinely cuts") {
+    val s = spark
+    val r = Documents.queries("t37_token_budget")(s, "/root/testdata/sf0.01")
+      .collect()(0)
+    val (nDocs, raw, exact, span) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val docs = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("text").collect().filter(!_.isNullAt(0)).map(_.getString(0))
+    assert(nDocs == docs.length)
+    assert(raw == docs.map(_.trim.split("\\s+").length.toLong).sum)
+    assert(exact <= raw && span < raw && span > 0)
+    assert(r.getDouble(4) == math.round(exact.toDouble / raw * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.round(span.toDouble / raw * 1e6) / 1e6)
+  }
+
   test("d27 split leakage: mixed split-pairs are ALL leaks, same-split " +
     "pairs none, and the matrix total equals the pipeline's dup pairs") {
     val s = spark

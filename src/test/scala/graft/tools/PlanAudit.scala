@@ -70,6 +70,7 @@ object PlanAudit {
     "w45_cleaning_funnel" -> "ONE extraction pass in the scan stage; length gate and Aho-Corasick blocklist evaluate in the same codegen span; only 32-char fingerprints + two small ints shuffle (map-side combine)",
     "d27_split_leakage" -> "leakage audit runs on the DUP PAIRS (bounded by the band/cap structure), never the corpus; split derivation is codegen'd md5 arithmetic on the pair ids",
     "t36_stratified_sample" -> "per-source top-k through the partial-agg Aggregator (<=k rows per source per map task cross the wire); NO window over the corpus anywhere (spec-pinned)",
+    "t37_token_budget" -> "three independent 1-row roll-ups (raw / exact-dedup / span-removed tokens) cross-joined as broadcasts; the only corpus-sized shuffles are the stages' own (fp window keys, dup-window groupBy)",
   )
 
   def main(args: Array[String]): Unit = {
