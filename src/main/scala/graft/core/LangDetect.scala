@@ -107,14 +107,22 @@ object LangDetect {
 
   /** (language, rank); ("unknown", 0) above the cutoff. */
   def detectFast(text: String, cutoff: Int = 1200,
-      langs: Option[Set[String]] = None): (String, Int) = {
+      langs: Option[Set[String]] = None): (String, Int) =
+    detectFastWith(profiles, text, cutoff, langs)
+
+  /** detectFast against an explicit profile set — the CLI's
+    * retrain→dump→reload loop evaluates freshly trained vectors without
+    * swapping the built-in resource (cli.py:446-526 `evaluate`).
+    */
+  def detectFastWith(profs: Array[(String, Array[Int])], text: String,
+      cutoff: Int = 1200, langs: Option[Set[String]] = None): (String, Int) = {
     val vec = strToVec(text)
     val textLen = text.length
     var best: String = null
     var bestRank = Int.MaxValue
     var i = 0
-    while (i < profiles.length) {
-      val (name, profile) = profiles(i)
+    while (i < profs.length) {
+      val (name, profile) = profs(i)
       if (langs.forall(_.contains(name))) {
         var rank = l1(vec, profile)
         if (rank > 500 && textLen < 150) rank += math.min(50, i * 3)
@@ -123,6 +131,39 @@ object LangDetect {
       i += 1
     }
     if (best == null) ("unknown", 0) else (best, bestRank)
+  }
+
+  /** Write a profile set as the loadable binary pair: `lang_names.txt`
+    * (one code per line, bias order) + `lang_profiles.bin` (concatenated
+    * 256-byte vectors) — the on-disk inverse of the resource loader
+    * above, so CLI-retrained vectors round-trip into this detector.
+    */
+  def writeBinary(vectors: Seq[(String, Array[Int])], dir: java.io.File): Unit = {
+    dir.mkdirs()
+    val names = new java.io.PrintWriter(new java.io.File(dir, "lang_names.txt"), "UTF-8")
+    try vectors.foreach(v => names.println(v._1)) finally names.close()
+    val bin = new java.io.FileOutputStream(new java.io.File(dir, "lang_profiles.bin"))
+    try vectors.foreach { case (_, vec) =>
+      require(vec.length == VecSize, s"vector length ${vec.length} != $VecSize")
+      bin.write(vec.map(_.toByte))
+    } finally bin.close()
+  }
+
+  /** Load a profile set written by [[writeBinary]] (or the shipped
+    * resource pair copied to a directory).
+    */
+  def loadBinary(dir: java.io.File): Array[(String, Array[Int])] = {
+    val names = {
+      val src = scala.io.Source.fromFile(new java.io.File(dir, "lang_names.txt"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toArray finally src.close()
+    }
+    val blob = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "lang_profiles.bin").toPath)
+    require(blob.length == names.length * VecSize,
+      s"profile blob ${blob.length} bytes != ${names.length} langs * $VecSize")
+    names.zipWithIndex.map { case (n, i) =>
+      n -> Array.tabulate(VecSize)(j => blob(i * VecSize + j) & 0xff)
+    }
   }
 
   /** Top-k variant (detect_fast with n_results>1). */

@@ -86,6 +86,10 @@ object Cli {
         if (pos.isEmpty) { usage(out); return 2 }
         benchmark(pos.toSeq, flag("parse-http"), flagVal("filter-type"), out)
         0
+      case "lang" =>
+        // language-model maintenance surface (train/eval/dump-vectors/
+        // benchmark) — see LangCli for the reference mapping
+        LangCli.run(pos.toSeq, flags.toSeq, out)
       case other =>
         out.println(s"unknown subcommand: $other"); usage(out); 2
     } catch {
@@ -100,7 +104,8 @@ object Cli {
       |  extract <file> <offset> [--payload | --headers]
       |  recompress <infile> <outfile> [--codec=gzip|lz4|none] [--checksum]
       |  verify <file> [--payloads]
-      |  benchmark <files...> [--parse-http] [--filter-type=response]""".stripMargin)
+      |  benchmark <files...> [--parse-http] [--filter-type=response]
+      |  lang train|eval|dump-vectors|benchmark ...   (see `lang` for details)""".stripMargin)
 
   private def open(path: String): (java.io.InputStream, WarcCodecs.Codec) =
     WarcCodecs.openWithName(new FileInputStream(path), path)
