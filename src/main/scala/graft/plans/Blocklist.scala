@@ -36,30 +36,61 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
   /** Per-pattern leftmost-non-overlapping match counts over `text`,
     * index-aligned with `patterns`. Static-shaped output: every row
     * yields an array of exactly `patterns.length` longs.
+    *
+    * Decodes the UTF8String's bytes to UTF-16 units in place — no
+    * per-row String copy in the codegen hot path; positions and match
+    * results are identical to walking `text.toString` (trie edges are
+    * UTF-16 units, surrogate pairs feed as two steps).
     */
   def counts(text: UTF8String): GenericArrayData = {
     val b = built
-    val s = text.toString
     val out = new Array[Long](patterns.length)
     val lastEnd = new Array[Int](patterns.length)
     var node = 0
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      var next = b.step(node, c)
-      while (next < 0 && node != 0) { node = b.fail(node); next = b.step(node, c) }
-      node = if (next < 0) 0 else next
-      // emit every pattern ending here (output links pre-flattened)
-      val outs = b.out(node)
-      var j = 0
-      while (j < outs.length) {
-        val pid = outs(j)
-        val start = i + 1 - b.patLen(pid)
-        if (start >= lastEnd(pid)) { out(pid) += 1L; lastEnd(pid) = i + 1 }
-        j += 1
+    var ci = 0 // UTF-16 unit index, as String.charAt would count
+    var bi = 0
+    val n = text.numBytes
+    while (bi < n) {
+      val b0 = text.getByte(bi) & 0xff
+      var cp = 0
+      var len = 0
+      if (b0 < 0x80) { cp = b0; len = 1 }
+      else if ((b0 & 0xe0) == 0xc0 && bi + 1 < n) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0 && bi + 2 < n) { cp = b0 & 0x0f; len = 3 }
+      else if ((b0 & 0xf8) == 0xf0 && bi + 3 < n) { cp = b0 & 0x07; len = 4 }
+      if (len == 0) { cp = 0xfffd; len = 1 } // malformed/truncated lead
+      else {
+        var k = 1
+        while (k < len) {
+          val bc = text.getByte(bi + k) & 0xff
+          if ((bc & 0xc0) != 0x80) { cp = 0xfffd; len = 1; k = 4 }
+          else { cp = (cp << 6) | (bc & 0x3f); k += 1 }
+        }
       }
-      i += 1
+      bi += len
+      // feed one or (astral cp) two UTF-16 units through the automaton
+      var unit = 0
+      val units = if (cp >= 0x10000) 2 else 1
+      while (unit < units) {
+        val c: Char =
+          if (units == 2 && unit == 0) (0xd800 + ((cp - 0x10000) >>> 10)).toChar
+          else if (units == 2) (0xdc00 + ((cp - 0x10000) & 0x3ff)).toChar
+          else cp.toChar
+        var next = b.step(node, c)
+        while (next < 0 && node != 0) { node = b.fail(node); next = b.step(node, c) }
+        node = if (next < 0) 0 else next
+        // emit every pattern ending here (output links pre-flattened)
+        val outs = b.out(node)
+        var j = 0
+        while (j < outs.length) {
+          val pid = outs(j)
+          val start = ci + 1 - b.patLen(pid)
+          if (start >= lastEnd(pid)) { out(pid) += 1L; lastEnd(pid) = ci + 1 }
+          j += 1
+        }
+        ci += 1
+        unit += 1
+      }
     }
     new GenericArrayData(out)
   }
@@ -159,7 +190,12 @@ case class BlocklistCountsExpr(child: Expression, patterns: Seq[String])
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == org.apache.spark.sql.types.StringType)
+    if (patterns.isEmpty || patterns.exists(_.isEmpty))
+      // surface a bad pattern list at analysis time, not when the lazy
+      // automaton's require fires on an executor mid-job
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-empty list of non-empty patterns")
+    else if (child.dataType == org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

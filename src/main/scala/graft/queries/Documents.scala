@@ -697,9 +697,11 @@ object Documents {
       ranked.agg(
         count(lit(1)).as("n_types"),
         sum(col("f")).as("n_tokens"),
-        round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
-        round(expr("regr_intercept(ln(f), ln(r))"), 4).as("zipf_intercept"),
-        round(expr("regr_r2(ln(f), ln(r))"), 4).as("r2"))
+        // 2 decimals for the regression outputs — same accumulation-
+        // order flake guard as t35's Heaps fit
+        round(expr("regr_slope(ln(f), ln(r))"), 2).as("zipf_slope"),
+        round(expr("regr_intercept(ln(f), ln(r))"), 2).as("zipf_intercept"),
+        round(expr("regr_r2(ln(f), ln(r))"), 2).as("r2"))
     }),
 
     // TF-IDF keyword extraction (Sparck Jones 1972): the per-document
@@ -1667,9 +1669,12 @@ object Documents {
         sum(col("toks")).over(wCum).as("n_tokens_cum"),
         sum(coalesce(col("new_types"), lit(0L))).over(wCum).as("n_types_cum"))
     val fit = curve.agg(
-      round(expr("regr_slope(ln(n_types_cum), ln(n_tokens_cum))"), 4)
+      // 2 decimals, not 4: the two engines accumulate the regression
+      // sums in different orders, and a 4-decimal boundary value can
+      // flip the last digit and flake the hash compare on other corpora
+      round(expr("regr_slope(ln(n_types_cum), ln(n_tokens_cum))"), 2)
         .as("heaps_beta"),
-      round(expr("regr_intercept(ln(n_types_cum), ln(n_tokens_cum))"), 4)
+      round(expr("regr_intercept(ln(n_types_cum), ln(n_tokens_cum))"), 2)
         .as("heaps_lnk"))
     curve.crossJoin(broadcast(fit)).orderBy(col("decile"))
   }
@@ -3016,9 +3021,9 @@ object Documents {
            FROM j WINDOW w AS (ORDER BY decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          f AS (SELECT
-             round(regr_slope(ln(n_types_cum), ln(n_tokens_cum)), 4)
+             round(regr_slope(ln(n_types_cum), ln(n_tokens_cum)), 2)
                AS heaps_beta,
-             round(regr_intercept(ln(n_types_cum), ln(n_tokens_cum)), 4)
+             round(regr_intercept(ln(n_types_cum), ln(n_tokens_cum)), 2)
                AS heaps_lnk
            FROM c)
          SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.n_types_cum,
@@ -3065,9 +3070,9 @@ object Documents {
            GROUP BY w),
          r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f)
          SELECT count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens,
-           round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
-           round(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept,
-           round(regr_r2(ln(f), ln(r)), 4) AS r2
+           round(regr_slope(ln(f), ln(r)), 2) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(r)), 2) AS zipf_intercept,
+           round(regr_r2(ln(f), ln(r)), 2) AS r2
          FROM r""",
     "t22_tfidf_keywords" ->
       """WITH toks AS (SELECT doc_id,

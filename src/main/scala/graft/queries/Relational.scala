@@ -39,11 +39,22 @@ object Relational {
     * (micros, event_id, type) triples sort inside the aggregate and a
     * single aggregate() fold walks the state machine — no per-stage
     * self-joins, no window re-sorts.
+    *
+    * Buffer bound: collect_list skips nulls, so only events that can
+    * still ADVANCE the state machine (the three funnel types) enter the
+    * aggregation buffer — map-side partials drop signup/error/etc
+    * before the shuffle while every user still groups (n_users keeps
+    * non-funnel-only users). Per-user state is then O(funnel events per
+    * user), not O(all events); the residual power-law-user skew bound
+    * is documented in SCALING.md §3 (an exact strict-sequence funnel
+    * has no constant-size mergeable sufficient statistic — the first-
+    * click-after-t query needs the click set).
     */
   private[queries] def funnelStages(ev: DataFrame): DataFrame =
     ev.select(col("user_id"),
-        struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
-          col("event_type").as("ty")).as("ev"))
+        when(col("event_type").isin("view", "click", "purchase"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            col("event_type").as("ty"))).as("ev"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("ev"))).as("evs"))
       .select(col("user_id"), expr("""aggregate(evs, 0, (st, x) ->

@@ -660,22 +660,31 @@ object Warc {
         (unix_micros(col("session_window.end"))
           - unix_micros(col("session_window.start"))).as("span_us"),
         col("n_records"), col("total_bytes"))
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w44_stage"
+      // staging path + memory-sink name carry a per-run token so two
+      // concurrent sessions can't race on the same parquet dir or the
+      // global temp view
+      val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w44_stage_$token"
       graft.operators.RoundPartitions.scoped(s, 50) {
-        batch.write.mode("overwrite").parquet(stage)
-        val stream = s.readStream.schema(batch.schema).parquet(stage)
-          .withWatermark("ts", "1 day")
-        val qname = "graft_w44_mem"
-        val q = sessions(stream)
-          .writeStream.format("memory").queryName(qname)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
-        try q.processAllAvailable() finally q.stop()
-        val streamed = shape(s.table(qname))
-        val batchRes = shape(sessions(batch))
-        val mismatches = streamed.exceptAll(batchRes).count() +
-          batchRes.exceptAll(streamed).count()
-        streamed.withColumn("batch_equal", lit(mismatches == 0L))
-          .orderBy(col("host"), col("session_start"))
+        try {
+          batch.write.mode("overwrite").parquet(stage)
+          val stream = s.readStream.schema(batch.schema).parquet(stage)
+            .withWatermark("ts", "1 day")
+          val qname = s"graft_w44_mem_$token"
+          val q = sessions(stream)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+          try q.processAllAvailable() finally q.stop()
+          val streamed = shape(s.table(qname))
+          val batchRes = shape(sessions(batch))
+          val mismatches = streamed.exceptAll(batchRes).count() +
+            batchRes.exceptAll(streamed).count()
+          val out = streamed.withColumn("batch_equal", lit(mismatches == 0L))
+            .orderBy(col("host"), col("session_start"))
+            .localCheckpoint(true) // materialize before the staging dir goes away
+          s.catalog.dropTempView(qname)
+          out
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
       }
     }),
 

@@ -322,4 +322,50 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       iter += 1
     }
   }
+
+  test("blocklist: in-place UTF-8 walk matches String-walk counts on " +
+      "multi-byte, surrogate-pair, and mixed text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(0xdec0de)
+    val alphabet: Array[String] =
+      Array("a", "b", "é", "ß", "中", "文", "🦊", "𐍈", " ")
+    def randStr(maxUnits: Int): String = {
+      val sb = new StringBuilder
+      while (sb.length < 1 + rnd.nextInt(maxUnits))
+        sb.append(alphabet(rnd.nextInt(alphabet.length)))
+      sb.toString
+    }
+    def brute(text: String, p: String): Long = {
+      var c = 0L; var i = text.indexOf(p)
+      while (i >= 0) { c += 1; i = text.indexOf(p, i + p.length) }
+      c
+    }
+    var iter = 0
+    while (iter < 1000) {
+      val pats = Seq.fill(1 + rnd.nextInt(5))(randStr(6)).distinct.toArray
+      val ac = new graft.plans.AhoCorasick(pats)
+      val text = randStr(80)
+      val got = ac.counts(UTF8String.fromString(text)).toLongArray()
+      val want = pats.map(brute(text, _))
+      assert(got.toSeq == want.toSeq,
+        s"iter $iter: text=$text pats=${pats.mkString("[", ",", "]")}")
+      iter += 1
+    }
+  }
+
+  test("blocklistCounts with an empty or blank pattern list fails at analysis time") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("some text").toDF("text")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.TextAnalysis.blocklistCounts(
+        org.apache.spark.sql.functions.col("text"), Seq.empty)).schema
+    }
+    assert(e1.getMessage.contains("non-empty"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.TextAnalysis.blocklistCounts(
+        org.apache.spark.sql.functions.col("text"), Seq("ok", ""))).schema
+    }
+    assert(e2.getMessage.contains("non-empty"))
+  }
 }
