@@ -65,20 +65,35 @@ class FlakyObjectStoreFs extends RawLocalFileSystem {
   override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
     val inner = super.open(f, bufferSize)
-    if (FlakyObjectStoreFs.firstOpen(f.toUri.getPath))
-      new org.apache.hadoop.fs.FSDataInputStream(
-        new FlakyObjectStoreFs.DyingStream(inner, FlakyObjectStoreFs.DieAfterBytes))
-    else inner
+    val attempt = FlakyObjectStoreFs.nextOpen(f.toUri.getPath)
+    FlakyObjectStoreFs.dieAfterFor(attempt) match {
+      case Some(dieAfter) =>
+        new org.apache.hadoop.fs.FSDataInputStream(
+          new FlakyObjectStoreFs.DyingStream(inner, dieAfter))
+      case None => inner
+    }
   }
 }
 
 object FlakyObjectStoreFs {
   val DieAfterBytes = 100000L // well inside the ~133 KiB fixture gzip
+
+  /** Raw-byte die points per open attempt (1-based): the Nth open of any
+    * path returns a stream that dies after schedule(N-1) bytes; opens
+    * beyond the schedule are clean. Strictly increasing points model the
+    * productive-flaky remote: every resume gets further before the
+    * connection drops again (itertools.pyx:66-155's repeated-retry
+    * loop). Default = the single first-open death.
+    */
+  @volatile var schedule: Seq[Long] = Seq(DieAfterBytes)
+
   private val opens = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  def firstOpen(path: String): Boolean =
-    opens.merge(path, 1, (a, b) => Integer.valueOf(a + b)) == 1
+  def nextOpen(path: String): Int =
+    opens.merge(path, 1, (a, b) => Integer.valueOf(a + b)).intValue
+  def dieAfterFor(attempt: Int): Option[Long] =
+    if (attempt <= schedule.length) Some(schedule(attempt - 1)) else None
   def opensOf(path: String): Int = Option(opens.get(path)).map(_.intValue).getOrElse(0)
-  def reset(): Unit = opens.clear()
+  def reset(): Unit = { opens.clear(); schedule = Seq(DieAfterBytes) }
 
   /** Seekable stream that throws once `dieAfter` bytes have been read —
     * the dropped-connection shape (an IOException from read(), not EOF).

@@ -302,4 +302,66 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(noRetry.exists(!_.isNullAt(0)), "stream death must surface in `error`")
     } finally spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
   }
+
+  test("stream_retries: three successive mid-stream deaths at increasing " +
+      "offsets — every reopen seeks past the last good record and the " +
+      "fourth attempt completes the archive") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flakyfs.impl", classOf[FlakyObjectStoreFs].getName)
+    try {
+      FlakyObjectStoreFs.reset()
+      // productive-flaky: each reopened stream survives further into the
+      // raw gzip than the death that preceded it (the resume must
+      // re-consume from byte 0 up to the skip point, so progress per
+      // attempt = die-point delta)
+      FlakyObjectStoreFs.schedule = Seq(25000L, 70000L, 115000L)
+      val rows = spark.read.format("warc")
+        .option("stream_retries", "3")
+        .load(s"flakyfs://$DataDir/warcfile.warc.gz")
+        .select("record_id", "error").collect()
+      assert(rows.length == 50, s"expected all 50 records, got ${rows.length}")
+      assert(rows.forall(_.isNullAt(1)), "no error rows after successful resumes")
+      // dead initial attempt + three reopens (the last one clean)
+      assert(FlakyObjectStoreFs.opensOf(s"$DataDir/warcfile.warc.gz") == 4)
+      // skip-dup across ALL resumes: ids are exactly the clean scan's, once
+      val clean = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+        .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+      assert(rows.map(_.getString(0)).sorted.toSeq == clean)
+    } finally {
+      FlakyObjectStoreFs.reset()
+      spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
+    }
+  }
+
+  test("stream_retries exhausted: an unproductive flaky stream surfaces a " +
+      "terminal error row after the configured reopens, keeping the " +
+      "records that did decode") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flakyfs.impl", classOf[FlakyObjectStoreFs].getName)
+    try {
+      FlakyObjectStoreFs.reset()
+      // every attempt dies at the same raw offset: resumes reach the same
+      // wall, retries run out (itertools.pyx's terminal condition)
+      FlakyObjectStoreFs.schedule = Seq.fill(5)(20000L)
+      val rows = spark.read.format("warc")
+        .option("stream_retries", "2")
+        .load(s"flakyfs://$DataDir/warcfile.warc.gz")
+        .select("record_id", "error").collect()
+      val errors = rows.filter(!_.isNullAt(1))
+      // the final attempt's mid-payload truncation is annotated on its
+      // record AND the exhaustion itself surfaces as a terminal row
+      assert(errors.exists(_.getString(1).contains("after 2 retries")),
+        s"terminal retry-exhausted row expected, got ${errors.toSeq}")
+      assert(errors.forall(r => r.getString(1).contains("after 2 retries") ||
+        r.getString(1).contains("truncated")),
+        s"unexpected error shapes: ${errors.toSeq}")
+      assert(rows.length < 50, "the archive must NOT silently complete")
+      assert(rows.length > 1, "records decoded before the wall are kept")
+      // initial open + exactly the 2 configured reopens, then give up
+      assert(FlakyObjectStoreFs.opensOf(s"$DataDir/warcfile.warc.gz") == 3)
+    } finally {
+      FlakyObjectStoreFs.reset()
+      spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
+    }
+  }
 }
