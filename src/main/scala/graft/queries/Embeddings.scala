@@ -734,17 +734,60 @@ object Embeddings {
     "e21_ivfpq_recall" -> ((s, dir) => {
       val embl = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      ivfpqRecall(embl, embl)
+    }),
+
+    "e05_centroids_full" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      val perDim = e.groupBy(col("label"), col("pos"))
+        .agg(avg(col("x")).as("c"), count(lit(1)).as("n"))
+      perDim.groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          round(sum(round(col("c"), 6)), 4).as("centroid_sum"),
+          round(max(when(col("pos") === 0, col("c"))), 6).as("c0"),
+          round(max(when(col("pos") === 63, col("c"))), 6).as("c63"))
+        .orderBy(col("label"))
+    }),
+  )
+
+  /** e21's IVF+PQ search, factored over (corpus, codebook source) so the
+    * ScaleCheck `ivfpq` mode runs the fixed-codebook regime the query's
+    * registry comment claims at scale: PQ codebook, coarse centroids and
+    * the 5-query set all come from `codebookSrc` (the 1× base in scale
+    * runs; the corpus itself in the oracle-gated e21), only the
+    * code-tagging join and the probed-cell candidate scan see the scaled
+    * corpus. Both frames are (vec_id, label, v: array<double>).
+    */
+  private[graft] def ivfpqRecall(embl: DataFrame, codebookSrc: DataFrame,
+      canonicalId: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]
+        = None): DataFrame = {
+      // canonicalId: duplicate-invariant recall for ScaleCheck's k x
+      // duplicated corpora — candidate ids map to their base id and the
+      // min distance per (query, canonical id) ranks, AFTER every copy
+      // has flowed through PQ/exact scoring. None (the oracle-gated
+      // e21) keeps the ranking exactly as-is.
+      def canon(df: DataFrame, dist: String): DataFrame = canonicalId match {
+        case None => df
+        case Some(f) => df
+          .select(col("q_vec_id"), f(col("n_vec_id")).as("n_vec_id"), col(dist))
+          // a COPY of the query vector is a canonical self-match: drop
+          // it like the raw-id self-match, or it tops both rankings
+          .filter(col("q_vec_id") =!= col("n_vec_id"))
+          .groupBy(col("q_vec_id"), col("n_vec_id"))
+          .agg(min(col(dist)).as(dist))
+      }
       val emb = embl.select(col("vec_id"), col("v"))
-      val codebook = pqCodebook(emb)
+      val codebook = pqCodebook(codebookSrc.select(col("vec_id"), col("v")))
       val enc = pqEncode(emb, codebook)
       // coarse codebook: per-cell mean vectors (e06's construction)
-      val centroids = embl
+      val centroids = codebookSrc
         .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos")).agg(round(avg(col("x")), 6).as("c"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("label").as("cell"), expr("transform(pc, p -> p.c)").as("cv"))
-      val qs = emb.filter(col("vec_id") < 5)
+      val qs = codebookSrc.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
       val probeW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_vec_id")).orderBy(col("csim").desc, col("cell"))
@@ -770,6 +813,7 @@ object Embeddings {
         .join(broadcast(dtable), Seq("q_vec_id", "sub_j", "code"))
         .groupBy(col("q_vec_id"), col("n_vec_id"))
         .agg(round(sum(col("d")), 6).as("ad"))
+      val approxRanked = canon(approx, "ad")
         .withColumn("rn", row_number().over(approxW)).filter(col("rn") <= 3)
         .select(col("q_vec_id"), col("n_vec_id"))
       // truth side: brute-force L2 top-3 (the e14 gauge's exact side)
@@ -779,24 +823,11 @@ object Embeddings {
         .join(broadcast(qs), col("q_vec_id") =!= col("n_vec_id"))
         .select(col("q_vec_id"), col("n_vec_id"),
           round(sqDistCol(col("qv"), col("v")), 6).as("ed"))
+      val exactRanked = canon(exact, "ed")
         .withColumn("rn", row_number().over(exactW)).filter(col("rn") <= 3)
         .select(col("q_vec_id"), col("n_vec_id"))
-      recallVsExact(exact, approx)
-    }),
-
-    "e05_centroids_full" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-      val perDim = e.groupBy(col("label"), col("pos"))
-        .agg(avg(col("x")).as("c"), count(lit(1)).as("n"))
-      perDim.groupBy(col("label"))
-        .agg(max(col("n")).as("n_vecs"),
-          round(sum(round(col("c"), 6)), 4).as("centroid_sum"),
-          round(max(when(col("pos") === 0, col("c"))), 6).as("c0"),
-          round(max(when(col("pos") === 63, col("c"))), 6).as("c63"))
-        .orderBy(col("label"))
-    }),
-  )
+      recallVsExact(exactRanked, approxRanked)
+  }
 
   /** recall@k of `approx` against `exact`, both (q_vec_id, n_vec_id)
     * result sets — the single gauge shared by e12 and e13 so the two

@@ -183,6 +183,36 @@ object ScaleCheck {
           val row = ivfPipeline(embAt(s), embAt(1)).collect().head
           (row.getLong(0), 0L)
         })
+      case "ivfpq" =>
+        // e21 composed index (IVF probe + PQ asymmetric distance) in the
+        // fixed-codebook regime: PQ codebook, coarse centroids and the
+        // query set come from the 1x base; only the code-tagging join
+        // (vec_id equi-join, the one corpus-sized shuffle) and the
+        // probed-cell candidate scan grow with k. Copies are EXACT
+        // duplicates under fresh ids (the re-crawled-corpus shape), so
+        // the held quality gauge is DUPLICATE-CANONICAL recall@3: every
+        // copy flows through PQ encode + ADC scoring (min-per-canonical-
+        // id happens after the distance agg, so nothing prunes early),
+        // ids then canonicalize to their base and the ranking is the 1x
+        // ranking bit-for-bit — recall must hold exactly while candidate
+        // volume grows k x, and the harness asserts it.
+        def emblAt(k: Int): DataFrame = embAt(k).select(col("vec_id"),
+          col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val baseN = graft.Tables.embeddings(spark, sfDir).count()
+        val recalls = scala.collection.mutable.Map.empty[Int, Double]
+        run("ivfpq", { s =>
+          val rows = graft.queries.Embeddings
+            .ivfpqRecall(emblAt(s), emblAt(1),
+              canonicalId = Some(_ % lit(10000000L))).collect()
+          val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+          recalls(s) = mean
+          (s.toLong * baseN, math.round(mean * 10000))
+        })
+        require(recalls.values.toSet.size == 1,
+          s"recall@3 drifted across scales: $recalls")
+        println(f"[scale] ivfpq recall@3 held at ${recalls.valuesIterator.next()}%.4f " +
+          s"across ${scales.mkString("/")}x")
       case "hamming" =>
         val base = graft.Tables.documents(spark, sfDir)
           .select(col("doc_id"),
@@ -226,7 +256,7 @@ object ScaleCheck {
           (row.getLong(0), row.getLong(2)) // n_positions, n_lcp30
         })
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | hamming | spanrm | suffix)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | spanrm | suffix)")
     }
     spark.stop()
   }

@@ -17,7 +17,8 @@ object PlanAudit {
     "q03_top_orders" -> "TakeOrderedAndProject, not a global sort",
     "d01_dedup_exact" -> "scan + hash partial agg; no text in the shuffle (md5 only)",
     "d03_lsh_buckets" -> "single scan -> posexplode -> hash agg on band keys",
-    "e04_knn_topk" -> "partial-agg top-k: <=k rows per partition per query cross the shuffle",
+    "e01_knn_cosine_baseline" -> "GAUGE BASELINE, not a scale path: the deliberate corpus x queries nested-loop correctness reference — use e04 (partial-agg top-k) / e03 (LSH buckets) / e06 (IVF) at scale",
+    "e04_knn_topk" -> "partial-agg top-k: <=k rows per partition per query cross the shuffle (supersedes the e01/e04-window gauge shapes at scale)",
     "e06_ivf_knn" -> "probed-cells join broadcasts the query side; no corpus-wide scan per query",
     "w19_html_extract10k" -> "extraction kernels evaluate inside the scan stage; one partial agg",
     "w13_warc_extract" -> "native extract_plain_text expression — no UDF island in the plan",
