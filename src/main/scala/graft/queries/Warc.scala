@@ -844,19 +844,21 @@ object Warc {
       land("crawl-a.warc.gz")
       val derived = wetRows(s.readStream.format("warc")
         .option("record_types", "response").load(landing.getPath))
+      // idempotent per-batch-id landing dirs (ExactlyOnce doctrine): a
+      // replayed micro-batch overwrites its own output, so the derived
+      // archive is exactly-once even if a crash lands between sink
+      // write and checkpoint commit (restart idempotence is pinned in
+      // StreamingSpec)
       val q = derived.writeStream
         .option("checkpointLocation", s"$tmp/graft_w38_ckpt_${System.nanoTime()}")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.coalesce(1).write.format("warc")
-            .option("checksum", "true").option("drop_null_content", "true")
-            .mode("append").save(out)
-        }.start()
+        .foreachBatch(graft.streaming.ExactlyOnce.warcBatchWriter(out,
+          Map("checksum" -> "true", "drop_null_content" -> "true"))).start()
       try {
         q.processAllAvailable()
         land("crawl-b.warc.gz") // second crawl drop -> second micro-batch
         q.processAllAvailable()
       } finally q.stop()
-      val wet = s.read.format("warc").load(out)
+      val wet = s.read.format("warc").load(s"$out/batch-*")
       val streamedDigests = wet.select(sha1(col("content")).as("d"))
         .groupBy(col("d")).agg(count(lit(1)).as("n"))
       val batchDigests = wetRows(

@@ -724,7 +724,14 @@ class WarcWriteBuilder(
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
-  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+  // mode("overwrite") REPLACES the directory's archives instead of
+  // accumulating next to them — the idempotence primitive the
+  // exactly-once micro-batch sink builds on (replayed batch = same
+  // target dir = same final content)
+  private var truncateFirst = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
@@ -739,7 +746,7 @@ class WarcWriteBuilder(
         val memberIndex = options.getBoolean("member_index", false)
         val dropNullContent = options.getBoolean("drop_null_content", false)
         new WarcBatchWrite(path, codec, checksum, memberIndex, dropNullContent,
-          info.schema(), info.queryId())
+          info.schema(), info.queryId(), truncateFirst)
       }
     }
 }
@@ -749,7 +756,7 @@ case class WarcCommitMessage(file: String, records: Long)
 
 class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
     memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
-    queryId: String)
+    queryId: String, truncateFirst: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -759,7 +766,12 @@ class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }.toMap
     // ensure the output directory exists before tasks run
     val p = new Path(path)
-    p.getFileSystem(conf).mkdirs(p)
+    val fs = p.getFileSystem(conf)
+    // overwrite semantics: clear the previous contents (data files AND
+    // sidecars) so a re-run — or a replayed micro-batch targeting its
+    // batch-id directory — replaces rather than accumulates
+    if (truncateFirst && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
     new WarcWriterFactory(path, codec, checksum, memberIndex, dropNullContent,
       schema, fsProps, queryId)
   }
