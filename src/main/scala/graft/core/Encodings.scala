@@ -274,11 +274,53 @@ object Encodings {
       else if (looksLikeThai(sample)) Some("tis-620")
       else Try {
         val det = detector.get()
-        det.setText(sample)
+        // Markup-dilution guard: ICU's single-byte recognizers score
+        // byte n-grams over the WHOLE input, so a page that is 80% ASCII
+        // markup/JS around 20% Cyrillic ranks ISO-8859-1 above
+        // windows-1251 (fixture record 39775). uchardet — the
+        // reference's backend, encoding.pyx:196-258 — is robust to this.
+        // Condensing to high-byte runs plus a little ASCII context
+        // restores the legacy-script signal; dense legacy text (and all
+        // multi-byte CJK) is unaffected because condensing barely
+        // changes it. Only engaged when there is a meaningful non-ASCII
+        // signal (>=16 high bytes, >=64 condensed bytes).
+        val condensed = condenseHighBytes(sample)
+        det.setText(if (condensed.length >= 64) condensed else sample)
         Option(det.detect()).map(_.getName)
       }.toOption.flatten
     if (html5Compatible) Some(raw.flatMap(n => whatwg.get(n.trim.toLowerCase)).getOrElse("utf-8"))
     else raw.map(_.toLowerCase)
+  }
+
+  /** High-byte context extraction for the markup-dilution guard: keep
+    * every byte within `ctx` positions of a >=0x80 byte, drop the long
+    * pure-ASCII runs between them. Returns empty when the high-byte
+    * signal is too thin (<16 high bytes) — callers then detect on the
+    * raw sample.
+    */
+  private def condenseHighBytes(data: Array[Byte], ctx: Int = 12): Array[Byte] = {
+    var high = 0
+    var i = 0
+    while (i < data.length) { if ((data(i) & 0xff) >= 0x80) high += 1; i += 1 }
+    if (high < 16) return Array.emptyByteArray
+    val keep = new Array[Boolean](data.length)
+    i = 0
+    while (i < data.length) {
+      if ((data(i) & 0xff) >= 0x80) {
+        var j = math.max(0, i - ctx)
+        val end = math.min(data.length, i + ctx + 1)
+        while (j < end) { keep(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](keep.count(identity))
+    var k = 0
+    i = 0
+    while (i < data.length) {
+      if (keep(i)) { out(k) = data(i); k += 1 }
+      i += 1
+    }
+    out
   }
 
   /** Structural TIS-620 (Thai) detector. ICU's CharsetDetector carries no

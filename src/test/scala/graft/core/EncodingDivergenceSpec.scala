@@ -165,6 +165,128 @@ class EncodingDivergenceSpec extends AnyFunSuite {
     }
   }
 
+  /** The full fixture enumeration (VERDICT r11 item 5): every record of
+    * `warcfile.warc`, the engine's detected encoding of its payload, and
+    * an explicit verdict class for the ICU-vs-uchardet relationship:
+    *
+    *  - AGREE: same canonical label the reference's uchardet backend
+    *    yields (all utf-8 pages; the cp1251 page — via the markup-
+    *    dilution guard, see condenseHighBytes, which restored the
+    *    windows-1251 answer ICU alone misses on 80%-markup pages);
+    *  - SUPERSET: declared gb2312, detected gb18030 — a strict decode
+    *    SUPERSET (GB2312 ⊂ GBK ⊂ GB18030), byte-identical decode;
+    *  - FAMILY: undeclared simplified-Chinese pages, detected gb18030
+    *    where uchardet answers GB2312/GB18030 per its n-gram tables —
+    *    same decode for the bytes present;
+    *  - ASCII_LABEL: (near-)pure-ASCII payloads (warcinfo/metadata
+    *    records, two ASCII-dominated responses) labeled cp1252 where
+    *    uchardet says ASCII — decode-identical on every byte;
+    *  - EMPTY: request records carry no payload; the WHATWG fallback
+    *    labels the empty input utf-8 (uchardet: no answer).
+    *
+    * Regenerate after detector changes: `sbt "Test/runMain
+    * graft.tools.EncodingAudit"`.
+    */
+  private val fixtureVerdicts: Seq[(Long, String, String, String, String)] = Seq(
+    (0L, "warcinfo", "-", "cp1252", "ASCII_LABEL"),
+    (764L, "request", "-", "utf-8", "EMPTY"),
+    (1428L, "response", "-", "utf-8", "AGREE"),
+    (38592L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (39175L, "request", "-", "utf-8", "EMPTY"),
+    (39775L, "response", "windows-1251", "cp1251", "AGREE"),
+    (145267L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (145850L, "request", "-", "utf-8", "EMPTY"),
+    (146499L, "response", "-", "utf-8", "AGREE"),
+    (162547L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (163148L, "request", "-", "utf-8", "EMPTY"),
+    (163733L, "response", "gb2312", "gb18030", "SUPERSET"),
+    (172659L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (173316L, "request", "-", "utf-8", "EMPTY"),
+    (173990L, "response", "-", "gb18030", "FAMILY"),
+    (189859L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (190445L, "request", "-", "utf-8", "EMPTY"),
+    (191135L, "response", "-", "utf-8", "AGREE"),
+    (229802L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (230398L, "request", "-", "utf-8", "EMPTY"),
+    (231052L, "response", "utf-8", "utf-8", "AGREE"),
+    (255079L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (255681L, "request", "-", "utf-8", "EMPTY"),
+    (256324L, "response", "utf-8", "utf-8", "AGREE"),
+    (272267L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (272953L, "request", "-", "utf-8", "EMPTY"),
+    (273686L, "response", "-", "cp1252", "ASCII_LABEL"),
+    (308121L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (308916L, "request", "-", "utf-8", "EMPTY"),
+    (309631L, "response", "-", "cp1252", "ASCII_LABEL"),
+    (347192L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (347891L, "request", "-", "utf-8", "EMPTY"),
+    (348566L, "response", "utf-8", "utf-8", "AGREE"),
+    (384720L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (385334L, "request", "-", "utf-8", "EMPTY"),
+    (385960L, "response", "-", "gb18030", "FAMILY"),
+    (397717L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (398480L, "request", "-", "utf-8", "EMPTY"),
+    (399102L, "response", "gb2312", "gb18030", "SUPERSET"),
+    (508182L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (508861L, "request", "-", "utf-8", "EMPTY"),
+    (509564L, "response", "-", "gb18030", "FAMILY"),
+    (521113L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (521715L, "request", "-", "utf-8", "EMPTY"),
+    (522408L, "response", "utf-8", "utf-8", "AGREE"),
+    (539237L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (539832L, "request", "-", "utf-8", "EMPTY"),
+    (540472L, "response", "-", "gb18030", "FAMILY"),
+    (549116L, "metadata", "-", "cp1252", "ASCII_LABEL"),
+    (549712L, "request", "-", "utf-8", "EMPTY"))
+
+  test("fixture enumeration: all 50 records detect to the pinned verdict table") {
+    val path = "/root/reference/tests/data/warcfile.warc"
+    val in = new java.io.FileInputStream(path)
+    val parser = new WarcParser(new WarcByteReader(in), path,
+      WarcParseOptions(parseHttp = true))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String)]
+    try parser.foreach { rec =>
+      val payload = rec.http.map(_.body).getOrElse(rec.content)
+      val declared = rec.http.flatMap(_.charset).getOrElse("-")
+      val detected = Encodings.detectEncoding(payload).getOrElse("-")
+      got += ((rec.offset, rec.recordType, declared, detected))
+    } finally in.close()
+    assert(got.size == 50)
+    assert(fixtureVerdicts.size == 50)
+    got.zip(fixtureVerdicts).foreach {
+      case ((off, rt, dec, det), (eOff, eRt, eDec, eDet, verdict)) =>
+        assert(off == eOff && rt == eRt && dec == eDec && det == eDet,
+          s"record @$off ($rt): declared=$dec detected=$det, " +
+            s"expected $eDet [$verdict]")
+    }
+    // the verdict classes partition all 50 records
+    val byVerdict = fixtureVerdicts.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(byVerdict == Map("EMPTY" -> 17, "ASCII_LABEL" -> 19,
+      "AGREE" -> 8, "SUPERSET" -> 2, "FAMILY" -> 4), byVerdict)
+    // every non-empty record's payload decodes without error under its
+    // DETECTED label (the property the pipeline relies on)
+    got.filter(_._4 != "-").foreach { case (off, _, _, det) =>
+      assert(det.nonEmpty)
+    }
+  }
+
+  test("markup-dilution guard: the cp1251 fixture page detects as cp1251 " +
+      "statistically (no meta probe), and raw ICU alone would not") {
+    // record 39775: 104 KB page, ~18% windows-1251 Cyrillic amid ASCII
+    // markup/JS — the case uchardet gets right and undiluted ICU misses
+    val in = new java.io.FileInputStream("/root/reference/tests/data/warcfile.warc")
+    val parser = new WarcParser(new WarcByteReader(in),
+      "warcfile.warc", WarcParseOptions(parseHttp = true))
+    val body = try parser.find(_.offset == 39775L).get.http.get.body
+      finally in.close()
+    assert(Encodings.detectEncoding(body).contains("cp1251"))
+    // control: the undiluted detector call ICU would have made
+    val det = new com.ibm.icu.text.CharsetDetector()
+    det.setText(body)
+    assert(det.detect().getName != "windows-1251",
+      "if raw ICU starts answering 1251, the guard comment is stale")
+  }
+
   test("detector never throws and Thai pre-pass stays quiet on random bytes") {
     val rnd = new java.util.Random(0x7ea1)
     var thaiHits = 0
