@@ -1553,6 +1553,25 @@ object Documents {
       } finally st.unpersistAll()
     }),
 
+    // Language-detection DATASET CREATION — the distributed analog of
+    // the reference CLI's create_dataset step (resiliparse-py/
+    // resiliparse/cli.py:239-330, `_process_raw_lang_dir`): normalize,
+    // strip wiki link markup, drop short lines and <doc> wrapper tags,
+    // hash-dedup examples per language, split test/val/train by
+    // deterministic hash order, and drop languages below the
+    // min-examples floor — the exact recipe that feeds `lang train`.
+    // Faithfulness notes: (a) the reference NFKC-normalizes; this
+    // engine's codegen'd normalizer (and DuckDB's) is NFC — identical
+    // on this corpus and on the K-stable web majority, documented as a
+    // delta; (b) the reference's split boundary has an off-by-one (the
+    // example at index test_end falls to TRAIN, not val: `test_end < i
+    // < val_end`) — mirrored exactly, CASE arms below. Topology: one
+    // scan -> filter -> per-(lang, example) dedup groupBy -> per-LANG
+    // rank window (the reference's split contract is a per-language
+    // total order by hash; languages parallelize, one language sorts —
+    // at 100 TB swap the rank for md5-range quantile assignment).
+    "t38_lang_dataset" -> ((s, dir) => langDataset(docs(s, dir), minExamples = 50)),
+
     // The TOKEN-BUDGET table — the number a data lead actually asks
     // for: how many training tokens survive each dedup rung. Three
     // independent per-stage measurements over the same corpus (labeled
@@ -1643,6 +1662,46 @@ object Documents {
         .orderBy(col("rank"))
     }),
   )
+
+  /** Lang-detection dataset builder (t38) — see the registry comment.
+    * Factored so specs can pin the split boundary quirk and the
+    * min-examples drop on crafted corpora.
+    */
+  private[queries] def langDataset(d0: DataFrame, minExamples: Int): DataFrame = {
+    val norm = d0.filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        regexp_replace(nfcNormalize(col("text")), "\\[\\[|\\]\\]", "").as("ex"))
+    val raw = norm.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val cand = norm.filter(length(col("ex")) >= 200 &&
+      !col("ex").startsWith("<doc id=") && !col("ex").startsWith("</doc>"))
+    val dedup = cand.groupBy(col("lang"), col("ex")).agg(count(lit(1)).as("copies"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("ex")))
+    val wLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    // reference boundary semantics (cli.py:323-330): i < test_end ->
+    // test; test_end < i < val_end -> val; else train (i == test_end
+    // lands in TRAIN — the reference's off-by-one, mirrored)
+    val testEnd = floor(col("n") * 0.05)
+    val valEnd = testEnd + floor(col("n") * 0.05)
+    val split = dedup
+      .withColumn("i", row_number().over(wRank).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wLang))
+      .withColumn("split",
+        when(col("i") < testEnd, "test")
+          .when(col("i") > testEnd && col("i") < valEnd, "val")
+          .otherwise("train"))
+    split.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_examples"),
+        sum(col("copies")).as("n_candidates"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
+      .join(raw, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_candidates"),
+        col("n_examples"), col("n_test"), col("n_val"), col("n_train"),
+        (col("n_examples") >= minExamples).as("kept"))
+      .orderBy(col("lang"))
+  }
 
   /** Heaps'-law vocabulary-growth curve + exponent fit (t35). See the
     * registry comment; factored so specs can feed crafted corpora with
@@ -2940,6 +2999,34 @@ object Documents {
            md5(coalesce(c.cleaned, b.text)) AS cleaned_md5
          FROM base b LEFT JOIN cln c USING (doc_id)
          ORDER BY b.doc_id""",
+    "t38_lang_dataset" ->
+      """WITH norm AS (SELECT lang,
+             regexp_replace(nfc_normalize(text), '\[\[|\]\]', '', 'g') AS ex
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         raw AS (SELECT lang, count(*) AS n_docs FROM norm GROUP BY lang),
+         cand AS (SELECT lang, ex FROM norm WHERE length(ex) >= 200
+           AND ex NOT LIKE '<doc id=%' AND ex NOT LIKE '</doc>%'),
+         dedup AS (SELECT lang, ex, count(*) AS copies FROM cand GROUP BY lang, ex),
+         ranked AS (SELECT lang, copies,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(ex)) - 1 AS i,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM dedup),
+         cls AS (SELECT lang, copies, n,
+             CASE WHEN i < floor(n * 0.05) THEN 'test'
+                  WHEN i > floor(n * 0.05)
+                       AND i < floor(n * 0.05) + floor(n * 0.05) THEN 'val'
+                  ELSE 'train' END AS split
+           FROM ranked),
+         agg AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_examples,
+             CAST(sum(copies) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+           FROM cls GROUP BY lang)
+         SELECT a.lang, CAST(r.n_docs AS BIGINT) AS n_docs, a.n_candidates,
+           a.n_examples, a.n_test, a.n_val, a.n_train,
+           a.n_examples >= 50 AS kept
+         FROM agg a JOIN raw r USING (lang) ORDER BY a.lang""",
     "t37_token_budget" ->
       s"""WITH $spanCleanCtesSql,
          raw AS (SELECT count(*) AS n_docs,

@@ -78,6 +78,12 @@ object LangCli {
         .getOrElse(LangDetect.profiles)
 
     args.headOption match {
+      case Some("create-dataset") =>
+        if (args.length != 3) { usage(out); return 2 }
+        createDataset(new File(args(1)), new File(args(2)),
+          flagVal("val-size").map(_.toInt).getOrElse(5),
+          flagVal("test-size").map(_.toInt).getOrElse(5),
+          flagVal("min-examples").map(_.toInt).getOrElse(10000), out)
       case Some("train") =>
         if (args.length != 2) { usage(out); return 2 }
         val indir = new File(args(1))
@@ -116,6 +122,70 @@ object LangCli {
         0
       case _ => usage(out); 2
     }
+  }
+
+  /** Build a language-detection dataset from extracted-wiki plaintext
+    * dirs (cli.py:239-330): one `<lang>[wiki]/.../wiki_*` tree per
+    * language in, one `<lang>/{train,val,test}.txt` per language out.
+    * Per line: NFKC normalize, strip `[[`/`]]` wiki link markup, drop
+    * lines under 200 chars and `<doc id=`/`</doc>` wrapper tags,
+    * sha1-dedup. Split boundaries mirror the reference exactly,
+    * including its off-by-one (the example at index test_end lands in
+    * TRAIN: `test_end < i < val_end`). One deliberate delta: the
+    * reference iterates a Python set (unspecified order); examples here
+    * order by sha1 hex so the split is REPRODUCIBLE — the same contract
+    * the distributed t38 query pins with md5 order. Languages below
+    * `minExamples` produce no output, like the reference.
+    */
+  private def createDataset(indir: File, outdir: File, valSize: Int,
+      testSize: Int, minExamples: Int, out: PrintStream): Int = {
+    val langDirs = Option(indir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).sortBy(_.getName)
+    if (langDirs.isEmpty) { out.println(s"no language dirs under $indir"); return 1 }
+    val markup = "\\[\\[|\\]\\]".r
+    langDirs.foreach { ld =>
+      val lang = ld.getName.replace("wiki", "")
+      def walk(d: File): Iterator[File] =
+        Option(d.listFiles()).getOrElse(Array.empty).iterator.flatMap(f =>
+          if (f.isDirectory) walk(f) else Iterator.single(f))
+      val byHash = scala.collection.mutable.Map.empty[String, String]
+      walk(ld).filter(_.getName.startsWith("wiki_")).foreach { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach { line0 =>
+          val line = markup.replaceAllIn(
+            java.text.Normalizer.normalize(line0, java.text.Normalizer.Form.NFKC), "")
+          if (line.length >= 200 && !line.startsWith("<doc id=") &&
+              !line.startsWith("</doc>")) {
+            val h = java.security.MessageDigest.getInstance("SHA-1")
+              .digest(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            byHash.getOrElseUpdate(h, line)
+          }
+        } finally src.close()
+      }
+      if (byHash.size < minExamples)
+        out.println(s"$lang: only ${byHash.size} examples (< $minExamples), skipped")
+      else {
+        val d = new File(outdir, lang)
+        d.mkdirs()
+        val ordered = byHash.toSeq.sortBy(_._1).map(_._2)
+        val n = ordered.size
+        val testEnd = math.floor(n * testSize * 0.01).toInt
+        val valEnd = testEnd + math.floor(n * valSize * 0.01).toInt
+        val ws = Seq("test", "val", "train").map(sp =>
+          sp -> new java.io.PrintWriter(new File(d, s"$sp.txt"), "UTF-8")).toMap
+        try ordered.zipWithIndex.foreach { case (line, i) =>
+          val sp = if (i < testEnd) "test"
+            else if (i > testEnd && i < valEnd) "val"
+            else "train"
+          ws(sp).println(line)
+        } finally ws.values.foreach(_.close())
+        out.println(s"$lang: $n examples -> test=$testEnd " +
+          s"val=${math.max(0, valEnd - testEnd - 1)} " +
+          s"train=${n - testEnd - math.max(0, valEnd - testEnd - 1)}")
+      }
+    }
+    0
   }
 
   private def emit(vectors: Seq[(String, Array[Int])], format: String,
@@ -205,6 +275,7 @@ object LangCli {
 
   private def usage(out: PrintStream): Unit = out.println(
     """usage: graft.tools.Cli lang <subcommand> [args]
+      |  lang create-dataset <indir> <outdir> [--val-size=5] [--test-size=5] [--min-examples=10000]
       |  lang train <indir> [--split=train] [--format=raw|c|bin] [--out=PATH]
       |  lang eval <indir> [--split=val|test] [--cutoff=1200] [--truncate=N]
       |                    [--langs=a,b] [--sort-lang] [--print-cm] [--profiles=DIR]

@@ -842,4 +842,31 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gate.select(col("hit_terms")).collect()
       .exists(_.getString(0).contains("spamword")))
   }
+
+  test("t38 lang dataset: split boundary mirrors the reference off-by-one " +
+      "and small languages are flagged, not silently dropped") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val pad = "x" * 200
+    // 'aa': 41 candidates + 1 dup + 1 short + 2 wrapper tags;
+    // 'bb': 3 candidates (below a minExamples of 5)
+    val rows =
+      (1 to 41).map(i => (s"aa example $i $pad", "aa")) ++ Seq(
+        (s"aa example 1 $pad", "aa"),   // duplicate
+        ("short", "aa"),
+        (s"""<doc id="9">$pad""", "aa"),
+        (s"</doc>$pad", "aa")) ++
+      (1 to 3).map(i => (s"bb example $i $pad", "bb"))
+    val d = rows.toDF("text", "lang")
+    val got = Documents.langDataset(d, minExamples = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    // aa: 45 raw docs, 43 candidates (dup counts twice pre-dedup), 41
+    // examples; test_end = floor(41*0.05) = 2, val = indices 3..3 only
+    // (index 2 falls to TRAIN — the reference's `test_end < i` quirk)
+    assert(got.toSeq == Seq(
+      ("aa", 45L, 42L, 41L, 2L, 1L, 38L, true),
+      ("bb", 3L, 3L, 3L, 0L, 0L, 3L, false)), got.toSeq)
+  }
 }

@@ -149,4 +149,81 @@ class LangCliSpec extends AnyFunSuite {
   test("lang with a bogus subcommand exits 2") {
     assert(run("lang", "frobnicate")._1 == 2)
   }
+
+  test("create-dataset: wiki_ tree -> deduped split files; markup stripped; " +
+      "short lines, doc tags, and small languages dropped") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cds_in").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cds_out").toFile
+    val pad = "x" * 200
+    def mkLang(name: String, lines: Seq[String]): Unit = {
+      val sub = new File(new File(in, name), "AA"); sub.mkdirs()
+      val w = new PrintWriter(new File(sub, "wiki_00"), "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+      // a non-wiki_ file that must be ignored
+      val skip = new PrintWriter(new File(sub, "notes.txt"), "UTF-8")
+      try skip.println("ignored " + pad) finally skip.close()
+    }
+    val enLines = (1 to 40).map(i => s"en example $i $pad") ++ Seq(
+      s"en example 1 $pad",        // exact duplicate -> dedup
+      "short line",                 // < 200 chars -> dropped
+      s"""<doc id="7">$pad""",      // wrapper tag -> dropped
+      s"</doc>$pad",                // wrapper tag -> dropped
+      s"with [[link]] markup $pad") // markup stripped, kept
+    mkLang("enwiki", enLines)
+    mkLang("dewiki", Seq(s"de example $pad")) // 1 < min-examples -> skipped
+    val (code, msg) = run("lang", "create-dataset", in.getAbsolutePath,
+      outDir.getAbsolutePath, "--min-examples=10")
+    assert(code == 0, msg)
+    assert(msg.contains("de: only 1 examples"))
+    // "wiki" suffix stripped from the language name
+    val en = new File(outDir, "en")
+    assert(en.isDirectory)
+    assert(!new File(outDir, "de").exists())
+    def lines(f: String): Seq[String] = {
+      val s = scala.io.Source.fromFile(new File(en, f), "UTF-8")
+      try s.getLines().toVector finally s.close()
+    }
+    val (test_, val_, train) = (lines("test.txt"), lines("val.txt"), lines("train.txt"))
+    // 41 unique examples (40 numbered + the de-markup'd one); dup/short/
+    // tags dropped. test_end = floor(41*0.05) = 2; val gets indices
+    // 3..3 (the reference's off-by-one leaves index 2 in TRAIN)
+    assert(test_.size + val_.size + train.size == 41)
+    assert(test_.size == 2)
+    assert(val_.size == 1)
+    assert(train.size == 38)
+    // markup was stripped, not the whole line
+    val all = test_ ++ val_ ++ train
+    assert(all.exists(_.startsWith("with link markup")))
+    assert(all.forall(l => !l.contains("[[") && l.length >= 200))
+    // deterministic: a second run reproduces the same split exactly
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cds_out2").toFile
+    assert(run("lang", "create-dataset", in.getAbsolutePath,
+      out2.getAbsolutePath, "--min-examples=10")._1 == 0)
+    def lines2(f: String): Seq[String] = {
+      val s = scala.io.Source.fromFile(new File(new File(out2, "en"), f), "UTF-8")
+      try s.getLines().toVector finally s.close()
+    }
+    assert(lines2("test.txt") == test_ && lines2("val.txt") == val_ &&
+      lines2("train.txt") == train)
+  }
+
+  test("create-dataset output feeds train/eval round-trip") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cds_rt_in").toFile
+    def mk(name: String, word: String): Unit = {
+      val sub = new File(new File(in, name), "AA"); sub.mkdirs()
+      val w = new PrintWriter(new File(sub, "wiki_00"), "UTF-8")
+      try (1 to 30).foreach(i => w.println(
+        (s"$word sentence number $i with distinctive words " * 6).take(260)))
+      finally w.close()
+    }
+    mk("enwiki", "the quick brown fox and the lazy dog over there")
+    mk("dewiki", "der schnelle braune fuchs und der faule hund dort")
+    val ds = java.nio.file.Files.createTempDirectory("graft_cds_rt_ds").toFile
+    assert(run("lang", "create-dataset", in.getAbsolutePath, ds.getAbsolutePath,
+      "--min-examples=5")._1 == 0)
+    val (code, report) = run("lang", "eval", ds.getAbsolutePath, "--split=val",
+      "--langs=en,de")
+    assert(code == 0, report)
+    assert(report.contains("Accuracy:"))
+  }
 }

@@ -72,6 +72,7 @@ object PlanAudit {
     "d27_split_leakage" -> "leakage audit runs on the DUP PAIRS (bounded by the band/cap structure), never the corpus; split derivation is codegen'd md5 arithmetic on the pair ids",
     "t36_stratified_sample" -> "per-source top-k through the partial-agg Aggregator (<=k rows per source per map task cross the wire); NO window over the corpus anywhere (spec-pinned)",
     "t37_token_budget" -> "three independent 1-row roll-ups (raw / exact-dedup / span-removed tokens) cross-joined as broadcasts; the only corpus-sized shuffles are the stages' own (fp window keys, dup-window groupBy)",
+    "t38_lang_dataset" -> "dataset builder: one scan -> per-(lang, example) dedup groupBy -> per-LANG rank window (languages parallelize; the per-language hash order IS the reference's split contract — at 100 TB use md5-range quantiles instead) -> per-lang agg + broadcast join of raw counts",
   )
 
   def main(args: Array[String]): Unit = {
