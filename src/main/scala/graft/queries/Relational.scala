@@ -50,7 +50,7 @@ object Relational {
     * has no constant-size mergeable sufficient statistic — the first-
     * click-after-t query needs the click set).
     */
-  private[queries] def funnelStages(ev: DataFrame): DataFrame =
+  private[graft] def funnelStages(ev: DataFrame): DataFrame =
     ev.select(col("user_id"),
         when(col("event_type").isin("view", "click", "purchase"),
           struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
@@ -63,7 +63,7 @@ object Relational {
                WHEN st = 2 AND x.ty = 'purchase' THEN 3
                ELSE st END)""").as("stage"))
 
-  private[queries] def funnelSummary(ev: DataFrame): DataFrame =
+  private[graft] def funnelSummary(ev: DataFrame): DataFrame =
     funnelStages(ev)
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),

@@ -234,6 +234,30 @@ object ScaleCheck {
             codesAt(s), "doc_id", "doc_a", "doc_b").count()
           (s.toLong * baseN, pairs)
         })
+      case "funnel" =>
+        // q19 shape: events scaled k x under disjoint user-id ranges —
+        // the per-user funnel state machines are independent, so every
+        // summary count must scale EXACTLY x k (asserted: a drifting
+        // count means the shuffle/agg broke under volume, not noise).
+        // Measures the one user-keyed shuffle whose buffers hold only
+        // funnel-type events (the round-12 bound).
+        val baseEv = graft.Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        def evAt(k: Int): DataFrame = (0 until k).map { i =>
+          baseEv.select((col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+            (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+            col("event_type"), col("ts"))
+        }.reduce(_ unionAll _)
+        val base = graft.queries.Relational.funnelSummary(evAt(1)).collect().head
+        run("funnel", { s =>
+          val row = graft.queries.Relational.funnelSummary(evAt(s)).collect().head
+          require(row.getLong(0) == s * base.getLong(0) &&
+            row.getLong(1) == s * base.getLong(1) &&
+            row.getLong(2) == s * base.getLong(2) &&
+            row.getLong(3) == s * base.getLong(3),
+            s"funnel counts did not scale x$s exactly: $row vs base $base")
+          (row.getLong(0), row.getLong(3)) // n_users, n_purchase
+        })
       case "spanrm" =>
         // d26 shape: the dup-window groupBy is the corpus-sized shuffle
         // under measurement; per-copy bijections preserve each copy's
@@ -256,7 +280,7 @@ object ScaleCheck {
           (row.getLong(0), row.getLong(2)) // n_positions, n_lcp30
         })
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | spanrm | suffix)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | spanrm | suffix)")
     }
     spark.stop()
   }
