@@ -20,6 +20,19 @@ object Warc {
   /** Fixture corpus location (read-only). */
   val FixtureDir = "/root/reference/tests/data"
 
+  /** Session-unique suffix for scratch dirs and memory-sink names: two
+    * concurrent JVMs never race on the same tmp path or global temp
+    * view (the w44 advice, generalized to every query that stages under
+    * java.io.tmpdir), while within one JVM re-runs reuse the same
+    * delete-first dir so repeated bench sweeps don't leak tmp space.
+    * BenchCorpus paths are excluded on purpose — their cross-run reuse
+    * is the point.
+    */
+  private val SessionToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
+
   private def scan(s: SparkSession, file: String): DataFrame =
     s.read.format("warc").load(s"$FixtureDir/$file")
 
@@ -208,7 +221,7 @@ object Warc {
     // (reference WarcRecord.write + check_warc_integrity,
     // warc.pyx:840-938, test_warc.py:455-468).
     "w14_warc_roundtrip" -> ((s, _) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_roundtrip"
+      val out = scratch("w14_roundtrip")
       // append-mode writes accumulate across jobs (by design); this query
       // wants a fresh round-trip, so clear the scratch dir first
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
@@ -391,7 +404,7 @@ object Warc {
     // serially gunzipping a 1 GB archive and the whole cluster scanning
     // member slices of it.
     "w27_member_index_rescan" -> ((s, _) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w27_indexed"
+      val out = scratch("w27_indexed")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       scan(s, "warcfile.warc.gz")
         .select(col("record_id"), col("record_type"), col("record_date"),
@@ -418,7 +431,7 @@ object Warc {
     // pins indexed-scan totals == plain serial-scan totals in-query.
     "w36_foreign_member_index" -> ((s, _) => {
       val dir = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_w36_foreign")
+        scratch("w36_foreign"))
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
       dir.mkdirs()
       val copy = new java.io.File(dir, "foreign.warc.gz")
@@ -457,7 +470,7 @@ object Warc {
     // scan → kernel → sink with zero shuffles.
     "w37_wat_export" -> ((s, _) => {
       import graft.functions.{WarcCols, Web}
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w37_wat"
+      val out = scratch("w37_wat")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       scan(s, "warcfile.warc.gz")
         .filter(col("record_type") === "response")
@@ -605,7 +618,7 @@ object Warc {
       val fixture = "/root/reference/tests/data/warcfile.warc.gz"
       val batch = s.read.format("warc").load(fixture)
         .select(col("record_date"), col("record_type"), col("content_length"))
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w32_stage"
+      val stage = scratch("w32_stage")
       // the stateful streaming agg instantiates one STATE STORE per
       // shuffle partition per micro-batch: at the session's 32
       // partitions that is 32 store setups/commits for a 50-record
@@ -615,7 +628,7 @@ object Warc {
       graft.operators.RoundPartitions.scoped(s, 50) {
         batch.write.mode("overwrite").parquet(stage)
         val stream = s.readStream.schema(batch.schema).parquet(stage)
-        val qname = "graft_w32_mem"
+        val qname = s"graft_w32_mem_$SessionToken"
         val q = EventTime.windowedTypeCounts(stream)
           .writeStream.format("memory").queryName(qname)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
@@ -703,14 +716,14 @@ object Warc {
     "w41_streaming_frontier" -> ((s, _) => {
       import graft.functions.{WarcCols, Web}
       val tmp = System.getProperty("java.io.tmpdir")
-      val landing = new java.io.File(s"$tmp/graft_w41_landing")
+      val landing = new java.io.File(scratch("w41_landing"))
       org.apache.commons.io.FileUtils.deleteDirectory(landing)
       landing.mkdirs()
       java.nio.file.Files.copy(
         java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc.gz"),
         new java.io.File(landing, "crawl-a.warc.gz").toPath)
       // crawl-b: same 16 pages under disguised URLs
-      val recrawlDir = s"$tmp/graft_w41_recrawl"
+      val recrawlDir = scratch("w41_recrawl")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(recrawlDir))
       val resp = scan(s, "warcfile.warc.gz")
         .filter(col("record_type") === "response")
@@ -739,7 +752,7 @@ object Warc {
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("curl")
       graft.operators.RoundPartitions.scoped(s, 50) {
-        val qname = "graft_w41_mem"
+        val qname = s"graft_w41_mem_$SessionToken"
         val q = gate.writeStream.format("memory").queryName(qname)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try {
@@ -778,7 +791,7 @@ object Warc {
     // everything landed) is pinned in-row.
     "w35_streaming_dedup" -> ((s, _) => {
       val landing = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_w35_landing")
+        scratch("w35_landing"))
       org.apache.commons.io.FileUtils.deleteDirectory(landing)
       landing.mkdirs()
       val fixture = java.nio.file.Paths.get(
@@ -792,7 +805,7 @@ object Warc {
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("fp")
       graft.operators.RoundPartitions.scoped(s, 50) {
-        val qname = "graft_w35_mem"
+        val qname = s"graft_w35_mem_$SessionToken"
         val q = deduped.writeStream.format("memory").queryName(qname)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try {
@@ -832,8 +845,8 @@ object Warc {
     // over the same landing dir (streaming == batch, pinned in-result).
     "w38_streaming_wet_export" -> ((s, _) => {
       val tmp = System.getProperty("java.io.tmpdir")
-      val landing = new java.io.File(s"$tmp/graft_w38_landing")
-      val out = s"$tmp/graft_w38_wet"
+      val landing = new java.io.File(scratch("w38_landing"))
+      val out = scratch("w38_wet")
       org.apache.commons.io.FileUtils.deleteDirectory(landing)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       landing.mkdirs()
@@ -850,7 +863,7 @@ object Warc {
       // write and checkpoint commit (restart idempotence is pinned in
       // StreamingSpec)
       val q = derived.writeStream
-        .option("checkpointLocation", s"$tmp/graft_w38_ckpt_${System.nanoTime()}")
+        .option("checkpointLocation", scratch("w38_ckpt") + s"_${System.nanoTime()}")
         .foreachBatch(graft.streaming.ExactlyOnce.warcBatchWriter(out,
           Map("checksum" -> "true", "drop_null_content" -> "true"))).start()
       try {
@@ -893,7 +906,7 @@ object Warc {
     // smaller than the corpus, so it broadcasts; revisits never shuffle.
     "w39_revisit_resolve" -> ((s, _) => {
       import graft.functions.WarcCols
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w39_revisit"
+      val out = scratch("w39_revisit")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val resp = scan(s, "warcfile.warc.gz")
         .filter(col("record_type") === "response")
@@ -961,7 +974,7 @@ object Warc {
     // more than one logical record in memory.
     "w40_segment_reassembly" -> ((s, _) => {
       import graft.functions.WarcCols
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w40_segments"
+      val out = scratch("w40_segments")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val chunk = 4096
       val resp = scan(s, "warcfile.warc.gz")
@@ -1051,7 +1064,7 @@ object Warc {
       val dir = graft.sources.BenchCorpus.ensure(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_bench",
         files = 32, copiesPerFile = 50)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w42_dedup"
+      val out = scratch("w42_dedup")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val resp = s.read.format("warc").load(dir)
         .filter(col("record_type") === "response")
@@ -1125,8 +1138,8 @@ object Warc {
       // w40/w42): one driver per host, delete-then-write per invocation.
       // Concurrent drivers on one machine would race these directories —
       // as they would every other write-fixture query.
-      val outA = s"$tmp/graft_w43_snap_a"
-      val outB = s"$tmp/graft_w43_snap_b"
+      val outA = scratch("w43_snap_a")
+      val outB = scratch("w43_snap_b")
       Seq(outA, outB).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
       val pages = scan(s, "warcfile.warc.gz")
@@ -1182,7 +1195,7 @@ object Warc {
     }),
 
     "w31_wet_export" -> ((s, _) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_w31_wet"
+      val out = scratch("w31_wet")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       wetExportFrame(s)
         .coalesce(1)
