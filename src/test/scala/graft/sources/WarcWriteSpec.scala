@@ -137,6 +137,26 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("warc").load(out).count() == 10L)
   }
 
+  test("overwrite-mode write REPLACES the directory's archives and sidecars " +
+      "(the exactly-once sink's idempotence primitive)") {
+    val out = tmpDir("warc-overwrite")
+    val base = spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+      .select("record_id", "record_type", "headers", "content")
+    // seed with 10 records + a member-index sidecar, then overwrite with 5
+    base.limit(10).coalesce(1).write.format("warc")
+      .option("member_index", "true").mode("append").save(out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".idx")))
+    base.limit(5).coalesce(1).write.format("warc").mode("overwrite").save(out)
+    assert(spark.read.format("warc").load(out).count() == 5L)
+    // the previous write's data files AND sidecars are gone
+    val names = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(names.count(_.endsWith(".warc.gz")) == 1, names)
+    assert(!names.exists(_.endsWith(".idx")), names)
+    // overwriting again with the same frame is idempotent
+    base.limit(5).coalesce(1).write.format("warc").mode("overwrite").save(out)
+    assert(spark.read.format("warc").load(out).count() == 5L)
+  }
+
   test("lz4 member_index write: frame-per-record sidecar drives a parallel rescan") {
     val out = tmpDir("warc-midx-lz4")
     spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
