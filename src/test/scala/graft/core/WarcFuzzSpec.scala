@@ -82,6 +82,31 @@ class WarcFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("lz4 container: 300 mutants through the from-scratch frame decoder " +
+      "never throw") {
+    val lz4 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/data/warcfile.warc.lz4"))
+    val rnd = new java.util.Random(0x5eed03)
+    for (iter <- 0 until 300) {
+      val (bytes, recipe) = rnd.nextInt(3) match {
+        case 0 =>
+          val cut = rnd.nextInt(lz4.length)
+          (lz4.take(cut), s"truncate@$cut")
+        case 1 =>
+          val b = lz4.clone()
+          val i = rnd.nextInt(b.length)
+          b(i) = (b(i) ^ (1 + rnd.nextInt(255))).toByte
+          (b, s"flip@$i")
+        case _ =>
+          val a = rnd.nextInt(lz4.length)
+          val len = 1 + rnd.nextInt(512)
+          (lz4.take(a) ++ lz4.drop(math.min(lz4.length, a + len)),
+            s"delete@$a+$len")
+      }
+      parseAll(bytes, s"iter $iter $recipe")
+    }
+  }
+
   test("undamaged control parses all 50 in both containers") {
     assert(parseAll(raw, "control-raw") == ((50, 0)))
     assert(parseAll(gz, "control-gz") == ((50, 0)))
