@@ -287,6 +287,42 @@ class EncodingDivergenceSpec extends AnyFunSuite {
       "if raw ICU starts answering 1251, the guard comment is stale")
   }
 
+  test("markup-dilution guard holds for every single-byte script: 80%-ASCII " +
+      "boilerplate around each sample still detects the right encoding") {
+    // the realistic failure mode the guard exists for: a page whose
+    // bytes are mostly ASCII HTML/JS around a legacy-encoded payload —
+    // ICU alone drifts to Latin-1 under dilution (the 39775 case)
+    val boilerplate =
+      ("""<div class="row"><script>var x = document.getElementById('a');""" +
+       """if (x) { x.addEventListener('click', function(){ return 1; }); }""" +
+       """</script><a href="/p?id=17&ref=nav">""").*(4)
+    // non-Latin single-byte scripts only: their letters are ALL high
+    // bytes, so the condensed sample is decisive. Latin-script legacy
+    // pages (cp1254 Turkish, cp1252 French) carry only sparse accent
+    // bytes — cp1252-family confusion there is inherent to the
+    // evidence, not a dilution artifact (uchardet included).
+    val singleByte = Seq("windows-1251", "koi8-r", "iso-8859-7",
+      "windows-1256", "iso-8859-8")
+    singleByte.foreach { truth =>
+      // realistic page volume: a few KB of native text (the guard's
+      // job is defeating DILUTION, not rescuing 200-byte snippets —
+      // every detector is ambiguous on those)
+      val text = samples.find(_._1 == truth).get._2 * 4
+      // interleave: boilerplate + one paragraph-sized slice, repeated —
+      // high-byte density lands well under 25%
+      val slices = text.grouped(120).toSeq
+      val diluted = slices.map(s => boilerplate + s).mkString("</a>\n")
+      val bytes = encode(diluted, truth)
+      val high = bytes.count(b => (b & 0xff) >= 0x80)
+      assert(high.toDouble / bytes.length < 0.25, s"$truth dilution setup")
+      val canon = Encodings.mapToHtml5(truth, fallbackUtf8 = false).get
+      val detected = Encodings.detectEncoding(bytes)
+      assert(detected.contains(canon),
+        s"$truth diluted (high=${high}/${bytes.length}): " +
+          s"expected $canon, got $detected")
+    }
+  }
+
   test("detector never throws and Thai pre-pass stays quiet on random bytes") {
     val rnd = new java.util.Random(0x7ea1)
     var thaiHits = 0
