@@ -1667,7 +1667,7 @@ object Documents {
     * Factored so specs can pin the split boundary quirk and the
     * min-examples drop on crafted corpora.
     */
-  private[queries] def langDataset(d0: DataFrame, minExamples: Int): DataFrame = {
+  private[graft] def langDataset(d0: DataFrame, minExamples: Int): DataFrame = {
     val norm = d0.filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("lang"),
         regexp_replace(nfcNormalize(col("text")), "\\[\\[|\\]\\]", "").as("ex"))

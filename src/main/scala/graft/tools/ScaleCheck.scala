@@ -234,6 +234,43 @@ object ScaleCheck {
             codesAt(s), "doc_id", "doc_a", "doc_b").count()
           (s.toLong * baseN, pairs)
         })
+      case "dataset" =>
+        // t38 shape: the documents table scaled k x by the same per-copy
+        // character bijections as `neardup`, with the lang column kept —
+        // bijections map distinct texts to distinct texts, so per-lang
+        // example counts scale EXACTLY x k (asserted; the corpus is
+        // fixed per SF, so the check is deterministic). Measures the
+        // per-LANGUAGE rank window — the one t38 cost that grows with
+        // corpus size per language (PLANS.md note: at 100 TB swap it
+        // for md5-range quantile assignment).
+        def docsLangAt(k: Int): DataFrame = {
+          require(k <= 64, "bijection family supports 64 permutations")
+          val alpha = "aeiousrtlnmdchpg"
+          def perm(i: Int): String = {
+            val rot = alpha.drop(i % 16) + alpha.take(i % 16)
+            val rev = if (((i / 16) & 1) == 1) rot.reverse else rot
+            if (((i / 16) & 2) == 2) rev.grouped(2).map(_.reverse).mkString else rev
+          }
+          val base = graft.Tables.documents(spark, sfDir)
+            .select("doc_id", "text", "lang")
+          (0 until k).map { i =>
+            base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+              translate(col("text"), alpha, perm(i)).as("text"), col("lang"))
+          }.reduce(_ unionAll _)
+        }
+        val dsBase = graft.queries.Documents.langDataset(docsLangAt(1), 50)
+          .select("lang", "n_examples").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        run("dataset", { s =>
+          val rows = graft.queries.Documents.langDataset(docsLangAt(s), 50)
+            .select("lang", "n_examples").collect()
+          rows.foreach { r =>
+            require(r.getLong(1) == s * dsBase(r.getString(0)),
+              s"per-lang examples did not scale x$s: ${r.getString(0)} " +
+                s"${r.getLong(1)} vs base ${dsBase(r.getString(0))}")
+          }
+          (rows.map(_.getLong(1)).sum, rows.length.toLong)
+        })
       case "funnel" =>
         // q19 shape: events scaled k x under disjoint user-id ranges —
         // the per-user funnel state machines are independent, so every
@@ -280,7 +317,7 @@ object ScaleCheck {
           (row.getLong(0), row.getLong(2)) // n_positions, n_lcp30
         })
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | spanrm | suffix)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix)")
     }
     spark.stop()
   }
