@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   *    therefore its near-dup structure) are preserved exactly while
   *    band keys shift; fingerprints are computed ONCE (checkpointed)
   *    so the mode measures the search, not the hashing.
+  *  - `ivfpq` (e21 shape): the composed IVF+PQ index in the
+  *    fixed-codebook regime over exact-duplicate copies; asserts
+  *    duplicate-canonical recall@3 holds bit-for-bit at every scale.
+  *  - `funnel` (q19 shape): events scaled k× under disjoint user-id
+  *    ranges; asserts every summary count scales exactly ×k.
+  *  - `dataset` (t38 shape): bijection-scaled documents with lang kept;
+  *    asserts per-language example counts scale exactly ×k, measures
+  *    the per-language rank window.
+  *  - `spanrm` / `suffix`: d26 / d25 exact-dedup shuffles (see below).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
