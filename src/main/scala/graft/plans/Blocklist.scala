@@ -50,23 +50,53 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
     var ci = 0 // UTF-16 unit index, as String.charAt would count
     var bi = 0
     val n = text.numBytes
+    // java.nio-exact UTF-8 decode (one U+FFFD per MALFORMED UNIT, where
+    // the unit length follows JDK UTF_8's rules: overlong/range-invalid
+    // first continuation -> 1; later non-continuation -> bytes consumed
+    // so far; surrogate triple / truncated tail -> whole prefix) so
+    // match positions are identical to walking text.toString on ANY
+    // byte content, valid or not — property-fuzzed in TextAnalysisSpec.
+    @inline def cont(i: Int): Boolean =
+      i < n && (text.getByte(i) & 0xc0) == 0x80
     while (bi < n) {
       val b0 = text.getByte(bi) & 0xff
-      var cp = 0
-      var len = 0
-      if (b0 < 0x80) { cp = b0; len = 1 }
-      else if ((b0 & 0xe0) == 0xc0 && bi + 1 < n) { cp = b0 & 0x1f; len = 2 }
-      else if ((b0 & 0xf0) == 0xe0 && bi + 2 < n) { cp = b0 & 0x0f; len = 3 }
-      else if ((b0 & 0xf8) == 0xf0 && bi + 3 < n) { cp = b0 & 0x07; len = 4 }
-      if (len == 0) { cp = 0xfffd; len = 1 } // malformed/truncated lead
-      else {
-        var k = 1
-        while (k < len) {
-          val bc = text.getByte(bi + k) & 0xff
-          if ((bc & 0xc0) != 0x80) { cp = 0xfffd; len = 1; k = 4 }
-          else { cp = (cp << 6) | (bc & 0x3f); k += 1 }
+      var cp = 0xfffd
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if (b0 < 0xc2) () // stray continuation or overlong lead C0/C1
+      else if (b0 < 0xe0) { // 2-byte
+        if (cont(bi + 1)) {
+          cp = ((b0 & 0x1f) << 6) | (text.getByte(bi + 1) & 0x3f); len = 2
         }
-      }
+      } else if (b0 < 0xf0) { // 3-byte
+        val b1 = if (bi + 1 < n) text.getByte(bi + 1) & 0xff else -1
+        if (b1 >= 0 && !(b0 == 0xe0 && (b1 & 0xe0) == 0x80) && (b1 & 0xc0) == 0x80) {
+          if (bi + 2 >= n) len = 2 // truncated tail: one U+FFFD for both
+          else if (!cont(bi + 2)) len = 2
+          else {
+            val c = ((b0 & 0x0f) << 12) | ((b1 & 0x3f) << 6) |
+              (text.getByte(bi + 2) & 0x3f)
+            len = 3
+            if (c < 0xd800 || c > 0xdfff) cp = c // surrogate -> FFFD over all 3
+          }
+        }
+      } else if (b0 <= 0xf4) { // 4-byte
+        val b1 = if (bi + 1 < n) text.getByte(bi + 1) & 0xff else -1
+        val b1ok = b1 >= 0 && ((b0 == 0xf0 && b1 >= 0x90 && b1 <= 0xbf) ||
+          (b0 >= 0xf1 && b0 <= 0xf3 && (b1 & 0xc0) == 0x80) ||
+          (b0 == 0xf4 && (b1 & 0xf0) == 0x80))
+        if (b1ok) {
+          if (bi + 2 >= n) len = 2
+          else if (!cont(bi + 2)) len = 2
+          else if (bi + 3 >= n) len = 3
+          else if (!cont(bi + 3)) len = 3
+          else {
+            cp = ((b0 & 0x07) << 18) | ((b1 & 0x3f) << 12) |
+              ((text.getByte(bi + 2) & 0x3f) << 6) | (text.getByte(bi + 3) & 0x3f)
+            len = 4
+          }
+        }
+      } // else F5-FF: malformed lead, one FFFD
       bi += len
       // feed one or (astral cp) two UTF-16 units through the automaton
       var unit = 0

@@ -353,6 +353,40 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("blocklist: arbitrary INVALID bytes (overlong, stray continuation, " +
+      "truncated leads, surrogates) count like the String-decoded walk") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(0xbadb17e5L.toInt)
+    def brute(text: String, p: String): Long = {
+      var c = 0L; var i = text.indexOf(p)
+      while (i >= 0) { c += 1; i = text.indexOf(p, i + p.length) }
+      c
+    }
+    // patterns include the replacement char Java substitutes for damage
+    val pats = Array("ab", "�", "��", "a�b", "é")
+    val ac = new graft.plans.AhoCorasick(pats)
+    // hand-picked malformed shapes + random byte soup
+    val fixed = Seq[Array[Byte]](
+      Array(0xc0, 0x80).map(_.toByte),             // overlong NUL
+      Array(0xe0, 0x80, 0x80).map(_.toByte),       // overlong 3-byte
+      Array(0xed, 0xa0, 0x80).map(_.toByte),       // CESU surrogate
+      Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte), // > U+10FFFF
+      Array('a'.toByte, 0x80.toByte, 'b'.toByte),  // stray continuation
+      Array('a'.toByte, 0xc3.toByte))              // truncated lead at end...
+    val cases = fixed ++ (0 until 500).map { _ =>
+      val b = new Array[Byte](1 + rnd.nextInt(40))
+      rnd.nextBytes(b)
+      b
+    }
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      val u = UTF8String.fromBytes(bytes)
+      val got = ac.counts(u).toLongArray().toSeq
+      val want = pats.map(brute(u.toString, _)).toSeq
+      assert(got == want,
+        s"case $i bytes=${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
   test("blocklistCounts with an empty or blank pattern list fails at analysis time") {
     val s = spark
     import s.implicits._
