@@ -393,10 +393,18 @@ object HtmlParser {
     final val BigBlockF = 1 << 14   // Html2Text.BigBlock
     final val ScopeBarrierF = 1 << 15 // ScopeBarriers (generic scope)
 
-    private val map = new java.util.HashMap[String, Integer]()
+    // open-addressing flag table (String.hashCode is instance-cached and
+    // known tags arrive as the interned literal, so a probe is an array
+    // read + reference compare — the java.util.HashMap version paid
+    // getNode + Integer unboxing once per ELEMENT via DomNode.flags)
+    private val Size = 512
+    private val keys = new Array[String](Size)
+    private val vals = new Array[Int](Size)
     private def add(tags: Iterable[String], f: Int): Unit = tags.foreach { t =>
-      val prev = map.get(t)
-      map.put(t, if (prev == null) f else prev.intValue | f)
+      var slot = t.hashCode & (Size - 1)
+      while (keys(slot) != null && keys(slot) != t) slot = (slot + 1) & (Size - 1)
+      keys(slot) = t
+      vals(slot) |= f
     }
     add(HeadContent, HeadContentF)
     add(RawText, RawTextF)
@@ -416,8 +424,16 @@ object HtmlParser {
     add(Html2Text.BigBlock, BigBlockF)
 
     def apply(tag: String): Int = {
-      val v = map.get(tag)
-      if (v == null) 0 else v.intValue
+      var slot = tag.hashCode & (Size - 1)
+      var probes = 0
+      while (probes < Size) {
+        val k = keys(slot)
+        if (k == null) return 0
+        if ((k eq tag) || k.equals(tag)) return vals(slot)
+        slot = (slot + 1) & (Size - 1)
+        probes += 1
+      }
+      0
     }
   }
 
@@ -1256,6 +1272,15 @@ object HtmlParser {
     * names + entity-decoded values were the top allocation source on
     * the extraction hot path.
     */
+  /** java.lang.Character.isWhitespace with an ASCII fast path — the
+    * attribute scanners test whitespace per char and the full Unicode
+    * check was a top parse-profile frame. Bit-identical to
+    * Character.isWhitespace for c < 128 (0x09-0x0D, 0x1C-0x1F, 0x20).
+    */
+  @inline private[html] def isWs(c: Char): Boolean =
+    if (c < 128) c == ' ' || (c >= '\t' && c <= '\r') || (c >= 28 && c <= 31)
+    else Character.isWhitespace(c)
+
   /** Scan past attributes without materializing them. Returns
     * `(indexAfterTag << 1) | selfClosingBit` packed in one Long — this
     * runs once per element in the streaming walk, and the previous
@@ -1268,24 +1293,24 @@ object HtmlParser {
     var selfClosing = false
     while (i < n && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (c.isWhitespace) i += 1
+      if (isWs(c)) i += 1
       else if (c == '/') {
         if (i + 1 < n && s.charAt(i + 1) == '>') { selfClosing = true; i += 1 }
         else i += 1
       } else {
-        while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
+        while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
                s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
-        while (i < n && s.charAt(i).isWhitespace) i += 1
+        while (i < n && isWs(s.charAt(i))) i += 1
         if (i < n && s.charAt(i) == '=') {
           i += 1
-          while (i < n && s.charAt(i).isWhitespace) i += 1
+          while (i < n && isWs(s.charAt(i))) i += 1
           if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
             val q = s.charAt(i)
             i += 1
             while (i < n && s.charAt(i) != q) i += 1
             if (i < n) i += 1
           } else {
-            while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
+            while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
           }
         }
       }
@@ -1317,22 +1342,22 @@ object HtmlParser {
     var selfClosing = false
     while (i < n && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (c.isWhitespace) i += 1
+      if (isWs(c)) i += 1
       else if (c == '/') {
         if (i + 1 < n && s.charAt(i + 1) == '>') { selfClosing = true; i += 1 }
         else i += 1
       } else {
         // attribute name
         val nameStart = i
-        while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
+        while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
                s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
         val name = AttrNames.lookup(s, nameStart, i)
         // skip ws
-        while (i < n && s.charAt(i).isWhitespace) i += 1
+        while (i < n && isWs(s.charAt(i))) i += 1
         var value = ""
         if (i < n && s.charAt(i) == '=') {
           i += 1
-          while (i < n && s.charAt(i).isWhitespace) i += 1
+          while (i < n && isWs(s.charAt(i))) i += 1
           if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
             val q = s.charAt(i)
             i += 1
@@ -1342,7 +1367,7 @@ object HtmlParser {
             if (i < n) i += 1
           } else {
             val vs = i
-            while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
+            while (i < n && !isWs(s.charAt(i)) && s.charAt(i) != '>') i += 1
             value = s.substring(vs, i)
           }
           value = Entities.decode(value)
