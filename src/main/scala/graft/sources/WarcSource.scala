@@ -919,7 +919,8 @@ class WarcMicroBatchStream(
     required: StructType,
     fsProps: Map[String, String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
@@ -988,9 +989,24 @@ class WarcMicroBatchStream(
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** Trigger.AvailableNow: pin the offset visible at query start; the
+    * run then drains exactly that set (in max_files_per_trigger-bounded
+    * batches) and terminates — files landing mid-run wait for the next
+    * run, which resumes from the checkpoint (the FileStreamSource
+    * contract; without this Spark falls back to one unbounded batch and
+    * warns about uncommitted-batch restarts).
+    */
+  private var availableNowTarget: Option[FileSetOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[FileSetOffset])
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FileSetOffset]
-    val listed = listSorted()
+    val listed = availableNowTarget match {
+      case Some(t) => listSorted().filter(st =>
+        t.contains(st.getPath.toString, st.getModificationTime))
+      case None => listSorted()
+    }
     val fresh = listed.filter(st =>
       !s.contains(st.getPath.toString, st.getModificationTime))
     val cap = limit match {

@@ -326,6 +326,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("Trigger.AvailableNow: drains the files present at start in bounded " +
+      "batches, terminates, and a later run resumes from the checkpoint") {
+    val landing = Files.createTempDirectory("avnow-landing")
+    val ckpt = Files.createTempDirectory("avnow-ckpt").toString
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    (1 to 3).foreach(i =>
+      Files.copy(src, landing.resolve(s"drop-$i.warc.gz")))
+    val batchSizes = collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("max_files_per_trigger", "1")
+        .load(landing.toString)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batchSizes.synchronized { batchSizes += b.count() }
+          ()
+        }.start()
+      assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    }
+    run()
+    // 3 files x 1-file batches: three 50-record batches, then done (the
+    // source implements SupportsTriggerAvailableNow, so admission
+    // control still applies instead of one unbounded fallback batch)
+    assert(batchSizes.filter(_ > 0).toSeq == Seq(50L, 50L, 50L), batchSizes.toSeq)
+    // a fourth drop lands AFTER the run: nothing reprocesses it until
+    // the next AvailableNow run, which picks up exactly the new file
+    Files.copy(src, landing.resolve("drop-4.warc.gz"))
+    batchSizes.clear()
+    run()
+    assert(batchSizes.filter(_ > 0).toSeq == Seq(50L), batchSizes.toSeq)
+  }
+
   test("exactly-once warc sink: a REPLAYED micro-batch overwrites its own " +
       "output — no duplicates, no loss, for any number of replays") {
     val out = Files.createTempDirectory("eo-warc-replay").toString
