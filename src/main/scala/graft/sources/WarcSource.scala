@@ -325,6 +325,18 @@ class WarcScan(
       java.util.OptionalLong.empty()
   }
   override def toBatch: Batch = this
+
+  /** Spark-UI observability: per-scan record/error/byte counters
+    * surfaced as SQL metrics on the BatchScan node — at 100 TB the
+    * error-row count IS the data-quality dashboard (exc_loop doctrine
+    * turns corruption into rows, so without a metric it is invisible
+    * until someone queries the error column).
+    */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new WarcScanMetrics.Sum("warcRecords", "WARC records emitted"),
+    new WarcScanMetrics.Sum("warcErrorRows", "WARC records with error set"),
+    new WarcScanMetrics.Sum("warcContentBytes", "WARC content bytes materialized"))
   override def description(): String = {
     val o = parseOpts
     val eff = Seq(
@@ -469,12 +481,35 @@ class WarcReaderFactory(
   }
 }
 
+object WarcScanMetrics {
+  class Sum(n: String, d: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = d
+  }
+  case class Task(n: String, v: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
+}
+
 class WarcPartitionReader(
     part: WarcInputPartition,
     parseOpts: WarcParseOptions,
     required: StructType,
     conf: Configuration,
     streamRetries: Int = 0) extends PartitionReader[InternalRow] {
+
+  // scan metrics (see WarcScan.supportedCustomMetrics)
+  private var mRecords = 0L
+  private var mErrors = 0L
+  private var mBytes = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    WarcScanMetrics.Task("warcRecords", mRecords),
+    WarcScanMetrics.Task("warcErrorRows", mErrors),
+    WarcScanMetrics.Task("warcContentBytes", mBytes))
 
   private val hPath = new Path(part.path)
   private val fs: FileSystem = hPath.getFileSystem(conf)
@@ -602,10 +637,17 @@ class WarcPartitionReader(
     * covers) — the member-index path re-scans healthy members of a
     * damaged archive independently.
     */
+  private def count(r: WarcRecord): Boolean = {
+    mRecords += 1
+    if (r.error.isDefined) mErrors += 1
+    if (r.content != null) mBytes += r.content.length
+    true
+  }
+
   override def next(): Boolean = {
     if (streamFailed) { current = null; return false }
     try {
-      if (parser.hasNext) { current = parser.next(); true }
+      if (parser.hasNext) { current = parser.next(); count(current) }
       else {
         // exhaustion may be REAL end-of-archive or a decompressor that
         // died at a record boundary (the reader converts mid-read
@@ -616,13 +658,13 @@ class WarcPartitionReader(
         val died =
           if (part.memberOffsets.nonEmpty) None
           else Option(activeReader).flatMap(_.streamError)
-        if (died.isDefined) { emitStreamError(s"stream error: ${died.get}"); true }
+        if (died.isDefined) { emitStreamError(s"stream error: ${died.get}"); count(current) }
         else { current = null; false }
       }
     } catch {
       case e: java.io.IOException =>
         emitStreamError(s"stream error: ${e.getMessage}")
-        true
+        count(current)
     }
   }
 

@@ -303,6 +303,34 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
   }
 
+  test("scan custom metrics: record/error/byte counters land on the " +
+      "BatchScan node (the Spark-UI data-quality surface)") {
+    def metricsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+        .get
+      scan.metrics.map { case (k, m) => k -> m.value }.toMap
+    }
+    val clean = metricsOf(spark.read.format("warc")
+      .load(s"$DataDir/warcfile.warc.gz"))
+    assert(clean("warcRecords") == 50L, clean)
+    assert(clean("warcErrorRows") == 0L, clean)
+    assert(clean("warcContentBytes") > 500000L, clean)
+    // clipped archive: both rows (the truncated record + the stream-end
+    // report) surface in the error metric
+    val clipped = metricsOf(spark.read.format("warc")
+      .load(s"$DataDir/clipped.warc.gz"))
+    assert(clipped("warcErrorRows") == 2L, clipped)
+    // envelope-only projection: payloads are never materialized and the
+    // byte counter shows it (the pruning proof as a metric)
+    val envDf = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .select("record_type", "offset")
+    val env = metricsOf(envDf)
+    assert(env("warcRecords") == 50L, env)
+    assert(env("warcContentBytes") == 0L, env)
+  }
+
   test("stream_retries: three successive mid-stream deaths at increasing " +
       "offsets — every reopen seeks past the last good record and the " +
       "fourth attempt completes the archive") {
