@@ -777,6 +777,12 @@ class WarcWriteBuilder(
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
+      // UI observability, symmetric with the scan's metrics: records
+      // landed per write (null-content drops excluded by construction)
+      override def supportedCustomMetrics()
+          : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+        Array(new WarcScanMetrics.Sum("warcRecordsWritten",
+          "WARC records written"))
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
         val path = WarcInput.normalizeScheme(
           Option(options.get("path"))
@@ -867,6 +873,10 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
   private val idx = schema.fieldNames.zipWithIndex.toMap
   private def str(row: InternalRow, col: String): Option[String] =
     idx.get(col).filter(!row.isNullAt(_)).map(i => row.getUTF8String(i).toString)
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(WarcScanMetrics.Task("warcRecordsWritten", writer.recordsWritten))
 
   override def write(row: InternalRow): Unit = {
     // drop_null_content: a null content column means "no record here".

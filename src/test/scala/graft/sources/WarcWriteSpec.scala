@@ -137,6 +137,32 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("warc").load(out).count() == 10L)
   }
 
+  test("write custom metric: warcRecordsWritten lands on the V2 write node") {
+    val out = tmpDir("warc-write-metric")
+    @volatile var written: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.executedPlan.collectFirst {
+          case n if n.metrics.contains("warcRecordsWritten") =>
+            written = Some(n.metrics("warcRecordsWritten").value)
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.read.format("warc").load(s"$DataDir/warcfile.warc")
+        .limit(7).select("record_type", "headers", "content").coalesce(1)
+        .write.format("warc").mode("append").save(out)
+      // the listener fires asynchronously on the listener bus
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (written.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(written.contains(7L), s"metric: $written")
+      assert(spark.read.format("warc").load(out).count() == 7L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("overwrite-mode write REPLACES the directory's archives and sidecars " +
       "(the exactly-once sink's idempotence primitive)") {
     val out = tmpDir("warc-overwrite")
