@@ -382,10 +382,57 @@ object Encodings {
     else javaCharset(canonical)
 
   private def decodeStrict(data: Array[Byte], cs: Charset): Option[String] = {
-    val dec = cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPORT)
-      .onUnmappableCharacter(CodingErrorAction.REPORT)
-    Try(dec.decode(java.nio.ByteBuffer.wrap(data)).toString).toOption
+    // UTF-8 fast path: validate in one allocation-free scan, then let the
+    // intrinsified String constructor do the decode. The CharsetDecoder
+    // route costs a CharBuffer + a toString copy per attempt and runs the
+    // generic decodeLoop — 2-3x slower on the (dominant) valid-utf-8 case.
+    if (cs eq StandardCharsets.UTF_8) {
+      if (isValidUtf8(data)) Some(new String(data, StandardCharsets.UTF_8)) else None
+    } else {
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      Try(dec.decode(java.nio.ByteBuffer.wrap(data)).toString).toOption
+    }
+  }
+
+  /** Strict RFC 3629 well-formedness: rejects overlongs, surrogates
+    * (U+D800..DFFF), code points above U+10FFFF, and truncated tails —
+    * exactly the inputs a REPORT-mode JDK UTF-8 decoder rejects.
+    */
+  private[core] def isValidUtf8(data: Array[Byte]): Boolean = {
+    val n = data.length
+    var i = 0
+    while (i < n) {
+      // ASCII run fast path: 8 bytes per test via sign-bit OR
+      while (i + 8 <= n &&
+          (data(i) | data(i + 1) | data(i + 2) | data(i + 3) |
+           data(i + 4) | data(i + 5) | data(i + 6) | data(i + 7)) >= 0) i += 8
+      if (i >= n) return true
+      val b0 = data(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else if (b0 < 0xc2) return false // continuation or overlong lead
+      else if (b0 < 0xe0) {            // 2-byte
+        if (i + 1 >= n || (data(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (b0 < 0xf0) {          // 3-byte
+        if (i + 2 >= n) return false
+        val b1 = data(i + 1) & 0xff
+        val lo = if (b0 == 0xe0) 0xa0 else 0x80 // no overlongs
+        val hi = if (b0 == 0xed) 0x9f else 0xbf // no surrogates
+        if (b1 < lo || b1 > hi || (data(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (b0 < 0xf5) {          // 4-byte
+        if (i + 3 >= n) return false
+        val b1 = data(i + 1) & 0xff
+        val lo = if (b0 == 0xf0) 0x90 else 0x80 // no overlongs
+        val hi = if (b0 == 0xf4) 0x8f else 0xbf // cap at U+10FFFF
+        if (b1 < lo || b1 > hi || (data(i + 2) & 0xc0) != 0x80 ||
+            (data(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false              // f5..ff never valid
+    }
+    true
   }
 
   /** Resilient decode ladder (encoding.pyx:305-367): try `encoding`, then

@@ -453,8 +453,9 @@ object Html2TextStream {
         }
         closePInButtonScope()
       }
-      ImplicitClose.get(name).foreach { closes =>
-        while (stack.nonEmpty && closes.contains(stack.last.tag)) popOne()
+      val implicitCloses = HtmlParser.ImplicitCloseJ.get(name)
+      if (implicitCloses != null) {
+        while (stack.nonEmpty && implicitCloses.contains(stack.last.tag)) popOne()
       }
 
       // element insertion directly in table structure: DOM fosters it

@@ -251,6 +251,16 @@ object HtmlParser {
     "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th", "thead"),
     "tfoot" -> Set("tr", "td", "th", "tbody"))
 
+  /** Null-returning view of [[ImplicitClose]] for the per-start-tag hot
+    * path: `Map.get(..).foreach{..}` there allocated a Some plus a
+    * capturing closure on EVERY tag (2.5 GB over a w19-sized profile).
+    */
+  private[html] val ImplicitCloseJ: java.util.HashMap[String, Set[String]] = {
+    val m = new java.util.HashMap[String, Set[String]]()
+    ImplicitClose.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** The WHATWG generic "has an element in scope" barrier set:
     * applet/caption/table/td/th/marquee/object/template. html/head/body
     * never sit on the below-body stack, so the stack bottom is the
@@ -1086,8 +1096,9 @@ object HtmlParser {
         val pIdx = indexInButtonScope("p")
         if (pIdx >= 0) popRange(pIdx)
       }
-      ImplicitClose.get(name).foreach { closes =>
-        while (stack.nonEmpty && closes.contains(stack.last.tag))
+      val implicitCloses = ImplicitCloseJ.get(name)
+      if (implicitCloses != null) {
+        while (stack.nonEmpty && implicitCloses.contains(stack.last.tag))
           popRange(stack.size - 1)
       }
 
