@@ -334,9 +334,8 @@ class WarcScan(
     */
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new WarcScanMetrics.Sum("warcRecords", "WARC records emitted"),
-    new WarcScanMetrics.Sum("warcErrorRows", "WARC records with error set"),
-    new WarcScanMetrics.Sum("warcContentBytes", "WARC content bytes materialized"))
+    new WarcScanMetrics.Records, new WarcScanMetrics.ErrorRows,
+    new WarcScanMetrics.ContentBytes)
   override def description(): String = {
     val o = parseOpts
     val eff = Seq(
@@ -482,11 +481,19 @@ class WarcReaderFactory(
 }
 
 object WarcScanMetrics {
-  class Sum(n: String, d: String)
+  // Each metric is a concrete class with a 0-arg constructor:
+  // SQLAppStatusListener re-instantiates the metric class reflectively
+  // to aggregate task values; a parameterized class fails that load and
+  // the metric silently never aggregates (WARN per query).
+  sealed abstract class Sum(n: String, d: String)
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
     override def name(): String = n
     override def description(): String = d
   }
+  final class Records extends Sum("warcRecords", "WARC records emitted")
+  final class ErrorRows extends Sum("warcErrorRows", "WARC records with error set")
+  final class ContentBytes extends Sum("warcContentBytes", "WARC content bytes materialized")
+  final class RecordsWritten extends Sum("warcRecordsWritten", "WARC records written")
   case class Task(n: String, v: Long)
       extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
     override def name(): String = n
@@ -781,8 +788,7 @@ class WarcWriteBuilder(
       // landed per write (null-content drops excluded by construction)
       override def supportedCustomMetrics()
           : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-        Array(new WarcScanMetrics.Sum("warcRecordsWritten",
-          "WARC records written"))
+        Array(new WarcScanMetrics.RecordsWritten)
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
         val path = WarcInput.normalizeScheme(
           Option(options.get("path"))
