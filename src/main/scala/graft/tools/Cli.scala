@@ -90,6 +90,16 @@ object Cli {
         // language-model maintenance surface (train/eval/dump-vectors/
         // benchmark) — see LangCli for the reference mapping
         LangCli.run(pos.toSeq, flags.toSeq, out)
+      case "html" =>
+        // `html benchmark <warc>` (resiliparse-py/resiliparse/cli.py:106-173):
+        // <title> extraction over every response record, single thread —
+        // the reference's HTML-parser benchmark harness. Same kernel
+        // chain as the w12/w13 queries (detect_encoding -> bytes_to_str
+        // -> parse), so the rate measured here is the distributed rate
+        // per core.
+        if (pos.length != 2 || pos(0) != "benchmark") { usage(out); return 2 }
+        htmlBenchmark(pos(1), out)
+        0
       case other =>
         out.println(s"unknown subcommand: $other"); usage(out); 2
     } catch {
@@ -105,6 +115,7 @@ object Cli {
       |  recompress <infile> <outfile> [--codec=gzip|lz4|none] [--checksum]
       |  verify <file> [--payloads]
       |  benchmark <files...> [--parse-http] [--filter-type=response]
+      |  html benchmark <file>             (<title>-extraction parser benchmark)
       |  lang train|eval|dump-vectors|benchmark ...   (see `lang` for details)""".stripMargin)
 
   private def open(path: String): (java.io.InputStream, WarcCodecs.Codec) =
@@ -205,6 +216,31 @@ object Cli {
     } finally in.close()
     out.println(s"$n records: $ok verified, $failed failed, $noDigest without digests")
     if (failed > 0) 1 else 0
+  }
+
+  /** HTML-parser benchmark (resiliparse cli.py:106-173): parse every
+    * response payload (charset auto-detected, WHATWG-remapped) and read
+    * the document title, reporting docs/s.
+    */
+  private def htmlBenchmark(path: String, out: PrintStream): Unit = {
+    out.println("HTML parser benchmark <title> extraction:")
+    out.println("=========================================")
+    val (in, _) = open(path)
+    val parser = new WarcParser(new WarcByteReader(in), path,
+      WarcParseOptions(recordTypeMask = RecordType.maskOf(Seq("response")),
+        parseHttp = true))
+    val t0 = System.nanoTime()
+    var n = 0L
+    var titled = 0L
+    try parser.foreach { rec =>
+      val body = rec.http.map(_.body).getOrElse(rec.content)
+      val t = graft.html.HtmlTree.parseFromBytes(body).title
+      n += 1
+      if (t.nonEmpty) titled += 1
+    } finally in.close()
+    val sec = (System.nanoTime() - t0) / 1e9
+    out.println(f"graft: $n documents ($titled with <title>) in $sec%.2f s" +
+      f" (${n / sec}%.2f documents/s)")
   }
 
   /** Plain scan-throughput benchmark (cli.py:352-420): records/s for an

@@ -81,9 +81,18 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("16 records"))
   }
 
+  test("html benchmark parses every response and counts titles") {
+    val (code, out) = run("html", "benchmark", FixtureGz)
+    assert(code == 0)
+    // 16 response records in the fixture; every parse must complete
+    assert(out.contains("16 documents"), out)
+    assert(out.contains("documents/s"), out)
+  }
+
   test("bad usage exits 2") {
     assert(run()._1 == 2)
     assert(run("frobnicate")._1 == 2)
     assert(run("extract", Fixture)._1 == 2)
+    assert(run("html", "frobnicate", FixtureGz)._1 == 2)
   }
 }
