@@ -118,13 +118,13 @@ object Html2Text {
         val v = n.value
         if (v != null && v.nonEmpty) {
           st.empty = false
-          st.startsWs = Character.isWhitespace(v.charAt(0))
-          st.endsWs = Character.isWhitespace(v.charAt(v.length - 1))
+          st.startsWs = HtmlParser.isWs(v.charAt(0))
+          st.endsWs = HtmlParser.isWs(v.charAt(v.length - 1))
           var i = 0
           var c = 0
           var inWs = false
           while (i < v.length) {
-            if (Character.isWhitespace(v.charAt(i))) {
+            if (HtmlParser.isWs(v.charAt(i))) {
               if (!inWs) { c += 1; inWs = true }
             } else { c += 1; inWs = false }
             i += 1
@@ -457,7 +457,7 @@ object Html2Text {
           tc.underlying.getChars(0, tcLen, scratch, 0)
         }
         var s = 0
-        if (doLstrip) while (s < tcLen && Character.isWhitespace(scratch(s))) s += 1
+        if (doLstrip) while (s < tcLen && HtmlParser.isWs(scratch(s))) s += 1
         val empty = if (doLstrip) s >= tcLen else tcLen == 0
         if (!empty) {
           makeMargin(node)
@@ -486,7 +486,7 @@ object Html2Text {
             var any = false
             var runStart = -1
             while (k < tcLen) {
-              if (Character.isWhitespace(scratch(k))) {
+              if (HtmlParser.isWs(scratch(k))) {
                 if (runStart >= 0) {
                   output.underlying.append(scratch, runStart, k - runStart)
                   runStart = -1
@@ -736,8 +736,8 @@ object Html2Text {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
-        if (sb.isEmpty || !Character.isWhitespace(sb.last)) sb.append(' ')
+      if (HtmlParser.isWs(c)) {
+        if (sb.isEmpty || !HtmlParser.isWs(sb.last)) sb.append(' ')
       } else sb.append(c)
       i += 1
     }
@@ -758,17 +758,17 @@ object Html2Text {
 
   private def lstrip(s: String): String = {
     var i = 0
-    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    while (i < s.length && HtmlParser.isWs(s.charAt(i))) i += 1
     s.substring(i)
   }
 
   private[html] def rstrip(s: String): String = {
     var i = s.length
-    while (i > 0 && Character.isWhitespace(s.charAt(i - 1))) i -= 1
+    while (i > 0 && HtmlParser.isWs(s.charAt(i - 1))) i -= 1
     s.substring(0, i)
   }
 
   private def rstripInPlace(sb: StringBuilder): Unit = {
-    while (sb.nonEmpty && Character.isWhitespace(sb.last)) sb.setLength(sb.length - 1)
+    while (sb.nonEmpty && HtmlParser.isWs(sb.last)) sb.setLength(sb.length - 1)
   }
 }

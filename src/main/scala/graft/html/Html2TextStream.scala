@@ -320,7 +320,7 @@ object Html2TextStream {
       if (s >= e) return
       if (!inBody && stack.isEmpty) {
         var k = s
-        while (k < e && Character.isWhitespace(input.charAt(k))) k += 1
+        while (k < e && HtmlParser.isWs(input.charAt(k))) k += 1
         if (k == e) return
         switchToBody()
       }
@@ -333,7 +333,7 @@ object Html2TextStream {
       }
       if (parentTableCtx) {
         var k = s
-        while (k < e && Character.isWhitespace(input.charAt(k))) k += 1
+        while (k < e && HtmlParser.isWs(input.charAt(k))) k += 1
         if (k < e && fosterActive) throw Bail
       }
       val wasSuppressed = suppressed
