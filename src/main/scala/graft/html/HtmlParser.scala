@@ -487,6 +487,9 @@ object HtmlParser {
     val headEl = new DomNode(NodeType.Element, "head")
     val bodyEl = new DomNode(NodeType.Element, "body")
 
+    // reusable per-parse attribute buffer (see readAttrsInto)
+    val attrBuf = mutable.ArrayBuffer.empty[(String, String)]
+
     var nodeCount = 0
     def budget(): Unit = {
       nodeCount += 1
@@ -926,9 +929,13 @@ object HtmlParser {
           val afterName = tagNameEnd(input, i + 1)
           val name = TagNames.lookup(input, i + 1, afterName)
           flushText()
-          val (attrs, selfClosing, afterTag) = readAttrs(input, afterName)
-          i = afterTag
-          handleStartTag(name, attrs, selfClosing) match {
+          // one buffer per parse: handleStartTag copies attrs into the
+          // element (copyAttrs) before returning, never retains them
+          attrBuf.clear()
+          val packedAttrs = readAttrsInto(input, afterName, attrBuf)
+          val selfClosing = (packedAttrs & 1L) != 0
+          i = (packedAttrs >>> 1).toInt
+          handleStartTag(name, attrBuf, selfClosing) match {
             case Some(rawEl) =>
               // raw-text / RCDATA: consume until matching end tag
               // (ASCII-case-insensitive scan; avoids lowercasing a copy of
@@ -1348,6 +1355,19 @@ object HtmlParser {
   private[html] def readAttrs(s: String,
       from: Int): (mutable.ArrayBuffer[(String, String)], Boolean, Int) = {
     val attrs = mutable.ArrayBuffer.empty[(String, String)]
+    val packed = readAttrsInto(s, from, attrs)
+    (attrs, (packed & 1L) != 0, (packed >>> 1).toInt)
+  }
+
+  /** [[readAttrs]] into a caller-owned buffer, returning
+    * `(indexAfterTag << 1) | selfClosingBit` like [[skipAttrs]]. The DOM
+    * tokenizer copies attributes into the element immediately
+    * ([[copyAttrs]]) and never retains the buffer, so it reuses ONE
+    * buffer per parse — the per-tag ArrayBuffer + result tuple were ~1 GB
+    * over a w19-sized allocation profile.
+    */
+  private[html] def readAttrsInto(s: String, from: Int,
+      attrs: mutable.ArrayBuffer[(String, String)]): Long = {
     var i = from
     val n = s.length
     var selfClosing = false
@@ -1386,6 +1406,6 @@ object HtmlParser {
         if (name.nonEmpty) attrs += (name -> value)
       }
     }
-    (attrs, selfClosing, if (i < n) i + 1 else n)
+    ((if (i < n) i + 1 else n).toLong << 1) | (if (selfClosing) 1L else 0L)
   }
 }
