@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   *    asserts per-language example counts scale exactly ×k, measures
   *    the per-language rank window.
   *  - `spanrm` / `suffix`: d26 / d25 exact-dedup shuffles (see below).
+  *  - `cc`: large-star/small-star connected components over deep chain
+  *    graphs scaled ×k in disjoint id ranges; asserts component count
+  *    scales exactly ×k at constant component size.
+  *  - `stream`: the streaming WARC scan under Trigger.AvailableNow with
+  *    16-files-per-trigger admission — k× corpus ⇒ k× constant-size
+  *    micro-batches (the 100 TB backfill regime); asserts record counts
+  *    scale exactly ×k.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -325,8 +332,72 @@ object ScaleCheck {
             .suffixDups(docsAt(s), prefixLen = 4).collect().head
           (row.getLong(0), row.getLong(2)) // n_positions, n_lcp30
         })
+      case "cc" =>
+        // d12 shape: connected components (large-star/small-star) over a
+        // synthetic chain graph — 512 chains of 65 nodes per copy, the
+        // deep-diameter shape that stresses round convergence (near-dup
+        // clusters are shallower). Copies live in disjoint id ranges, so
+        // component count scales EXACTLY ×k and the max component stays
+        // 65 nodes (both asserted); rounds stay O(log diameter)
+        // regardless of k, so wall growth must come only from the
+        // per-round (id, id) shuffle volume.
+        val chains = 512L
+        val chainLen = 64L // edges per chain -> 65-node components
+        def edgesAt(k: Int): DataFrame =
+          spark.range(k * chains * chainLen).select(
+            (col("id") + floor(col("id") / chainLen)).as("doc_a"),
+            (col("id") + floor(col("id") / chainLen) + 1).as("doc_b"))
+        run("cc", { s =>
+          val labels = graft.operators.ConnectedComponents
+            .largeStarSmallStar(edgesAt(s))
+          val agg = labels.groupBy(col("lbl"))
+            .agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)).as("n_components"), max(col("sz")).as("max_sz"),
+              min(col("sz")).as("min_sz")).collect().head
+          require(agg.getLong(0) == s * chains,
+            s"components did not scale x$s: ${agg.getLong(0)} vs ${s * chains}")
+          require(agg.getLong(1) == chainLen + 1 && agg.getLong(2) == chainLen + 1,
+            s"component sizes drifted: $agg")
+          (agg.getLong(0), agg.getLong(1))
+        })
+      case "stream" =>
+        // w38 shape: the streaming WARC scan under Trigger.AvailableNow
+        // with admission control pinned to 16 files per micro-batch, so
+        // a k× corpus runs k× batches of CONSTANT size — the backfill
+        // regime a 100 TB archive replays through the streaming path.
+        // Asserts records scale exactly ×k; wall growth beyond linear is
+        // per-batch planning overhead, the thing this mode measures.
+        import org.apache.spark.sql.streaming.Trigger
+        val dirs = scales.map { s =>
+          s -> graft.sources.BenchCorpus.ensure(
+            s"${System.getProperty("java.io.tmpdir")}/graft_warc_scale_$s",
+            files = 16 * s, copiesPerFile = 100)
+        }.toMap
+        val perFile = 50L * 100L // fixture records x copies
+        run("stream", { s =>
+          val n = spark.sparkContext.longAccumulator(s"stream_rows_$s")
+          var batches = 0L
+          val q = spark.readStream.format("warc")
+            .option("record_types", "response")
+            .option("max_files_per_trigger", "16")
+            .load(dirs(s))
+            .select(col("record_id"))
+            .writeStream
+            .option("checkpointLocation",
+              s"${System.getProperty("java.io.tmpdir")}/graft_cc_ckpt_" +
+                s"${spark.sparkContext.applicationId}_${s}_${System.nanoTime()}")
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              n.add(df.count()); batches += 1
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val respPerFile = perFile * 16 / 50 // 16 responses per 50-record copy
+          require(n.value == s * 16 * respPerFile,
+            s"streamed rows did not scale x$s: ${n.value}")
+          (n.value, batches)
+        })
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | stream)")
     }
     spark.stop()
   }
