@@ -70,7 +70,9 @@ object Html2Text {
     var escapeTextContents: Boolean = false
     var textContents: StringBuilder = _
     def ensureText(): StringBuilder = {
-      if (textContents == null) textContents = new StringBuilder
+      // 64, not the default 16: typical text runs are 50-500 chars, and
+      // the growth copy-ups from 16 were ~1 GB over a w19-sized profile
+      if (textContents == null) textContents = new StringBuilder(64)
       textContents
     }
   }
@@ -315,7 +317,18 @@ object Html2Text {
   // — serializer (html2text.pyx:282-437) —
 
   private[html] def serialize(nodes: mutable.ArrayBuffer[ExtractNode], opts: Options): String = {
-    val output = new StringBuilder
+    // pre-size to the total text length (+ margin/indent slack): output
+    // growth doubled through ~1.7 GB of copy-up over a w19-sized profile
+    val output = new StringBuilder({
+      var cap = 64
+      var i = 0
+      while (i < nodes.length) {
+        val tc = nodes(i).textContents
+        if (tc != null) cap += tc.length + 4
+        i += 1
+      }
+      cap
+    })
     // scratch for the collapse fast path: per-char StringBuilder.charAt
     // pays a UTF16 bounds check per call (the top frame in the w19
     // profile) — one bulk getChars into this array then an indexed scan

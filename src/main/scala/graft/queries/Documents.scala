@@ -19,6 +19,14 @@ object Documents {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** Session-unique scratch dirs (same doctrine as Warc.SessionToken:
+    * concurrent sessions must not race on staging paths or memory-sink
+    * names; within one JVM re-runs reuse and delete-first). */
+  private val SessionToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
+
   /** BPE word-frequency table (t25/t28): normalized words as '<c>'
     * marker symbol strings with corpus frequencies — vocabulary-sized,
     * the only training state BPE ever needs.
@@ -1570,6 +1578,89 @@ object Documents {
     // rank window (the reference's split contract is a per-language
     // total order by hash; languages parallelize, one language sorts —
     // at 100 TB swap the rank for md5-range quantile assignment).
+    // Streaming near-duplicate suppression — dedup-on-ARRIVAL: the d22
+    // corpus lands in three waves (arrival = doc_id % 3), each wave one
+    // micro-batch; a stateful band-bucket operator
+    // (graft.streaming.StreamingNeardup, flatMapGroupsWithState, ≤64
+    // 16-byte codes per bucket) flags every document whose SimHash sits
+    // within hamming 3 of an EARLIER arrival. The oracle recomputes the
+    // suppressed set relationally: d22's banded pair set + the arrival
+    // order decides which side of each pair is the later one. The
+    // result also pins stream == batch (the same suppressed set from
+    // the batch pair pipeline) and the guard regime (max_bucket ≤ 64 —
+    // where the streaming prefix-cap and the batch retroactive drop are
+    // provably identical). At 100 TB ingest this is dedup without
+    // nightly batch passes: state is O(buckets × 64 × 16 B), no
+    // watermark (near-dup witnesses never expire).
+    "d28_streaming_neardup" -> ((s, dir) => {
+      import graft.streaming.StreamingNeardup
+      val codes = simhashCorpus(s, dir)
+        .select(col("doc_id"), simhash64(col("text")).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(col("sh"), 1, 8), 16, 10).cast("long").as("h0"),
+          conv(substring(col("sh"), 9, 8), 16, 10).cast("long").as("h1"))
+        .localCheckpoint() // evaluate the SimHash kernel once
+      val landing = new java.io.File(scratch("d28_landing"))
+      org.apache.commons.io.FileUtils.deleteDirectory(landing)
+      landing.mkdirs()
+      def land(wave: Int): Unit =
+        codes.filter(col("doc_id") % 3 === wave)
+          .coalesce(1).write.mode("append").parquet(landing.getPath)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h0",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h1",
+          org.apache.spark.sql.types.LongType)))
+      land(0)
+      val verdicts = StreamingNeardup.bandVerdicts(
+        s.readStream.schema(schema).parquet(landing.getPath))
+      val qname = s"graft_d28_mem_$SessionToken"
+      val q = verdicts.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation",
+          scratch("d28_ckpt") + s"_${System.nanoTime()}")
+        .start()
+      try {
+        q.processAllAvailable(); land(1)
+        q.processAllAvailable(); land(2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamSupp = s.table(qname).groupBy(col("doc_id"))
+        .agg(max(col("matched")).as("suppressed"))
+        .filter(col("suppressed")).select(col("doc_id"))
+        .localCheckpoint() // the memory table dies with the next query
+      // batch reference: the d22 pair set + arrival order picks the
+      // later side of each pair
+      val pairs = graft.queries.Multimodal.bandedHammingPairs(
+        codes, "doc_id", "doc_a", "doc_b")
+      def arr(c: Column): Column = c % 3
+      val batchSupp = pairs.select(
+        when(arr(col("doc_a")) < arr(col("doc_b")) ||
+          (arr(col("doc_a")) === arr(col("doc_b")) &&
+            col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
+      val mism = streamSupp.exceptAll(batchSupp).count() +
+        batchSupp.exceptAll(streamSupp).count()
+      val nInput = codes.count()
+      val nSupp = streamSupp.count()
+      val maxBucket = codes.select(posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bkey")))
+        .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect().head.getLong(0)
+      s.range(1).select(
+        lit(nInput).as("n_input"),
+        lit(nInput - nSupp).as("n_kept"),
+        lit(nSupp).as("n_suppressed"),
+        lit(maxBucket).as("max_bucket"),
+        lit(mism == 0L).as("stream_batch_equal"))
+    }),
+
     "t38_lang_dataset" -> ((s, dir) => langDataset(docs(s, dir), minExamples = 50)),
 
     // The TOKEN-BUDGET table — the number a data lead actually asks
@@ -3393,6 +3484,31 @@ object Documents {
       ("WITH " + simhashCorpusSql + ",\n " + simhash64Sql("corpus") +
         ",\n " + simhashCodesSql + ",\n " +
         Multimodal.hammingTailSql("doc_a", "doc_b")),
+    // streaming suppression relationally: d22's banded pair set, the
+    // later-arriving side of each pair (arrival = doc_id % 3, ties by
+    // doc_id) is the suppressed one — non-recursive semantics, every
+    // arrival witnesses later dups whether itself suppressed or not
+    "d28_streaming_neardup" ->
+      ("WITH " + simhashCorpusSql + ",\n " + simhash64Sql("corpus") +
+        ",\n " + simhashCodesSql + ",\n " +
+        Multimodal.hammingCandSql("doc_a", "doc_b") + """,
+        np AS (
+          SELECT DISTINCT c.doc_a, c.doc_b
+          FROM cand c JOIN codes x ON x.id = c.doc_a
+                      JOIN codes y ON y.id = c.doc_b
+          WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+        supp AS (
+          SELECT DISTINCT CASE WHEN (doc_a % 3 < doc_b % 3)
+              OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_id FROM np),
+        buckets AS (SELECT band_id, bkey, count(*) AS n FROM bands GROUP BY 1, 2)
+        SELECT
+          CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_input,
+          CAST((SELECT count(*) FROM codes) - (SELECT count(*) FROM supp)
+            AS BIGINT) AS n_kept,
+          CAST((SELECT count(*) FROM supp) AS BIGINT) AS n_suppressed,
+          CAST((SELECT max(n) FROM buckets) AS BIGINT) AS max_bucket,
+          TRUE AS stream_batch_equal"""),
     "d10_decontaminate" -> {
       val shingleSql =
         s"""list_distinct(list_transform(

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Stateful streaming near-dup (d28's operator): the state transition
+  * driven directly with a test GroupState, plus an end-to-end
+  * two-micro-batch run over a crafted corpus.
+  */
+class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import StreamingNeardup.{BandRow, BucketState, Verdict}
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("streaming-neardup-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Minimal GroupState double: exists/get/update. */
+  private class TestState(private var v: Option[BucketState])
+      extends org.apache.spark.sql.streaming.GroupState[BucketState] {
+    def exists: Boolean = v.isDefined
+    def get: BucketState = v.get
+    def getOption: Option[BucketState] = v
+    def update(s: BucketState): Unit = v = Some(s)
+    def remove(): Unit = v = None
+    def hasTimedOut: Boolean = false
+    def setTimeoutDuration(ms: Long): Unit = ()
+    def setTimeoutDuration(d: String): Unit = ()
+    def setTimeoutTimestamp(ms: Long): Unit = ()
+    def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+    def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+    def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+    def getCurrentWatermarkMs(): Long = 0L
+    def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  private def row(id: Long, h0: Long, h1: Long) = BandRow(id, h0, h1, 0, h0 & 65535L)
+
+  test("same-batch ordering: the smaller doc_id witnesses, the larger matches") {
+    val st = new TestState(None)
+    val out = StreamingNeardup.update(3)((0, 0L),
+      Iterator(row(20, 5L, 0L), row(10, 4L, 0L)), st).toSeq
+    // sorted by doc_id: 10 first (no prior -> unmatched), 20 sees 10
+    // (hamming(4^5)=bitcount(1)=1 <= 3 -> matched)
+    assert(out == Seq(Verdict(10, 0, matched = false), Verdict(20, 0, matched = true)))
+  }
+
+  test("cross-batch state: an earlier batch's code suppresses a later arrival") {
+    val st = new TestState(None)
+    StreamingNeardup.update(3)((0, 0L), Iterator(row(1, 0xF0L, 0L)), st)
+    val out2 = StreamingNeardup.update(3)((0, 0L),
+      Iterator(row(2, 0xF1L, 0L), row(3, 0xFFFF000L, 0L)), st).toSeq
+    assert(out2 == Seq(
+      Verdict(2, 0, matched = true),   // hamming 1 from doc 1
+      Verdict(3, 0, matched = false))) // far from everything
+  }
+
+  test("bucket cap: state stops absorbing at MaxBucket but keeps matching") {
+    val st = new TestState(None)
+    // fill the bucket with 64 mutually-distant codes
+    val fill = (0 until StreamingNeardup.MaxBucket).map(i =>
+      row(i.toLong, i.toLong << 32, 0x1111L * i))
+    StreamingNeardup.update(0)((0, 0L), fill.iterator, st)
+    assert(st.get.h0s.length == StreamingNeardup.MaxBucket)
+    // a 65th distinct code: unmatched, NOT absorbed
+    StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(100, 0xABCDL << 40, 0x9999L)), st)
+    assert(st.get.h0s.length == StreamingNeardup.MaxBucket)
+    // an exact copy of a PREFIX code still matches (prefix-cap doctrine)
+    val out = StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(101, 5L << 32, 0x1111L * 5)), st).toSeq
+    assert(out.head.matched)
+    // an exact copy of the REJECTED 65th does not (it never entered state)
+    val out2 = StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(102, 0xABCDL << 40, 0x9999L)), st).toSeq
+    assert(!out2.head.matched)
+  }
+
+  test("end-to-end: two landed waves, verdicts match the batch pair set") {
+    val s = spark
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("neardup-landing")
+    // wave 0: docs 1 (code A), 2 (code B). wave 1: 3 (= A), 4 (~B, 1 bit), 5 (far)
+    val a = (0x1234567890ABCDEFL, 0x0F0F0F0F0F0F0F0FL)
+    val b = (0x7777777777777777L, 0x3333333333333333L)
+    def wave(rows: Seq[(Long, Long, Long)], name: String): Unit =
+      rows.toDF("doc_id", "h0", "h1").coalesce(1)
+        .write.mode("append").parquet(landing.toString)
+    wave(Seq((1L, a._1, a._2), (2L, b._1, b._2)), "w0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType)))
+    val verdicts = StreamingNeardup.bandVerdicts(
+      spark.readStream.schema(schema).parquet(landing.toString))
+    val q = verdicts.writeStream.format("memory").queryName("neardup_spec")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("neardup-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      wave(Seq((3L, a._1, a._2), (4L, b._1, b._2 ^ 1L), (5L, 0L, 0L)), "w1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val supp = spark.table("neardup_spec").groupBy(col("doc_id"))
+      .agg(max(col("matched")).as("m")).filter(col("m")).select(col("doc_id"))
+      .as[Long].collect().toSet
+    // 3 = exact copy of 1; 4 = hamming-1 of 2; 1/2/5 unmatched
+    assert(supp == Set(3L, 4L))
+  }
+}
