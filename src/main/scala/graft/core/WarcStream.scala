@@ -53,6 +53,21 @@ final class WarcByteReader(in: InputStream, bufSize: Int = 64 * 1024,
     */
   def readLine(maxLen: Int = 1 << 20): Option[Array[Byte]] = {
     if (!fill()) return None
+    // fast path: the whole line sits in the current buffer window (the
+    // overwhelmingly common case for ~50-byte header lines against a
+    // 64 KiB buffer) — one copyOfRange instead of a BAOS + grow +
+    // toByteArray chain per line, the header-scan hot path
+    var j = lo
+    while (j < hi && buf(j) != '\n') j += 1
+    if (j < hi) {
+      var end = j
+      if (end > lo && buf(end - 1) == '\r') end -= 1
+      val take = math.min(end - lo, maxLen)
+      val line = java.util.Arrays.copyOfRange(buf, lo, lo + take)
+      consumed += j - lo + 1
+      lo = j + 1
+      return Some(line)
+    }
     val out = new java.io.ByteArrayOutputStream(128)
     var done = false
     while (!done) {
