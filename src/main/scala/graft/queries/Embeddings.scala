@@ -18,7 +18,92 @@ import graft.functions.Similarity._
   */
 object Embeddings {
 
+  /** Session-unique scratch dirs (same doctrine as Warc.SessionToken). */
+  private val SessionToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming SEMANTIC dedup-on-arrival — the d28 operator reused
+    // verbatim across modalities: embeddings stream in, each vector
+    // compresses to a 64-bit SRP sign signature (4 bands × 16
+    // hyperplanes, e08's exact weight family, so band b's 16-bit chunk
+    // IS SRP band b's key), and graft.streaming.StreamingNeardup flags
+    // arrivals within signature-hamming 3 of an EARLIER arrival —
+    // hamming ≤3 of 64 sign bits ≈ angular distance ≤ 3π/64 (cosine
+    // ≳ 0.989), the semdedup-tier threshold. State per vector: 16
+    // bytes, no watermark. The oracle recomputes signatures, banded
+    // pairs and the arrival rule relationally; the result additionally
+    // pins stream == batch and the guard regime (max_bucket).
+    "e25_streaming_semdedup" -> ((s, dir) => {
+      import graft.streaming.StreamingNeardup
+      val bandKeys = srpBandKeys(bands = 4, rows = 16)
+      val codes = injectedCorpus(s, dir)
+        .select(col("vec_id").as("doc_id"), bandKeys(col("v")).as("keys"))
+        .select(col("doc_id"),
+          (col("keys")(0) + col("keys")(1) * lit(65536L)).as("h0"),
+          (col("keys")(2) + col("keys")(3) * lit(65536L)).as("h1"))
+        .localCheckpoint() // evaluate the SRP kernel once
+      val landing = new java.io.File(scratch("e25_landing"))
+      org.apache.commons.io.FileUtils.deleteDirectory(landing)
+      landing.mkdirs()
+      def land(wave: Int): Unit =
+        codes.filter(col("doc_id") % 3 === wave)
+          .coalesce(1).write.mode("append").parquet(landing.getPath)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h0",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h1",
+          org.apache.spark.sql.types.LongType)))
+      land(0)
+      val verdicts = StreamingNeardup.bandVerdicts(
+        s.readStream.schema(schema).parquet(landing.getPath))
+      val qname = s"graft_e25_mem_$SessionToken"
+      val q = verdicts.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation",
+          scratch("e25_ckpt") + s"_${System.nanoTime()}")
+        .start()
+      try {
+        q.processAllAvailable(); land(1)
+        q.processAllAvailable(); land(2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamSupp = s.table(qname).groupBy(col("doc_id"))
+        .agg(max(col("matched")).as("suppressed"))
+        .filter(col("suppressed")).select(col("doc_id"))
+        .localCheckpoint()
+      val pairs = graft.queries.Multimodal.bandedHammingPairs(
+        codes, "doc_id", "doc_a", "doc_b")
+      def arr(c: org.apache.spark.sql.Column) = c % 3
+      val batchSupp = pairs.select(
+        when(arr(col("doc_a")) < arr(col("doc_b")) ||
+          (arr(col("doc_a")) === arr(col("doc_b")) &&
+            col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
+      val mism = streamSupp.exceptAll(batchSupp).count() +
+        batchSupp.exceptAll(streamSupp).count()
+      val nInput = codes.count()
+      val nSupp = streamSupp.count()
+      val maxBucket = codes.select(posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bkey")))
+        .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect().head.getLong(0)
+      s.range(1).select(
+        lit(nInput).as("n_input"),
+        lit(nInput - nSupp).as("n_kept"),
+        lit(nSupp).as("n_suppressed"),
+        lit(maxBucket).as("max_bucket"),
+        lit(mism == 0L).as("stream_batch_equal"))
+    }),
 
     // Brute-force cosine top-3 for query vectors vec_id < 5. Named
     // _baseline deliberately: the final window shuffles ALL |Q|x|C| sim
@@ -1307,6 +1392,54 @@ object Embeddings {
                 AND lvl.id_a < 10 THEN 1 ELSE 0 END), 0) / 10.0, 6) AS recall
           FROM levels LEFT JOIN lvl ON lvl.lvl <= levels.probe_level
           GROUP BY levels.probe_level ORDER BY probe_level"""
+    },
+    // streaming semantic dedup relationally: e08's SRP signature family
+    // packed to a 64-bit code, d22's banded pair machinery, d28's
+    // arrival rule (wave = vec_id % 3, ties by id) picks the suppressed
+    // side of each pair
+    "e25_streaming_semdedup" -> {
+      val rowsN = 16
+      def bandKeySql(b: Int): String = {
+        val terms = (0 until rowsN).map { r =>
+          val q = b * rowsN + r
+          s"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+                d -> v[CAST(d AS INT)] * ((CAST(d - 1 AS BIGINT) * 2654435761 + ${q * 40503L})
+                      % 1024 - 511.5) / 1024.0)) > 0
+              THEN ${1L << r} ELSE 0 END)"""
+        }
+        s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+      }
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          pert AS (SELECT 100000 + vec_id AS vec_id,
+              list_transform(range(1, len(v) + 1), d -> v[CAST(d AS INT)] *
+                (1 + CAST((CAST(d - 1 AS BIGINT) * 31 + vec_id * 7) % 11 - 5 AS DOUBLE)
+                     / 128.0)) AS v
+            FROM base WHERE vec_id < 10),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+          codes AS (
+            SELECT vec_id AS id,
+              CAST(k0 + k1 * 65536 AS BIGINT) AS h0,
+              CAST(k2 + k3 * 65536 AS BIGINT) AS h1
+            FROM (SELECT vec_id, ${bandKeySql(0)} AS k0, ${bandKeySql(1)} AS k1,
+                    ${bandKeySql(2)} AS k2, ${bandKeySql(3)} AS k3 FROM corpus)),
+          ${graft.queries.Multimodal.hammingCandSql("doc_a", "doc_b")},
+          np AS (
+            SELECT DISTINCT c.doc_a, c.doc_b
+            FROM cand c JOIN codes x ON x.id = c.doc_a
+                        JOIN codes y ON y.id = c.doc_b
+            WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+          supp AS (
+            SELECT DISTINCT CASE WHEN (doc_a % 3 < doc_b % 3)
+                OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS doc_id FROM np),
+          buckets AS (SELECT band_id, bkey, count(*) AS n FROM bands GROUP BY 1, 2)
+          SELECT
+            CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_input,
+            CAST((SELECT count(*) FROM codes) - (SELECT count(*) FROM supp)
+              AS BIGINT) AS n_kept,
+            CAST((SELECT count(*) FROM supp) AS BIGINT) AS n_suppressed,
+            CAST((SELECT max(n) FROM buckets) AS BIGINT) AS max_bucket,
+            TRUE AS stream_batch_equal"""
     },
     "e08_embedding_neardup" -> {
       val bandsN = 4
