@@ -120,4 +120,49 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 3 = exact copy of 1; 4 = hamming-1 of 2; 1/2/5 unmatched
     assert(supp == Set(3L, 4L))
   }
+
+  test("restart: bucket state survives a stop/resume from checkpoint") {
+    val s = spark
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("neardup-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-restart-ckpt").toString
+    val a = (0x1234567890ABCDEFL, 0x0F0F0F0F0F0F0F0FL)
+    def wave(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("doc_id", "h0", "h1").coalesce(1)
+        .write.mode("append").parquet(landing.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType)))
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Boolean)]())
+    def verdicts = StreamingNeardup.bandVerdicts(
+      spark.readStream.schema(schema).parquet(landing.toString))
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = verdicts.writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingNeardup.Verdict], _: Long) =>
+          df.collect().foreach(v => seen.add((v.doc_id, v.matched)))
+      }.start()
+
+    wave(Seq((1L, a._1, a._2)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // wave 0 committed, query killed
+    seen.clear() // only post-restart emissions matter below
+
+    wave(Seq((2L, a._1, a._2))) // exact copy, lands AFTER the stop
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the resumed query must still know doc 1's code: doc 2 matches in
+    // every band, and doc 1 is NOT re-emitted (offsets resumed, no replay)
+    val rows = seen.toArray(Array.empty[(Long, Boolean)]).toSeq
+    assert(rows.forall(_._1 == 2L), s"wave 0 must not replay: $rows")
+    assert(rows.length == 4 && rows.forall(_._2),
+      s"state lost across restart: $rows")
+  }
 }
