@@ -223,9 +223,32 @@ object WarcParser {
   /** ISO-8601 with Z or offset; lenient on sub-second precision
     * (warc.pyx:532-543: `Z→+00:00`).
     */
-  def parseWarcDate(s: String): Option[Instant] =
-    Try(Instant.parse(s.trim)).toOption.orElse(
-      Try(java.time.OffsetDateTime.parse(s.trim, DateTimeFormatter.ISO_OFFSET_DATE_TIME).toInstant).toOption)
+  def parseWarcDate(s: String): Option[Instant] = {
+    // fast path: the WARC/1.0 mandated "YYYY-MM-DDThh:mm:ssZ" shape
+    // (virtually every record) parsed by direct digit extraction — the
+    // DateTimeFormatter machinery showed on the envelope-scan profile
+    val t = s.trim
+    if (t.length == 20 && t.charAt(4) == '-' && t.charAt(7) == '-' &&
+        t.charAt(10) == 'T' && t.charAt(13) == ':' && t.charAt(16) == ':' &&
+        t.charAt(19) == 'Z') {
+      var ok = true
+      @inline def d2(i: Int): Int = {
+        val a = t.charAt(i) - '0'; val b = t.charAt(i + 1) - '0'
+        if (a < 0 || a > 9 || b < 0 || b > 9) { ok = false; 0 } else a * 10 + b
+      }
+      val y = d2(0) * 100 + d2(2)
+      val mo = d2(5); val dd = d2(8)
+      val hh = d2(11); val mi = d2(14); val ss = d2(17)
+      if (ok && mo >= 1 && mo <= 12 && dd >= 1 && dd <= 31 &&
+          hh <= 23 && mi <= 59 && ss <= 59) {
+        val r = Try(java.time.LocalDateTime.of(y, mo, dd, hh, mi, ss)
+          .toInstant(java.time.ZoneOffset.UTC)).toOption
+        if (r.isDefined) return r
+      }
+    }
+    Try(Instant.parse(t)).toOption.orElse(
+      Try(java.time.OffsetDateTime.parse(t, DateTimeFormatter.ISO_OFFSET_DATE_TIME).toInstant).toOption)
+  }
 
   // The two obsolete HTTP date formats recipients MUST accept
   // (RFC 9110 §5.6.7) besides IMF-fixdate: RFC-850

@@ -143,6 +143,29 @@ class WarcParserSpec extends AnyFunSuite {
     assert(recs.head.recordDate.get.toString == "2020-08-08T16:54:17Z")
   }
 
+  test("warc date fast path agrees with Instant.parse, valid and malformed") {
+    def ref(s: String) = scala.util.Try(java.time.Instant.parse(s.trim)).toOption
+      .orElse(scala.util.Try(java.time.OffsetDateTime.parse(s.trim,
+        java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME).toInstant).toOption)
+    val cases = Seq(
+      "2020-08-08T16:54:17Z", "1970-01-01T00:00:00Z", "2068-12-31T23:59:59Z",
+      "2020-02-29T12:00:00Z", "2021-02-29T12:00:00Z", // leap / non-leap
+      "2020-13-01T00:00:00Z", "2020-00-10T00:00:00Z", "2020-01-32T00:00:00Z",
+      "2020-01-01T24:00:00Z", "2020-01-01T00:60:00Z", "2020-01-01T00:00:60Z",
+      "2020-08-08T16:54:17.123Z", "2020-08-08T16:54:17+02:00", // slow-path shapes
+      "2020-08-08 16:54:17Z", "garbage", "  2020-08-08T16:54:17Z  ",
+      "2O20-08-08T16:54:17Z") // letter O, not zero
+    cases.foreach { s =>
+      assert(WarcParser.parseWarcDate(s) == ref(s), s"input: '$s'")
+    }
+    val rnd = new java.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val s = f"${rnd.nextInt(3000)}%04d-${rnd.nextInt(14)}%02d-${rnd.nextInt(33)}%02d" +
+        f"T${rnd.nextInt(25)}%02d:${rnd.nextInt(61)}%02d:${rnd.nextInt(61)}%02dZ"
+      assert(WarcParser.parseWarcDate(s) == ref(s), s"input: '$s'")
+    }
+  }
+
   test("http dates parse in all three RFC 9110 forms") {
     // IMF-fixdate, obsolete RFC-850, obsolete asctime — recipients MUST
     // accept all three; the reference's parsedate_to_datetime does
