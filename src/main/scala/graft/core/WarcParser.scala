@@ -172,10 +172,17 @@ final class WarcParser(
     * error flag instead of masquerading as well-formed.
     */
   private def parseHeaderBlock(): (HeaderMap, Boolean) = {
-    var entries = Vector.empty[(String, String)]
+    val entries = new scala.collection.mutable.ArrayBuffer[(String, String)](16)
     var total = 0
     var truncated = false
     var done = false
+    // String.trim semantics on bytes: chars <= U+0020. A negative byte is
+    // part of a multi-byte UTF-8 char (>= U+0080), never trimmable, and a
+    // ':' byte (0x3A) never occurs inside a multi-byte sequence — so the
+    // byte-level split/trim is exactly the old decode-then-trim, minus
+    // the whole-line String and two substring copies per header line
+    // (the envelope-scan profile's top non-IO frames).
+    @inline def ws(b: Byte): Boolean = b >= 0 && b <= ' '
     while (!done) {
       reader.readLine() match {
         case None => done = true
@@ -183,20 +190,30 @@ final class WarcParser(
         case Some(line) =>
           total += line.length
           if (total <= opts.maxHeaderBytes) {
-            val s = new String(line, StandardCharsets.UTF_8)
-            if ((s.charAt(0) == ' ' || s.charAt(0) == '\t') && entries.nonEmpty) {
-              val (k, v) = entries.last
-              entries = entries.init :+ (k -> (v + " " + s.trim))
+            if ((line(0) == ' ' || line(0) == '\t') && entries.nonEmpty) {
+              // folded continuation line (rare) — keep the simple path
+              val s = new String(line, StandardCharsets.UTF_8)
+              val (k, v) = entries(entries.length - 1)
+              entries(entries.length - 1) = k -> (v + " " + s.trim)
             } else {
-              val colon = s.indexOf(':')
-              if (colon > 0)
-                entries = entries :+ (s.substring(0, colon).trim -> s.substring(colon + 1).trim)
+              var colon = 0
+              while (colon < line.length && line(colon) != ':') colon += 1
+              if (colon > 0 && colon < line.length) {
+                var ks = 0; var ke = colon
+                while (ks < ke && ws(line(ks))) ks += 1
+                while (ke > ks && ws(line(ke - 1))) ke -= 1
+                var vs = colon + 1; var ve = line.length
+                while (vs < ve && ws(line(vs))) vs += 1
+                while (ve > vs && ws(line(ve - 1))) ve -= 1
+                entries += (new String(line, ks, ke - ks, StandardCharsets.UTF_8) ->
+                  new String(line, vs, ve - vs, StandardCharsets.UTF_8))
+              }
               // lines without ':' outside a continuation are dropped (tolerant)
             }
           } else truncated = true
       }
     }
-    (HeaderMap(entries), truncated)
+    (HeaderMap(entries.toVector), truncated)
   }
 
   private def parseDate(headers: HeaderMap): Option[Instant] =
