@@ -1594,6 +1594,10 @@ object Documents {
     // watermark (near-dup witnesses never expire).
     "d28_streaming_neardup" -> ((s, dir) => {
       import graft.streaming.StreamingNeardup
+      // the whole body (stateful stream + reference joins) runs on
+      // right-sized partitions: 32 state partitions for a 2k-row stream
+      // were 3 micro-batches of almost-empty state-store tasks
+      graft.operators.RoundPartitions.scoped(s, 2048) {
       val codes = simhashCorpus(s, dir)
         .select(col("doc_id"), simhash64(col("text")).as("sh"))
         .select(col("doc_id"),
@@ -1641,8 +1645,10 @@ object Documents {
           (arr(col("doc_a")) === arr(col("doc_b")) &&
             col("doc_a") < col("doc_b")),
           col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
-      val mism = streamSupp.exceptAll(batchSupp).count() +
-        batchSupp.exceptAll(streamSupp).count()
+      // one symmetric-difference job instead of two exceptAll jobs
+      val mism = streamSupp.withColumn("in_s", lit(1))
+        .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
+        .filter(col("in_s").isNull || col("in_b").isNull).count()
       val nInput = codes.count()
       val nSupp = streamSupp.count()
       val maxBucket = codes.select(posexplode(array(
@@ -1659,6 +1665,7 @@ object Documents {
         lit(nSupp).as("n_suppressed"),
         lit(maxBucket).as("max_bucket"),
         lit(mism == 0L).as("stream_batch_equal"))
+      }
     }),
 
     "t38_lang_dataset" -> ((s, dir) => langDataset(docs(s, dir), minExamples = 50)),

@@ -39,6 +39,8 @@ object Embeddings {
     // pins stream == batch and the guard regime (max_bucket).
     "e25_streaming_semdedup" -> ((s, dir) => {
       import graft.streaming.StreamingNeardup
+      // right-sized partitions for a ~2k-row stream (see d28)
+      graft.operators.RoundPartitions.scoped(s, 2048) {
       val bandKeys = srpBandKeys(bands = 4, rows = 16)
       val codes = injectedCorpus(s, dir)
         .select(col("vec_id").as("doc_id"), bandKeys(col("v")).as("keys"))
@@ -85,8 +87,10 @@ object Embeddings {
           (arr(col("doc_a")) === arr(col("doc_b")) &&
             col("doc_a") < col("doc_b")),
           col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
-      val mism = streamSupp.exceptAll(batchSupp).count() +
-        batchSupp.exceptAll(streamSupp).count()
+      // one symmetric-difference job instead of two exceptAll jobs
+      val mism = streamSupp.withColumn("in_s", lit(1))
+        .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
+        .filter(col("in_s").isNull || col("in_b").isNull).count()
       val nInput = codes.count()
       val nSupp = streamSupp.count()
       val maxBucket = codes.select(posexplode(array(
@@ -103,6 +107,7 @@ object Embeddings {
         lit(nSupp).as("n_suppressed"),
         lit(maxBucket).as("max_bucket"),
         lit(mism == 0L).as("stream_batch_equal"))
+      }
     }),
 
     // Brute-force cosine top-3 for query vectors vec_id < 5. Named
