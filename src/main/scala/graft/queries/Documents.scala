@@ -19,14 +19,6 @@ object Documents {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** Session-unique scratch dirs (same doctrine as Warc.SessionToken:
-    * concurrent sessions must not race on staging paths or memory-sink
-    * names; within one JVM re-runs reuse and delete-first). */
-  private val SessionToken: String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
-
   /** BPE word-frequency table (t25/t28): normalized words as '<c>'
     * marker symbol strings with corpus frequencies — vocabulary-sized,
     * the only training state BPE ever needs.
@@ -1593,79 +1585,12 @@ object Documents {
     // nightly batch passes: state is O(buckets × 64 × 16 B), no
     // watermark (near-dup witnesses never expire).
     "d28_streaming_neardup" -> ((s, dir) => {
-      import graft.streaming.StreamingNeardup
-      // the whole body (stateful stream + reference joins) runs on
-      // right-sized partitions: 32 state partitions for a 2k-row stream
-      // were 3 micro-batches of almost-empty state-store tasks
-      graft.operators.RoundPartitions.scoped(s, 2048) {
       val codes = simhashCorpus(s, dir)
         .select(col("doc_id"), simhash64(col("text")).as("sh"))
         .select(col("doc_id"),
           conv(substring(col("sh"), 1, 8), 16, 10).cast("long").as("h0"),
           conv(substring(col("sh"), 9, 8), 16, 10).cast("long").as("h1"))
-        .localCheckpoint() // evaluate the SimHash kernel once
-      val landing = new java.io.File(scratch("d28_landing"))
-      org.apache.commons.io.FileUtils.deleteDirectory(landing)
-      landing.mkdirs()
-      def land(wave: Int): Unit =
-        codes.filter(col("doc_id") % 3 === wave)
-          .coalesce(1).write.mode("append").parquet(landing.getPath)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("h0",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("h1",
-          org.apache.spark.sql.types.LongType)))
-      land(0)
-      val verdicts = StreamingNeardup.bandVerdicts(
-        s.readStream.schema(schema).parquet(landing.getPath))
-      val qname = s"graft_d28_mem_$SessionToken"
-      val q = verdicts.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation",
-          scratch("d28_ckpt") + s"_${System.nanoTime()}")
-        .start()
-      try {
-        q.processAllAvailable(); land(1)
-        q.processAllAvailable(); land(2)
-        q.processAllAvailable()
-      } finally q.stop()
-      val streamSupp = s.table(qname).groupBy(col("doc_id"))
-        .agg(max(col("matched")).as("suppressed"))
-        .filter(col("suppressed")).select(col("doc_id"))
-        .localCheckpoint() // the memory table dies with the next query
-      // batch reference: the d22 pair set + arrival order picks the
-      // later side of each pair
-      val pairs = graft.queries.Multimodal.bandedHammingPairs(
-        codes, "doc_id", "doc_a", "doc_b")
-      def arr(c: Column): Column = c % 3
-      val batchSupp = pairs.select(
-        when(arr(col("doc_a")) < arr(col("doc_b")) ||
-          (arr(col("doc_a")) === arr(col("doc_b")) &&
-            col("doc_a") < col("doc_b")),
-          col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
-      // one symmetric-difference job instead of two exceptAll jobs
-      val mism = streamSupp.withColumn("in_s", lit(1))
-        .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
-        .filter(col("in_s").isNull || col("in_b").isNull).count()
-      val nInput = codes.count()
-      val nSupp = streamSupp.count()
-      val maxBucket = codes.select(posexplode(array(
-          col("h0").bitwiseAND(lit(65535L)),
-          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
-          col("h1").bitwiseAND(lit(65535L)),
-          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
-          .as(Seq("band_id", "bkey")))
-        .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).collect().head.getLong(0)
-      s.range(1).select(
-        lit(nInput).as("n_input"),
-        lit(nInput - nSupp).as("n_kept"),
-        lit(nSupp).as("n_suppressed"),
-        lit(maxBucket).as("max_bucket"),
-        lit(mism == 0L).as("stream_batch_equal"))
-      }
+      StreamingDedup.summary(s, codes, "d28")
     }),
 
     "t38_lang_dataset" -> ((s, dir) => langDataset(docs(s, dir), minExamples = 50)),

@@ -18,12 +18,6 @@ import graft.functions.Similarity._
   */
 object Embeddings {
 
-  /** Session-unique scratch dirs (same doctrine as Warc.SessionToken). */
-  private val SessionToken: String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming SEMANTIC dedup-on-arrival — the d28 operator reused
@@ -38,76 +32,13 @@ object Embeddings {
     // pairs and the arrival rule relationally; the result additionally
     // pins stream == batch and the guard regime (max_bucket).
     "e25_streaming_semdedup" -> ((s, dir) => {
-      import graft.streaming.StreamingNeardup
-      // right-sized partitions for a ~2k-row stream (see d28)
-      graft.operators.RoundPartitions.scoped(s, 2048) {
       val bandKeys = srpBandKeys(bands = 4, rows = 16)
       val codes = injectedCorpus(s, dir)
         .select(col("vec_id").as("doc_id"), bandKeys(col("v")).as("keys"))
         .select(col("doc_id"),
           (col("keys")(0) + col("keys")(1) * lit(65536L)).as("h0"),
           (col("keys")(2) + col("keys")(3) * lit(65536L)).as("h1"))
-        .localCheckpoint() // evaluate the SRP kernel once
-      val landing = new java.io.File(scratch("e25_landing"))
-      org.apache.commons.io.FileUtils.deleteDirectory(landing)
-      landing.mkdirs()
-      def land(wave: Int): Unit =
-        codes.filter(col("doc_id") % 3 === wave)
-          .coalesce(1).write.mode("append").parquet(landing.getPath)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("h0",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("h1",
-          org.apache.spark.sql.types.LongType)))
-      land(0)
-      val verdicts = StreamingNeardup.bandVerdicts(
-        s.readStream.schema(schema).parquet(landing.getPath))
-      val qname = s"graft_e25_mem_$SessionToken"
-      val q = verdicts.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation",
-          scratch("e25_ckpt") + s"_${System.nanoTime()}")
-        .start()
-      try {
-        q.processAllAvailable(); land(1)
-        q.processAllAvailable(); land(2)
-        q.processAllAvailable()
-      } finally q.stop()
-      val streamSupp = s.table(qname).groupBy(col("doc_id"))
-        .agg(max(col("matched")).as("suppressed"))
-        .filter(col("suppressed")).select(col("doc_id"))
-        .localCheckpoint()
-      val pairs = graft.queries.Multimodal.bandedHammingPairs(
-        codes, "doc_id", "doc_a", "doc_b")
-      def arr(c: org.apache.spark.sql.Column) = c % 3
-      val batchSupp = pairs.select(
-        when(arr(col("doc_a")) < arr(col("doc_b")) ||
-          (arr(col("doc_a")) === arr(col("doc_b")) &&
-            col("doc_a") < col("doc_b")),
-          col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
-      // one symmetric-difference job instead of two exceptAll jobs
-      val mism = streamSupp.withColumn("in_s", lit(1))
-        .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
-        .filter(col("in_s").isNull || col("in_b").isNull).count()
-      val nInput = codes.count()
-      val nSupp = streamSupp.count()
-      val maxBucket = codes.select(posexplode(array(
-          col("h0").bitwiseAND(lit(65535L)),
-          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
-          col("h1").bitwiseAND(lit(65535L)),
-          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
-          .as(Seq("band_id", "bkey")))
-        .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).collect().head.getLong(0)
-      s.range(1).select(
-        lit(nInput).as("n_input"),
-        lit(nInput - nSupp).as("n_kept"),
-        lit(nSupp).as("n_suppressed"),
-        lit(maxBucket).as("max_bucket"),
-        lit(mism == 0L).as("stream_batch_equal"))
-      }
+      graft.queries.StreamingDedup.summary(s, codes, "e25")
     }),
 
     // Brute-force cosine top-3 for query vectors vec_id < 5. Named

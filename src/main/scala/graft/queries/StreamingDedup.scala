@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared orchestration for the streaming dedup-on-arrival queries
+  * (d28 SimHash text, e25 SRP-signature embeddings): land a
+  * `codes(doc_id, h0, h1)` frame in three waves (arrival = doc_id % 3,
+  * each wave one micro-batch), run [[graft.streaming.StreamingNeardup]]
+  * over it, and reduce to the one-row summary that pins the suppressed
+  * set against the BATCH banded pipeline and reports the guard regime.
+  * One implementation so the two modalities cannot drift.
+  */
+private[queries] object StreamingDedup {
+
+  /** @param codes0 (doc_id long, h0 long, h1 long) — any 64-bit code
+    *               family (SimHash, dHash, SRP signs) split in halves
+    * @param name   query prefix for scratch dirs and the memory sink
+    */
+  def summary(s: SparkSession, codes0: DataFrame, name: String): DataFrame =
+    // right-sized partitions: 32 state partitions for a ~2k-row stream
+    // were micro-batches of almost-empty state-store tasks
+    graft.operators.RoundPartitions.scoped(s, 2048) {
+      val codes = codes0.localCheckpoint() // evaluate the code kernel once
+      val landing = Scratch.fresh(s"${name}_landing")
+      landing.mkdirs()
+      // delete-first fixed checkpoint path (same doctrine as the landing
+      // dir): rerun-safe without leaking a new state-store tree per run
+      val ckpt = Scratch.fresh(s"${name}_ckpt")
+      def land(wave: Int): Unit =
+        codes.filter(col("doc_id") % 3 === wave)
+          .coalesce(1).write.mode("append").parquet(landing.getPath)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h0",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h1",
+          org.apache.spark.sql.types.LongType)))
+      land(0)
+      val verdicts = graft.streaming.StreamingNeardup.bandVerdicts(
+        s.readStream.schema(schema).parquet(landing.getPath))
+      val qname = s"graft_${name}_mem_${Scratch.SessionToken}"
+      val q = verdicts.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      try {
+        q.processAllAvailable(); land(1)
+        q.processAllAvailable(); land(2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamSupp = s.table(qname).groupBy(col("doc_id"))
+        .agg(max(col("matched")).as("suppressed"))
+        .filter(col("suppressed")).select(col("doc_id"))
+        .localCheckpoint() // the memory table dies with the next query
+      // batch reference: the banded pair set + arrival order picks the
+      // later side of each pair
+      val pairs = Multimodal.bandedHammingPairs(
+        codes, "doc_id", "doc_a", "doc_b")
+      def arr(c: Column): Column = c % 3
+      val batchSupp = pairs.select(
+        when(arr(col("doc_a")) < arr(col("doc_b")) ||
+          (arr(col("doc_a")) === arr(col("doc_b")) &&
+            col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
+      // one symmetric-difference job instead of two exceptAll jobs
+      val mism = streamSupp.withColumn("in_s", lit(1))
+        .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
+        .filter(col("in_s").isNull || col("in_b").isNull).count()
+      val nInput = codes.count()
+      val nSupp = streamSupp.count()
+      val maxBucket = codes.select(posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bkey")))
+        .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect().head.getLong(0)
+      s.range(1).select(
+        lit(nInput).as("n_input"),
+        lit(nInput - nSupp).as("n_kept"),
+        lit(nSupp).as("n_suppressed"),
+        lit(maxBucket).as("max_bucket"),
+        lit(mism == 0L).as("stream_batch_equal"))
+    }
+}

@@ -28,10 +28,8 @@ object Warc {
     * BenchCorpus paths are excluded on purpose — their cross-run reuse
     * is the point.
     */
-  private val SessionToken: String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
+  private def SessionToken: String = Scratch.SessionToken
+  private def scratch(name: String): String = Scratch.dir(name)
 
   private def scan(s: SparkSession, file: String): DataFrame =
     s.read.format("warc").load(s"$FixtureDir/$file")
@@ -862,8 +860,12 @@ object Warc {
       // archive is exactly-once even if a crash lands between sink
       // write and checkpoint commit (restart idempotence is pinned in
       // StreamingSpec)
+      // delete-first fixed path: rerun-safe without leaking a new
+      // state/offsets tree into tmp on every sweep
+      val ckptDir = new java.io.File(scratch("w38_ckpt"))
+      org.apache.commons.io.FileUtils.deleteDirectory(ckptDir)
       val q = derived.writeStream
-        .option("checkpointLocation", scratch("w38_ckpt") + s"_${System.nanoTime()}")
+        .option("checkpointLocation", ckptDir.getPath)
         .foreachBatch(graft.streaming.ExactlyOnce.warcBatchWriter(out,
           Map("checksum" -> "true", "drop_null_content" -> "true"))).start()
       try {

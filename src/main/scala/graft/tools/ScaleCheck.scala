@@ -377,20 +377,23 @@ object ScaleCheck {
         run("stream", { s =>
           val n = spark.sparkContext.longAccumulator(s"stream_rows_$s")
           var batches = 0L
+          val ckpt = new java.io.File(
+            s"${System.getProperty("java.io.tmpdir")}/graft_stream_ckpt_" +
+              s"${spark.sparkContext.applicationId}_$s")
+          org.apache.commons.io.FileUtils.deleteDirectory(ckpt)
           val q = spark.readStream.format("warc")
             .option("record_types", "response")
             .option("max_files_per_trigger", "16")
             .load(dirs(s))
             .select(col("record_id"))
             .writeStream
-            .option("checkpointLocation",
-              s"${System.getProperty("java.io.tmpdir")}/graft_cc_ckpt_" +
-                s"${spark.sparkContext.applicationId}_${s}_${System.nanoTime()}")
+            .option("checkpointLocation", ckpt.getPath)
             .foreachBatch { (df: DataFrame, _: Long) =>
               n.add(df.count()); batches += 1
             }
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
+          org.apache.commons.io.FileUtils.deleteDirectory(ckpt)
           val respPerFile = perFile * 16 / 50 // 16 responses per 50-record copy
           require(n.value == s * 16 * respPerFile,
             s"streamed rows did not scale x$s: ${n.value}")
