@@ -209,9 +209,17 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
       if (offset >= mLen) { // non-overlapping: bulk copy
         System.arraycopy(dest, m, dest, d, mLen)
         d += mLen
-      } else { // overlapping run: byte loop (RLE-style)
-        var i = 0
-        while (i < mLen) { dest(d) = dest(m); d += 1; m += 1; i += 1 }
+      } else {
+        // overlapping run: the window [m, d) is a self-replicating
+        // pattern of period `offset` — copy it with doubling arraycopy
+        // (offset-1 RLE fills in log(mLen) copies, not mLen byte writes)
+        var remaining = mLen
+        while (remaining > 0) {
+          val n = math.min(d - m, remaining)
+          System.arraycopy(dest, m, dest, d, n)
+          d += n
+          remaining -= n
+        }
       }
     }
     d - destOff
