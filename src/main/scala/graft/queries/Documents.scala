@@ -3423,24 +3423,7 @@ object Documents {
     "d28_streaming_neardup" ->
       ("WITH " + simhashCorpusSql + ",\n " + simhash64Sql("corpus") +
         ",\n " + simhashCodesSql + ",\n " +
-        Multimodal.hammingCandSql("doc_a", "doc_b") + """,
-        np AS (
-          SELECT DISTINCT c.doc_a, c.doc_b
-          FROM cand c JOIN codes x ON x.id = c.doc_a
-                      JOIN codes y ON y.id = c.doc_b
-          WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
-        supp AS (
-          SELECT DISTINCT CASE WHEN (doc_a % 3 < doc_b % 3)
-              OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
-            THEN doc_b ELSE doc_a END AS doc_id FROM np),
-        buckets AS (SELECT band_id, bkey, count(*) AS n FROM bands GROUP BY 1, 2)
-        SELECT
-          CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_input,
-          CAST((SELECT count(*) FROM codes) - (SELECT count(*) FROM supp)
-            AS BIGINT) AS n_kept,
-          CAST((SELECT count(*) FROM supp) AS BIGINT) AS n_suppressed,
-          CAST((SELECT max(n) FROM buckets) AS BIGINT) AS max_bucket,
-          TRUE AS stream_batch_equal"""),
+        StreamingDedup.suppressionTailSql),
     "d10_decontaminate" -> {
       val shingleSql =
         s"""list_distinct(list_transform(

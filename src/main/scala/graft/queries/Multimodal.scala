@@ -387,6 +387,25 @@ object Multimodal {
       bandedHammingPairs(codes, "img_id", "img_a", "img_b")
     }),
 
+    // Streaming image dedup-on-arrival — m09's dHash codes through the
+    // SAME stateful operator as d28 (text) and e25 (embeddings): the
+    // modality triple proves the operator is code-family-agnostic.
+    // Images decode once (real JPEG pixels), arrive in three waves, and
+    // every arrival within hamming 3 of an EARLIER image is flagged;
+    // the oracle re-derives each hash from the crafted block grids and
+    // replays the arrival rule relationally.
+    "m14_streaming_image_neardup" -> ((s, _) => {
+      import graft.functions.{Multimodal => M}
+      val rows = m09Grids.map { case (id, g) =>
+        (id.toLong, craftGrayJpeg2D(g))
+      } :+ ((99L, "not a jpeg at all".getBytes))
+      val codes = s.createDataFrame(rows).toDF("img_id", "payload")
+        .select(col("img_id").as("doc_id"), M.jpegDhash(col("payload")).as("dh"))
+        .filter(col("dh").isNotNull)
+        .select(col("doc_id"), col("dh.h0").as("h0"), col("dh.h1").as("h1"))
+      StreamingDedup.summary(s, codes, "m14")
+    }),
+
     // Audio near-dup DEDUP — the third modality of the dedup family
     // (text d02, embeddings e08, images m09, audio here): a 64-bit
     // sign-of-delta fingerprint over the windowed RMS envelope (the
@@ -922,6 +941,38 @@ object Multimodal {
                ELSE 0 END) AS BIGINT) AS h1
            FROM bits GROUP BY img_id),
          ${hammingTailSql("img_a", "img_b")}"""
+    },
+    // m14: the same grid-derived codes CTE chain as m09, with the shared
+    // streaming-suppression tail (arrival = img_id % 3)
+    "m14_streaming_image_neardup" -> {
+      val values = m09Grids.map { case (id, g) =>
+        s"($id, ${g.flatten.mkString("[", ", ", "]")})"
+      }.mkString(",\n           ")
+      s"""WITH imgs(img_id, dc) AS (VALUES
+           $values),
+         grid AS (
+           SELECT img_id, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+             128 + dc[CAST(((63 * j) // 7 // 8) * 8
+                         + ((63 * i) // 8 // 8) + 1 AS INT)] AS v
+           FROM imgs,
+             (SELECT unnest(range(0, 8)) AS j) jj,
+             (SELECT unnest(range(0, 9)) AS i) ii),
+         bits AS (
+           SELECT g1.img_id, g1.j, g1.i AS cmp,
+             CASE WHEN g1.v > g2.v THEN 1 ELSE 0 END AS bit
+           FROM grid g1 JOIN grid g2
+             ON g2.img_id = g1.img_id AND g2.j = g1.j AND g2.i = g1.i + 1
+           WHERE g1.i < 8),
+         codes AS (
+           SELECT img_id AS id,
+             CAST(sum(CASE WHEN j * 8 + cmp < 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp))
+               ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN j * 8 + cmp >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (j * 8 + cmp - 32))
+               ELSE 0 END) AS BIGINT) AS h1
+           FROM bits GROUP BY img_id),
+         ${StreamingDedup.suppressionTailSql}"""
     },
     // m09's grid-derived hash table fanned out over the format copies
     // (the pixels are identical by the lossless-rendition construction,

@@ -13,6 +13,34 @@ import org.apache.spark.sql.functions._
   */
 private[queries] object StreamingDedup {
 
+  /** DuckDB rendition of the suppression summary — expects a
+    * `codes(id, h0, h1)` CTE upstream (same contract as
+    * [[Multimodal.hammingCandSql]]); shared by the d28/e25/m14 oracles
+    * so the three modalities' streaming semantics cannot drift. The
+    * arrival rule (wave = id % 3, ties by id) picks the suppressed
+    * (later) side of each banded pair — non-recursive semantics: every
+    * arrival witnesses later dups whether itself suppressed or not.
+    */
+  def suppressionTailSql: String =
+    s"""${Multimodal.hammingCandSql("doc_a", "doc_b")},
+        np AS (
+          SELECT DISTINCT c.doc_a, c.doc_b
+          FROM cand c JOIN codes x ON x.id = c.doc_a
+                      JOIN codes y ON y.id = c.doc_b
+          WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+        supp AS (
+          SELECT DISTINCT CASE WHEN (doc_a % 3 < doc_b % 3)
+              OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
+            THEN doc_b ELSE doc_a END AS doc_id FROM np),
+        buckets AS (SELECT band_id, bkey, count(*) AS n FROM bands GROUP BY 1, 2)
+        SELECT
+          CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_input,
+          CAST((SELECT count(*) FROM codes) - (SELECT count(*) FROM supp)
+            AS BIGINT) AS n_kept,
+          CAST((SELECT count(*) FROM supp) AS BIGINT) AS n_suppressed,
+          CAST((SELECT max(n) FROM buckets) AS BIGINT) AS max_bucket,
+          TRUE AS stream_batch_equal"""
+
   /** @param codes0 (doc_id long, h0 long, h1 long) — any 64-bit code
     *               family (SimHash, dHash, SRP signs) split in halves
     * @param name   query prefix for scratch dirs and the memory sink
