@@ -11,6 +11,19 @@ private[graft] object Scratch {
   val SessionToken: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
+  // best-effort: this session's scratch dirs die with the JVM — without
+  // this every Verify/Bench process leaves its token's staging dirs in
+  // tmp forever (observed: hundreds of ~9 MB trees after a few rounds)
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = tmp.listFiles((_, n: String) =>
+      n.startsWith("graft_") && n.endsWith(s"_$SessionToken"))
+    if (mine != null) mine.foreach { f =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(f)
+      catch { case _: Exception => () }
+    }
+  }, "graft-scratch-cleanup"))
+
   def dir(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
 
