@@ -291,7 +291,7 @@ object Html2TextStream {
       var raw = raw0
       if (raw.isEmpty) return
       if (!inBody && stack.isEmpty) {
-        if (raw.forall(_.isWhitespace)) return
+        if (allWs(raw)) return
         switchToBody()
       }
       // single newline after a pre/textarea/listing start tag is dropped
@@ -304,7 +304,7 @@ object Html2TextStream {
       }
       // non-whitespace text directly in table structure gets fostered
       // BEFORE the table by the DOM parser — unstreamable reordering
-      if (parentTableCtx && !raw.forall(_.isWhitespace) && fosterActive) throw Bail
+      if (parentTableCtx && !allWs(raw) && fosterActive) throw Bail
       val wasSuppressed = suppressed
       markChild()
       if (!wasSuppressed)
@@ -350,7 +350,7 @@ object Html2TextStream {
       */
     def handleStartTag(name0: String, attrs: collection.Seq[(String, String)],
         selfClosing: Boolean): Option[Open] = {
-      val name = name0.toLowerCase
+      val name = lowerFast(name0)
       name match {
         case "html" | "head" => return None
         case "body" => switchToBody(); return None
@@ -482,7 +482,7 @@ object Html2TextStream {
     }
 
     def handleEndTag(name0: String): Unit = {
-      val name = name0.toLowerCase
+      val name = lowerFast(name0)
       name match {
         case "html" | "head" => return
         case "body" => switchToBody(); popAll(); return
@@ -671,7 +671,8 @@ object Html2TextStream {
             i = if (end < 0) n else end + 1
             handleEndTag(name)
           }
-        } else if (Character.isLetter(c1)) {
+        } else if ((c1 < 128 && ((c1 | 0x20) >= 'a' && (c1 | 0x20) <= 'z')) ||
+            (c1 >= 128 && Character.isLetter(c1))) {
           val afterName = tagNameEnd(input, i + 1)
           val name = TagNames.lookup(input, i + 1, afterName)
           flushText()

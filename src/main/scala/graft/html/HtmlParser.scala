@@ -833,7 +833,7 @@ object HtmlParser {
       // (dropped, matching inter-element whitespace handling); non-ws
       // text forces the body open.
       if (!inBody && stack.isEmpty) {
-        if (raw.forall(_.isWhitespace)) return
+        if (allWs(raw)) return
         switchToBody()
       }
       val preParent = currentParent
@@ -852,7 +852,7 @@ object HtmlParser {
       val parent = currentParent
       // whitespace-only runs stay inside table structure; anything else
       // is foster-parented before the table (in-table character rules)
-      if (fosterNeeded(parent) && !raw.forall(_.isWhitespace)) fosterInsert(t)
+      if (fosterNeeded(parent) && !allWs(raw)) fosterInsert(t)
       else parent.appendChild(t)
     }
 
@@ -925,7 +925,8 @@ object HtmlParser {
             i = if (end < 0) n else end + 1
             handleEndTag(name)
           }
-        } else if (Character.isLetter(c1)) {
+        } else if ((c1 < 128 && ((c1 | 0x20) >= 'a' && (c1 | 0x20) <= 'z')) ||
+            (c1 >= 128 && Character.isLetter(c1))) {
           val afterName = tagNameEnd(input, i + 1)
           val name = TagNames.lookup(input, i + 1, afterName)
           flushText()
@@ -974,7 +975,7 @@ object HtmlParser {
 
     def handleStartTag(name0: String, attrs: mutable.ArrayBuffer[(String, String)],
         selfClosing: Boolean): Option[DomNode] = {
-      val name = name0.toLowerCase
+      val name = lowerFast(name0)
       name match {
         case "html" =>
           copyAttrs(attrs, htmlEl)
@@ -1135,7 +1136,7 @@ object HtmlParser {
     }
 
     def handleEndTag(name0: String): Unit = {
-      val name = name0.toLowerCase
+      val name = lowerFast(name0)
       name match {
         case "html" => return
         case "head" => return // head closes implicitly
@@ -1298,6 +1299,51 @@ object HtmlParser {
   @inline private[html] def isWs(c: Char): Boolean =
     if (c < 128) c == ' ' || (c >= '\t' && c <= '\r') || (c >= 28 && c <= 31)
     else Character.isWhitespace(c)
+
+  /** `s.forall(_.isWhitespace)` without the per-char properties lookup
+    * or the closure — runs once per text node in both tree walks. */
+  private[html] def allWs(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (!isWs(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** `s.toLowerCase` with an identity fast path: tag/attr names out of
+    * the interning tables are already-lowercase ASCII for all known
+    * names, and String.toLowerCase scans the properties table per char
+    * even when nothing changes (a top extraction-profile frame). */
+  private[html] def lowerFast(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') return lowerAscii(s, i)
+      if (c >= 128) return s.toLowerCase // locale rules may apply
+      i += 1
+    }
+    s
+  }
+
+  private def lowerAscii(s: String, firstUpper: Int): String = {
+    // verify pure ASCII first; mixed content defers to String.toLowerCase
+    var i = firstUpper
+    while (i < s.length) {
+      if (s.charAt(i) >= 128) return s.toLowerCase
+      i += 1
+    }
+    val out = new Array[Char](s.length)
+    s.getChars(0, s.length, out, 0)
+    i = firstUpper
+    while (i < out.length) {
+      val c = out(i)
+      if (c >= 'A' && c <= 'Z') out(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Scan past attributes without materializing them. Returns
     * `(indexAfterTag << 1) | selfClosingBit` packed in one Long — this
