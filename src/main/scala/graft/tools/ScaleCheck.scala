@@ -44,6 +44,8 @@ import org.apache.spark.sql.functions._
   *  - `cc`: large-star/small-star connected components over deep chain
   *    graphs scaled ×k in disjoint id ranges; asserts component count
   *    scales exactly ×k at constant component size.
+  *  - `scan`: the pure batch envelope scan over the same corpora —
+  *    parallelism = files, no shuffle; asserts record counts ×k.
   *  - `stream`: the streaming WARC scan under Trigger.AvailableNow with
   *    16-files-per-trigger admission — k× corpus ⇒ k× constant-size
   *    micro-batches (the 100 TB backfill regime); asserts record counts
@@ -360,6 +362,25 @@ object ScaleCheck {
             s"component sizes drifted: $agg")
           (agg.getLong(0), agg.getLong(1))
         })
+      case "scan" =>
+        // w17 shape: the pure batch envelope scan (record-type pushdown,
+        // no payload materialization) over the same gzip corpora as the
+        // stream mode — parallelism = files, no shuffle at all below the
+        // 1-row count. The §1 claim "scan+filter queries shuffle
+        // nothing and scale with file count" as a measured curve.
+        val scanDirs = scales.map { s =>
+          s -> graft.sources.BenchCorpus.ensure(
+            s"${System.getProperty("java.io.tmpdir")}/graft_warc_scale_$s",
+            files = 16 * s, copiesPerFile = 100)
+        }.toMap
+        run("scan", { s =>
+          val n = spark.read.format("warc")
+            .option("record_types", "response")
+            .load(scanDirs(s))
+            .count()
+          require(n == s * 16L * 1600L, s"scan rows did not scale x$s: $n")
+          (n, 16L * s)
+        })
       case "stream" =>
         // w38 shape: the streaming WARC scan under Trigger.AvailableNow
         // with admission control pinned to 16 files per micro-batch, so
@@ -400,7 +421,7 @@ object ScaleCheck {
           (n.value, batches)
         })
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | stream)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream)")
     }
     spark.stop()
   }
