@@ -1278,10 +1278,18 @@ object HtmlParser {
   private[html] def tagNameEnd(s: String, from: Int): Int = {
     var i = from
     val n = s.length
-    while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' ||
-           s.charAt(i) == '_' || s.charAt(i) == ':')) i += 1
+    while (i < n && isNameChar(s.charAt(i))) i += 1
     i
   }
+
+  /** Tag-name character test with an ASCII fast path — bit-identical to
+    * `Character.isLetterOrDigit(c) || c == '-' || c == '_' || c == ':'`
+    * (the properties-table lookup ran once per name char). */
+  @inline private def isNameChar(c: Char): Boolean =
+    if (c < 128)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+    else Character.isLetterOrDigit(c)
 
   /** Scan past a tag's attributes without materializing them — same
     * control flow as [[readAttrs]] (quoted values may contain '>'), no
