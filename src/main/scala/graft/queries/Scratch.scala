@@ -27,7 +27,15 @@ private[graft] object Scratch {
   def dir(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
 
-  /** The dir path, with any previous run's contents deleted. */
+  /** The dir path, with any previous run's contents deleted.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: within one JVM, two concurrent
+    * invocations of the same query would clobber each other's dir
+    * (delete-first, session-fixed path). Verify, Bench, and the spec
+    * suites all drive queries sequentially; a future parallel harness
+    * must add a per-invocation component here (at the cost of the tmp
+    * leak this scheme exists to prevent) or serialize per query name.
+    */
   def fresh(name: String): java.io.File = {
     val f = new java.io.File(dir(name))
     org.apache.commons.io.FileUtils.deleteDirectory(f)

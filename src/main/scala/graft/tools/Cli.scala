@@ -238,7 +238,9 @@ object Cli {
       n += 1
       if (t.nonEmpty) titled += 1
     } finally in.close()
-    val sec = (System.nanoTime() - t0) / 1e9
+    // floor the elapsed time: a tiny input can otherwise print an
+    // Infinity/NaN rate
+    val sec = math.max((System.nanoTime() - t0) / 1e9, 1e-9)
     out.println(f"graft: $n documents ($titled with <title>) in $sec%.2f s" +
       f" (${n / sec}%.2f documents/s)")
   }

@@ -397,7 +397,9 @@ object ScaleCheck {
         val perFile = 50L * 100L // fixture records x copies
         run("stream", { s =>
           val n = spark.sparkContext.longAccumulator(s"stream_rows_$s")
-          var batches = 0L
+          // incremented on the stream-execution thread, read on the main
+          // thread after awaitTermination — needs explicit visibility
+          val batches = new java.util.concurrent.atomic.AtomicLong(0)
           val ckpt = new java.io.File(
             s"${System.getProperty("java.io.tmpdir")}/graft_stream_ckpt_" +
               s"${spark.sparkContext.applicationId}_$s")
@@ -410,7 +412,7 @@ object ScaleCheck {
             .writeStream
             .option("checkpointLocation", ckpt.getPath)
             .foreachBatch { (df: DataFrame, _: Long) =>
-              n.add(df.count()); batches += 1
+              n.add(df.count()); batches.incrementAndGet(); ()
             }
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
@@ -418,7 +420,7 @@ object ScaleCheck {
           val respPerFile = perFile * 16 / 50 // 16 responses per 50-record copy
           require(n.value == s * 16 * respPerFile,
             s"streamed rows did not scale x$s: ${n.value}")
-          (n.value, batches)
+          (n.value, batches.get())
         })
       case other => sys.error(
         s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream)")
