@@ -1751,13 +1751,15 @@ object Documents {
         sum(col("toks")).over(wCum).as("n_tokens_cum"),
         sum(coalesce(col("new_types"), lit(0L))).over(wCum).as("n_types_cum"))
     val fit = curve.agg(
-      // 2 decimals, not 4: the two engines accumulate the regression
-      // sums in different orders, and a 4-decimal boundary value can
-      // flip the last digit and flake the hash compare on other corpora
-      round(expr("regr_slope(ln(n_types_cum), ln(n_tokens_cum))"), 2)
-        .as("heaps_beta"),
-      round(expr("regr_intercept(ln(n_types_cum), ln(n_tokens_cum))"), 2)
-        .as("heaps_lnk"))
+      // integer-scaled (x100) BIGINT, not a rounded double: on a corpus
+      // whose vocabulary saturates early the slope is exactly 0.0 in one
+      // engine and ±ε in the other, and round(±ε, 2) emits -0.0 / a
+      // last-ulp double — numerically equal but byte-different in
+      // parquet. An int64 has one representation per value.
+      expr("CAST(round(regr_slope(ln(n_types_cum), ln(n_tokens_cum)) * 100)" +
+        " AS BIGINT)").as("heaps_beta_x100"),
+      expr("CAST(round(regr_intercept(ln(n_types_cum), ln(n_tokens_cum)) * 100)" +
+        " AS BIGINT)").as("heaps_lnk_x100"))
     curve.crossJoin(broadcast(fit)).orderBy(col("decile"))
   }
 
@@ -3131,13 +3133,13 @@ object Documents {
            FROM j WINDOW w AS (ORDER BY decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          f AS (SELECT
-             round(regr_slope(ln(n_types_cum), ln(n_tokens_cum)), 2)
-               AS heaps_beta,
-             round(regr_intercept(ln(n_types_cum), ln(n_tokens_cum)), 2)
-               AS heaps_lnk
+             CAST(round(regr_slope(ln(n_types_cum), ln(n_tokens_cum)) * 100)
+               AS BIGINT) AS heaps_beta_x100,
+             CAST(round(regr_intercept(ln(n_types_cum), ln(n_tokens_cum)) * 100)
+               AS BIGINT) AS heaps_lnk_x100
            FROM c)
          SELECT c.decile, c.n_docs_cum, c.n_tokens_cum, c.n_types_cum,
-           f.heaps_beta, f.heaps_lnk
+           f.heaps_beta_x100, f.heaps_lnk_x100
          FROM c CROSS JOIN f ORDER BY c.decile""",
     "t19_url_filter" -> {
       val domList = UrlDomains.map(d => s"'$d'").mkString(", ")

@@ -592,7 +592,7 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     val df = Documents.queries("t35_heaps_law")(s, "/root/testdata/sf0.01")
     val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getDouble(4)))
+      r.getLong(3), r.getLong(4)))
     assert(rows.map(_._1).toSeq == (0 until 10))
     // brute-force check: distinct types among docs in each prefix
     val docsDf = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
@@ -611,7 +611,7 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     // vocabulary saturates in decile 0, so beta is exactly 0 — the
     // curve correctly reports a closed vocabulary
     assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
-    assert(rows.head._5 == 0.0 && rows.last._4 == rows.head._4)
+    assert(rows.head._5 == 0L && rows.last._4 == rows.head._4)
 
     // genuine sublinear growth: doc i introduces ~2*sqrt growth of new
     // types; beta must land strictly inside (0, 1)

@@ -59,12 +59,21 @@ def main(sf_dir, out_dir, json_out=None):
             fail(name, f"rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1; continue
         ok = True
+        hash_risk = []
         for c in spark_df.columns:
             a, b = spark_df[c], duck_df[c]
             try:
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                     equal = ((a.isna() & b.isna()) |
                              (abs(a.astype(float) - b.astype(float)) < 1e-9)).all()
+                    # the driver hashes exact bytes: a float column that is
+                    # numerically equal but repr-different (signed zero,
+                    # last-ulp) passes here yet fails the driver's hash.
+                    # Flag it so the flake is self-detected, not
+                    # driver-discovered (the t35 class, round 12).
+                    if equal and not a.astype(float).astype(str).equals(
+                            b.astype(float).astype(str)):
+                        hash_risk.append(c)
                 else:
                     equal = a.astype(str).equals(b.astype(str))
             except Exception as e:
@@ -77,7 +86,12 @@ def main(sf_dir, out_dir, json_out=None):
                     print(f"    spark={a.iloc[i]!r} duck={b.iloc[i]!r}")
                 ok = False
                 break
-        if ok:
+        if ok and hash_risk:
+            fail(name, f"HASH-RISK cols {hash_risk}: numerically equal but "
+                 "repr-different (signed zero / last ulp) — the driver's "
+                 "byte-hash will flake; emit as DECIMAL or integer-scaled")
+            n_fail += 1
+        elif ok:
             results[name] = f"pass ({len(spark_df)} rows)"
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
         else:
