@@ -1593,6 +1593,87 @@ object Documents {
       StreamingDedup.summary(s, codes, "d28")
     }),
 
+    // Mega-bucket divergence GAUGE — the streaming prefix-64 cap
+    // (d28: an overfull bucket stops absorbing witnesses but keeps
+    // matching against its first 64) and the batch retroactive drop
+    // (d22/d08: an overfull bucket contributes no candidate pairs)
+    // agree only below the cap. This query makes the over-cap
+    // divergence a NUMBER instead of a doctrine comment: a crafted
+    // corpus (pure integer arithmetic, so DuckDB regenerates it
+    // bit-identically) lands three regimes —
+    //   paired  60 docs, 30 identical pairs, bucket size 2 (≤ cap):
+    //           truth = stream = batch = 30 suppressed;
+    //   mega   200 docs with ONE identical code (every bucket 200+):
+    //           stream still suppresses 199 (the first 64 witnesses
+    //           match everything), batch drops the bucket → 0 — the
+    //           cap's asymmetry at its widest;
+    //   tail    66 mutually-distant docs + 6 late-arriving clones in
+    //           one 72-member bucket: the clones' witnesses are all
+    //           distant (the prefix filled first), so BOTH engines
+    //           miss the 5 clone dups — the shared loss regime.
+    // The stream side runs the REAL StreamingNeardup operator (three
+    // waves, arrival = doc_id % 3); truth is the uncapped banded pair
+    // set; batch is the production 64-cap pipeline. The oracle
+    // recomputes all three relationally (stream via the
+    // first-64-arrivals witness-prefix model, which is exactly the
+    // operator's state rule).
+    "d29_megabucket_divergence" -> ((s, dir) => {
+      val mega = s.range(200).select(col("id").as("doc_id"),
+        lit(4660L).as("h0"), lit(0L).as("h1"))
+      val paired = s.range(60).select((col("id") + 2000L).as("doc_id"),
+        expr("(id div 2 + 1) + (id div 2 + 1) * 65536").as("h0"),
+        expr("(id div 2 + 1) + (id div 2 + 1) * 65536").as("h1"))
+      val distant = s.range(66).select((col("id") + 3000L).as("doc_id"),
+        expr("16962L + shiftleft(15L, cast(32 + 4 * (id div 15) as int))").as("h0"),
+        expr("shiftleft(15L, cast(4 * (id % 15) as int))").as("h1"))
+      val clones = s.range(6).select((col("id") * 3 + 3200L).as("doc_id"),
+        expr("16962L + shiftleft(15L, 52)").as("h0"), lit(0L).as("h1"))
+      val codes = mega.unionAll(paired).unionAll(distant).unionAll(clones)
+        .localCheckpoint()
+      val streamSupp = StreamingDedup.streamSuppressed(s, codes, "d29")
+      def arr(c: org.apache.spark.sql.Column) = c % 3
+      def suppOf(pairs: DataFrame): DataFrame = pairs.select(
+        when(arr(col("doc_a")) < arr(col("doc_b")) ||
+          (arr(col("doc_a")) === arr(col("doc_b")) &&
+            col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
+      val truthSupp = suppOf(Multimodal.bandedHammingPairs(
+        codes, "doc_id", "doc_a", "doc_b", bucketCap = Int.MaxValue))
+      val batchSupp = suppOf(Multimodal.bandedHammingPairs(
+        codes, "doc_id", "doc_a", "doc_b"))
+      val grp = when(col("doc_id") < 1000L, "mega")
+        .when(col("doc_id") < 3000L, "paired").otherwise("tail")
+      // max bucket size any group member lands in (over/under-cap regime)
+      val bands = codes.select(col("doc_id"), posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bkey")))
+      val bucketN = bands.groupBy(col("band_id"), col("bkey"))
+        .agg(count(lit(1)).as("n"))
+      val maxBucket = bands.join(bucketN, Seq("band_id", "bkey"))
+        .groupBy(grp.as("grp")).agg(max(col("n")).as("max_bucket"))
+      codes
+        .join(streamSupp.withColumn("in_s", lit(1L)), Seq("doc_id"), "left")
+        .join(truthSupp.withColumn("in_t", lit(1L)), Seq("doc_id"), "left")
+        .join(batchSupp.withColumn("in_b", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(grp.as("grp")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("in_s"), lit(0L))).as("n_stream"),
+          sum(coalesce(col("in_b"), lit(0L))).as("n_batch"),
+          sum(when(coalesce(col("in_s"), lit(0L)) =!=
+            coalesce(col("in_b"), lit(0L)), 1L).otherwise(0L))
+            .as("stream_batch_delta"),
+          sum(when(col("in_t").isNotNull && col("in_s").isNull, 1L)
+            .otherwise(0L)).as("stream_missed"),
+          sum(when(col("in_t").isNotNull && col("in_b").isNull, 1L)
+            .otherwise(0L)).as("batch_missed"))
+        .join(maxBucket, Seq("grp"))
+        .orderBy(col("grp"))
+    }),
+
     "t38_lang_dataset" -> ((s, dir) => langDataset(docs(s, dir), minExamples = 50)),
 
     // The TOKEN-BUDGET table — the number a data lead actually asks
@@ -3426,6 +3507,97 @@ object Documents {
       ("WITH " + simhashCorpusSql + ",\n " + simhash64Sql("corpus") +
         ",\n " + simhashCodesSql + ",\n " +
         StreamingDedup.suppressionTailSql),
+    // the mega-bucket divergence gauge relationally: the same crafted
+    // arithmetic corpus, truth = uncapped banded pairs, batch = the
+    // 64-cap pipeline, stream = the first-64-arrivals witness-prefix
+    // model (exactly the operator's state rule: a bucket's witnesses
+    // are its first 64 arrivals by (wave = id % 3, id); a doc is
+    // suppressed iff an earlier witness sits within hamming 3)
+    "d29_megabucket_divergence" ->
+      """WITH codes AS (
+           SELECT CAST(i AS BIGINT) AS id, CAST(4660 AS BIGINT) AS h0,
+             CAST(0 AS BIGINT) AS h1 FROM range(200) t(i)
+           UNION ALL
+           SELECT CAST(2000 + i AS BIGINT),
+             CAST(((i // 2) + 1) + ((i // 2) + 1) * 65536 AS BIGINT),
+             CAST(((i // 2) + 1) + ((i // 2) + 1) * 65536 AS BIGINT)
+           FROM range(60) t(i)
+           UNION ALL
+           SELECT CAST(3000 + j AS BIGINT),
+             16962 + (CAST(15 AS BIGINT) << CAST(32 + 4 * (j // 15) AS INT)),
+             CAST(15 AS BIGINT) << CAST(4 * (j % 15) AS INT)
+           FROM range(66) t(j)
+           UNION ALL
+           SELECT CAST(3200 + 3 * c AS BIGINT),
+             16962 + (CAST(15 AS BIGINT) << 52), CAST(0 AS BIGINT)
+           FROM range(6) t(c)),
+         bands AS (
+           SELECT id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
+           UNION ALL SELECT id, 1, (h0 >> 16) & 65535 FROM codes
+           UNION ALL SELECT id, 2, h1 & 65535 FROM codes
+           UNION ALL SELECT id, 3, (h1 >> 16) & 65535 FROM codes),
+         bucketn AS (SELECT band_id, bkey, count(*) AS n
+                     FROM bands GROUP BY 1, 2),
+         truthp AS (
+           SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id
+           JOIN codes x ON x.id = a.id JOIN codes y ON y.id = b.id
+           WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+         batchp AS (
+           SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.id < b.id
+           JOIN bucketn n ON n.band_id = a.band_id AND n.bkey = a.bkey
+             AND n.n <= 64
+           JOIN codes x ON x.id = a.id JOIN codes y ON y.id = b.id
+           WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+         truth_supp AS (SELECT DISTINCT CASE WHEN (doc_a % 3 < doc_b % 3)
+             OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
+           THEN doc_b ELSE doc_a END AS id FROM truthp),
+         batch_supp AS (SELECT DISTINCT CASE WHEN (doc_a % 3 < doc_b % 3)
+             OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
+           THEN doc_b ELSE doc_a END AS id FROM batchp),
+         ranked AS (
+           SELECT id, band_id, bkey,
+             row_number() OVER (PARTITION BY band_id, bkey
+               ORDER BY id % 3, id) AS rk
+           FROM bands),
+         stream_supp AS (
+           SELECT DISTINCT d.id
+           FROM ranked d JOIN ranked w
+             ON w.band_id = d.band_id AND w.bkey = d.bkey
+             AND w.rk < d.rk AND w.rk <= 64
+           JOIN codes x ON x.id = d.id JOIN codes y ON y.id = w.id
+           WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+         grps AS (
+           SELECT c.id,
+             CASE WHEN c.id < 1000 THEN 'mega'
+                  WHEN c.id < 3000 THEN 'paired' ELSE 'tail' END AS grp,
+             (c.id IN (SELECT id FROM truth_supp)) AS in_t,
+             (c.id IN (SELECT id FROM stream_supp)) AS in_s,
+             (c.id IN (SELECT id FROM batch_supp)) AS in_b
+           FROM codes c),
+         mb AS (
+           SELECT CASE WHEN b.id < 1000 THEN 'mega'
+                       WHEN b.id < 3000 THEN 'paired' ELSE 'tail' END AS grp,
+             max(n.n) AS max_bucket
+           FROM bands b JOIN bucketn n
+             ON n.band_id = b.band_id AND n.bkey = b.bkey
+           GROUP BY 1)
+         SELECT g.grp, count(*) AS n_docs,
+           CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_stream,
+           CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN in_s <> in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS stream_batch_delta,
+           CAST(sum(CASE WHEN in_t AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+             AS stream_missed,
+           CAST(sum(CASE WHEN in_t AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS batch_missed,
+           CAST(mb.max_bucket AS BIGINT) AS max_bucket
+         FROM grps g JOIN mb ON mb.grp = g.grp
+         GROUP BY g.grp, mb.max_bucket ORDER BY g.grp""",
     "d10_decontaminate" -> {
       val shingleSql =
         s"""list_distinct(list_transform(

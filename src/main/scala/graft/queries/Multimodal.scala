@@ -548,7 +548,8 @@ object Multimodal {
     * and the verify join touches codes, never payloads.
     */
   private[graft] def bandedHammingPairs(codes: DataFrame, idCol: String,
-      outA: String, outB: String, maxHamming: Int = 3): DataFrame = {
+      outA: String, outB: String, maxHamming: Int = 3,
+      bucketCap: Int = 64): DataFrame = {
     // the 8-byte codes RIDE the band explode (16 extra bytes per band
     // row) so the (band_id, bkey) exchange is the single site feeding
     // all three consumers — the size guard and both self-join sides
@@ -565,7 +566,7 @@ object Multimodal {
           .as(Seq("band_id", "bkey")))
     val kept = bands.groupBy(col("band_id"), col("bkey"))
       .agg(count(lit(1)).as("n_in_bucket"))
-      .filter(col("n_in_bucket") <= 64)
+      .filter(col("n_in_bucket") <= bucketCap)
       .select(col("band_id"), col("bkey"))
     val pruned = bands.join(kept, Seq("band_id", "bkey"))
     pruned.as("a").join(pruned.as("b"),

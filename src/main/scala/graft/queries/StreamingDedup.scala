@@ -41,6 +41,49 @@ private[queries] object StreamingDedup {
           CAST((SELECT max(n) FROM buckets) AS BIGINT) AS max_bucket,
           TRUE AS stream_batch_equal"""
 
+  /** Land `codes` in three waves (arrival = doc_id % 3, each wave one
+    * micro-batch), run the REAL [[graft.streaming.StreamingNeardup]]
+    * operator over the landing stream, and return the suppressed
+    * doc_id set (localCheckpointed — the memory sink dies with the
+    * next streaming query). The per-doc primitive under both the d28
+    * summary and the d29 mega-bucket divergence gauge.
+    */
+  def streamSuppressed(s: SparkSession, codes: DataFrame,
+      name: String): DataFrame = {
+    val landing = Scratch.fresh(s"${name}_landing")
+    landing.mkdirs()
+    // delete-first fixed checkpoint path (same doctrine as the landing
+    // dir): rerun-safe without leaking a new state-store tree per run
+    val ckpt = Scratch.fresh(s"${name}_ckpt")
+    def land(wave: Int): Unit =
+      codes.filter(col("doc_id") % 3 === wave)
+        .coalesce(1).write.mode("append").parquet(landing.getPath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType)))
+    land(0)
+    val verdicts = graft.streaming.StreamingNeardup.bandVerdicts(
+      s.readStream.schema(schema).parquet(landing.getPath))
+    val qname = s"graft_${name}_mem_${Scratch.SessionToken}"
+    val q = verdicts.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    try {
+      q.processAllAvailable(); land(1)
+      q.processAllAvailable(); land(2)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname).groupBy(col("doc_id"))
+      .agg(max(col("matched")).as("suppressed"))
+      .filter(col("suppressed")).select(col("doc_id"))
+      .localCheckpoint() // the memory table dies with the next query
+  }
+
   /** @param codes0 (doc_id long, h0 long, h1 long) — any 64-bit code
     *               family (SimHash, dHash, SRP signs) split in halves
     * @param name   query prefix for scratch dirs and the memory sink
@@ -50,38 +93,7 @@ private[queries] object StreamingDedup {
     // were micro-batches of almost-empty state-store tasks
     graft.operators.RoundPartitions.scoped(s, 2048) {
       val codes = codes0.localCheckpoint() // evaluate the code kernel once
-      val landing = Scratch.fresh(s"${name}_landing")
-      landing.mkdirs()
-      // delete-first fixed checkpoint path (same doctrine as the landing
-      // dir): rerun-safe without leaking a new state-store tree per run
-      val ckpt = Scratch.fresh(s"${name}_ckpt")
-      def land(wave: Int): Unit =
-        codes.filter(col("doc_id") % 3 === wave)
-          .coalesce(1).write.mode("append").parquet(landing.getPath)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("h0",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("h1",
-          org.apache.spark.sql.types.LongType)))
-      land(0)
-      val verdicts = graft.streaming.StreamingNeardup.bandVerdicts(
-        s.readStream.schema(schema).parquet(landing.getPath))
-      val qname = s"graft_${name}_mem_${Scratch.SessionToken}"
-      val q = verdicts.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getPath)
-        .start()
-      try {
-        q.processAllAvailable(); land(1)
-        q.processAllAvailable(); land(2)
-        q.processAllAvailable()
-      } finally q.stop()
-      val streamSupp = s.table(qname).groupBy(col("doc_id"))
-        .agg(max(col("matched")).as("suppressed"))
-        .filter(col("suppressed")).select(col("doc_id"))
-        .localCheckpoint() // the memory table dies with the next query
+      val streamSupp = streamSuppressed(s, codes, name)
       // batch reference: the banded pair set + arrival order picks the
       // later side of each pair
       val pairs = Multimodal.bandedHammingPairs(

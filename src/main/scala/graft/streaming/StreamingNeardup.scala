@@ -30,7 +30,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * RETROACTIVELY (it sees total counts), which an append-mode stream
   * cannot replicate — the two agree exactly whenever no bucket exceeds
   * the cap, and the d28 query reports `max_bucket` so the regime is
-  * visible in the result.
+  * visible in the result. The over-cap divergence is a MEASURED number,
+  * not just this comment: the d29 gauge query
+  * ([[graft.queries.Documents]] `d29_megabucket_divergence`) pins
+  * stream-vs-batch verdicts per regime on a crafted over-cap corpus —
+  * an identical-code mega clique (stream suppresses n−1, batch drops
+  * the bucket), a below-cap control (exact agreement), and a
+  * beyond-prefix tail (both engines share the loss).
   *
   * Reference anchor: the reference has no streaming dedup — this is a
   * scale-path extension; banding math is shared with d22/m09/m10

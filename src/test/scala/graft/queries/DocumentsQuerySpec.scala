@@ -622,10 +622,26 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
         .mkString(" "))
     }.toDF("doc_id", "text")
     val g = Documents.heapsLaw(grown).collect()
-    val gBeta = g.head.getDouble(4)
+    val gBeta = g.head.getLong(4) / 100.0
     assert(gBeta > 0.1 && gBeta < 1.0, s"beta=$gBeta")
     // and the fitted curve's types really grow across deciles
     assert(g.last.getLong(3) > g.head.getLong(3))
+  }
+
+  test("d29 mega-bucket divergence gauge: stream and batch agree below " +
+    "the cap, diverge by exactly the mega clique above it, and share " +
+    "the beyond-prefix loss") {
+    val s = spark
+    val rows = Documents.queries("d29_megabucket_divergence")(
+      s, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(rows == Seq(
+      // grp, n_docs, n_truth, n_stream, n_batch, delta, s_miss, b_miss, max_bucket
+      ("mega", 200L, 199L, 199L, 0L, 199L, 0L, 199L, 272L),
+      ("paired", 60L, 30L, 30L, 30L, 0L, 0L, 0L, 7L),
+      ("tail", 72L, 5L, 0L, 0L, 0L, 5L, 5L, 272L)), rows.toString)
   }
 
   test("t36 stratified sample: exactly 4 per source, the per-source " +
