@@ -174,12 +174,30 @@ object Html2Text {
       "option", "label")
 
     // main-content root narrowing: used only on a unique match
-    // (html2text.pyx:879-889)
+    // (html2text.pyx:879-889). Semantically `querySelectorAll(
+    // ".article-body, .articleBody, .contentBody, .article-text,
+    // .main-content, .postcontent, .post-content, .single-post,
+    // [role=\"main\"]")` on strict descendants — but specialized: the
+    // generic selector walk (9 compounds × every element, hasToken per
+    // class compound) was ~28% of main-content extraction by JFR
+    // samples. One pass, class attr tokenized once, 11/12-length
+    // pre-filter (every candidate token is 11 or 12 chars), early
+    // abort on the second match (only uniqueness matters).
     if (opts.mainContent) {
-      val candidates = root.querySelectorAll(
-        ".article-body, .articleBody, .contentBody, .article-text," +
-        ".main-content, .postcontent, .post-content, .single-post,[role=\"main\"]")
-      if (candidates.size == 1) root = candidates.head
+      var first: DomNode = null
+      var cnt = 0
+      def scan(n: DomNode): Unit = {
+        if (cnt >= 2) return
+        if ((n ne root) && isMcCandidate(n)) {
+          if (cnt == 0) first = n
+          cnt += 1
+          if (cnt >= 2) return
+        }
+        var c = n.firstChild
+        while (c != null && cnt < 2) { scan(c); c = c.next }
+      }
+      scan(root)
+      if (cnt == 1) root = first
     }
 
     // the built-in skip entries are all plain tag names; when the caller
@@ -211,6 +229,7 @@ object Html2Text {
     var charsExtracted = 0
     if (opts.mainContent) buildTextStats(root)
     val clsMemo = if (opts.mainContent) new ClsMemo else null
+    val mcAttrs = if (opts.mainContent) new McAttrs else null
 
     // pre-order walk with end-tag visits (next_node semantics,
     // html.pyx:117-151): end visits fire only for elements we descended
@@ -221,7 +240,7 @@ object Html2Text {
       if (blacklist(n)) return
       if (opts.mainContent &&
           !isMainContentNode(n, depth + baseDepth, opts.comments, opts.postMeta,
-            opts.hiddenElements, clsMemo))
+            opts.hiddenElements, clsMemo, mcAttrs))
         return
       extractCb(nodes, n, depth, isEndTag = false, opts)
       recordChars()
@@ -558,6 +577,51 @@ object Html2Text {
 
   // — main-content classifier (html2text.pyx:440-733) —
 
+  /** The root-narrowing candidate classes (html2text.pyx:879-889) — all
+    * 11 or 12 chars, which the scan uses as a token pre-filter.
+    */
+  private val McCandidateTokens: Array[String] = Array(
+    "article-body", "articleBody", "contentBody", "article-text",
+    "main-content", "postcontent", "post-content", "single-post")
+
+  /** `.article-body, …, [role="main"]` as a direct test: CSS class
+    * selectors are whitespace-token + case-sensitive matches
+    * ([[DomNode.hasToken]] semantics), `[role="main"]` is exact
+    * equality — pinned against the selector engine in Html2TextSpec.
+    */
+  private[html] def isMcCandidate(n: DomNode): Boolean = {
+    if (!n.isElement) return false
+    val attrs = n.attrsOrNull
+    if (attrs == null) return false
+    // one entry walk, not two hashed lookups (findEntry dominated the
+    // scan's JFR profile)
+    var role: String = null
+    var cls: String = null
+    attrs.foreachEntry { (k, v) =>
+      if (k == "role") role = v else if (k == "class") cls = v
+    }
+    if (role == "main") return true
+    if (cls == null || cls.length < 11) return false
+    val len = cls.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(cls.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(cls.charAt(i))) i += 1
+      val tl = i - start
+      if (tl == 11 || tl == 12) {
+        var t = 0
+        while (t < McCandidateTokens.length) {
+          val tok = McCandidateTokens(t)
+          if (tok.length == tl && cls.regionMatches(start, tok, 0, tl))
+            return true
+          t += 1
+        }
+      }
+    }
+    false
+  }
+
   /** 19 class/id regexes (html2text.pyx:469-489), java.util.regex
     * (the RE2 syntax used is compatible), all case-insensitive.
     */
@@ -602,20 +666,73 @@ object Html2Text {
     */
   private final class ClsMemo {
     private val map = new java.util.HashMap[String, Array[Long]]()
-    def found(s: String, p: Pattern, idx: Int): Boolean = {
-      if (s.isEmpty) return false
+    /** The memo entry for `s`, fetched ONCE per element per attr string
+      * (the classifier probes up to 13 patterns against the same
+      * string; one hashed get instead of one per probe). null = empty
+      * string or memo over cap → probe directly.
+      */
+    def entry(s: String): Array[Long] = {
+      if (s.isEmpty) return null
       var e = map.get(s)
       if (e == null) {
-        if (map.size >= 4096) return Html2Text.found(s, p)
+        if (map.size >= 4096) return null
         e = new Array[Long](2)
         map.put(s, e)
       }
+      e
+    }
+    def found(e: Array[Long], s: String, p: Pattern, idx: Int): Boolean = {
+      if (e == null) return Html2Text.found(s, p)
       val bit = 1L << idx
       if ((e(0) & bit) == 0L) {
         e(0) |= bit
         if (p.matcher(s).find()) e(1) |= bit
       }
       (e(1) & bit) != 0L
+    }
+  }
+
+  /** Per-extraction scratch for the classifier's single-pass attribute
+    * read: one [[scala.collection.mutable.LinkedHashMap.foreachEntry]]
+    * walk with a key switch replaces ~12 hashed `getattr`/`hasattr`
+    * lookups per element (each a findEntry walk + Option allocation —
+    * together the largest classifier cost by JFR samples). Reused
+    * across nodes; reset() before each fill.
+    */
+  private final class McAttrs {
+    var cls: String = ""
+    var id: String = ""
+    var style: String = ""
+    var rel: String = ""
+    var itemprop: String = ""
+    var role: String = ""
+    var ariaHidden: String = null
+    var ariaExpanded: String = null
+    var hidden = false
+    var dataAd = false
+    def reset(): Unit = {
+      cls = ""; id = ""; style = ""; rel = ""; itemprop = ""; role = ""
+      ariaHidden = null; ariaExpanded = null; hidden = false; dataAd = false
+    }
+    def fill(n: DomNode): Unit = {
+      reset()
+      val a = n.attrsOrNull
+      if (a == null) return
+      a.foreachEntry { (k, v) =>
+        k match {
+          case "class" => cls = v
+          case "id" => id = v
+          case "style" => style = v
+          case "rel" => rel = v
+          case "itemprop" => itemprop = v
+          case "role" => role = v
+          case "aria-hidden" => ariaHidden = v
+          case "aria-expanded" => ariaExpanded = v
+          case "hidden" => hidden = true
+          case "data-ad" | "data-advertisement" | "data-text-ad" => dataAd = true
+          case _ =>
+        }
+      }
     }
   }
 
@@ -651,7 +768,7 @@ object Html2Text {
 
   private def isMainContentNode(n: DomNode, bodyDepth: Int, keepComments: Boolean,
       keepPostMeta: Boolean, keepHidden: Boolean,
-      memo: ClsMemo): Boolean = {
+      memo: ClsMemo, at: McAttrs): Boolean = {
     if (n.isText) return !isUnprintablePua(n)
     if (!n.isElement) return true
 
@@ -679,62 +796,67 @@ object Html2Text {
     }
 
     // — Section 2: rel / ARIA attributes —
-    if (n.hasattr("hidden")) return false
-    val rel = n.getattr("rel").getOrElse("").trim
+    at.fill(n) // one attr-map walk replaces the per-attribute lookups
+    if (at.hidden) return false
+    val rel = at.rel.trim
     if (rel.nonEmpty && BlacklistRels.contains(rel))
       return false
-    val itemprop = n.getattr("itemprop").getOrElse("").trim
+    val itemprop = at.itemprop.trim
     if (itemprop.nonEmpty && BlacklistItemprops.contains(itemprop))
       return false
-    if (n.getattr("aria-hidden").exists(_.trim == "true")) return false
-    if (n.getattr("aria-expanded").exists(_.trim == "false")) return false
+    if (at.ariaHidden != null && at.ariaHidden.trim == "true") return false
+    if (at.ariaExpanded != null && at.ariaExpanded.trim == "false") return false
 
     // — Section 3: class/id matching —
-    val cls = n.getattr("class").getOrElse("")
-    val idAttr = n.getattr("id").getOrElse("")
+    val cls = at.cls
+    val idAttr = at.id
     if (cls.isEmpty && idAttr.isEmpty) {
       if (n.tag == "div")
         return bodyDepth <= 5 || !isLinkCluster(n, 0.6, 800)
       return true
     }
+    // NB: with an empty id this is `cls + " "` — the trailing space is
+    // semantically live (it flips `$`-anchored regex alternatives, e.g.
+    // adsClsRe's inner `ad$`), so clsAndId always gets its own memo key
     val clsAndId = if (cls.nonEmpty) cls + " " + idAttr else idAttr
+    val eCls = memo.entry(cls)
+    val eBoth = memo.entry(clsAndId)
 
-    if ((!keepHidden && memo.found(cls, displayClsRe, 0)) ||
-        memo.found(n.getattr("style").getOrElse(""), displayCssRe, 1)) return false
+    if ((!keepHidden && memo.found(eCls, cls, displayClsRe, 0)) ||
+        memo.found(memo.entry(at.style), at.style, displayCssRe, 1)) return false
 
     if ((n.tag == "a" || n.tag == "div" || n.tag == "li") &&
-        memo.found(clsAndId, skipLinkClsRe, 2)) return false
+        memo.found(eBoth, clsAndId, skipLinkClsRe, 2)) return false
 
     if (bodyDepth > 2) {
-      if (memo.found(cls, signinClsRe, 3)) return false
-      if (!keepPostMeta && memo.found(cls, postMetaClsRe, 4)) return false
-      if (memo.found(cls, socialClsRe, 5)) return false
+      if (memo.found(eCls, cls, signinClsRe, 3)) return false
+      if (!keepPostMeta && memo.found(eCls, cls, postMetaClsRe, 4)) return false
+      if (memo.found(eCls, cls, socialClsRe, 5)) return false
     }
 
-    if (memo.found(clsAndId, logoClsRe, 6)) return false
-    if (memo.found(clsAndId, adsClsRe, 7) || n.hasattr("data-ad") ||
-        n.hasattr("data-advertisement") || n.hasattr("data-text-ad")) return false
-    if (memo.found(cls, otherJunkClsRe, 8)) return false
+    if (memo.found(eBoth, clsAndId, logoClsRe, 6)) return false
+    if (memo.found(eBoth, clsAndId, adsClsRe, 7) || at.dataAd) return false
+    if (memo.found(eCls, cls, otherJunkClsRe, 8)) return false
 
     // — Section 4: block elements only —
     if (!BlockElements.contains(n.tag) && n.tag != "td") return true
 
-    val role = n.getattr("role").getOrElse("").trim
+    val role = at.role.trim
     if (rel == "main") return true
     if (role.nonEmpty && BlacklistAriaRoles.contains(role)) return false
 
-    if (memo.found(clsAndId, articleClsRe, 9)) return true
-    if (memo.found(idAttr, landmarkIdRe, 10)) return false
-    if (memo.found(clsAndId, headerClsRe, 11)) return false
-    if (memo.found(clsAndId, footerClsRe, 12)) return false
-    if (memo.found(clsAndId, navClsRe, 13)) return false
-    if (memo.found(clsAndId, recommendedClsRe, 14)) return false
-    if (!keepComments && memo.found(clsAndId, commentsClsRe, 15)) return false
-    if (memo.found(clsAndId, searchClsRe, 16)) return false
-    if (memo.found(clsAndId, sidebarClsRe, 17)) return false
-    if (memo.found(clsAndId, modalClsRe, 18)) return false
-    if (memo.found(clsAndId, galleryClsRe, 19)) return false
-    if (memo.found(clsAndId, printClsRe, 20)) return false
+    if (memo.found(eBoth, clsAndId, articleClsRe, 9)) return true
+    if (memo.found(memo.entry(idAttr), idAttr, landmarkIdRe, 10)) return false
+    if (memo.found(eBoth, clsAndId, headerClsRe, 11)) return false
+    if (memo.found(eBoth, clsAndId, footerClsRe, 12)) return false
+    if (memo.found(eBoth, clsAndId, navClsRe, 13)) return false
+    if (memo.found(eBoth, clsAndId, recommendedClsRe, 14)) return false
+    if (!keepComments && memo.found(eBoth, clsAndId, commentsClsRe, 15)) return false
+    if (memo.found(eBoth, clsAndId, searchClsRe, 16)) return false
+    if (memo.found(eBoth, clsAndId, sidebarClsRe, 17)) return false
+    if (memo.found(eBoth, clsAndId, modalClsRe, 18)) return false
+    if (memo.found(eBoth, clsAndId, galleryClsRe, 19)) return false
+    if (memo.found(eBoth, clsAndId, printClsRe, 20)) return false
     if (bodyDepth > 2 && n.tag == "div" && isLinkCluster(n, 0.6, 1500)) return false
 
     true

@@ -424,4 +424,54 @@ Some code
     }
     assert(n == 16)
   }
+
+  test("isMcCandidate == the CSS selector engine on the root-narrowing " +
+    "selector (fixture pages + adversarial class soups)") {
+    val sel = ".article-body, .articleBody, .contentBody, .article-text," +
+      ".main-content, .postcontent, .post-content, .single-post,[role=\"main\"]"
+    def check(t: HtmlTree, label: String): Unit = {
+      val root = t.body
+      if (root != null) {
+        val bySel = new java.util.IdentityHashMap[DomNode, java.lang.Boolean]()
+        root.querySelectorAll(sel).foreach(d => bySel.put(d, true))
+        DomTraversal.preOrder(root) { d =>
+          if (d ne root)
+            assert(Html2Text.isMcCandidate(d) == bySel.containsKey(d),
+              s"$label <${d.tag} class=${d.getattr("class")} role=${d.getattr("role")}>")
+          true
+        }
+      }
+    }
+    // the 16 real fixture pages
+    import graft.core._
+    val (in, _) = WarcCodecs.open(new java.io.FileInputStream(
+      "/root/reference/tests/data/warcfile.warc"))
+    val recs = try new WarcParser(new WarcByteReader(in), "w",
+      WarcParseOptions(recordTypeMask = RecordType.Response)).toVector
+      finally in.close()
+    recs.foreach { rec =>
+      check(HtmlTree.parseFromBytes(rec.http.get.body,
+        rec.http.flatMap(_.charset).getOrElse("utf-8")), rec.targetUri.getOrElse("?"))
+    }
+    // adversarial soups: near-miss tokens, token boundaries, tabs/NBSP,
+    // role variants, case variants, 11/12-length decoys
+    val classes = Seq("article-body", "articleBody", "contentBody",
+      "article-text", "main-content", "postcontent", "post-content",
+      "single-post", "Article-Body", "article-bod", "article-bodyy",
+      "xarticle-body", "main-contentx", "post-contents", "singlepost",
+      "mainxcontent", "abcdefghijk", "abcdefghijkl", "", " ", "a b c",
+      "foo article-body", "article-body bar", "foo article-body bar",
+      "foo\tmain-content", "x post-content", "post-content y",
+      "article-body\narticleBody")
+    val roles = Seq(null, "main", "Main", "main ", " main", "navigation", "")
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { i =>
+      val cls = classes(rnd.nextInt(classes.size))
+      val role = roles(rnd.nextInt(roles.size))
+      val roleAttr = if (role == null) "" else s""" role="$role""""
+      val html = s"""<html><body><div class="$cls"$roleAttr><p class="${
+        classes(rnd.nextInt(classes.size))}">x</p></div></body></html>"""
+      check(HtmlTree.parse(html), s"soup $i cls=[$cls] role=[$role]")
+    }
+  }
 }
