@@ -279,12 +279,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // per-family subtotals + the streaming floor: each micro-batch query
+    // carries a ~2-4 s fixed engine cost (checkpoint dir, trigger setup,
+    // batch planning) that is independent of data volume, so sweeps gain
+    // a constant per streaming query added — the subtotal rows keep
+    // round-over-round totals comparable as the streaming inventory
+    // grows (every writeStream call site: StreamingDedup for
+    // d28/d29/e25/m14, the five w3x/w4x streaming queries)
+    val streamingQueries = Set("d28_streaming_neardup", "d29_megabucket_divergence",
+      "e25_streaming_semdedup", "m14_streaming_image_neardup",
+      "w32_streaming_windows", "w35_streaming_dedup", "w38_streaming_wet_export",
+      "w41_streaming_frontier", "w44_streaming_sessions")
+    val familiesJson = results.groupBy(_._1.head).toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        jstr(fam.toString) + s""":{"n":${rs.size},"sec":${rs.map(_._2).sum}}"""
+      }.mkString("{", ",", "}")
+    val streamingFloor = results.filter(r => streamingQueries(r._1)).map(_._2).sum
+    val nStreaming = results.count(r => streamingQueries(r._1))
     // environment fingerprint in the artifact itself: the round-6 driver
     // run was 20x slower than the builder's on identical code because of
     // an 8g-vs-28g heap difference that was invisible in the output
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val jvmCpus = Runtime.getRuntime.availableProcessors
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // machine-parseable duplicate: the driver's bench harness greps for
     // this prefix to recover the object even when other stdout lines leak

@@ -37,9 +37,17 @@ object Lz4FrameInputStream {
   final class DictFrameException(msg: String) extends IOException(msg)
 }
 
-final class Lz4FrameInputStream(in: InputStream) extends InputStream {
+final class Lz4FrameInputStream(in: InputStream,
+    memberListener: Long => Unit = null) extends InputStream {
 
   private val xx = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+
+  // compressed bytes consumed — with `memberListener` set, each data
+  // frame's start offset in compressed-file coordinates is reported as
+  // its header parses (skippable frames are not members: the scan's
+  // member_index seeks data frames), giving the one-pass index the
+  // gzip side gets from [[GzipMemberInputStream]]
+  private var cpos = 0L
 
   private final val Magic = 0x184d2204
   private final val SkippableMin = 0x184d2a50
@@ -100,6 +108,7 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
       if (!readFrameHeader()) { eof = true; return }
     }
     val b0 = in.read()
+    if (b0 >= 0) cpos += 1
     if (b0 < 0) {
       // EOF exactly at a block boundary with no EndMark. When the frame
       // DECLARED an integrity surface (content checksum or content
@@ -230,8 +239,10 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
     */
   private def readFrameHeader(): Boolean = {
     while (true) {
+      val frameStart = cpos
       val b0 = in.read()
       if (b0 < 0) return false
+      cpos += 1
       val magic = b0 | (readByte() << 8) | (readByte() << 16) | (readByte() << 24)
       if (magic >= SkippableMin && magic <= SkippableMax) {
         var skip = readIntLE().toLong & 0xffffffffL
@@ -239,8 +250,9 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
           val n = in.skip(skip)
           if (n <= 0) {
             if (in.read() < 0) throw new EOFException("lz4: truncated skippable frame")
+            cpos += 1
             skip -= 1
-          } else skip -= n
+          } else { cpos += n; skip -= n }
         }
       } else if (magic == Magic) {
         // collect the descriptor bytes (FLG..content size) so the HC
@@ -281,6 +293,7 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
             f"lz4: frame header checksum mismatch (0x$hc%02x != 0x$expectHc%02x)")
         contentHasher = if (contentChecksum) xx.newStreamingHash32(0) else null
         inFrame = true
+        if (memberListener != null) memberListener(frameStart)
         // fresh frame: history never crosses frame boundaries
         pos = 0; limit = 0
         return true
@@ -292,6 +305,7 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
   private def readByte(): Int = {
     val b = in.read()
     if (b < 0) throw new EOFException("lz4: truncated frame header")
+    cpos += 1
     b
   }
 
@@ -305,5 +319,6 @@ final class Lz4FrameInputStream(in: InputStream) extends InputStream {
       if (r < 0) throw new EOFException("lz4: truncated block")
       n += r
     }
+    cpos += len
   }
 }

@@ -1,7 +1,6 @@
 package graft.core
 
 import java.io.{BufferedInputStream, EOFException, InputStream}
-import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
 import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream
 
 /** Buffered byte reader over a (possibly decompressed) WARC stream with
@@ -158,16 +157,23 @@ object WarcCodecs {
     * files decode through [[BrotliInputStream]] (no magic to sniff);
     * everything else goes through magic-byte detection.
     */
-  def openWithName(raw: InputStream, fileName: String): (InputStream, Codec) =
+  def openWithName(raw: InputStream, fileName: String,
+      memberListener: Long => Unit = null): (InputStream, Codec) =
     if (fileName != null && fileName.toLowerCase.endsWith(".br"))
       (new BrotliInputStream(new BufferedInputStream(raw, 64 * 1024)), Br)
-    else open(raw)
+    else open(raw, memberListener)
 
   /** Wrap a raw input stream in the detected decompressor. Unknown magic
     * falls back to raw passthrough (tolerant mode — the parser will
     * surface a useful error if it isn't WARC at all).
+    *
+    * `memberListener` (optional) receives each compression member's
+    * start offset in compressed-file coordinates as the decode reaches
+    * it — the one-pass member-index side-output (gzip and the
+    * from-scratch LZ4 decoder; the commons-compress dict-LZ4 fallback
+    * has no byte accounting, so dict frames scan without emission).
     */
-  def open(raw: InputStream): (InputStream, Codec) = {
+  def open(raw: InputStream, memberListener: Long => Unit = null): (InputStream, Codec) = {
     val buffered = new BufferedInputStream(raw, 64 * 1024)
     buffered.mark(8)
     val head = new Array[Byte](8)
@@ -179,8 +185,11 @@ object WarcCodecs {
     }
     buffered.reset()
     sniff(java.util.Arrays.copyOf(head, n)) match {
-      case Some(Gzip) => (GzipCompressorInputStream.builder()
-        .setInputStream(buffered).setDecompressConcatenated(true).get(), Gzip)
+      // The from-scratch multi-member reader decodes the concatenated
+      // chain with exact compressed-byte accounting (per-member CRC32 +
+      // ISIZE verified like commons-compress), which is what makes the
+      // one-pass member-index side-output possible.
+      case Some(Gzip) => (new GzipMemberInputStream(buffered, memberListener), Gzip)
       // The from-scratch frame decoder ([[Lz4FrameInputStream]]) handles
       // the DEPENDENT blocks real WARC-LZ4 corpora use at full speed —
       // lz4-java's frame reader rejects them, and commons-compress
@@ -198,7 +207,7 @@ object WarcCodecs {
       case Some(Lz4) =>
         val dictId = n >= 5 && (head(4) & 0x01) != 0
         if (dictId) (new FramedLZ4CompressorInputStream(buffered, true), Lz4)
-        else (new Lz4FrameInputStream(buffered), Lz4)
+        else (new Lz4FrameInputStream(buffered, memberListener), Lz4)
       case _          => (buffered, Raw)
     }
   }

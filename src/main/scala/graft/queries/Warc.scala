@@ -455,6 +455,51 @@ object Warc {
         .withColumn("plain_equal", lit(mism == 0L))
     }),
 
+    // Build-on-first-scan side of the member-index loop (vs w36's
+    // DEDICATED MemberIndex pass): the FIRST full read of a foreign
+    // archive carries `emit_member_index` — the decoder already crosses
+    // every member boundary, so the offsets cost zero extra reads and
+    // zero extra inflate work — and commits the same .idx sidecar the
+    // WARC sink emits. The second read is member-parallel from that
+    // sidecar. At 100 TB: the one serial pass any first read pays
+    // leaves record-addressable random access behind it for every
+    // scan after (the reference's Beam dynamic splits + seekable
+    // GZipStream, beam/warcio.py:101-109, stream_io.pyx:561-591).
+    // Pins: emitted member count, indexed == plain totals, and the
+    // emitting scan's own totals == a plain scan's (the side-output
+    // must not perturb the rows).
+    "w46_emit_member_index" -> ((s, _) => {
+      val dir = new java.io.File(scratch("w46_emit"))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      dir.mkdirs()
+      val copy = new java.io.File(dir, "foreign.warc.gz")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        "/root/reference/tests/data/warcfile.warc.gz"), copy.toPath)
+      def totals(df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+      // first read: ordinary whole-file scan + sidecar side-output
+      val firstPass = totals(s.read.format("warc")
+        .option("emit_member_index", dir.getPath)
+        .load(copy.getPath)).collect()(0)
+      val idxFile = new java.io.File(dir, copy.getName + ".idx")
+      require(idxFile.exists(), "first scan left no member-index sidecar")
+      val nMembers = {
+        val src = scala.io.Source.fromFile(idxFile, "UTF-8")
+        try src.getLines().size finally src.close()
+      }
+      // second read: member-parallel from the emitted sidecar
+      val indexed = totals(s.read.format("warc")
+        .option("member_index", dir.getPath)
+        .option("max_partition_bytes", 16 * 1024)
+        .load(copy.getPath))
+      val plain = totals(s.read.format("warc").load(copy.getPath))
+      val mism = indexed.exceptAll(plain).count() + plain.exceptAll(indexed).count()
+      val firstEqual = plain.collect()(0) == firstPass
+      indexed.withColumn("n_members", lit(nMembers.toLong))
+        .withColumn("indexed_equal", lit(mism == 0L && firstEqual))
+    }),
+
     // WAT-style derived archive (the Common Crawl *.warc.wat.gz
     // product, the third of the WARC/WAT/WET trio — w31 covers WET):
     // per response record, a WARC `metadata` record whose payload is a
@@ -1687,6 +1732,15 @@ object Warc {
          CAST(527846 AS BIGINT) AS total_bytes,
          CAST(50 AS BIGINT) AS n_members,
          CAST(1 AS BOOLEAN) AS plain_equal""",
+    // same foreign fixture through the build-on-first-scan loop: the
+    // emitting scan must see the same 50 records / byte total as a
+    // plain scan, leave a 50-member sidecar, and the indexed rescan
+    // must reproduce the totals exactly
+    "w46_emit_member_index" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS total_bytes,
+         CAST(50 AS BIGINT) AS n_members,
+         CAST(1 AS BOOLEAN) AS indexed_equal""",
     // Inline-fixture pin: the full rewritten documents, hand-derivable
     // from the three fixture strings in the query (strip script/style/
     // .ads, stamp rel=nofollow, absolutize relative URLs per base).

@@ -459,7 +459,8 @@ class WarcScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(parseOpts, required, fsProps,
-      options.getInt("stream_retries", 0))
+      options.getInt("stream_retries", 0),
+      Option(options.get("emit_member_index")))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -470,13 +471,14 @@ class WarcReaderFactory(
     parseOpts: WarcParseOptions,
     required: StructType,
     fsProps: Map[String, String],
-    streamRetries: Int = 0) extends PartitionReaderFactory {
+    streamRetries: Int = 0,
+    emitIdxDir: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcInputPartition]
     val conf = new Configuration()
     fsProps.foreach { case (k, v) => conf.set(k, v) }
     new WarcPartitionReader(p, parseOpts, required, WarcInput.withHttpFs(conf),
-      streamRetries)
+      streamRetries, emitIdxDir)
   }
 }
 
@@ -506,7 +508,8 @@ class WarcPartitionReader(
     parseOpts: WarcParseOptions,
     required: StructType,
     conf: Configuration,
-    streamRetries: Int = 0) extends PartitionReader[InternalRow] {
+    streamRetries: Int = 0,
+    emitIdxDir: Option[String] = None) extends PartitionReader[InternalRow] {
 
   // scan metrics (see WarcScan.supportedCustomMetrics)
   private var mRecords = 0L
@@ -538,6 +541,23 @@ class WarcPartitionReader(
   // silently (no partial record, so no truncated-record row either)
   private var activeReader: WarcByteReader = _
 
+  // One-pass member-index side-output (`emit_member_index` option — the
+  // Spark analog of the reference's record-addressable gzip,
+  // fastwarc/stream_io.pyx:561-591): a whole-file scan of a compressed
+  // FOREIGN archive collects every member's compressed start offset as
+  // the decoder crosses it (zero extra reads, zero extra inflate work)
+  // and, iff the file scanned cleanly to EOF, commits the same `.idx`
+  // sidecar the WARC sink emits — so a 100 TB first scan leaves
+  // member-parallel random access behind it for every scan after.
+  // Whole-file plain scans only: range reads and member-indexed scans
+  // see a slice, and the retry path can replay members across attempts.
+  private val emitOffsets: scala.collection.mutable.ArrayBuffer[Long] =
+    if (emitIdxDir.isDefined && part.start == 0 &&
+        part.memberOffsets.isEmpty && streamRetries == 0)
+      new scala.collection.mutable.ArrayBuffer[Long]()
+    else null
+  private var exhaustedClean = false
+
   private val parser: Iterator[WarcRecord] =
     if (part.memberOffsets.nonEmpty) memberIterator()
     else if (streamRetries > 0 && part.start == 0) {
@@ -559,7 +579,8 @@ class WarcPartitionReader(
     } else {
       val isRangeRead = part.start > 0
       if (isRangeRead) rawIn.seek(part.start)
-      val (stream, codec) = WarcCodecs.openWithName(rawIn, part.path)
+      val (stream, codec) = WarcCodecs.openWithName(rawIn, part.path,
+        if (emitOffsets != null) (o: Long) => emitOffsets += o else null)
       // A mid-file range of a file that sniffs as compressed yields no
       // rows: the partition at start=0 reads the whole member chain
       // instead. Range reads of raw files resync for free: the parser's
@@ -666,7 +687,7 @@ class WarcPartitionReader(
           if (part.memberOffsets.nonEmpty) None
           else Option(activeReader).flatMap(_.streamError)
         if (died.isDefined) { emitStreamError(s"stream error: ${died.get}"); count(current) }
-        else { current = null; false }
+        else { exhaustedClean = true; current = null; false }
       }
     } catch {
       case e: java.io.IOException =>
@@ -687,6 +708,34 @@ class WarcPartitionReader(
   override def close(): Unit = {
     if (rawInRef != null) rawInRef.close()
     if (retryStream != null) { try retryStream.close() catch { case _: Exception => } }
+    // commit the member-index side-output only for a file that scanned
+    // cleanly to EOF (a truncated/corrupt archive must not leave a
+    // plausible-looking sidecar; an early-terminated scan — e.g. a
+    // LIMIT — never sets exhaustedClean). Raw files report no members.
+    if (emitOffsets != null && exhaustedClean && emitOffsets.nonEmpty)
+      writeMemberIndexSidecar()
+  }
+
+  /** Tmp+rename commit of the JSON-lines `.idx` sidecar (the exact format
+    * the `member_index` scan option and the WARC sink share). A write
+    * failure propagates — the task retries, and the retry re-emits.
+    * Losing a rename race to a concurrent emitter is fine: the content
+    * is identical by construction.
+    */
+  private def writeMemberIndexSidecar(): Unit = {
+    val name = hPath.getName
+    val dir = new Path(emitIdxDir.get)
+    val outFs = dir.getFileSystem(conf)
+    outFs.mkdirs(dir)
+    val finalP = new Path(dir, name + ".idx")
+    val tmpP = new Path(dir, "." + name + s".idx-${java.util.UUID.randomUUID()}.tmp")
+    val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(outFs.create(tmpP, true),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    try emitOffsets.foreach(o => w.println(s"""{"filename":"$name","offset":$o}"""))
+    finally w.close()
+    outFs.delete(finalP, false)
+    if (!outFs.rename(tmpP, finalP)) outFs.delete(tmpP, false)
   }
 }
 

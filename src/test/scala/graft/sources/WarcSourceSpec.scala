@@ -392,4 +392,74 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
     }
   }
+
+  test("emit_member_index: a clean whole-file scan leaves the .idx " +
+      "sidecar a member_index rescan consumes; offsets are the proven " +
+      "MemberIndex walk") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("emit-idx")
+    for (name <- Seq("foreign.warc.gz", "foreign.warc.lz4")) {
+      val src = if (name.endsWith(".gz")) s"$DataDir/warcfile.warc.gz"
+                else s"$DataDir/warcfile.warc.lz4"
+      val copy = dir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), copy)
+      val n = spark.read.format("warc")
+        .option("emit_member_index", dir.toString)
+        .load(copy.toString).count()
+      assert(n == 50L, name)
+      val idx = dir.resolve(name + ".idx").toFile
+      assert(idx.exists(), s"$name: sidecar missing")
+      val lines = {
+        val s = scala.io.Source.fromFile(idx, "UTF-8")
+        try s.getLines().toVector finally s.close()
+      }
+      val walked = MemberIndex.scan(
+        new java.io.FileInputStream(copy.toFile)).offsets
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val emitted = lines.map(l => m.readTree(l).get("offset").asLong())
+      assert(emitted == walked, s"$name: emitted offsets != proven walk")
+      assert(lines.forall(l =>
+        m.readTree(l).get("filename").asText() == name), name)
+      // the sidecar closes the loop: member-parallel rescan, same rows
+      val rescanned = spark.read.format("warc")
+        .option("member_index", dir.toString)
+        .option("max_partition_bytes", 16 * 1024)
+        .load(copy.toString)
+      assert(rescanned.rdd.getNumPartitions > 1, s"$name: expected member splits")
+      assert(rescanned.count() == 50L, name)
+    }
+  }
+
+  test("emit_member_index: no sidecar for a raw file, a corrupt archive, " +
+      "or an early-terminated scan") {
+    val dir = java.nio.file.Files.createTempDirectory("emit-idx-neg")
+    // raw: nothing to index (byte-range splits already cover it)
+    val raw = dir.resolve("plain.warc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc"), raw)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(raw.toString).count() == 50L)
+    assert(!dir.resolve("plain.warc.idx").toFile.exists())
+    // corrupt tail: the scan yields an error row; NO plausible sidecar
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"))
+    val cut = dir.resolve("cut.warc.gz")
+    java.nio.file.Files.write(cut,
+      java.util.Arrays.copyOf(bytes, bytes.length - 500))
+    val rows = spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(cut.toString).select("error").collect()
+    assert(rows.exists(!_.isNullAt(0)), "corrupt tail must surface an error row")
+    assert(!dir.resolve("cut.warc.gz.idx").toFile.exists(),
+      "a damaged archive must not leave a sidecar")
+    // early termination (LIMIT) must not commit a partial index
+    val whole = dir.resolve("whole.warc.gz")
+    java.nio.file.Files.write(whole, bytes)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(whole.toString).limit(3).count() == 3L)
+    assert(!dir.resolve("whole.warc.gz.idx").toFile.exists(),
+      "an early-terminated scan must not leave a sidecar")
+  }
 }
