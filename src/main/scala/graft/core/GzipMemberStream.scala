@@ -26,12 +26,17 @@ import java.util.zip.{CRC32, DataFormatException, Inflater}
   * inflate writes straight into the caller's buffer — no intermediate
   * copy. Memory is O(64 KiB) however large the archive or its members.
   *
-  * @param memberListener invoked once per member with the member's
-  *        compressed start offset, after its header parses; null = no
-  *        tracking. Offsets arrive in file order.
+  * @param memberListener invoked once per member, after its header
+  *        parses, with (compressed start offset, cumulative decompressed
+  *        bytes delivered before this member); null = no tracking.
+  *        Offsets arrive in file order. The decompressed coordinate is
+  *        exact: a member's header parses only after every byte of the
+  *        previous member has been delivered to the caller, so the pair
+  *        maps decompressed record positions back to compressed member
+  *        addresses (the member-indexed scan's offset rebase).
   */
 final class GzipMemberInputStream(in: InputStream,
-    memberListener: Long => Unit = null) extends InputStream {
+    memberListener: (Long, Long) => Unit = null) extends InputStream {
 
   private val buf = new Array[Byte](1 << 16)
   private var lo = 0
@@ -44,6 +49,7 @@ final class GzipMemberInputStream(in: InputStream,
   private var inMember = false
   private var memberStart = 0L
   private var outBytes = 0L // decompressed bytes this member (ISIZE check)
+  private var totalOut = 0L // decompressed bytes delivered, all members
   private var fed = 0       // bytes handed to the Inflater from the window
   private var done = false
 
@@ -77,7 +83,7 @@ final class GzipMemberInputStream(in: InputStream,
           case e: DataFormatException => throw new IOException(
             s"gzip: corrupt deflate data in member at offset $memberStart: ${e.getMessage}", e)
         }
-      if (n > 0) { crc.update(b, off, n); outBytes += n }
+      if (n > 0) { crc.update(b, off, n); outBytes += n; totalOut += n }
       if (inf.finished()) {
         // getRemaining = fed bytes deflate did NOT consume — they are
         // the trailer / the next member's header
@@ -132,7 +138,7 @@ final class GzipMemberInputStream(in: InputStream,
     if (!ok)
       throw new IOException(s"gzip: truncated header fields at offset $memberStart")
     inMember = true
-    if (memberListener != null) memberListener(memberStart)
+    if (memberListener != null) memberListener(memberStart, totalOut)
     true
   }
 

@@ -38,16 +38,20 @@ object Lz4FrameInputStream {
 }
 
 final class Lz4FrameInputStream(in: InputStream,
-    memberListener: Long => Unit = null) extends InputStream {
+    memberListener: (Long, Long) => Unit = null) extends InputStream {
 
   private val xx = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
 
   // compressed bytes consumed — with `memberListener` set, each data
   // frame's start offset in compressed-file coordinates is reported as
-  // its header parses (skippable frames are not members: the scan's
-  // member_index seeks data frames), giving the one-pass index the
-  // gzip side gets from [[GzipMemberInputStream]]
+  // its header parses, paired with the cumulative decompressed bytes
+  // delivered before the frame (exact: a header only parses once the
+  // window is drained). Skippable frames are not members — the scan's
+  // member_index seeks data frames. This gives the one-pass index and
+  // offset-rebase mapping the gzip side gets from
+  // [[GzipMemberInputStream]].
   private var cpos = 0L
+  private var totalOut = 0L
 
   private final val Magic = 0x184d2204
   private final val SkippableMin = 0x184d2a50
@@ -74,7 +78,7 @@ final class Lz4FrameInputStream(in: InputStream,
 
   override def read(): Int = {
     if (!ensure()) -1
-    else { val b = window(pos) & 0xff; pos += 1; b }
+    else { val b = window(pos) & 0xff; pos += 1; totalOut += 1; b }
   }
 
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
@@ -83,6 +87,7 @@ final class Lz4FrameInputStream(in: InputStream,
     val n = math.min(len, limit - pos)
     System.arraycopy(window, pos, b, off, n)
     pos += n
+    totalOut += n
     n
   }
 
@@ -293,7 +298,7 @@ final class Lz4FrameInputStream(in: InputStream,
             f"lz4: frame header checksum mismatch (0x$hc%02x != 0x$expectHc%02x)")
         contentHasher = if (contentChecksum) xx.newStreamingHash32(0) else null
         inFrame = true
-        if (memberListener != null) memberListener(frameStart)
+        if (memberListener != null) memberListener(frameStart, totalOut)
         // fresh frame: history never crosses frame boundaries
         pos = 0; limit = 0
         return true

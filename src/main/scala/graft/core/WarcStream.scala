@@ -163,17 +163,27 @@ object WarcCodecs {
       (new BrotliInputStream(new BufferedInputStream(raw, 64 * 1024)), Br)
     else open(raw, memberListener)
 
+  /** [[openTracked]] with only the compressed member-start coordinate —
+    * the one-pass member-index side-output (`emit_member_index`).
+    */
+  def open(raw: InputStream, memberListener: Long => Unit = null): (InputStream, Codec) =
+    openTracked(raw,
+      if (memberListener == null) null
+      else (c: Long, _: Long) => memberListener(c))
+
   /** Wrap a raw input stream in the detected decompressor. Unknown magic
     * falls back to raw passthrough (tolerant mode — the parser will
     * surface a useful error if it isn't WARC at all).
     *
     * `memberListener` (optional) receives each compression member's
-    * start offset in compressed-file coordinates as the decode reaches
-    * it — the one-pass member-index side-output (gzip and the
-    * from-scratch LZ4 decoder; the commons-compress dict-LZ4 fallback
-    * has no byte accounting, so dict frames scan without emission).
+    * (compressed start offset, decompressed bytes delivered before it)
+    * as the decode reaches it — the member-index side-output and the
+    * member-indexed scan's offset rebase (gzip and the from-scratch LZ4
+    * decoder; the commons-compress dict-LZ4 fallback has no byte
+    * accounting, so dict frames scan without tracking).
     */
-  def open(raw: InputStream, memberListener: Long => Unit = null): (InputStream, Codec) = {
+  def openTracked(raw: InputStream,
+      memberListener: (Long, Long) => Unit = null): (InputStream, Codec) = {
     val buffered = new BufferedInputStream(raw, 64 * 1024)
     buffered.mark(8)
     val head = new Array[Byte](8)

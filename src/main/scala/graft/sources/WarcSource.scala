@@ -404,23 +404,29 @@ class WarcScan(
         // chunk member offsets into ~maxPart compressed-byte slices;
         // anchor at the file head (a foreign CDXJ's first indexed
         // capture may start past offset 0 — earlier records must
-        // still be scanned) and drop offsets past EOF (stale index)
+        // still be scanned) and drop offsets past EOF (stale index).
+        // Array-indexed: a Seq-positional walk here was O(n²) in the
+        // member count and took MINUTES of driver time to plan a
+        // single 160k-member archive.
         val offs0 = indexed.get.filter(o => o >= 0 && o < len)
-        val offs = if (offs0.headOption.contains(0L)) offs0 else 0L +: offs0
-        val bounds = offs :+ len
+        val offs = (if (offs0.headOption.contains(0L)) offs0 else 0L +: offs0).toArray
+        def slice(from: Int, until: Int): Seq[Long] =
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            java.util.Arrays.copyOfRange(offs, from, until))
         val parts = Vector.newBuilder[WarcInputPartition]
         var groupStart = 0
         var i = 0
-        while (i < offs.size) {
-          if (bounds(i + 1) - offs(groupStart) > maxPart && i > groupStart) {
+        while (i < offs.length) {
+          val memberEnd = if (i + 1 < offs.length) offs(i + 1) else len
+          if (memberEnd - offs(groupStart) > maxPart && i > groupStart) {
             parts += WarcInputPartition(p, offs(groupStart), offs(i), len,
-              offs.slice(groupStart, i))
+              slice(groupStart, i))
             groupStart = i
           }
           i += 1
         }
         parts += WarcInputPartition(p, offs(groupStart), len, len,
-          offs.slice(groupStart, offs.size))
+          slice(groupStart, offs.length))
         parts.result()
       } else if (split && len > maxPart && WarcInput.looksUncompressed(st.getPath.getName)) {
         (0L until len by maxPart).map(s =>
@@ -610,13 +616,145 @@ class WarcPartitionReader(
     * point-lookup addresses are exact only for indexed members.
     */
   private def memberIterator(): Iterator[WarcRecord] = {
-    val bounds = part.memberOffsets :+ part.end
-    // Strictly sequential member consumption, O(one record) memory: the
-    // flatMap body (and its seek) runs only once the PREVIOUS member's
-    // iterator is exhausted — Iterator.flatMap never interleaves inner
-    // iterators — so no seek can invalidate a stream still being read,
-    // and a multi-hundred-MB member is never materialized at once.
-    part.memberOffsets.indices.iterator.flatMap { i =>
+    val offs: Array[Long] = part.memberOffsets.toArray
+    // sniff the first member once to pick the strategy: dict-LZ4 frames
+    // decode through commons-compress (no member tracking) and keep the
+    // per-member loop; everything else takes the sequential path
+    rawIn.seek(offs(0))
+    val head = new Array[Byte](8)
+    var got = 0; var r = 0
+    while (got < 8 && r >= 0) { r = rawIn.read(head, got, 8 - got); if (r > 0) got += r }
+    WarcCodecs.sniff(java.util.Arrays.copyOf(head, got)) match {
+      case Some(WarcCodecs.Lz4) if got >= 5 && (head(4) & 0x01) != 0 =>
+        perMemberIterator(offs)
+      case Some(WarcCodecs.Raw) | None =>
+        sequentialMemberIterator(offs, identityPairs = true)
+      case _ =>
+        sequentialMemberIterator(offs, identityPairs = false)
+    }
+  }
+
+  /** Member-indexed scan as ONE sequential decode of the partition's
+    * contiguous compressed range: the multi-member gzip / concatenated-
+    * frame LZ4 readers decode straight through member boundaries, and
+    * record offsets are rebased to compressed member coordinates from
+    * the decoder's (compressed, decompressed) member-start callbacks —
+    * exactly the `memberStart + within-member-decompressed-offset`
+    * addresses the per-member loop produced. Why not seek per member:
+    * one reopen per member allocates ~200 KiB of buffers plus a native
+    * Inflater (GC-bound at 32 threads — a 160k-member archive scanned
+    * 3× slower than ONE thread decoding it straight through) and issues
+    * one seek per member — one GET per member on an object store.
+    *
+    * Corruption stays member-isolated, as before: when the stream dies,
+    * one error row names the dying member and the decode RESUMES with a
+    * fresh stream at the next indexed member past it — healthy members
+    * of a damaged archive still scan completely.
+    *
+    * `identityPairs` = raw (uncompressed) archive behind a member
+    * index: compressed and decompressed coordinates coincide, so the
+    * index entries themselves are the rebase mapping.
+    */
+  private def sequentialMemberIterator(offs: Array[Long],
+      identityPairs: Boolean): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var segStart = 0
+    private var cur: WarcParser = _
+    private var segReader: WarcByteReader = _
+    private var pairsC = new Array[Long](16) // absolute compressed member start
+    private var pairsD = new Array[Long](16) // decompressed start within segment
+    private var nPairs = 0
+    private var pairPtr = 0
+    private var pending: WarcRecord = _
+    private var resumeAt = -2 // -2 = none, -1 = finish after pending
+    private var finished = false
+
+    private def addPair(c: Long, d: Long): Unit = {
+      if (nPairs == pairsC.length) {
+        pairsC = java.util.Arrays.copyOf(pairsC, nPairs * 2)
+        pairsD = java.util.Arrays.copyOf(pairsD, nPairs * 2)
+      }
+      pairsC(nPairs) = c; pairsD(nPairs) = d; nPairs += 1
+    }
+
+    private def openSegment(i: Int): Unit = {
+      segStart = i
+      nPairs = 0; pairPtr = 0
+      val base = offs(i)
+      rawIn.seek(base)
+      val bounded = org.apache.commons.io.input.BoundedInputStream.builder()
+        .setInputStream(rawIn)
+        .setMaxCount(part.end - base)
+        .setPropagateClose(false)
+        .get()
+      val stream =
+        if (identityPairs) {
+          // raw: every remaining index entry maps 1:1
+          var j = i
+          while (j < offs.length) { addPair(offs(j), offs(j) - base); j += 1 }
+          WarcCodecs.open(bounded)._1
+        } else {
+          WarcCodecs.openTracked(bounded, (c: Long, d: Long) => addPair(base + c, d))._1
+        }
+      segReader = new WarcByteReader(stream)
+      activeReader = segReader
+      cur = new WarcParser(segReader, part.path, parseOpts)
+    }
+
+    /** Monotone decompressed→compressed rebase: records arrive in
+      * increasing offset within a segment, so one forward pointer walk
+      * over the member pairs covers them all.
+      */
+    private def rebase(d: Long): Long = {
+      while (pairPtr + 1 < nPairs && pairsD(pairPtr + 1) <= d) pairPtr += 1
+      if (nPairs == 0) offs(segStart) + d // tracking-less codec fallback
+      else pairsC(pairPtr) + (d - pairsD(pairPtr))
+    }
+
+    override def hasNext: Boolean = {
+      if (pending != null) return true
+      if (finished) return false
+      if (cur == null) openSegment(0)
+      if (cur.hasNext) {
+        val rec = cur.next()
+        pending = rec.copy(offset = rebase(rec.offset))
+        true
+      } else segReader.streamError match {
+        case Some(err) =>
+          val errAt = if (nPairs > 0) pairsC(nPairs - 1) else offs(segStart)
+          pending = streamErrorRecord(s"stream error in member at $errAt: $err")
+          var j = segStart + 1
+          while (j < offs.length && offs(j) <= errAt) j += 1
+          resumeAt = if (j < offs.length) j else -1
+          true
+        case None =>
+          finished = true
+          false
+      }
+    }
+
+    override def next(): WarcRecord = {
+      if (pending == null && !hasNext) throw new NoSuchElementException
+      val out = pending
+      pending = null
+      if (resumeAt != -2) {
+        if (resumeAt >= 0) openSegment(resumeAt) else finished = true
+        resumeAt = -2
+      }
+      out
+    }
+  }
+
+  /** Per-member seek+reopen loop — kept only for codecs the tracking
+    * decoders cannot decode (LZ4 frames declaring an external
+    * dictionary, routed through commons-compress). Strictly sequential
+    * member consumption, O(one record) memory: the flatMap body (and
+    * its seek) runs only once the PREVIOUS member's iterator is
+    * exhausted — Iterator.flatMap never interleaves inner iterators —
+    * so no seek can invalidate a stream still being read.
+    */
+  private def perMemberIterator(offs: Array[Long]): Iterator[WarcRecord] = {
+    val bounds = offs :+ part.end
+    offs.indices.iterator.flatMap { i =>
       val memberStart = bounds(i)
       val memberEnd = bounds(i + 1)
       rawIn.seek(memberStart)

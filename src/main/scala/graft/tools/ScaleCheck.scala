@@ -50,6 +50,11 @@ import org.apache.spark.sql.functions._
   *    16-files-per-trigger admission — k× corpus ⇒ k× constant-size
   *    micro-batches (the 100 TB backfill regime); asserts record counts
   *    scale exactly ×k.
+  *  - `memberindex`: the emit-on-first-scan loop over ONE k×-sized
+  *    multi-member gzip archive (one file = one partition = the worst
+  *    case the sidecar exists to fix): phase 1 scans serially with
+  *    `emit_member_index`, phase 2 rescans member-parallel from the
+  *    emitted sidecar; reports the second-scan speedup.
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -422,8 +427,48 @@ object ScaleCheck {
             s"streamed rows did not scale x$s: ${n.value}")
           (n.value, batches.get())
         })
+      case "memberindex" =>
+        // One LARGE single-file archive per scale: serial first scan
+        // (with the free sidecar side-output), then the member-parallel
+        // rescan it unlocks. The speedup column is the point — at 100 TB
+        // this is "one executor gunzips a shard" vs "the cluster scans
+        // member slices of it" (the reference's Beam dynamic splits).
+        val tmp = System.getProperty("java.io.tmpdir")
+        // warm the reader/codegen path so phase-1 of the first scale
+        // doesn't bill JIT
+        spark.read.format("warc").option("record_types", "response")
+          .load(graft.sources.BenchCorpus.ensure(
+            s"$tmp/graft_memberidx_warm", files = 1, copiesPerFile = 20)).count()
+        scales.foreach { s =>
+          val dir = graft.sources.BenchCorpus.ensure(
+            s"$tmp/graft_memberidx_$s", files = 1, copiesPerFile = 200 * s)
+          val f = new java.io.File(dir).listFiles()
+            .filter(_.getName.endsWith(".warc.gz")).head
+          val idx = new java.io.File(dir, f.getName + ".idx")
+          idx.delete()
+          def timed(body: => Long): (Long, Double) = {
+            System.gc()
+            val t0 = System.nanoTime()
+            val n = body
+            (n, (System.nanoTime() - t0) / 1e9)
+          }
+          val (n1, t1) = timed(spark.read.format("warc")
+            .option("record_types", "response")
+            .option("emit_member_index", dir)
+            .load(f.getPath).count())
+          require(idx.exists(), "first scan emitted no sidecar")
+          val (n2, t2) = timed(spark.read.format("warc")
+            .option("record_types", "response")
+            .option("member_index", dir)
+            .option("max_partition_bytes", (4L * 1024 * 1024).toString)
+            .load(f.getPath).count())
+          require(n1 == n2 && n1 == 200L * s * 16,
+            s"rows mismatch: first=$n1 indexed=$n2 expected ${200L * s * 16}")
+          println(f"[scale] memberindex ${s}x  rows=$n1%9d  " +
+            f"first=$t1%7.2f s  indexed=$t2%7.2f s  speedup ${t1 / t2}%5.1fx")
+        }
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex)")
     }
     spark.stop()
   }

@@ -32,7 +32,7 @@ class GzipMemberStreamSpec extends AnyFunSuite {
         .setDecompressConcatenated(true).get())
     val offsets = Vector.newBuilder[Long]
     val ours = drain(new GzipMemberInputStream(
-      new ByteArrayInputStream(bytes), offsets += _))
+      new ByteArrayInputStream(bytes), (c, _) => offsets += c))
     assert(java.util.Arrays.equals(ours, reference))
     val walked = MemberIndex.scan(new ByteArrayInputStream(bytes))
     assert(offsets.result() == walked.offsets)
@@ -59,7 +59,7 @@ class GzipMemberStreamSpec extends AnyFunSuite {
     gz.write(payload); gz.close()
     val offsets = Vector.newBuilder[Long]
     val decoded = drain(new GzipMemberInputStream(
-      new ByteArrayInputStream(bos.toByteArray), offsets += _))
+      new ByteArrayInputStream(bos.toByteArray), (c, _) => offsets += c))
     assert(java.util.Arrays.equals(decoded, payload))
     assert(offsets.result() == Vector(0L))
   }
@@ -75,11 +75,14 @@ class GzipMemberStreamSpec extends AnyFunSuite {
     val a = member("alpha".getBytes); val e = member(Array.emptyByteArray)
     val b = member("beta".getBytes)
     val all = a ++ e ++ b
-    val offsets = Vector.newBuilder[Long]
+    val pairs = Vector.newBuilder[(Long, Long)]
     val decoded = drain(new GzipMemberInputStream(
-      new ByteArrayInputStream(all), offsets += _))
+      new ByteArrayInputStream(all), (c, d) => pairs += ((c, d))))
     assert(new String(decoded, "UTF-8") == "alphabeta")
-    assert(offsets.result() == Vector(0L, a.length.toLong, (a.length + e.length).toLong))
+    // compressed member starts AND the decompressed position each
+    // member's output begins at (the member-indexed scan's rebase map)
+    assert(pairs.result() == Vector(
+      (0L, 0L), (a.length.toLong, 5L), ((a.length + e.length).toLong, 5L)))
   }
 
   test("a corrupted deflate body surfaces as IOException naming the member") {
@@ -143,7 +146,7 @@ class GzipMemberStreamSpec extends AnyFunSuite {
     assert(walked.codec == "lz4" && walked.offsets.size == 3)
     val offsets = Vector.newBuilder[Long]
     val decoded = drain(new Lz4FrameInputStream(
-      new ByteArrayInputStream(lz4Bytes), offsets += _))
+      new ByteArrayInputStream(lz4Bytes), (c, _) => offsets += c))
     assert(new String(decoded, "UTF-8") ==
       "first frame payloadsecond frame payloadthird")
     assert(offsets.result() == walked.offsets)

@@ -165,4 +165,84 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 4 && rows.forall(_._2),
       s"state lost across restart: $rows")
   }
+
+  test("soak: 50 waves with a kill every 8, state rows flat at the bucket " +
+      "count, verdicts exactly-once and equal to the single-bucket model") {
+    val s = spark
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("neardup-soak")
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-soak-ckpt").toString
+    // All codes share their LOW 32 bits per half (band keys come from
+    // bits 0..31), so the 50 waves exercise a FIXED set of buckets —
+    // the flat-state assertion below is meaningful, and the cap-pusher
+    // family (distinct high bits every wave, 2/wave = 100 > MaxBucket)
+    // drives its shared buckets past the 64-code cap mid-soak.
+    val aLo0 = 0x9ABCDEF0L; val aLo1 = 0x12344321L
+    val pLo0 = 0xABCD1234L; val pLo1 = 0x5555AAAAL
+    def waveRows(w: Int): Seq[(Long, Long, Long)] = Seq(
+      (w * 10L + 1, 0x12345678L << 32 | aLo0, 0x0F0FF0F0L << 32 | aLo1), // repeat of A
+      (w * 10L + 2, (0x12345678L << 32 | aLo0) ^ (1L << 40), 0x0F0FF0F0L << 32 | aLo1), // hamming-1 of A
+      (w * 10L + 3, (w * 2L + 101) << 34 | pLo0, (w * 31L + 7) << 36 | pLo1), // cap pusher
+      (w * 10L + 4, (w * 2L + 102) << 34 | pLo0, (w * 37L + 11) << 36 | pLo1)) // cap pusher
+    val nWaves = 50
+    // expected = the pinned single-bucket transition replayed per bucket
+    // in wave order (micro-batch = wave by construction below)
+    val expected = {
+      val states = scala.collection.mutable.Map[(Int, Long), TestState]()
+      val out = Vector.newBuilder[(Long, Int, Boolean)]
+      for (w <- 0 until nWaves) {
+        waveRows(w)
+          .flatMap { case (id, h0, h1) => Seq(
+            BandRow(id, h0, h1, 0, h0 & 65535L),
+            BandRow(id, h0, h1, 1, (h0 >> 16) & 65535L),
+            BandRow(id, h0, h1, 2, h1 & 65535L),
+            BandRow(id, h0, h1, 3, (h1 >> 16) & 65535L))
+          }
+          .groupBy(r => (r.band_id, r.bkey))
+          .foreach { case (k, rs) =>
+            val st = states.getOrElseUpdate(k, new TestState(None))
+            StreamingNeardup.update(3)(k, rs.iterator, st)
+              .foreach(v => out += ((v.doc_id, v.band_id, v.matched)))
+          }
+      }
+      (out.result().sorted, states.size)
+    }
+    val (expectedVerdicts, nBuckets) = expected
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType)))
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Int, Boolean)]())
+    def start() = StreamingNeardup.bandVerdicts(
+        spark.readStream.schema(schema).parquet(landing.toString))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingNeardup.Verdict], _: Long) =>
+          df.collect().foreach(v => seen.add((v.doc_id, v.band_id, v.matched)))
+      }.start()
+    var q = start()
+    val stateRows = Vector.newBuilder[(Int, Long)]
+    try {
+      for (w <- 0 until nWaves) {
+        waveRows(w).toDF("doc_id", "h0", "h1").coalesce(1)
+          .write.mode("append").parquet(landing.toString)
+        q.processAllAvailable()
+        Option(q.lastProgress).filter(_.stateOperators.nonEmpty)
+          .foreach(p => stateRows += ((w, p.stateOperators.head.numRowsTotal)))
+        if (w % 8 == 7 && w < nWaves - 1) { q.stop(); q = start() } // periodic kill
+      }
+    } finally q.stop()
+    val got = seen.toArray(Array.empty[(Long, Int, Boolean)]).toVector.sorted
+    assert(got.size == nWaves * 4 * 4, s"exactly-once broken: ${got.size} verdicts")
+    assert(got == expectedVerdicts, "soak verdicts diverged from the model")
+    // state stays FLAT at the bucket count once every bucket has
+    // appeared — the 64-cap means 100 pusher codes never grow it
+    val late = stateRows.result().filter(_._1 >= 2).map(_._2).distinct
+    assert(late == Vector(nBuckets.toLong),
+      s"state rows not flat at $nBuckets: $late")
+  }
 }
