@@ -248,6 +248,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("first-seen gate soak: 56 waves with a kill every 8, every " +
+      "fingerprint firsts exactly once across restarts, expiries carry " +
+      "exact duplicate counts, and state drains back to the live key") {
+    val s = spark
+    import s.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("gate-soak")
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-soak-ckpt").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val nWaves = 50
+    // wave w at t = 5w s: one always-live fingerprint ("hot" — its 5 s
+    // cadence stays inside the 10 s horizon, so it is re-armed every
+    // wave and never expires) + one wave-local fingerprint arriving 3
+    // times (1 first + exactly 2 duplicates, all inside the horizon);
+    // 6 hot-only drain waves on the same cadence then push the
+    // watermark past every local's expiry WITHOUT ever silencing hot
+    // beyond the horizon (a +30 s drain gap would legitimately expire
+    // and re-first hot — any fingerprint quiet past the watermark does)
+    def waveRows(w: Int): Seq[(java.sql.Timestamp, String)] =
+      if (w >= nWaves) Seq((ts(w * 5L), "hot"))
+      else Seq((ts(w * 5L), "hot"), (ts(w * 5L), s"w$w"),
+        (ts(w * 5L + 1), s"w$w"), (ts(w * 5L + 2), s"w$w"))
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, Long)]())
+    def start() = EventTime.firstSeenGate(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(landing.toString),
+        watermark = "10 seconds")
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[EventTime.DedupEmit], _: Long) =>
+          df.collect().foreach(e => seen.add((e.fp, e.kind, e.nDuplicates)))
+      }.start()
+    var q = start()
+    var lastStateRows = -1L
+    try {
+      for (w <- 0 until (nWaves + 6)) {
+        waveRows(w).toDF("ts", "fp").coalesce(1)
+          .write.mode("append").parquet(landing.toString)
+        q.processAllAvailable()
+        Option(q.lastProgress).filter(_.stateOperators.nonEmpty)
+          .foreach(p => lastStateRows = p.stateOperators.head.numRowsTotal)
+        if (w % 8 == 7 && w < nWaves + 5) { q.stop(); q = start() }
+      }
+    } finally q.stop()
+    val rows = seen.toArray(Array.empty[(String, String, Long)]).toVector
+    val firsts = rows.filter(_._2 == "first").map(_._1)
+    // exactly-once across 6 restarts: one `first` per fingerprint
+    assert(firsts.sorted == ("hot" +: (0 until nWaves).map(w => s"w$w")).sorted,
+      s"firsts wrong: ${firsts.sorted}")
+    val expired = rows.filter(_._2 == "expired").map(r => r._1 -> r._3)
+    // every local expired exactly once with its exact duplicate count;
+    // hot was re-armed every wave and never expired
+    assert(expired.map(_._1).sorted == (0 until nWaves).map(w => s"w$w").sorted,
+      s"expired set wrong: ${expired.map(_._1).sorted}")
+    assert(expired.forall(_._2 == 2L),
+      s"duplicate counts wrong: ${expired.filter(_._2 != 2L)}")
+    // state drained back to the single live key after the drain waves
+    assert(lastStateRows == 1L, s"state not drained: $lastStateRows rows")
+  }
+
   test("dropDuplicatesWithinWatermark: late arrivals across micro-batches " +
       "are deduped inside the horizon and dropped beyond it") {
     val s = spark
