@@ -73,6 +73,7 @@ object PlanAudit {
     "t36_stratified_sample" -> "per-source top-k through the partial-agg Aggregator (<=k rows per source per map task cross the wire); NO window over the corpus anywhere (spec-pinned)",
     "t37_token_budget" -> "three independent 1-row roll-ups (raw / exact-dedup / span-removed tokens) cross-joined as broadcasts; the only corpus-sized shuffles are the stages' own (fp window keys, dup-window groupBy)",
     "t38_lang_dataset" -> "dataset builder: one scan -> per-(lang, example) dedup groupBy -> per-LANG rank window (languages parallelize; the per-language hash order IS the reference's split contract — at 100 TB use md5-range quantiles instead) -> per-lang agg + broadcast join of raw counts",
+    "w46_emit_member_index" -> "build-on-first-scan loop: the audited plan is the member-parallel RESCAN over slices planned from the sidecar the first scan emitted as a side-output; each slice decodes in ONE sequential pass (no per-member seek/reopen)",
   )
 
   def main(args: Array[String]): Unit = {
