@@ -134,6 +134,75 @@ class GzipMemberStreamSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("CRC32 mismatch"), ex.getMessage)
   }
 
+  test("differential fuzz: 200 random multi-member archives decode " +
+      "byte-identically to commons-compress with MemberIndex-exact offsets") {
+    val rnd = new scala.util.Random(12345)
+    for (iter <- 0 until 200) {
+      val nMembers = 1 + rnd.nextInt(8)
+      val payloads = (0 until nMembers).map { _ =>
+        val n = rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(64)            // tiny (incl. empty)
+          case 1 => rnd.nextInt(4096)          // small
+          case _ => 4096 + rnd.nextInt(50000)  // multi-window
+        }
+        val b = new Array[Byte](n)
+        if (rnd.nextBoolean()) rnd.nextBytes(b) // incompressible
+        else { var i = 0; while (i < n) { b(i) = (i % 7 + 'a').toByte; i += 1 } }
+        b
+      }
+      val bos = new ByteArrayOutputStream()
+      payloads.foreach { p =>
+        val params = new org.apache.commons.compress.compressors.gzip.GzipParameters()
+        if (rnd.nextBoolean()) params.setFileName(s"f${rnd.nextInt(1000)}.bin")
+        if (rnd.nextBoolean()) params.setComment("c" * rnd.nextInt(40))
+        params.setCompressionLevel(1 + rnd.nextInt(9))
+        val gz = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(bos, params)
+        gz.write(p); gz.close()
+      }
+      val bytes = bos.toByteArray
+      val pairs = Vector.newBuilder[(Long, Long)]
+      val ours = drain(new GzipMemberInputStream(
+        new ByteArrayInputStream(bytes), (c, d) => pairs += ((c, d))))
+      assert(java.util.Arrays.equals(ours, payloads.flatten.toArray),
+        s"iter $iter: decode mismatch")
+      val got = pairs.result()
+      assert(got.map(_._1) == MemberIndex.scan(
+        new ByteArrayInputStream(bytes)).offsets, s"iter $iter: offsets")
+      // decompressed coordinates = cumulative payload sizes
+      val cum = payloads.map(_.length.toLong).scanLeft(0L)(_ + _).init
+      assert(got.map(_._2) == cum, s"iter $iter: decompressed starts")
+    }
+  }
+
+  test("truncation fuzz: 200 random cuts either yield a clean payload " +
+      "prefix (cut at a member boundary) or raise IOException — never " +
+      "wrong bytes, never a non-IO throwable") {
+    val bytes = foreignBytes
+    val full = drain(new GzipMemberInputStream(new ByteArrayInputStream(bytes)))
+    val boundaries = MemberIndex.scan(new ByteArrayInputStream(bytes))
+      .offsets.toSet + bytes.length.toLong
+    val rnd = new scala.util.Random(54321)
+    for (_ <- 0 until 200) {
+      val cut = 1 + rnd.nextInt(bytes.length - 1)
+      val out = new ByteArrayOutputStream()
+      val in = new GzipMemberInputStream(new ByteArrayInputStream(bytes, 0, cut))
+      val threw = try {
+        val buf = new Array[Byte](8192)
+        var n = 0
+        while ({ n = in.read(buf); n >= 0 }) out.write(buf, 0, n)
+        false
+      } catch { case _: IOException => true }
+      val decoded = out.toByteArray
+      // whatever was emitted must be a prefix of the true payload
+      assert(java.util.Arrays.equals(decoded,
+        java.util.Arrays.copyOf(full, decoded.length)),
+        s"cut $cut emitted wrong bytes")
+      if (!threw)
+        assert(boundaries.contains(cut.toLong),
+          s"cut $cut inside a member completed without error")
+    }
+  }
+
   test("LZ4 frame decoder reports data-frame offsets matching MemberIndex " +
       "(skippable frames excluded)") {
     val out = new ByteArrayOutputStream()
