@@ -1320,7 +1320,11 @@ class WarcMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(parseOpts, required, fsProps,
-      options.getInt("stream_retries", 0))
+      options.getInt("stream_retries", 0),
+      // a streaming backfill benefits from the side-output the same way
+      // a batch first scan does: each micro-batch partition is a whole
+      // file, so the emit conditions (start=0, clean EOF) apply as-is
+      Option(options.get("emit_member_index")))
 }
 
 object WarcMicroBatchStream {

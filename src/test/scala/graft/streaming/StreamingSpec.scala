@@ -54,6 +54,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming scan with emit_member_index leaves a sidecar per " +
+      "consumed archive (the backfill regime's free index)") {
+    val landing = Files.createTempDirectory("warc-landing-emit")
+    val idxDir = Files.createTempDirectory("warc-landing-emit-idx")
+    val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
+    Files.copy(src, landing.resolve("a.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+    val query = spark.readStream.format("warc")
+      .option("emit_member_index", idxDir.toString)
+      .load(landing.toString)
+      .select(col("record_id"))
+      .writeStream.format("memory").queryName("warc_stream_emit")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      Files.copy(src, landing.resolve("b.warc.gz"), StandardCopyOption.REPLACE_EXISTING)
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM warc_stream_emit").head.getLong(0) == 100L)
+      for (name <- Seq("a.warc.gz", "b.warc.gz")) {
+        val idx = idxDir.resolve(name + ".idx").toFile
+        assert(idx.exists(), s"$name: no sidecar from the streaming scan")
+        val s = scala.io.Source.fromFile(idx, "UTF-8")
+        val n = try s.getLines().size finally s.close()
+        assert(n == 50, s"$name: $n members indexed")
+      }
+    } finally query.stop()
+  }
+
   test("max_files_per_trigger bounds each micro-batch's admitted archives") {
     val landing = Files.createTempDirectory("warc-landing-mft")
     val src = Paths.get("/root/reference/tests/data/warcfile.warc.gz")
