@@ -617,20 +617,25 @@ class WarcPartitionReader(
     */
   private def memberIterator(): Iterator[WarcRecord] = {
     val offs: Array[Long] = part.memberOffsets.toArray
-    // sniff the first member once to pick the strategy: dict-LZ4 frames
-    // decode through commons-compress (no member tracking) and keep the
-    // per-member loop; everything else takes the sequential path
-    rawIn.seek(offs(0))
+    // sniff the FILE head (offset 0, not this partition's first member)
+    // to pick the strategy: the codec is a file-level property, and a
+    // partition whose first member happens to be the one with destroyed
+    // magic bytes must still decode its healthy members — sniffing the
+    // damaged member would misread the whole partition as raw garbage.
+    // dict-LZ4 frames decode through commons-compress (no member
+    // tracking) and keep the per-member loop; everything else takes
+    // the sequential path.
+    rawIn.seek(0L)
     val head = new Array[Byte](8)
     var got = 0; var r = 0
     while (got < 8 && r >= 0) { r = rawIn.read(head, got, 8 - got); if (r > 0) got += r }
     WarcCodecs.sniff(java.util.Arrays.copyOf(head, got)) match {
       case Some(WarcCodecs.Lz4) if got >= 5 && (head(4) & 0x01) != 0 =>
         perMemberIterator(offs)
-      case Some(WarcCodecs.Raw) | None =>
-        sequentialMemberIterator(offs, identityPairs = true)
+      case Some(codec @ (WarcCodecs.Gzip | WarcCodecs.Lz4)) =>
+        sequentialMemberIterator(offs, codec)
       case _ =>
-        sequentialMemberIterator(offs, identityPairs = false)
+        sequentialMemberIterator(offs, WarcCodecs.Raw)
     }
   }
 
@@ -651,12 +656,17 @@ class WarcPartitionReader(
     * fresh stream at the next indexed member past it — healthy members
     * of a damaged archive still scan completely.
     *
-    * `identityPairs` = raw (uncompressed) archive behind a member
-    * index: compressed and decompressed coordinates coincide, so the
-    * index entries themselves are the rebase mapping.
+    * `codec` is the PARTITION's codec from the initial sniff, and each
+    * segment constructs that decoder DIRECTLY (no re-sniff): a resumed
+    * segment that starts at a member whose magic bytes are destroyed
+    * must error immediately and resume at the NEXT member — a re-sniff
+    * would fall back to raw passthrough and silently consume every
+    * later healthy member of the segment as garbage. Raw archives use
+    * identity pairs: compressed and decompressed coordinates coincide,
+    * so the index entries themselves are the rebase mapping.
     */
   private def sequentialMemberIterator(offs: Array[Long],
-      identityPairs: Boolean): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+      codec: WarcCodecs.Codec): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var segStart = 0
     private var cur: WarcParser = _
     private var segReader: WarcByteReader = _
@@ -686,15 +696,21 @@ class WarcPartitionReader(
         .setMaxCount(part.end - base)
         .setPropagateClose(false)
         .get()
-      val stream =
-        if (identityPairs) {
+      val stream: java.io.InputStream = codec match {
+        case WarcCodecs.Gzip =>
+          // buffers internally — no extra BufferedInputStream layer
+          new graft.core.GzipMemberInputStream(bounded,
+            (c: Long, d: Long) => addPair(base + c, d))
+        case WarcCodecs.Lz4 =>
+          new graft.core.Lz4FrameInputStream(
+            new java.io.BufferedInputStream(bounded, 64 * 1024),
+            (c: Long, d: Long) => addPair(base + c, d))
+        case _ =>
           // raw: every remaining index entry maps 1:1
           var j = i
           while (j < offs.length) { addPair(offs(j), offs(j) - base); j += 1 }
-          WarcCodecs.open(bounded)._1
-        } else {
-          WarcCodecs.openTracked(bounded, (c: Long, d: Long) => addPair(base + c, d))._1
-        }
+          new java.io.BufferedInputStream(bounded, 64 * 1024)
+      }
       segReader = new WarcByteReader(stream)
       activeReader = segReader
       cur = new WarcParser(segReader, part.path, parseOpts)

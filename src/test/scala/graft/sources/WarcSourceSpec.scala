@@ -430,6 +430,47 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("member-indexed scan of a damaged archive: every healthy member's " +
+      "records survive, each damage site yields error rows, and both " +
+      "corruption kinds (deflate body, destroyed member magic) recover") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("member-damage")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"))
+    val offs = MemberIndex.scan(new java.io.ByteArrayInputStream(bytes)).offsets
+    val mangled = java.util.Arrays.copyOf(bytes, bytes.length)
+    // member 10: flip a byte inside the deflate body (stream dies mid-member)
+    mangled(offs(10).toInt + 40) = (mangled(offs(10).toInt + 40) ^ 0x55).toByte
+    // member 20: destroy the gzip magic (the member can never start)
+    mangled(offs(20).toInt) = 'X'.toByte
+    val gz = dir.resolve("damaged.warc.gz")
+    java.nio.file.Files.write(gz, mangled)
+    val idx = dir.resolve("damaged.warc.gz.idx")
+    java.nio.file.Files.write(idx, offs.map(o =>
+      s"""{"filename": "damaged.warc.gz", "offset": $o}""").mkString("\n").getBytes)
+    // both below the 136 KB file size, or the planner skips the index
+    for (maxPart <- Seq(64 * 1024, 16 * 1024)) {
+      val rows = spark.read.format("warc")
+        .option("member_index", idx.toString)
+        .option("max_partition_bytes", maxPart.toString)
+        .load(gz.toString)
+        .select("record_id", "offset", "error").collect()
+      val good = rows.filter(_.isNullAt(2))
+      val errs = rows.filter(!_.isNullAt(2))
+      // the fixture is record-per-member: 48 healthy members must ALL
+      // scan — in particular 11..19 (after the deflate kill) and 21..49
+      // (after the magic kill, which a codec re-sniff would silently
+      // swallow as raw garbage)
+      assert(good.length == 48, s"maxPart=$maxPart: ${good.length} healthy records")
+      val goodOffsets = good.map(_.getLong(1)).toSet
+      assert(!goodOffsets.contains(offs(10)) && !goodOffsets.contains(offs(20)))
+      assert((offs.toSet - offs(10) - offs(20)).subsetOf(goodOffsets),
+        s"maxPart=$maxPart: healthy member offsets missing")
+      assert(errs.nonEmpty && errs.forall(_.getString(2).contains("stream error")),
+        s"maxPart=$maxPart: ${errs.toSeq}")
+    }
+  }
+
   test("emit_member_index: no sidecar for a raw file, a corrupt archive, " +
       "or an early-terminated scan") {
     val dir = java.nio.file.Files.createTempDirectory("emit-idx-neg")
