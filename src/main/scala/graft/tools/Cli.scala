@@ -88,8 +88,25 @@ object Cli {
         0
       case "lang" =>
         // language-model maintenance surface (train/eval/dump-vectors/
-        // benchmark) — see LangCli for the reference mapping
+        // benchmark/download-wiki-dumps) — see LangCli for the mapping
         LangCli.run(pos.toSeq, flags.toSeq, out)
+      case "encoding" =>
+        // `encoding download-whatwg-mapping` (resiliparse-py/resiliparse/
+        // cli.py:67-96): fetch the WHATWG encodings.json, apply the
+        // reference's canonicalization (iso-8859-8-i -> iso-8859-8,
+        // windows-874 -> iso-8859-11, platform codec lookup, unknown
+        // codecs skipped with a note) and print the sorted label ->
+        // canonical mapping. `--check` additionally diffs the download
+        // against the engine's shipped static table (the regeneration
+        // loop the reference uses this command for) and exits 1 on
+        // drift. `--url=` overrides the source (tests point it at a
+        // loopback server; the default needs network).
+        if (pos.length != 1 || pos(0) != "download-whatwg-mapping") {
+          usage(out); return 2
+        }
+        downloadWhatwgMapping(
+          flagVal("url").getOrElse("https://encoding.spec.whatwg.org/encodings.json"),
+          flag("check"), out)
       case "html" =>
         // `html benchmark <warc>` (resiliparse-py/resiliparse/cli.py:106-173):
         // <title> extraction over every response record, single thread —
@@ -116,7 +133,71 @@ object Cli {
       |  verify <file> [--payloads]
       |  benchmark <files...> [--parse-http] [--filter-type=response]
       |  html benchmark <file>             (<title>-extraction parser benchmark)
-      |  lang train|eval|dump-vectors|benchmark ...   (see `lang` for details)""".stripMargin)
+      |  encoding download-whatwg-mapping [--url=U] [--check]
+      |  lang train|eval|dump-vectors|benchmark|download-wiki-dumps ...""".stripMargin)
+
+  /** Fetch + canonicalize the WHATWG encoding labels (see the `encoding`
+    * dispatch note). Canonical names resolve through the JVM charset
+    * registry — the platform analog of the reference's
+    * `codecs.lookup(n).name` — lowercased; labels whose codec the
+    * platform lacks are skipped with a note, exactly like the
+    * reference's LookupError branch.
+    */
+  private def downloadWhatwgMapping(url: String, check: Boolean,
+      out: PrintStream): Int = {
+    val conn = new java.net.URL(url).openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
+    val body = {
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(body)
+    val mapped = scala.collection.mutable.SortedMap[String, String]()
+    root.forEach { group =>
+      Option(group.get("encodings")).foreach(_.forEach { enc =>
+        var n = enc.get("name").asText().toLowerCase
+        // the reference's special cases (cli.py:81-86): the WHATWG
+        // "iso-8859-8-i" logical variant collapses onto iso-8859-8 (the
+        // raw name maps too), and windows-874 rides iso-8859-11
+        if (n == "iso-8859-8-i") { n = "iso-8859-8"; mapped(n) = n }
+        else if (n == "windows-874") n = "iso-8859-11"
+        scala.util.Try(java.nio.charset.Charset.forName(n).name().toLowerCase) match {
+          case scala.util.Failure(_) =>
+            out.println(s"skipped ${enc.get("name").asText()}")
+          case scala.util.Success(canonical) =>
+            mapped(canonical) = canonical
+            Option(enc.get("labels")).foreach(_.forEach(l =>
+              mapped(l.asText()) = canonical))
+        }
+      })
+    }
+    mapped.foreach { case (label, canonical) => out.println(s"$label\t$canonical") }
+    if (!check) return 0
+    // drift report vs the shipped static table: compare by RESOLVED
+    // charset (name spellings differ between the WHATWG list and the
+    // JVM registry; "windows-1252" vs "windows-1252" vs "cp1252" must
+    // not count as drift)
+    var drift = 0
+    mapped.foreach { case (label, canonical) =>
+      Encodings.mapToHtml5(label, fallbackUtf8 = false) match {
+        case None =>
+          out.println(s"DRIFT $label: absent from the shipped table")
+          drift += 1
+        case Some(shipped) =>
+          val a = scala.util.Try(java.nio.charset.Charset.forName(shipped)).toOption
+          val b = scala.util.Try(java.nio.charset.Charset.forName(canonical)).toOption
+          if (a.isDefined && b.isDefined && a != b) {
+            out.println(s"DRIFT $label: shipped=$shipped downloaded=$canonical")
+            drift += 1
+          }
+      }
+    }
+    out.println(s"$drift drift entries vs the shipped WHATWG table")
+    if (drift == 0) 0 else 1
+  }
 
   private def open(path: String): (java.io.InputStream, WarcCodecs.Codec) =
     WarcCodecs.openWithName(new FileInputStream(path), path)

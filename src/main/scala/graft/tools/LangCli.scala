@@ -120,8 +120,84 @@ object LangCli {
         while (i < rounds) { LangDetect.detectFast(text); i += 1 }
         out.println(f"graft: ${(System.nanoTime() - t0) / 1e9}%.1fs")
         0
+      case Some("download-wiki-dumps") =>
+        if (args.length != 2) { usage(out); return 2 }
+        downloadWikiDumps(args(1),
+          flagVal("langs").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(DefaultWikiLangs),
+          new File(flagVal("outdir").getOrElse("wikidumps")),
+          flagVal("jobs").map(_.toInt).getOrElse(3),
+          flagVal("base-url").getOrElse("https://dumps.wikimedia.org"),
+          out)
       case _ => usage(out); 2
     }
+  }
+
+  /** The reference's default 180-language download list is its wiki-bias
+    * ordering (cli.py:176-188 DEFAULT_WIKI_LANGS == the bias table).
+    */
+  private def DefaultWikiLangs: Seq[String] = wikiBias
+
+  /** `lang download-wiki-dumps <dumpdate>` (resiliparse-py/resiliparse/
+    * cli.py:190-236): per language, fetch
+    * `{base}/{l}wiki/{dumpdate}/dumpstatus.json`, take the first file of
+    * the `articlesmultistreamdump` job (skip languages without one),
+    * stream the dump to `outdir/{l}wiki.{ext}` verifying its md5 —
+    * a corrupt download is DELETED with a note, an HTTP error is
+    * reported and the other languages proceed. `--jobs` bounds the
+    * parallel fetches (the reference notes 3 is the Wikimedia rate
+    * limit); `--base-url=` points tests at a loopback server.
+    */
+  private def downloadWikiDumps(dumpdate: String, langs: Seq[String],
+      outdir: File, jobs: Int, baseUrl: String, out: PrintStream): Int = {
+    if (!outdir.isDirectory) outdir.mkdirs()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fetch(url: String): java.io.InputStream = {
+      val conn = new java.net.URL(url).openConnection()
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(120000)
+      conn.getInputStream
+    }
+    def dl(l: String): Unit =
+      try {
+        val meta = {
+          val in = fetch(s"$baseUrl/${l}wiki/$dumpdate/dumpstatus.json")
+          try m.readTree(in) finally in.close()
+        }
+        val job = Option(meta.get("jobs")).map(_.get("articlesmultistreamdump")).orNull
+        if (job == null || job.get("files") == null) return
+        val file = job.get("files").elements().next()
+        val url = file.get("url").asText()
+        val md5sum = file.get("md5").asText()
+        val ext = url.substring(url.lastIndexOf('.') + 1)
+        val outFile = new File(outdir, s"${l}wiki.$ext")
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val in = fetch(s"$baseUrl$url")
+        val o = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(outFile))
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = 0
+          while ({ n = in.read(buf); n >= 0 }) {
+            digest.update(buf, 0, n)
+            o.write(buf, 0, n)
+          }
+        } finally { o.close(); in.close() }
+        val got = digest.digest().map(b => f"$b%02x").mkString
+        if (got != md5sum) {
+          out.println(s"""Output "${outFile.getName}" corrupted, deleting it.""")
+          outFile.delete()
+        } else out.println(s"${outFile.getName}: ${outFile.length()} bytes")
+      } catch {
+        case e: java.io.IOException =>
+          out.println(s"Error downloading ${l}wiki: ${e.getMessage}")
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs))
+    try {
+      val futures = langs.map(l => pool.submit(new Runnable { def run(): Unit = dl(l) }))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    0
   }
 
   /** Build a language-detection dataset from extracted-wiki plaintext
@@ -280,5 +356,7 @@ object LangCli {
       |  lang eval <indir> [--split=val|test] [--cutoff=1200] [--truncate=N]
       |                    [--langs=a,b] [--sort-lang] [--print-cm] [--profiles=DIR]
       |  lang dump-vectors [--format=c|raw|bin] [--out=PATH] [--profiles=DIR]
-      |  lang benchmark <infile> [--rounds=N]""".stripMargin)
+      |  lang benchmark <infile> [--rounds=N]
+      |  lang download-wiki-dumps <dumpdate> [--langs=a,b] [--outdir=wikidumps]
+      |                           [--jobs=3] [--base-url=U]""".stripMargin)
 }
