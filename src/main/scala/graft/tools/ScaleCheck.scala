@@ -464,6 +464,10 @@ object ScaleCheck {
             .load(f.getPath).count())
           require(n1 == n2 && n1 == 200L * s * 16,
             s"rows mismatch: first=$n1 indexed=$n2 expected ${200L * s * 16}")
+          // asserted curve: once the archive dwarfs fixed task overhead
+          // the member-parallel rescan must beat the serial first scan
+          require(s < 4 || t2 < t1,
+            f"indexed rescan ($t2%.2f s) did not beat the serial scan ($t1%.2f s) at ${s}x")
           println(f"[scale] memberindex ${s}x  rows=$n1%9d  " +
             f"first=$t1%7.2f s  indexed=$t2%7.2f s  speedup ${t1 / t2}%5.1fx")
         }
