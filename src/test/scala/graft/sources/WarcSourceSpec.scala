@@ -471,6 +471,46 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("member-indexed LZ4 scan recovers past damaged frames the same way " +
+      "(header-checksum kill and destroyed frame magic)") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("member-damage-lz4")
+    // frame-per-record archive from our own writer
+    val (in0, _) = WarcCodecs.open(
+      new java.io.FileInputStream(s"$DataDir/warcfile.warc"))
+    val recs = try new WarcParser(new WarcByteReader(in0), "m",
+      WarcParseOptions()).toVector finally in0.close()
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new WarcWriter.RecordStreamWriter(bos, WarcWriter.Lz4)
+    recs.foreach(w.write)
+    w.close()
+    val bytes = bos.toByteArray
+    val offs = MemberIndex.scan(new java.io.ByteArrayInputStream(bytes)).offsets
+    assert(offs.size == 50)
+    val mangled = java.util.Arrays.copyOf(bytes, bytes.length)
+    // frame 10: flip the BD byte — the frame header checksum (HC) fails
+    // deterministically, killing the stream inside the member
+    mangled(offs(10).toInt + 5) = (mangled(offs(10).toInt + 5) ^ 0x20).toByte
+    // frame 20: destroy the magic — the member can never start
+    mangled(offs(20).toInt) = 'X'.toByte
+    val lz4 = dir.resolve("damaged.warc.lz4")
+    java.nio.file.Files.write(lz4, mangled)
+    val idx = dir.resolve("damaged.warc.lz4.idx")
+    java.nio.file.Files.write(idx, offs.map(o =>
+      s"""{"filename": "damaged.warc.lz4", "offset": $o}""").mkString("\n").getBytes)
+    val rows = spark.read.format("warc")
+      .option("member_index", idx.toString)
+      .option("max_partition_bytes", (16 * 1024).toString)
+      .load(lz4.toString)
+      .select("record_id", "offset", "error").collect()
+    val good = rows.filter(_.isNullAt(2))
+    assert(good.length == 48, s"${good.length} healthy records")
+    val goodOffsets = good.map(_.getLong(1)).toSet
+    assert((offs.toSet - offs(10) - offs(20)).subsetOf(goodOffsets),
+      "healthy frame offsets missing")
+    assert(rows.exists(r => !r.isNullAt(2) && r.getString(2).contains("stream error")))
+  }
+
   test("emit_member_index: no sidecar for a raw file, a corrupt archive, " +
       "or an early-terminated scan") {
     val dir = java.nio.file.Files.createTempDirectory("emit-idx-neg")
