@@ -96,9 +96,11 @@ object Entities {
     * `s` itself when the full range is reference-free.
     */
   def decodeRange(s: String, from: Int, to: Int): String = {
-    var i = from
-    while (i < to && s.charAt(i) != '&') i += 1
-    if (i >= to)
+    // String.indexOf is a vectorized intrinsic — the char-at-a-time scan
+    // to the first '&' was the single hottest parse-profile site on
+    // entity-sparse markup (every attribute value passes through here)
+    var i = s.indexOf('&', from)
+    if (i < 0 || i >= to)
       return if (from == 0 && to == s.length) s else s.substring(from, to)
     val sb = new StringBuilder(to - from)
     sb.underlying.append(s, from, i)
@@ -108,8 +110,8 @@ object Entities {
       if (c != '&') {
         // bulk-copy to the next '&' (single chars through the builder
         // were the decode loop's hottest path on entity-sparse text)
-        var j = i + 1
-        while (j < n && s.charAt(j) != '&') j += 1
+        var j = s.indexOf('&', i + 1)
+        if (j < 0 || j > n) j = n
         sb.underlying.append(s, i, j)
         i = j
       }

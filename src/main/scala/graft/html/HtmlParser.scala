@@ -1252,8 +1252,28 @@ object HtmlParser {
     val m = target.length
     if (m == 0) return from
     val t0 = target.charAt(0)
-    var i = math.max(from, 0)
     val last = n - m
+    // caseless first char (every real caller's target starts with '<'):
+    // hop between candidates with the vectorized String.indexOf instead
+    // of folding every character of a multi-KB raw-text body
+    if (!((t0 >= 'a' && t0 <= 'z') || (t0 >= 'A' && t0 <= 'Z'))) {
+      var i = math.max(from, 0)
+      while (i <= last) {
+        i = s.indexOf(t0, i)
+        if (i < 0 || i > last) return -1
+        var k = 1
+        var ok = true
+        while (ok && k < m) {
+          var ck = s.charAt(i + k)
+          if (ck >= 'A' && ck <= 'Z') ck = (ck + 32).toChar
+          if (ck != target.charAt(k)) ok = false else k += 1
+        }
+        if (ok) return i
+        i += 1
+      }
+      return -1
+    }
+    var i = math.max(from, 0)
     while (i <= last) {
       var c = s.charAt(i)
       if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
@@ -1447,8 +1467,11 @@ object HtmlParser {
             val q = s.charAt(i)
             i += 1
             val vs = i
-            while (i < n && s.charAt(i) != q) i += 1
-            value = s.substring(vs, math.min(i, n))
+            // intrinsic scan to the closing quote (the per-char loop was
+            // a top parse-profile site; quoted values dominate markup)
+            i = s.indexOf(q, i)
+            if (i < 0) i = n
+            value = s.substring(vs, i)
             if (i < n) i += 1
           } else {
             val vs = i
