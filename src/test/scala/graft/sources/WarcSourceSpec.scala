@@ -471,6 +471,63 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("damage property fuzz: 40 random corruption patterns over the " +
+      "indexed gzip archive never lose a healthy member's record") {
+    import graft.core._
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"))
+    val offs = MemberIndex.scan(new java.io.ByteArrayInputStream(bytes)).offsets
+    val bounds = offs :+ bytes.length.toLong
+    // member -> its record id (record-per-member fixture)
+    val idOf = {
+      val (in, _) = WarcCodecs.open(new java.io.ByteArrayInputStream(bytes))
+      try new WarcParser(new WarcByteReader(in), "f",
+        WarcParseOptions(parseHttp = false)).toVector.flatMap(_.recordId)
+      finally in.close()
+    }
+    assert(idOf.size == 50)
+    val dir = java.nio.file.Files.createTempDirectory("member-fuzz")
+    val rnd = new scala.util.Random(7)
+    for (iter <- 0 until 40) {
+      val nCorrupt = 1 + rnd.nextInt(3)
+      val victims = rnd.shuffle((0 until 50).toList).take(nCorrupt).toSet
+      val mangled = java.util.Arrays.copyOf(bytes, bytes.length)
+      victims.foreach { k =>
+        val s = offs(k).toInt; val e = bounds(k + 1).toInt
+        rnd.nextInt(3) match {
+          case 0 => mangled(s) = 'X'.toByte                        // magic
+          case 1 =>                                                 // body
+            val p = s + 12 + rnd.nextInt(math.max(1, e - s - 20))
+            mangled(p) = (mangled(p) ^ (1 + rnd.nextInt(255))).toByte
+          case _ => mangled(e - 5) = (mangled(e - 5) ^ 0x01).toByte // trailer
+        }
+      }
+      val gz = dir.resolve(s"fuzz$iter.warc.gz")
+      java.nio.file.Files.write(gz, mangled)
+      val idx = dir.resolve(s"fuzz$iter.warc.gz.idx")
+      java.nio.file.Files.write(idx, offs.map(o =>
+        s"""{"filename": "fuzz$iter.warc.gz", "offset": $o}""").mkString("\n").getBytes)
+      val maxPart = Seq(8, 16, 48)(rnd.nextInt(3)) * 1024
+      val rows = spark.read.format("warc")
+        .option("member_index", idx.toString)
+        .option("max_partition_bytes", maxPart.toString)
+        .load(gz.toString)
+        .select("record_id", "error").collect()
+      val good = rows.filter(_.isNullAt(1)).map(_.getString(0))
+      val healthyIds = (0 until 50).filterNot(victims).map(idOf).toSet
+      // every healthy member's record survives whatever the damage did
+      assert(healthyIds.subsetOf(good.toSet),
+        s"iter $iter (victims=$victims maxPart=$maxPart): lost ${healthyIds -- good.toSet}")
+      assert(good.length == good.distinct.length,
+        s"iter $iter: duplicate records emitted")
+      // a corrupted member's record only goes missing WITH an error row
+      // (a flip in a don't-care header byte may legitimately decode)
+      if (good.length < 50)
+        assert(rows.exists(!_.isNullAt(1)), s"iter $iter: silent record loss")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("member-indexed LZ4 scan recovers past damaged frames the same way " +
       "(header-checksum kill and destroyed frame magic)") {
     import graft.core._
