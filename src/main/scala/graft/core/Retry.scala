@@ -29,11 +29,18 @@ object WarcRetry {
     * The factory returns a FRESH raw stream each call (e.g. re-open the
     * S3 object); codec sniffing reruns per attempt.
     */
+  /** @param memberListener compressed member-start offsets as the codec
+    *        decoder crosses them (the `emit_member_index` side-output).
+    *        Fires on EVERY attempt — a reopen re-decodes from offset 0
+    *        to the resume point, re-crossing earlier members — so the
+    *        consumer must dedupe by offset before use.
+    */
   def iterator(
       factory: () => InputStream,
       filename: String,
       opts: WarcParseOptions = WarcParseOptions(),
-      maxRetries: Int = 3): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+      maxRetries: Int = 3,
+      memberListener: Long => Unit = null): Iterator[WarcRecord] = new Iterator[WarcRecord] {
 
     private var retriesLeft = maxRetries
     private var reader: WarcByteReader = _
@@ -56,7 +63,7 @@ object WarcRetry {
       */
     private def open(resumeAt: Long): Boolean =
       try {
-        val (stream, _) = WarcCodecs.open(factory())
+        val (stream, _) = WarcCodecs.open(factory(), memberListener)
         reader = new WarcByteReader(stream)
         if (resumeAt > 0 && !reader.skipFully(resumeAt)) { parser = null; false }
         else { parser = new WarcParser(reader, filename, opts); true }

@@ -500,6 +500,49 @@ object Warc {
         .withColumn("indexed_equal", lit(mism == 0L && firstEqual))
     }),
 
+    // Option-FREE member-index loop closure (vs w46's explicit
+    // `member_index` wiring): the first scan's side-output sidecar is
+    // auto-discovered at plan time on the second scan — no option at
+    // all — the way Beam re-splits a running read with zero user
+    // configuration (beam/warcio.py:101-109). Pins: the option-free
+    // second scan of ONE compressed file plans >1 partition (the
+    // member-parallel proof), its totals equal the first pass, and
+    // `auto_member_index=false` forces the old single-partition plan.
+    // At 100 TB: scan once, then every scan after is member-parallel
+    // with nobody having to know the sidecar exists.
+    "w47_auto_member_index" -> ((s, _) => {
+      val dir = new java.io.File(scratch("w47_auto"))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      dir.mkdirs()
+      val copy = new java.io.File(dir, "foreign.warc.gz")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        "/root/reference/tests/data/warcfile.warc.gz"), copy.toPath)
+      def totals(df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+      // first read: ordinary whole-file scan + sidecar side-output
+      // (collected — the sidecar commits when the scan actually runs)
+      val firstPass = totals(s.read.format("warc")
+        .option("emit_member_index", dir.getPath)
+        .load(copy.getPath)).collect()(0)
+      require(new java.io.File(dir, copy.getName + ".idx").exists(),
+        "first scan left no member-index sidecar")
+      // second read: NO index option — the sidecar is discovered at
+      // plan time; small max_partition_bytes forces member-group splits
+      def second(auto: Boolean) = s.read.format("warc")
+        .option("max_partition_bytes", 16 * 1024)
+        .option("auto_member_index", auto)
+        .load(copy.getPath)
+      val autoParts = second(auto = true).rdd.getNumPartitions
+      val disabledParts = second(auto = false).rdd.getNumPartitions
+      val autoTotals = totals(second(auto = true))
+      val autoEqual = autoTotals.collect()(0) == firstPass
+      autoTotals
+        .withColumn("auto_partitions_gt1", lit(autoParts > 1))
+        .withColumn("disabled_partitions", lit(disabledParts.toLong))
+        .withColumn("auto_equal", lit(autoEqual))
+    }),
+
     // WAT-style derived archive (the Common Crawl *.warc.wat.gz
     // product, the third of the WARC/WAT/WET trio — w31 covers WET):
     // per response record, a WARC `metadata` record whose payload is a
@@ -1741,6 +1784,12 @@ object Warc {
          CAST(527846 AS BIGINT) AS total_bytes,
          CAST(50 AS BIGINT) AS n_members,
          CAST(1 AS BOOLEAN) AS indexed_equal""",
+    "w47_auto_member_index" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS total_bytes,
+         CAST(1 AS BOOLEAN) AS auto_partitions_gt1,
+         CAST(1 AS BIGINT) AS disabled_partitions,
+         CAST(1 AS BOOLEAN) AS auto_equal""",
     // Inline-fixture pin: the full rewritten documents, hand-derivable
     // from the three fixture strings in the query (strip script/style/
     // .ads, stamp rel=nofollow, absolutize relative URLs per base).

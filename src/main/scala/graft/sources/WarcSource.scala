@@ -195,6 +195,37 @@ object WarcInput {
     !(n.endsWith(".gz") || n.endsWith(".gzip") || n.endsWith(".lz4") ||
       n.endsWith(".zst") || n.endsWith(".bz2") || n.endsWith(".br"))
   }
+
+  /** Parse one member-index file — JSON-lines `.idx`
+    * (`{"filename":…,"offset":…}` as the WARC sink, MemberIndex pass,
+    * and `emit_member_index` all write) or standard CDXJ
+    * (`<url> <ts> {json}` with offset/filename in the JSON block,
+    * possibly as strings, as pywb writes) — into (data-file basename,
+    * compressed member offset) pairs. Malformed lines are skipped, not
+    * fatal: a half-garbage foreign CDXJ still parallelizes the members
+    * it does address, and plan time is the wrong place to die over a
+    * sidecar (the scan itself never depends on index correctness for
+    * completeness — offsets are verified by the member decode).
+    */
+  def readMemberIndexFile(path: Path, conf: Configuration): Seq[(String, Long)] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = path.getFileSystem(conf).open(path)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+                finally in.close()
+    lines.flatMap { l =>
+      val j = l.indexOf('{')
+      if (j < 0) None
+      else scala.util.Try {
+        val node = m.readTree(l.substring(j))
+        val off = Option(node.get("offset")).flatMap { o =>
+          if (o.isNumber) Some(o.asLong())
+          else scala.util.Try(o.asText().trim.toLong).toOption
+        }
+        for (f <- Option(node.get("filename")).map(_.asText()); o <- off)
+          yield f.substring(f.lastIndexOf('/') + 1) -> o
+      }.toOption.flatten
+    }
+  }
 }
 
 class WarcScanBuilder(options: CaseInsensitiveStringMap)
@@ -369,37 +400,57 @@ class WarcScan(
     // (records between two indexed offsets ride in their slice).
     val memberIndex: Map[String, Seq[Long]] =
       Option(options.get("member_index")).map { idxPath =>
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
         val listed = WarcInput.listFiles(Seq(idxPath), conf)
         // a directory/glob listing keeps only .idx sidecars; an explicit
         // single file is taken as-is whatever its name
         val idxFiles =
           if (listed.size > 1) listed.filter(_.getPath.getName.endsWith(".idx"))
           else listed
-        idxFiles.flatMap { st =>
-          val in = st.getPath.getFileSystem(conf).open(st.getPath)
-          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-                      finally in.close()
-          lines.flatMap { l =>
-            val j = l.indexOf('{')
-            if (j < 0) None
-            else {
-              val node = m.readTree(l.substring(j))
-              val off = Option(node.get("offset")).flatMap { o =>
-                if (o.isNumber) Some(o.asLong())
-                else scala.util.Try(o.asText().trim.toLong).toOption
-              }
-              for (f <- Option(node.get("filename")).map(_.asText()); o <- off)
-                yield f.substring(f.lastIndexOf('/') + 1) -> o
-            }
-          }
-        }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+        idxFiles.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
+          .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
       }.getOrElse(Map.empty)
+
+    // Sidecar auto-discovery (`auto_member_index`, default on — the
+    // Spark analog of Beam re-splitting a RUNNING read with zero user
+    // configuration, beam/warcio.py:101-109): a file the engine itself
+    // indexed — by its writer, a dedicated MemberIndex pass, or a
+    // first scan's `emit_member_index` side-output — goes
+    // member-parallel on every later scan with NO option wiring. The
+    // probe is free when the input was a directory/glob (the sidecar
+    // rode the same listing) and one getFileStatus per SPLITTABLE file
+    // otherwise — files at or under max_partition_bytes never probe
+    // (they plan one partition either way). Stale or corrupt sidecars
+    // degrade, never lose data silently: offsets past EOF are dropped
+    // at plan time, and a mid-member offset fails the member decode
+    // into an error row + resume at the next indexed member
+    // (sequentialMemberIterator's damage contract, spec-pinned).
+    val autoIdx = options.getBoolean("auto_member_index", true)
+    val listedSidecars: Map[String, FileStatus] =
+      if (!autoIdx) Map.empty
+      else files.filter(_.getPath.getName.endsWith(".idx"))
+        .map(st => st.getPath.toString -> st).toMap
+    def autoOffsets(st: FileStatus): Option[Seq[Long]] = {
+      val dataPath = st.getPath
+      val idxPath = new Path(dataPath.getParent, dataPath.getName + ".idx")
+      val found = listedSidecars.contains(idxPath.toString) || {
+        try dataPath.getFileSystem(conf).getFileStatus(idxPath).isFile
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      if (!found) None
+      // any read failure (checksum mismatch, deleted between probe and
+      // read, permission) degrades to a whole-file scan — an
+      // auto-discovered convenience must never be able to fail a query
+      // the explicit-option path would have run fine without
+      else scala.util.Try(WarcInput.readMemberIndexFile(idxPath, conf)
+        .collect { case (f, o) if f == dataPath.getName => o }
+        .distinct.sorted).toOption.filter(_.nonEmpty)
+    }
 
     files.filter(st => WarcInput.isDataFile(st.getPath.getName)).flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
       val indexed = memberIndex.get(st.getPath.getName)
+        .orElse(if (autoIdx && len > maxPart) autoOffsets(st) else None)
       if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
         // chunk member offsets into ~maxPart compressed-byte slices;
         // anchor at the file head (a foreign CDXJ's first indexed
@@ -556,10 +607,15 @@ class WarcPartitionReader(
   // sidecar the WARC sink emits — so a 100 TB first scan leaves
   // member-parallel random access behind it for every scan after.
   // Whole-file plain scans only: range reads and member-indexed scans
-  // see a slice, and the retry path can replay members across attempts.
+  // see a slice. The retry path (`stream_retries` > 0) emits too —
+  // precisely the flaky-object-store scans that most want to avoid a
+  // second full pass — with two extra guards: offsets are deduped and
+  // sorted at commit (a reopen re-decodes from 0 to the resume point,
+  // re-firing earlier members; a replayed record makes them
+  // non-monotone), and a retries-exhausted terminal error row
+  // suppresses the commit (the scan did not cover the whole file).
   private val emitOffsets: scala.collection.mutable.ArrayBuffer[Long] =
-    if (emitIdxDir.isDefined && part.start == 0 &&
-        part.memberOffsets.isEmpty && streamRetries == 0)
+    if (emitIdxDir.isDefined && part.start == 0 && part.memberOffsets.isEmpty)
       new scala.collection.mutable.ArrayBuffer[Long]()
     else null
   private var exhaustedClean = false
@@ -580,7 +636,9 @@ class WarcPartitionReader(
           if (retryStream != null) { try retryStream.close() catch { case _: Exception => } }
           retryStream = fs.open(hPath)
           retryStream
-        }, part.path, parseOpts, maxRetries = streamRetries)
+        }, part.path, parseOpts, maxRetries = streamRetries,
+        memberListener =
+          if (emitOffsets != null) (o: Long) => emitOffsets += o else null)
         .takeWhile(_.offset < part.end)
     } else {
       val isRangeRead = part.start > 0
@@ -822,9 +880,15 @@ class WarcPartitionReader(
   private def count(r: WarcRecord): Boolean = {
     mRecords += 1
     if (r.error.isDefined) mErrors += 1
+    // a stream-level error row (offset −1: the retry iterator's
+    // retries-exhausted terminal, or a member-scan stream death) means
+    // the scan did NOT cover the whole file — the member-index
+    // side-output must not leave a plausible-looking sidecar
+    if (r != null && r.error.isDefined && r.offset < 0) sawStreamErrorRow = true
     if (r.content != null) mBytes += r.content.length
     true
   }
+  private var sawStreamErrorRow = false
 
   override def next(): Boolean = {
     if (streamFailed) { current = null; return false }
@@ -866,7 +930,8 @@ class WarcPartitionReader(
     // cleanly to EOF (a truncated/corrupt archive must not leave a
     // plausible-looking sidecar; an early-terminated scan — e.g. a
     // LIMIT — never sets exhaustedClean). Raw files report no members.
-    if (emitOffsets != null && exhaustedClean && emitOffsets.nonEmpty)
+    if (emitOffsets != null && exhaustedClean && !sawStreamErrorRow &&
+        emitOffsets.nonEmpty)
       writeMemberIndexSidecar()
   }
 
@@ -886,7 +951,11 @@ class WarcPartitionReader(
     val w = new java.io.PrintWriter(new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(outFs.create(tmpP, true),
         java.nio.charset.StandardCharsets.UTF_8)))
-    try emitOffsets.foreach(o => w.println(s"""{"filename":"$name","offset":$o}"""))
+    // distinct+sorted: the retry path replays members across attempts
+    // (identical offsets, possibly out of order after a resume); the
+    // committed sidecar must be byte-for-byte the no-failure sidecar
+    try emitOffsets.distinct.sorted
+      .foreach(o => w.println(s"""{"filename":"$name","offset":$o}"""))
     finally w.close()
     outFs.delete(finalP, false)
     if (!outFs.rename(tmpP, finalP)) outFs.delete(tmpP, false)

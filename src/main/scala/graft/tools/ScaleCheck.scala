@@ -457,11 +457,15 @@ object ScaleCheck {
             .option("emit_member_index", dir)
             .load(f.getPath).count())
           require(idx.exists(), "first scan emitted no sidecar")
-          val (n2, t2) = timed(spark.read.format("warc")
+          // rescan is OPTION-FREE: the sidecar beside the file is
+          // auto-discovered at plan time (w47) — nobody wires an index
+          val rescan = spark.read.format("warc")
             .option("record_types", "response")
-            .option("member_index", dir)
             .option("max_partition_bytes", (4L * 1024 * 1024).toString)
-            .load(f.getPath).count())
+            .load(f.getPath)
+          require(rescan.rdd.getNumPartitions > 1,
+            "option-free rescan did not auto-discover the sidecar")
+          val (n2, t2) = timed(rescan.count())
           require(n1 == n2 && n1 == 200L * s * 16,
             s"rows mismatch: first=$n1 indexed=$n2 expected ${200L * s * 16}")
           // asserted curve: once the archive dwarfs fixed task overhead

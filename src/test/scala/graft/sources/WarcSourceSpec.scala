@@ -393,6 +393,58 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("emit_member_index under stream_retries: mid-stream deaths with " +
+      "successful resumes commit a sidecar byte-for-byte equal to the " +
+      "no-failure sidecar; exhausted retries commit nothing") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flakyfs.impl", classOf[FlakyObjectStoreFs].getName)
+    val dirA = java.nio.file.Files.createTempDirectory("emit-retry-flaky")
+    val dirB = java.nio.file.Files.createTempDirectory("emit-retry-clean")
+    val dirC = java.nio.file.Files.createTempDirectory("emit-retry-dead")
+    try {
+      for (d <- Seq(dirA, dirB, dirC))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"),
+          d.resolve("foreign.warc.gz"))
+      // flaky read, three productive deaths, resumes replay earlier
+      // members on every reopen — the dedupe-at-commit case
+      FlakyObjectStoreFs.reset()
+      FlakyObjectStoreFs.schedule = Seq(25000L, 70000L, 115000L)
+      assert(spark.read.format("warc")
+        .option("stream_retries", "3")
+        .option("emit_member_index", dirA.toString)
+        .load(s"flakyfs://$dirA/foreign.warc.gz").count() == 50L)
+      assert(FlakyObjectStoreFs.opensOf(s"$dirA/foreign.warc.gz") == 4)
+      // clean local read of the identical copy: the reference sidecar
+      assert(spark.read.format("warc")
+        .option("emit_member_index", dirB.toString)
+        .load(dirB.resolve("foreign.warc.gz").toString).count() == 50L)
+      val flakySidecar = java.nio.file.Files.readAllBytes(
+        dirA.resolve("foreign.warc.gz.idx"))
+      val cleanSidecar = java.nio.file.Files.readAllBytes(
+        dirB.resolve("foreign.warc.gz.idx"))
+      assert(java.util.Arrays.equals(flakySidecar, cleanSidecar),
+        "retry-path sidecar must equal the no-failure sidecar byte-for-byte")
+      // exhausted retries: terminal error row -> NO sidecar (a partial
+      // scan must not leave a plausible-looking index)
+      FlakyObjectStoreFs.reset()
+      FlakyObjectStoreFs.schedule = Seq.fill(5)(20000L)
+      val rows = spark.read.format("warc")
+        .option("stream_retries", "2")
+        .option("emit_member_index", dirC.toString)
+        .load(s"flakyfs://$dirC/foreign.warc.gz")
+        .select("error").collect()
+      assert(rows.exists(!_.isNullAt(0)))
+      assert(!dirC.resolve("foreign.warc.gz.idx").toFile.exists(),
+        "exhausted-retry scan left a sidecar")
+    } finally {
+      FlakyObjectStoreFs.reset()
+      spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
+      for (d <- Seq(dirA, dirB, dirC))
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+    }
+  }
+
   test("emit_member_index: a clean whole-file scan leaves the .idx " +
       "sidecar a member_index rescan consumes; offsets are the proven " +
       "MemberIndex walk") {
@@ -525,6 +577,84 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (good.length < 50)
         assert(rows.exists(!_.isNullAt(1)), s"iter $iter: silent record loss")
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("auto-discovered .idx sidecar: an option-free rescan goes " +
+      "member-parallel, auto_member_index=false disables it, and an " +
+      "unparseable sidecar degrades to a whole-file scan") {
+    val dir = java.nio.file.Files.createTempDirectory("auto-idx")
+    val copy = dir.resolve("foreign.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    def rd(auto: Boolean = true) = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .option("auto_member_index", auto)
+      .load(copy.toString)
+    // no sidecar yet: a compressed file is unsplittable -> 1 partition
+    assert(rd().rdd.getNumPartitions == 1)
+    val plainIds = rd().select("record_id").collect().map(_.getString(0)).sorted
+    assert(plainIds.length == 50)
+    // first scan leaves the side-output sidecar behind
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    assert(dir.resolve("foreign.warc.gz.idx").toFile.exists())
+    // option-free rescan: the sidecar is discovered at plan time
+    val auto = rd()
+    assert(auto.rdd.getNumPartitions > 1, "auto-discovery did not split")
+    val autoIds = auto.select("record_id").collect().map(_.getString(0)).sorted
+    assert(autoIds.toSeq == plainIds.toSeq)
+    // kill switch
+    assert(rd(auto = false).rdd.getNumPartitions == 1)
+    assert(rd(auto = false).count() == 50L)
+    // explicit member_index wins over auto-discovery for the same file
+    // (same offsets here, but the plan must come from the option)
+    val explicit = spark.read.format("warc")
+      .option("member_index", dir.toString)
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString)
+    assert(explicit.count() == 50L)
+    // garbage sidecar: planning must not die and must not use it
+    java.nio.file.Files.write(dir.resolve("foreign.warc.gz.idx"),
+      "this is not an index\n binary junk".getBytes("UTF-8"))
+    val degraded = rd()
+    assert(degraded.rdd.getNumPartitions == 1, "garbage sidecar was used")
+    assert(degraded.count() == 50L)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("stale auto-discovered sidecar with wrong (mid-member) offsets " +
+      "degrades to error-isolated members — losses are flagged by error " +
+      "rows, never silent") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("stale-idx")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"))
+    val offs = MemberIndex.scan(new java.io.ByteArrayInputStream(bytes)).offsets
+    val gz = dir.resolve("stale.warc.gz")
+    java.nio.file.Files.write(gz, bytes)
+    // every offset shifted +7: all point mid-member (the file was
+    // rewritten since the index was built); offsets past EOF appear too
+    val wrong = offs.map(_ + 7) :+ (bytes.length + 999L)
+    java.nio.file.Files.write(dir.resolve("stale.warc.gz.idx"), wrong.map(o =>
+      s"""{"filename": "stale.warc.gz", "offset": $o}""").mkString("\n").getBytes)
+    val df = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(gz.toString)
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts > 1, "stale sidecar should still be planned from")
+    val rows = df.select("record_id", "error").collect()
+    val good = rows.filter(_.isNullAt(1)).map(_.getString(0))
+    val errs = rows.filter(!_.isNullAt(1))
+    // the head-anchored slice decodes its healthy prefix; every other
+    // slice starts mid-member and MUST flag itself rather than vanish
+    assert(good.nonEmpty, "head-anchored slice lost its healthy prefix")
+    assert(good.length == good.distinct.length, "duplicate records")
+    assert(good.length < 50, "sanity: a wrong index cannot be lossless here")
+    assert(errs.nonEmpty && errs.forall(_.getString(1).contains("stream error")))
+    assert(errs.length >= nParts - 1,
+      s"a slice lost records without flagging: $nParts parts, ${errs.length} errors")
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
