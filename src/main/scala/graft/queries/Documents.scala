@@ -1608,15 +1608,17 @@ object Documents {
     //           match everything), batch drops the bucket → 0 — the
     //           cap's asymmetry at its widest;
     //   tail    66 mutually-distant docs + 6 late-arriving clones in
-    //           one 72-member bucket: the clones' witnesses are all
-    //           distant (the prefix filled first), so BOTH engines
-    //           miss the 5 clone dups — the shared loss regime.
+    //           one 72-member bucket: the clones' witnesses beyond the
+    //           poisoned prefix ride the 16-slot second-chance ring —
+    //           the stream catches ALL 5 clone dups the batch drop
+    //           misses (before the r14 ring, both engines shared this
+    //           loss: stream_missed was 5).
     // The stream side runs the REAL StreamingNeardup operator (three
     // waves, arrival = doc_id % 3); truth is the uncapped banded pair
     // set; batch is the production 64-cap pipeline. The oracle
-    // recomputes all three relationally (stream via the
-    // first-64-arrivals witness-prefix model, which is exactly the
-    // operator's state rule).
+    // recomputes all three relationally (stream via the witness model
+    // rk(w) ≤ 64 OR rk(w) ≥ rk(d) − 16, which is exactly the
+    // operator's prefix + second-chance-ring state rule).
     "d29_megabucket_divergence" -> ((s, dir) => {
       val mega = s.range(200).select(col("id").as("doc_id"),
         lit(4660L).as("h0"), lit(0L).as("h1"))
@@ -3567,7 +3569,7 @@ object Documents {
            SELECT DISTINCT d.id
            FROM ranked d JOIN ranked w
              ON w.band_id = d.band_id AND w.bkey = d.bkey
-             AND w.rk < d.rk AND w.rk <= 64
+             AND w.rk < d.rk AND (w.rk <= 64 OR w.rk >= d.rk - 16)
            JOIN codes x ON x.id = d.id JOIN codes y ON y.id = w.id
            WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
          grps AS (

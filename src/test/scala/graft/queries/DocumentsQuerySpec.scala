@@ -629,8 +629,8 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d29 mega-bucket divergence gauge: stream and batch agree below " +
-    "the cap, diverge by exactly the mega clique above it, and share " +
-    "the beyond-prefix loss") {
+    "the cap, diverge by exactly the mega clique above it, and the " +
+    "second-chance ring catches the beyond-prefix clones batch drops") {
     val s = spark
     val rows = Documents.queries("d29_megabucket_divergence")(
       s, "/root/testdata/sf0.01").collect()
@@ -641,7 +641,10 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       // grp, n_docs, n_truth, n_stream, n_batch, delta, s_miss, b_miss, max_bucket
       ("mega", 200L, 199L, 199L, 0L, 199L, 0L, 199L, 272L),
       ("paired", 60L, 30L, 30L, 30L, 0L, 0L, 0L, 7L),
-      ("tail", 72L, 5L, 0L, 0L, 0L, 5L, 5L, 272L)), rows.toString)
+      // tail before the r14 ring: n_stream 0, stream_missed 5 (the
+      // poisoned prefix blinded the bucket — the shared-loss regime);
+      // the ring turns all 5 clone dups into stream catches
+      ("tail", 72L, 5L, 5L, 0L, 5L, 0L, 5L, 272L)), rows.toString)
   }
 
   test("t36 stratified sample: exactly 4 per source, the per-source " +

@@ -63,25 +63,41 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
       Verdict(3, 0, matched = false))) // far from everything
   }
 
-  test("bucket cap: state stops absorbing at MaxBucket but keeps matching") {
+  test("bucket cap + second-chance ring: the prefix stops growing at " +
+      "MaxBucket, over-cap arrivals ride the 16-slot ring, and the ring " +
+      "evicts oldest-first") {
     val st = new TestState(None)
-    // fill the bucket with 64 mutually-distant codes
+    // fill the prefix with 64 mutually-distant codes
     val fill = (0 until StreamingNeardup.MaxBucket).map(i =>
       row(i.toLong, i.toLong << 32, 0x1111L * i))
     StreamingNeardup.update(0)((0, 0L), fill.iterator, st)
     assert(st.get.h0s.length == StreamingNeardup.MaxBucket)
-    // a 65th distinct code: unmatched, NOT absorbed
+    // a 65th distinct code: unmatched, absorbed into the RING
     StreamingNeardup.update(0)((0, 0L),
       Iterator(row(100, 0xABCDL << 40, 0x9999L)), st)
-    assert(st.get.h0s.length == StreamingNeardup.MaxBucket)
-    // an exact copy of a PREFIX code still matches (prefix-cap doctrine)
+    assert(st.get.h0s.length == StreamingNeardup.MaxBucket + 1)
+    // an exact copy of a PREFIX code still matches (prefix doctrine)
     val out = StreamingNeardup.update(0)((0, 0L),
       Iterator(row(101, 5L << 32, 0x1111L * 5)), st).toSeq
     assert(out.head.matched)
-    // an exact copy of the REJECTED 65th does not (it never entered state)
+    // an exact copy of the over-cap 65th NOW matches (the second
+    // chance a poisoned prefix used to deny forever) — and, matched or
+    // not, it too enters the ring
     val out2 = StreamingNeardup.update(0)((0, 0L),
       Iterator(row(102, 0xABCDL << 40, 0x9999L)), st).toSeq
-    assert(!out2.head.matched)
+    assert(out2.head.matched)
+    // 16 further distinct over-cap arrivals evict the 65th (and the
+    // copy) oldest-first; a fresh copy of the 65th no longer matches
+    (0 until StreamingNeardup.RingSize).foreach { j =>
+      StreamingNeardup.update(0)((0, 0L),
+        Iterator(row(200L + j, 0x5EEDL << 40 | j.toLong, 0x4444L * j)), st)
+    }
+    val out3 = StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(300, 0xABCDL << 40, 0x9999L)), st).toSeq
+    assert(!out3.head.matched)
+    // state is bounded by construction: prefix + ring, never more
+    assert(st.get.h0s.length <=
+      StreamingNeardup.MaxBucket + StreamingNeardup.RingSize)
   }
 
   test("end-to-end: two landed waves, verdicts match the batch pair set") {
