@@ -648,6 +648,19 @@ object Html2Text {
   private val printClsRe = ci("(?:^|\\s)print[_-]")
   private val otherJunkClsRe = Pattern.compile("(?:^|\\s)short-view-count|spinner(?:$|[\\s_-])")
 
+  /** Probe-index → pattern table (the ClsMemo probe ids used across
+    * isMainContentNode) for the prefilter-necessity spec: the fuzz
+    * generator asserts every regex find() implies its trigger bit.
+    */
+  private[html] lazy val ClassifierPatterns: Array[(Int, Pattern)] = Array(
+    0 -> displayClsRe, 1 -> displayCssRe, 2 -> skipLinkClsRe,
+    3 -> signinClsRe, 4 -> postMetaClsRe, 5 -> socialClsRe, 6 -> logoClsRe,
+    7 -> adsClsRe, 8 -> otherJunkClsRe, 9 -> articleClsRe,
+    10 -> landmarkIdRe, 11 -> headerClsRe, 12 -> footerClsRe,
+    13 -> navClsRe, 14 -> recommendedClsRe, 15 -> commentsClsRe,
+    16 -> searchClsRe, 17 -> sidebarClsRe, 18 -> modalClsRe,
+    19 -> galleryClsRe, 20 -> printClsRe)
+
   private val BlacklistAriaRoles = Set("alert", "banner", "checkbox", "comment",
     "complementary", "contentinfo", "dialog", "img", "menu", "menubar", "menuitem",
     "navigation", "presentation", "radio", "search", "searchbox", "separator",
@@ -655,6 +668,104 @@ object Html2Text {
 
   private def found(s: String, p: Pattern): Boolean =
     s.nonEmpty && p.matcher(s).find()
+
+  // — trigger prefilter for the classifier regexes —
+  // Each probe index (ClsMemo ids 0..20) has a COMPLETE set of
+  // necessity literals: every string its regex can find() must contain
+  // at least one of them, case-insensitively (asserted by the
+  // adversarial generator in Html2TextSpec). One Aho-Corasick pass per
+  // first-seen attr string computes the candidate-pattern bitmask and
+  // only candidate regexes ever run — the JFR-dominant cost after the
+  // memo was exactly these probes on first-seen strings.
+  // articleClsRe (idx 9) can match via its zero-width middle on bare
+  // separator chars, so its triggers include the separator chars
+  // themselves (the exact \s set java regex uses, plus _ and -): a
+  // single-token class like "btnPrimary" skips even this pattern.
+  private val TriggerLiterals: Array[(String, Int)] = Array(
+    "article" -> 9, "entry" -> 9, "post" -> 9, "story" -> 9,
+    "content" -> 9, "body" -> 9, "text" -> 9, "page" -> 9,
+    " " -> 9, "\t" -> 9, "\n" -> 9, "\u000B" -> 9, "\f" -> 9, "\r" -> 9,
+    "_" -> 9, "-" -> 9,
+    "display-none" -> 0, "hidden" -> 0, "invisible" -> 0, "collapsed" -> 0,
+    "h-0" -> 0, "nocontent" -> 0, "expandable" -> 0,
+    "display" -> 1, "visibility" -> 1,
+    "skip" -> 2, "scroll" -> 2, "next" -> 2, "prev" -> 2,
+    "permalink" -> 2, "pagination" -> 2,
+    "log" -> 3, "sign" -> 3, "account" -> 3, "user" -> 3,
+    "footer" -> 4, "teaser" -> 4, "meta" -> 4, "subline" -> 4,
+    "sidebar" -> 4, "author" -> 4, "published" -> 4, "timestamp" -> 4,
+    "date" -> 4, "posted" -> 4, "info" -> 4, "label" -> 4, "tag" -> 4,
+    "keyword" -> 4, "category" -> 4, "submitted" -> 4,
+    "byline" -> 4, "by-line" -> 4, "by_line" -> 4,
+    "social" -> 5, "share" -> 5, "sharing" -> 5, "syndication" -> 5,
+    "newsletter" -> 5,
+    "follow" -> 5, "email" -> 5, "like" -> 5, "feedback" -> 5,
+    "engagement" -> 5, "facebook" -> 5, "twitter" -> 5, "subscribe" -> 5,
+    "wa" -> 5, "jp" -> 5,
+    "logo" -> 6,
+    "ad" -> 7, "sponsor" -> 7, "promoted" -> 7, "paid" -> 7,
+    "banner" -> 7, "donate" -> 7,
+    "short-view-count" -> 8, "spinner" -> 8,
+    "head" -> 10, "foot" -> 10, "right" -> 10,
+    "header" -> 11,
+    "footer" -> 12, "copyright" -> 12, "cookie" -> 12, "consent" -> 12,
+    "legal" -> 12, "fcontainer" -> 12,
+    "nav" -> 13, "menu" -> 13, "drop" -> 13, "bread" -> 13, "link" -> 13,
+    "trend" -> 14, "recommended" -> 14, "featured" -> 14, "popular" -> 14,
+    "editor" -> 14, "related" -> 14, "read-next" -> 14, "more" -> 14,
+    "other" -> 14,
+    "comment" -> 15, "reply" -> 15,
+    "search" -> 16,
+    "side" -> 17, "sticky" -> 17, "one-third" -> 17,
+    "modal" -> 18, "popup" -> 18, "lightbox" -> 18,
+    "gallery" -> 19, "carousel" -> 19,
+    "print" -> 20)
+  private val TriggerAuto = graft.plans.AhoCorasick.build(TriggerLiterals.map(_._1))
+  private val TriggerBits: Array[Long] = TriggerLiterals.map(p => 1L << p._2)
+  // root fast-path: most chars of most strings stay at the automaton
+  // root, so the binary-searched step() there is the scan's hot spot —
+  // one direct table read replaces it (no pattern starts non-ASCII)
+  private val TriggerRootNext: Array[Int] = {
+    val t = Array.fill(128)(0)
+    var c = 0
+    while (c < 128) { t(c) = math.max(TriggerAuto.step(0, c.toChar), 0); c += 1 }
+    t
+  }
+  /** In-JVM A/B switch (MainContentProfile interleaves both arms in one
+    * process so the comparison shares a contention window). */
+  private[graft] var UsePrefilter =
+    !"off".equals(System.getProperty("graft.cls.prefilter"))
+
+  /** Candidate-pattern bitmask for `s` — one automaton pass. ASCII-only
+    * case folding: the patterns use CASE_INSENSITIVE without
+    * UNICODE_CASE, which folds exactly A-Z.
+    */
+  private[html] def triggerMask(s: String): Long = {
+    var mask = 0L
+    var node = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      var c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (node == 0) node = if (c < 128) TriggerRootNext(c) else 0
+      else {
+        var nx = TriggerAuto.step(node, c)
+        while (nx < 0 && node != 0) {
+          node = TriggerAuto.fail(node)
+          nx = if (node == 0 && c < 128) TriggerRootNext(c) else TriggerAuto.step(node, c)
+        }
+        node = if (nx >= 0) nx else 0
+      }
+      if (node != 0) {
+        val outs = TriggerAuto.out(node)
+        var j = 0
+        while (j < outs.length) { mask |= TriggerBits(outs(j)); j += 1 }
+      }
+      i += 1
+    }
+    mask
+  }
 
   /** Per-extraction memo of classifier-regex outcomes keyed by the raw
     * attribute string: pages repeat the same class/id values across
@@ -676,7 +787,11 @@ object Html2Text {
       var e = map.get(s)
       if (e == null) {
         if (map.size >= 4096) return null
-        e = new Array[Long](2)
+        e = new Array[Long](3)
+        // slot 2: the candidate bitmask from ONE automaton pass —
+        // probes whose trigger literals are absent short-circuit to
+        // "no match" without ever running their regex
+        e(2) = if (UsePrefilter) triggerMask(s) else -1L
         map.put(s, e)
       }
       e
@@ -686,7 +801,7 @@ object Html2Text {
       val bit = 1L << idx
       if ((e(0) & bit) == 0L) {
         e(0) |= bit
-        if (p.matcher(s).find()) e(1) |= bit
+        if ((e(2) & bit) != 0L && p.matcher(s).find()) e(1) |= bit
       }
       (e(1) & bit) != 0L
     }

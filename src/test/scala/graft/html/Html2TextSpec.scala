@@ -474,4 +474,75 @@ Some code
       check(HtmlTree.parse(html), s"soup $i cls=[$cls] role=[$role]")
     }
   }
+
+  test("classifier trigger prefilter is COMPLETE: every regex find() " +
+      "implies the pattern's trigger bit, over an adversarial generator " +
+      "built from the regexes' own alternation fragments") {
+    // every literal fragment appearing in any of the 21 patterns'
+    // alternations (prefixes, cores, suffixes), so random compositions
+    // reach every branch — including optional-spelling branches like
+    // "single_post", "by-line", "ad_c0ffee"
+    val fragments = Array(
+      "article", "entry", "post", "story", "single", "main", "content",
+      "body", "text", "page", "nav", "navigation", "menu", "item",
+      "drop", "down", "dropdown", "bread", "crumb", "crumbs", "links",
+      "link", "bar", "box", "list", "container", "section", "wrapper",
+      "wrap", "wrapp", "trends", "trending", "recommended", "featured",
+      "popular", "editors", "editor", "picks", "related", "read", "next",
+      "more", "other", "articles", "posts", "guides", "stories", "head",
+      "foot", "header", "footer", "right", "left", "copyright", "cookie",
+      "consent", "legal", "fcontainer", "teaser", "meta", "data",
+      "subline", "sidebar", "author", "authorname", "published",
+      "timestamp", "date", "posted", "on", "info", "labels", "label",
+      "tags", "tag", "keywords", "category", "by", "line", "submitted",
+      "side", "bars", "one", "third", "search", "facility", "skip", "to",
+      "scroll", "up", "permalink", "pagination", "prev", "previous",
+      "display", "none", "hidden", "invisible", "collapsed", "h", "0",
+      "nocontent", "expandable", "xs", "sm", "lg", "xl", "2xl",
+      "visibility", "modal", "popup", "lightbox", "window", "pane",
+      "gallery", "carousel", "log", "in", "sign", "account", "user",
+      "profile", "settings", "actions", "google", "wide", "ads", "ad",
+      "advert", "advertisement", "advertlink", "a0b1", "sponsor",
+      "sponsored", "promoted", "paid", "banner", "donate", "social",
+      "media", "sharedaddy", "share", "syndication", "newsletter",
+      "sharing", "follow", "email", "likes", "like", "feedback", "give",
+      "engagement", "brand", "branding", "facebook", "twitter",
+      "subscribe", "wa", "jp", "aptf", "comments", "comment", "reply",
+      "no", "logo", "print", "spinner", "short", "view", "count", "is",
+      "visually", "l", "m", "wp", "c", "p", "global", "site", "sub",
+      "sticky", "full", "mobile", "desktop", "target", "btn", "buttons",
+      "icons", "qqq", "zzz9")
+    val seps = Array("", " ", "_", "-", "--", "__", "  ", "\t", ";", ":",
+      "; ", " : ")
+    val rnd = new scala.util.Random(99)
+    def gen(): String = {
+      val n = 1 + rnd.nextInt(5)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        if (i > 0 || rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+        val f = fragments(rnd.nextInt(fragments.length))
+        // random ASCII case flips (patterns are CASE_INSENSITIVE)
+        f.foreach { ch =>
+          sb.append(if (ch.isLetter && rnd.nextBoolean()) ch.toUpper else ch)
+        }
+        i += 1
+      }
+      if (rnd.nextBoolean()) sb.append(seps(rnd.nextInt(seps.length)))
+      sb.toString
+    }
+    var checked = 0L
+    (1 to 200000).foreach { k =>
+      val s = gen()
+      val mask = Html2Text.triggerMask(s)
+      Html2Text.ClassifierPatterns.foreach { case (idx, p) =>
+        if (p.matcher(s).find()) {
+          checked += 1
+          assert((mask & (1L << idx)) != 0L,
+            s"prefilter false-negative: pattern $idx matched [$s] without its trigger bit")
+        }
+      }
+    }
+    assert(checked > 50000L, s"generator too weak: only $checked matches exercised")
+  }
 }

@@ -11,6 +11,7 @@ object MainContentProfile {
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 400
     val plain = args.length > 1 && args(1) == "plain"
+    val ab = args.length > 1 && args(1) == "ab"
     val fx = "/root/reference/tests/data/warcfile.warc"
     val in = new java.io.BufferedInputStream(new java.io.FileInputStream(fx))
     val it = new graft.core.WarcParser(new graft.core.WarcByteReader(in), fx)
@@ -23,6 +24,31 @@ object MainContentProfile {
     // warmup
     (1 to 50).foreach(_ => trees.foreach(t =>
       sink += graft.html.Html2Text.extract(t, opts).length))
+    if (ab) {
+      // interleaved min-of-N A/B of the classifier-regex trigger
+      // prefilter: both arms alternate inside ONE process so they share
+      // whatever contention window the host is in (README measurement
+      // doctrine — never compare across windows)
+      def arm(on: Boolean): Double = {
+        graft.html.Html2Text.UsePrefilter = on
+        val t0 = System.nanoTime()
+        var k = 0
+        while (k < reps) {
+          trees.foreach(t => sink += graft.html.Html2Text.extract(t, opts).length)
+          k += 1
+        }
+        trees.size * reps / ((System.nanoTime() - t0) / 1e9)
+      }
+      arm(true); arm(false) // per-arm JIT warm
+      val rates = (1 to 5).map(_ => (arm(true), arm(false)))
+      graft.html.Html2Text.UsePrefilter = true
+      val on = rates.map(_._1).max
+      val off = rates.map(_._2).max
+      println(f"prefilter A/B (5 interleaved rounds, max): on=$on%.0f docs/s " +
+        f"off=$off%.0f docs/s  speedup=${on / off}%.3fx (sink=$sink)")
+      rates.foreach { case (a, b) => println(f"  round: on=$a%.0f off=$b%.0f") }
+      return
+    }
     val t0 = System.nanoTime()
     var k = 0
     while (k < reps) {
