@@ -1612,7 +1612,15 @@ object Documents {
     //           poisoned prefix ride the 16-slot second-chance ring —
     //           the stream catches ALL 5 clone dups the batch drop
     //           misses (before the r14 ring, both engines shared this
-    //           loss: stream_missed was 5).
+    //           loss: stream_missed was 5);
+    //   ring    the ring's RECENCY BOUND, pinned honestly: 80
+    //           mutually-distant fillers sharing all four band buckets
+    //           with one clone pair, arranged so the first clone
+    //           arrives over-cap (rank 65) and SIXTEEN more fillers
+    //           land before its twin — the 16-slot ring has evicted
+    //           the witness by then, so the stream misses this dup
+    //           (as does the batch drop): stream_missed = 1 is the
+    //           measured price of the bounded window.
     // The stream side runs the REAL StreamingNeardup operator (three
     // waves, arrival = doc_id % 3); truth is the uncapped banded pair
     // set; batch is the production 64-cap pipeline. The oracle
@@ -1630,7 +1638,21 @@ object Documents {
         expr("shiftleft(15L, cast(4 * (id % 15) as int))").as("h1"))
       val clones = s.range(6).select((col("id") * 3 + 3200L).as("doc_id"),
         expr("16962L + shiftleft(15L, 52)").as("h0"), lit(0L).as("h1"))
+      // ring regime: fillers and the clone pair share ALL FOUR band
+      // keys (0x47/0x47/0x53/0x53 doubled-word constants, colliding
+      // with no other regime's buckets); fillers differ only in the
+      // upper-32 bits of each half (pairwise hamming ≥ 4, hamming 8
+      // from the clones). All wave 0; the id gap at 4692 seats clone A
+      // at arrival rank 65 with exactly 16 fillers after it.
+      val ringFill = s.range(80).select(
+        expr("CASE WHEN id < 64 THEN 4500 + 3*id ELSE 4503 + 3*id END").as("doc_id"),
+        expr("4653127L + shiftleft(15L, cast(32 + 3 * (id % 8) as int))").as("h0"),
+        expr("5439571L + shiftleft(15L, cast(32 + 2 * (id div 8) as int))").as("h1"))
+      val ringClones = s.range(2).select(
+        expr("CASE WHEN id = 0 THEN 4692 ELSE 4743 END").as("doc_id"),
+        lit(4653127L).as("h0"), lit(5439571L).as("h1"))
       val codes = mega.unionAll(paired).unionAll(distant).unionAll(clones)
+        .unionAll(ringFill).unionAll(ringClones)
         .localCheckpoint()
       val streamSupp = StreamingDedup.streamSuppressed(s, codes, "d29")
       def arr(c: org.apache.spark.sql.Column) = c % 3
@@ -1644,7 +1666,8 @@ object Documents {
       val batchSupp = suppOf(Multimodal.bandedHammingPairs(
         codes, "doc_id", "doc_a", "doc_b"))
       val grp = when(col("doc_id") < 1000L, "mega")
-        .when(col("doc_id") < 3000L, "paired").otherwise("tail")
+        .when(col("doc_id") < 3000L, "paired")
+        .when(col("doc_id") < 4000L, "tail").otherwise("ring")
       // max bucket size any group member lands in (over/under-cap regime)
       val bands = codes.select(col("doc_id"), posexplode(array(
           col("h0").bitwiseAND(lit(65535L)),
@@ -3532,7 +3555,17 @@ object Documents {
            UNION ALL
            SELECT CAST(3200 + 3 * c AS BIGINT),
              16962 + (CAST(15 AS BIGINT) << 52), CAST(0 AS BIGINT)
-           FROM range(6) t(c)),
+           FROM range(6) t(c)
+           UNION ALL
+           SELECT CAST(CASE WHEN i < 64 THEN 4500 + 3 * i
+                            ELSE 4503 + 3 * i END AS BIGINT),
+             4653127 + (CAST(15 AS BIGINT) << CAST(32 + 3 * (i % 8) AS INT)),
+             5439571 + (CAST(15 AS BIGINT) << CAST(32 + 2 * (i // 8) AS INT))
+           FROM range(80) t(i)
+           UNION ALL
+           SELECT CAST(CASE WHEN c = 0 THEN 4692 ELSE 4743 END AS BIGINT),
+             CAST(4653127 AS BIGINT), CAST(5439571 AS BIGINT)
+           FROM range(2) t(c)),
          bands AS (
            SELECT id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
            UNION ALL SELECT id, 1, (h0 >> 16) & 65535 FROM codes
@@ -3575,14 +3608,16 @@ object Documents {
          grps AS (
            SELECT c.id,
              CASE WHEN c.id < 1000 THEN 'mega'
-                  WHEN c.id < 3000 THEN 'paired' ELSE 'tail' END AS grp,
+                  WHEN c.id < 3000 THEN 'paired'
+                  WHEN c.id < 4000 THEN 'tail' ELSE 'ring' END AS grp,
              (c.id IN (SELECT id FROM truth_supp)) AS in_t,
              (c.id IN (SELECT id FROM stream_supp)) AS in_s,
              (c.id IN (SELECT id FROM batch_supp)) AS in_b
            FROM codes c),
          mb AS (
            SELECT CASE WHEN b.id < 1000 THEN 'mega'
-                       WHEN b.id < 3000 THEN 'paired' ELSE 'tail' END AS grp,
+                       WHEN b.id < 3000 THEN 'paired'
+                       WHEN b.id < 4000 THEN 'tail' ELSE 'ring' END AS grp,
              max(n.n) AS max_bucket
            FROM bands b JOIN bucketn n
              ON n.band_id = b.band_id AND n.bkey = b.bkey

@@ -11,21 +11,50 @@ private[graft] object Scratch {
   val SessionToken: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
+  /** Root for TRANSIENT per-run streaming state (checkpoint WALs,
+    * landing waves): prefer a tmpfs when one is writable. Micro-batch
+    * fixed cost is dominated by checkpoint-log fsyncs (offset WAL +
+    * commit log per batch, state-store delta files) which tmpfs makes
+    * free; the data is worthless across runs so RAM-backed is the right
+    * durability. Override/disable with SPARK_GRAFT_FAST_TMP (set it to
+    * the plain tmp dir to opt out). On a real cluster executors would
+    * point this at a local SSD/ramdisk while DURABLE checkpoints of
+    * production streams live on the distributed FS — these gauges'
+    * checkpoints are per-run scaffolding, not recovery state.
+    */
+  val FastRoot: String =
+    (sys.env.get("SPARK_GRAFT_FAST_TMP").toSeq ++
+      Seq("/dev/shm", System.getProperty("java.io.tmpdir")))
+      .find { p =>
+        val f = new java.io.File(p)
+        f.isDirectory && f.canWrite
+      }.get
+
   // best-effort: this session's scratch dirs die with the JVM — without
   // this every Verify/Bench process leaves its token's staging dirs in
   // tmp forever (observed: hundreds of ~9 MB trees after a few rounds)
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val mine = tmp.listFiles((_, n: String) =>
-      n.startsWith("graft_") && n.endsWith(s"_$SessionToken"))
-    if (mine != null) mine.foreach { f =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(f)
-      catch { case _: Exception => () }
+    Seq(System.getProperty("java.io.tmpdir"), FastRoot).distinct.foreach { root =>
+      val mine = new java.io.File(root).listFiles((_, n: String) =>
+        n.startsWith("graft_") && n.endsWith(s"_$SessionToken"))
+      if (mine != null) mine.foreach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Exception => () }
+      }
     }
   }, "graft-scratch-cleanup"))
 
   def dir(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_$SessionToken"
+
+  /** [[fresh]], but under [[FastRoot]] — for checkpoint/landing dirs of
+    * the streaming gauges only (outputs the driver reads stay in tmp).
+    */
+  def fastFresh(name: String): java.io.File = {
+    val f = new java.io.File(s"$FastRoot/graft_${name}_$SessionToken")
+    org.apache.commons.io.FileUtils.deleteDirectory(f)
+    f
+  }
 
   /** The dir path, with any previous run's contents deleted.
     *

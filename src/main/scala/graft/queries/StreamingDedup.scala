@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 private[queries] object StreamingDedup {
 
+  /** Bag (multiset) symmetric-difference size of two same-schema frames
+    * in ONE Spark action — `a.exceptAll(b).count + b.exceptAll(a).count`
+    * costs two full jobs, and on the streaming gauges each extra job is
+    * ~0.2-0.4 s of fixed scheduling cost. NB join keys are plain
+    * equality: a null-keyed row counts as a mismatch on both sides, so
+    * only use on frames whose compare columns are non-null (every
+    * caller's are; a violation shows up as batch_equal=false, never as
+    * a silent pass).
+    */
+  def bagDelta(a: DataFrame, b: DataFrame): Long = {
+    val names = a.columns.toSeq
+    val ga = a.groupBy(names.map(col): _*).agg(count(lit(1)).as("_na"))
+    val gb = b.groupBy(names.map(col): _*).agg(count(lit(1)).as("_nb"))
+    ga.join(gb, names, "full_outer")
+      .agg(coalesce(sum(abs(coalesce(col("_na"), lit(0L)) -
+        coalesce(col("_nb"), lit(0L)))), lit(0L)))
+      .collect().head.getLong(0)
+  }
+
   /** DuckDB rendition of the suppression summary — expects a
     * `codes(id, h0, h1)` CTE upstream (same contract as
     * [[Multimodal.hammingCandSql]]); shared by the d28/e25/m14 oracles
@@ -50,11 +69,13 @@ private[queries] object StreamingDedup {
     */
   def streamSuppressed(s: SparkSession, codes: DataFrame,
       name: String): DataFrame = {
-    val landing = Scratch.fresh(s"${name}_landing")
+    // tmpfs-backed (fastFresh): landing waves and the checkpoint WAL
+    // are per-run scaffolding whose fsyncs were the micro-batch floor
+    val landing = Scratch.fastFresh(s"${name}_landing")
     landing.mkdirs()
     // delete-first fixed checkpoint path (same doctrine as the landing
     // dir): rerun-safe without leaking a new state-store tree per run
-    val ckpt = Scratch.fresh(s"${name}_ckpt")
+    val ckpt = Scratch.fastFresh(s"${name}_ckpt")
     def land(wave: Int): Unit =
       codes.filter(col("doc_id") % 3 === wave)
         .coalesce(1).write.mode("append").parquet(landing.getPath)
@@ -104,20 +125,29 @@ private[queries] object StreamingDedup {
           (arr(col("doc_a")) === arr(col("doc_b")) &&
             col("doc_a") < col("doc_b")),
           col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
-      // one symmetric-difference job instead of two exceptAll jobs
-      val mism = streamSupp.withColumn("in_s", lit(1))
+      // TWO driver jobs for the whole summary (was four — each extra
+      // job is ~0.2-0.4 s of fixed scheduling cost on the streaming
+      // floor): (1) one full-outer pass yields the symmetric
+      // difference AND the suppressed count; (2) one bands pass yields
+      // max_bucket AND the input count (4 band rows per doc).
+      val cmp = streamSupp.withColumn("in_s", lit(1))
         .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
-        .filter(col("in_s").isNull || col("in_b").isNull).count()
-      val nInput = codes.count()
-      val nSupp = streamSupp.count()
-      val maxBucket = codes.select(posexplode(array(
+        .agg(
+          coalesce(sum(when(col("in_s").isNull || col("in_b").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("mism"),
+          coalesce(sum(when(col("in_s").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_supp"))
+        .collect().head
+      val (mism, nSupp) = (cmp.getLong(0), cmp.getLong(1))
+      val bandStats = codes.select(posexplode(array(
           col("h0").bitwiseAND(lit(65535L)),
           shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
           col("h1").bitwiseAND(lit(65535L)),
           shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
           .as(Seq("band_id", "bkey")))
         .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).collect().head.getLong(0)
+        .agg(max(col("n")), sum(col("n"))).collect().head
+      val (maxBucket, nInput) = (bandStats.getLong(0), bandStats.getLong(1) / 4)
       s.range(1).select(
         lit(nInput).as("n_input"),
         lit(nInput - nSupp).as("n_kept"),

@@ -704,7 +704,7 @@ object Warc {
       val fixture = "/root/reference/tests/data/warcfile.warc.gz"
       val batch = s.read.format("warc").load(fixture)
         .select(col("record_date"), col("record_type"), col("content_length"))
-      val stage = scratch("w32_stage")
+      val stage = Scratch.fastFresh("w32_stage").getPath
       // the stateful streaming agg instantiates one STATE STORE per
       // shuffle partition per micro-batch: at the session's 32
       // partitions that is 32 store setups/commits for a 50-record
@@ -717,6 +717,7 @@ object Warc {
         val qname = s"graft_w32_mem_$SessionToken"
         val q = EventTime.windowedTypeCounts(stream)
           .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", Scratch.fastFresh("w32_ckpt").getPath)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
         try q.processAllAvailable() finally q.stop()
         def shape(df: DataFrame): DataFrame = df.select(
@@ -724,8 +725,7 @@ object Warc {
           col("record_type"), col("n_records"), col("total_bytes"))
         val streamed = shape(s.table(qname))
         val batchRes = shape(EventTime.windowedTypeCounts(batch))
-        val mismatches = streamed.exceptAll(batchRes).count() +
-          batchRes.exceptAll(streamed).count()
+        val mismatches = StreamingDedup.bagDelta(streamed, batchRes)
         streamed.withColumn("batch_equal", lit(mismatches == 0L))
           .orderBy(col("window_start"), col("record_type"))
       }
@@ -763,7 +763,7 @@ object Warc {
       // concurrent sessions can't race on the same parquet dir or the
       // global temp view
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_w44_stage_$token"
+      val stage = s"${Scratch.FastRoot}/graft_w44_stage_$token"
       graft.operators.RoundPartitions.scoped(s, 50) {
         try {
           batch.write.mode("overwrite").parquet(stage)
@@ -772,12 +772,12 @@ object Warc {
           val qname = s"graft_w44_mem_$token"
           val q = sessions(stream)
             .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", Scratch.fastFresh("w44_ckpt").getPath)
             .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
           try q.processAllAvailable() finally q.stop()
           val streamed = shape(s.table(qname))
           val batchRes = shape(sessions(batch))
-          val mismatches = streamed.exceptAll(batchRes).count() +
-            batchRes.exceptAll(streamed).count()
+          val mismatches = StreamingDedup.bagDelta(streamed, batchRes)
           val out = streamed.withColumn("batch_equal", lit(mismatches == 0L))
             .orderBy(col("host"), col("session_start"))
             .localCheckpoint(true) // materialize before the staging dir goes away
@@ -840,6 +840,7 @@ object Warc {
       graft.operators.RoundPartitions.scoped(s, 50) {
         val qname = s"graft_w41_mem_$SessionToken"
         val q = gate.writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", Scratch.fastFresh("w41_ckpt").getPath)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try {
           q.processAllAvailable()
@@ -853,8 +854,7 @@ object Warc {
           .select(WarcCols.targetUri(col("headers")).as("uri"))
         val batchCanon = batchUris.select(Web.canonicalUrl(col("uri")).as("curl"))
           .distinct()
-        val mismatches = streamed.exceptAll(batchCanon).count() +
-          batchCanon.exceptAll(streamed).count()
+        val mismatches = StreamingDedup.bagDelta(streamed, batchCanon)
         val nInput = batchUris.count()
         val nNaive = batchUris.distinct().count()
         streamed.agg(count(lit(1)).as("n_first"))
@@ -893,6 +893,7 @@ object Warc {
       graft.operators.RoundPartitions.scoped(s, 50) {
         val qname = s"graft_w35_mem_$SessionToken"
         val q = deduped.writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", Scratch.fastFresh("w35_ckpt").getPath)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
         try {
           q.processAllAvailable()
@@ -906,8 +907,7 @@ object Warc {
           .load(landing.getPath)
           .select(md5(col("http_body")).as("fp"))
         val batchDistinct = batchAll.distinct()
-        val mismatches = streamed.exceptAll(batchDistinct).count() +
-          batchDistinct.exceptAll(streamed).count()
+        val mismatches = StreamingDedup.bagDelta(streamed, batchDistinct)
         val nInput = batchAll.count()
         streamed.agg(count(lit(1)).as("n_first"))
           .withColumn("n_input", lit(nInput))
@@ -948,10 +948,10 @@ object Warc {
       // archive is exactly-once even if a crash lands between sink
       // write and checkpoint commit (restart idempotence is pinned in
       // StreamingSpec)
-      // delete-first fixed path: rerun-safe without leaking a new
-      // state/offsets tree into tmp on every sweep
-      val ckptDir = new java.io.File(scratch("w38_ckpt"))
-      org.apache.commons.io.FileUtils.deleteDirectory(ckptDir)
+      // delete-first fixed path, tmpfs-backed: rerun-safe without
+      // leaking a new state/offsets tree per sweep, and the WAL fsyncs
+      // are free
+      val ckptDir = Scratch.fastFresh("w38_ckpt")
       val q = derived.writeStream
         .option("checkpointLocation", ckptDir.getPath)
         .foreachBatch(graft.streaming.ExactlyOnce.warcBatchWriter(out,
@@ -970,8 +970,7 @@ object Warc {
         .filter(col("content").isNotNull)
         .select(sha1(col("content")).as("d"))
         .groupBy(col("d")).agg(count(lit(1)).as("n"))
-      val mism = streamedDigests.exceptAll(batchDigests).count() +
-        batchDigests.exceptAll(streamedDigests).count()
+      val mism = StreamingDedup.bagDelta(streamedDigests, batchDigests)
       wet.agg(count(lit(1)).as("n_records"),
         sum(when(col("record_type") === "conversion", 1L).otherwise(0L))
           .as("n_conversion"),

@@ -641,6 +641,10 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       // grp, n_docs, n_truth, n_stream, n_batch, delta, s_miss, b_miss, max_bucket
       ("mega", 200L, 199L, 199L, 0L, 199L, 0L, 199L, 272L),
       ("paired", 60L, 30L, 30L, 30L, 0L, 0L, 0L, 7L),
+      // the ring regime pins the 16-slot window's recency bound: the
+      // clone's witness is evicted by 16 later over-cap arrivals
+      // before its twin lands — the one dup the stream still misses
+      ("ring", 82L, 1L, 0L, 0L, 0L, 1L, 1L, 82L),
       // tail before the r14 ring: n_stream 0, stream_missed 5 (the
       // poisoned prefix blinded the bucket — the shared-loss regime);
       // the ring turns all 5 clone dups into stream catches
