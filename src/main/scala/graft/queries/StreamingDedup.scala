@@ -68,7 +68,8 @@ private[queries] object StreamingDedup {
     * summary and the d29 mega-bucket divergence gauge.
     */
   def streamSuppressed(s: SparkSession, codes: DataFrame,
-      name: String): DataFrame = {
+      name: String): DataFrame =
+      graft.streaming.TransientCheckpoints.scoped(s) {
     // tmpfs-backed (fastFresh): landing waves and the checkpoint WAL
     // are per-run scaffolding whose fsyncs were the micro-batch floor
     val landing = Scratch.fastFresh(s"${name}_landing")

@@ -711,6 +711,7 @@ object Warc {
       // fixture, pure fixed cost. Scope the gate's queries to
       // data-sized partitions (RoundPartitions; at real scale rows/64k
       // keeps the session setting).
+      graft.streaming.TransientCheckpoints.scoped(s) {
       graft.operators.RoundPartitions.scoped(s, 50) {
         batch.write.mode("overwrite").parquet(stage)
         val stream = s.readStream.schema(batch.schema).parquet(stage)
@@ -729,7 +730,8 @@ object Warc {
         streamed.withColumn("batch_equal", lit(mismatches == 0L))
           .orderBy(col("window_start"), col("record_type"))
       }
-    }),
+    }
+      }),
 
     // Per-host SESSION windows in the micro-batch path — q18's gap-merge
     // semantics as a STREAMING aggregation (native session_window over
@@ -764,6 +766,7 @@ object Warc {
       // global temp view
       val token = java.util.UUID.randomUUID().toString.replace("-", "")
       val stage = s"${Scratch.FastRoot}/graft_w44_stage_$token"
+      graft.streaming.TransientCheckpoints.scoped(s) {
       graft.operators.RoundPartitions.scoped(s, 50) {
         try {
           batch.write.mode("overwrite").parquet(stage)
@@ -785,7 +788,8 @@ object Warc {
           out
         } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
       }
-    }),
+    }
+      }),
 
     // The streaming crawl FRONTIER gate — w35's shape, but keyed by
     // d21's canonical URL instead of the content fingerprint, i.e. the
@@ -837,6 +841,7 @@ object Warc {
           Web.canonicalUrl(WarcCols.targetUri(col("headers"))).as("curl"))
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("curl")
+      graft.streaming.TransientCheckpoints.scoped(s) {
       graft.operators.RoundPartitions.scoped(s, 50) {
         val qname = s"graft_w41_mem_$SessionToken"
         val q = gate.writeStream.format("memory").queryName(qname)
@@ -862,7 +867,8 @@ object Warc {
             col("n_first"), (lit(nInput) - col("n_first")).as("n_dup_suppressed"),
             lit(mismatches == 0L).as("batch_equal"))
       }
-    }),
+    }
+      }),
 
     // The LLM-ingest front door as a STREAMING query (continuous crawl
     // -> dedup -> sink): the WARC micro-batch source feeds a
@@ -890,6 +896,7 @@ object Warc {
         .select(col("record_date").as("ts"), md5(col("http_body")).as("fp"))
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("fp")
+      graft.streaming.TransientCheckpoints.scoped(s) {
       graft.operators.RoundPartitions.scoped(s, 50) {
         val qname = s"graft_w35_mem_$SessionToken"
         val q = deduped.writeStream.format("memory").queryName(qname)
@@ -916,7 +923,8 @@ object Warc {
           .select(col("n_input"), col("n_first"), col("n_dup_suppressed"),
             col("batch_equal"))
       }
-    }),
+    }
+      }),
 
     // Streaming derived-archive export — the continuous crawl→text
     // pipeline closing the sink side of the streaming story (w32/w35
@@ -952,15 +960,17 @@ object Warc {
       // leaking a new state/offsets tree per sweep, and the WAL fsyncs
       // are free
       val ckptDir = Scratch.fastFresh("w38_ckpt")
-      val q = derived.writeStream
-        .option("checkpointLocation", ckptDir.getPath)
-        .foreachBatch(graft.streaming.ExactlyOnce.warcBatchWriter(out,
-          Map("checksum" -> "true", "drop_null_content" -> "true"))).start()
-      try {
-        q.processAllAvailable()
-        land("crawl-b.warc.gz") // second crawl drop -> second micro-batch
-        q.processAllAvailable()
-      } finally q.stop()
+      graft.streaming.TransientCheckpoints.scoped(s) {
+        val q = derived.writeStream
+          .option("checkpointLocation", ckptDir.getPath)
+          .foreachBatch(graft.streaming.ExactlyOnce.warcBatchWriter(out,
+            Map("checksum" -> "true", "drop_null_content" -> "true"))).start()
+        try {
+          q.processAllAvailable()
+          land("crawl-b.warc.gz") // second crawl drop -> second micro-batch
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       val wet = s.read.format("warc").load(s"$out/batch-*")
       val streamedDigests = wet.select(sha1(col("content")).as("d"))
         .groupBy(col("d")).agg(count(lit(1)).as("n"))

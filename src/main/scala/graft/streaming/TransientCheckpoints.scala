@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Scope a streaming drive to run WITHOUT checkpoint file checksums
+  * (`spark.sql.streaming.checkpoint.fileChecksum.enabled=false`,
+  * restored afterwards).
+  *
+  * Why: Spark 4.1's `ChecksumCheckpointFileManager` wraps every
+  * checkpoint write with a companion checksum file written through a
+  * per-manager thread pool — and those pools are not shut down when
+  * the query stops. Measured on this engine's gauge drives (6
+  * consecutive 32-partition StreamingNeardup drives in one session):
+  * ~128 leaked `ChecksumCheckpointFileManager-Thread`s PER QUERY
+  * (317 → 1143 total threads and climbing) and ~35% slower drives
+  * (3.7-4.0 s vs 2.6-2.8 s without). A long-lived session running
+  * many short streaming queries — exactly what Verify/Bench sweeps
+  * and a gauge-style service do — degrades without bound.
+  *
+  * Scope: the checksum protects DURABLE checkpoints against storage
+  * corruption across restarts. The gauge queries' checkpoints are
+  * per-run scaffolding on tmpfs ([[graft.queries.Scratch.fastFresh]]),
+  * worthless after the drive — integrity machinery (and its thread
+  * leak) is pure cost there. Production streams owned by library
+  * users keep their own session's setting; only the engine's own
+  * transient drives opt out, and only for their duration.
+  */
+object TransientCheckpoints {
+  private val Key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+  def scoped[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.getOption(Key)
+    s.conf.set(Key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(Key, v)
+      case None => s.conf.unset(Key)
+    }
+  }
+}
