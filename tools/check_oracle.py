@@ -102,6 +102,26 @@ def main(sf_dir, out_dir, json_out=None):
         if name not in results:
             results[name] = "no-oracle (rows-only check)"
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    # merge the bit-stability marks from Verify's self-ledger: when the
+    # dump ran under SPARK_GRAFT_STABILITY=1, each query's status note
+    # carries " stable"/" UNSTABLE" from the raw-bits rerun under a
+    # perturbed shuffle-partition count — fold them into the committed
+    # summary so the "N/N bit-stable" claim is auditable from
+    # VERIFY_SELF.json alone.
+    stability = {}
+    try:
+        ledger = json.load(open(f"{out_dir}/verify_self.json"))
+        for q, note in ledger.get("status", {}).items():
+            if note.endswith(" stable"):
+                stability[q] = True
+            elif note.endswith(" UNSTABLE"):
+                stability[q] = False
+    except Exception:
+        pass
+    n_stable = sum(1 for v in stability.values() if v)
+    n_unstable = sum(1 for v in stability.values() if not v)
+    if stability:
+        print(f"== stability: {n_stable} stable / {n_unstable} unstable ==")
     if json_out:
         # `describe --dirty` so a summary generated from an uncommitted
         # tree is distinguishable from one at a clean commit
@@ -110,10 +130,15 @@ def main(sf_dir, out_dir, json_out=None):
                                   capture_output=True, text=True).stdout.strip()
         except Exception:
             head = "unknown"
+        summary = {"n_pass": n_pass, "n_fail": n_fail,
+                   "n_oracles": len(oracle), "git_head": head,
+                   "sf_dir": sf_dir, "queries": results}
+        if stability:
+            summary["n_stable"] = n_stable
+            summary["n_unstable"] = n_unstable
+            summary["stable"] = {q: stability[q] for q in sorted(stability)}
         with open(json_out, "w") as f:
-            json.dump({"n_pass": n_pass, "n_fail": n_fail,
-                       "n_oracles": len(oracle), "git_head": head,
-                       "sf_dir": sf_dir, "queries": results}, f, indent=1)
+            json.dump(summary, f, indent=1)
         print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
