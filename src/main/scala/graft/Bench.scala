@@ -269,6 +269,14 @@ object Bench {
         "scan_lz4_rps" ->
           tryRate("scan_lz4_rps")(
             singleThreadScan(s"$tmp/graft_warc_bench_lz4", ".warc.lz4")),
+        // informational: no reference baseline exists for zstd
+        // (fastwarc reads gzip/LZ4 only) — reported so the scale-path
+        // codec's speed is on the record next to the gzip row it
+        // replaces at equal archives
+        "scan_zstd_rps" -> tryRate("scan_zstd_rps") {
+          sources.BenchCorpus.ensureZstd(s"$tmp/graft_warc_bench_zstd", 2, 20)
+          singleThreadScan(s"$tmp/graft_warc_bench_zstd", ".warc.zst")
+        },
         // full decode -> HTML parse -> extract_plain_text kernel, one
         // thread over the 16 real fixture pages (BASELINE.md 1,149.6
         // docs/s row); the kernel is already C2-hot from the warmup loop

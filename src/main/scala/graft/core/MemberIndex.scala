@@ -48,6 +48,7 @@ object MemberIndex {
     WarcCodecs.sniff(head) match {
       case Some(WarcCodecs.Gzip) => gzipMembers(w)
       case Some(WarcCodecs.Lz4)  => lz4Members(w)
+      case Some(WarcCodecs.Zstd) => zstdMembers(w)
       case Some(WarcCodecs.Raw)  => Result("none", Vector.empty, None)
       case _ => Result("unknown", Vector.empty,
         Some("unrecognized magic bytes: not a gzip/LZ4/raw WARC"))
@@ -176,6 +177,75 @@ object MemberIndex {
       } else {
         return Result("lz4", offsets.result(),
           Some(f"bad LZ4 frame magic 0x$magic%08x at offset $frameStart"))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---- zstd frame (RFC 8878) ----------------------------------------
+  // Like LZ4, the zstd container carries explicit block sizes, so the
+  // walk is pure offset arithmetic with ZERO decompression — indexing a
+  // `.warc.zst` archive costs one sequential read of its compressed
+  // bytes. Skippable frames (the wget dictionary convention shares the
+  // LZ4 skippable magic) are not members: a seek target must be a data
+  // frame. NOT a reference capability (fastwarc has no zstd).
+
+  private val ZstdMagic = 0xFD2FB528
+
+  private def zstdMembers(w: Walker): Result = {
+    val offsets = Vector.newBuilder[Long]
+    while (true) {
+      if (w.atEof) return Result("zstd", offsets.result(), None)
+      val frameStart = w.pos
+      val magic = w.readLE32()
+      if (magic == ZstdMagic) {
+        val desc = w.read()
+        if (desc < 0)
+          return Result("zstd", offsets.result(),
+            Some(s"truncated zstd frame descriptor at offset $frameStart"))
+        if ((desc & 0x08) != 0)
+          return Result("zstd", offsets.result(),
+            Some(s"reserved zstd frame-descriptor bit at offset $frameStart"))
+        val single = (desc & 0x20) != 0
+        val didLen = Array(0, 1, 2, 4)(desc & 3)
+        val fcsLen = ((desc >> 6) & 3) match {
+          case 0 => if (single) 1 else 0
+          case 1 => 2
+          case 2 => 4
+          case _ => 8
+        }
+        if (!w.skip((if (single) 0 else 1) + didLen + fcsLen))
+          return Result("zstd", offsets.result(),
+            Some(s"truncated zstd frame header at offset $frameStart"))
+        var last = false
+        while (!last) {
+          val b0 = w.read(); val b1 = w.read(); val b2 = w.read()
+          if (b2 < 0)
+            return Result("zstd", offsets.result(),
+              Some(s"truncated zstd block header in frame at offset $frameStart"))
+          val bh = b0 | (b1 << 8) | (b2 << 16)
+          last = (bh & 1) != 0
+          val btype = (bh >> 1) & 3
+          if (btype == 3)
+            return Result("zstd", offsets.result(),
+              Some(s"reserved zstd block type in frame at offset $frameStart"))
+          val payload = if (btype == 1) 1L else (bh >>> 3).toLong
+          if (!w.skip(payload))
+            return Result("zstd", offsets.result(),
+              Some(s"truncated zstd block in frame at offset $frameStart"))
+        }
+        if ((desc & 0x04) != 0 && !w.skip(4))
+          return Result("zstd", offsets.result(),
+            Some(s"truncated zstd content checksum at offset $frameStart"))
+        offsets += frameStart
+      } else if (magic != -1 && (magic & 0xfffffff0) == SkippableMagicBase) {
+        val size = w.readLE32()
+        if (size == -1 || !w.skip(size.toLong & 0xffffffffL))
+          return Result("zstd", offsets.result(),
+            Some(s"truncated zstd skippable frame at offset $frameStart"))
+      } else {
+        return Result("zstd", offsets.result(),
+          Some(f"bad zstd frame magic 0x$magic%08x at offset $frameStart"))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -144,11 +144,22 @@ object WarcCodecs {
   case object Gzip extends Codec { val name = "gzip" }
   case object Lz4 extends Codec { val name = "lz4" }
   case object Br extends Codec { val name = "brotli" }
+  case object Zstd extends Codec { val name = "zstd" }
 
   def sniff(head: Array[Byte]): Option[Codec] = {
     if (head.length >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) Some(Gzip)
     else if (head.length >= 4 && (head(0) & 0xff) == 0x04 && (head(1) & 0xff) == 0x22 &&
              (head(2) & 0xff) == 0x4d && (head(3) & 0xff) == 0x18) Some(Lz4)
+    // zstd data frame (28 B5 2F FD) or a LEADING skippable frame
+    // (5x 2A 4D 18) — a dictionary-led `.warc.zst` starts with one.
+    // NB the skippable magic is shared with LZ4; a skippable-LED file
+    // routes to zstd (the only convention that actually leads with one
+    // — wget dictionaries). A hypothetical skippable-led LZ4 archive
+    // would surface a "bad zstd frame magic" error row, not silent loss
+    else if (head.length >= 4 && (head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
+             (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd) Some(Zstd)
+    else if (head.length >= 4 && ((head(0) & 0xf0) == 0x50) && (head(1) & 0xff) == 0x2a &&
+             (head(2) & 0xff) == 0x4d && (head(3) & 0xff) == 0x18) Some(Zstd)
     else if (head.length >= 5 && head.startsWith("WARC/".getBytes)) Some(Raw)
     else None
   }
@@ -218,6 +229,10 @@ object WarcCodecs {
         val dictId = n >= 5 && (head(4) & 0x01) != 0
         if (dictId) (new FramedLZ4CompressorInputStream(buffered, true), Lz4)
         else (new Lz4FrameInputStream(buffered, memberListener), Lz4)
+      // `.warc.zst` (wget/IIPC convention; NOT in the reference): frame
+      // boundaries reported like gzip members, optional leading
+      // dictionary skippable frame handled inside the reader
+      case Some(Zstd) => (new ZstdFrameInputStream(buffered, memberListener), Zstd)
       case _          => (buffered, Raw)
     }
   }

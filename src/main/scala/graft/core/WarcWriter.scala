@@ -21,10 +21,12 @@ object WarcWriter {
   case object Raw extends Codec
   case object Gzip extends Codec
   case object Lz4 extends Codec
+  case object Zstd extends Codec
 
   def codecFor(name: String): Codec = name.toLowerCase match {
     case "gzip" | "gz" => Gzip
     case "lz4" => Lz4
+    case "zstd" | "zst" => Zstd
     case _ => Raw
   }
 
@@ -156,11 +158,13 @@ object WarcWriter {
     * warc.pyx:900-903).
     */
   final class RecordStreamWriter(rawOut0: OutputStream, codec: Codec,
-      checksum: Boolean = false) {
+      checksum: Boolean = false, zstdDict: Array[Byte] = null) {
     private val rawOut = new CountingOutputStream(rawOut0)
     private var count = 0L
     private lazy val gzip = new MemberGzip(rawOut)
     private var lz4: Lz4FrameOutputStream = null
+    private lazy val zstd = new ZstdMemberWriter(rawOut, dict = zstdDict)
+    private var zstdScratch: java.io.ByteArrayOutputStream = null
     def recordsWritten: Long = count
     def bytesWritten: Long = rawOut.count
 
@@ -184,13 +188,32 @@ object WarcWriter {
           else lz4.reset()
           writeRecord(rec, lz4, checksum)
           lz4.finish()
+        case Zstd =>
+          // frame per record through ONE reused native compress ctx;
+          // with a dictionary the skippable dict frame lands first (so
+          // the FIRST record's memberStart is past it — which is what a
+          // seek needs: the reader preloads the head dict separately)
+          if (zstdScratch == null) zstdScratch = new java.io.ByteArrayOutputStream(64 << 10)
+          else zstdScratch.reset()
+          writeRecord(rec, zstdScratch, checksum)
+          zstd.writeDictFrame()
+          val dictedStart = rawOut.count // after the dict frame, if any
+          zstd.writeFrame(zstdScratch.toByteArray, zstdScratch.size)
+          count += 1
+          return dictedStart
       }
       count += 1
       memberStart
     }
 
-    def close(): Unit = {
+    /** Finish codec-held native resources without closing the sink. */
+    def finishCodecs(): Unit = {
       if (codec == Gzip) gzip.end()
+      if (codec == Zstd && count > 0) zstd.close()
+    }
+
+    def close(): Unit = {
+      finishCodecs()
       rawOut.close()
     }
   }
@@ -204,8 +227,55 @@ object WarcWriter {
     val parser = new WarcParser(new WarcByteReader(stream), "", WarcParseOptions(parseHttp = false))
     val w = new RecordStreamWriter(out, codec, checksum)
     parser.foreach(w.write)
+    w.finishCodecs()
     out.flush()
     w.recordsWritten
+  }
+
+  /** Two-pass zstd recompress with a TRAINED dictionary (the wget
+    * `.warc.zst`-with-dictionary shape): pass 1 samples each record's
+    * serialized bytes and trains a zstd dictionary (ZDICT); pass 2
+    * writes the dictionary skippable frame followed by one frame per
+    * record compressed against it. Small-record archives compress
+    * substantially better this way — shared boilerplate (headers, HTML
+    * scaffolding) lands once in the dictionary instead of per frame.
+    * `reopen` must yield a fresh stream over the same archive; returns
+    * (records written, trained dictionary size — None when zstd
+    * declined to train and the archive was written dictionary-less).
+    */
+  def recompressZstdTrained(reopen: () => java.io.InputStream,
+      out: OutputStream, checksum: Boolean = false,
+      maxSamples: Int = 256): (Long, Option[Int]) = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sampleBytes = 0L
+    locally {
+      val in = reopen()
+      try {
+        val (stream, _) = WarcCodecs.open(in)
+        val parser = new WarcParser(new WarcByteReader(stream), "",
+          WarcParseOptions(parseHttp = false))
+        val buf = new java.io.ByteArrayOutputStream(64 << 10)
+        val it = parser
+        while (it.hasNext && samples.length < maxSamples && sampleBytes < (32L << 20)) {
+          buf.reset()
+          writeRecord(it.next(), buf, checksum)
+          samples += buf.toByteArray
+          sampleBytes += buf.size
+        }
+      } finally in.close()
+    }
+    val dict = ZstdDict.train(samples.toSeq)
+    val in2 = reopen()
+    try {
+      val (stream, _) = WarcCodecs.open(in2)
+      val parser = new WarcParser(new WarcByteReader(stream), "",
+        WarcParseOptions(parseHttp = false))
+      val w = new RecordStreamWriter(out, Zstd, checksum, zstdDict = dict.orNull)
+      parser.foreach(w.write)
+      w.finishCodecs()
+      out.flush()
+      (w.recordsWritten, dict.map(_.length))
+    } finally in2.close()
   }
 }
 

@@ -543,6 +543,45 @@ object Warc {
         .withColumn("auto_equal", lit(autoEqual))
     }),
 
+    // `.warc.zst` loop closure (RFC 8878 + the wget/IIPC zstd-WARC
+    // convention — NOT a reference capability; fastwarc reads gzip/LZ4
+    // only): the sink writes frame-per-record zstd with the `.idx`
+    // sidecar, and the OPTION-FREE rescan of the single archive is
+    // member-parallel, totals equal to the gzip fixture scan — the
+    // full cross-codec write → index → parallel-read loop in one
+    // query. At 100 TB the point is the codec swap: zstd decodes
+    // several times faster than gzip at similar ratios, and every
+    // piece of the member-index machinery (sidecars, auto-discovery,
+    // point lookup, damage isolation) carries over unchanged.
+    "w48_zstd_roundtrip" -> ((s, _) => {
+      val out = scratch("w48_zstd")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      scan(s, "warcfile.warc.gz")
+        .select(col("record_id"), col("record_type"), col("record_date"),
+          col("headers"), col("content"))
+        .coalesce(1)
+        .write.format("warc")
+        .option("compression", "zstd").option("member_index", "true")
+        .mode("append").save(out)
+      val f = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".warc.zst")).head
+      require(new java.io.File(out, f.getName + ".idx").exists(),
+        "zstd write left no member-index sidecar")
+      val rescan = s.read.format("warc")
+        .option("max_partition_bytes", 16 * 1024)
+        .load(f.getPath)
+      val nParts = rescan.rdd.getNumPartitions
+      def totals(df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+      val zstTotals = totals(rescan)
+      val gzEqual = zstTotals.collect()(0) ==
+        totals(scan(s, "warcfile.warc.gz")).collect()(0)
+      zstTotals
+        .withColumn("member_parallel", lit(nParts > 1))
+        .withColumn("gzip_equal", lit(gzEqual))
+    }),
+
     // WAT-style derived archive (the Common Crawl *.warc.wat.gz
     // product, the third of the WARC/WAT/WET trio — w31 covers WET):
     // per response record, a WARC `metadata` record whose payload is a
@@ -1799,6 +1838,11 @@ object Warc {
          CAST(1 AS BOOLEAN) AS auto_partitions_gt1,
          CAST(1 AS BIGINT) AS disabled_partitions,
          CAST(1 AS BOOLEAN) AS auto_equal""",
+    "w48_zstd_roundtrip" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS total_bytes,
+         CAST(1 AS BOOLEAN) AS member_parallel,
+         CAST(1 AS BOOLEAN) AS gzip_equal""",
     // Inline-fixture pin: the full rewritten documents, hand-derivable
     // from the three fixture strings in the query (strip script/style/
     // .ads, stamp rel=nofollow, absolutize relative URLs per base).

@@ -68,6 +68,26 @@ object BenchCorpus {
   def ensureLz4(dir: String, files: Int, copiesPerFile: Int): String =
     ensureFrom(dir, files, copiesPerFile, FixtureLz4, ".warc.lz4")
 
+  /** `.warc.zst` variant: the fixture recompressed frame-per-record
+    * once (cached beside the corpus), then concatenated like the
+    * others — concatenated zstd frame chains are legal archives.
+    * No reference row exists for zstd (fastwarc has no zstd); the
+    * bench reports it as an extra informational column.
+    */
+  def ensureZstd(dir: String, files: Int, copiesPerFile: Int): String = synchronized {
+    val d = Paths.get(dir)
+    val zstFixture = d.resolve("fixture.warc.zst")
+    if (!Files.exists(zstFixture)) {
+      Files.createDirectories(d)
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new java.io.FileInputStream(FixtureGz)
+      try graft.core.WarcWriter.recompress(in, out, graft.core.WarcWriter.Zstd)
+      finally in.close()
+      Files.write(zstFixture, out.toByteArray)
+    }
+    ensureFrom(dir, files, copiesPerFile, zstFixture.toString, ".warc.zst")
+  }
+
   def totalRecords(files: Int = 10, copiesPerFile: Int = 20): Long =
     files.toLong * copiesPerFile * RecordsPerCopy
 

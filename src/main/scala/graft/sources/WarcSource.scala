@@ -620,6 +620,13 @@ class WarcPartitionReader(
     else null
   private var exhaustedClean = false
 
+  // head dictionary for member-indexed `.warc.zst` partitions.
+  // DECLARED BEFORE `parser`: memberIterator() assigns it during
+  // parser's initializer, and Scala runs field initializers in
+  // declaration order — declared after, its own `= null` would
+  // overwrite the assignment once parser finished constructing.
+  private var zstdDict: Array[Byte] = null
+
   private val parser: Iterator[WarcRecord] =
     if (part.memberOffsets.nonEmpty) memberIterator()
     else if (streamRetries > 0 && part.start == 0) {
@@ -692,10 +699,20 @@ class WarcPartitionReader(
         perMemberIterator(offs)
       case Some(codec @ (WarcCodecs.Gzip | WarcCodecs.Lz4)) =>
         sequentialMemberIterator(offs, codec)
+      case Some(WarcCodecs.Zstd) =>
+        // a dict-led archive: every partition needs the HEAD
+        // dictionary before seeking into the middle of the file — one
+        // bounded read of the leading skippable frame (None when the
+        // archive is dictionary-less)
+        rawIn.seek(0L)
+        zstdDict = graft.core.ZstdWarc.readDictionary(
+          new java.io.FilterInputStream(rawIn) { override def close(): Unit = () }).orNull
+        sequentialMemberIterator(offs, WarcCodecs.Zstd)
       case _ =>
         sequentialMemberIterator(offs, WarcCodecs.Raw)
     }
   }
+
 
   /** Member-indexed scan as ONE sequential decode of the partition's
     * contiguous compressed range: the multi-member gzip / concatenated-
@@ -763,6 +780,11 @@ class WarcPartitionReader(
           new graft.core.Lz4FrameInputStream(
             new java.io.BufferedInputStream(bounded, 64 * 1024),
             (c: Long, d: Long) => addPair(base + c, d))
+        case WarcCodecs.Zstd =>
+          new graft.core.ZstdFrameInputStream(
+            new java.io.BufferedInputStream(bounded, 64 * 1024),
+            (c: Long, d: Long) => addPair(base + c, d),
+            presetDict = zstdDict)
         case _ =>
           // raw: every remaining index entry maps 1:1
           var j = i
@@ -1125,6 +1147,7 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
   private val ext = codec match {
     case WarcWriter.Gzip => ".warc.gz"
     case WarcWriter.Lz4 => ".warc.lz4"
+    case WarcWriter.Zstd => ".warc.zst"
     case _ => ".warc"
   }
   private val conf = {

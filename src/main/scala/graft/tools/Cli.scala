@@ -12,7 +12,7 @@ import java.io.{BufferedOutputStream, FileInputStream, FileOutputStream, OutputS
   *
   *   graft.tools.Cli index <files...> [--fields f1,f2,...]
   *   graft.tools.Cli extract <file> <offset> [--payload | --headers]
-  *   graft.tools.Cli recompress <in> <out> [--codec gzip|lz4|none] [--checksum]
+  *   graft.tools.Cli recompress <in> <out> [--codec gzip|lz4|zstd|none] [--zstd-dict] [--checksum]
   *   graft.tools.Cli verify <file> [--payloads]
   *   graft.tools.Cli benchmark <files...> [--parse-http] [--filter-type T]
   *
@@ -67,9 +67,23 @@ object Cli {
         extract(pos(0), pos(1).toLong, flag("payload"), flag("headers"), out)
       case "recompress" =>
         if (pos.length != 2) { usage(out); return 2 }
+        // --zstd-dict: the two-pass trained-dictionary `.warc.zst` form
+        // (wget's shape) — dictionary skippable frame + per-record
+        // frames compressed against it
+        if (flag("zstd-dict")) {
+          val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+          val (n, dictLen) = try WarcWriter.recompressZstdTrained(
+              () => new FileInputStream(pos(0)), o, flag("checksum"))
+            finally o.close()
+          out.println(s"$n records recompressed to ${pos(1)}" +
+            dictLen.map(l => s" (trained dictionary: $l bytes)")
+              .getOrElse(" (dictionary training declined; written dict-less)"))
+          return 0
+        }
         val codec = flagVal("codec").getOrElse("gzip") match {
           case "gzip" => WarcWriter.Gzip
           case "lz4" => WarcWriter.Lz4
+          case "zstd" | "zst" => WarcWriter.Zstd
           case "none" | "uncompressed" => WarcWriter.Raw
           case other => out.println(s"unknown codec: $other"); return 2
         }
@@ -129,7 +143,7 @@ object Cli {
       |  index <files...> [--fields=offset,length,filename,warc-type,warc-target-uri,http:status,...]
       |  index <files...> --members        (emit <file>.idx member-offset sidecars for parallel rescan)
       |  extract <file> <offset> [--payload | --headers]
-      |  recompress <infile> <outfile> [--codec=gzip|lz4|none] [--checksum]
+      |  recompress <infile> <outfile> [--codec=gzip|lz4|zstd|none] [--zstd-dict] [--checksum]
       |  verify <file> [--payloads]
       |  benchmark <files...> [--parse-http] [--filter-type=response]
       |  html benchmark <file>             (<title>-extraction parser benchmark)

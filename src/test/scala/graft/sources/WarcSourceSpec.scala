@@ -580,6 +580,80 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("zstd: scan sniffs .warc.zst, emit_member_index leaves a sidecar, " +
+      "the option-free rescan is member-parallel, a trained-dict archive " +
+      "scans whole AND member-indexed, and frame damage stays isolated") {
+    import graft.core._
+    val dir = java.nio.file.Files.createTempDirectory("zstd-scan")
+    // dict-less archive via recompress
+    val plain = {
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new java.io.FileInputStream(s"$DataDir/warcfile.warc.gz")
+      try WarcWriter.recompress(in, out, WarcWriter.Zstd) finally in.close()
+      out.toByteArray
+    }
+    val f = dir.resolve("foreign.warc.zst")
+    java.nio.file.Files.write(f, plain)
+    // plain scan: 50 records, ids equal to the gzip fixture
+    val gzIds = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .select("record_id").collect().map(_.getString(0)).sorted
+    val ids = spark.read.format("warc").load(f.toString)
+      .select("record_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == gzIds.toSeq)
+    // first scan emits the sidecar; rescan auto-discovers, splits, agrees
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(f.toString).count() == 50L)
+    assert(dir.resolve("foreign.warc.zst.idx").toFile.exists())
+    val rescan = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024).load(f.toString)
+    assert(rescan.rdd.getNumPartitions > 1, "zstd auto rescan did not split")
+    assert(rescan.select("record_id").collect().map(_.getString(0)).sorted
+      .toSeq == gzIds.toSeq)
+    // trained-dictionary archive: whole-file scan AND member-indexed scan
+    // (the reader preloads the head dictionary before seeking)
+    val dictOut = new java.io.ByteArrayOutputStream()
+    val (n, dictLen) = WarcWriter.recompressZstdTrained(
+      () => new java.io.FileInputStream(s"$DataDir/warcfile.warc.gz"), dictOut)
+    assert(n == 50L && dictLen.isDefined)
+    val fd = dir.resolve("dicted.warc.zst")
+    java.nio.file.Files.write(fd, dictOut.toByteArray)
+    assert(spark.read.format("warc").load(fd.toString).count() == 50L)
+    val r = MemberIndex.scan(new java.io.ByteArrayInputStream(dictOut.toByteArray))
+    assert(r.codec == "zstd" && r.isComplete && r.offsets.size == 50)
+    java.nio.file.Files.write(dir.resolve("dicted.warc.zst.idx"),
+      r.offsets.map(o => s"""{"filename": "dicted.warc.zst", "offset": $o}""")
+        .mkString("\n").getBytes)
+    val dictRescan = spark.read.format("warc")
+      .option("max_partition_bytes", 8 * 1024).load(fd.toString)
+    assert(dictRescan.rdd.getNumPartitions > 1)
+    assert(dictRescan.select("record_id").collect().map(_.getString(0)).sorted
+      .toSeq == gzIds.toSeq, "dict member-indexed scan lost records")
+    // damage: one corrupted frame body costs its member, not the archive
+    val offs = {
+      val b = Vector.newBuilder[Long]
+      val (s0, _) = WarcCodecs.openTracked(
+        new java.io.ByteArrayInputStream(plain), (c: Long, _: Long) => { b += c; () })
+      new WarcParser(new WarcByteReader(s0), "x",
+        WarcParseOptions(parseHttp = false)).foreach(_ => ())
+      b.result()
+    }
+    val mangled = java.util.Arrays.copyOf(plain, plain.length)
+    mangled(offs(20).toInt + 25) = (mangled(offs(20).toInt + 25) ^ 0x77).toByte
+    val fm = dir.resolve("damaged.warc.zst")
+    java.nio.file.Files.write(fm, mangled)
+    java.nio.file.Files.write(dir.resolve("damaged.warc.zst.idx"),
+      offs.map(o => s"""{"filename": "damaged.warc.zst", "offset": $o}""")
+        .mkString("\n").getBytes)
+    val rows = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024).load(fm.toString)
+      .select("record_id", "error").collect()
+    val good = rows.filter(_.isNullAt(1)).map(_.getString(0))
+    assert(good.length == 49, s"expected 49 healthy records, got ${good.length}")
+    assert(rows.exists(!_.isNullAt(1)), "damage must surface as an error row")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("auto-discovered .idx sidecar: an option-free rescan goes " +
       "member-parallel, auto_member_index=false disables it, and an " +
       "unparseable sidecar degrades to a whole-file scan") {

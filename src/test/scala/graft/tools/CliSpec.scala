@@ -68,6 +68,26 @@ class CliSpec extends AnyFunSuite {
     assert(vout.contains("50 records: 50 verified, 0 failed"))
   }
 
+  test("recompress to zstd (plain and trained-dict) round-trips; " +
+      "index --members walks the zstd frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_zst").toFile
+    val plain = new java.io.File(dir, "re.warc.zst").getAbsolutePath
+    val (code, out) = run("recompress", FixtureGz, plain,
+      "--codec=zstd", "--checksum")
+    assert(code == 0 && out.contains("50 records"), out)
+    val (vcode, vout) = run("verify", plain)
+    assert(vcode == 0 && vout.contains("50 records: 50 verified, 0 failed"), vout)
+    // member walk without decompression
+    val (icode, iout) = run("index", plain, "--members")
+    assert(icode == 0 && iout.contains("50 members (zstd)"), iout)
+    // trained dictionary form
+    val dicted = new java.io.File(dir, "dict.warc.zst").getAbsolutePath
+    val (dcode, dout) = run("recompress", FixtureGz, dicted, "--zstd-dict")
+    assert(dcode == 0 && dout.contains("trained dictionary"), dout)
+    val (v2code, v2out) = run("verify", dicted)
+    assert(v2code == 0 && v2out.contains("50 records"), v2out)
+  }
+
   test("verify reports the fixture's digested responses") {
     val (code, out) = run("verify", Fixture)
     assert(code == 0, out)
