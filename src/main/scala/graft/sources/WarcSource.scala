@@ -1093,8 +1093,25 @@ class WarcWriteBuilder(
         val checksum = options.getBoolean("checksum", false)
         val memberIndex = options.getBoolean("member_index", false)
         val dropNullContent = options.getBoolean("drop_null_content", false)
+        // zstd_dict=<path>: a pre-trained dictionary (the CLI's
+        // `recompress --zstd-dict` trains one; or zstd's own `--train`)
+        // applied to every record frame of every output file — train
+        // once, write the whole corpus against it. Read ONCE on the
+        // driver, shipped to tasks as bytes.
+        val zstdDict: Array[Byte] = Option(options.get("zstd_dict")).map { dp =>
+          val p = new Path(dp)
+          val fs = p.getFileSystem(
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+          val in = fs.open(p)
+          try {
+            val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+            require(bytes.length <= graft.core.ZstdWarc.MaxDictBytes,
+              s"zstd_dict too large: ${bytes.length} bytes")
+            bytes
+          } finally in.close()
+        }.orNull
         new WarcBatchWrite(path, codec, checksum, memberIndex, dropNullContent,
-          info.schema(), info.queryId(), truncateFirst)
+          info.schema(), info.queryId(), truncateFirst, zstdDict)
       }
     }
 }
@@ -1104,7 +1121,8 @@ case class WarcCommitMessage(file: String, records: Long)
 
 class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
     memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
-    queryId: String, truncateFirst: Boolean = false)
+    queryId: String, truncateFirst: Boolean = false,
+    zstdDict: Array[Byte] = null)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -1121,7 +1139,7 @@ class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
     if (truncateFirst && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
     new WarcWriterFactory(path, codec, checksum, memberIndex, dropNullContent,
-      schema, fsProps, queryId)
+      schema, fsProps, queryId, zstdDict)
   }
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
@@ -1129,18 +1147,19 @@ class WarcBatchWrite(path: String, codec: String, checksum: Boolean,
 
 class WarcWriterFactory(path: String, codec: String, checksum: Boolean,
     memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
-    fsProps: Map[String, String], queryId: String)
+    fsProps: Map[String, String], queryId: String,
+    zstdDict: Array[Byte] = null)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new WarcDataWriter(path, codec, checksum, memberIndex, dropNullContent,
-      schema, fsProps, partitionId, taskId, queryId)
+      schema, fsProps, partitionId, taskId, queryId, zstdDict)
 }
 
 class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
     memberIndex: Boolean, dropNullContent: Boolean, schema: StructType,
     fsProps: Map[String, String], partitionId: Int, taskId: Long,
-    queryId: String)
+    queryId: String, zstdDict: Array[Byte] = null)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val codec = WarcWriter.codecFor(codecName)
@@ -1163,7 +1182,8 @@ class WarcDataWriter(dir: String, codecName: String, checksum: Boolean,
   private val tmpPath = new Path(dir, f".part-$queryId-$partitionId%05d-$taskId.tmp")
   private val fs = finalPath.getFileSystem(conf)
   private val out = fs.create(tmpPath, true)
-  private val writer = new WarcWriter.RecordStreamWriter(out, codec, checksum)
+  private val writer = new WarcWriter.RecordStreamWriter(out, codec, checksum,
+    zstdDict = zstdDict)
   // member_index option: record each member's compressed start offset so
   // the archive can be re-scanned in PARALLEL slices (and point-looked-up)
   // without ever decompressing it serially — the index is the writer's

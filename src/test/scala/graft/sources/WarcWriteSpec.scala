@@ -204,6 +204,62 @@ class WarcWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.map(_.toString).sorted.toSeq == orig.map(_.toString).sorted.toSeq)
   }
 
+  test("zstd sink with a pre-trained shared dictionary: every output " +
+      "file leads with the dict skippable frame, reads back identically, " +
+      "and the sidecar drives a member-parallel rescan") {
+    // train a dictionary once (the CLI/offline step)
+    val samples = {
+      val in = new java.io.FileInputStream(s"$DataDir/warcfile.warc.gz")
+      try {
+        val (st, _) = WarcCodecs.open(in)
+        new WarcParser(new WarcByteReader(st), "fx",
+          WarcParseOptions(parseHttp = false)).toVector.map { r =>
+          val b = new java.io.ByteArrayOutputStream()
+          WarcWriter.writeRecord(r, b)
+          b.toByteArray
+        }
+      } finally in.close()
+    }
+    val dict = ZstdDict.train(samples)
+    assume(dict.isDefined)
+    val dictDir = tmpDir("warc-zstd-dictfile")
+    val dictPath = s"$dictDir/shared.dict"
+    Files.write(java.nio.file.Paths.get(dictPath), dict.get)
+    val out = tmpDir("warc-zstd-dict-write")
+    spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .write.format("warc")
+      .option("compression", "zstd")
+      .option("zstd_dict", dictPath)
+      .option("member_index", "true")
+      .mode("append").save(out)
+    val files = new java.io.File(out).list().toSeq
+    val dataFiles = files.filter(_.endsWith(".warc.zst"))
+    assert(dataFiles.nonEmpty, s"files: $files")
+    assert(files.count(_.endsWith(".idx")) == dataFiles.size)
+    // every output file leads with the dictionary skippable frame and
+    // yields the SAME dictionary the writer was given
+    dataFiles.foreach { f =>
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$out/$f"))
+      assert((bytes(0) & 0xf0) == 0x50 && (bytes(1) & 0xff) == 0x2a, f)
+      val rd = ZstdWarc.readDictionary(new java.io.ByteArrayInputStream(bytes))
+      assert(rd.isDefined && java.util.Arrays.equals(rd.get, dict.get), f)
+    }
+    // whole-dir read back
+    val back = spark.read.format("warc").load(out)
+      .selectExpr("record_id", "record_type").collect()
+    assert(back.length == 50)
+    val orig = spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
+      .selectExpr("record_id", "record_type").collect()
+    assert(back.map(_.toString).sorted.toSeq == orig.map(_.toString).sorted.toSeq)
+    // member-parallel rescan of one file (sidecar auto-discovered;
+    // the reader preloads the head dictionary before seeking)
+    val one = dataFiles.maxBy(f => new java.io.File(s"$out/$f").length)
+    val rescan = spark.read.format("warc")
+      .option("max_partition_bytes", "4096").load(s"$out/$one")
+    assert(rescan.rdd.getNumPartitions > 1)
+    assert(rescan.select("error").collect().forall(_.isNullAt(0)))
+  }
+
   test("member scan: corruption inside ONE member yields its error row, later members survive") {
     val out = tmpDir("warc-midx-corrupt")
     spark.read.format("warc").load(s"$DataDir/warcfile.warc.gz")
