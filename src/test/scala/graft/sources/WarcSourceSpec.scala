@@ -580,6 +580,64 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("zstd damage property fuzz: 25 random corruption patterns over " +
+      "an indexed .warc.zst never lose a healthy member's record") {
+    import graft.core._
+    val zst = {
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new java.io.FileInputStream(s"$DataDir/warcfile.warc.gz")
+      try WarcWriter.recompress(in, out, WarcWriter.Zstd) finally in.close()
+      out.toByteArray
+    }
+    val offs = MemberIndex.scan(new java.io.ByteArrayInputStream(zst)).offsets
+    assert(offs.size == 50)
+    val bounds = offs :+ zst.length.toLong
+    val idOf = {
+      val (in, _) = WarcCodecs.open(new java.io.ByteArrayInputStream(zst))
+      try new WarcParser(new WarcByteReader(in), "f",
+        WarcParseOptions(parseHttp = false)).toVector.flatMap(_.recordId)
+      finally in.close()
+    }
+    assert(idOf.size == 50)
+    val dir = java.nio.file.Files.createTempDirectory("zstd-fuzz")
+    val rnd = new scala.util.Random(29)
+    for (iter <- 0 until 25) {
+      val nCorrupt = 1 + rnd.nextInt(3)
+      val victims = rnd.shuffle((0 until 50).toList).take(nCorrupt).toSet
+      val mangled = java.util.Arrays.copyOf(zst, zst.length)
+      victims.foreach { k =>
+        val s = offs(k).toInt; val e = bounds(k + 1).toInt
+        rnd.nextInt(3) match {
+          case 0 => mangled(s) = 'X'.toByte                       // magic
+          case 1 =>                                                // body
+            val p = s + 8 + rnd.nextInt(math.max(1, e - s - 12))
+            mangled(p) = (mangled(p) ^ (1 + rnd.nextInt(255))).toByte
+          case _ =>                                                // header
+            mangled(s + 4 + rnd.nextInt(3)) =
+              (mangled(s + 4) ^ 0x88).toByte
+        }
+      }
+      val f = dir.resolve(s"fuzz$iter.warc.zst")
+      java.nio.file.Files.write(f, mangled)
+      java.nio.file.Files.write(dir.resolve(s"fuzz$iter.warc.zst.idx"),
+        offs.map(o => s"""{"filename": "fuzz$iter.warc.zst", "offset": $o}""")
+          .mkString("\n").getBytes)
+      val maxPart = Seq(8, 16, 48)(rnd.nextInt(3)) * 1024
+      val rows = spark.read.format("warc")
+        .option("max_partition_bytes", maxPart.toString)
+        .load(f.toString)
+        .select("record_id", "error").collect()
+      val good = rows.filter(_.isNullAt(1)).map(_.getString(0))
+      val healthyIds = (0 until 50).filterNot(victims).map(idOf).toSet
+      assert(healthyIds.subsetOf(good.toSet),
+        s"iter $iter (victims=$victims maxPart=$maxPart): lost ${healthyIds -- good.toSet}")
+      assert(good.length == good.distinct.length, s"iter $iter: duplicates")
+      if (good.length < 50)
+        assert(rows.exists(!_.isNullAt(1)), s"iter $iter: silent record loss")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("zstd: scan sniffs .warc.zst, emit_member_index leaves a sidecar, " +
       "the option-free rescan is member-parallel, a trained-dict archive " +
       "scans whole AND member-indexed, and frame damage stays isolated") {
