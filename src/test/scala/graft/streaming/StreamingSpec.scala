@@ -54,6 +54,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming scan consumes .warc.zst landings — codec auto-detect " +
+      "holds in the micro-batch path, dictionary archives included") {
+    val landing = Files.createTempDirectory("warc-zst-landing")
+    // plain and trained-dict archives land in successive micro-batches
+    val plain = {
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new java.io.FileInputStream("/root/reference/tests/data/warcfile.warc.gz")
+      try graft.core.WarcWriter.recompress(in, out, graft.core.WarcWriter.Zstd)
+      finally in.close()
+      out.toByteArray
+    }
+    Files.write(landing.resolve("batch-a.warc.zst"), plain)
+    val stream = spark.readStream.format("warc").load(landing.toString)
+    val query = stream.groupBy(col("record_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("warc_zst_stream")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.sql("SELECT sum(n) FROM warc_zst_stream").head.getLong(0) == 50L)
+      val dictOut = new java.io.ByteArrayOutputStream()
+      graft.core.WarcWriter.recompressZstdTrained(
+        () => new java.io.FileInputStream("/root/reference/tests/data/warcfile.warc.gz"),
+        dictOut)
+      Files.write(landing.resolve("batch-b.warc.zst"), dictOut.toByteArray)
+      query.processAllAvailable()
+      assert(spark.sql("SELECT sum(n) FROM warc_zst_stream").head.getLong(0) == 100L)
+    } finally query.stop()
+  }
+
   test("streaming scan with emit_member_index leaves a sidecar per " +
       "consumed archive (the backfill regime's free index)") {
     val landing = Files.createTempDirectory("warc-landing-emit")
