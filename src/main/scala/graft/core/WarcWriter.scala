@@ -287,6 +287,16 @@ object WarcWriter {
 object WarcPointLookup {
   def extract(path: String, offset: Long,
       opts: WarcParseOptions = WarcParseOptions()): Option[WarcRecord] = {
+    // dict-led `.warc.zst`: a mid-archive frame decodes only against
+    // the head dictionary — probe the file head for one before seeking
+    // (one bounded read; None for every other codec/convention)
+    val headDict: Option[Array[Byte]] =
+      if (offset > 0) {
+        val probe = new java.io.FileInputStream(path)
+        try ZstdWarc.readDictionary(
+          new java.io.BufferedInputStream(probe, 64 * 1024))
+        finally probe.close()
+      } else None
     val raw = new java.io.FileInputStream(path)
     try {
       if (offset > 0) {
@@ -297,7 +307,11 @@ object WarcPointLookup {
           left -= skipped
         }
       }
-      val (stream, _) = WarcCodecs.open(raw)
+      val stream = headDict match {
+        case Some(d) => new ZstdFrameInputStream(
+          new java.io.BufferedInputStream(raw, 64 * 1024), presetDict = d)
+        case None => WarcCodecs.open(raw)._1
+      }
       val parser = new WarcParser(new WarcByteReader(stream), path, opts)
       if (parser.hasNext) Some(parser.next()) else None
     } finally raw.close()

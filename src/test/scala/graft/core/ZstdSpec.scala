@@ -112,6 +112,29 @@ class ZstdSpec extends AnyFunSuite {
       "dict-less decode of a dict slice must not silently succeed")
   }
 
+  test("point lookup seeks into a trained-dict archive (head dictionary " +
+      "probed before the seek)") {
+    val dir = java.nio.file.Files.createTempDirectory("zstd-lookup")
+    val f = dir.resolve("dicted.warc.zst")
+    val out = new java.io.FileOutputStream(f.toFile)
+    val (_, dictLen) = try WarcWriter.recompressZstdTrained(
+      () => new java.io.FileInputStream(FixtureGz), out)
+    finally out.close()
+    assume(dictLen.isDefined)
+    val ref = fixtureRecords()
+    val offsets = Vector.newBuilder[Long]
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    parseAll(bytes, (c, _) => { offsets += c; () })
+    val offs = offsets.result()
+    Seq(0, 17, 49).foreach { k =>
+      val rec = WarcPointLookup.extract(f.toString, offs(k),
+        WarcParseOptions(parseHttp = false))
+      assert(rec.isDefined, s"member $k")
+      assert(rec.get.recordId == ref(k).recordId, s"member $k")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("wget's compressed-dictionary skippable form decodes too") {
     val out = new java.io.ByteArrayOutputStream()
     val (_, dictLen) = WarcWriter.recompressZstdTrained(

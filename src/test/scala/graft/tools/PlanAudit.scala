@@ -75,6 +75,7 @@ object PlanAudit {
     "t38_lang_dataset" -> "dataset builder: one scan -> per-(lang, example) dedup groupBy -> per-LANG rank window (languages parallelize; the per-language hash order IS the reference's split contract — at 100 TB use md5-range quantiles instead) -> per-lang agg + broadcast join of raw counts",
     "w46_emit_member_index" -> "build-on-first-scan loop: the audited plan is the member-parallel RESCAN over slices planned from the sidecar the first scan emitted as a side-output; each slice decodes in ONE sequential pass (no per-member seek/reopen)",
     "w47_auto_member_index" -> "OPTION-FREE loop closure: the rescan passes no index option at all — the .idx sidecar is auto-discovered at plan time and the single compressed file still plans >1 member-group partition",
+    "w48_zstd_roundtrip" -> "the same option-free member-parallel rescan over the sink's .warc.zst output — the codec swap keeps every plan property (pruned scan, member-group slices)",
   )
 
   def main(args: Array[String]): Unit = {
