@@ -30,8 +30,15 @@ object ZstdWarc {
     * single-frame archive buffering itself into the heap.
     */
   val MaxOneShotFrame: Int = 192 << 20
-  /** Max decompressed bytes for the one-shot path (same degradation). */
-  val MaxOneShotContent: Long = 1L << 30
+  /** Max decompressed bytes for the one-shot path (same degradation).
+    * Also the bomb guard: a frame may DECLARE any content size in its
+    * header — a crafted archive declaring gigabytes per frame must not
+    * make every reader allocate them up front (the MemGuard doctrine:
+    * one pathological input costs bounded memory, never an executor).
+    * Past this the decode degrades to the streaming path, which
+    * allocates window-sized buffers regardless of declared size.
+    */
+  val MaxOneShotContent: Long = 256L << 20
   /** Max dictionary skippable-frame content (libzstd dicts are ~100 KiB;
     * 8 MiB is generous). Larger first skippable frames are skipped as
     * ordinary padding, not treated as dictionaries.

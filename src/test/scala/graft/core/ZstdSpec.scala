@@ -175,6 +175,83 @@ class ZstdSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back.toByteArray, payload))
   }
 
+  test("decompression-bomb guard: a frame DECLARING more than the " +
+      "one-shot cap degrades to the streaming path instead of " +
+      "allocating the declared size, and still decodes byte-exact") {
+    // ~300 MB of zeros declared in ONE frame header (compresses to ~KBs)
+    val n = (ZstdWarc.MaxOneShotContent + (8 << 20)).toInt
+    val zeros = new Array[Byte](n)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3); ctx.setContentSize(true)
+    val frame = ctx.compress(zeros)
+    ctx.close()
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(frame) == n.toLong)
+    val zin = new ZstdFrameInputStream(new java.io.ByteArrayInputStream(frame))
+    val buf = new Array[Byte](1 << 20)
+    var total = 0L
+    var r = zin.read(buf)
+    while (r >= 0) {
+      var i = 0
+      while (i < r) { assert(buf(i) == 0); i += 1 }
+      total += r
+      r = zin.read(buf)
+    }
+    zin.close()
+    assert(total == n.toLong)
+  }
+
+  test("differential fuzz: 40 random mixed-frame archives (one-shot, " +
+      "no-content-size streaming frames, skippable padding) decode " +
+      "byte-identically to the reference continuous decoder") {
+    val rnd = new scala.util.Random(41)
+    (1 to 40).foreach { iter =>
+      val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val expect = new java.io.ByteArrayOutputStream()
+      val archive = new java.io.ByteArrayOutputStream()
+      val nFrames = 1 + rnd.nextInt(6)
+      (0 until nFrames).foreach { _ =>
+        val payload = new Array[Byte](rnd.nextInt(200 * 1024))
+        rnd.nextBytes(payload)
+        // half the payloads compressible
+        if (rnd.nextBoolean())
+          java.util.Arrays.fill(payload, 0, payload.length / 2, 7.toByte)
+        expect.write(payload)
+        rnd.nextInt(3) match {
+          case 0 => // one-shot frame with declared content size
+            val c = new com.github.luben.zstd.ZstdCompressCtx()
+            c.setLevel(1 + rnd.nextInt(5)); c.setContentSize(true)
+            archive.write(c.compress(payload)); c.close()
+          case 1 => // streaming frame, no declared size
+            val b = new java.io.ByteArrayOutputStream()
+            val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(b)
+            z.write(payload); z.close()
+            archive.write(b.toByteArray)
+          case _ => // skippable padding before a sized frame
+            val pad = new Array[Byte](rnd.nextInt(64))
+            val hdr = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putInt(ZstdWarc.SkippableMin | rnd.nextInt(16))
+              .putInt(pad.length).array()
+            archive.write(hdr); archive.write(pad)
+            val c = new com.github.luben.zstd.ZstdCompressCtx()
+            c.setContentSize(true)
+            archive.write(c.compress(payload)); c.close()
+        }
+      }
+      val bytes = archive.toByteArray
+      val mine = {
+        val z = new ZstdFrameInputStream(new java.io.ByteArrayInputStream(bytes))
+        val o = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 << 10)
+        var r = z.read(buf)
+        while (r >= 0) { o.write(buf, 0, r); r = z.read(buf) }
+        z.close(); o.toByteArray
+      }
+      assert(java.util.Arrays.equals(mine, expect.toByteArray),
+        s"iter $iter: ${mine.length} vs ${expect.size} bytes")
+    }
+  }
+
   test("damage isolation: a corrupted frame body costs its frame, " +
       "not the archive (stream error surfaces, prefix records survive)") {
     val zst = recompressToZstd()
