@@ -113,17 +113,19 @@ object Warc {
 
     // All three codec variants decode to the identical record stream.
     "w05_warc_codecs" -> ((s, _) => {
-      // the brotli variant lives in resources (the reference fixture dir
-      // is read-only and predates the from-scratch Brotli decoder);
-      // identical aggregates across all four codecs prove codec
-      // equivalence of the whole parse
+      // the brotli and zstd variants live outside the read-only
+      // reference fixture dir (brotli in resources; zstd recompressed
+      // once into tmp); identical aggregates across all FIVE codecs
+      // prove codec equivalence of the whole parse
       val brPath = graft.sources.BenchCorpus.ensureBrotliFixture(
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_br")
+      val zstPath = graft.sources.BenchCorpus.ensureZstdFixture(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_zst")
       s.read.format("warc")
         .load(s"$FixtureDir/warcfile.warc",
               s"$FixtureDir/warcfile.warc.gz",
               s"$FixtureDir/warcfile.warc.lz4",
-              brPath)
+              brPath, zstPath)
         .groupBy(regexp_extract(col("filename"), "([^/]+)$", 1).as("file"))
         .agg(count(lit(1)).as("n_records"),
              sum(col("content_length")).as("sum_content_length"))
@@ -1542,7 +1544,7 @@ object Warc {
       """SELECT file, CAST(50 AS BIGINT) AS n_records,
          CAST(527846 AS BIGINT) AS sum_content_length FROM (VALUES
          ('warcfile.warc'), ('warcfile.warc.br'), ('warcfile.warc.gz'),
-         ('warcfile.warc.lz4')) t(file)
+         ('warcfile.warc.lz4'), ('warcfile.warc.zst')) t(file)
          ORDER BY file""",
     // NB: one response carries TWO HTTP Content-Type headers; the
     // reference's Python-facing lookup takes the LAST occurrence

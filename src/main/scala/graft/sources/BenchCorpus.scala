@@ -206,6 +206,26 @@ object BenchCorpus {
     * reference's fixture dir is read-only) so the `warc` source can scan
     * it by path; returns the file path.
     */
+  /** Single recompressed `.warc.zst` fixture (for the w05 five-codec
+    * equivalence query; trained-dict variants are exercised by w48 and
+    * the spec suite).
+    */
+  def ensureZstdFixture(dir: String): String = synchronized {
+    val d = Paths.get(dir)
+    val f = d.resolve("warcfile.warc.zst")
+    if (!Files.exists(f)) {
+      Files.createDirectories(d)
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new java.io.FileInputStream(FixtureGz)
+      try graft.core.WarcWriter.recompress(in, out, graft.core.WarcWriter.Zstd)
+      finally in.close()
+      val tmp = d.resolve(".warcfile.warc.zst.tmp")
+      Files.write(tmp, out.toByteArray)
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+    }
+    f.toString
+  }
+
   def ensureBrotliFixture(dir: String): String = synchronized {
     val d = Paths.get(dir)
     val f = d.resolve("warcfile.warc.br")
