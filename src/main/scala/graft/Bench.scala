@@ -84,6 +84,23 @@ object Bench {
       }
     }
     var errors = List.empty[(String, String)]
+    // per-query job/stage counts (round-14 verdict item: the d family's
+    // 75 s sweep share at sf0.1 is largely jobs-per-query fixed cost,
+    // not data — the artifact must show WHERE the jobs go so cuts are
+    // measurable round-over-round). Listener events are async; we
+    // snapshot the counters after a waitUntilEmpty-free settle (the
+    // noop write's job completes before save() returns; job START
+    // events are posted synchronously enough that a post-query
+    // snapshot is stable in practice at this granularity).
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        stageCount.addAndGet(j.stageInfos.size)
+      }
+    })
+    val queryJobs = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
     // sorted order + pre-query hygiene: Map iteration order shifts as
     // entries are added, and leftover block-manager state (persisted
     // stages, localCheckpoint blocks awaiting ContextCleaner) plus GC
@@ -100,6 +117,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
+      val jobs0 = jobCount.get; val stages0 = stageCount.get
       val t0 = System.nanoTime()
       // materialize EVERY column via the noop sink: a bare count() lets
       // Catalyst prune un-referenced projected kernels (simhash, minhash,
@@ -114,6 +132,8 @@ object Bench {
           errors ::= (name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (!failed)
+        queryJobs(name) = (jobCount.get - jobs0, stageCount.get - stages0)
       System.err.println(f"[bench] $name%-28s $sec%8.2fs" +
         (if (failed) "  (FAILED)" else ""))
       (name, sec, failed)
@@ -123,11 +143,39 @@ object Bench {
     // bandwidth interference from co-tenants — README round-9 A/B
     // evidence). The min of two runs is the signal-of-record; both raw
     // runs are kept in the artifact so noise stays visible.
+    // Host-speed canary (def here because the sweep bracket below needs
+    // it; doctrine comment at its original call site further down): a
+    // deterministic pure-JVM rate — hardware CRC32 over a fixed 64 MiB
+    // heap buffer — measured before/after each timed section, max-of-3.
+    def canaryMbps(): Double = {
+      val buf = new Array[Byte](64 * 1024 * 1024)
+      var i = 0
+      while (i < buf.length) { buf(i) = (i * 31 + (i >> 9)).toByte; i += 1 }
+      def once(): Double = {
+        val c = new java.util.zip.CRC32
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        while ((System.nanoTime() - t0) / 1e9 < 0.4) {
+          c.update(buf, 0, buf.length)
+          bytes += buf.length
+        }
+        if (c.getValue == 42) System.err.println("") // keep the loop live
+        bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      }
+      Seq(once(), once(), once()).max
+    }
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // canary bracket around the SWEEP too (round-14 verdict item 8):
+    // family walls swung d 75 s vs 69 s between identical-code runs and
+    // only a judge re-run could adjudicate — with before/after host-speed
+    // marks the sweep walls are interpretable in-artifact like the
+    // single-thread rows already are
+    val canarySweepBefore = if (only.nonEmpty) -1.0 else canaryMbps()
     val runs = (1 to nRuns).map { r =>
       System.err.println(s"[bench] -- sweep $r/$nRuns --")
       sweep()
     }
+    val canarySweepAfter = if (only.nonEmpty) -1.0 else canaryMbps()
     // min over SUCCESSFUL runs only: a fast failure (instant analysis
     // error) must not replace a valid timing as the signal-of-record;
     // a query that failed every run reports its min elapsed anyway
@@ -227,23 +275,7 @@ object Bench {
     // documented parity band -> the rows are real; canary low -> the
     // window was slow, discount the rows by the canary ratio (README
     // "Bench doctrine" records the parity value for this container).
-    def canaryMbps(): Double = {
-      val buf = new Array[Byte](64 * 1024 * 1024)
-      var i = 0
-      while (i < buf.length) { buf(i) = (i * 31 + (i >> 9)).toByte; i += 1 }
-      def once(): Double = {
-        val c = new java.util.zip.CRC32
-        var bytes = 0L
-        val t0 = System.nanoTime()
-        while ((System.nanoTime() - t0) / 1e9 < 0.4) {
-          c.update(buf, 0, buf.length)
-          bytes += buf.length
-        }
-        if (c.getValue == 42) System.err.println("") // keep the loop live
-        bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
-      }
-      Seq(once(), once(), once()).max
-    }
+    // (canaryMbps itself is defined above the sweep bracket.)
     val canaryBefore = if (only.nonEmpty) -1.0 else canaryMbps()
     // max-of-3 for the single-thread rows: they are the artifact's
     // BASELINE-claim carriers and a single measurement inherits
@@ -300,6 +332,64 @@ object Bench {
           docs / ((System.nanoTime() - t0) / 1e9)
         })
     val canaryAfter = if (only.nonEmpty) -1.0 else canaryMbps()
+    // zstd codec-bound certification (round-14 verdict item 2): zstd is
+    // the engine's recommended 100 TB codec, so the artifact must show
+    // how close the full reader sits to what zstd-jni alone allows over
+    // the SAME corpus file the scan_zstd row reads. Three decompressed-
+    // MB/s rates, max-of-3 each, heap-resident input (zero I/O):
+    //   codec  — ZstdInputStreamNoFinalizer streaming decode (no frame
+    //            walk, no parse): the hard floor
+    //   frame  — ZstdFrameInputStream (this engine's frame walk + one-
+    //            shot decode, no WARC parse)
+    //   full   — frame walk + WARC envelope parse (= the scan row's
+    //            code path)
+    // ratio = codec / full: how many times slower the full reader is
+    // than raw decompression.
+    val zstdBound: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else try {
+        val dir = new java.io.File(s"$tmp/graft_warc_bench_zstd")
+        val zf = dir.listFiles().filter(_.getName.endsWith(".warc.zst")).minBy(_.getName)
+        val comp = java.nio.file.Files.readAllBytes(zf.toPath)
+        val sink = new Array[Byte](1 << 20)
+        def drain(mk: () => java.io.InputStream): Long = {
+          val z = mk()
+          var total = 0L
+          var n = z.read(sink)
+          while (n >= 0) { total += n; n = z.read(sink) }
+          z.close(); total
+        }
+        def rate(pass: () => Long): Double = {
+          pass() // warm
+          def once(): Double = {
+            var bytes = 0L
+            val t0 = System.nanoTime()
+            while ((System.nanoTime() - t0) / 1e9 < 0.8) bytes += pass()
+            bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+          }
+          Seq(once(), once(), once()).max
+        }
+        val codec = rate(() => drain(() =>
+          new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+            new java.io.ByteArrayInputStream(comp))))
+        val frame = rate(() => drain(() =>
+          new core.ZstdFrameInputStream(new java.io.ByteArrayInputStream(comp))))
+        val decompTotal = drain(() =>
+          new core.ZstdFrameInputStream(new java.io.ByteArrayInputStream(comp)))
+        val full = rate { () =>
+          val (in, _) = core.WarcCodecs.open(new java.io.ByteArrayInputStream(comp))
+          val p = new core.WarcParser(new core.WarcByteReader(in), zf.getName,
+            core.WarcParseOptions(parseHttp = false, readPayload = false))
+          try { while (p.hasNext) p.next() } finally in.close()
+          decompTotal
+        }
+        System.err.println(f"[bench] zstd codec=$codec%7.0f MB/s  frame=$frame%7.0f  full=$full%7.0f  ratio=${codec / full}%.2f")
+        Map("codec_mbps" -> codec, "frame_reader_mbps" -> frame,
+          "full_reader_mbps" -> full, "ratio_codec_over_full" -> codec / full)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] zstd codec bound failed: $e")
+        Map.empty
+      }
     singleThread.foreach { case (k, v) =>
       System.err.println(f"[bench] single-thread $k%-26s $v%10.0f")
     }
@@ -321,7 +411,13 @@ object Bench {
       jstr(k) + s""":{"min":${math.round(rs.min)},"max":${math.round(rs.max)},"runs":[${rs.map(math.round).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val canaryJson =
-      s"""{"unit":"crc32_mbps","before":${math.round(canaryBefore)},"after":${math.round(canaryAfter)}}"""
+      s"""{"unit":"crc32_mbps","before":${math.round(canaryBefore)},"after":${math.round(canaryAfter)},"sweep_before":${math.round(canarySweepBefore)},"sweep_after":${math.round(canarySweepAfter)}}"""
+    val zstdBoundJson = zstdBound.map { case (k, v) =>
+      jstr(k) + ":" + (if (k.startsWith("ratio")) f"$v%.3f" else math.round(v).toString)
+    }.mkString("{", ",", "}")
+    val jobsJson = queryJobs.map { case (k, (j, st)) =>
+      jstr(k) + s""":{"jobs":$j,"stages":$st}"""
+    }.mkString("{", ",", "}")
     val isoJson = isolated.map { case (name, sec) =>
       val rate = workUnits.get(name)
         .filter(_ => sec > 0 && !errors.exists(_._1 == name))
@@ -354,11 +450,8 @@ object Bench {
     // an 8g-vs-28g heap difference that was invisible in the output
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val jvmCpus = Runtime.getRuntime.availableProcessors
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"jobs":$jobsJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
-    // machine-parseable duplicate: the driver's bench harness greps for
-    // this prefix to recover the object even when other stdout lines leak
-    println("BENCH_JSON:" + json)
     // committed self-artifact: the round-7 driver capture was
     // tail-truncated and lost half the per-query timings, so the full
     // sweep is also written to a file (same doctrine as VERIFY_SELF.json)
@@ -373,6 +466,30 @@ object Bench {
         System.err.println(s"[bench] could not write $self: $e")
       }
     }
+    // compact digest as the LAST stdout line (round-14 verdict item 4):
+    // the driver's harness keeps only a ~2,000-char stdout tail, and the
+    // full blob above overflows it (BENCH_r14 carried "parsed": null —
+    // per-query times survived only by luck of truncation). Everything a
+    // verdict needs to grade the round — headline rates, canary marks,
+    // zstd codec bound, family walls, streaming floor — fits in ~1 KB;
+    // the full sweep stays in the blob + BENCH_SELF.json. The BENCH_JSON:
+    // prefix is what the driver greps for; only THIS line carries it so
+    // a tail-window grep can never land on the truncated blob.
+    val digestQs = results.filter(r => workUnits.contains(r._1))
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val digestRates = rates.map { case (name, _, _, rate) =>
+      jstr(name) + ":" + math.round(rate) }.mkString("{", ",", "}")
+    val digestIso = isolated.flatMap { case (name, sec) =>
+      workUnits.get(name).filter(_ => sec > 0)
+        .map { case (n, _) => jstr(name) + ":" + math.round(n / sec) }
+    }.mkString("{", ",", "}")
+    val digestFamilies = results.groupBy(_._1.head).toSeq.sortBy(_._1)
+      .map { case (fam, rs) => jstr(fam.toString) + ":" + f"${rs.map(_._2).sum}%.1f" }
+      .mkString("{", ",", "}")
+    val totalF = f"$total%.1f"
+    val floorF = f"$streamingFloor%.1f"
+    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"families":$digestFamilies,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    println("BENCH_JSON:" + digest)
     spark.stop()
   }
 }

@@ -297,13 +297,18 @@ final class ZstdFrameInputStream(in: InputStream,
 
   /** Switch to a streaming decode of [frameBuf prefix ++ rest of `in`]
     * — the oversize / no-content-size escape hatch. Member callbacks
-    * stop; output remains byte-exact.
+    * stop; output remains byte-exact. Deliberately NOT continuous
+    * mode: continuous would return clean EOF mid-frame on a truncated
+    * archive (records after the cut silently lost); the default mode
+    * throws "Truncated source" there, matching the one-shot path's
+    * truncation doctrine, and a COMPLETE stream already reads to clean
+    * EOF without it (libzstd's streaming decode also skips any later
+    * skippable padding frames itself).
     */
   private def degrade(buffered: Int, frameStart: Long): Unit = {
     val pre = new java.io.ByteArrayInputStream(frameBuf, 0, buffered)
     val seq = new java.io.SequenceInputStream(pre, in)
     val z = new ZstdInputStreamNoFinalizer(seq)
-    z.setContinuous(true)
     if (dict != null) z.setDict(dict)
     fallback = z
   }

@@ -27,8 +27,17 @@ private[graft] object Scratch {
       Seq("/dev/shm", System.getProperty("java.io.tmpdir")))
       .find { p =>
         val f = new java.io.File(p)
-        f.isDirectory && f.canWrite
-      }.get
+        // a container tmpfs is commonly mounted tiny (64 MB); streaming
+        // checkpoint WALs that previously landed in tmpdir must not start
+        // failing ENOSPC because a small /dev/shm exists — require real
+        // headroom before preferring it (explicit override skips the check)
+        f.isDirectory && f.canWrite &&
+          (p != "/dev/shm" || sys.env.get("SPARK_GRAFT_FAST_TMP").contains(p) ||
+            f.getUsableSpace >= 512L * 1024 * 1024)
+      }.getOrElse(throw new IllegalStateException(
+        "no writable scratch root: tried SPARK_GRAFT_FAST_TMP, /dev/shm " +
+          "(needs >=512 MiB free), and java.io.tmpdir=" +
+          System.getProperty("java.io.tmpdir")))
 
   // best-effort: this session's scratch dirs die with the JVM — without
   // this every Verify/Bench process leaves its token's staging dirs in

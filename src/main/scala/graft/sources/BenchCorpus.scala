@@ -83,7 +83,13 @@ object BenchCorpus {
       val in = new java.io.FileInputStream(FixtureGz)
       try graft.core.WarcWriter.recompress(in, out, graft.core.WarcWriter.Zstd)
       finally in.close()
-      Files.write(zstFixture, out.toByteArray)
+      // tmp + atomic move (same pattern as ensureFrom/ensureTextFixture):
+      // a crash or a second JVM racing this write (synchronized is
+      // per-JVM only) must not leave a truncated cached fixture that
+      // poisons every later bench/scale run
+      val tmp = d.resolve(".fixture.warc.zst.tmp")
+      Files.write(tmp, out.toByteArray)
+      Files.move(tmp, zstFixture, StandardCopyOption.REPLACE_EXISTING)
     }
     ensureFrom(dir, files, copiesPerFile, zstFixture.toString, ".warc.zst")
   }

@@ -28,13 +28,36 @@ import org.apache.spark.sql.SparkSession
 object TransientCheckpoints {
   private val Key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
 
+  // per-session scope depth + the setting saved at the OUTERMOST entry:
+  // scoped() mutates session-wide runtime conf, so two overlapping
+  // scopes (nested gauges, or a future parallel harness) must restore
+  // only when the LAST scope exits — a naive save/restore pair would
+  // let the first exit re-enable checksums under the second body, and
+  // its saved "false" would then be restored as if it were the user's
+  // setting. Map keyed per session; all state guarded by `lock`.
+  private val lock = new Object
+  private val depth = new java.util.IdentityHashMap[SparkSession, Integer]
+  private val saved = new java.util.IdentityHashMap[SparkSession, Option[String]]
+
   def scoped[T](s: SparkSession)(body: => T): T = {
-    val prev = s.conf.getOption(Key)
-    s.conf.set(Key, "false")
+    lock.synchronized {
+      val d = Option(depth.get(s)).map(_.intValue).getOrElse(0)
+      if (d == 0) {
+        saved.put(s, s.conf.getOption(Key))
+        s.conf.set(Key, "false")
+      }
+      depth.put(s, d + 1)
+    }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(Key, v)
-      case None => s.conf.unset(Key)
+    finally lock.synchronized {
+      val d = depth.get(s).intValue - 1
+      if (d == 0) {
+        depth.remove(s)
+        saved.remove(s) match {
+          case Some(v) => s.conf.set(Key, v)
+          case None => s.conf.unset(Key)
+        }
+      } else depth.put(s, d)
     }
   }
 }

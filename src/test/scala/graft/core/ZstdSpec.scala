@@ -279,4 +279,25 @@ class ZstdSpec extends AnyFunSuite {
     assert(got.size < 50)
     assert(reader.streamError.isDefined)
   }
+
+  test("truncated FCS-less streaming frame (degraded decode path) " +
+      "surfaces a stream error too, never silent clean EOF") {
+    // an FCS-less frame forces the reader onto the degraded streaming
+    // path; a cut mid-frame there must raise like the one-shot path
+    // does (continuous mode would return clean EOF and silently drop
+    // every record after the cut)
+    val payload = recompressToZstd()
+    val raw = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(raw)
+    z.write(payload); z.close()
+    val whole = raw.toByteArray
+    val cut = whole.length - whole.length / 3
+    val reader = new WarcByteReader(new ZstdFrameInputStream(
+      new java.io.ByteArrayInputStream(whole, 0, cut)))
+    val got = new WarcParser(reader, "truncfcs",
+      WarcParseOptions(parseHttp = false)).toVector
+    assert(got.size < 50)
+    assert(reader.streamError.isDefined,
+      "mid-frame truncation on the degraded path must surface, not EOF")
+  }
 }
