@@ -184,13 +184,23 @@ final class ZstdFrameInputStream(in: InputStream,
 
   // ---- frame advance -------------------------------------------------
 
-  /** Collect the next DATA frame into frameBuf and decompress it into
-    * outBuf; handles skippable frames (dictionary at the head) along
-    * the way. Sets finishedAll at clean EOF. Switches to `fallback` on
-    * oversize / unknown-content-size frames.
+  /** Bytes decompressed by [[nextFrame]] straight into the caller's
+    * buffer (bypassing outBuf — saves a full memcpy of every
+    * decompressed byte when the caller reads in frame-sized-or-larger
+    * chunks, which [[WarcByteReader]]'s 64 KiB fills do for
+    * record-per-frame archives).
     */
-  private def nextFrame(): Unit = {
-    while (outLo >= outHi && !finishedAll && fallback == null) {
+  private var directN = 0
+
+  /** Collect the next DATA frame into frameBuf and decompress it —
+    * straight into `target` when the declared content fits in
+    * `targetLen` (sets [[directN]]), else into outBuf; handles
+    * skippable frames (dictionary at the head) along the way. Sets
+    * finishedAll at clean EOF. Switches to `fallback` on oversize /
+    * unknown-content-size frames.
+    */
+  private def nextFrame(target: Array[Byte], targetOff: Int, targetLen: Int): Unit = {
+    while (outLo >= outHi && directN == 0 && !finishedAll && fallback == null) {
       val frameStart = compressedPos
       val magic = readLE32OrEof()
       if (magic == -1) { finishedAll = true; return }
@@ -240,6 +250,21 @@ final class ZstdFrameInputStream(in: InputStream,
         val winLen = if (single) 0 else 1
         filled = collect(winLen + didLen + fcsLen, filled)
         if (filled < 0) { degrade(5, frameStart); return }
+        // declared content size straight from the header bytes (RFC 8878
+        // §3.1.1.1.2): a JNI Zstd.getFrameContentSize call per frame was
+        // measurable at record-per-frame granularity. -1 = not declared.
+        val contentSize: Long =
+          if (fcsLen == 0) -1L
+          else {
+            val o = 5 + winLen + didLen
+            fcsLen match {
+              case 1 => frameBuf(o) & 0xffL
+              case 2 => ((frameBuf(o) & 0xffL) |
+                ((frameBuf(o + 1) & 0xffL) << 8)) + 256L
+              case 4 => le32(o) & 0xFFFFFFFFL
+              case _ => (le32(o) & 0xFFFFFFFFL) | (le32(o + 4).toLong << 32)
+            }
+          }
         // blocks: 3-byte headers with explicit sizes
         var last = false
         var ok = true
@@ -266,26 +291,29 @@ final class ZstdFrameInputStream(in: InputStream,
           if (filled < 0) { degrade(at, frameStart); return }
         }
         // one-shot decompress through the reused ctx
-        val contentSize = Zstd.getFrameContentSize(frameBuf, 0, filled)
         if (contentSize < 0 || contentSize > MaxOneShotContent) {
           degrade(filled, frameStart); return
         }
         if (contentSize > 0) {
-          if (outBuf.length < contentSize)
-            outBuf = new Array[Byte](contentSize.toInt)
           if (!java.util.Arrays.equals(ctxDict, dict)) {
             ctx.loadDict(dict) // null unloads
             ctxDict = dict
           }
-          val got =
-            try ctx.decompressByteArray(outBuf, 0, contentSize.toInt,
+          def decomp(dst: Array[Byte], dstOff: Int): Int =
+            try ctx.decompressByteArray(dst, dstOff, contentSize.toInt,
               frameBuf, 0, filled)
             catch { case e: com.github.luben.zstd.ZstdException =>
               throw new IOException(
                 s"zstd frame at offset $frameStart failed to decode: ${e.getMessage}")
             }
-          outLo = 0
-          outHi = got
+          if (target != null && contentSize <= targetLen) {
+            directN = decomp(target, targetOff)
+          } else {
+            if (outBuf.length < contentSize)
+              outBuf = new Array[Byte](contentSize.toInt)
+            outLo = 0
+            outHi = decomp(outBuf, 0)
+          }
         }
         // contentSize == 0 (empty frame): loop for the next frame
       } else {
@@ -329,7 +357,13 @@ final class ZstdFrameInputStream(in: InputStream,
       return n
     }
     if (outLo >= outHi) {
-      nextFrame()
+      nextFrame(b, off, len)
+      if (directN > 0) {
+        val n = directN
+        directN = 0
+        decompressedPos += n
+        return n
+      }
       if (fallback != null) return read(b, off, len)
       if (finishedAll && outLo >= outHi) return -1
     }
