@@ -1616,17 +1616,29 @@ object Documents {
     //   ring    the ring's RECENCY BOUND, pinned honestly: 80
     //           mutually-distant fillers sharing all four band buckets
     //           with one clone pair, arranged so the first clone
-    //           arrives over-cap (rank 65) and SIXTEEN more fillers
-    //           land before its twin — the 16-slot ring has evicted
-    //           the witness by then, so the stream misses this dup
-    //           (as does the batch drop): stream_missed = 1 is the
-    //           measured price of the bounded window.
+    //           arrives over-cap (rank 65) and SIXTEEN more DISTINCT
+    //           novel codes land before its twin — 17 distinct codes
+    //           cannot fit a 16-slot ring under ANY admission policy,
+    //           so the stream misses this dup (as does the batch
+    //           drop): stream_missed = 1 is the information-theoretic
+    //           price of the bounded window;
+    //   churn   the r15 LRU upgrade's win, pinned: same shape but the
+    //           TWENTY over-cap arrivals between the clone pair are
+    //           drawn from only EIGHT distinct codes (clone-heavy
+    //           traffic, the realistic over-cap mix). The r14 cyclic
+    //           always-admit ring evicted the witness after 16
+    //           arrivals (missed); the exact-dedup LRU ring spends
+    //           slots on distinct codes only — 9 in flight, the twin
+    //           is caught and every repeated filler suppresses:
+    //           stream_missed = 0, n_stream = n_truth = 13 while the
+    //           batch drop misses all 13.
     // The stream side runs the REAL StreamingNeardup operator (three
     // waves, arrival = doc_id % 3); truth is the uncapped banded pair
     // set; batch is the production 64-cap pipeline. The oracle
-    // recomputes all three relationally (stream via the witness model
-    // rk(w) ≤ 64 OR rk(w) ≥ rk(d) − 16, which is exactly the
-    // operator's prefix + second-chance-ring state rule).
+    // recomputes all three relationally (stream via the witness model:
+    // rk(w) ≤ 64, OR code(w) is among the 16 distinct non-prefix codes
+    // with the latest over-cap occurrence before d — exactly the
+    // operator's prefix + exact-dedup-LRU-ring state rule).
     "d29_megabucket_divergence" -> ((s, dir) => {
       val mega = s.range(200).select(col("id").as("doc_id"),
         lit(4660L).as("h0"), lit(0L).as("h1"))
@@ -1651,8 +1663,26 @@ object Documents {
       val ringClones = s.range(2).select(
         expr("CASE WHEN id = 0 THEN 4692 ELSE 4743 END").as("doc_id"),
         lit(4653127L).as("h0"), lit(5439571L).as("h1"))
+      // churn regime: own four buckets (0x59/0x59/0x61/0x61 doubled-word
+      // constants), all wave 0. 64 mutually-distant prefix fillers
+      // (variation nibbles in bits 32..56), then clone A at rank 65,
+      // then 20 over-cap fillers drawn from 8 distinct codes (variation
+      // nibble in h1 bits 32..47; h0 nibble at bit 57 keeps them off
+      // every prefix code), then the twin at rank 86.
+      val churnFill = s.range(64).select(
+        (lit(5001L) + col("id") * 3).as("doc_id"),
+        expr("5832793L + shiftleft(15L, cast(32 + 3 * (id % 8) as int))").as("h0"),
+        expr("6357089L + shiftleft(15L, cast(32 + 2 * (id div 8) as int))").as("h1"))
+      val churnOverCap = s.range(20).select(
+        (lit(5196L) + col("id") * 3).as("doc_id"),
+        expr("5832793L + shiftleft(15L, 57)").as("h0"),
+        expr("6357089L + shiftleft(15L, cast(32 + 2 * (id % 8) as int))").as("h1"))
+      val churnClones = s.range(2).select(
+        expr("CASE WHEN id = 0 THEN 5193 ELSE 5256 END").as("doc_id"),
+        lit(5832793L).as("h0"), lit(6357089L).as("h1"))
       val codes = mega.unionAll(paired).unionAll(distant).unionAll(clones)
         .unionAll(ringFill).unionAll(ringClones)
+        .unionAll(churnFill).unionAll(churnOverCap).unionAll(churnClones)
         .localCheckpoint()
       val streamSupp = StreamingDedup.streamSuppressed(s, codes, "d29")
       def arr(c: org.apache.spark.sql.Column) = c % 3
@@ -1667,7 +1697,8 @@ object Documents {
         codes, "doc_id", "doc_a", "doc_b"))
       val grp = when(col("doc_id") < 1000L, "mega")
         .when(col("doc_id") < 3000L, "paired")
-        .when(col("doc_id") < 4000L, "tail").otherwise("ring")
+        .when(col("doc_id") < 4000L, "tail")
+        .when(col("doc_id") < 5000L, "ring").otherwise("churn")
       // max bucket size any group member lands in (over/under-cap regime)
       val bands = codes.select(col("doc_id"), posexplode(array(
           col("h0").bitwiseAND(lit(65535L)),
@@ -3534,10 +3565,12 @@ object Documents {
         StreamingDedup.suppressionTailSql),
     // the mega-bucket divergence gauge relationally: the same crafted
     // arithmetic corpus, truth = uncapped banded pairs, batch = the
-    // 64-cap pipeline, stream = the first-64-arrivals witness-prefix
-    // model (exactly the operator's state rule: a bucket's witnesses
-    // are its first 64 arrivals by (wave = id % 3, id); a doc is
-    // suppressed iff an earlier witness sits within hamming 3)
+    // 64-cap pipeline, stream = the prefix-64 + exact-dedup-LRU-ring
+    // witness model (exactly the operator's state rule: a bucket's
+    // permanent witnesses are its first 64 arrivals by (wave = id % 3,
+    // id); past the cap, the ring holds the 16 distinct non-prefix
+    // codes with the latest over-cap occurrence before the victim; a
+    // doc is suppressed iff a witness sits within hamming 3)
     "d29_megabucket_divergence" ->
       """WITH codes AS (
            SELECT CAST(i AS BIGINT) AS id, CAST(4660 AS BIGINT) AS h0,
@@ -3565,6 +3598,20 @@ object Documents {
            UNION ALL
            SELECT CAST(CASE WHEN c = 0 THEN 4692 ELSE 4743 END AS BIGINT),
              CAST(4653127 AS BIGINT), CAST(5439571 AS BIGINT)
+           FROM range(2) t(c)
+           UNION ALL
+           SELECT CAST(5001 + 3 * i AS BIGINT),
+             5832793 + (CAST(15 AS BIGINT) << CAST(32 + 3 * (i % 8) AS INT)),
+             6357089 + (CAST(15 AS BIGINT) << CAST(32 + 2 * (i // 8) AS INT))
+           FROM range(64) t(i)
+           UNION ALL
+           SELECT CAST(5196 + 3 * j AS BIGINT),
+             5832793 + (CAST(15 AS BIGINT) << 57),
+             6357089 + (CAST(15 AS BIGINT) << CAST(32 + 2 * (j % 8) AS INT))
+           FROM range(20) t(j)
+           UNION ALL
+           SELECT CAST(CASE WHEN c = 0 THEN 5193 ELSE 5256 END AS BIGINT),
+             CAST(5832793 AS BIGINT), CAST(6357089 AS BIGINT)
            FROM range(2) t(c)),
          bands AS (
            SELECT id, 0 AS band_id, h0 & 65535 AS bkey FROM codes
@@ -3598,18 +3645,47 @@ object Documents {
              row_number() OVER (PARTITION BY band_id, bkey
                ORDER BY id % 3, id) AS rk
            FROM bands),
-         stream_supp AS (
+         prefix_match AS (
            SELECT DISTINCT d.id
            FROM ranked d JOIN ranked w
              ON w.band_id = d.band_id AND w.bkey = d.bkey
-             AND w.rk < d.rk AND (w.rk <= 64 OR w.rk >= d.rk - 16)
+             AND w.rk < d.rk AND w.rk <= 64
            JOIN codes x ON x.id = d.id JOIN codes y ON y.id = w.id
            WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 3),
+         prefix_codes AS (
+           SELECT DISTINCT r.band_id, r.bkey, c.h0, c.h1
+           FROM ranked r JOIN codes c ON c.id = r.id WHERE r.rk <= 64),
+         overcap AS (
+           SELECT r.band_id, r.bkey, r.rk, c.h0, c.h1
+           FROM ranked r JOIN codes c ON c.id = r.id
+           WHERE r.rk > 64 AND NOT EXISTS (
+             SELECT 1 FROM prefix_codes p
+             WHERE p.band_id = r.band_id AND p.bkey = r.bkey
+               AND p.h0 = c.h0 AND p.h1 = c.h1)),
+         lastocc AS (
+           SELECT d.id AS did, d.band_id, d.bkey, o.h0, o.h1,
+             max(o.rk) AS last_rk
+           FROM ranked d JOIN overcap o
+             ON o.band_id = d.band_id AND o.bkey = d.bkey AND o.rk < d.rk
+           GROUP BY d.id, d.band_id, d.bkey, o.h0, o.h1),
+         ringm AS (
+           SELECT did, h0, h1,
+             row_number() OVER (PARTITION BY did, band_id, bkey
+               ORDER BY last_rk DESC) AS cr
+           FROM lastocc),
+         ring_match AS (
+           SELECT DISTINCT r.did AS id
+           FROM ringm r JOIN codes x ON x.id = r.did
+           WHERE r.cr <= 16
+             AND bit_count(xor(x.h0, r.h0)) + bit_count(xor(x.h1, r.h1)) <= 3),
+         stream_supp AS (
+           SELECT id FROM prefix_match UNION SELECT id FROM ring_match),
          grps AS (
            SELECT c.id,
              CASE WHEN c.id < 1000 THEN 'mega'
                   WHEN c.id < 3000 THEN 'paired'
-                  WHEN c.id < 4000 THEN 'tail' ELSE 'ring' END AS grp,
+                  WHEN c.id < 4000 THEN 'tail'
+                  WHEN c.id < 5000 THEN 'ring' ELSE 'churn' END AS grp,
              (c.id IN (SELECT id FROM truth_supp)) AS in_t,
              (c.id IN (SELECT id FROM stream_supp)) AS in_s,
              (c.id IN (SELECT id FROM batch_supp)) AS in_b
@@ -3617,7 +3693,8 @@ object Documents {
          mb AS (
            SELECT CASE WHEN b.id < 1000 THEN 'mega'
                        WHEN b.id < 3000 THEN 'paired'
-                       WHEN b.id < 4000 THEN 'tail' ELSE 'ring' END AS grp,
+                       WHEN b.id < 4000 THEN 'tail'
+                       WHEN b.id < 5000 THEN 'ring' ELSE 'churn' END AS grp,
              max(n.n) AS max_bucket
            FROM bands b JOIN bucketn n
              ON n.band_id = b.band_id AND n.bkey = b.bkey

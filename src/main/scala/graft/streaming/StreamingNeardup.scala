@@ -25,19 +25,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Skew guard: bucket state CAPS at [[MaxBucket]] prefix codes plus a
   * [[RingSize]]-slot second-chance ring — a mega-bucket (the d08
   * regime) stops growing its witness prefix but keeps matching against
-  * (a) its first 64 arrivals and (b) the ring of its most recent 16
-  * over-cap arrivals, so state stays O(buckets × (64+16) × 16 B) no
-  * matter how degenerate the corpus. Why the ring: a prefix poisoned
-  * by 64 mutually-distant witnesses (the d29 "tail" regime) used to
-  * blind the bucket forever — clone pairs arriving beyond the prefix
-  * could never see each other. The ring restores bounded matching
-  * capacity: every over-cap arrival (matched or not — non-recursive
-  * suppression, every occurrence witnesses) cyclically overwrites the
-  * oldest ring slot, so a dup whose original arrived among the last 16
-  * over-cap arrivals of its bucket is still caught. Equivalent
-  * relational model (the d29 oracle's): witness w sees d iff
-  * rk(w) < rk(d) AND (rk(w) ≤ 64 OR rk(w) ≥ rk(d) − 16), rk = arrival
-  * rank in the bucket. This is the streaming rendition of the batch
+  * (a) its first 64 arrivals and (b) the ring, so state stays
+  * O(buckets × (64+16) × 16 B) no matter how degenerate the corpus.
+  * Why the ring: a prefix poisoned by 64 mutually-distant witnesses
+  * (the d29 "tail" regime) used to blind the bucket forever — clone
+  * pairs arriving beyond the prefix could never see each other.
+  *
+  * Ring admission is an exact-dedup LRU (r15 — replaces r14's cyclic
+  * always-admit): the ring holds the bucket's [[RingSize]] most
+  * recently SEEN distinct over-cap codes. An over-cap arrival whose
+  * code sits verbatim in the PREFIX is never admitted (the prefix copy
+  * is permanent — an identical ring copy adds zero coverage and costs
+  * a slot); an exact repeat of a RING code refreshes that slot's
+  * recency in place; only novel codes evict, oldest-last-seen first.
+  * This is pointwise ≥ the cyclic ring at identical state: every code
+  * covered by "the last 16 over-cap arrivals" has, by definition, an
+  * occurrence among the last 16 arrivals, so it is among the ≤16 most
+  * recently seen distinct codes — while repeated clones (the common
+  * over-cap traffic) stop churning slots they already occupy.
+  * Equivalent relational model (the d29 oracle's): witness w sees d
+  * iff rk(w) < rk(d) AND (rk(w) ≤ 64 OR code(w) is one of the 16
+  * distinct non-prefix codes with the latest over-cap occurrence
+  * before d), rk = arrival rank in the bucket. The remaining miss
+  * class (pinned by d29's "ring" regime): a clone pair split by >16
+  * DISTINCT novel over-cap codes — information-theoretically
+  * unavoidable in bounded state; no 16-slot policy can witness 17
+  * distinct interleaving codes.
+  *
+  * This is the streaming rendition of the batch
   * 64-cap: the batch guard drops overfull buckets RETROACTIVELY (it
   * sees total counts), which an append-mode stream cannot replicate —
   * the two agree exactly whenever no bucket exceeds the cap, and the
@@ -47,9 +62,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `d29_megabucket_divergence`) pins stream-vs-batch verdicts per
   * regime on a crafted over-cap corpus — an identical-code mega clique
   * (stream suppresses n−1, batch drops the bucket), a below-cap
-  * control (exact agreement), and a beyond-prefix tail (the ring
-  * catches all 5 clone dups the prefix-only policy and the batch drop
-  * both miss).
+  * control (exact agreement), a beyond-prefix tail (the ring catches
+  * all 5 clone dups the prefix-only policy and the batch drop both
+  * miss), a "churn" regime (clone pair split by 20 over-cap arrivals
+  * drawn from only 8 distinct codes — the LRU ring catches the twin
+  * the r14 cyclic ring evicted), and the "ring" recency bound above.
   *
   * Reference anchor: the reference has no streaming dedup — this is a
   * scale-path extension; banding math is shared with d22/m09/m10
@@ -68,8 +85,11 @@ object StreamingNeardup {
 
   /** Bucket state: parallel code-half arrays, length ≤ [[MaxBucket]] +
     * [[RingSize]]. Slots [0, min(len, MaxBucket)) are the arrival
-    * prefix; slots ≥ MaxBucket are the second-chance ring, with
-    * `ringNext` the next (oldest) ring slot to overwrite.
+    * prefix; slots ≥ MaxBucket are the second-chance ring kept in
+    * recency order (oldest-seen first — slot MaxBucket is the next
+    * eviction victim). `ringNext` is retired (always 0): the r15
+    * exact-dedup LRU keeps order positionally instead of with a
+    * cyclic pointer.
     */
   case class BucketState(h0s: Array[Long], h1s: Array[Long], ringNext: Int)
 
@@ -102,32 +122,59 @@ object StreamingNeardup {
     val prior = if (st.exists) st.get
       else BucketState(Array.emptyLongArray, Array.emptyLongArray, 0)
     var n = prior.h0s.length // prefix + occupied ring slots
-    var ringNext = prior.ringNext
     val h0s = java.util.Arrays.copyOf(prior.h0s, MaxBucket + RingSize)
     val h1s = java.util.Arrays.copyOf(prior.h1s, MaxBucket + RingSize)
     // intra-batch arrival order = doc_id order (deterministic; the d28
     // staging makes micro-batch = arrival wave)
     val out = rows.toArray.sortBy(_.doc_id).map { r =>
       var m = false
+      var exactAt = -1 // first slot holding r's code verbatim, if any
       var i = 0
-      while (i < n && !m) {
-        if (java.lang.Long.bitCount(h0s(i) ^ r.h0) +
+      if (n < MaxBucket) {
+        // under-cap hot path: admission is unconditional, no exact
+        // position needed — early-exit on first match
+        while (i < n && !m) {
+          if (java.lang.Long.bitCount(h0s(i) ^ r.h0) +
+              java.lang.Long.bitCount(h1s(i) ^ r.h1) <= maxHamming) m = true
+          i += 1
+        }
+      } else while (i < n && (!m || exactAt < 0)) {
+        if (exactAt < 0 && h0s(i) == r.h0 && h1s(i) == r.h1) {
+          exactAt = i; m = true // hamming 0 ≤ maxHamming
+        } else if (!m && java.lang.Long.bitCount(h0s(i) ^ r.h0) +
             java.lang.Long.bitCount(h1s(i) ^ r.h1) <= maxHamming) m = true
         i += 1
       }
       if (n < MaxBucket) { h0s(n) = r.h0; h1s(n) = r.h1; n += 1 }
-      else {
-        // over-cap: cyclically overwrite the oldest second-chance slot
-        // (matched arrivals too — every occurrence witnesses later dups)
-        val slot = MaxBucket + ringNext
-        h0s(slot) = r.h0; h1s(slot) = r.h1
-        if (slot >= n) n = slot + 1
-        ringNext = (ringNext + 1) % RingSize
+      else if (exactAt >= 0 && exactAt < MaxBucket) {
+        // over-cap, code sits verbatim in the PREFIX: permanent
+        // coverage already — admitting a ring copy would only burn a
+        // slot (the mega-clique regime used to churn the whole ring
+        // with copies of one code)
+      } else if (exactAt >= MaxBucket) {
+        // exact repeat of a RING code: refresh its recency in place
+        // (move to the newest position) — repeats must not consume
+        // capacity, but must keep their code alive
+        val c0 = h0s(exactAt); val c1 = h1s(exactAt)
+        var j = exactAt
+        while (j < n - 1) { h0s(j) = h0s(j + 1); h1s(j) = h1s(j + 1); j += 1 }
+        h0s(n - 1) = c0; h1s(n - 1) = c1
+      } else if (n < MaxBucket + RingSize) {
+        // novel over-cap code, ring has room (matched-but-not-exact
+        // arrivals too — non-recursive suppression, every occurrence
+        // witnesses later dups)
+        h0s(n) = r.h0; h1s(n) = r.h1; n += 1
+      } else {
+        // novel over-cap code, ring full: evict the least-recently-
+        // seen ring code (slot MaxBucket), append at the newest end
+        var j = MaxBucket
+        while (j < n - 1) { h0s(j) = h0s(j + 1); h1s(j) = h1s(j + 1); j += 1 }
+        h0s(n - 1) = r.h0; h1s(n - 1) = r.h1
       }
       Verdict(r.doc_id, r.band_id, m)
     }
     st.update(BucketState(java.util.Arrays.copyOf(h0s, n),
-      java.util.Arrays.copyOf(h1s, n), ringNext))
+      java.util.Arrays.copyOf(h1s, n), 0))
     out.iterator
   }
 }

@@ -64,8 +64,8 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bucket cap + second-chance ring: the prefix stops growing at " +
-      "MaxBucket, over-cap arrivals ride the 16-slot ring, and the ring " +
-      "evicts oldest-first") {
+      "MaxBucket, over-cap arrivals ride the 16-slot exact-dedup LRU " +
+      "ring, and novel codes evict least-recently-seen-first") {
     val st = new TestState(None)
     // fill the prefix with 64 mutually-distant codes
     val fill = (0 until StreamingNeardup.MaxBucket).map(i =>
@@ -76,18 +76,25 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingNeardup.update(0)((0, 0L),
       Iterator(row(100, 0xABCDL << 40, 0x9999L)), st)
     assert(st.get.h0s.length == StreamingNeardup.MaxBucket + 1)
-    // an exact copy of a PREFIX code still matches (prefix doctrine)
+    // an exact copy of a PREFIX code still matches (prefix doctrine) —
+    // and, the prefix copy being permanent, it takes NO ring slot
     val out = StreamingNeardup.update(0)((0, 0L),
       Iterator(row(101, 5L << 32, 0x1111L * 5)), st).toSeq
     assert(out.head.matched)
+    assert(st.get.h0s.length == StreamingNeardup.MaxBucket + 1,
+      "a prefix-exact over-cap arrival must not consume a ring slot")
     // an exact copy of the over-cap 65th NOW matches (the second
-    // chance a poisoned prefix used to deny forever) — and, matched or
-    // not, it too enters the ring
+    // chance a poisoned prefix used to deny forever) — it REFRESHES
+    // the 65th's slot instead of taking a second one
     val out2 = StreamingNeardup.update(0)((0, 0L),
       Iterator(row(102, 0xABCDL << 40, 0x9999L)), st).toSeq
     assert(out2.head.matched)
-    // 16 further distinct over-cap arrivals evict the 65th (and the
-    // copy) oldest-first; a fresh copy of the 65th no longer matches
+    assert(st.get.h0s.length == StreamingNeardup.MaxBucket + 1,
+      "an exact ring repeat must refresh in place, not duplicate")
+    // 16 further DISTINCT over-cap codes evict the 65th least-recently-
+    // seen-first; a fresh copy of the 65th no longer matches (the d29
+    // 'ring' regime's information-theoretic bound: 17 distinct codes
+    // cannot fit 16 slots under any admission policy)
     (0 until StreamingNeardup.RingSize).foreach { j =>
       StreamingNeardup.update(0)((0, 0L),
         Iterator(row(200L + j, 0x5EEDL << 40 | j.toLong, 0x4444L * j)), st)
@@ -98,6 +105,35 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // state is bounded by construction: prefix + ring, never more
     assert(st.get.h0s.length <=
       StreamingNeardup.MaxBucket + StreamingNeardup.RingSize)
+  }
+
+  test("LRU ring survives repeat-heavy over-cap churn: a witness stays " +
+      "alive through 20 interleaved arrivals drawn from 8 codes (the " +
+      "d29 'churn' regime — the r14 cyclic ring evicted it)") {
+    val st = new TestState(None)
+    val fill = (0 until StreamingNeardup.MaxBucket).map(i =>
+      row(i.toLong, i.toLong << 32, 0x1111L * i))
+    StreamingNeardup.update(0)((0, 0L), fill.iterator, st)
+    // clone A arrives over-cap (rank 65)
+    StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(100, 0x7777L << 40, 0x2222L)), st)
+    // 20 over-cap arrivals from only 8 distinct codes: 8 admissions +
+    // 12 in-place refreshes — ring occupancy stays at 9
+    (0 until 20).foreach { j =>
+      StreamingNeardup.update(0)((0, 0L),
+        Iterator(row(200L + j, 0xBEEFL << 40 | (j % 8).toLong, 0x3333L)), st)
+    }
+    assert(st.get.h0s.length == StreamingNeardup.MaxBucket + 9,
+      "8 distinct codes + the witness must occupy exactly 9 ring slots")
+    // the twin still matches A — and each repeated filler matched its
+    // own earlier occurrence (checked via the last repeat)
+    val twin = StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(300, 0x7777L << 40, 0x2222L)), st).toSeq
+    assert(twin.head.matched,
+      "LRU ring must keep a witness alive through repeat churn")
+    val repeat = StreamingNeardup.update(0)((0, 0L),
+      Iterator(row(301, 0xBEEFL << 40 | 3L, 0x3333L)), st).toSeq
+    assert(repeat.head.matched)
   }
 
   test("end-to-end: two landed waves, verdicts match the batch pair set") {
