@@ -584,6 +584,82 @@ object Warc {
         .withColumn("gzip_equal", lit(gzEqual))
     }),
 
+    // Collection-level CDXJ lookup join (the reference's `extract` is
+    // single-file, fastwarc-py/fastwarc/cli.py:185-222 — the 100 TB
+    // usage pattern is resolving a KEY TABLE against a multi-archive
+    // CDXJ and issuing ranged point reads across thousands of files):
+    // build CDXJ rows over FIVE archives in one scan (raw /
+    // member-per-record gzip / frame-per-record LZ4 / frame-per-record
+    // zstd / trained-dictionary zstd — every seekable container; brotli
+    // is scannable (w05) but an RFC 7932 stream has no member
+    // boundaries to seek, so it is not point-readable by design),
+    // equi-join a (url, timestamp) key table against them, point-read
+    // every hit at its compressed member offset, and pin per-archive
+    // totals: 16 hits per archive, every hit extracted, every extracted
+    // record's WARC-Target-URI re-matches its key, and per-archive
+    // content mass equal to the fixture responses' 518,445 bytes
+    // (independent python parse, FIXTURES.md). Scale shape: the CDXJ
+    // build is a parallel scan, key resolution is a broadcast equi-join
+    // (key tables are small next to collections), and each extract is a
+    // seek+read whose cost is independent of collection size — the
+    // cluster-wide random-access pattern the member-index loop
+    // (w27/w36/w46-w48) exists to enable.
+    "w49_cdxj_collection_lookup" -> ((s, _) => {
+      import s.implicits._
+      import graft.functions.WarcCols
+      val paths = graft.sources.BenchCorpus.ensureCollection(
+        s"${System.getProperty("java.io.tmpdir")}/graft_collection")
+      // onboarding pass: ONE plain scan of the collection leaves `.idx`
+      // member sidecars behind (emit_member_index, w46 doctrine — the
+      // decoder crosses every member anyway, offsets cost zero extra
+      // reads). The CDXJ is then built from the member-indexed rescan,
+      // whose `offset` column reports COMPRESSED member addresses —
+      // the coordinates a point read seeks. A plain scan's offsets are
+      // decompressed-stream positions, useless to a seek; going through
+      // the index loop is what makes a CDXJ collection-level.
+      s.read.format("warc")
+        .option("emit_member_index",
+          s"${System.getProperty("java.io.tmpdir")}/graft_collection")
+        .load(paths: _*).select(col("record_id")).count()
+      // member-indexed rescan (auto-discovered sidecars; the small
+      // max_partition_bytes plays the role file size plays at real
+      // scale — auto-discovery probes only files worth splitting)
+      val cdxj = s.read.format("warc")
+        .option("max_partition_bytes", 16 * 1024)
+        .load(paths: _*)
+        .filter(col("record_type") === "response")
+        .select(WarcCols.targetUri(col("headers")).as("url"),
+          col("record_date").as("ts"), col("filename"), col("offset"))
+      // the key table a user brings: (url, timestamp) pairs — here the
+      // response keys of one archive (identical content in all five)
+      val keys = s.read.format("warc").load(paths.head)
+        .filter(col("record_type") === "response")
+        .select(WarcCols.targetUri(col("headers")).as("url"),
+          col("record_date").as("ts")).distinct()
+      val hits = cdxj.join(broadcast(keys), Seq("url", "ts"))
+      hits.select(col("url"), col("filename"), col("offset"))
+        .as[(String, String, Long)]
+        .repartition(8)
+        .map { case (url, file, off) =>
+          // the scan reports Hadoop-style file: URIs; the point reader
+          // opens local paths (on a cluster this is where the ranged
+          // object-store GET would go instead)
+          val path = if (file.startsWith("file:"))
+            new java.net.URI(file).getPath else file
+          val rec = graft.core.WarcPointLookup.extract(path, off)
+          (file, rec.map(_.contentLength).getOrElse(-1L),
+            rec.exists(_.headers.getFirst("WARC-Target-URI").contains(url)))
+        }
+        .toDF("filename", "content_length", "uri_match")
+        .groupBy(regexp_extract(col("filename"), "([^/]+)$", 1).as("file"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(when(col("content_length") >= 0, 1L).otherwise(0L))
+            .as("n_extracted"),
+          sum(when(col("uri_match"), 1L).otherwise(0L)).as("n_uri_match"),
+          sum(col("content_length")).as("sum_content_length"))
+        .orderBy(col("file"))
+    }),
+
     // WAT-style derived archive (the Common Crawl *.warc.wat.gz
     // product, the third of the WARC/WAT/WET trio — w31 covers WET):
     // per response record, a WARC `metadata` record whose payload is a
@@ -1845,6 +1921,19 @@ object Warc {
          CAST(527846 AS BIGINT) AS total_bytes,
          CAST(1 AS BOOLEAN) AS member_parallel,
          CAST(1 AS BOOLEAN) AS gzip_equal""",
+    // 16 response keys resolve in EVERY archive of the collection, every
+    // hit point-extracts, URIs re-match, and each archive's extracted
+    // content mass equals the fixture responses' total (518,445 bytes —
+    // independent python parse, FIXTURES.md)
+    "w49_cdxj_collection_lookup" ->
+      """SELECT file, CAST(16 AS BIGINT) AS n_hits,
+         CAST(16 AS BIGINT) AS n_extracted,
+         CAST(16 AS BIGINT) AS n_uri_match,
+         CAST(518445 AS BIGINT) AS sum_content_length FROM (VALUES
+         ('collection-dict.warc.zst'), ('collection-gzip.warc.gz'),
+         ('collection-lz4.warc.lz4'), ('collection-raw.warc'),
+         ('collection-zstd.warc.zst')) t(file)
+         ORDER BY file""",
     // Inline-fixture pin: the full rewritten documents, hand-derivable
     // from the three fixture strings in the query (strip script/style/
     // .ads, stamp rel=nofollow, absolutize relative URLs per base).

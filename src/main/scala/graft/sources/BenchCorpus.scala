@@ -142,6 +142,50 @@ object BenchCorpus {
     (f.toString, offsets)
   }
 
+  /** Collection of the SAME 50 fixture records re-membered once per
+    * seekable container (raw / member-per-record gzip / frame-per-record
+    * LZ4 / frame-per-record zstd / trained-dictionary zstd) — the
+    * multi-archive multi-codec corpus behind the collection-level CDXJ
+    * lookup-join query (w49). Brotli is deliberately absent from the
+    * POINT-READ side: an RFC 7932 stream has no member boundaries to
+    * seek (and no writer exists anywhere for it), so brotli archives
+    * are scannable (w05) but not point-readable — documented at the
+    * query. Returns the five archive paths.
+    */
+  def ensureCollection(dir: String): Seq[String] = synchronized {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    def build(name: String)(write: java.io.OutputStream => Unit): String = {
+      val f = d.resolve(name)
+      if (!Files.exists(f)) {
+        val bos = new java.io.ByteArrayOutputStream()
+        write(bos)
+        val tmp = d.resolve(s".$name.tmp")
+        Files.write(tmp, bos.toByteArray)
+        Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+      }
+      f.toString
+    }
+    import graft.core.WarcWriter
+    val plain = Seq[(String, WarcWriter.Codec)](
+      ("collection-raw.warc", WarcWriter.Raw),
+      ("collection-gzip.warc.gz", WarcWriter.Gzip),
+      ("collection-lz4.warc.lz4", WarcWriter.Lz4),
+      ("collection-zstd.warc.zst", WarcWriter.Zstd)
+    ).map { case (name, codec) =>
+      build(name) { bos =>
+        val in = Files.newInputStream(Paths.get(FixtureGz))
+        try WarcWriter.recompress(in, bos, codec)
+        finally in.close()
+      }
+    }
+    val dict = build("collection-dict.warc.zst") { bos =>
+      WarcWriter.recompressZstdTrained(
+        () => Files.newInputStream(Paths.get(FixtureGz)), bos)
+    }
+    plain :+ dict
+  }
+
   /** Deliberately damaged raw archive for the resilience oracle (w25):
     * inter-record garbage lines (must be skipped silently, reference
     * resync warc.pyx:1184-1207) and a final record truncated mid-payload

@@ -58,6 +58,9 @@ import org.apache.spark.sql.functions._
   *  - `memberindexzstd`: the same loop over a `.warc.zst` archive —
   *    measured r14: 4.2× rescan speedup at 16×, with the zstd first
   *    scan itself ~2.9× faster than the gzip equivalent.
+  *  - `cdxjlookup`: the w49 collection-lookup contract — a FIXED 64
+  *    point reads against archives grown 1×→16×; asserts per-lookup
+  *    wall stays flat (O(hits), never O(corpus)).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -519,8 +522,59 @@ object ScaleCheck {
           println(f"[scale] memberindex ${s}x  rows=$n1%9d  " +
             f"first=$t1%7.2f s  indexed=$t2%7.2f s  speedup ${t1 / t2}%5.1fx")
         }
+      case "cdxjlookup" =>
+        // The w49 collection-lookup contract at scale: a FIXED number of
+        // point reads (K = 64, evenly spaced through the member index)
+        // against archives growing 1× → 16×. Each lookup is a seek +
+        // one-member decode, so total lookup wall must stay ~flat while
+        // the corpus grows — the property that makes a collection-level
+        // CDXJ usable at 100 TB (resolving a key table must cost
+        // O(hits), never O(corpus)).
+        val tmpC = System.getProperty("java.io.tmpdir")
+        spark.read.format("warc").option("record_types", "response")
+          .load(graft.sources.BenchCorpus.ensure(
+            s"$tmpC/graft_cdxjl_warm", files = 1, copiesPerFile = 20)).count()
+        val perLookupMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        scales.foreach { sc =>
+          val dir = graft.sources.BenchCorpus.ensure(
+            s"$tmpC/graft_cdxjl_$sc", files = 1, copiesPerFile = 200 * sc)
+          val f = new java.io.File(dir).listFiles()
+            .filter(_.getName.endsWith(".warc.gz")).head
+          val idx = new java.io.File(dir, f.getName + ".idx")
+          if (!idx.exists())
+            spark.read.format("warc").option("record_types", "response")
+              .option("emit_member_index", dir).load(f.getPath).count()
+          val offRe = """"offset"\s*:\s*(\d+)""".r
+          val src = scala.io.Source.fromFile(idx, "UTF-8")
+          val offsets = try src.getLines()
+            .flatMap(l => offRe.findFirstMatchIn(l).map(_.group(1).toLong))
+            .toVector.sorted
+          finally src.close()
+          val k = 64
+          require(offsets.size >= k, s"index too small: ${offsets.size}")
+          val picks = (0 until k)
+            .map(i => offsets((i.toLong * offsets.size / k).toInt))
+          import spark.implicits._
+          val path = f.getPath
+          System.gc()
+          val t0 = System.nanoTime()
+          val n = spark.createDataset(picks).repartition(8)
+            .map(off => graft.core.WarcPointLookup.extract(path, off)
+              .map(_.contentLength).getOrElse(-1L))
+            .filter(_ >= 0L).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          require(n == k, s"only $n of $k point reads found a record")
+          perLookupMs += t / k * 1000
+          println(f"[scale] cdxjlookup ${sc}x  members=${offsets.size}%7d  " +
+            f"k=$k  total=$t%6.2f s  per-lookup=${t / k * 1000}%7.2f ms")
+        }
+        // the asserted curve: per-lookup cost independent of corpus size
+        // (generous 2.5x bound absorbs page-cache and task-overhead noise)
+        require(perLookupMs.last < perLookupMs.head * 2.5 ||
+            perLookupMs.last < 5.0,
+          f"per-lookup cost grew with corpus size: ${perLookupMs.head}%.2f -> ${perLookupMs.last}%.2f ms")
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex | memberindexzstd)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex | memberindexzstd | cdxjlookup)")
     }
     spark.stop()
   }

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decompose the streaming-gauge fixed cost (round-14 verdict item 1:
+  * the 9 streaming queries sum to ~20-23 s at sf0.1; target ≤18 s).
+  * Drives the d28 shape (3 landed waves → StreamingNeardup → memory
+  * sink) with nanoTime marks at every phase and prints the ledger,
+  * twice (cold + warm), so the cut targets the measured term, not a
+  * guess. Run: `sbt "runMain graft.tools.StreamingFloorProbe"`.
+  */
+object StreamingFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.Scratch
+
+    def drive(label: String): Unit =
+      graft.streaming.TransientCheckpoints.scoped(spark) {
+        graft.operators.RoundPartitions.scoped(spark, 2048) {
+          val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          var t0 = System.nanoTime()
+          def mark(name: String): Unit = {
+            marks += ((name, (System.nanoTime() - t0) / 1e9))
+            t0 = System.nanoTime()
+          }
+          val codes = spark.range(2048).select(col("id").as("doc_id"),
+            (col("id") * 2654435761L).as("h0"),
+            (col("id") * 40503L).as("h1")).localCheckpoint()
+          mark("codes checkpoint")
+          val landing = Scratch.fastFresh("floorprobe_landing")
+          landing.mkdirs()
+          val ckpt = Scratch.fastFresh("floorprobe_ckpt")
+          mark("scratch dirs")
+          def land(wave: Int): Unit =
+            codes.filter(col("doc_id") % 3 === wave)
+              .coalesce(1).write.mode("append").parquet(landing.getPath)
+          land(0)
+          mark("land wave 0")
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("h0",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("h1",
+              org.apache.spark.sql.types.LongType)))
+          val verdicts = graft.streaming.StreamingNeardup.bandVerdicts(
+            spark.readStream.schema(schema).parquet(landing.getPath))
+          mark("plan build")
+          val qname = s"floorprobe_${label}_${System.nanoTime()}"
+          val q = verdicts.writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt.getPath)
+            .start()
+          mark("stream start")
+          q.processAllAvailable()
+          mark("batch 1 (wave 0)")
+          land(1)
+          mark("land wave 1")
+          q.processAllAvailable()
+          mark("batch 2 (wave 1)")
+          land(2)
+          mark("land wave 2")
+          q.processAllAvailable()
+          mark("batch 3 (wave 2)")
+          q.stop()
+          mark("stream stop")
+          val n = spark.table(qname).groupBy(col("doc_id"))
+            .agg(max(col("matched")).as("m")).filter(col("m")).count()
+          mark(s"summary count ($n suppressed)")
+          val total = marks.map(_._2).sum
+          println(f"[floor] == $label: total $total%6.2f s ==")
+          marks.foreach { case (k, v) => println(f"[floor]   $k%-28s $v%6.3f s") }
+        }
+      }
+
+    drive("cold")
+    drive("warm1")
+    drive("warm2")
+    spark.stop()
+  }
+}

@@ -629,8 +629,9 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d29 mega-bucket divergence gauge: stream and batch agree below " +
-    "the cap, diverge by exactly the mega clique above it, and the " +
-    "second-chance ring catches the beyond-prefix clones batch drops") {
+    "the cap, diverge by exactly the mega clique above it, the " +
+    "second-chance ring catches the beyond-prefix clones batch drops, " +
+    "and the LRU ring survives repeat-heavy churn") {
     val s = spark
     val rows = Documents.queries("d29_megabucket_divergence")(
       s, "/root/testdata/sf0.01").collect()
@@ -639,6 +640,12 @@ class DocumentsQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq
     assert(rows == Seq(
       // grp, n_docs, n_truth, n_stream, n_batch, delta, s_miss, b_miss, max_bucket
+      // churn (r15): clone pair split by 20 over-cap arrivals drawn
+      // from only 8 distinct codes — the exact-dedup LRU ring keeps
+      // the witness alive (the r14 cyclic ring evicted it after 16
+      // arrivals), so the stream catches the twin AND the 12 repeated
+      // fillers; the batch drop misses all 13
+      ("churn", 86L, 13L, 13L, 0L, 13L, 0L, 13L, 86L),
       ("mega", 200L, 199L, 199L, 0L, 199L, 0L, 199L, 272L),
       ("paired", 60L, 30L, 30L, 30L, 0L, 0L, 0L, 7L),
       // the ring regime pins the 16-slot window's recency bound: the
