@@ -22,14 +22,23 @@ private[queries] object StreamingDedup {
     * caller's are; a violation shows up as batch_equal=false, never as
     * a silent pass).
     */
-  def bagDelta(a: DataFrame, b: DataFrame): Long = {
+  def bagDelta(a: DataFrame, b: DataFrame): Long =
+    bagDeltaFrame(a, b).collect().head.getLong(0)
+
+  /** [[bagDelta]] as a LAZY 1-row frame (column `_delta`): callers that
+    * only stamp an equality flag into their result crossJoin this in
+    * broadcast form and pay ZERO extra driver jobs — the compare
+    * evaluates inside the caller's one materializing action (r15 floor
+    * cut: each eager bagDelta collect was a ~0.2-0.4 s fixed-cost job
+    * on the streaming gauges).
+    */
+  def bagDeltaFrame(a: DataFrame, b: DataFrame): DataFrame = {
     val names = a.columns.toSeq
     val ga = a.groupBy(names.map(col): _*).agg(count(lit(1)).as("_na"))
     val gb = b.groupBy(names.map(col): _*).agg(count(lit(1)).as("_nb"))
     ga.join(gb, names, "full_outer")
       .agg(coalesce(sum(abs(coalesce(col("_na"), lit(0L)) -
-        coalesce(col("_nb"), lit(0L)))), lit(0L)))
-      .collect().head.getLong(0)
+        coalesce(col("_nb"), lit(0L)))), lit(0L)).as("_delta"))
   }
 
   /** DuckDB rendition of the suppression summary — expects a
@@ -126,34 +135,48 @@ private[queries] object StreamingDedup {
           (arr(col("doc_a")) === arr(col("doc_b")) &&
             col("doc_a") < col("doc_b")),
           col("doc_b")).otherwise(col("doc_a")).as("doc_id")).distinct()
-      // TWO driver jobs for the whole summary (was four — each extra
-      // job is ~0.2-0.4 s of fixed scheduling cost on the streaming
-      // floor): (1) one full-outer pass yields the symmetric
-      // difference AND the suppressed count; (2) one bands pass yields
-      // max_bucket AND the input count (4 band rows per doc).
-      val cmp = streamSupp.withColumn("in_s", lit(1))
-        .join(batchSupp.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("in_s").isNull || col("in_b").isNull, 1L)
-            .otherwise(0L)), lit(0L)).as("mism"),
-          coalesce(sum(when(col("in_s").isNotNull, 1L).otherwise(0L)),
-            lit(0L)).as("n_supp"))
-        .collect().head
-      val (mism, nSupp) = (cmp.getLong(0), cmp.getLong(1))
-      val bandStats = codes.select(posexplode(array(
+      // ZERO intermediate driver jobs for the summary (was two in r14,
+      // four before that — each job is ~0.2-0.4 s of fixed scheduling
+      // cost on the streaming floor), and zero joins/broadcasts too (a
+      // broadcast exchange costs its own job, so broadcast-stamping
+      // 1-row aggregates merely renames the collect): the suppressed-
+      // set compare and the band stats ride ONE union → groupBy →
+      // final-aggregate chain that evaluates entirely inside the
+      // caller's single action. Set semantics make the bag delta a
+      // per-key (ns ≠ nb) count; band rows are keyed disjointly from
+      // doc ids by the kind column. streamSupp is a localCheckpointed
+      // RDD scan, so the memory-sink table's lifetime doesn't matter.
+      val suppRows = streamSupp
+        .select(lit("s").as("kind"), col("doc_id").as("key"),
+          lit(1L).as("ns"), lit(0L).as("nb"))
+        .unionAll(batchSupp.select(lit("s"), col("doc_id"), lit(0L), lit(1L)))
+      val bandRows = codes.select(posexplode(array(
           col("h0").bitwiseAND(lit(65535L)),
           shiftright(col("h0"), 16).bitwiseAND(lit(65535L)),
           col("h1").bitwiseAND(lit(65535L)),
           shiftright(col("h1"), 16).bitwiseAND(lit(65535L))))
           .as(Seq("band_id", "bkey")))
-        .groupBy(col("band_id"), col("bkey")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")), sum(col("n"))).collect().head
-      val (maxBucket, nInput) = (bandStats.getLong(0), bandStats.getLong(1) / 4)
-      s.range(1).select(
-        lit(nInput).as("n_input"),
-        lit(nInput - nSupp).as("n_kept"),
-        lit(nSupp).as("n_suppressed"),
-        lit(maxBucket).as("max_bucket"),
-        lit(mism == 0L).as("stream_batch_equal"))
+        .select(lit("b").as("kind"),
+          (col("band_id").cast("long") * 131072L + col("bkey")).as("key"),
+          lit(1L).as("ns"), lit(0L).as("nb"))
+      suppRows.unionAll(bandRows)
+        .groupBy(col("kind"), col("key"))
+        .agg(sum(col("ns")).as("s"), sum(col("nb")).as("b"),
+          count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(when(col("kind") === "s" && col("s") =!= col("b"), 1L)
+            .otherwise(0L)), lit(0L)).as("mism"),
+          coalesce(sum(when(col("kind") === "s", col("s")).otherwise(0L)),
+            lit(0L)).as("n_supp"),
+          coalesce(max(when(col("kind") === "b", col("n"))), lit(0L))
+            .as("max_bucket_raw"),
+          coalesce(sum(when(col("kind") === "b", col("n")).otherwise(0L)),
+            lit(0L)).as("n_bands"))
+        .select(
+          (col("n_bands") / 4).cast("long").as("n_input"),
+          ((col("n_bands") / 4).cast("long") - col("n_supp")).as("n_kept"),
+          col("n_supp").as("n_suppressed"),
+          col("max_bucket_raw").as("max_bucket"),
+          (col("mism") === 0L).as("stream_batch_equal"))
     }
 }

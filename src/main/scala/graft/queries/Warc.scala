@@ -843,8 +843,12 @@ object Warc {
           col("record_type"), col("n_records"), col("total_bytes"))
         val streamed = shape(s.table(qname))
         val batchRes = shape(EventTime.windowedTypeCounts(batch))
-        val mismatches = StreamingDedup.bagDelta(streamed, batchRes)
-        streamed.withColumn("batch_equal", lit(mismatches == 0L))
+        // lazy equality stamp: the bag compare evaluates inside the
+        // caller's one action instead of an eager collect job (r15
+        // streaming-floor cut)
+        val deltaF = StreamingDedup.bagDeltaFrame(streamed, batchRes)
+          .select((col("_delta") === 0L).as("batch_equal"))
+        streamed.crossJoin(broadcast(deltaF))
           .orderBy(col("window_start"), col("record_type"))
       }
     }
@@ -897,8 +901,11 @@ object Warc {
           try q.processAllAvailable() finally q.stop()
           val streamed = shape(s.table(qname))
           val batchRes = shape(sessions(batch))
-          val mismatches = StreamingDedup.bagDelta(streamed, batchRes)
-          val out = streamed.withColumn("batch_equal", lit(mismatches == 0L))
+          // lazy equality stamp — the compare rides the localCheckpoint
+          // job below instead of its own collect (r15 floor cut)
+          val deltaF = StreamingDedup.bagDeltaFrame(streamed, batchRes)
+            .select((col("_delta") === 0L).as("batch_equal"))
+          val out = streamed.crossJoin(broadcast(deltaF))
             .orderBy(col("host"), col("session_start"))
             .localCheckpoint(true) // materialize before the staging dir goes away
           s.catalog.dropTempView(qname)
@@ -976,13 +983,31 @@ object Warc {
           .select(WarcCols.targetUri(col("headers")).as("uri"))
         val batchCanon = batchUris.select(Web.canonicalUrl(col("uri")).as("curl"))
           .distinct()
-        val mismatches = StreamingDedup.bagDelta(streamed, batchCanon)
-        val nInput = batchUris.count()
-        val nNaive = batchUris.distinct().count()
-        streamed.agg(count(lit(1)).as("n_first"))
-          .select(lit(nInput).as("n_input"), lit(nNaive).as("n_naive_first"),
-            col("n_first"), (lit(nInput) - col("n_first")).as("n_dup_suppressed"),
-            lit(mismatches == 0L).as("batch_equal"))
+        // ONE action, zero joins/broadcasts (r15 floor cut — an eager
+        // bagDelta collect, an input count, and a naive-distinct count
+        // were three ~0.2-0.4 s fixed-cost jobs): everything rides a
+        // single union → groupBy(key) → final-aggregate chain. The
+        // naive-first count is the number of distinct 'in' key groups;
+        // the stream-vs-batch bag delta is Σ|ns − nb| per key.
+        val rows = batchUris.select(lit("in").as("kind"),
+            col("uri").as("key"), lit(0L).as("ns"), lit(0L).as("nb"))
+          .unionAll(streamed.select(lit("cmp"), col("curl"), lit(1L), lit(0L)))
+          .unionAll(batchCanon.select(lit("cmp"), col("curl"), lit(0L), lit(1L)))
+        rows.groupBy(col("kind"), col("key"))
+          .agg(sum(col("ns")).as("s"), sum(col("nb")).as("b"),
+            count(lit(1)).as("n"))
+          .agg(
+            coalesce(sum(when(col("kind") === "in", col("n")).otherwise(0L)),
+              lit(0L)).as("n_input"),
+            coalesce(sum(when(col("kind") === "in", 1L).otherwise(0L)),
+              lit(0L)).as("n_naive_first"),
+            coalesce(sum(when(col("kind") === "cmp", col("s")).otherwise(0L)),
+              lit(0L)).as("n_first"),
+            coalesce(sum(when(col("kind") === "cmp", abs(col("s") - col("b")))
+              .otherwise(0L)), lit(0L)).as("mism"))
+          .select(col("n_input"), col("n_naive_first"),
+            col("n_first"), (col("n_input") - col("n_first")).as("n_dup_suppressed"),
+            (col("mism") === 0L).as("batch_equal"))
       }
     }
       }),
@@ -1031,14 +1056,26 @@ object Warc {
           .load(landing.getPath)
           .select(md5(col("http_body")).as("fp"))
         val batchDistinct = batchAll.distinct()
-        val mismatches = StreamingDedup.bagDelta(streamed, batchDistinct)
-        val nInput = batchAll.count()
-        streamed.agg(count(lit(1)).as("n_first"))
-          .withColumn("n_input", lit(nInput))
-          .withColumn("n_dup_suppressed", lit(nInput) - col("n_first"))
-          .withColumn("batch_equal", lit(mismatches == 0L))
-          .select(col("n_input"), col("n_first"), col("n_dup_suppressed"),
-            col("batch_equal"))
+        // ONE action, zero joins/broadcasts (r15 floor cut; same union
+        // shape as w41): input count, first-seen count, and the
+        // stream-vs-batch bag delta in a single aggregate chain
+        val rows = batchAll.select(lit("in").as("kind"),
+            col("fp").as("key"), lit(0L).as("ns"), lit(0L).as("nb"))
+          .unionAll(streamed.select(lit("cmp"), col("fp"), lit(1L), lit(0L)))
+          .unionAll(batchDistinct.select(lit("cmp"), col("fp"), lit(0L), lit(1L)))
+        rows.groupBy(col("kind"), col("key"))
+          .agg(sum(col("ns")).as("s"), sum(col("nb")).as("b"),
+            count(lit(1)).as("n"))
+          .agg(
+            coalesce(sum(when(col("kind") === "in", col("n")).otherwise(0L)),
+              lit(0L)).as("n_input"),
+            coalesce(sum(when(col("kind") === "cmp", col("s")).otherwise(0L)),
+              lit(0L)).as("n_first"),
+            coalesce(sum(when(col("kind") === "cmp", abs(col("s") - col("b")))
+              .otherwise(0L)), lit(0L)).as("mism"))
+          .select(col("n_input"), col("n_first"),
+            (col("n_input") - col("n_first")).as("n_dup_suppressed"),
+            (col("mism") === 0L).as("batch_equal"))
       }
     }
       }),
@@ -1089,21 +1126,31 @@ object Warc {
         } finally q.stop()
       }
       val wet = s.read.format("warc").load(s"$out/batch-*")
-      val streamedDigests = wet.select(sha1(col("content")).as("d"))
-        .groupBy(col("d")).agg(count(lit(1)).as("n"))
-      val batchDigests = wetRows(
-          s.read.format("warc").option("record_types", "response")
-            .load(landing.getPath))
-        .filter(col("content").isNotNull)
-        .select(sha1(col("content")).as("d"))
-        .groupBy(col("d")).agg(count(lit(1)).as("n"))
-      val mism = StreamingDedup.bagDelta(streamedDigests, batchDigests)
+      // lazy equality stamp (r15): digest-multiset compare rides the
+      // caller's one action as a union → groupBy → aggregate chain.
+      // The batch side's null-content rows (the ones drop_null_content
+      // removed from the written archive) are excluded INSIDE the
+      // aggregate (`when(d.isNotNull, …)`) — a row filter here would be
+      // pushed below the projection and evaluate the extraction kernel
+      // twice (once in the Filter, once in the Project; WarcPlanSpec
+      // pins kernel-once).
+      val deltaF = wet
+        .select(sha1(col("content")).as("d"), lit(1L).as("ns"), lit(0L).as("nb"))
+        .unionAll(wetRows(
+            s.read.format("warc").option("record_types", "response")
+              .load(landing.getPath))
+          .select(sha1(col("content")).as("d"), lit(0L).as("ns"), lit(1L).as("nb")))
+        .groupBy(col("d"))
+        .agg(sum(col("ns")).as("s"), sum(col("nb")).as("b"))
+        .agg(coalesce(sum(when(col("d").isNotNull, abs(col("s") - col("b")))
+          .otherwise(0L)), lit(0L)).as("_delta"))
+        .select((col("_delta") === 0L).as("batch_equal"))
       wet.agg(count(lit(1)).as("n_records"),
         sum(when(col("record_type") === "conversion", 1L).otherwise(0L))
           .as("n_conversion"),
         sum(col("content_length")).as("total_text_bytes"),
         sum(when(col("block_digest_ok"), 1L).otherwise(0L)).as("n_digest_ok"))
-        .withColumn("batch_equal", lit(mism == 0L))
+        .crossJoin(broadcast(deltaF))
     }),
 
     // Revisit-record resolution — the DEDUPLICATED-CRAWL topology every

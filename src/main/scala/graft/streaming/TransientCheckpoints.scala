@@ -26,25 +26,38 @@ import org.apache.spark.sql.SparkSession
   * transient drives opt out, and only for their duration.
   */
 object TransientCheckpoints {
-  private val Key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+  // Both settings are per-DRIVE tuning for transient gauge streams:
+  // - checkpoint fileChecksum off (the thread-leak + slowdown above)
+  // - expression factoryMode NO_CODEGEN: Structured Streaming re-plans
+  //   and re-COMPILES generated code for every micro-batch
+  //   (IncrementalExecution); for gauge batches of a few hundred rows
+  //   the compile dwarfs the interpreted evaluation it buys. Measured
+  //   by StreamingFloorProbe on the d28 shape: warm drive 2.3-2.6 s →
+  //   2.0-2.2 s (per-batch triggerExecution 340-390 → 320-340 ms).
+  //   Production streams keep codegen: at real batch sizes the
+  //   compile amortizes — this is gauge-drive scoping only.
+  private val Keys = Seq(
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+    "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
 
-  // per-session scope depth + the setting saved at the OUTERMOST entry:
+  // per-session scope depth + the settings saved at the OUTERMOST entry:
   // scoped() mutates session-wide runtime conf, so two overlapping
   // scopes (nested gauges, or a future parallel harness) must restore
   // only when the LAST scope exits — a naive save/restore pair would
   // let the first exit re-enable checksums under the second body, and
-  // its saved "false" would then be restored as if it were the user's
-  // setting. Map keyed per session; all state guarded by `lock`.
+  // its saved values would then be restored as if they were the user's
+  // settings. Map keyed per session; all state guarded by `lock`.
   private val lock = new Object
   private val depth = new java.util.IdentityHashMap[SparkSession, Integer]
-  private val saved = new java.util.IdentityHashMap[SparkSession, Option[String]]
+  private val saved =
+    new java.util.IdentityHashMap[SparkSession, Seq[(String, Option[String])]]
 
   def scoped[T](s: SparkSession)(body: => T): T = {
     lock.synchronized {
       val d = Option(depth.get(s)).map(_.intValue).getOrElse(0)
       if (d == 0) {
-        saved.put(s, s.conf.getOption(Key))
-        s.conf.set(Key, "false")
+        saved.put(s, Keys.map { case (k, _) => k -> s.conf.getOption(k) })
+        Keys.foreach { case (k, v) => s.conf.set(k, v) }
       }
       depth.put(s, d + 1)
     }
@@ -53,9 +66,9 @@ object TransientCheckpoints {
       val d = depth.get(s).intValue - 1
       if (d == 0) {
         depth.remove(s)
-        saved.remove(s) match {
-          case Some(v) => s.conf.set(Key, v)
-          case None => s.conf.unset(Key)
+        saved.remove(s).foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
         }
       } else depth.put(s, d)
     }

@@ -19,15 +19,23 @@ object StreamingFloorProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.queries.Scratch
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
 
-    def drive(label: String): Unit =
+    def drive(label: String, asyncProgress: Boolean = false): Unit =
       graft.streaming.TransientCheckpoints.scoped(spark) {
         graft.operators.RoundPartitions.scoped(spark, 2048) {
-          val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int)]
           var t0 = System.nanoTime()
+          var j0 = jobs.get
           def mark(name: String): Unit = {
-            marks += ((name, (System.nanoTime() - t0) / 1e9))
+            marks += ((name, (System.nanoTime() - t0) / 1e9, jobs.get - j0))
             t0 = System.nanoTime()
+            j0 = jobs.get
           }
           val codes = spark.range(2048).select(col("id").as("doc_id"),
             (col("id") * 2654435761L).as("h0"),
@@ -53,10 +61,13 @@ object StreamingFloorProbe {
             spark.readStream.schema(schema).parquet(landing.getPath))
           mark("plan build")
           val qname = s"floorprobe_${label}_${System.nanoTime()}"
-          val q = verdicts.writeStream.format("memory").queryName(qname)
+          var w = verdicts.writeStream.format("memory").queryName(qname)
             .outputMode("append")
             .option("checkpointLocation", ckpt.getPath)
-            .start()
+          if (asyncProgress)
+            w = w.option("asyncProgressTrackingEnabled", "true")
+              .option("asyncProgressTrackingCheckpointIntervalMs", "60000")
+          val q = w.start()
           mark("stream start")
           q.processAllAvailable()
           mark("batch 1 (wave 0)")
@@ -68,20 +79,37 @@ object StreamingFloorProbe {
           mark("land wave 2")
           q.processAllAvailable()
           mark("batch 3 (wave 2)")
+          Option(q.lastProgress).foreach(p =>
+            println(s"[floor]   durationMs ${p.durationMs}"))
           q.stop()
           mark("stream stop")
           val n = spark.table(qname).groupBy(col("doc_id"))
             .agg(max(col("matched")).as("m")).filter(col("m")).count()
           mark(s"summary count ($n suppressed)")
           val total = marks.map(_._2).sum
-          println(f"[floor] == $label: total $total%6.2f s ==")
-          marks.foreach { case (k, v) => println(f"[floor]   $k%-28s $v%6.3f s") }
+          println(f"[floor] == $label: total $total%6.2f s  jobs=${marks.map(_._3).sum} ==")
+          marks.foreach { case (k, v, j) =>
+            println(f"[floor]   $k%-28s $v%6.3f s  jobs=$j") }
         }
       }
 
     drive("cold")
     drive("warm1")
     drive("warm2")
+    // hypothesis: per-micro-batch wall is dominated by IncrementalExecution
+    // re-planning + whole-stage-codegen COMPILATION per batch — for
+    // hundreds-of-rows batches the interpreted path should win
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    drive("nocodegen1")
+    drive("nocodegen2")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    drive("nofactory1")
+    drive("nofactory2")
+    try drive("async1", asyncProgress = true)
+    catch { case e: Throwable => println(s"[floor] async failed: $e") }
+    try drive("async2", asyncProgress = true)
+    catch { case e: Throwable => println(s"[floor] async failed: $e") }
     spark.stop()
   }
 }
