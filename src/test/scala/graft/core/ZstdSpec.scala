@@ -280,6 +280,45 @@ class ZstdSpec extends AnyFunSuite {
     assert(reader.streamError.isDefined)
   }
 
+  test("mixed-size reads are byte-exact across the direct-to-caller / " +
+      "outBuf boundary (r15 zero-copy path)") {
+    // the reader decompresses a frame STRAIGHT into the caller's buffer
+    // when the declared content fits (big reads), and stages through
+    // outBuf otherwise (small reads) — a read sequence that alternates
+    // regimes mid-frame must still produce the exact stream
+    val zst = recompressToZstd()
+    val expect = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new ZstdFrameInputStream(new java.io.ByteArrayInputStream(zst))
+      val b = new Array[Byte](1 << 20)
+      var n = z.read(b)
+      while (n >= 0) { out.write(b, 0, n); n = z.read(b) }
+      z.close()
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(4242)
+    (1 to 5).foreach { iter =>
+      val z = new ZstdFrameInputStream(new java.io.ByteArrayInputStream(zst))
+      val out = new java.io.ByteArrayOutputStream()
+      var n = 0
+      while (n >= 0) {
+        // sizes straddle typical frame sizes: 1 B (outBuf), a few
+        // hundred (outBuf), 8-64 KiB (direct for most frames)
+        val size = rnd.nextInt(4) match {
+          case 0 => 1
+          case 1 => 1 + rnd.nextInt(500)
+          case 2 => 8 * 1024 + rnd.nextInt(8 * 1024)
+          case _ => 64 * 1024
+        }
+        val b = new Array[Byte](size)
+        n = z.read(b, 0, size)
+        if (n > 0) out.write(b, 0, n)
+      }
+      z.close()
+      assert(java.util.Arrays.equals(out.toByteArray, expect), s"iter $iter")
+    }
+  }
+
   test("truncated FCS-less streaming frame (degraded decode path) " +
       "surfaces a stream error too, never silent clean EOF") {
     // an FCS-less frame forces the reader onto the degraded streaming

@@ -76,6 +76,7 @@ object PlanAudit {
     "w46_emit_member_index" -> "build-on-first-scan loop: the audited plan is the member-parallel RESCAN over slices planned from the sidecar the first scan emitted as a side-output; each slice decodes in ONE sequential pass (no per-member seek/reopen)",
     "w47_auto_member_index" -> "OPTION-FREE loop closure: the rescan passes no index option at all — the .idx sidecar is auto-discovered at plan time and the single compressed file still plans >1 member-group partition",
     "w48_zstd_roundtrip" -> "the same option-free member-parallel rescan over the sink's .warc.zst output — the codec swap keeps every plan property (pruned scan, member-group slices)",
+    "w49_cdxj_collection_lookup" -> "collection-level CDXJ: the key table resolves via BroadcastHashJoin against the member-indexed CDXJ scan (pruned to url/ts/filename/offset); each hit is a ranged point read in a map stage — O(hits) work, the corpus never shuffles",
   )
 
   def main(args: Array[String]): Unit = {
