@@ -390,6 +390,114 @@ object Bench {
         System.err.println(s"[bench] zstd codec bound failed: $e")
         Map.empty
       }
+    // Same certification for the other two compressed codecs (r15):
+    //   gzip — codec = JDK GZIPInputStream (native zlib) over the same
+    //          corpus file; member = this engine's GzipMemberInputStream
+    //          (RFC 1952 from scratch, exact member accounting); full =
+    //          member reader + WARC envelope parse
+    //   lz4  — no fast public reference exists for DEPENDENT-block
+    //          frames (lz4-java rejects them; commons-compress decodes
+    //          byte-at-a-time), so the row records this engine's frame
+    //          reader, the full reader, and ONE commons-compress pass
+    //          as the stock-alternative baseline
+    def boundRows(ext: String, dirName: String): Option[(Array[Byte], String)] =
+      try {
+        val dir = new java.io.File(s"$tmp/$dirName")
+        val f = dir.listFiles().filter(_.getName.endsWith(ext)).minBy(_.getName)
+        Some((java.nio.file.Files.readAllBytes(f.toPath), f.getName))
+      } catch { case _: Throwable => None }
+    def drainRate(comp: Array[Byte], mk: java.io.InputStream => java.io.InputStream): Double = {
+      val sink = new Array[Byte](1 << 20)
+      def pass(): Long = {
+        val z = mk(new java.io.ByteArrayInputStream(comp))
+        var total = 0L
+        var n = z.read(sink)
+        while (n >= 0) { total += n; n = z.read(sink) }
+        z.close(); total
+      }
+      pass() // warm
+      def once(): Double = {
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        while ((System.nanoTime() - t0) / 1e9 < 0.8) bytes += pass()
+        bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      }
+      Seq(once(), once(), once()).max
+    }
+    def parseRate(comp: Array[Byte], name: String, decompTotal: Long): Double = {
+      def pass(): Long = {
+        val (in, _) = core.WarcCodecs.open(new java.io.ByteArrayInputStream(comp))
+        val p = new core.WarcParser(new core.WarcByteReader(in), name,
+          core.WarcParseOptions(parseHttp = false, readPayload = false))
+        try { while (p.hasNext) p.next() } finally in.close()
+        decompTotal
+      }
+      pass()
+      def once(): Double = {
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        while ((System.nanoTime() - t0) / 1e9 < 0.8) bytes += pass()
+        bytes / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      }
+      Seq(once(), once(), once()).max
+    }
+    val gzipBound: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else boundRows(".warc.gz", "graft_warc_bench").map { case (comp, name) =>
+        try {
+          val sink = new Array[Byte](1 << 20)
+          var decompTotal = 0L
+          locally {
+            val z = new core.GzipMemberInputStream(new java.io.ByteArrayInputStream(comp))
+            var n = z.read(sink)
+            while (n >= 0) { decompTotal += n; n = z.read(sink) }
+            z.close()
+          }
+          val codec = drainRate(comp, in =>
+            new java.util.zip.GZIPInputStream(in, 1 << 16))
+          val member = drainRate(comp, in => new core.GzipMemberInputStream(in))
+          val full = parseRate(comp, name, decompTotal)
+          System.err.println(f"[bench] gzip codec=$codec%6.0f MB/s  member=$member%6.0f  full=$full%6.0f  ratio=${codec / full}%.2f")
+          Map("codec_mbps" -> codec, "member_reader_mbps" -> member,
+            "full_reader_mbps" -> full, "ratio_codec_over_full" -> codec / full)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] gzip bound failed: $e"); Map.empty[String, Double]
+        }
+      }.getOrElse(Map.empty)
+    val lz4Bound: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else boundRows(".warc.lz4", "graft_warc_bench_lz4").map { case (comp, name) =>
+        try {
+          val sink = new Array[Byte](1 << 20)
+          var decompTotal = 0L
+          locally {
+            val z = new core.Lz4FrameInputStream(new java.io.ByteArrayInputStream(comp))
+            var n = z.read(sink)
+            while (n >= 0) { decompTotal += n; n = z.read(sink) }
+            z.close()
+          }
+          val frame = drainRate(comp, in => new core.Lz4FrameInputStream(in))
+          val full = parseRate(comp, name, decompTotal)
+          // stock alternative, ONE pass (it reads ~7 MB/s): the only
+          // public JVM reader that accepts dependent-block frames
+          val ccMbps = {
+            val t0 = System.nanoTime()
+            val z = new org.apache.commons.compress.compressors.lz4
+              .FramedLZ4CompressorInputStream(
+                new java.io.ByteArrayInputStream(comp), true)
+            var total = 0L
+            var n = z.read(sink)
+            while (n >= 0) { total += n; n = z.read(sink) }
+            z.close()
+            total / 1e6 / ((System.nanoTime() - t0) / 1e9)
+          }
+          System.err.println(f"[bench] lz4  frame=$frame%6.0f MB/s  full=$full%6.0f  commons-compress=$ccMbps%6.1f")
+          Map("frame_reader_mbps" -> frame, "full_reader_mbps" -> full,
+            "commons_compress_mbps" -> ccMbps)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] lz4 bound failed: $e"); Map.empty[String, Double]
+        }
+      }.getOrElse(Map.empty)
     singleThread.foreach { case (k, v) =>
       System.err.println(f"[bench] single-thread $k%-26s $v%10.0f")
     }
@@ -412,9 +520,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val canaryJson =
       s"""{"unit":"crc32_mbps","before":${math.round(canaryBefore)},"after":${math.round(canaryAfter)},"sweep_before":${math.round(canarySweepBefore)},"sweep_after":${math.round(canarySweepAfter)}}"""
-    val zstdBoundJson = zstdBound.map { case (k, v) =>
+    def boundJson(m: Map[String, Double]): String = m.map { case (k, v) =>
       jstr(k) + ":" + (if (k.startsWith("ratio")) f"$v%.3f" else math.round(v).toString)
     }.mkString("{", ",", "}")
+    val zstdBoundJson = boundJson(zstdBound)
+    val gzipBoundJson = boundJson(gzipBound)
+    val lz4BoundJson = boundJson(lz4Bound)
     val jobsJson = queryJobs.map { case (k, (j, st)) =>
       jstr(k) + s""":{"jobs":$j,"stages":$st}"""
     }.mkString("{", ",", "}")
@@ -450,7 +561,7 @@ object Bench {
     // an 8g-vs-28g heap difference that was invisible in the output
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val jvmCpus = Runtime.getRuntime.availableProcessors
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"jobs":$jobsJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"jobs":$jobsJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // committed self-artifact: the round-7 driver capture was
     // tail-truncated and lost half the per-query timings, so the full
@@ -488,7 +599,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalF = f"$total%.1f"
     val floorF = f"$streamingFloor%.1f"
-    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"families":$digestFamilies,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"families":$digestFamilies,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println("BENCH_JSON:" + digest)
     spark.stop()
   }
