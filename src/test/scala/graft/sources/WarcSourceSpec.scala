@@ -862,4 +862,47 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dir.resolve("whole.warc.gz.idx").toFile.exists(),
       "an early-terminated scan must not leave a sidecar")
   }
+
+  test("collection seekability contract (w49): MEMBER-INDEXED scan " +
+      "offsets point-read in every container; plain-scan offsets are " +
+      "seekable only for raw") {
+    val dir = java.nio.file.Files.createTempDirectory("collection-seek")
+    val paths = BenchCorpus.ensureCollection(dir.toString)
+    // onboarding pass leaves sidecars for the four compressed archives
+    spark.read.format("warc").option("emit_member_index", dir.toString)
+      .load(paths: _*).count()
+    def respOffsets(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.filter(org.apache.spark.sql.functions.col("record_type") === "response")
+        .select("filename", "offset").collect()
+        .map(r => (new java.net.URI(r.getString(0)).getPath, r.getLong(1))).toSeq
+    val indexed = respOffsets(spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024).load(paths: _*))
+    assert(indexed.size == 5 * 16)
+    indexed.foreach { case (path, off) =>
+      val rec = graft.core.WarcPointLookup.extract(path, off)
+      assert(rec.exists(_.recordType == "response"),
+        s"member-indexed offset $off of $path must point-read a response")
+    }
+    // plain-scan offsets of a COMPRESSED archive are decompressed-stream
+    // positions — a seek there reads mid-member garbage, never the
+    // record (this asymmetry is WHY w49 builds its CDXJ from the
+    // member-indexed rescan). The last response's decompressed offset
+    // exceeds the gzip file's compressed length entirely.
+    val plain = respOffsets(spark.read.format("warc")
+      .option("auto_member_index", "false")
+      .load(paths.find(_.endsWith(".warc.gz")).get))
+    val (gzPath, lastOff) = plain.maxBy(_._2)
+    assert(lastOff > new java.io.File(gzPath).length(),
+      "sanity: decompressed offsets outrun the compressed file")
+    assert(graft.core.WarcPointLookup.extract(gzPath, lastOff).isEmpty,
+      "a plain-scan offset must NOT be seekable in a compressed archive")
+    // raw archives need no index: plain-scan offsets are byte addresses
+    val rawPlain = respOffsets(spark.read.format("warc")
+      .load(paths.find(_.endsWith("collection-raw.warc")).get))
+    rawPlain.foreach { case (path, off) =>
+      assert(graft.core.WarcPointLookup.extract(path, off)
+        .exists(_.recordType == "response"), s"raw offset $off")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
