@@ -107,6 +107,60 @@ class StreamingNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
       StreamingNeardup.MaxBucket + StreamingNeardup.RingSize)
   }
 
+  test("LRU ring property fuzz: 200 random arrival streams match an " +
+      "independent naive simulator of the state rule") {
+    // second implementation of the same semantics (plain lists, no
+    // arrays/shifts) — catches index arithmetic bugs in the operator's
+    // in-place refresh/evict paths. Codes drawn from a small pool so
+    // repeats, prefix-exact hits, ring refreshes and evictions all
+    // occur; a larger pool arm drives eviction-heavy streams.
+    val rnd = new scala.util.Random(1517)
+    (1 to 200).foreach { iter =>
+      val poolSize = if (iter % 2 == 0) 12 else 40
+      val pool = Vector.fill(poolSize)((rnd.nextLong(), rnd.nextLong()))
+      val nArrivals = 120 + rnd.nextInt(160)
+      val maxHamming = rnd.nextInt(4)
+      // naive model state
+      var prefix = Vector.empty[(Long, Long)]
+      var ring = Vector.empty[(Long, Long)] // oldest-seen first
+      val st = new TestState(None)
+      (0 until nArrivals).foreach { i =>
+        // a pool code verbatim (exact repeats: prefix-skip / ring
+        // refresh) or with 1-4 bits flipped (near-matches at every
+        // hamming distance around the threshold)
+        val base = pool(rnd.nextInt(pool.size))
+        val c = if (rnd.nextInt(3) > 0) base else {
+          var (h0, h1) = base
+          (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+            val bit = rnd.nextInt(128)
+            if (bit < 64) h0 ^= 1L << bit else h1 ^= 1L << (bit - 64)
+          }
+          (h0, h1)
+        }
+        def ham(a: (Long, Long)): Int =
+          java.lang.Long.bitCount(a._1 ^ c._1) +
+            java.lang.Long.bitCount(a._2 ^ c._2)
+        val expectMatched = (prefix ++ ring).exists(ham(_) <= maxHamming)
+        // naive transition
+        if (prefix.size < StreamingNeardup.MaxBucket) prefix :+= c
+        else if (prefix.contains(c)) () // permanent coverage, no slot
+        else if (ring.contains(c)) ring = ring.filterNot(_ == c) :+ c
+        else {
+          if (ring.size == StreamingNeardup.RingSize) ring = ring.tail
+          ring :+= c
+        }
+        val out = StreamingNeardup.update(maxHamming)((0, 0L),
+          Iterator(row(i.toLong, c._1, c._2)), st).toSeq
+        assert(out.head.matched == expectMatched,
+          s"iter $iter arrival $i: operator=${out.head.matched} naive=$expectMatched")
+        // state must mirror the model exactly (prefix ++ ring order)
+        val got = st.get.h0s.zip(st.get.h1s).toVector
+        assert(got == prefix ++ ring,
+          s"iter $iter arrival $i: state diverged from the model")
+      }
+    }
+  }
+
   test("LRU ring survives repeat-heavy over-cap churn: a witness stays " +
       "alive through 20 interleaved arrivals drawn from 8 codes (the " +
       "d29 'churn' regime — the r14 cyclic ring evicted it)") {
