@@ -86,9 +86,32 @@ private[queries] object StreamingDedup {
     // delete-first fixed checkpoint path (same doctrine as the landing
     // dir): rerun-safe without leaking a new state-store tree per run
     val ckpt = Scratch.fastFresh(s"${name}_ckpt")
-    def land(wave: Int): Unit =
-      codes.filter(col("doc_id") % 3 === wave)
-        .coalesce(1).write.mode("append").parquet(landing.getPath)
+    // the landing waves are DRIVER-written CSV (r15 floor cut): landing
+    // is the gauge's arrival SIMULATOR, not the operator under test,
+    // and a Spark parquet write per wave was a ~0.12-0.17 s fixed-cost
+    // job — 3 jobs x 4 gauges of pure scaffolding on the streaming
+    // floor. `codes` is gauge-sized by contract (a localCheckpointed
+    // frame of a few thousand (id, h0, h1) longs), so one collect here
+    // is scaffolding, not a distributed-operator anti-pattern; the
+    // operator itself still runs through the real micro-batch source.
+    val all = codes.select(col("doc_id"), col("h0"), col("h1")).collect()
+    def land(wave: Int): Unit = {
+      val sb = new StringBuilder
+      all.foreach { r =>
+        if (r.getLong(0) % 3 == wave)
+          sb.append(r.getLong(0)).append(',')
+            .append(r.getLong(1)).append(',')
+            .append(r.getLong(2)).append('\n')
+      }
+      // tmp + atomic move: the file source must never list a file
+      // mid-write
+      val tmpF = new java.io.File(landing, s".wave-$wave.tmp")
+      java.nio.file.Files.write(tmpF.toPath,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      java.nio.file.Files.move(tmpF.toPath,
+        new java.io.File(landing, s"wave-$wave.csv").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -98,7 +121,7 @@ private[queries] object StreamingDedup {
         org.apache.spark.sql.types.LongType)))
     land(0)
     val verdicts = graft.streaming.StreamingNeardup.bandVerdicts(
-      s.readStream.schema(schema).parquet(landing.getPath))
+      s.readStream.schema(schema).csv(landing.getPath))
     val qname = s"graft_${name}_mem_${Scratch.SessionToken}"
     val q = verdicts.writeStream.format("memory").queryName(qname)
       .outputMode("append")
