@@ -226,6 +226,97 @@ object WarcInput {
       }.toOption.flatten
     }
   }
+
+  /** Executor-side parse of one sidecar byte slice: the member offsets
+    * whose index LINES start inside `[byteStart, byteEnd)` (Hadoop
+    * text-split line ownership), plus the first valid offset found at or
+    * after `byteEnd` — the decode bound chaining this slice to the next
+    * (None = this slice runs to EOF). Offsets are deduped and REQUIRED
+    * monotone: each slice verifies its own lines are non-decreasing and
+    * that its bound exceeds its last owned offset, and since slice i's
+    * bound line IS slice i+1's first owned line, the local checks chain
+    * into a whole-file monotonicity proof — a hand-edited or foreign
+    * out-of-order sidecar fails loudly (clear exception naming the file)
+    * instead of silently double-scanning a byte range. Lines that fail
+    * to parse or name another file are skipped (same lenient contract as
+    * readMemberIndexFile — offsets are verified by the member decode).
+    */
+  def readIdxSlice(idx: IdxSlice, dataBasename: String, conf: Configuration)
+      : (Array[Long], Option[Long]) = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hp = new Path(idx.idxPath)
+    val in = hp.getFileSystem(conf).open(hp)
+    try {
+      // Hadoop LineRecordReader convention: start at byteStart-1 so a
+      // line beginning exactly AT byteStart is recognized as ours (the
+      // preceding byte is its '\n'); otherwise the partial line belongs
+      // to the previous slice and we skip to the next line start.
+      val seekAt = math.max(0L, idx.byteStart - 1)
+      if (seekAt > 0) in.seek(seekAt)
+      // byte-exact line walk (BufferedReader.readLine would mis-count
+      // CRLF terminators and drift the ownership boundary — a silent
+      // duplicate/loss hazard at slice edges)
+      val bin = new java.io.BufferedInputStream(
+        new java.io.FilterInputStream(in) { override def close(): Unit = () },
+        64 * 1024)
+      var pos = seekAt
+      val lineBuf = new java.io.ByteArrayOutputStream(256)
+      /** Read one '\n'-terminated line starting at `pos`; returns null at
+        * EOF, else the line WITHOUT its terminator, advancing `pos` past
+        * the terminator (or to EOF for an unterminated last line).
+        */
+      def readLineBytes(): String = {
+        lineBuf.reset()
+        var c = bin.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') { lineBuf.write(c); pos += 1; c = bin.read() }
+        if (c >= 0) pos += 1
+        new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      if (idx.byteStart > 0) {
+        // consume through the first '\n' at/after seekAt; the next line
+        // start is ours iff it is < byteEnd
+        readLineBytes(): Unit
+      }
+      def parseOffset(line: String): Option[Long] = {
+        val j = line.indexOf('{')
+        if (j < 0) None
+        else scala.util.Try {
+          val node = m.readTree(line.substring(j))
+          val off = Option(node.get("offset")).flatMap { o =>
+            if (o.isNumber) Some(o.asLong())
+            else scala.util.Try(o.asText().trim.toLong).toOption
+          }
+          Option(node.get("filename")).map(_.asText())
+            .filter(f => f.substring(f.lastIndexOf('/') + 1) == dataBasename)
+            .flatMap(_ => off)
+        }.toOption.flatten
+      }
+      val owned = scala.collection.mutable.ArrayBuilder.make[Long]
+      var last = Long.MinValue
+      var bound: Option[Long] = None
+      var lineStart = pos
+      var line = readLineBytes()
+      while (line != null && bound.isEmpty) {
+        parseOffset(line).foreach { o =>
+          if (o < last)
+            throw new IllegalStateException(
+              s"member index ${idx.idxPath} is not offset-monotone at byte " +
+              s"$lineStart (offset $o after $last); rebuild the sidecar or " +
+              "pass it via the member_index option (plan-time sorted path)")
+          if (lineStart < idx.byteEnd) { if (o != last) owned += o }
+          else bound = Some(o)
+          last = o
+        }
+        lineStart = pos
+        // past byteEnd with no valid bound yet: keep reading until the
+        // first parseable line (its offset chains us to the slice that
+        // owns it) or EOF
+        line = if (bound.isEmpty) readLineBytes() else null
+      }
+      (owned.result(), bound)
+    } finally in.close()
+  }
 }
 
 class WarcScanBuilder(options: CaseInsensitiveStringMap)
@@ -308,10 +399,30 @@ object WarcPushdown {
   * Record offsets then report COMPRESSED member coordinates (the
   * reference's stream_pos semantics for compressed inputs, and the
   * seekable address for point lookups).
+  *
+  * `idx` set (and `memberOffsets` empty) = the same member-aligned scan,
+  * but the partition carries a BYTE RANGE of the per-file `.idx` sidecar
+  * instead of materialized offsets: the executor parses its own slice
+  * (one bounded sidecar read per task) and derives the member offsets it
+  * owns. This keeps plan-time driver work at O(files + partitions) —
+  * at 100 TB / ~10^10 members, materializing every offset on the driver
+  * is tens of GB of heap plus task-payload bloat, the Spark analog of a
+  * Beam restriction tracker never materializing all split points up
+  * front (beam/warcio.py:101-109).
   */
 case class WarcInputPartition(
     path: String, start: Long, end: Long, fileSize: Long,
-    memberOffsets: Seq[Long] = Nil) extends InputPartition
+    memberOffsets: Seq[Long] = Nil,
+    idx: Option[IdxSlice] = None) extends InputPartition
+
+/** A byte slice `[byteStart, byteEnd)` of a JSON-lines `.idx` member
+  * sidecar (engine format: one line per member, offsets monotone —
+  * the writer sink, the MemberIndex pass, and `emit_member_index` all
+  * write it that way). Line ownership uses the Hadoop text-split
+  * convention: a line belongs to the slice containing its first byte;
+  * a reader whose slice starts mid-line skips to the next line start.
+  */
+case class IdxSlice(idxPath: String, byteStart: Long, byteEnd: Long)
 
 class WarcScan(
     options: CaseInsensitiveStringMap,
@@ -417,41 +528,97 @@ class WarcScan(
     // first scan's `emit_member_index` side-output — goes
     // member-parallel on every later scan with NO option wiring. The
     // probe is free when the input was a directory/glob (the sidecar
-    // rode the same listing) and one getFileStatus per SPLITTABLE file
-    // otherwise — files at or under max_partition_bytes never probe
-    // (they plan one partition either way). Stale or corrupt sidecars
-    // degrade, never lose data silently: offsets past EOF are dropped
-    // at plan time, and a mid-member offset fails the member decode
-    // into an error row + resume at the next indexed member
+    // rode the same listing) and one BATCHED parent-dir listing per
+    // distinct directory otherwise (a 100k-entry explicit file list
+    // probes its handful of parent dirs, not 100k sequential
+    // getFileStatus RPCs) — files at or under max_partition_bytes
+    // never probe (they plan one partition either way).
+    //
+    // Plan-time cost is O(files + partitions), NEVER O(members): the
+    // sidecar is not read here. Partitions carry a BYTE SLICE of the
+    // sidecar (IdxSlice) and executors parse their own slice — at
+    // 100 TB / ~10^10 members the old materialize-and-sort-on-driver
+    // plan was tens of GB of heap. Stale or corrupt sidecars degrade,
+    // never lose data silently: offsets past EOF are dropped by the
+    // executor-side parse, a garbage sidecar deterministically falls
+    // back to "slice 0 scans the whole file, other slices emit
+    // nothing", and a mid-member offset fails the member decode into
+    // an error row + resume at the next indexed member
     // (sequentialMemberIterator's damage contract, spec-pinned).
     val autoIdx = options.getBoolean("auto_member_index", true)
     val listedSidecars: Map[String, FileStatus] =
       if (!autoIdx) Map.empty
       else files.filter(_.getPath.getName.endsWith(".idx"))
         .map(st => st.getPath.toString -> st).toMap
-    def autoOffsets(st: FileStatus): Option[Seq[Long]] = {
-      val dataPath = st.getPath
-      val idxPath = new Path(dataPath.getParent, dataPath.getName + ".idx")
-      val found = listedSidecars.contains(idxPath.toString) || {
-        try dataPath.getFileSystem(conf).getFileStatus(idxPath).isFile
-        catch { case _: java.io.FileNotFoundException => false }
+    // batched probe: candidates = splittable data files not covered by
+    // the listing and not explicitly indexed; one listStatus per parent
+    // directory, parents probed concurrently (driver-side RPC fan-out)
+    val probeCandidates = files.filter { st =>
+      val name = st.getPath.getName
+      autoIdx && WarcInput.isDataFile(name) && st.getLen > maxPart &&
+        !memberIndex.contains(name) &&
+        !listedSidecars.contains(
+          new Path(st.getPath.getParent, name + ".idx").toString)
+    }
+    val probedSidecars: Map[String, FileStatus] =
+      if (probeCandidates.isEmpty) Map.empty
+      else {
+        val byParent = probeCandidates.groupBy(_.getPath.getParent)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, byParent.size))
+        try {
+          val tasks = byParent.toSeq.map { case (parent, cands) =>
+            pool.submit(new java.util.concurrent.Callable[Seq[(String, FileStatus)]] {
+              override def call(): Seq[(String, FileStatus)] = {
+                val fs = parent.getFileSystem(conf)
+                val wanted = cands.map(_.getPath.getName + ".idx").toSet
+                try fs.listStatus(parent).toSeq
+                  .filter(s => s.isFile && wanted(s.getPath.getName))
+                  .map(s => s.getPath.toString -> s)
+                catch { case _: java.io.IOException =>
+                  // unlistable parent (permissions, non-listing FS):
+                  // fall back to per-file status probes for its files
+                  cands.flatMap { c =>
+                    val ip = new Path(parent, c.getPath.getName + ".idx")
+                    try {
+                      val s = fs.getFileStatus(ip)
+                      if (s.isFile) Some(ip.toString -> s) else None
+                    } catch { case _: java.io.FileNotFoundException => None }
+                  }
+                }
+              }
+            })
+          }
+          tasks.flatMap(_.get()).toMap
+        } finally pool.shutdown()
       }
-      if (!found) None
-      // any read failure (checksum mismatch, deleted between probe and
-      // read, permission) degrades to a whole-file scan — an
-      // auto-discovered convenience must never be able to fail a query
-      // the explicit-option path would have run fine without
-      else scala.util.Try(WarcInput.readMemberIndexFile(idxPath, conf)
-        .collect { case (f, o) if f == dataPath.getName => o }
-        .distinct.sorted).toOption.filter(_.nonEmpty)
+    def autoSidecar(st: FileStatus): Option[FileStatus] = {
+      val idxPath =
+        new Path(st.getPath.getParent, st.getPath.getName + ".idx").toString
+      listedSidecars.get(idxPath).orElse(probedSidecars.get(idxPath))
     }
 
     files.filter(st => WarcInput.isDataFile(st.getPath.getName)).flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
       val indexed = memberIndex.get(st.getPath.getName)
-        .orElse(if (autoIdx && len > maxPart) autoOffsets(st) else None)
-      if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
+      val sidecar =
+        if (indexed.isDefined || !autoIdx || len <= maxPart) None
+        else autoSidecar(st).filter(_.getLen > 0)
+      if (sidecar.isDefined) {
+        // member-parallel via sidecar byte slices: cut the DATA file
+        // into ~maxPart spans by cutting its sidecar into equal byte
+        // chunks (members ≈ uniform compressed size, so equal index
+        // bytes ≈ equal compressed data; exact balance is AQE's job).
+        // Executors parse their own chunk; plan time is O(partitions).
+        val idxSt = sidecar.get
+        val n = math.max(1L, (len + maxPart - 1) / maxPart)
+        val chunk = math.max(1L, (idxSt.getLen + n - 1) / n)
+        (0L until idxSt.getLen by chunk).map(s =>
+          WarcInputPartition(p, 0L, Long.MaxValue, len, Nil,
+            Some(IdxSlice(idxSt.getPath.toString, s,
+              math.min(s + chunk, idxSt.getLen)))))
+      } else if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
         // chunk member offsets into ~maxPart compressed-byte slices;
         // anchor at the file head (a foreign CDXJ's first indexed
         // capture may start past offset 0 — earlier records must
@@ -615,7 +782,8 @@ class WarcPartitionReader(
   // non-monotone), and a retries-exhausted terminal error row
   // suppresses the commit (the scan did not cover the whole file).
   private val emitOffsets: scala.collection.mutable.ArrayBuffer[Long] =
-    if (emitIdxDir.isDefined && part.start == 0 && part.memberOffsets.isEmpty)
+    if (emitIdxDir.isDefined && part.start == 0 && part.memberOffsets.isEmpty &&
+        part.idx.isEmpty)
       new scala.collection.mutable.ArrayBuffer[Long]()
     else null
   private var exhaustedClean = false
@@ -628,7 +796,8 @@ class WarcPartitionReader(
   private var zstdDict: Array[Byte] = null
 
   private val parser: Iterator[WarcRecord] =
-    if (part.memberOffsets.nonEmpty) memberIterator()
+    if (part.memberOffsets.nonEmpty) memberIterator(part.memberOffsets.toArray, part.end)
+    else if (part.idx.isDefined) idxSliceIterator(part.idx.get)
     else if (streamRetries > 0 && part.start == 0) {
       // stream_retries option: resume-on-failure through the FileSystem
       // layer (the reference's warc_retry over a flaky remote object
@@ -680,8 +849,60 @@ class WarcPartitionReader(
     * true compressed member address — totals and contents are unaffected;
     * point-lookup addresses are exact only for indexed members.
     */
-  private def memberIterator(): Iterator[WarcRecord] = {
-    val offs: Array[Long] = part.memberOffsets.toArray
+  /** Resolve an IdxSlice partition: parse this task's byte slice of the
+    * sidecar (one bounded sidecar read — the Beam-tracker analog of
+    * never materializing split points on the driver), derive the member
+    * offsets it owns and the decode bound chaining it to the next slice,
+    * then run the ordinary member-aligned scan. Deterministic anchor and
+    * degrade rules (content-based, so every executor attempt agrees):
+    *  - the slice at byte 0 anchors the file head (prepends offset 0 —
+    *    a sparse index's records before the first indexed member must
+    *    still be scanned) and, when the whole sidecar parses to nothing
+    *    (garbage), scans the entire file alone;
+    *  - a non-zero slice owning no valid lines emits nothing (its range
+    *    is covered by the previous slice's bound);
+    *  - stale offsets at/past EOF are dropped; a bound past EOF clamps.
+    * Transient sidecar READ failures throw → Spark task retry (the
+    * sidecar existed at plan time; per-partition silent fallback could
+    * duplicate rows across slices and is exactly what the deterministic
+    * rules above exist to avoid).
+    */
+  private def idxSliceIterator(idx: IdxSlice): Iterator[WarcRecord] = {
+    val (owned0, bound0) =
+      try WarcInput.readIdxSlice(idx, hPath.getName, conf)
+      catch { case e: java.io.IOException =>
+        // unreadable ≠ unparseable: garbage CONTENT degrades below
+        // (deterministically, every slice agreeing), but a read error
+        // (stale FS checksum after an out-of-band rewrite, permissions,
+        // vanished file) can differ per slice — silent per-slice
+        // fallback could double- or under-scan, so fail loudly with
+        // the operator's way out
+        throw new java.io.IOException(
+          s"member-index sidecar ${idx.idxPath} is unreadable; delete the " +
+          "sidecar (or rebuild it with the index CLI / emit_member_index) " +
+          "or set auto_member_index=false to scan without it: " +
+          e.getMessage, e)
+      }
+    val bound = math.min(bound0.getOrElse(part.fileSize), part.fileSize)
+    // `o < bound` also drops a duplicate offset straddling the slice
+    // boundary (CDXJ-legal: several captures per member): the NEXT slice
+    // owns that member, this slice's decode range ends exactly at it —
+    // without the filter the zero-byte segment would read as a spurious
+    // truncated-member error row
+    val owned = owned0.filter(o => o >= 0 && o < part.fileSize && o < bound)
+    if (idx.byteStart == 0) {
+      val offs =
+        if (owned.isEmpty || owned(0) != 0L) 0L +: owned else owned
+      // bound == 0 == the anchor: the first indexed member sits at the
+      // file head but its line belongs to a later slice — nothing
+      // precedes it, so the head slice has nothing to scan
+      if (bound <= offs(0)) Iterator.empty
+      else memberIterator(offs, bound)
+    } else if (owned.isEmpty) Iterator.empty
+    else memberIterator(owned, bound)
+  }
+
+  private def memberIterator(offs: Array[Long], end: Long): Iterator[WarcRecord] = {
     // sniff the FILE head (offset 0, not this partition's first member)
     // to pick the strategy: the codec is a file-level property, and a
     // partition whose first member happens to be the one with destroyed
@@ -696,9 +917,9 @@ class WarcPartitionReader(
     while (got < 8 && r >= 0) { r = rawIn.read(head, got, 8 - got); if (r > 0) got += r }
     WarcCodecs.sniff(java.util.Arrays.copyOf(head, got)) match {
       case Some(WarcCodecs.Lz4) if got >= 5 && (head(4) & 0x01) != 0 =>
-        perMemberIterator(offs)
+        perMemberIterator(offs, end)
       case Some(codec @ (WarcCodecs.Gzip | WarcCodecs.Lz4)) =>
-        sequentialMemberIterator(offs, codec)
+        sequentialMemberIterator(offs, end, codec)
       case Some(WarcCodecs.Zstd) =>
         // a dict-led archive: every partition needs the HEAD
         // dictionary before seeking into the middle of the file — one
@@ -707,9 +928,9 @@ class WarcPartitionReader(
         rawIn.seek(0L)
         zstdDict = graft.core.ZstdWarc.readDictionary(
           new java.io.FilterInputStream(rawIn) { override def close(): Unit = () }).orNull
-        sequentialMemberIterator(offs, WarcCodecs.Zstd)
+        sequentialMemberIterator(offs, end, WarcCodecs.Zstd)
       case _ =>
-        sequentialMemberIterator(offs, WarcCodecs.Raw)
+        sequentialMemberIterator(offs, end, WarcCodecs.Raw)
     }
   }
 
@@ -740,7 +961,7 @@ class WarcPartitionReader(
     * identity pairs: compressed and decompressed coordinates coincide,
     * so the index entries themselves are the rebase mapping.
     */
-  private def sequentialMemberIterator(offs: Array[Long],
+  private def sequentialMemberIterator(offs: Array[Long], end: Long,
       codec: WarcCodecs.Codec): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var segStart = 0
     private var cur: WarcParser = _
@@ -768,7 +989,7 @@ class WarcPartitionReader(
       rawIn.seek(base)
       val bounded = org.apache.commons.io.input.BoundedInputStream.builder()
         .setInputStream(rawIn)
-        .setMaxCount(part.end - base)
+        .setMaxCount(end - base)
         .setPropagateClose(false)
         .get()
       val stream: java.io.InputStream = codec match {
@@ -848,8 +1069,8 @@ class WarcPartitionReader(
     * exhausted — Iterator.flatMap never interleaves inner iterators —
     * so no seek can invalidate a stream still being read.
     */
-  private def perMemberIterator(offs: Array[Long]): Iterator[WarcRecord] = {
-    val bounds = offs :+ part.end
+  private def perMemberIterator(offs: Array[Long], end: Long): Iterator[WarcRecord] = {
+    val bounds = offs :+ end
     offs.indices.iterator.flatMap { i =>
       val memberStart = bounds(i)
       val memberEnd = bounds(i + 1)
@@ -924,7 +1145,7 @@ class WarcPartitionReader(
         // appends its own error row above), so skip the partition-level
         // check there — it would double-report the LAST member's error
         val died =
-          if (part.memberOffsets.nonEmpty) None
+          if (part.memberOffsets.nonEmpty || part.idx.isDefined) None
           else Option(activeReader).flatMap(_.streamError)
         if (died.isDefined) { emitStreamError(s"stream error: ${died.get}"); count(current) }
         else { exhaustedClean = true; current = null; false }

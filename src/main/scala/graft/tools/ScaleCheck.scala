@@ -573,8 +573,112 @@ object ScaleCheck {
         require(perLookupMs.last < perLookupMs.head * 2.5 ||
             perLookupMs.last < 5.0,
           f"per-lookup cost grew with corpus size: ${perLookupMs.head}%.2f -> ${perLookupMs.last}%.2f ms")
+      case "planscale" =>
+        // Plan-time scale contract (r15 verdict item 1+2): member-
+        // indexed planning is O(files + partitions) driver work — the
+        // sidecar is NEVER read at plan time (executors parse their own
+        // IdxSlice), so plan wall and driver heap are flat in the MEMBER
+        // count, and the sidecar existence probe for an explicit file
+        // list is batched per parent directory (one listStatus, not one
+        // getFileStatus RPC per file). Three measurements:
+        //  (a) breadth: a 1,000-file collection with real sidecars —
+        //      directory plan must be sub-second with IdxSlice-only
+        //      partitions (no embedded offsets);
+        //  (b) depth: one archive with a synthetic 1,000,000-line
+        //      sidecar (plan cost is content-independent by
+        //      construction; slice EXECUTION is proven by IdxSliceSpec
+        //      and the memberindex mode) — plan wall and heap delta
+        //      must match (a)'s per-file cost, not the member count;
+        //  (c) explicit list: planning the same 1,000 files passed as
+        //      an explicit paths array must stay within 2× of the
+        //      directory-path plan (the batched-probe contract).
+        val tmpP = System.getProperty("java.io.tmpdir")
+        val dirP = graft.sources.BenchCorpus.ensure(
+          s"$tmpP/graft_planscale", files = 1000, copiesPerFile = 1)
+        // one emit pass leaves the 1,000 sidecars behind (idempotent)
+        if (!new java.io.File(dirP, "bench-000.warc.gz.idx").exists())
+          spark.read.format("warc").option("record_types", "response")
+            .option("emit_member_index", dirP).load(dirP).count()
+        import org.apache.spark.sql.util.CaseInsensitiveStringMap
+        def planOf(opts: Map[String, String]): Array[_] = {
+          val m = new java.util.HashMap[String, String]()
+          opts.foreach { case (k, v) => m.put(k, v) }
+          m.put("max_partition_bytes", (64 * 1024).toString)
+          new graft.sources.WarcScanBuilder(new CaseInsensitiveStringMap(m))
+            .build().toBatch.planInputPartitions()
+        }
+        def usedHeap(): Long = {
+          System.gc(); Thread.sleep(50); System.gc()
+          Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+        }
+        def timedPlan(opts: Map[String, String]): (Array[_], Double) = {
+          val t0 = System.nanoTime()
+          val p = planOf(opts)
+          (p, (System.nanoTime() - t0) / 1e9)
+        }
+        planOf(Map("path" -> dirP)) // warm FS/jackson/classloading
+        // (a) breadth
+        val h0 = usedHeap()
+        val (partsDir, tDir) = timedPlan(Map("path" -> dirP))
+        val hDir = usedHeap() - h0
+        // data-file partitions only (the dir listing also plans the
+        // zero-byte READY marker)
+        val slices = partsDir.collect {
+          case p: graft.sources.WarcInputPartition
+            if p.path.endsWith(".warc.gz") => p }
+        require(slices.nonEmpty)
+        require(slices.forall(p => p.memberOffsets.isEmpty && p.idx.isDefined),
+          "plan embedded member offsets — the O(corpus) driver term is back")
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        slices.foreach(oos.writeObject); oos.close()
+        val bytesPerPart = bos.size().toDouble / slices.length
+        println(f"[scale] planscale breadth: files=1000 parts=${slices.length}%5d " +
+          f"plan=$tDir%6.3f s  heapDelta=${hDir / 1024 / 1024}%4d MB  " +
+          f"task-payload=$bytesPerPart%6.0f B/part")
+        require(tDir < 1.0, f"1k-file plan took $tDir%.2f s (budget 1 s)")
+        require(bytesPerPart < 1024, f"task payload $bytesPerPart%.0f B/part")
+        // (b) depth: synthetic 1M-member sidecar beside one real archive
+        val deep = new java.io.File(dirP, "deep")
+        deep.mkdirs()
+        val deepData = new java.io.File(deep, "deep.warc.gz")
+        if (!deepData.exists())
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(graft.sources.BenchCorpus.FixtureGz),
+            deepData.toPath)
+        val deepIdx = new java.io.File(deep, "deep.warc.gz.idx")
+        if (!deepIdx.exists()) {
+          val w = new java.io.BufferedWriter(new java.io.FileWriter(deepIdx))
+          try (0 until 1000000).foreach(i =>
+            w.write(s"""{"filename": "deep.warc.gz", "offset": ${i * 137L}}""" + "\n"))
+          finally w.close()
+        }
+        val h1 = usedHeap()
+        val (partsDeep, tDeep) = timedPlan(Map("path" -> deepData.getPath))
+        val hDeep = usedHeap() - h1
+        println(f"[scale] planscale depth: members=1000000 parts=${partsDeep.length}%3d " +
+          f"plan=$tDeep%6.3f s  heapDelta=${math.max(0, hDeep) / 1024 / 1024}%4d MB")
+        require(tDeep < 1.0, f"1M-member plan took $tDeep%.2f s (budget 1 s)")
+        require(math.max(0, hDeep) < 64L * 1024 * 1024,
+          s"1M-member plan retained ${hDeep / 1024 / 1024} MB of driver heap")
+        // (c) explicit 1,000-entry file list vs the directory plan
+        val fileList = new java.io.File(dirP).listFiles()
+          .filter(_.getName.endsWith(".warc.gz")).map(_.getPath).sorted
+        val json = new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(fileList)
+        val (partsList, tList) = timedPlan(Map("paths" -> json))
+        println(f"[scale] planscale explicit-list: files=${fileList.length} " +
+          f"parts=${partsList.length}%5d plan=$tList%6.3f s " +
+          f"(dir plan $tDir%6.3f s, ratio ${tList / tDir}%4.2f)")
+        val idxPartsList = partsList.count {
+          case p: graft.sources.WarcInputPartition => p.idx.isDefined
+          case _ => false }
+        require(idxPartsList == slices.length,
+          s"explicit list planned $idxPartsList idx partitions vs ${slices.length}")
+        require(tList < math.max(2 * tDir, 1.0),
+          f"explicit-list plan $tList%.2f s exceeded 2x the directory plan $tDir%.2f s")
       case other => sys.error(
-        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex | memberindexzstd | cdxjlookup)")
+        s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex | memberindexzstd | cdxjlookup | planscale)")
     }
     spark.stop()
   }

@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contract of the plan-time-bounded member-index path: partitions carry
+  * a BYTE SLICE of the `.idx` sidecar (IdxSlice) instead of materialized
+  * offsets, executors parse their own slice, and the slice algebra —
+  * Hadoop-style line ownership, offset dedupe, bound chaining — must
+  * reconstruct exactly the offsets a single sorted read produces, for
+  * ANY chunking. This is what keeps `planInputPartitions` at
+  * O(files + partitions) driver work at 100 TB (the Spark analog of
+  * Beam never materializing all split points, beam/warcio.py:101-109).
+  */
+class IdxSliceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val DataDir = "/root/reference/tests/data"
+  private var spark: SparkSession = _
+  private val conf = new Configuration()
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("idx-slice-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeSidecar(dir: java.nio.file.Path, name: String,
+      lines: Seq[String]): Path = {
+    val f = dir.resolve(name)
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    new Path(f.toString)
+  }
+
+  /** Read every chunk of a chunking and verify the chaining invariants:
+    * owned sets are disjoint, their ordered concatenation is the full
+    * deduped offset list, and chunk i's bound is chunk i+1's first owned
+    * offset (the whole-file monotonicity proof from local checks).
+    */
+  private def verifyChunking(idxPath: Path, idxLen: Long, nChunks: Int,
+      expect: Seq[Long], dataName: String): Unit = {
+    val chunk = math.max(1L, (idxLen + nChunks - 1) / nChunks)
+    val slices = (0L until idxLen by chunk).map(s =>
+      IdxSlice(idxPath.toString, s, math.min(s + chunk, idxLen)))
+    val parts = slices.map(sl => WarcInput.readIdxSlice(sl, dataName, conf))
+    // duplicate offsets straddling a slice boundary may appear in both
+    // slices' owned lists — harmless because decode ranges are
+    // [firstOwned, bound) and bounds chain exactly (checked below), so
+    // the boundary member is decoded by exactly one slice. The set
+    // invariant: distinct union reconstructs the full offset list, in
+    // order.
+    val all = parts.flatMap(_._1).distinct
+    assert(all == expect,
+      s"n=$nChunks: owned union $all != expected $expect")
+    // bound chaining: each non-empty slice's bound equals the first
+    // owned offset of the next slice that owns anything (or None at EOF)
+    val firstOwnedAfter: Seq[Option[Long]] = parts.indices.map { i =>
+      parts.drop(i + 1).collectFirst { case (o, _) if o.nonEmpty => o.head }
+    }
+    parts.indices.foreach { i =>
+      val (_, bound) = parts(i)
+      assert(bound == firstOwnedAfter(i),
+        s"n=$nChunks slice $i: bound $bound != next owned ${firstOwnedAfter(i)}")
+    }
+  }
+
+  test("slice algebra reconstructs the full offset list for any chunking, " +
+      "with garbage lines, other-file lines, duplicates, and an " +
+      "unterminated last line") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-slice")
+    val offs = Seq(0L, 17L, 17L, 512L, 4096L, 4097L, 65536L, 1048576L)
+    val lines =
+      Seq("""not json at all""") ++
+      offs.take(3).map(o => s"""{"filename": "a.warc.gz", "offset": $o}""") ++
+      Seq("""{"filename": "other.warc.gz", "offset": 3}""",
+          """{"offset": 99}""") ++ // no filename -> skipped
+      offs.drop(3).map(o => s"""{"filename": "a.warc.gz", "offset": $o}""")
+    val p = writeSidecar(dir, "a.warc.gz.idx", lines)
+    val idxLen = new java.io.File(p.toString).length()
+    val expect = offs.distinct
+    for (n <- 1 to 12) verifyChunking(p, idxLen, n, expect, "a.warc.gz")
+    // chunk boundaries landing on every single byte: the exhaustive
+    // two-slice sweep over all cut positions
+    for (cut <- 1L until idxLen) {
+      val a = WarcInput.readIdxSlice(IdxSlice(p.toString, 0, cut), "a.warc.gz", conf)
+      val b = WarcInput.readIdxSlice(IdxSlice(p.toString, cut, idxLen), "a.warc.gz", conf)
+      assert((a._1 ++ b._1).distinct.toSeq == expect, s"cut=$cut")
+      assert(a._2 == b._1.headOption, s"cut=$cut bound mismatch")
+      assert(b._2.isEmpty, s"cut=$cut tail slice must run to EOF")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("a non-monotone sidecar fails loudly instead of silently " +
+      "double-scanning") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-mono")
+    val p = writeSidecar(dir, "b.warc.gz.idx", Seq(
+      """{"filename": "b.warc.gz", "offset": 100}""",
+      """{"filename": "b.warc.gz", "offset": 50}"""))
+    val e = intercept[IllegalStateException] {
+      WarcInput.readIdxSlice(IdxSlice(p.toString, 0, 999), "b.warc.gz", conf)
+    }
+    assert(e.getMessage.contains("not offset-monotone"))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("auto-discovered plan carries sidecar byte ranges, NOT member " +
+      "offsets — the task payload is O(1) per partition however many " +
+      "members the archive has") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-plan")
+    val copy = dir.resolve("big.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    val parts = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString)
+      .rdd.partitions // forces planInputPartitions through the V2 scan
+    assert(parts.length > 1, "expected a member-parallel plan")
+    // reflectively reach the InputPartition inside Spark's RDD partition
+    val inputParts = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString)
+      .queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(inputParts.nonEmpty)
+    inputParts.foreach { ip =>
+      val wp = ip.asInstanceOf[WarcInputPartition]
+      assert(wp.memberOffsets.isEmpty, "plan must not embed member offsets")
+      assert(wp.idx.isDefined, "plan must carry an IdxSlice")
+    }
+    // the slices tile the sidecar exactly
+    val slices = inputParts.map(_.asInstanceOf[WarcInputPartition].idx.get)
+      .sortBy(_.byteStart)
+    val idxLen = dir.resolve("big.warc.gz.idx").toFile.length()
+    assert(slices.head.byteStart == 0L)
+    assert(slices.last.byteEnd == idxLen)
+    slices.sliding(2).foreach {
+      case Seq(a, b) => assert(a.byteEnd == b.byteStart, "slices must tile")
+      case _ =>
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("slice path reproduces the materialized member_index path " +
+      "bit-for-bit: same record ids AND same compressed offsets") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-parity")
+    val copy = dir.resolve("parity.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("record_id", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val viaSlices = rows(spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString))
+    val viaExplicit = rows(spark.read.format("warc")
+      .option("member_index", dir.resolve("parity.warc.gz.idx").toString)
+      .option("max_partition_bytes", 16 * 1024)
+      .option("auto_member_index", false)
+      .load(copy.toString))
+    assert(viaSlices == viaExplicit)
+    assert(viaSlices.map(_._2).distinct.length == 50,
+      "offsets must be per-member compressed addresses")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+}

@@ -712,6 +712,16 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  /** Full message text of an exception and its cause chain (Spark
+    * re-wraps task failures; the actionable text may sit a level down).
+    */
+  private def serializedChain(e: Throwable): String = {
+    val sb = new StringBuilder
+    var t: Throwable = e
+    while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+    sb.toString
+  }
+
   test("auto-discovered .idx sidecar: an option-free rescan goes " +
       "member-parallel, auto_member_index=false disables it, and an " +
       "unparseable sidecar degrades to a whole-file scan") {
@@ -747,12 +757,29 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("max_partition_bytes", 16 * 1024)
       .load(copy.toString)
     assert(explicit.count() == 50L)
-    // garbage sidecar: planning must not die and must not use it
+    // out-of-band sidecar rewrite leaving a stale Hadoop FS checksum:
+    // the executor-side slice read fails; an UNREADABLE sidecar (unlike
+    // unparseable content below) must fail loudly with an actionable
+    // message — per-slice silent fallback could double- or under-scan
     java.nio.file.Files.write(dir.resolve("foreign.warc.gz.idx"),
-      "this is not an index\n binary junk".getBytes("UTF-8"))
+      "this is not an index\n binary junk".getBytes("UTF-8"))
+    val unreadable = intercept[org.apache.spark.SparkException] {
+      rd().count()
+    }
+    assert(serializedChain(unreadable).contains("auto_member_index=false"),
+      s"expected the actionable sidecar message, got: $unreadable")
+    // content-garbage sidecar (checksum consistent): plan time never
+    // reads the sidecar (O(files + partitions) driver work — slices are
+    // parsed executor-side), so the plan still fans out; the DEGRADE
+    // contract is content-based and deterministic: slice 0 finds
+    // nothing parseable and scans the whole file alone, every other
+    // slice emits nothing — exactly the plain rows, no dups, no losses
+    java.nio.file.Files.deleteIfExists(dir.resolve(".foreign.warc.gz.idx.crc"))
     val degraded = rd()
-    assert(degraded.rdd.getNumPartitions == 1, "garbage sidecar was used")
-    assert(degraded.count() == 50L)
+    val degradedIds =
+      degraded.select("record_id").collect().map(_.getString(0)).sorted
+    assert(degradedIds.toSeq == plainIds.toSeq,
+      "garbage sidecar must degrade to exactly the plain scan's rows")
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
