@@ -34,6 +34,43 @@ object Warc {
   private def scan(s: SparkSession, file: String): DataFrame =
     s.read.format("warc").load(s"$FixtureDir/$file")
 
+  /** Distributed CDXJ hit resolution: group (url, filename, offset) hits
+    * by (archive, 16 MiB compressed offset range) and serve each group's
+    * offsets ASCENDING through one open stream (`WarcPointLookup
+    * .extractAll`: one file open, ONE head-dictionary probe/load for
+    * trained-dict `.warc.zst`, forward seeks) — per-hit `extract`
+    * re-opened the archive and re-loaded the dictionary on every lookup.
+    * Scale shape: parallelism derives from the HIT distribution (more
+    * hits touch more ranges → more groups, capped by
+    * spark.sql.shuffle.partitions); the offset-range sub-key splits a
+    * hot archive across tasks while keeping each group's collect bounded
+    * by the members inside 16 MiB of compressed bytes. Output columns:
+    * url, filename, offset, content_length (−1 = not extracted),
+    * target_uri (null = not extracted).
+    */
+  def resolvePointReads(
+      hits: org.apache.spark.sql.Dataset[(String, String, Long)]): DataFrame = {
+    val s = hits.sparkSession
+    import s.implicits._
+    hits.groupByKey { case (_, file, off) => (file, off >>> 24) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, String, Long)]) =>
+        val file = key._1
+        val group = it.toArray
+        // the scan reports Hadoop-style file: URIs; the point reader
+        // opens local paths (on a cluster this is where the ranged
+        // object-store GET would go instead)
+        val path = if (file.startsWith("file:"))
+          new java.net.URI(file).getPath else file
+        val recs = graft.core.WarcPointLookup.extractAll(
+          path, group.map(_._3).toSeq)
+        group.iterator.map { case (url, _, off) =>
+          val rec = recs.getOrElse(off, None)
+          (url, file, off, rec.map(_.contentLength).getOrElse(-1L),
+            rec.flatMap(_.headers.getFirst("WARC-Target-URI")).orNull)
+        }
+      }.toDF("url", "filename", "offset", "content_length", "target_uri")
+  }
+
   /** The w31 WET-export pre-write frame, exposed so WarcPlanSpec can pin
     * its physical plan (w31's own entry writes this frame and returns an
     * aggregate over the read-back output, so the extraction plan is not
@@ -637,20 +674,11 @@ object Warc {
         .select(WarcCols.targetUri(col("headers")).as("url"),
           col("record_date").as("ts")).distinct()
       val hits = cdxj.join(broadcast(keys), Seq("url", "ts"))
-      hits.select(col("url"), col("filename"), col("offset"))
-        .as[(String, String, Long)]
-        .repartition(8)
-        .map { case (url, file, off) =>
-          // the scan reports Hadoop-style file: URIs; the point reader
-          // opens local paths (on a cluster this is where the ranged
-          // object-store GET would go instead)
-          val path = if (file.startsWith("file:"))
-            new java.net.URI(file).getPath else file
-          val rec = graft.core.WarcPointLookup.extract(path, off)
-          (file, rec.map(_.contentLength).getOrElse(-1L),
-            rec.exists(_.headers.getFirst("WARC-Target-URI").contains(url)))
-        }
-        .toDF("filename", "content_length", "uri_match")
+      resolvePointReads(
+          hits.select(col("url"), col("filename"), col("offset"))
+            .as[(String, String, Long)])
+        .select(col("filename"), col("content_length"),
+          (col("target_uri") === col("url")).as("uri_match"))
         .groupBy(regexp_extract(col("filename"), "([^/]+)$", 1).as("file"))
         .agg(count(lit(1)).as("n_hits"),
           sum(when(col("content_length") >= 0, 1L).otherwise(0L))

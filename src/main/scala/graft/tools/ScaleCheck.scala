@@ -573,6 +573,84 @@ object ScaleCheck {
         require(perLookupMs.last < perLookupMs.head * 2.5 ||
             perLookupMs.last < 5.0,
           f"per-lookup cost grew with corpus size: ${perLookupMs.head}%.2f -> ${perLookupMs.last}%.2f ms")
+        // 10k-lookup phase (r15 verdict item 3): the grouped resolver
+        // (one open stream + ONE dict load per (archive, 16 MiB range)
+        // group, offsets served ascending) A/B'd against the per-hit
+        // extract loop, on gzip AND trained-dict .warc.zst — the dict
+        // archive is where per-hit extract pays a dictionary re-read +
+        // re-load on EVERY lookup.
+        locally {
+          import spark.implicits._
+          val bigDir = s"$tmpC/graft_cdxjl_${scales.max}"
+          val gzF = new java.io.File(bigDir).listFiles()
+            .filter(_.getName.endsWith(".warc.gz")).head
+          val dictF = new java.io.File(bigDir, "big-dict.warc.zst")
+          if (!dictF.exists()) {
+            val bos = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(dictF), 1 << 20)
+            try graft.core.WarcWriter.recompressZstdTrained(
+              () => new java.io.FileInputStream(gzF), bos)
+            finally bos.close()
+          }
+          def sidecarOffsets(f: java.io.File): Vector[Long] = {
+            val idx = new java.io.File(f.getParent, f.getName + ".idx")
+            if (!idx.exists())
+              spark.read.format("warc").option("record_types", "response")
+                .option("emit_member_index", f.getParent).load(f.getPath).count()
+            val offRe = """"offset"\s*:\s*(\d+)""".r
+            val src = scala.io.Source.fromFile(idx, "UTF-8")
+            try src.getLines()
+              .flatMap(l => offRe.findFirstMatchIn(l).map(_.group(1).toLong))
+              .toVector.sorted
+            finally src.close()
+          }
+          val k10 = 10000
+          for ((label, f) <- Seq(("gzip", gzF), ("dict-zstd", dictF))) {
+            val offsets = sidecarOffsets(f)
+            val picks = (0 until k10).map(i =>
+              offsets(((i.toLong * 2654435761L) % offsets.size).toInt))
+            val hitsDs = spark.createDataset(
+              picks.map(o => ("", f.getPath, o)))
+            def timed(body: => Long): (Long, Double) = {
+              System.gc()
+              val t0 = System.nanoTime()
+              val n = body
+              (n, (System.nanoTime() - t0) / 1e9)
+            }
+            def grouped() = timed(
+              graft.queries.Warc.resolvePointReads(hitsDs)
+                .filter(col("content_length") >= 0L).count())
+            def perHit() = timed(hitsDs.repartition(32)
+              .map { case (_, p, off) =>
+                graft.core.WarcPointLookup.extract(p, off)
+                  .map(_.contentLength).getOrElse(-1L) }
+              .filter(_ >= 0L).count())
+            // interleaved min-of-2 (host-window doctrine, SCALING.md §8c):
+            // a single alternation already removes the cold-page-cache
+            // bias of whichever side runs first
+            val runs = Seq(grouped(), perHit(), grouped(), perHit())
+            val (nG, tG) = Seq(runs(0), runs(2)).minBy(_._2)
+            val (nP, tP) = Seq(runs(1), runs(3)).minBy(_._2)
+            require(nG == k10 && nP == k10,
+              s"$label: grouped=$nG per-hit=$nP of $k10 lookups resolved")
+            println(f"[scale] cdxjlookup 10k $label%-9s grouped=$tG%6.2f s " +
+              f"(${tG / k10 * 1000}%5.2f ms/hit)  per-hit=$tP%6.2f s " +
+              f"(${tP / k10 * 1000}%5.2f ms/hit)  amortization ${tP / tG}%4.1fx")
+            // per-lookup cost must stay flat-to-falling in the hit count
+            // (the O(hits) contract); the amortization REQUIREMENT binds
+            // on the trained-dict archive, where per-hit extract pays a
+            // real dictionary re-read + JNI re-load per lookup — on local
+            // gzip both sides are Spark-stage-overhead-bound at this
+            // corpus size (single-threaded A/B: batched == per-hit kernel
+            // cost), so gzip reports without asserting a winner
+            require(tG / k10 * 1000 < math.max(perLookupMs.last, 5.0),
+              f"$label: per-lookup cost rose with hit count: ${tG / k10 * 1000}%.2f ms")
+            if (label == "dict-zstd")
+              require(tG < tP,
+                f"$label: grouped resolver ($tG%.2f s) did not amortize the " +
+                f"per-hit dictionary reload ($tP%.2f s)")
+          }
+        }
       case "planscale" =>
         // Plan-time scale contract (r15 verdict item 1+2): member-
         // indexed planning is O(files + partitions) driver work — the
