@@ -684,7 +684,8 @@ class WarcScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(parseOpts, required, fsProps,
       options.getInt("stream_retries", 0),
-      Option(options.get("emit_member_index")))
+      Option(options.get("emit_member_index")),
+      options.getBoolean("async_decode", false))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -696,13 +697,14 @@ class WarcReaderFactory(
     required: StructType,
     fsProps: Map[String, String],
     streamRetries: Int = 0,
-    emitIdxDir: Option[String] = None) extends PartitionReaderFactory {
+    emitIdxDir: Option[String] = None,
+    asyncDecode: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcInputPartition]
     val conf = new Configuration()
     fsProps.foreach { case (k, v) => conf.set(k, v) }
     new WarcPartitionReader(p, parseOpts, required, WarcInput.withHttpFs(conf),
-      streamRetries, emitIdxDir)
+      streamRetries, emitIdxDir, asyncDecode)
   }
 }
 
@@ -733,7 +735,8 @@ class WarcPartitionReader(
     required: StructType,
     conf: Configuration,
     streamRetries: Int = 0,
-    emitIdxDir: Option[String] = None) extends PartitionReader[InternalRow] {
+    emitIdxDir: Option[String] = None,
+    asyncDecode: Boolean = false) extends PartitionReader[InternalRow] {
 
   // scan metrics (see WarcScan.supportedCustomMetrics)
   private var mRecords = 0L
@@ -757,6 +760,10 @@ class WarcPartitionReader(
   // current attempt's stream on the stream_retries path (superseded
   // attempts are closed by the factory; the live one by close())
   private var retryStream: org.apache.hadoop.fs.FSDataInputStream = _
+  // live async pipeline (async_decode option): closed explicitly in
+  // close() so an early-terminated task (LIMIT, kill) interrupts and
+  // joins the producer thread instead of leaking it blocked on put()
+  private var asyncStream: graft.core.AsyncChunkInputStream = _
 
   // the live byte reader, observed after parser exhaustion: a
   // decompression stream that DIES (rather than throwing upward) is
@@ -828,7 +835,16 @@ class WarcPartitionReader(
       // "WARC/" line (warc.pyx:1184-1207 recovery).
       if (isRangeRead && codec != WarcCodecs.Raw) Iterator.empty
       else {
-        activeReader = new WarcByteReader(stream, baseOffset = part.start)
+        // opt-in decode/parse pipeline for latency-bound upstreams
+        // (http(s)/object-store forward streams); measured a LOSS for
+        // local CPU-bound decode, so never a default — see
+        // core/AsyncChunkInputStream
+        val maybeAsync =
+          if (asyncDecode && !isRangeRead) {
+            asyncStream = new graft.core.AsyncChunkInputStream(stream)
+            asyncStream
+          } else stream
+        activeReader = new WarcByteReader(maybeAsync, baseOffset = part.start)
         new WarcParser(activeReader, part.path, parseOpts)
           // split ownership: a record belongs to the split containing its start
           .takeWhile(_.offset < part.end)
@@ -1167,6 +1183,9 @@ class WarcPartitionReader(
   override def get(): InternalRow = rowEncoder.encode(current)
 
   override def close(): Unit = {
+    // before the sidecar commit below: join(producer) gives the final
+    // member-offset appends a happens-before edge to this thread
+    if (asyncStream != null) { try asyncStream.close() catch { case _: Exception => } }
     if (rawInRef != null) rawInRef.close()
     if (retryStream != null) { try retryStream.close() catch { case _: Exception => } }
     // commit the member-index side-output only for a file that scanned
