@@ -1170,8 +1170,14 @@ object Warc {
           .select(sha1(col("content")).as("d"), lit(0L).as("ns"), lit(1L).as("nb")))
         .groupBy(col("d"))
         .agg(sum(col("ns")).as("s"), sum(col("nb")).as("b"))
+        // null digests are asymmetric: the BATCH side legitimately
+        // carries null-content rows (the ones drop_null_content removed
+        // from the written archive) and is excluded, but a null digest
+        // from the WRITTEN archive means a null-content record survived
+        // the sink — count each streamed-side null as a mismatch
+        // instead of masking it (r16 advice)
         .agg(coalesce(sum(when(col("d").isNotNull, abs(col("s") - col("b")))
-          .otherwise(0L)), lit(0L)).as("_delta"))
+          .otherwise(col("s"))), lit(0L)).as("_delta"))
         .select((col("_delta") === 0L).as("batch_equal"))
       wet.agg(count(lit(1)).as("n_records"),
         sum(when(col("record_type") === "conversion", 1L).otherwise(0L))

@@ -25,6 +25,15 @@ object BenchCorpus {
   val FixtureLz4 = "/root/reference/tests/data/warcfile.warc.lz4"
   val RecordsPerCopy = 50
 
+  /** Writer-unique temp path: two JVMs racing the same ensure (the
+    * synchronized blocks are per-JVM only) must never interleave writes
+    * into ONE tmp file — a fixed tmp name lets one JVM atomically
+    * promote the OTHER's partially written bytes. pid + nano suffix
+    * gives each writer its own tmp; the atomic move stays the commit.
+    */
+  private def tmpFor(d: java.nio.file.Path, name: String): java.nio.file.Path =
+    d.resolve(s".$name.${ProcessHandle.current.pid}-${System.nanoTime()}.tmp")
+
   /** Create (once) and return the corpus directory. */
   def ensure(dir: String, files: Int = 10, copiesPerFile: Int = 20): String =
     ensureFrom(dir, files, copiesPerFile, FixtureGz, ".warc.gz")
@@ -47,7 +56,7 @@ object BenchCorpus {
       } finally stale.close()
       val src = Files.readAllBytes(Paths.get(srcPath))
       (0 until files).foreach { i =>
-        val tmp = d.resolve(s".part-$i.tmp")
+        val tmp = tmpFor(d, s"part-$i")
         val out = Files.newOutputStream(tmp)
         try (0 until copiesPerFile).foreach(_ => out.write(src))
         finally out.close()
@@ -87,7 +96,7 @@ object BenchCorpus {
       // a crash or a second JVM racing this write (synchronized is
       // per-JVM only) must not leave a truncated cached fixture that
       // poisons every later bench/scale run
-      val tmp = d.resolve(".fixture.warc.zst.tmp")
+      val tmp = tmpFor(d, "fixture.warc.zst")
       Files.write(tmp, out.toByteArray)
       Files.move(tmp, zstFixture, StandardCopyOption.REPLACE_EXISTING)
     }
@@ -105,7 +114,7 @@ object BenchCorpus {
     val f = d.resolve("lines.txt")
     if (!Files.exists(f)) {
       Files.createDirectories(d)
-      val tmp = d.resolve(".lines.tmp")
+      val tmp = tmpFor(d, "lines.txt")
       val sb = new StringBuilder
       (0 until 1000).foreach(i => sb.append("line-").append(i).append('\n'))
       Files.write(tmp, sb.toString.getBytes("ascii"))
@@ -129,7 +138,7 @@ object BenchCorpus {
       val parser = new graft.core.WarcParser(
         new graft.core.WarcByteReader(stream), "",
         graft.core.WarcParseOptions(parseHttp = false))
-      val tmp = d.resolve(".members.tmp")
+      val tmp = tmpFor(d, "members.warc.gz")
       val out = Files.newOutputStream(tmp)
       val w = new graft.core.WarcWriter.RecordStreamWriter(
         out, graft.core.WarcWriter.Gzip)
@@ -160,7 +169,7 @@ object BenchCorpus {
       if (!Files.exists(f)) {
         val bos = new java.io.ByteArrayOutputStream()
         write(bos)
-        val tmp = d.resolve(s".$name.tmp")
+        val tmp = tmpFor(d, name)
         Files.write(tmp, bos.toByteArray)
         Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
       }

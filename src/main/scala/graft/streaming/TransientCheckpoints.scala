@@ -36,6 +36,15 @@ object TransientCheckpoints {
   //   2.0-2.2 s (per-batch triggerExecution 340-390 → 320-340 ms).
   //   Production streams keep codegen: at real batch sizes the
   //   compile amortizes — this is gauge-drive scoping only.
+  // CAVEAT (documented, not guarded): both keys are SESSION-wide
+  // runtime conf for the duration of a scope — an unrelated query
+  // running CONCURRENTLY on the same SparkSession during a gauge drive
+  // would execute interpreted (and skip checkpoint checksums). The
+  // depth counter handles nested/overlapping SCOPES, not concurrent
+  // non-scoped work; acceptable because Verify/Bench drive gauges
+  // single-threaded by contract. If a parallel harness ever shares the
+  // session, move these to per-query SQLConf (SQLConf.withExistingConf)
+  // or a cloned session.
   private val Keys = Seq(
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
     "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")

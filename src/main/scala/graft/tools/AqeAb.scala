@@ -43,7 +43,10 @@ object AqeAb {
         graft.operators.RoundPartitions.disableAqeInTinyScopes = false
         off += runOnce(name)
       }
-      graft.operators.RoundPartitions.disableAqeInTinyScopes = true
+      // restore the documented default (AQE on — the A/B REJECTED the
+      // off switch) before reporting; leaving the dev switch set would
+      // poison any post-A/B step this tool ever grows
+      graft.operators.RoundPartitions.disableAqeInTinyScopes = false
       println(f"[ab] $name%-28s aqeOFF min=${on.min}%6.2f s (${on.map(t => f"$t%.2f").mkString("/")})" +
         f"  aqeON min=${off.min}%6.2f s (${off.map(t => f"$t%.2f").mkString("/")})" +
         f"  ratio=${off.min / on.min}%5.2f")
