@@ -243,28 +243,41 @@ object WarcWriter {
     * (records written, trained dictionary size — None when zstd
     * declined to train and the archive was written dictionary-less).
     */
+  /** Stage 1 of the dictionary lifecycle on its own (CLI `dict-train`,
+    * the sink's `zstd_dict` option, w50): sample the archive's first
+    * records in their serialized WARC form — the exact bytes the zstd
+    * frames will compress — and train a shared dictionary. None when
+    * zstd declines (too few / too uniform samples); callers then write
+    * dictionary-less, which every reader handles. At 100 TB the shape
+    * is train-once-reuse-everywhere: one sample pass over one shard,
+    * the dictionary artifact broadcast to every writer.
+    */
+  def trainDictionary(reopen: () => java.io.InputStream,
+      checksum: Boolean = false, maxSamples: Int = 256,
+      dictSize: Int = 0): Option[Array[Byte]] = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sampleBytes = 0L
+    val in = reopen()
+    try {
+      val (stream, _) = WarcCodecs.open(in)
+      val parser = new WarcParser(new WarcByteReader(stream), "",
+        WarcParseOptions(parseHttp = false))
+      val buf = new java.io.ByteArrayOutputStream(64 << 10)
+      val it = parser
+      while (it.hasNext && samples.length < maxSamples && sampleBytes < (32L << 20)) {
+        buf.reset()
+        writeRecord(it.next(), buf, checksum)
+        samples += buf.toByteArray
+        sampleBytes += buf.size
+      }
+    } finally in.close()
+    ZstdDict.train(samples.toSeq, dictSize)
+  }
+
   def recompressZstdTrained(reopen: () => java.io.InputStream,
       out: OutputStream, checksum: Boolean = false,
       maxSamples: Int = 256): (Long, Option[Int]) = {
-    val samples = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var sampleBytes = 0L
-    locally {
-      val in = reopen()
-      try {
-        val (stream, _) = WarcCodecs.open(in)
-        val parser = new WarcParser(new WarcByteReader(stream), "",
-          WarcParseOptions(parseHttp = false))
-        val buf = new java.io.ByteArrayOutputStream(64 << 10)
-        val it = parser
-        while (it.hasNext && samples.length < maxSamples && sampleBytes < (32L << 20)) {
-          buf.reset()
-          writeRecord(it.next(), buf, checksum)
-          samples += buf.toByteArray
-          sampleBytes += buf.size
-        }
-      } finally in.close()
-    }
-    val dict = ZstdDict.train(samples.toSeq)
+    val dict = trainDictionary(reopen, checksum, maxSamples)
     val in2 = reopen()
     try {
       val (stream, _) = WarcCodecs.open(in2)

@@ -621,6 +621,85 @@ object Warc {
         .withColumn("gzip_equal", lit(gzEqual))
     }),
 
+    // Dictionary lifecycle closed as ONE loop (extends w48, which reads
+    // pre-built dictionary archives): train a shared dictionary from
+    // sampled record bytes (the CLI `dict-train` surface —
+    // WarcWriter.trainDictionary, zstd's ZDICT), hand the artifact to
+    // the DISTRIBUTED sink (`zstd_dict` option: dictionary skippable
+    // frame + per-record frames compressed against it, wget convention),
+    // write an untrained control from the same frame, rescan both
+    // member-parallel via their auto-discovered sidecars, and point-read
+    // every response hit THROUGH the trained dictionary with the grouped
+    // resolver (one dict load per group). Pins: totals equal between
+    // trained and untrained paths AND the gzip fixture, the trained
+    // archive actually leads with a dictionary frame, and all 16
+    // point reads extract their full 518,445 content bytes. At 100 TB
+    // the shape is train-once-broadcast-everywhere: one sample pass on
+    // one shard, the ~26 KB artifact reused by every writer and loaded
+    // once per reader partition / point-read group.
+    "w50_dict_lifecycle" -> ((s, _) => {
+      import s.implicits._
+      import graft.functions.WarcCols
+      val out = scratch("w50_dict")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      new java.io.File(out).mkdirs()
+      val dict = graft.core.WarcWriter.trainDictionary(
+        () => new java.io.FileInputStream(s"$FixtureDir/warcfile.warc.gz"))
+      val dictFile = new java.io.File(out, "fixture.zstd-dict")
+      dict.foreach(d => java.nio.file.Files.write(dictFile.toPath, d))
+      def write(dir: String, trained: Boolean): java.io.File = {
+        val w = scan(s, "warcfile.warc.gz")
+          .select(col("record_id"), col("record_type"), col("record_date"),
+            col("headers"), col("content"))
+          .coalesce(1)
+          .write.format("warc")
+          .option("compression", "zstd").option("member_index", "true")
+        (if (trained) w.option("zstd_dict", dictFile.getPath) else w)
+          .mode("append").save(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".warc.zst")).head
+      }
+      val trainedF = write(s"$out/trained", trained = true)
+      val plainF = write(s"$out/plain", trained = false)
+      // the trained archive must LEAD with the dictionary frame
+      val dictInArchive = locally {
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(trainedF), 64 * 1024)
+        try graft.core.ZstdWarc.readDictionary(in).isDefined
+        finally in.close()
+      }
+      def rescan(f: java.io.File) = s.read.format("warc")
+        .option("max_partition_bytes", 16 * 1024).load(f.getPath)
+      def totals(df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+      val trainedTotals = totals(rescan(trainedF))
+      val tRow = trainedTotals.collect()(0)
+      val plainEqual = tRow == totals(rescan(plainF)).collect()(0)
+      val gzEqual2 = tRow == totals(scan(s, "warcfile.warc.gz")).collect()(0)
+      // point reads through the dictionary: response hits from the
+      // member-indexed rescan (compressed member addresses), resolved
+      // by the grouped reader — ONE dictionary load for the group
+      val hits = rescan(trainedF)
+        .filter(col("record_type") === "response")
+        .select(WarcCols.targetUri(col("headers")).as("url"),
+          col("filename"), col("offset"))
+        .as[(String, String, Long)]
+      val points = resolvePointReads(hits)
+        .agg(count(lit(1)).as("n_hits"),
+          sum(when(col("content_length") >= 0, 1L).otherwise(0L))
+            .as("n_point_extracted"),
+          sum(when(col("target_uri") === col("url"), 1L).otherwise(0L))
+            .as("n_uri_match"),
+          sum(col("content_length")).as("point_bytes"))
+      trainedTotals
+        .withColumn("dict_trained", lit(dict.isDefined))
+        .withColumn("dict_in_archive", lit(dictInArchive))
+        .withColumn("plain_equal", lit(plainEqual))
+        .withColumn("gzip_equal", lit(gzEqual2))
+        .crossJoin(broadcast(points))
+    }),
+
     // Collection-level CDXJ lookup join (the reference's `extract` is
     // single-file, fastwarc-py/fastwarc/cli.py:185-222 — the 100 TB
     // usage pattern is resolving a KEY TABLE against a multi-archive
@@ -2002,6 +2081,21 @@ object Warc {
          CAST(527846 AS BIGINT) AS total_bytes,
          CAST(1 AS BOOLEAN) AS member_parallel,
          CAST(1 AS BOOLEAN) AS gzip_equal""",
+    // the full train -> distributed dict write -> member-parallel rescan
+    // -> point-read-through-dict loop: totals equal the untrained path
+    // and the gzip fixture; all 16 response hits extract their 518,445
+    // bytes (FIXTURES.md) through one dictionary load per read group
+    "w50_dict_lifecycle" ->
+      """SELECT CAST(50 AS BIGINT) AS n_records,
+         CAST(527846 AS BIGINT) AS total_bytes,
+         CAST(1 AS BOOLEAN) AS dict_trained,
+         CAST(1 AS BOOLEAN) AS dict_in_archive,
+         CAST(1 AS BOOLEAN) AS plain_equal,
+         CAST(1 AS BOOLEAN) AS gzip_equal,
+         CAST(16 AS BIGINT) AS n_hits,
+         CAST(16 AS BIGINT) AS n_point_extracted,
+         CAST(16 AS BIGINT) AS n_uri_match,
+         CAST(518445 AS BIGINT) AS point_bytes""",
     // 16 response keys resolve in EVERY archive of the collection, every
     // hit point-extracts, URIs re-match, and each archive's extracted
     // content mass equals the fixture responses' total (518,445 bytes —

@@ -12,7 +12,8 @@ import java.io.{BufferedOutputStream, FileInputStream, FileOutputStream, OutputS
   *
   *   graft.tools.Cli index <files...> [--fields f1,f2,...]
   *   graft.tools.Cli extract <file> <offset> [--payload | --headers]
-  *   graft.tools.Cli recompress <in> <out> [--codec gzip|lz4|zstd|none] [--zstd-dict] [--checksum]
+  *   graft.tools.Cli recompress <in> <out> [--codec gzip|lz4|zstd|none] [--zstd-dict] [--dict=<file>] [--checksum]
+  *   graft.tools.Cli dict-train <in> <dict-out> [--max-samples=N] [--dict-size=N]
   *   graft.tools.Cli verify <file> [--payloads]
   *   graft.tools.Cli benchmark <files...> [--parse-http] [--filter-type T]
   *
@@ -65,8 +66,53 @@ object Cli {
       case "extract" =>
         if (pos.length != 2) { usage(out); return 2 }
         extract(pos(0), pos(1).toLong, flag("payload"), flag("headers"), out)
+      case "dict-train" =>
+        // stage 1 of the dictionary lifecycle alone: sample an archive,
+        // train, emit the dictionary artifact — reused by
+        // `recompress --dict=<file>` and the sink's `zstd_dict` option
+        // (train once on one shard, apply to the whole corpus)
+        if (pos.length != 2) { usage(out); return 2 }
+        WarcWriter.trainDictionary(
+          () => new FileInputStream(pos(0)), flag("checksum"),
+          flagVal("max-samples").map(_.toInt).getOrElse(256),
+          flagVal("dict-size").map(_.toInt).getOrElse(0)) match {
+          case Some(d) =>
+            val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+            try o.write(d) finally o.close()
+            out.println(s"trained dictionary: ${d.length} bytes -> ${pos(1)}")
+            0
+          case None =>
+            out.println("dictionary training declined (too few or " +
+              "too-uniform samples); archives can be written dict-less")
+            1
+        }
       case "recompress" =>
         if (pos.length != 2) { usage(out); return 2 }
+        // --dict=<file>: reuse a pre-trained dictionary (dict-train's
+        // artifact) — dictionary skippable frame + per-record frames
+        // compressed against it, no training pass
+        flagVal("dict") match {
+          case Some(dictPath) =>
+            val dict = java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(dictPath))
+            val in = new FileInputStream(pos(0))
+            val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+            val n = try {
+              val (stream, _) = WarcCodecs.open(in)
+              val parser = new WarcParser(new WarcByteReader(stream), "",
+                WarcParseOptions(parseHttp = false))
+              val w = new WarcWriter.RecordStreamWriter(
+                o, WarcWriter.Zstd, flag("checksum"), zstdDict = dict)
+              parser.foreach(w.write)
+              w.finishCodecs()
+              o.flush()
+              w.recordsWritten
+            } finally { o.close(); in.close() }
+            out.println(s"$n records recompressed to ${pos(1)} " +
+              s"(pre-trained dictionary: ${dict.length} bytes)")
+            return 0
+          case None =>
+        }
         // --zstd-dict: the two-pass trained-dictionary `.warc.zst` form
         // (wget's shape) — dictionary skippable frame + per-record
         // frames compressed against it
@@ -143,7 +189,8 @@ object Cli {
       |  index <files...> [--fields=offset,length,filename,warc-type,warc-target-uri,http:status,...]
       |  index <files...> --members        (emit <file>.idx member-offset sidecars for parallel rescan)
       |  extract <file> <offset> [--payload | --headers]
-      |  recompress <infile> <outfile> [--codec=gzip|lz4|zstd|none] [--zstd-dict] [--checksum]
+      |  recompress <infile> <outfile> [--codec=gzip|lz4|zstd|none] [--zstd-dict] [--dict=<file>] [--checksum]
+      |  dict-train <infile> <dict-outfile> [--max-samples=N] [--dict-size=N] [--checksum]
       |  verify <file> [--payloads]
       |  benchmark <files...> [--parse-http] [--filter-type=response]
       |  html benchmark <file>             (<title>-extraction parser benchmark)

@@ -88,6 +88,35 @@ class CliSpec extends AnyFunSuite {
     assert(v2code == 0 && v2out.contains("50 records"), v2out)
   }
 
+  test("dict-train emits a reusable dictionary artifact; recompress " +
+      "--dict applies it without a training pass and the archive " +
+      "point-reads through it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_dict").toFile
+    val dictPath = new java.io.File(dir, "fixture.zstd-dict").getAbsolutePath
+    val (tcode, tout) = run("dict-train", FixtureGz, dictPath)
+    assert(tcode == 0 && tout.contains("trained dictionary"), tout)
+    val dictBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dictPath))
+    assert(dictBytes.length > 1000, s"dictionary too small: ${dictBytes.length}")
+    // train once, apply elsewhere (the 100 TB shape): recompress with
+    // the PRE-TRAINED artifact, no second training pass
+    val outPath = new java.io.File(dir, "reuse.warc.zst").getAbsolutePath
+    val (rcode, rout) = run("recompress", FixtureGz, outPath, s"--dict=$dictPath")
+    assert(rcode == 0 && rout.contains("pre-trained dictionary"), rout)
+    val (vcode, vout) = run("verify", outPath)
+    assert(vcode == 0 && vout.contains("50 records"), vout)
+    // the written archive leads with the dictionary frame and a
+    // mid-archive member decodes against it via point lookup
+    val (icode, iout) = run("index", outPath, "--members",
+      "--fields=offset,warc-type")
+    assert(icode == 0, iout)
+    val offs = graft.core.MemberIndex.scan(
+      new java.io.FileInputStream(outPath)).offsets
+    assert(offs.size == 50)
+    val rec = graft.core.WarcPointLookup.extract(outPath, offs(20))
+    assert(rec.isDefined, "mid-archive point read through the dict failed")
+  }
+
   test("verify reports the fixture's digested responses") {
     val (code, out) = run("verify", Fixture)
     assert(code == 0, out)
