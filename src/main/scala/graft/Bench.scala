@@ -164,6 +164,11 @@ object Bench {
       }
       Seq(once(), once(), once()).max
     }
+    // Documented parity for THIS container's canary (r16 recalibration:
+    // observed in-bench marks 20.3k-25.9k across r15/r16 windows, clean
+    // windows clustering 23-26k; the old ~22.5k note was one window).
+    // Normalized walls below divide out the window: wall * mark/parity.
+    val ParityCrc32Mbps = 24000.0
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // canary bracket around the SWEEP too (round-14 verdict item 8):
     // family walls swung d 75 s vs 69 s between identical-code runs and
@@ -561,7 +566,23 @@ object Bench {
     // an 8g-vs-28g heap difference that was invisible in the output
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val jvmCpus = Runtime.getRuntime.availableProcessors
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"jobs":$jobsJson,"families":$familiesJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    // canary-normalized family walls (r15 verdict item 5): the r15
+    // sweep ran across a 20.3k->25.9k canary swing, making raw family
+    // deltas partly window. normalized = wall * mean(sweep marks)/parity
+    // — a slow window inflates walls AND deflates the marks, so the
+    // product divides the window out; compare rounds on normalized.
+    val sweepCanaryMean =
+      if (canarySweepBefore <= 0 || canarySweepAfter <= 0) -1.0
+      else (canarySweepBefore + canarySweepAfter) / 2
+    def normalizedFamilies(rs: Seq[(String, Double)]): String =
+      if (sweepCanaryMean <= 0) "{}"
+      else rs.groupBy(_._1.head).toSeq.sortBy(_._1)
+        .map { case (fam, xs) =>
+          jstr(fam.toString) + ":" +
+            f"${xs.map(_._2).sum * sweepCanaryMean / ParityCrc32Mbps}%.1f" }
+        .mkString("{", ",", "}")
+    val familiesNormJson = normalizedFamilies(results)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"jobs":$jobsJson,"families":$familiesJson,"families_normalized":$familiesNormJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // committed self-artifact: the round-7 driver capture was
     // tail-truncated and lost half the per-query timings, so the full
@@ -599,7 +620,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalF = f"$total%.1f"
     val floorF = f"$streamingFloor%.1f"
-    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"canary":$canaryJson,"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"families":$digestFamilies,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"families":$digestFamilies,"families_normalized":$familiesNormJson,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println("BENCH_JSON:" + digest)
     spark.stop()
   }
