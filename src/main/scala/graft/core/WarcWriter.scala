@@ -339,6 +339,46 @@ object WarcPointLookup {
     * a missing/garbage offset maps to None, never a failure (exc_loop
     * doctrine). Duplicate offsets are served once.
     */
+  /** [[extractAll]] through the Hadoop FileSystem layer — the CLUSTER
+    * form: `fs.open` once per archive, `FSDataInputStream.seek` per hit
+    * (on s3a each forward seek is a ranged GET reposition), ONE head-
+    * dictionary probe. This is what a CDXJ resolution against an
+    * object-store collection actually issues; the local overload below
+    * keeps the FileChannel fast path for `file:` archives.
+    */
+  def extractAllFs(path: org.apache.hadoop.fs.Path, offsets: Seq[Long],
+      opts: WarcParseOptions,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[Long, Option[WarcRecord]] = {
+    if (offsets.isEmpty) return Map.empty
+    val sorted = offsets.distinct.sorted
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try {
+      val shield = new java.io.FilterInputStream(in) {
+        override def close(): Unit = ()
+      }
+      val headDict: Option[Array[Byte]] =
+        if (sorted.exists(_ > 0))
+          ZstdWarc.readDictionary(
+            new java.io.BufferedInputStream(shield, 64 * 1024))
+        else None
+      sorted.iterator.map { off =>
+        off -> (scala.util.Try {
+          in.seek(off)
+          val stream = headDict match {
+            case Some(d) => new ZstdFrameInputStream(
+              new java.io.BufferedInputStream(shield, 64 * 1024), presetDict = d)
+            case None => WarcCodecs.open(shield)._1
+          }
+          val parser = new WarcParser(
+            new WarcByteReader(stream), path.toString, opts)
+          if (parser.hasNext) Some(parser.next()) else None
+        }.toOption.flatten)
+      }.toMap
+    } finally in.close()
+  }
+
   def extractAll(path: String, offsets: Seq[Long],
       opts: WarcParseOptions = WarcParseOptions())
       : Map[Long, Option[WarcRecord]] = {

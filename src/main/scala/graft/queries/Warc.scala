@@ -52,17 +52,39 @@ object Warc {
       hits: org.apache.spark.sql.Dataset[(String, String, Long)]): DataFrame = {
     val s = hits.sparkSession
     import s.implicits._
+    // ship the filesystem-relevant hadoop conf (same serializable subset
+    // the scan's reader factory ships) so executors can open any
+    // registered scheme — s3a, testfs, http — not just local paths
+    val fsProps: Map[String, String] = {
+      val conf = graft.sources.WarcInput.withHttpFs(
+        s.sessionState.newHadoopConf())
+      import scala.jdk.CollectionConverters._
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue)
+        .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }
+        .toMap
+    }
     hits.groupByKey { case (_, file, off) => (file, off >>> 24) }
       .flatMapGroups { (key: (String, Long), it: Iterator[(String, String, Long)]) =>
         val file = key._1
         val group = it.toArray
-        // the scan reports Hadoop-style file: URIs; the point reader
-        // opens local paths (on a cluster this is where the ranged
-        // object-store GET would go instead)
-        val path = if (file.startsWith("file:"))
-          new java.net.URI(file).getPath else file
-        val recs = graft.core.WarcPointLookup.extractAll(
-          path, group.map(_._3).toSeq)
+        val offs = group.map(_._3).toSeq
+        // local archives take the FileChannel fast path; every other
+        // scheme goes through the Hadoop FileSystem — fs.open once per
+        // group, seek per hit (a ranged GET reposition on s3a), one
+        // dictionary probe
+        val isLocal = file.startsWith("file:") || !file.contains(":/")
+        val recs =
+          if (isLocal) {
+            val path = if (file.startsWith("file:"))
+              new java.net.URI(file).getPath else file
+            graft.core.WarcPointLookup.extractAll(path, offs)
+          } else {
+            val conf = new org.apache.hadoop.conf.Configuration()
+            fsProps.foreach { case (k, v) => conf.set(k, v) }
+            graft.core.WarcPointLookup.extractAllFs(
+              new org.apache.hadoop.fs.Path(file), offs,
+              graft.core.WarcParseOptions(), conf)
+          }
         group.iterator.map { case (url, _, off) =>
           val rec = recs.getOrElse(off, None)
           (url, file, off, rec.map(_.contentLength).getOrElse(-1L),

@@ -253,6 +253,41 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.count() == 100L)
   }
 
+  test("point reads go through the Hadoop FileSystem for non-local " +
+      "schemes: resolvePointReads over testfs:// extracts every member " +
+      "of gzip AND trained-dict zstd archives") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.testfs.impl", classOf[TestObjectStoreFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("pointfs")
+    // member-per-record gzip + writer-reported offsets
+    val (gzPath, gzOffs) = BenchCorpus.ensureMemberArchive(dir.toString)
+    // trained-dictionary zstd: mid-archive members decode only against
+    // the head dictionary — the probe must happen through the FS too
+    val dicted = dir.resolve("dict.warc.zst")
+    locally {
+      val o = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(dicted.toFile))
+      try graft.core.WarcWriter.recompressZstdTrained(
+        () => new java.io.FileInputStream(BenchCorpus.FixtureGz), o)
+      finally o.close()
+    }
+    val zOffs = graft.core.MemberIndex.scan(
+      new java.io.FileInputStream(dicted.toFile)).offsets
+    assert(zOffs.size == 50)
+    val sp = spark
+    import sp.implicits._
+    for ((p, offs) <- Seq((gzPath, gzOffs), (dicted.toString, zOffs))) {
+      val hits = sp.createDataset(
+        offs.map(off => ("", s"testfs://$p", off)))
+      val res = graft.queries.Warc.resolvePointReads(hits)
+      assert(res.filter(org.apache.spark.sql.functions.col("content_length") >= 0)
+        .count() == 50L, p)
+      assert(res.agg(org.apache.spark.sql.functions.sum("content_length"))
+        .head.getLong(0) == 527846L, p)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("s3:// inputs: rewritten to the s3a connector unless the " +
       "deployment bound fs.s3.impl, which is then used verbatim") {
     val conf = new org.apache.hadoop.conf.Configuration(false)
