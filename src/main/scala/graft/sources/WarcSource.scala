@@ -494,6 +494,59 @@ class WarcScan(
     val conf = WarcInput.withHttpFs(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val files = WarcInput.listFiles(WarcInput.paths(options), conf)
+    WarcPlanner.plan(files, options, conf)
+  }
+
+  /** Ship only filesystem-relevant hadoop conf entries (serializable,
+    * small); local/file and default FS need nothing beyond defaults.
+    */
+  private def fsProps: Map[String, String] = {
+    val conf = WarcInput.withHttpFs(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }
+      .toMap
+  }
+
+  private def parseOpts: WarcParseOptions = {
+    val needed = required.fieldNames.toSet
+    val baseOpts = WarcParseOptions(
+      parseHttp = options.getBoolean("parse_http", true) &&
+        needed.exists(WarcSchema.httpCols),
+      readPayload = needed.exists(WarcSchema.payloadCols),
+      strict = options.getBoolean("strict", false),
+      keepMetaOverMax = options.getBoolean("always_keep_meta", false),
+      minContentLength = options.getLong("min_content_length", -1L),
+      maxContentLength = options.getLong("max_content_length", -1L),
+      recordTypeMask = Option(options.get("record_types"))
+        .map(s => RecordType.maskOf(s.split(",").map(_.trim).filter(_.nonEmpty)))
+        .getOrElse(RecordType.AnyType))
+    WarcPushdown.toParseOptions(baseOpts, filters)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(parseOpts, required, fsProps,
+      options.getInt("stream_retries", 0),
+      Option(options.get("emit_member_index")),
+      options.getBoolean("async_decode", false))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(options, parseOpts, required, fsProps)
+}
+
+/** The per-file partition planner, shared by the batch scan and the
+  * micro-batch stream (a streaming BACKFILL of large indexed archives
+  * wants the same member-parallel splits a batch scan gets — one
+  * whole-file partition per 100 GB archive per trigger would serialize
+  * the backfill on single executors). Plan-time driver work is
+  * O(files + partitions): sidecars are never read here (IdxSlice),
+  * and existence probes batch per parent directory.
+  */
+private[sources] object WarcPlanner {
+  def plan(files: Seq[FileStatus], options: CaseInsensitiveStringMap,
+      conf: Configuration): Array[InputPartition] = {
     val split = options.getBoolean("split_uncompressed", true)
     val maxPart = options.getLong("max_partition_bytes", 128L * 1024 * 1024)
     // member index: JSON-lines {"filename": ..., "offset": <compressed>}
@@ -652,45 +705,8 @@ class WarcScan(
       } else Seq(WarcInputPartition(p, 0L, Long.MaxValue, len))
     }.toArray
   }
-
-  /** Ship only filesystem-relevant hadoop conf entries (serializable,
-    * small); local/file and default FS need nothing beyond defaults.
-    */
-  private def fsProps: Map[String, String] = {
-    val conf = WarcInput.withHttpFs(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    conf.iterator().asScala
-      .map(e => e.getKey -> e.getValue)
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("io.") }
-      .toMap
-  }
-
-  private def parseOpts: WarcParseOptions = {
-    val needed = required.fieldNames.toSet
-    val baseOpts = WarcParseOptions(
-      parseHttp = options.getBoolean("parse_http", true) &&
-        needed.exists(WarcSchema.httpCols),
-      readPayload = needed.exists(WarcSchema.payloadCols),
-      strict = options.getBoolean("strict", false),
-      keepMetaOverMax = options.getBoolean("always_keep_meta", false),
-      minContentLength = options.getLong("min_content_length", -1L),
-      maxContentLength = options.getLong("max_content_length", -1L),
-      recordTypeMask = Option(options.get("record_types"))
-        .map(s => RecordType.maskOf(s.split(",").map(_.trim).filter(_.nonEmpty)))
-        .getOrElse(RecordType.AnyType))
-    WarcPushdown.toParseOptions(baseOpts, filters)
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(parseOpts, required, fsProps,
-      options.getInt("stream_retries", 0),
-      Option(options.get("emit_member_index")),
-      options.getBoolean("async_decode", false))
-
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(options, parseOpts, required, fsProps)
 }
+
 
 class WarcReaderFactory(
     parseOpts: WarcParseOptions,
@@ -1667,7 +1683,7 @@ class WarcMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileSetOffset]
     val e = end.asInstanceOf[FileSetOffset]
-    listSorted()
+    val admitted = listSorted()
       .filter { st =>
         val p = st.getPath.toString
         val m = st.getModificationTime
@@ -1682,8 +1698,12 @@ class WarcMicroBatchStream(
             "is new, raise the max_file_age_ms option")
         e.contains(p, m) && !s.contains(p, m)
       }
-      .map(st => WarcInputPartition(st.getPath.toString, 0L, Long.MaxValue, st.getLen)
-        : InputPartition).toArray
+    // the shared planner: a streaming backfill of indexed archives gets
+    // the same member-parallel IdxSlice splits (and raw byte-range
+    // splits) a batch scan plans — one whole-file partition per 100 GB
+    // archive per trigger would serialize the backfill on single
+    // executors
+    WarcPlanner.plan(admitted, options, conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

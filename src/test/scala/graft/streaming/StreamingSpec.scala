@@ -54,6 +54,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming backfill of a member-indexed archive is member-parallel: " +
+      "the micro-batch plans IdxSlice partitions, totals exact") {
+    val landing = Files.createTempDirectory("warc-backfill")
+    // an indexed archive: member-per-record gzip + its .idx sidecar,
+    // BOTH landed before the stream starts (the backfill regime)
+    val (gzPath, offs) = graft.sources.BenchCorpus.ensureMemberArchive(
+      landing.toString)
+    Files.write(landing.resolve("members.warc.gz.idx"),
+      offs.map(o => s"""{"filename": "members.warc.gz", "offset": $o}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val query = spark.readStream.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(landing.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        parts += df.rdd.getNumPartitions
+        df.groupBy(col("record_type")).agg(count(lit(1)).as("n"))
+          .write.mode("append").format("noop").save()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(parts.exists(_ > 1),
+      s"backfill batch planned no member-parallel partitions: $parts")
+    // and the same stream counted through a fresh query yields exactly
+    // the archive's records (no dup/loss across slices)
+    val q2 = spark.readStream.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(landing.toString)
+      .groupBy(lit(1)).agg(count(lit(1)).as("n"),
+        sum(col("content_length")).as("bytes"))
+      .writeStream.format("memory").queryName("backfill_counts")
+      .outputMode("complete").start()
+    try {
+      q2.processAllAvailable()
+      val r = spark.sql("SELECT n, bytes FROM backfill_counts").head
+      assert(r.getLong(0) == 50L && r.getLong(1) == 527846L)
+    } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(landing.toFile)
+  }
+
   test("streaming scan consumes .warc.zst landings — codec auto-detect " +
       "holds in the micro-batch path, dictionary archives included") {
     val landing = Files.createTempDirectory("warc-zst-landing")
