@@ -302,8 +302,9 @@ object WarcInput {
           if (o < last)
             throw new IllegalStateException(
               s"member index ${idx.idxPath} is not offset-monotone at byte " +
-              s"$lineStart (offset $o after $last); rebuild the sidecar or " +
-              "pass it via the member_index option (plan-time sorted path)")
+              s"$lineStart (offset $o after $last); rebuild the sidecar, or " +
+              "pass it as a SINGLE consolidated index file via member_index " +
+              "(the plan-time sorted path, which accepts any line order)")
           if (lineStart < idx.byteEnd) { if (o != last) owned += o }
           else bound = Some(o)
           last = o
@@ -562,17 +563,32 @@ private[sources] object WarcPlanner {
     // the first slice is anchored to the file head below, so a
     // responses-only CDXJ still yields a COMPLETE parallel scan
     // (records between two indexed offsets ride in their slice).
-    val memberIndex: Map[String, Seq[Long]] =
+    val dataNames = files.filter(st => WarcInput.isDataFile(st.getPath.getName))
+      .map(_.getPath.getName).toSet
+    // Explicit member_index splits two ways (r16): per-file sidecars
+    // whose NAME matches a data file (`<data>.idx` — the engine's own
+    // format, monotone by construction) take the same zero-plan-read
+    // IdxSlice path auto-discovery uses; everything else (a single
+    // consolidated CDXJ, oddly named indexes) is read and sorted at
+    // plan time — the only path that accepts arbitrary line order, and
+    // the one the slice reader's monotonicity error points to.
+    val (explicitSidecars: Map[String, FileStatus],
+         memberIndex: Map[String, Seq[Long]]) =
       Option(options.get("member_index")).map { idxPath =>
         val listed = WarcInput.listFiles(Seq(idxPath), conf)
-        // a directory/glob listing keeps only .idx sidecars; an explicit
-        // single file is taken as-is whatever its name
-        val idxFiles =
-          if (listed.size > 1) listed.filter(_.getPath.getName.endsWith(".idx"))
-          else listed
-        idxFiles.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
-          .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
-      }.getOrElse(Map.empty)
+        if (listed.size > 1) {
+          val idxFiles = listed.filter(_.getPath.getName.endsWith(".idx"))
+          val (matched, foreign) = idxFiles.partition(st =>
+            dataNames.contains(st.getPath.getName.stripSuffix(".idx")))
+          (matched.map(st =>
+             st.getPath.getName.stripSuffix(".idx") -> st).toMap,
+           foreign.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
+             .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap)
+        } else
+          (Map.empty[String, FileStatus],
+           listed.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
+             .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap)
+      }.getOrElse((Map.empty[String, FileStatus], Map.empty[String, Seq[Long]]))
 
     // Sidecar auto-discovery (`auto_member_index`, default on — the
     // Spark analog of Beam re-splitting a RUNNING read with zero user
@@ -609,7 +625,7 @@ private[sources] object WarcPlanner {
     val probeCandidates = files.filter { st =>
       val name = st.getPath.getName
       autoIdx && WarcInput.isDataFile(name) && st.getLen > maxPart &&
-        !memberIndex.contains(name) &&
+        !memberIndex.contains(name) && !explicitSidecars.contains(name) &&
         !listedSidecars.contains(
           new Path(st.getPath.getParent, name + ".idx").toString)
     }
@@ -655,9 +671,11 @@ private[sources] object WarcPlanner {
       val p = st.getPath.toString
       val len = st.getLen
       val indexed = memberIndex.get(st.getPath.getName)
-      val sidecar =
-        if (indexed.isDefined || !autoIdx || len <= maxPart) None
-        else autoSidecar(st).filter(_.getLen > 0)
+      val sidecar = (
+        if (len <= maxPart) None
+        else explicitSidecars.get(st.getPath.getName)
+          .orElse(if (indexed.isDefined || !autoIdx) None else autoSidecar(st))
+      ).filter(_.getLen > 0)
       if (sidecar.isDefined) {
         // member-parallel via sidecar byte slices: cut the DATA file
         // into ~maxPart spans by cutting its sidecar into equal byte

@@ -152,6 +152,44 @@ class IdxSliceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("explicit member_index DIRECTORY of basename-matched sidecars " +
+      "plans IdxSlice partitions (zero plan-time sidecar reads); a " +
+      "single consolidated CDXJ stays on the plan-time sorted path") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-explicit")
+    val copy = dir.resolve("exp.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    def parts(indexOpt: String) = spark.read.format("warc")
+      .option("member_index", indexOpt)
+      .option("max_partition_bytes", 16 * 1024)
+      .option("auto_member_index", false)
+      .load(copy.toString)
+      .queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.map(_.asInstanceOf[WarcInputPartition])
+    // directory form: the basename-matched sidecar routes to IdxSlice
+    val viaDir = parts(dir.toString)
+    assert(viaDir.length > 1 && viaDir.forall(p =>
+      p.idx.isDefined && p.memberOffsets.isEmpty), s"$viaDir")
+    // single-file form: plan-time sorted path, offsets embedded
+    val viaFile = parts(dir.resolve("exp.warc.gz.idx").toString)
+    assert(viaFile.length > 1 && viaFile.forall(p =>
+      p.idx.isEmpty && p.memberOffsets.nonEmpty), s"$viaFile")
+    // both read identically
+    def ids(indexOpt: String) = spark.read.format("warc")
+      .option("member_index", indexOpt)
+      .option("max_partition_bytes", 16 * 1024)
+      .option("auto_member_index", false)
+      .load(copy.toString)
+      .select("record_id", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(ids(dir.toString) == ids(dir.resolve("exp.warc.gz.idx").toString))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("slice path reproduces the materialized member_index path " +
       "bit-for-bit: same record ids AND same compressed offsets") {
     val dir = java.nio.file.Files.createTempDirectory("idx-parity")
