@@ -88,4 +88,27 @@ class LiveObjectStoreSpec extends AnyFunSuite {
       assert(rescan.count() == 50L)
     }
   }
+
+  test("point reads against the live store: resolvePointReads issues " +
+      "ranged GETs through the Hadoop FS (one open per group, seek per " +
+      "hit) and extracts every member") {
+    withLivePrefix { base =>
+      // the sidecar gives compressed member addresses; its emit pass is
+      // the first scan (same loop the previous test drives)
+      assert(spark.read.format("warc")
+        .option("emit_member_index", base)
+        .load(s"$base/live.warc.gz").count() == 50L)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val idx = new org.apache.hadoop.fs.Path(s"$base/live.warc.gz.idx")
+      val offs = WarcInput.readMemberIndexFile(idx, conf).map(_._2)
+      assert(offs.size == 50)
+      val sp = spark
+      import sp.implicits._
+      val hits = sp.createDataset(offs.map(o => ("", s"$base/live.warc.gz", o)))
+      val res = graft.queries.Warc.resolvePointReads(hits)
+      import org.apache.spark.sql.functions._
+      assert(res.filter(col("content_length") >= 0).count() == 50L)
+      assert(res.agg(sum("content_length")).head.getLong(0) == 527846L)
+    }
+  }
 }
