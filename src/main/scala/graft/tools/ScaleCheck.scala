@@ -739,22 +739,36 @@ object ScaleCheck {
         require(tDeep < 1.0, f"1M-member plan took $tDeep%.2f s (budget 1 s)")
         require(math.max(0, hDeep) < 64L * 1024 * 1024,
           s"1M-member plan retained ${hDeep / 1024 / 1024} MB of driver heap")
-        // (c) explicit 1,000-entry file list vs the directory plan
-        val fileList = new java.io.File(dirP).listFiles()
+        // (c) the verdict's exact criterion: a 10,000-file EXPLICIT list
+        // must plan within 2x of the glob path (the batched-probe
+        // contract — the old code did one sequential getFileStatus RPC
+        // per explicit file). The glob matches only *.warc.gz, so BOTH
+        // paths probe for sidecars; the probe is one listStatus per
+        // parent either way.
+        val dir10k = graft.sources.BenchCorpus.ensure(
+          s"$tmpP/graft_planscale10k", files = 10000, copiesPerFile = 1)
+        if (!new java.io.File(dir10k, "bench-0000.warc.gz.idx").exists() &&
+            !new java.io.File(dir10k, "bench-000.warc.gz.idx").exists())
+          spark.read.format("warc").option("record_types", "response")
+            .option("emit_member_index", dir10k).load(dir10k).count()
+        planOf(Map("path" -> s"$dir10k/*.warc.gz")) // warm
+        val (partsGlob, tGlob) = timedPlan(Map("path" -> s"$dir10k/*.warc.gz"))
+        val fileList = new java.io.File(dir10k).listFiles()
           .filter(_.getName.endsWith(".warc.gz")).map(_.getPath).sorted
         val json = new com.fasterxml.jackson.databind.ObjectMapper()
           .writeValueAsString(fileList)
         val (partsList, tList) = timedPlan(Map("paths" -> json))
-        println(f"[scale] planscale explicit-list: files=${fileList.length} " +
-          f"parts=${partsList.length}%5d plan=$tList%6.3f s " +
-          f"(dir plan $tDir%6.3f s, ratio ${tList / tDir}%4.2f)")
-        val idxPartsList = partsList.count {
+        println(f"[scale] planscale 10k explicit-list: files=${fileList.length} " +
+          f"parts=${partsList.length}%6d plan=$tList%6.3f s " +
+          f"(glob plan $tGlob%6.3f s, ratio ${tList / tGlob}%4.2f)")
+        def idxParts(a: Array[_]): Int = a.count {
           case p: graft.sources.WarcInputPartition => p.idx.isDefined
           case _ => false }
-        require(idxPartsList == slices.length,
-          s"explicit list planned $idxPartsList idx partitions vs ${slices.length}")
-        require(tList < math.max(2 * tDir, 1.0),
-          f"explicit-list plan $tList%.2f s exceeded 2x the directory plan $tDir%.2f s")
+        require(fileList.length == 10000, s"corpus has ${fileList.length} files")
+        require(idxParts(partsList) == idxParts(partsGlob) && idxParts(partsList) > 0,
+          s"explicit list planned ${idxParts(partsList)} idx partitions vs glob ${idxParts(partsGlob)}")
+        require(tList < math.max(2 * tGlob, 1.0),
+          f"explicit-list plan $tList%.2f s exceeded 2x the glob plan $tGlob%.2f s")
       case other => sys.error(
         s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex | memberindexzstd | cdxjlookup | planscale)")
     }
