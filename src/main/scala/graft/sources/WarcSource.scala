@@ -135,7 +135,7 @@ object WarcInput {
     * bound its own `fs.s3.impl`. Rewrite is at path-parse time so
     * listing, splits and the scan all see one scheme.
     */
-  private[sources] def normalizeScheme(p: String, conf: Configuration): String =
+  private[graft] def normalizeScheme(p: String, conf: Configuration): String =
     if (p.startsWith("s3://") && conf.get("fs.s3.impl") == null)
       "s3a://" + p.substring(5)
     else p

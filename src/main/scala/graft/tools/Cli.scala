@@ -43,12 +43,12 @@ object Cli {
           // intra-file splits on stock Common Crawl files
           var rc = 0
           pos.foreach { f =>
-            val in = new FileInputStream(f)
+            val in = openRaw(f)
             val res = try MemberIndex.scan(in) finally in.close()
-            val base = new java.io.File(f).getName
+            val base = f.substring(f.lastIndexOf('/') + 1)
             val idxPath = f + ".idx"
             val w = new java.io.PrintWriter(new java.io.BufferedWriter(
-              new java.io.OutputStreamWriter(new FileOutputStream(idxPath),
+              new java.io.OutputStreamWriter(createOut(idxPath),
                 java.nio.charset.StandardCharsets.UTF_8)))
             try res.offsets.foreach(o =>
               w.println(s"""{"filename":${jsonStr(base)},"offset":$o}"""))
@@ -73,11 +73,11 @@ object Cli {
         // (train once on one shard, apply to the whole corpus)
         if (pos.length != 2) { usage(out); return 2 }
         WarcWriter.trainDictionary(
-          () => new FileInputStream(pos(0)), flag("checksum"),
+          () => openRaw(pos(0)), flag("checksum"),
           flagVal("max-samples").map(_.toInt).getOrElse(256),
           flagVal("dict-size").map(_.toInt).getOrElse(0)) match {
           case Some(d) =>
-            val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+            val o = new BufferedOutputStream(createOut(pos(1)))
             try o.write(d) finally o.close()
             out.println(s"trained dictionary: ${d.length} bytes -> ${pos(1)}")
             0
@@ -95,8 +95,8 @@ object Cli {
           case Some(dictPath) =>
             val dict = java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(dictPath))
-            val in = new FileInputStream(pos(0))
-            val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+            val in = openRaw(pos(0))
+            val o = new BufferedOutputStream(createOut(pos(1)))
             val n = try {
               val (stream, _) = WarcCodecs.open(in)
               val parser = new WarcParser(new WarcByteReader(stream), "",
@@ -117,9 +117,9 @@ object Cli {
         // (wget's shape) — dictionary skippable frame + per-record
         // frames compressed against it
         if (flag("zstd-dict")) {
-          val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+          val o = new BufferedOutputStream(createOut(pos(1)))
           val (n, dictLen) = try WarcWriter.recompressZstdTrained(
-              () => new FileInputStream(pos(0)), o, flag("checksum"))
+              () => openRaw(pos(0)), o, flag("checksum"))
             finally o.close()
           out.println(s"$n records recompressed to ${pos(1)}" +
             dictLen.map(l => s" (trained dictionary: $l bytes)")
@@ -133,8 +133,8 @@ object Cli {
           case "none" | "uncompressed" => WarcWriter.Raw
           case other => out.println(s"unknown codec: $other"); return 2
         }
-        val in = new FileInputStream(pos(0))
-        val o = new BufferedOutputStream(new FileOutputStream(pos(1)))
+        val in = openRaw(pos(0))
+        val o = new BufferedOutputStream(createOut(pos(1)))
         val n = try WarcWriter.recompress(in, o, codec, flag("checksum"))
           finally { o.close(); in.close() }
         out.println(s"$n records recompressed to ${pos(1)}")
@@ -260,8 +260,38 @@ object Cli {
     if (drift == 0) 0 else 1
   }
 
+  // ---- scheme-aware IO (reference parity: cli.py:291-348 accepts
+  // s3://, http(s):// and plain paths on every subcommand; here any
+  // Hadoop-registered scheme resolves — s3 rewrites to s3a unless the
+  // deployment bound fs.s3.impl, http(s) binds Hadoop's read-only FS) --
+
+  private def hasScheme(path: String): Boolean =
+    path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") && !path.startsWith("file://")
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    graft.sources.WarcInput.withHttpFs(
+      new org.apache.hadoop.conf.Configuration())
+
+  private def openRaw(path: String): java.io.InputStream =
+    if (hasScheme(path)) {
+      val conf = hadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(
+        graft.sources.WarcInput.normalizeScheme(path, conf))
+      hp.getFileSystem(conf).open(hp)
+    } else new FileInputStream(
+      if (path.startsWith("file://")) new java.net.URI(path).getPath else path)
+
+  private def createOut(path: String): java.io.OutputStream =
+    if (hasScheme(path)) {
+      val conf = hadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(
+        graft.sources.WarcInput.normalizeScheme(path, conf))
+      hp.getFileSystem(conf).create(hp, true)
+    } else new FileOutputStream(
+      if (path.startsWith("file://")) new java.net.URI(path).getPath else path)
+
   private def open(path: String): (java.io.InputStream, WarcCodecs.Codec) =
-    WarcCodecs.openWithName(new FileInputStream(path), path)
+    WarcCodecs.openWithName(openRaw(path), path)
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -315,8 +345,16 @@ object Cli {
     * WarcPointLookup is the same kernel).
     */
   private def extract(path: String, offset: Long, payload: Boolean,
-      headersOnly: Boolean, out: PrintStream): Int =
-    WarcPointLookup.extract(path, offset) match {
+      headersOnly: Boolean, out: PrintStream): Int = {
+    val recOpt =
+      if (hasScheme(path)) {
+        val conf = hadoopConf()
+        WarcPointLookup.extractAllFs(
+          new org.apache.hadoop.fs.Path(
+            graft.sources.WarcInput.normalizeScheme(path, conf)),
+          Seq(offset), WarcParseOptions(), conf).getOrElse(offset, None)
+      } else WarcPointLookup.extract(path, offset)
+    recOpt match {
       case None => out.println(s"no record at offset $offset"); 1
       case Some(rec) =>
         val os: OutputStream = out
@@ -329,6 +367,7 @@ object Cli {
         os.flush()
         0
     }
+  }
 
   /** Block (and optionally payload) digest verification report
     * (cli.py:110-183; the w03 query is the distributed analog). Exit 1

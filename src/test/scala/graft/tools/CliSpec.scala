@@ -144,4 +144,42 @@ class CliSpec extends AnyFunSuite {
     assert(run("extract", Fixture)._1 == 2)
     assert(run("html", "frobnicate", FixtureGz)._1 == 2)
   }
+
+  test("every subcommand accepts object-store URLs (testfs:// via the " +
+      "Hadoop FS SPI): index --members writes a remote sidecar, extract " +
+      "seeks remotely, verify/benchmark stream, dict-train + recompress " +
+      "--dict round-trip remote in/out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_fs").toFile
+    val src = new java.io.File(dir, "remote.warc.gz")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(FixtureGz), src.toPath)
+    val url = s"testfs://${src.getAbsolutePath}"
+    // verify + benchmark stream through the scheme
+    val (vcode, vout) = run("verify", url)
+    assert(vcode == 0 && vout.contains("50 records"), vout)
+    val (bcode, bout) = run("benchmark", url, "--filter-type=response")
+    assert(bcode == 0 && bout.contains("16 records"), bout)
+    // index --members leaves the sidecar AT THE REMOTE PREFIX
+    val (icode, iout) = run("index", url, "--members")
+    assert(icode == 0 && iout.contains("50 members"), iout)
+    assert(new java.io.File(dir, "remote.warc.gz.idx").exists(),
+      "sidecar not committed next to the remote object")
+    // extract: a mid-archive offset from the sidecar, read via seek
+    val offs = graft.core.MemberIndex.scan(
+      new java.io.FileInputStream(src)).offsets
+    val (ecode, eout) = run("extract", url, offs(20).toString, "--headers")
+    assert(ecode == 0 && eout.contains("WARC-Type:"), eout)
+    // dictionary lifecycle with remote input AND remote outputs
+    val dictUrl = s"testfs://${dir.getAbsolutePath}/remote.dict"
+    val (tcode, tout) = run("dict-train", url, dictUrl)
+    assert(tcode == 0 && tout.contains("trained dictionary"), tout)
+    val outUrl = s"testfs://${dir.getAbsolutePath}/reuse.warc.zst"
+    // --dict still reads the artifact locally (it is a driver-side
+    // file by contract); use the local path the remote write landed at
+    val (rcode, rout) = run("recompress", url, outUrl,
+      s"--dict=${dir.getAbsolutePath}/remote.dict")
+    assert(rcode == 0 && rout.contains("pre-trained dictionary"), rout)
+    val (v2code, v2out) = run("verify", outUrl)
+    assert(v2code == 0 && v2out.contains("50 records"), v2out)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
