@@ -791,6 +791,16 @@ class WarcPartitionReader(
     if (rawInRef == null) rawInRef = fs.open(hPath)
     rawInRef
   }
+  /** Drop the (possibly dead) file handle; the next `rawIn` use opens a
+    * fresh one through the FileSystem — a new connection on an object
+    * store. Used by the member-scan retry below.
+    */
+  private def resetRawIn(): Unit = {
+    if (rawInRef != null) {
+      try rawInRef.close() catch { case _: Exception => }
+      rawInRef = null
+    }
+  }
   // current attempt's stream on the stream_retries path (superseded
   // attempts are closed by the factory; the live one by close())
   private var retryStream: org.apache.hadoop.fs.FSDataInputStream = _
@@ -1077,26 +1087,58 @@ class WarcPartitionReader(
       else pairsC(pairPtr) + (d - pairsD(pairPtr))
     }
 
+    // transient-vs-damage triage (r16): a dying stream is retried with a
+    // FRESH file handle (new connection on an object store) from the
+    // failing member before the damage contract kicks in — a dropped
+    // connection costs a bounded re-decode instead of a flagged lost
+    // member, while persistent corruption exhausts the retries and
+    // degrades exactly as before (error row + resume past the member).
+    // Replayed records on a retried segment are skipped by compressed
+    // offset (monotone within a partition), so retries can never
+    // duplicate rows.
+    private var retriesLeft = 2
+    private var lastEmitted = Long.MinValue
+
     override def hasNext: Boolean = {
       if (pending != null) return true
-      if (finished) return false
-      if (cur == null) openSegment(0)
-      if (cur.hasNext) {
-        val rec = cur.next()
-        pending = rec.copy(offset = rebase(rec.offset))
-        true
-      } else segReader.streamError match {
-        case Some(err) =>
-          val errAt = if (nPairs > 0) pairsC(nPairs - 1) else offs(segStart)
-          pending = streamErrorRecord(s"stream error in member at $errAt: $err")
-          var j = segStart + 1
-          while (j < offs.length && offs(j) <= errAt) j += 1
-          resumeAt = if (j < offs.length) j else -1
-          true
-        case None =>
-          finished = true
-          false
+      while (!finished) {
+        if (cur == null) openSegment(0)
+        if (cur.hasNext) {
+          val rec = cur.next()
+          val rebased = rebase(rec.offset)
+          if (rec.error.isDefined && segReader.streamError.isDefined &&
+              retriesLeft > 0) {
+            // a record-level error row parsed AT the death point is an
+            // artifact of the dropped connection (truncated mid-payload),
+            // not of the archive: suppress it and let the retry below
+            // re-produce the record cleanly (lastEmitted not advanced,
+            // so the replay emits)
+          } else if (rebased > lastEmitted) {
+            lastEmitted = rebased
+            pending = rec.copy(offset = rebased)
+            return true
+          } // else: replay from a retried segment — skip
+        } else segReader.streamError match {
+          case Some(err) =>
+            val errAt = if (nPairs > 0) pairsC(nPairs - 1) else offs(segStart)
+            if (retriesLeft > 0) {
+              retriesLeft -= 1
+              var j0 = segStart
+              while (j0 + 1 < offs.length && offs(j0 + 1) <= errAt) j0 += 1
+              resetRawIn()
+              openSegment(j0)
+            } else {
+              pending = streamErrorRecord(s"stream error in member at $errAt: $err")
+              var j = segStart + 1
+              while (j < offs.length && offs(j) <= errAt) j += 1
+              resumeAt = if (j < offs.length) j else -1
+              return true
+            }
+          case None =>
+            finished = true
+        }
       }
+      false
     }
 
     override def next(): WarcRecord = {

@@ -338,6 +338,62 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
   }
 
+  test("member-indexed scan over a flaky store: a dropped connection is " +
+      "retried with a fresh handle from the failing member — all records, " +
+      "zero error rows, zero duplicates") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.flakyfs.impl", classOf[FlakyObjectStoreFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("flaky-member")
+    try {
+      // member-per-record archive + sidecar so the scan plans IdxSlice
+      // partitions; large enough that the death point (100 KB raw) lands
+      // mid-scan for the head partition
+      val (gzPath, offs) = BenchCorpus.ensureMemberArchive(dir.toString)
+      java.nio.file.Files.write(dir.resolve("members.warc.gz.idx"),
+        offs.map(o => s"""{"filename": "members.warc.gz", "offset": $o}""")
+          .mkString("\n").getBytes("UTF-8"))
+      FlakyObjectStoreFs.reset()
+      // two deaths at increasing points: the productive-flaky remote
+      FlakyObjectStoreFs.schedule = Seq(60000L, 90000L)
+      val rows = spark.read.format("warc")
+        .option("max_partition_bytes", 16 * 1024) // force IdxSlice partitions
+        .load(s"flakyfs://$gzPath")
+        .select("record_id", "error").collect()
+      assert(rows.length == 50, s"expected 50 records, got ${rows.length}")
+      assert(rows.forall(_.isNullAt(1)),
+        "transient deaths must be retried, not degraded to error rows")
+      assert(rows.map(_.getString(0)).distinct.length == 50,
+        "retry must not replay records")
+      assert(FlakyObjectStoreFs.opensOf(gzPath) >= 3,
+        "the retry did not re-open the file")
+      // control: PERSISTENT corruption still degrades (error row +
+      // resume) once retries are exhausted — rewrite a member's deflate
+      // body and scan locally (no flakiness)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(gzPath))
+      val corrupt = dir.resolve("corrupt.warc.gz")
+      val mangled = bytes.clone()
+      val mid = (offs(20) + 25).toInt
+      mangled(mid) = (mangled(mid) ^ 0x5a).toByte
+      java.nio.file.Files.write(corrupt, mangled)
+      java.nio.file.Files.write(dir.resolve("corrupt.warc.gz.idx"),
+        offs.map(o => s"""{"filename": "corrupt.warc.gz", "offset": $o}""")
+          .mkString("\n").getBytes("UTF-8"))
+      val dmg = spark.read.format("warc")
+        .option("max_partition_bytes", 16 * 1024)
+        .load(corrupt.toString)
+        .select("record_id", "error").collect()
+      assert(dmg.exists(!_.isNullAt(1)),
+        "persistent damage must still surface as an error row")
+      assert(dmg.count(_.isNullAt(1)) == 49,
+        "healthy members must all survive the damaged one")
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("fs.flakyfs.impl")
+      FlakyObjectStoreFs.reset()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("scan custom metrics: record/error/byte counters land on the " +
       "BatchScan node (the Spark-UI data-quality surface)") {
     def metricsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
