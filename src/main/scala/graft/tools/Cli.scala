@@ -93,8 +93,11 @@ object Cli {
         // compressed against it, no training pass
         flagVal("dict") match {
           case Some(dictPath) =>
-            val dict = java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(dictPath))
+            val dict = {
+              val din = openRaw(dictPath)
+              try org.apache.commons.io.IOUtils.toByteArray(din)
+              finally din.close()
+            }
             val in = openRaw(pos(0))
             val o = new BufferedOutputStream(createOut(pos(1)))
             val n = try {

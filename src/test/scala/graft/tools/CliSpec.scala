@@ -173,10 +173,9 @@ class CliSpec extends AnyFunSuite {
     val (tcode, tout) = run("dict-train", url, dictUrl)
     assert(tcode == 0 && tout.contains("trained dictionary"), tout)
     val outUrl = s"testfs://${dir.getAbsolutePath}/reuse.warc.zst"
-    // --dict still reads the artifact locally (it is a driver-side
-    // file by contract); use the local path the remote write landed at
-    val (rcode, rout) = run("recompress", url, outUrl,
-      s"--dict=${dir.getAbsolutePath}/remote.dict")
+    // --dict resolves through the scheme too: train once remotely,
+    // apply from the remote artifact
+    val (rcode, rout) = run("recompress", url, outUrl, s"--dict=$dictUrl")
     assert(rcode == 0 && rout.contains("pre-trained dictionary"), rout)
     val (v2code, v2out) = run("verify", outUrl)
     assert(v2code == 0 && v2out.contains("50 records"), v2out)
