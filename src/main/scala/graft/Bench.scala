@@ -520,6 +520,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val stJson = singleThread.map { case (k, v) =>
       jstr(k) + ":" + math.round(v) }.mkString("{", ",", "}")
+    // canary-normalized single-thread rates (r16, same doctrine as the
+    // family walls): rate * parity/mean(section marks) — a slow window
+    // deflates the rates AND the marks, so the quotient divides the
+    // window out. Rounds compare on these; raw rows stay alongside.
+    val stCanaryMean =
+      if (canaryBefore <= 0 || canaryAfter <= 0) -1.0
+      else (canaryBefore + canaryAfter) / 2
+    val stNormJson =
+      if (stCanaryMean <= 0) "{}"
+      else singleThread.map { case (k, v) =>
+        jstr(k) + ":" + math.round(v * ParityCrc32Mbps / stCanaryMean) }
+        .mkString("{", ",", "}")
     val stSpreadJson = stRuns.map { case (k, rs) =>
       jstr(k) + s""":{"min":${math.round(rs.min)},"max":${math.round(rs.max)},"runs":[${rs.map(math.round).mkString(",")}]}"""
     }.mkString("{", ",", "}")
@@ -582,7 +594,7 @@ object Bench {
             f"${xs.map(_._2).sum * sweepCanaryMean / ParityCrc32Mbps}%.1f" }
         .mkString("{", ",", "}")
     val familiesNormJson = normalizedFamilies(results)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"jobs":$jobsJson,"families":$familiesJson,"families_normalized":$familiesNormJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs":$runsJson,"rates":$ratesJson,"isolated":$isoJson,"single_thread":$stJson,"single_thread_normalized":$stNormJson,"single_thread_spread":$stSpreadJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"jobs":$jobsJson,"families":$familiesJson,"families_normalized":$familiesNormJson,"streaming_floor_sec":$streamingFloor,"n_streaming":$nStreaming,"errors":$errJson,"n_errors":${errors.size},"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println(json)
     // committed self-artifact: the round-7 driver capture was
     // tail-truncated and lost half the per-query timings, so the full
@@ -620,7 +632,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalF = f"$total%.1f"
     val floorF = f"$streamingFloor%.1f"
-    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"families":$digestFamilies,"families_normalized":$familiesNormJson,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
+    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"queries":$digestQs,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"single_thread_normalized":$stNormJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"zstd_bound":$zstdBoundJson,"gzip_bound":$gzipBoundJson,"lz4_bound":$lz4BoundJson,"families":$digestFamilies,"families_normalized":$familiesNormJson,"heap_max_mb":$heapMb,"jvm_cpus":$jvmCpus,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     println("BENCH_JSON:" + digest)
     spark.stop()
   }
