@@ -60,9 +60,12 @@ final class AsyncChunkInputStream(
       case _: InterruptedException => // close() raced us; nothing to report
       case t: Throwable =>
         error = t
-        // best-effort EOF marker so a blocked consumer wakes; if the
-        // queue is full the consumer will drain it and see `error`
-        queue.offer(Chunk(null, -1))
+        // the marker must be DELIVERED, not offered: with a full queue a
+        // best-effort offer loses it and a slow consumer then blocks
+        // forever in take(). put() blocks until the consumer drains a
+        // slot (it is alive: it will) or close() interrupts us.
+        try queue.put(Chunk(null, -1))
+        catch { case _: InterruptedException => }
     } finally {
       try in.close() catch { case _: Exception => }
     }

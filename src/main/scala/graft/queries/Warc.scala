@@ -79,8 +79,10 @@ object Warc {
               new java.net.URI(file).getPath else file
             graft.core.WarcPointLookup.extractAll(path, offs)
           } else {
-            val conf = new org.apache.hadoop.conf.Configuration()
-            fsProps.foreach { case (k, v) => conf.set(k, v) }
+            // per-JVM cached Configuration: constructing one per group
+            // (default-XML resource parse) would dominate small groups
+            // at million-hit scale
+            val conf = graft.sources.WarcInput.cachedConf(fsProps)
             graft.core.WarcPointLookup.extractAllFs(
               new org.apache.hadoop.fs.Path(file), offs,
               graft.core.WarcParseOptions(), conf)
@@ -676,7 +678,12 @@ object Warc {
           .coalesce(1)
           .write.format("warc")
           .option("compression", "zstd").option("member_index", "true")
-        (if (trained) w.option("zstd_dict", dictFile.getPath) else w)
+        // training can legally decline (too few/uniform samples): the
+        // lifecycle then degrades dict-less, as trainDictionary's
+        // contract says — the option is only passed when the artifact
+        // exists (the oracle's dict_trained column pins that it did)
+        (if (trained && dict.isDefined) w.option("zstd_dict", dictFile.getPath)
+         else w)
           .mode("append").save(dir)
         new java.io.File(dir).listFiles()
           .filter(_.getName.endsWith(".warc.zst")).head

@@ -31,8 +31,28 @@ object BenchCorpus {
     * promote the OTHER's partially written bytes. pid + nano suffix
     * gives each writer its own tmp; the atomic move stays the commit.
     */
-  private def tmpFor(d: java.nio.file.Path, name: String): java.nio.file.Path =
+  private def tmpFor(d: java.nio.file.Path, name: String): java.nio.file.Path = {
+    sweepStaleTmps(d)
     d.resolve(s".$name.${ProcessHandle.current.pid}-${System.nanoTime()}.tmp")
+  }
+
+  /** Unique tmp names never collide, so a crashed writer's tmp is no
+    * longer self-healed by the next REPLACE_EXISTING — sweep dot-tmp
+    * debris older than an hour (never a LIVE writer's file: any
+    * in-flight ensure finishes in seconds).
+    */
+  private def sweepStaleTmps(d: java.nio.file.Path): Unit = {
+    if (!Files.isDirectory(d)) return
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val listing = Files.list(d)
+    try listing.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(".") && n.endsWith(".tmp") &&
+          (scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+            .getOrElse(Long.MaxValue) < cutoff))
+        scala.util.Try(Files.delete(p))
+    } finally listing.close()
+  }
 
   /** Create (once) and return the corpus directory. */
   def ensure(dir: String, files: Int = 10, copiesPerFile: Int = 20): String =

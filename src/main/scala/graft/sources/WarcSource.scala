@@ -150,6 +150,25 @@ object WarcInput {
     (multi ++ single).distinct
   }
 
+  /** Executor-side per-JVM Configuration cache keyed by the shipped
+    * fs-props map: Configuration construction parses the default XML
+    * resources (~ms), which would dominate per-group work in grouped
+    * point reads at million-hit scale. Configuration is thread-safe for
+    * the read-mostly use here (FileSystem.get caches separately).
+    */
+  @volatile private var confCache: (Map[String, String], Configuration) = null
+  def cachedConf(props: Map[String, String]): Configuration = {
+    val c = confCache
+    if (c != null && c._1 == props) c._2
+    else {
+      val conf = new Configuration()
+      props.foreach { case (k, v) => conf.set(k, v) }
+      val wrapped = withHttpFs(conf)
+      confCache = (props, wrapped)
+      wrapped
+    }
+  }
+
   /** Expand globs / directories into concrete files (driver side). */
   def listFiles(paths: Seq[String], conf: Configuration): Seq[FileStatus] =
     paths.flatMap { p0 =>
@@ -1095,8 +1114,11 @@ class WarcPartitionReader(
     // degrades exactly as before (error row + resume past the member).
     // Replayed records on a retried segment are skipped by compressed
     // offset (monotone within a partition), so retries can never
-    // duplicate rows.
-    private var retriesLeft = 2
+    // duplicate rows. The floor of 2 is deliberate always-on transient
+    // triage (bounded: ≤2 extra segment decodes per partition);
+    // `stream_retries` raises it for genuinely flaky stores — one knob
+    // for both the whole-stream and member-scan retry classes.
+    private var retriesLeft = math.max(2, streamRetries)
     private var lastEmitted = Long.MinValue
 
     override def hasNext: Boolean = {

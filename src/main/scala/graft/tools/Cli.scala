@@ -43,12 +43,21 @@ object Cli {
           // intra-file splits on stock Common Crawl files
           var rc = 0
           pos.foreach { f =>
+            val base = f.substring(f.lastIndexOf('/') + 1)
+            // open the sidecar BEFORE the scan (fail fast — a read-only
+            // scheme must not burn a full remote walk first); http(s) is
+            // read-only by construction, so its sidecar lands in the
+            // working directory with a note
+            val (idxPath, sink) =
+              if (f.startsWith("http://") || f.startsWith("https://")) {
+                val local = base + ".idx"
+                out.println(s"$f: read-only scheme — sidecar written to ./$local")
+                (local, createOut(local))
+              } else (f + ".idx", createOut(f + ".idx"))
             val in = openRaw(f)
             val res = try MemberIndex.scan(in) finally in.close()
-            val base = f.substring(f.lastIndexOf('/') + 1)
-            val idxPath = f + ".idx"
             val w = new java.io.PrintWriter(new java.io.BufferedWriter(
-              new java.io.OutputStreamWriter(createOut(idxPath),
+              new java.io.OutputStreamWriter(sink,
                 java.nio.charset.StandardCharsets.UTF_8)))
             try res.offsets.foreach(o =>
               w.println(s"""{"filename":${jsonStr(base)},"offset":$o}"""))
@@ -97,6 +106,15 @@ object Cli {
               val din = openRaw(dictPath)
               try org.apache.commons.io.IOUtils.toByteArray(din)
               finally din.close()
+            }
+            // same bound the sink's zstd_dict option enforces: readers
+            // reject oversized dictionary frames (ZstdWarc.MaxDictBytes),
+            // so writing one would emit an archive nothing can decode
+            if (dict.length > graft.core.ZstdWarc.MaxDictBytes) {
+              out.println(s"dictionary too large: ${dict.length} bytes " +
+                s"(max ${graft.core.ZstdWarc.MaxDictBytes}); readers would " +
+                "reject the dictionary frame — retrain with --dict-size")
+              return 2
             }
             val in = openRaw(pos(0))
             val o = new BufferedOutputStream(createOut(pos(1)))

@@ -60,6 +60,41 @@ class AsyncChunkInputStreamSpec extends AnyFunSuite {
     in.close()
   }
 
+  test("a producer error with a FULL queue still reaches a slow consumer " +
+      "(the marker is delivered with put, not dropped by a failed offer)") {
+    val dying = new java.io.InputStream {
+      private var served = 0
+      override def read(): Int = {
+        if (served > 5000) throw new java.io.IOException("upstream died")
+        served += 1; 7
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        var i = 0
+        try { while (i < len) { b(off + i) = read().toByte; i += 1 }; i }
+        catch { case e: java.io.IOException => if (i > 0) i else throw e }
+      }
+    }
+    // depth 1 + tiny chunks: the producer fills the queue and dies while
+    // it is full; the consumer reads slowly enough to guarantee that
+    val in = new AsyncChunkInputStream(dying, chunkSize = 512, depth = 1)
+    @volatile var outcome: Either[Throwable, Long] = null
+    val consumer = new Thread(() => {
+      outcome = try {
+        val buf = new Array[Byte](256)
+        var total = 0L
+        var r = 0
+        while (r >= 0) { Thread.sleep(2); r = in.read(buf); if (r > 0) total += r }
+        Right(total)
+      } catch { case t: Throwable => Left(t) }
+    })
+    consumer.start()
+    consumer.join(20000)
+    assert(!consumer.isAlive, "consumer hung: the error marker was lost")
+    assert(outcome.isLeft && outcome.left.exists(_.getMessage.contains("upstream died")),
+      s"expected the producer error, got $outcome")
+    in.close()
+  }
+
   test("early close interrupts and joins the producer — no leaked thread " +
       "blocked on a full queue") {
     val before = liveProducers()
