@@ -363,13 +363,24 @@ object WarcPointLookup {
           ZstdWarc.readDictionary(
             new java.io.BufferedInputStream(shield, 64 * 1024))
         else None
-      sorted.iterator.map { off =>
+      sorted.iterator.zipWithIndex.map { case (off, i) =>
         off -> (scala.util.Try {
           in.seek(off)
+          // bound each hit's read at the NEXT indexed member start: the
+          // member at `off` ends at or before any later member boundary,
+          // so on an object store a point read costs member-sized bytes,
+          // never the decoder's full read-ahead past it
+          val bounded: java.io.InputStream =
+            if (i + 1 < sorted.length)
+              org.apache.commons.io.input.BoundedInputStream.builder()
+                .setInputStream(shield)
+                .setMaxCount(sorted(i + 1) - off)
+                .setPropagateClose(false).get()
+            else shield
           val stream = headDict match {
             case Some(d) => new ZstdFrameInputStream(
-              new java.io.BufferedInputStream(shield, 64 * 1024), presetDict = d)
-            case None => WarcCodecs.open(shield)._1
+              new java.io.BufferedInputStream(bounded, 64 * 1024), presetDict = d)
+            case None => WarcCodecs.open(bounded)._1
           }
           val parser = new WarcParser(
             new WarcByteReader(stream), path.toString, opts)
