@@ -50,6 +50,19 @@ import graft.core._
   *   strict                require WARC/1.x version lines
   *   split_uncompressed    default true
   *   max_partition_bytes   split size for uncompressed files (default 128 MiB)
+  *
+  * Beyond the reference's kwargs (this engine's scale surface):
+  *   member_index          CDXJ / .idx file, glob or dir: member-parallel
+  *                         splits for compressed archives (WarcPlanner)
+  *   auto_member_index     default true: discover `<file>.idx` sidecars at
+  *                         plan time, executors parse their own IdxSlice
+  *   emit_member_index     dir: clean whole-file scans commit the sidecar
+  *                         as a side-output (record-addressable for free)
+  *   stream_retries        int: whole-stream resume (warc_retry) AND the
+  *                         member-scan transient-retry budget (floor 2)
+  *   async_decode          default false: chunk-pipeline decode for
+  *                         latency-bound remote streams (NOT a local win —
+  *                         measured and rejected as default, PROFILE_r16)
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
