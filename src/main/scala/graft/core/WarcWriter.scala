@@ -363,18 +363,30 @@ object WarcPointLookup {
           ZstdWarc.readDictionary(
             new java.io.BufferedInputStream(shield, 64 * 1024))
         else None
+      // explicit bound for the LAST hit: the archive's length (one
+      // getFileStatus RPC per group) — without it the final member's
+      // read runs through the unbounded stream and decoder read-ahead
+      // may stream past it toward EOF on an object store, partially
+      // defeating member-sized point reads (ADVICE r16). Unavailable
+      // length (racing delete) falls back to unbounded: the Try below
+      // already owns per-hit failure.
+      val fileLen: Long =
+        try fs.getFileStatus(path).getLen
+        catch { case _: java.io.IOException => Long.MaxValue }
       sorted.iterator.zipWithIndex.map { case (off, i) =>
         off -> (scala.util.Try {
           in.seek(off)
-          // bound each hit's read at the NEXT indexed member start: the
-          // member at `off` ends at or before any later member boundary,
-          // so on an object store a point read costs member-sized bytes,
-          // never the decoder's full read-ahead past it
+          // bound each hit's read at the NEXT indexed member start (file
+          // length for the last hit): the member at `off` ends at or
+          // before any later member boundary, so on an object store a
+          // point read costs member-sized bytes, never the decoder's
+          // full read-ahead past it
+          val boundAt = if (i + 1 < sorted.length) sorted(i + 1) else fileLen
           val bounded: java.io.InputStream =
-            if (i + 1 < sorted.length)
+            if (boundAt > off && boundAt != Long.MaxValue)
               org.apache.commons.io.input.BoundedInputStream.builder()
                 .setInputStream(shield)
-                .setMaxCount(sorted(i + 1) - off)
+                .setMaxCount(boundAt - off)
                 .setPropagateClose(false).get()
             else shield
           val stream = headDict match {

@@ -350,6 +350,91 @@ object WarcInput {
       (owned.result(), bound)
     } finally in.close()
   }
+
+  /** Probe result of [[probeIdxPrefix]]: is this sidecar safe for the
+    * IdxSlice fast path, or must the scan degrade — and how?
+    */
+  sealed trait IdxProbe
+  /** Prefix offsets are monotone: take the IdxSlice path. */
+  case object IdxOk extends IdxProbe
+  /** Prefix offsets are NOT offset-sorted (a URL/SURT-sorted CDXJ, the
+    * common foreign per-file sidecar): every slice must degrade to the
+    * whole-sidecar read-and-sort path.
+    */
+  case object IdxDisordered extends IdxProbe
+  /** The sidecar vanished between plan and execution (deleted, or an
+    * out-of-band rewrite the FS surfaces as not-found): degrade to a
+    * whole-file scan.
+    */
+  case object IdxMissing extends IdxProbe
+
+  /** Cheap executor-side order pre-validation of a sidecar (the ADVICE
+    * r16 medium finding): real-world per-file CDXJ sidecars are commonly
+    * URL/SURT-sorted rather than offset-sorted, and the IdxSlice fast
+    * path REQUIRES offset order — failing the query over an
+    * auto-discovered convenience would regress the "auto-discovery must
+    * never fail a query" contract. Every slice of a file reads the SAME
+    * first `prefixBytes` of the sidecar and applies the same rule, so
+    * the degrade decision is deterministic and identical across slices
+    * (the property a per-slice local check cannot have: disorder in
+    * slice j is invisible to slice i, and a mixed fast/degraded scan
+    * double-reads members). Disorder past the prefix in a
+    * prefix-monotone sidecar still fails loudly in [[readIdxSlice]] —
+    * the deliberate backstop against silent double-scans, now reachable
+    * only by a sidecar that is offset-sorted for 64 KiB and then isn't.
+    */
+  def probeIdxPrefix(idxPath: String, dataBasename: String,
+      conf: Configuration, prefixBytes: Int = 64 * 1024): IdxProbe = {
+    val hp = new Path(idxPath)
+    val in =
+      try hp.getFileSystem(conf).open(hp)
+      catch { case _: java.io.FileNotFoundException => return IdxMissing }
+    try {
+      val buf = new Array[Byte](prefixBytes)
+      var got = 0; var r = 0
+      while (got < prefixBytes && r >= 0) {
+        r = in.read(buf, got, prefixBytes - got)
+        if (r > 0) got += r
+      }
+      val sawEof = r < 0
+      // complete lines only: an unterminated tail line is dropped unless
+      // we reached EOF (then it is the file's real last line)
+      var end = got
+      if (!sawEof) {
+        while (end > 0 && buf(end - 1) != '\n') end -= 1
+      }
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      var last = Long.MinValue
+      var lineStart = 0
+      var i = 0
+      while (i <= end) {
+        if (i == end || buf(i) == '\n') {
+          if (i > lineStart) {
+            val line = new String(buf, lineStart, i - lineStart,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val j = line.indexOf('{')
+            if (j >= 0) scala.util.Try {
+              val node = m.readTree(line.substring(j))
+              val off = Option(node.get("offset")).flatMap { o =>
+                if (o.isNumber) Some(o.asLong())
+                else scala.util.Try(o.asText().trim.toLong).toOption
+              }
+              Option(node.get("filename")).map(_.asText())
+                .filter(f => f.substring(f.lastIndexOf('/') + 1) == dataBasename)
+                .flatMap(_ => off)
+            }.toOption.flatten.foreach { o =>
+              if (o < last) return IdxDisordered
+              last = o
+            }
+          }
+          lineStart = i + 1
+        }
+        i += 1
+      }
+      IdxOk
+    } catch { case _: java.io.FileNotFoundException => IdxMissing }
+    finally in.close()
+  }
 }
 
 class WarcScanBuilder(options: CaseInsensitiveStringMap)
@@ -717,10 +802,19 @@ private[sources] object WarcPlanner {
         val idxSt = sidecar.get
         val n = math.max(1L, (len + maxPart - 1) / maxPart)
         val chunk = math.max(1L, (idxSt.getLen + n - 1) / n)
+        // the TAIL slice is open-ended (byteEnd = MaxValue), not pinned
+        // at the plan-time sidecar length: a sidecar that grew between
+        // plan and execution (concurrent indexer append) would otherwise
+        // leave the appended lines owned by no slice, and the tail's
+        // bound search would truncate its decode at the first appended
+        // offset — silent member loss. Open-ended, the tail owns
+        // everything to the sidecar's CURRENT end and decodes to file
+        // EOF, covering the whole archive exactly as the plan assumed.
         (0L until idxSt.getLen by chunk).map(s =>
           WarcInputPartition(p, 0L, Long.MaxValue, len, Nil,
             Some(IdxSlice(idxSt.getPath.toString, s,
-              math.min(s + chunk, idxSt.getLen)))))
+              if (s + chunk >= idxSt.getLen) Long.MaxValue
+              else s + chunk))))
       } else if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
         // chunk member offsets into ~maxPart compressed-byte slices;
         // anchor at the file head (a foreign CDXJ's first indexed
@@ -793,6 +887,11 @@ object WarcScanMetrics {
     override def name(): String = n
     override def value(): Long = v
   }
+}
+
+object WarcPartitionReader {
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[WarcPartitionReader])
 }
 
 class WarcPartitionReader(
@@ -959,7 +1058,92 @@ class WarcPartitionReader(
     * duplicate rows across slices and is exactly what the deterministic
     * rules above exist to avoid).
     */
-  private def idxSliceIterator(idx: IdxSlice): Iterator[WarcRecord] = {
+  private def idxSliceIterator(idx: IdxSlice): Iterator[WarcRecord] =
+    (try WarcInput.probeIdxPrefix(idx.idxPath, hPath.getName, conf)
+     catch { case e: java.io.IOException =>
+       // unreadable ≠ missing: a vanished file degrades (IdxMissing,
+       // deterministic for every slice), but a stale-checksum or
+       // permission error can differ per slice — fail loudly with the
+       // operator's way out, same contract as the slice read below
+       throw new java.io.IOException(
+         s"member-index sidecar ${idx.idxPath} is unreadable; delete the " +
+         "sidecar (or rebuild it with the index CLI / emit_member_index) " +
+         "or set auto_member_index=false to scan without it: " +
+         e.getMessage, e)
+     }) match {
+      case WarcInput.IdxMissing =>
+        // the sidecar vanished between plan and execution (deleted, or
+        // rewritten out-of-band): deterministic whole-file degrade — the
+        // head slice scans the entire file alone, every other slice
+        // emits nothing. Every slice sees the same not-found, so the
+        // split of work is consistent; the convenience feature never
+        // fails the query. (A sidecar deleted DURING the scan — after
+        // some slices already read it — is out-of-band mutation of a
+        // planned input, the same undefined regime as deleting a parquet
+        // file mid-query; post-probe read errors stay loud below.)
+        WarcPartitionReader.log.warn(
+          s"member-index sidecar ${idx.idxPath} disappeared after planning; " +
+          s"scanning ${part.path} as a single whole-file partition")
+        if (idx.byteStart == 0) memberIterator(Array(0L), part.fileSize)
+        else Iterator.empty
+      case WarcInput.IdxDisordered =>
+        // a URL/SURT-sorted sidecar (pywb convention): the offset-order
+        // fast path cannot be used, but the query must not fail over an
+        // auto-discovered convenience — degrade to the read-and-sort
+        // path, executor-side and still parallel (below)
+        WarcPartitionReader.log.warn(
+          s"member-index sidecar ${idx.idxPath} is not offset-sorted " +
+          "(URL-sorted CDXJ?); degrading to the whole-sidecar sorted " +
+          "path — rebuild with the index CLI --members for bounded " +
+          "sidecar reads")
+        disorderedIdxIterator(idx)
+      case WarcInput.IdxOk => idxSliceFastIterator(idx)
+    }
+
+  /** Deterministic degrade for a non-offset-sorted sidecar, preserving
+    * member parallelism: EVERY slice of the file reads the whole sidecar
+    * (same bytes → same parse → same sorted global offset list on every
+    * executor), then takes the contiguous chunk of sorted members whose
+    * index-fraction matches its own byte-fraction of the sidecar. Chunk
+    * boundaries are a pure function of (byteStart, byteEnd, sidecar
+    * length, offset list), and adjacent slices share the boundary value
+    * exactly (slice i's byteEnd IS slice i+1's byteStart), so the chunks
+    * tile [0, m) with no overlap and no gap — each member decoded by
+    * exactly one slice. Costs one full sidecar read per task (the price
+    * of disorder; the WARN above names the fix).
+    */
+  private def disorderedIdxIterator(idx: IdxSlice): Iterator[WarcRecord] = {
+    val idxHp = new Path(idx.idxPath)
+    val idxLen =
+      try idxHp.getFileSystem(conf).getFileStatus(idxHp).getLen
+      catch { case _: java.io.FileNotFoundException =>
+        return if (idx.byteStart == 0) memberIterator(Array(0L), part.fileSize)
+               else Iterator.empty
+      }
+    val all = WarcInput.readMemberIndexFile(idxHp, conf)
+      .filter(_._1 == hPath.getName).map(_._2)
+      .filter(o => o >= 0 && o < part.fileSize)
+      .distinct.sorted.toArray
+    val m = all.length
+    if (m == 0 || idxLen <= 0)
+      return if (idx.byteStart == 0) memberIterator(Array(0L), part.fileSize)
+             else Iterator.empty
+    // fraction mapping (doubles are fine: adjacent slices evaluate the
+    // SAME expression on the SAME inputs at their shared boundary)
+    def cut(b: Long): Int =
+      math.min(m.toLong, (b.toDouble / idxLen * m).toLong).toInt
+    val lo = cut(idx.byteStart)
+    val hi = if (idx.byteEnd >= idxLen) m else cut(idx.byteEnd)
+    if (lo >= hi) return Iterator.empty
+    val chunk = java.util.Arrays.copyOfRange(all, lo, hi)
+    // the chunk that owns index 0 also anchors the file head: records
+    // before the first indexed member must still be scanned
+    val offs = if (lo == 0 && chunk(0) != 0L) 0L +: chunk else chunk
+    val end = if (hi == m) part.fileSize else all(hi)
+    memberIterator(offs, end)
+  }
+
+  private def idxSliceFastIterator(idx: IdxSlice): Iterator[WarcRecord] = {
     val (owned0, bound0) =
       try WarcInput.readIdxSlice(idx, hPath.getName, conf)
       catch { case e: java.io.IOException =>
@@ -1797,7 +1981,23 @@ class WarcMicroBatchStream(
     // the same member-parallel IdxSlice splits (and raw byte-range
     // splits) a batch scan plans — one whole-file partition per 100 GB
     // archive per trigger would serialize the backfill on single
-    // executors
+    // executors.
+    //
+    // Replay contract (documented tradeoff, ADVICE r16): a batch
+    // replayed after a failure re-plans against CURRENT sidecar state.
+    // If a sidecar appeared between attempts (e.g. an earlier batch's
+    // emit_member_index side-output landed), the replay plans
+    // member-aligned partitions where the first attempt planned a
+    // whole-file stream — the record set, contents, and totals are
+    // identical, but the `offset` column's coordinate system for
+    // mid-member records upgrades from stream position to compressed
+    // member address, so replayed output is value-identical except for
+    // that column. Pinning the first attempt's partitioning would
+    // require recording sidecar availability per file in the offset
+    // JSON (bloating the checkpoint by O(files) per trigger) to protect
+    // a column whose documented semantics are "best seekable address
+    // known at scan time" — the honest contract is documented instead:
+    // treat `offset` as an opaque address, not a replay-stable key.
     WarcPlanner.plan(admitted, options, conf)
   }
 

@@ -44,24 +44,35 @@ object Cli {
           var rc = 0
           pos.foreach { f =>
             val base = f.substring(f.lastIndexOf('/') + 1)
-            // open the sidecar BEFORE the scan (fail fast — a read-only
-            // scheme must not burn a full remote walk first); http(s) is
-            // read-only by construction, so its sidecar lands in the
-            // working directory with a note
-            val (idxPath, sink) =
+            // the sidecar commits ATOMICALLY (dot-tmp sibling + rename,
+            // the emit_member_index side-output's discipline): a scan
+            // planning IdxSlice partitions from a half-written sidecar
+            // would compute slices from the in-progress length and lose
+            // the members appended after plan time. The tmp opens BEFORE
+            // the scan (fail fast — a read-only scheme must not burn a
+            // full remote walk first); http(s) is read-only by
+            // construction, so its sidecar lands in the working
+            // directory with a note
+            val idxPath =
               if (f.startsWith("http://") || f.startsWith("https://")) {
                 val local = base + ".idx"
                 out.println(s"$f: read-only scheme — sidecar written to ./$local")
-                (local, createOut(local))
-              } else (f + ".idx", createOut(f + ".idx"))
-            val in = openRaw(f)
-            val res = try MemberIndex.scan(in) finally in.close()
+                local
+              } else f + ".idx"
+            val tmpPath = tmpSibling(idxPath)
+            val sink = createOut(tmpPath)
+            val res =
+              try {
+                val in = openRaw(f)
+                try MemberIndex.scan(in) finally in.close()
+              } catch { case e: Throwable => deleteQuiet(tmpPath); throw e }
             val w = new java.io.PrintWriter(new java.io.BufferedWriter(
               new java.io.OutputStreamWriter(sink,
                 java.nio.charset.StandardCharsets.UTF_8)))
             try res.offsets.foreach(o =>
               w.println(s"""{"filename":${jsonStr(base)},"offset":$o}"""))
             finally w.close()
+            commitTmp(tmpPath, idxPath)
             out.println(s"$idxPath: ${res.offsets.size} members (${res.codec})" +
               res.error.map(e => s"; INCOMPLETE: $e").getOrElse(""))
             if (!res.isComplete) rc = 1
@@ -301,6 +312,55 @@ object Cli {
       hp.getFileSystem(conf).open(hp)
     } else new FileInputStream(
       if (path.startsWith("file://")) new java.net.URI(path).getPath else path)
+
+  /** Dot-prefixed writer-unique tmp sibling of `path` (same directory,
+    * same filesystem, so the commit rename is atomic where the FS
+    * supports it); dot-prefixed so scans never list it as data.
+    */
+  private def tmpSibling(path: String): String = {
+    val suffix = s".${ProcessHandle.current.pid}-${System.nanoTime()}.tmp"
+    // plain string surgery, NOT hadoop Path round-tripping: Path.toString
+    // renders scheme://... as scheme:/... which no longer matches
+    // hasScheme, silently rerouting the tmp write to the local FS
+    val cut = path.lastIndexOf('/')
+    if (cut < 0) s".$path$suffix"
+    else path.substring(0, cut + 1) + "." + path.substring(cut + 1) + suffix
+  }
+
+  private def deleteQuiet(path: String): Unit =
+    try {
+      if (hasScheme(path)) {
+        val conf = hadoopConf()
+        val hp = new org.apache.hadoop.fs.Path(
+          graft.sources.WarcInput.normalizeScheme(path, conf))
+        hp.getFileSystem(conf).delete(hp, false): Unit
+      } else java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        if (path.startsWith("file://")) new java.net.URI(path).getPath
+        else path)): Unit
+    } catch { case _: Exception => }
+
+  /** Atomic publish of a fully written tmp file at its final path. */
+  private def commitTmp(tmp: String, dest: String): Unit =
+    if (hasScheme(dest)) {
+      val conf = hadoopConf()
+      val dp = new org.apache.hadoop.fs.Path(
+        graft.sources.WarcInput.normalizeScheme(dest, conf))
+      val tp = new org.apache.hadoop.fs.Path(
+        graft.sources.WarcInput.normalizeScheme(tmp, conf))
+      val fs = dp.getFileSystem(conf)
+      fs.delete(dp, false)
+      if (!fs.rename(tp, dp)) {
+        fs.delete(tp, false)
+        throw new java.io.IOException(
+          s"sidecar commit failed: rename $tmp -> $dest returned false")
+      }
+    } else {
+      def local(p: String) =
+        if (p.startsWith("file://")) new java.net.URI(p).getPath else p
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(local(tmp)), java.nio.file.Paths.get(local(dest)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   private def createOut(path: String): java.io.OutputStream =
     if (hasScheme(path)) {

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
@@ -98,6 +100,95 @@ class IdxSliceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("probeIdxPrefix: monotone prefix -> Ok, URL-sorted -> Disordered, " +
+      "vanished sidecar -> Missing; other-file/garbage lines don't vote") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-probe")
+    val ok = writeSidecar(dir, "ok.idx", Seq(
+      """{"filename": "a.warc.gz", "offset": 10}""",
+      """{"filename": "other.warc.gz", "offset": 5}""", // other file: ignored
+      """not json""",
+      """{"filename": "a.warc.gz", "offset": 20}"""))
+    assert(WarcInput.probeIdxPrefix(ok.toString, "a.warc.gz", conf) ==
+      WarcInput.IdxOk)
+    val bad = writeSidecar(dir, "bad.idx", Seq(
+      """{"filename": "a.warc.gz", "offset": 100}""",
+      """{"filename": "a.warc.gz", "offset": 50}"""))
+    assert(WarcInput.probeIdxPrefix(bad.toString, "a.warc.gz", conf) ==
+      WarcInput.IdxDisordered)
+    assert(WarcInput.probeIdxPrefix(
+      dir.resolve("gone.idx").toString, "a.warc.gz", conf) ==
+      WarcInput.IdxMissing)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("auto-discovered sidecar in URL order (not offset order) degrades " +
+      "deterministically across slices and still scans completely — the " +
+      "'auto-discovery must never fail a query' contract") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-disorder")
+    val copy = dir.resolve("dis.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("record_id", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    def scan() = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString)
+    val ordered = rows(scan())
+    // rewrite the sidecar with its lines REVERSED (strictly descending
+    // offsets — the shape of a URL/SURT-sorted foreign CDXJ)
+    val idx = dir.resolve("dis.warc.gz.idx")
+    val lines = java.nio.file.Files.readAllLines(idx).asScala.toSeq
+    assert(lines.size > 2)
+    java.nio.file.Files.write(idx,
+      lines.reverse.mkString("\n").getBytes("UTF-8"))
+    // drop the Hadoop LocalFileSystem checksum sibling: the rewrite
+    // above is out-of-band, and a stale .crc would fail the read with
+    // ChecksumException — a different (correctly loud) failure mode
+    // than the line-order disorder this test pins
+    java.nio.file.Files.deleteIfExists(dir.resolve(".dis.warc.gz.idx.crc"))
+    val df = scan()
+    val parts = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(parts.length > 1, "degrade must not cost the member-parallel plan")
+    assert(parts.forall(_.asInstanceOf[WarcInputPartition].idx.isDefined))
+    val degraded = rows(df)
+    assert(degraded == ordered,
+      "degraded scan must reproduce the ordered scan bit-for-bit")
+    assert(df.filter("error IS NOT NULL").count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("sidecar deleted between plan and execution degrades to a " +
+      "whole-file scan instead of failing the query") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-gone")
+    val copy = dir.resolve("gone.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    val df = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString)
+    // force planning NOW (sidecar present -> IdxSlice partitions) ...
+    val parts = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(parts.length > 1 &&
+      parts.forall(_.asInstanceOf[WarcInputPartition].idx.isDefined))
+    // ... then delete the sidecar before execution
+    java.nio.file.Files.delete(dir.resolve("gone.warc.gz.idx"))
+    val rows = df.select("record_id").collect()
+    assert(rows.length == 50, s"expected 50 records, got ${rows.length}")
+    assert(df.filter("error IS NOT NULL").count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("a non-monotone sidecar fails loudly instead of silently " +
       "double-scanning") {
     val dir = java.nio.file.Files.createTempDirectory("idx-mono")
@@ -144,7 +235,10 @@ class IdxSliceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_.byteStart)
     val idxLen = dir.resolve("big.warc.gz.idx").toFile.length()
     assert(slices.head.byteStart == 0L)
-    assert(slices.last.byteEnd == idxLen)
+    // the tail slice is open-ended (not pinned at the plan-time sidecar
+    // length): lines appended by a concurrent indexer between plan and
+    // execution stay owned instead of truncating the tail's decode
+    assert(slices.last.byteEnd == Long.MaxValue && slices.last.byteStart < idxLen)
     slices.sliding(2).foreach {
       case Seq(a, b) => assert(a.byteEnd == b.byteStart, "slices must tile")
       case _ =>

@@ -163,6 +163,12 @@ class CliSpec extends AnyFunSuite {
     assert(icode == 0 && iout.contains("50 members"), iout)
     assert(new java.io.File(dir, "remote.warc.gz.idx").exists(),
       "sidecar not committed next to the remote object")
+    // atomic commit discipline: the dot-tmp staging file was renamed
+    // away, not left as debris (a partially written sidecar must never
+    // be observable at the final path — IdxSlice plans from its length)
+    assert(!dir.listFiles().exists(f =>
+      f.getName.startsWith(".remote.warc.gz.idx.") && f.getName.endsWith(".tmp")),
+      s"tmp debris left behind: ${dir.listFiles().map(_.getName).mkString(",")}")
     // extract: a mid-archive offset from the sidecar, read via seek
     val offs = graft.core.MemberIndex.scan(
       new java.io.FileInputStream(src)).offsets
