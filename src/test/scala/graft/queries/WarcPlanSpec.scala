@@ -93,6 +93,41 @@ class WarcPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"w31 pre-write frame lost its in-projection null gate:\n$plan")
   }
 
+  test("resolvePointReads: only the (url, filename, offset) hit tuple " +
+      "crosses the exchange — content bytes never shuffle (extraction " +
+      "happens executor-side AFTER the grouping)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val hits = s.read.format("warc")
+      .load("/root/reference/tests/data/warcfile.warc.gz")
+      .filter(col("record_type") === "response")
+      .select(graft.functions.WarcCols.targetUri(col("headers")).as("url"),
+        col("filename"), col("offset"))
+      .as[(String, String, Long)]
+    // sparkPlan predates EnsureRequirements (no exchanges yet) and AQE
+    // wraps executedPlan in an opaque adaptive root — pin the prepared
+    // non-adaptive tree
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val exchanges =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Warc.resolvePointReads(hits).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(exchanges.nonEmpty, "resolver must shuffle hit tuples into " +
+      "(archive, 16 MiB range) groups")
+    exchanges.foreach { e =>
+      val out = e.child.output
+      assert(!out.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+        s"binary column crosses the point-read exchange: $out")
+      assert(out.length <= 6,
+        s"exchange row wider than the hit tuple + grouping key: $out")
+    }
+  }
+
   test("warc scan reports size statistics so a small archive side broadcasts") {
     import org.apache.spark.sql.functions._
     val warc = spark.read.format("warc")

@@ -77,6 +77,8 @@ object PlanAudit {
     "w47_auto_member_index" -> "OPTION-FREE loop closure: the rescan passes no index option at all — the .idx sidecar is auto-discovered at plan time and the single compressed file still plans >1 member-group partition",
     "w48_zstd_roundtrip" -> "the same option-free member-parallel rescan over the sink's .warc.zst output — the codec swap keeps every plan property (pruned scan, member-group slices)",
     "w49_cdxj_collection_lookup" -> "collection-level CDXJ: the key table resolves via BroadcastHashJoin against the member-indexed CDXJ scan (pruned to url/ts/filename/offset); each hit is a ranged point read in a map stage — O(hits) work, the corpus never shuffles",
+    "w49_point_read_resolver" -> "the grouped resolvePointReads shape in isolation: the ONLY exchange carries (url, filename, offset) hit tuples keyed by (archive, 16 MiB range) — content bytes never cross it; extraction happens in the post-exchange flatMapGroups with one stream + one dictionary load per group (WarcPlanSpec pins the exchange row width)",
+    "w50_dict_lifecycle" -> "zstd dictionary lifecycle: train once -> distributed dict-led write -> member-parallel rescan (pruned 2-column totals agg) -> grouped point-reads THROUGH the dictionary; the returned plan is two 1-row aggregates broadcast-crossJoined — the resolver's hit-tuple-only exchange sits under the point agg",
   )
 
   def main(args: Array[String]): Unit = {
@@ -109,6 +111,17 @@ object PlanAudit {
         graft.queries.Documents.incrementalNeardup(
           d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
           materialize = false)
+      },
+      "w49_point_read_resolver" -> { (s, _) =>
+        import s.implicits._
+        import org.apache.spark.sql.functions.col
+        val hits = s.read.format("warc")
+          .load("/root/reference/tests/data/warcfile.warc.gz")
+          .filter(col("record_type") === "response")
+          .select(graft.functions.WarcCols.targetUri(col("headers")).as("url"),
+            col("filename"), col("offset"))
+          .as[(String, String, Long)]
+        graft.queries.Warc.resolvePointReads(hits)
       })
     Queries.foreach { case (name, why) =>
       val df = planSources.getOrElse(name, graft.SparkEntry.queries(name))(spark, sfDir)
