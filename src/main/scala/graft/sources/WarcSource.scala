@@ -54,6 +54,14 @@ import graft.core._
   * Beyond the reference's kwargs (this engine's scale surface):
   *   member_index          CDXJ / .idx file, glob or dir: member-parallel
   *                         splits for compressed archives (WarcPlanner)
+  *   member_index_shard_bytes  consolidated indexes above this size
+  *                         (default 64 MB) are sharded into per-file
+  *                         sidecars by a distributed job (CdxjShards,
+  *                         cached by source fingerprint) instead of
+  *                         read-and-sorted on the driver
+  *   member_index_scratch  where the shard job writes its sidecars
+  *                         (default java.io.tmpdir — set a SHARED path
+  *                         on a multi-node cluster)
   *   auto_member_index     default true: discover `<file>.idx` sidecars at
   *                         plan time, executors parse their own IdxSlice
   *   emit_member_index     dir: clean whole-file scans commit the sidecar
@@ -240,23 +248,34 @@ object WarcInput {
     * completeness — offsets are verified by the member decode).
     */
   def readMemberIndexFile(path: Path, conf: Configuration): Seq[(String, Long)] = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val in = path.getFileSystem(conf).open(path)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
                 finally in.close()
-    lines.flatMap { l =>
-      val j = l.indexOf('{')
-      if (j < 0) None
-      else scala.util.Try {
-        val node = m.readTree(l.substring(j))
-        val off = Option(node.get("offset")).flatMap { o =>
-          if (o.isNumber) Some(o.asLong())
-          else scala.util.Try(o.asText().trim.toLong).toOption
-        }
-        for (f <- Option(node.get("filename")).map(_.asText()); o <- off)
-          yield f.substring(f.lastIndexOf('/') + 1) -> o
-      }.toOption.flatten
-    }
+    lines.flatMap(parseIdxLine)
+  }
+
+  // ObjectMapper is thread-safe for readTree and expensive to construct;
+  // one shared instance serves every index-line parse (driver AND the
+  // executor-side CdxjShards job)
+  private lazy val idxLineMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One index line → (data-file basename, compressed member offset).
+    * Accepts both the engine's JSON-lines `.idx` format and standard
+    * CDXJ (`<url> <ts> {json}`, offsets possibly as strings as pywb
+    * writes). Malformed lines parse to None, never fail.
+    */
+  def parseIdxLine(l: String): Option[(String, Long)] = {
+    val j = l.indexOf('{')
+    if (j < 0) None
+    else scala.util.Try {
+      val node = idxLineMapper.readTree(l.substring(j))
+      val off = Option(node.get("offset")).flatMap { o =>
+        if (o.isNumber) Some(o.asLong())
+        else scala.util.Try(o.asText().trim.toLong).toOption
+      }
+      for (f <- Option(node.get("filename")).map(_.asText()); o <- off)
+        yield f.substring(f.lastIndexOf('/') + 1) -> o
+    }.toOption.flatten
   }
 
   /** Executor-side parse of one sidecar byte slice: the member offsets
@@ -687,23 +706,36 @@ private[sources] object WarcPlanner {
     // format, monotone by construction) take the same zero-plan-read
     // IdxSlice path auto-discovery uses; everything else (a single
     // consolidated CDXJ, oddly named indexes) is read and sorted at
-    // plan time — the only path that accepts arbitrary line order, and
-    // the one the slice reader's monotonicity error points to.
+    // plan time when SMALL — and sharded into per-file sidecars by a
+    // distributed job (CdxjShards, cached by source fingerprint) when
+    // the consolidated bytes exceed `member_index_shard_bytes` (default
+    // 64 MB). The shard path is what bounds the pywb-convention
+    // collection index at 100 TB: ~10^10 consolidated lines would be
+    // tens of GB of driver heap on the read-and-sort path, but the
+    // shard job keeps the driver at O(files) and every later plan of
+    // the same index reuses the cached shards through IdxSlice.
     val (explicitSidecars: Map[String, FileStatus],
          memberIndex: Map[String, Seq[Long]]) =
       Option(options.get("member_index")).map { idxPath =>
         val listed = WarcInput.listFiles(Seq(idxPath), conf)
-        if (listed.size > 1) {
-          val idxFiles = listed.filter(_.getPath.getName.endsWith(".idx"))
-          val (matched, foreign) = idxFiles.partition(st =>
-            dataNames.contains(st.getPath.getName.stripSuffix(".idx")))
-          (matched.map(st =>
-             st.getPath.getName.stripSuffix(".idx") -> st).toMap,
-           foreign.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
-             .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap)
+        val (matched, foreign) =
+          if (listed.size > 1) {
+            val idxFiles = listed.filter(_.getPath.getName.endsWith(".idx"))
+            idxFiles.partition(st =>
+              dataNames.contains(st.getPath.getName.stripSuffix(".idx")))
+          } else (Seq.empty[FileStatus], listed)
+        val matchedMap = matched.map(st =>
+          st.getPath.getName.stripSuffix(".idx") -> st).toMap
+        val shardThreshold =
+          options.getLong("member_index_shard_bytes", 64L * 1024 * 1024)
+        if (foreign.nonEmpty && foreign.map(_.getLen).sum > shardThreshold) {
+          val shards = CdxjShards.ensure(foreign,
+            Option(options.get("member_index_scratch")), conf)
+          (matchedMap ++ shards.view.filterKeys(dataNames.contains).toMap,
+           Map.empty[String, Seq[Long]])
         } else
-          (Map.empty[String, FileStatus],
-           listed.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
+          (matchedMap,
+           foreign.flatMap(st => WarcInput.readMemberIndexFile(st.getPath, conf))
              .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap)
       }.getOrElse((Map.empty[String, FileStatus], Map.empty[String, Seq[Long]]))
 

@@ -769,6 +769,51 @@ object ScaleCheck {
           s"explicit list planned ${idxParts(partsList)} idx partitions vs glob ${idxParts(partsGlob)}")
         require(tList < math.max(2 * tGlob, 1.0),
           f"explicit-list plan $tList%.2f s exceeded 2x the glob plan $tGlob%.2f s")
+        // (d) consolidated CDXJ (r16 verdict item 3): ONE 1,000,000-line
+        // collection index over the 1,000-file corpus, pointed at via
+        // member_index. Above the shard threshold the planner must NOT
+        // read-and-sort it on the driver — a distributed CdxjShards job
+        // writes per-file sidecars (cached by source fingerprint) and
+        // the plan goes through IdxSlice. Pins: flat driver heap on the
+        // sharding plan, IdxSlice-only partitions, and a sub-second
+        // cache-hit re-plan.
+        val consDir = new java.io.File(s"$tmpP/graft_planscale_cons")
+        consDir.mkdirs()
+        val consIdx = new java.io.File(consDir, "collection.cdxj")
+        if (!consIdx.exists()) {
+          val w = new java.io.BufferedWriter(new java.io.FileWriter(consIdx))
+          try (0 until 1000).foreach { f =>
+            val name = f"bench-$f%03d.warc.gz"
+            (0 until 1000).foreach(i => w.write(
+              s"""org,example)/p$f/$i 20240101000000 {"filename": "$name", "offset": ${i * 137L}}""" + "\n"))
+          } finally w.close()
+        }
+        val shardScratch = new java.io.File(consDir, "scratch").getPath
+        def consPlan(): (Array[_], Double) = timedPlan(Map(
+          "path" -> dirP,
+          "member_index" -> consIdx.getPath,
+          "member_index_shard_bytes" -> (8L * 1024 * 1024).toString,
+          "member_index_scratch" -> shardScratch,
+          "auto_member_index" -> "false"))
+        val h2 = usedHeap()
+        val (partsCons, tCons) = consPlan()
+        val hCons = usedHeap() - h2
+        val consSlices = partsCons.collect {
+          case p: graft.sources.WarcInputPartition
+            if p.path.endsWith(".warc.gz") => p }
+        require(consSlices.nonEmpty &&
+          consSlices.forall(p => p.memberOffsets.isEmpty && p.idx.isDefined),
+          "consolidated-CDXJ plan embedded member offsets — the O(members) " +
+          "driver term is back")
+        val (_, tConsCached) = consPlan()
+        println(f"[scale] planscale consolidated-cdxj: lines=1000000 " +
+          f"parts=${consSlices.length}%5d shard+plan=$tCons%6.3f s  " +
+          f"cached re-plan=$tConsCached%6.3f s  " +
+          f"heapDelta=${math.max(0, hCons) / 1024 / 1024}%4d MB")
+        require(math.max(0, hCons) < 256L * 1024 * 1024,
+          s"consolidated plan retained ${hCons / 1024 / 1024} MB of driver heap")
+        require(tConsCached < 1.0,
+          f"cache-hit re-plan took $tConsCached%.2f s (budget 1 s)")
       case other => sys.error(
         s"unknown mode $other (w29 | neardup | ivf | ivfpq | hamming | funnel | dataset | spanrm | suffix | cc | scan | stream | memberindex | memberindexzstd | cdxjlookup | planscale)")
     }

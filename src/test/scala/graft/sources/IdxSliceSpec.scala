@@ -284,6 +284,71 @@ class IdxSliceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("a consolidated CDXJ above the shard threshold is sharded into " +
+      "per-file sidecars by a Spark job (cached by source fingerprint) " +
+      "and plans through IdxSlice — results identical to the plan-time " +
+      "sorted path") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-shard")
+    val scratch = java.nio.file.Files.createTempDirectory("idx-shard-scratch")
+    val copy = dir.resolve("cons.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    // build the consolidated CDXJ from the real sidecar (pywb-style
+    // leading url+timestamp fields before the JSON block), then remove
+    // the per-file sidecar so only the consolidated form remains
+    val idx = dir.resolve("cons.warc.gz.idx")
+    val lines = java.nio.file.Files.readAllLines(idx).asScala.toSeq
+    val cons = dir.resolve("collection.cdxj")
+    java.nio.file.Files.write(cons, lines.zipWithIndex
+      .map { case (l, i) => s"org,example)/p$i 20240101000000 $l" }
+      .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(idx)
+    java.nio.file.Files.deleteIfExists(dir.resolve(".cons.warc.gz.idx.crc"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("record_id", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    def scan(shardBytes: Long) = spark.read.format("warc")
+      .option("member_index", cons.toString)
+      .option("member_index_shard_bytes", shardBytes)
+      .option("member_index_scratch", scratch.toString)
+      .option("max_partition_bytes", 16 * 1024)
+      .option("auto_member_index", false)
+      .load(copy.toString)
+    // big threshold: the plan-time sorted path (offsets embedded)
+    val sortedPath = scan(Long.MaxValue)
+    val sortedParts = sortedPath.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.map(_.asInstanceOf[WarcInputPartition])
+    assert(sortedParts.forall(p => p.idx.isEmpty && p.memberOffsets.nonEmpty))
+    val expected = rows(sortedPath)
+    // 1-byte threshold: the shard job runs, the plan carries IdxSlice
+    val sharded = scan(1L)
+    val shardedParts = sharded.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.map(_.asInstanceOf[WarcInputPartition])
+    assert(shardedParts.length > 1 &&
+      shardedParts.forall(p => p.idx.isDefined && p.memberOffsets.isEmpty),
+      s"shard path must plan IdxSlice partitions: $shardedParts")
+    assert(rows(sharded) == expected,
+      "sharded plan must reproduce the sorted-path rows bit-for-bit")
+    // the cache directory holds the committed shard + _SUCCESS (reuse
+    // gate for every later plan of the same index fingerprint)
+    val cacheDirs = scratch.toFile.listFiles().filter(_.isDirectory)
+    assert(cacheDirs.length == 1, s"${cacheDirs.toSeq}")
+    assert(new java.io.File(cacheDirs.head, "cons.warc.gz.idx").exists())
+    assert(new java.io.File(cacheDirs.head, "_SUCCESS").exists())
+    // second plan reuses the cache: the shard's mtime must not change
+    val mtime = new java.io.File(cacheDirs.head, "cons.warc.gz.idx").lastModified()
+    assert(rows(scan(1L)) == expected)
+    assert(new java.io.File(cacheDirs.head, "cons.warc.gz.idx").lastModified() == mtime,
+      "cached shards must be reused, not rebuilt")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+  }
+
   test("slice path reproduces the materialized member_index path " +
       "bit-for-bit: same record ids AND same compressed offsets") {
     val dir = java.nio.file.Files.createTempDirectory("idx-parity")
