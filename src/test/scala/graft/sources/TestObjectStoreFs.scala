@@ -42,6 +42,61 @@ class S3SchemeTestFs extends RawLocalFileSystem {
   override def getUri: URI = if (uri != null) uri else URI.create("s3:///")
 }
 
+/** Latency-injecting object-store double: every read() call of an
+  * opened stream first parks for `perReadMicros` and returns at most
+  * `maxChunkBytes` — the shape of a forward http(s)/object-store stream
+  * where each socket read is a network round-trip returning one TCP
+  * window's worth of bytes. This is the regime `async_decode` exists
+  * for (core/AsyncChunkInputStream: overlap upstream round-trips with
+  * downstream parse/extract work); AsyncDecodeSpec measures the scan
+  * wall with and without the option over this FS.
+  */
+class LatencyObjectStoreFs extends RawLocalFileSystem {
+  private var uri: URI = _
+  override def getScheme: String = "slowfs"
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    uri = Option(name.getAuthority) match {
+      case Some(a) if a.nonEmpty => URI.create(s"${name.getScheme}://$a")
+      case _ => URI.create(s"${name.getScheme}:///")
+    }
+  }
+  override def getUri: URI = if (uri != null) uri else URI.create("slowfs:///")
+
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    val inner = super.open(f, bufferSize)
+    if (LatencyObjectStoreFs.perReadMicros <= 0) inner
+    else new org.apache.hadoop.fs.FSDataInputStream(
+      new LatencyObjectStoreFs.SlowStream(inner,
+        LatencyObjectStoreFs.perReadMicros, LatencyObjectStoreFs.maxChunkBytes))
+  }
+}
+
+object LatencyObjectStoreFs {
+  /** Injected round-trip per read() call, microseconds (0 = passthrough). */
+  @volatile var perReadMicros: Long = 0L
+  /** Max bytes a single read() returns (one "window"). */
+  @volatile var maxChunkBytes: Int = 16 * 1024
+
+  def reset(): Unit = { perReadMicros = 0L; maxChunkBytes = 16 * 1024 }
+
+  private class SlowStream(inner: org.apache.hadoop.fs.FSDataInputStream,
+      micros: Long, chunk: Int) extends org.apache.hadoop.fs.FSInputStream {
+    private def rtt(): Unit =
+      java.util.concurrent.locks.LockSupport.parkNanos(micros * 1000L)
+    override def read(): Int = { rtt(); inner.read() }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      rtt()
+      inner.read(b, off, math.min(len, chunk))
+    }
+    override def seek(pos: Long): Unit = inner.seek(pos)
+    override def getPos: Long = inner.getPos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def close(): Unit = inner.close()
+  }
+}
+
 /** Flaky object-store double: the FIRST open of each path returns a
   * stream that dies (IOException, as a dropped connection would) after
   * `DieAfterBytes` raw bytes — mid-payload for the fixture archives —
