@@ -835,7 +835,11 @@ object Bench {
         }.toMap
         val deltas = results.flatMap { case (name, sec) =>
           prevQ.get(name)
-            .filter(_ > 0.05) // sub-50ms walls are all jitter
+            // jitter gate on the LARGER wall: a previously-sub-50ms
+            // query that regresses to seconds must still enter the
+            // ledger (filtering on prevSec alone would hide exactly
+            // the fast-query-gains-a-job regression class)
+            .filter(prevSec => math.max(prevSec, sec) > 0.05)
             .filterNot(_ => errors.exists(_._1 == name))
             .map(prevSec => name -> localNorm(name, sec) / prevNorm(name, prevSec))
         }

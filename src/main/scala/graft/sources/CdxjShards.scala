@@ -95,7 +95,18 @@ object CdxjShards {
           var tmp: Path = null
           var last = Long.MinValue
           def commit(): Unit = if (w != null) {
-            w.close(); w = null
+            w.close()
+            // PrintWriter SWALLOWS I/O errors (ENOSPC mid-write would
+            // otherwise rename a TRUNCATED sidecar into place, get
+            // _SUCCESS-gated, and be reused forever via the fingerprint
+            // cache) — check the error flag before publishing
+            val failed = w.checkError()
+            w = null
+            if (failed) {
+              pfs.delete(tmp, false)
+              throw new java.io.IOException(
+                s"cdxj shard write failed for $cur (disk full or I/O error)")
+            }
             val fin = new Path(dir, cur + ".idx")
             pfs.delete(fin, false)
             if (!pfs.rename(tmp, fin)) {
@@ -104,23 +115,30 @@ object CdxjShards {
                 s"cdxj shard commit failed: rename $tmp -> $fin returned false")
             }
           }
-          it.foreach { case (name, off) =>
-            if (name != cur) {
-              commit()
-              cur = name; last = Long.MinValue
-              tmp = new Path(dir,
-                s".$name.idx.${java.util.UUID.randomUUID()}.tmp")
-              w = new java.io.PrintWriter(new java.io.BufferedWriter(
-                new java.io.OutputStreamWriter(pfs.create(tmp, true),
-                  java.nio.charset.StandardCharsets.UTF_8)))
+          try {
+            it.foreach { case (name, off) =>
+              if (name != cur) {
+                commit()
+                cur = name; last = Long.MinValue
+                tmp = new Path(dir,
+                  s".$name.idx.${java.util.UUID.randomUUID()}.tmp")
+                w = new java.io.PrintWriter(new java.io.BufferedWriter(
+                  new java.io.OutputStreamWriter(pfs.create(tmp, true),
+                    java.nio.charset.StandardCharsets.UTF_8)))
+              }
+              // dedup (CDXJ legally lists several captures per member)
+              if (off != last) {
+                w.println(s"""{"filename":${jsonStr(name)},"offset":$off}""")
+                last = off
+              }
             }
-            // dedup (CDXJ legally lists several captures per member)
-            if (off != last) {
-              w.println(s"""{"filename":${jsonStr(name)},"offset":$off}""")
-              last = off
-            }
+            commit()
+          } finally if (w != null) {
+            // failure path: close the in-flight writer and remove its
+            // tmp so task retries never strand debris in the cache dir
+            try w.close() catch { case _: Exception => }
+            try pfs.delete(tmp, false) catch { case _: Exception => }
           }
-          commit()
         }
       fs.create(new Path(cacheDir, "_SUCCESS"), true).close()
     }

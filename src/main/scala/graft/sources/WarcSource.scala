@@ -402,9 +402,33 @@ object WarcInput {
     * the deliberate backstop against silent double-scans, now reachable
     * only by a sidecar that is offset-sorted for 64 KiB and then isn't.
     */
+  // per-JVM probe memo keyed by (path, mtime, length): every slice of
+  // every task computes the same verdict from the same bytes, so one
+  // probe per sidecar VERSION per executor suffices — the memoized
+  // check costs one getFileStatus RPC instead of an open + 64 KiB read
+  // per task (~800 redundant GETs per 100 GB archive on s3a otherwise)
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), IdxProbe]()
+
   def probeIdxPrefix(idxPath: String, dataBasename: String,
       conf: Configuration, prefixBytes: Int = 64 * 1024): IdxProbe = {
     val hp = new Path(idxPath)
+    val st =
+      try hp.getFileSystem(conf).getFileStatus(hp)
+      catch { case _: java.io.FileNotFoundException => return IdxMissing }
+    val key = (idxPath, st.getModificationTime, st.getLen)
+    val memo = probeMemo.get(key)
+    if (memo != null) return memo
+    val verdict = probeIdxPrefixUncached(hp, dataBasename, conf, prefixBytes)
+    // bound the memo (foreign per-query sidecars could otherwise grow it
+    // without limit over an executor's lifetime)
+    if (probeMemo.size > 4096) probeMemo.clear()
+    if (verdict != IdxMissing) probeMemo.put(key, verdict)
+    verdict
+  }
+
+  private def probeIdxPrefixUncached(hp: Path, dataBasename: String,
+      conf: Configuration, prefixBytes: Int): IdxProbe = {
     val in =
       try hp.getFileSystem(conf).open(hp)
       catch { case _: java.io.FileNotFoundException => return IdxMissing }
@@ -422,7 +446,6 @@ object WarcInput {
       if (!sawEof) {
         while (end > 0 && buf(end - 1) != '\n') end -= 1
       }
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
       var last = Long.MinValue
       var lineStart = 0
       var i = 0
@@ -431,19 +454,12 @@ object WarcInput {
           if (i > lineStart) {
             val line = new String(buf, lineStart, i - lineStart,
               java.nio.charset.StandardCharsets.UTF_8)
-            val j = line.indexOf('{')
-            if (j >= 0) scala.util.Try {
-              val node = m.readTree(line.substring(j))
-              val off = Option(node.get("offset")).flatMap { o =>
-                if (o.isNumber) Some(o.asLong())
-                else scala.util.Try(o.asText().trim.toLong).toOption
-              }
-              Option(node.get("filename")).map(_.asText())
-                .filter(f => f.substring(f.lastIndexOf('/') + 1) == dataBasename)
-                .flatMap(_ => off)
-            }.toOption.flatten.foreach { o =>
-              if (o < last) return IdxDisordered
-              last = o
+            // ONE copy of the line-parse rules (parseIdxLine) — the
+            // probe and the real parse must never diverge on format
+            parseIdxLine(line).filter(_._1 == dataBasename).foreach {
+              case (_, o) =>
+                if (o < last) return IdxDisordered
+                last = o
             }
           }
           lineStart = i + 1
@@ -559,7 +575,16 @@ case class WarcInputPartition(
   * convention: a line belongs to the slice containing its first byte;
   * a reader whose slice starts mid-line skips to the next line start.
   */
-case class IdxSlice(idxPath: String, byteStart: Long, byteEnd: Long)
+/** `planLen` pins the sidecar length observed at PLAN time (-1 =
+  * unknown, for directly constructed slices): the disordered-degrade
+  * path parses exactly the first `planLen` bytes on every slice, so
+  * lines a concurrent indexer appends between plan and execution can
+  * never make two slices compute different member tilings (the fast
+  * path is append-safe by construction — its bound chaining reads
+  * appended lines only as monotone decode bounds).
+  */
+case class IdxSlice(idxPath: String, byteStart: Long, byteEnd: Long,
+    planLen: Long = -1L)
 
 class WarcScan(
     options: CaseInsensitiveStringMap,
@@ -846,7 +871,8 @@ private[sources] object WarcPlanner {
           WarcInputPartition(p, 0L, Long.MaxValue, len, Nil,
             Some(IdxSlice(idxSt.getPath.toString, s,
               if (s + chunk >= idxSt.getLen) Long.MaxValue
-              else s + chunk))))
+              else s + chunk,
+              planLen = idxSt.getLen))))
       } else if (indexed.isDefined && indexed.get.nonEmpty && len > maxPart) {
         // chunk member offsets into ~maxPart compressed-byte slices;
         // anchor at the file head (a foreign CDXJ's first indexed
@@ -1146,16 +1172,36 @@ class WarcPartitionReader(
     */
   private def disorderedIdxIterator(idx: IdxSlice): Iterator[WarcRecord] = {
     val idxHp = new Path(idx.idxPath)
+    // the SNAPSHOT every slice parses: the plan-time sidecar length when
+    // the planner recorded one. Bytes appended after planning are
+    // invisible to every slice alike — without the pin, two slices
+    // reading at different times around a concurrent append would
+    // compute different member tilings (overlap or loss); with it the
+    // degrade matches the pre-r16 plan-time-snapshot semantics.
     val idxLen =
-      try idxHp.getFileSystem(conf).getFileStatus(idxHp).getLen
+      if (idx.planLen > 0) idx.planLen
+      else try idxHp.getFileSystem(conf).getFileStatus(idxHp).getLen
       catch { case _: java.io.FileNotFoundException =>
         return if (idx.byteStart == 0) memberIterator(Array(0L), part.fileSize)
                else Iterator.empty
       }
-    val all = WarcInput.readMemberIndexFile(idxHp, conf)
-      .filter(_._1 == hPath.getName).map(_._2)
-      .filter(o => o >= 0 && o < part.fileSize)
-      .distinct.sorted.toArray
+    val all = {
+      val in =
+        try idxHp.getFileSystem(conf).open(idxHp)
+        catch { case _: java.io.FileNotFoundException =>
+          return if (idx.byteStart == 0) memberIterator(Array(0L), part.fileSize)
+                 else Iterator.empty
+        }
+      val bounded = org.apache.commons.io.input.BoundedInputStream.builder()
+        .setInputStream(in).setMaxCount(idxLen).setPropagateClose(false).get()
+      val lines =
+        try scala.io.Source.fromInputStream(bounded, "UTF-8").getLines().toVector
+        finally in.close()
+      lines.flatMap(WarcInput.parseIdxLine)
+        .filter(_._1 == hPath.getName).map(_._2)
+        .filter(o => o >= 0 && o < part.fileSize)
+        .distinct.sorted.toArray
+    }
     val m = all.length
     if (m == 0 || idxLen <= 0)
       return if (idx.byteStart == 0) memberIterator(Array(0L), part.fileSize)

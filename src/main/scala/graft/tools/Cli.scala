@@ -65,13 +65,26 @@ object Cli {
               try {
                 val in = openRaw(f)
                 try MemberIndex.scan(in) finally in.close()
-              } catch { case e: Throwable => deleteQuiet(tmpPath); throw e }
+              } catch { case e: Throwable =>
+                // close the never-written tmp stream BEFORE deleting it:
+                // an open s3a upload would otherwise leak, and deferred
+                // deletes of open files recreate the debris on close
+                try sink.close() catch { case _: Exception => }
+                deleteQuiet(tmpPath); throw e
+              }
             val w = new java.io.PrintWriter(new java.io.BufferedWriter(
               new java.io.OutputStreamWriter(sink,
                 java.nio.charset.StandardCharsets.UTF_8)))
             try res.offsets.foreach(o =>
               w.println(s"""{"filename":${jsonStr(base)},"offset":$o}"""))
             finally w.close()
+            // PrintWriter swallows I/O errors — a full disk must not
+            // atomically publish a truncated sidecar with exit code 0
+            if (w.checkError()) {
+              deleteQuiet(tmpPath)
+              throw new java.io.IOException(
+                s"sidecar write failed for $idxPath (disk full or I/O error)")
+            }
             commitTmp(tmpPath, idxPath)
             out.println(s"$idxPath: ${res.offsets.size} members (${res.codec})" +
               res.error.map(e => s"; INCOMPLETE: $e").getOrElse(""))
