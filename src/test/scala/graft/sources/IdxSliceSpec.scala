@@ -163,6 +163,46 @@ class IdxSliceSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("disordered degrade parses the PLAN-TIME sidecar snapshot " +
+      "(IdxSlice.planLen): lines appended between plan and execution " +
+      "are invisible to every slice alike — no tiling drift") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-snap")
+    val copy = dir.resolve("snap.warc.gz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$DataDir/warcfile.warc.gz"), copy)
+    assert(spark.read.format("warc")
+      .option("emit_member_index", dir.toString)
+      .load(copy.toString).count() == 50L)
+    val idx = dir.resolve("snap.warc.gz.idx")
+    val lines = java.nio.file.Files.readAllLines(idx).asScala.toSeq
+    // disordered (reversed) sidecar, checksum sibling dropped
+    java.nio.file.Files.write(idx,
+      (lines.reverse.mkString("\n") + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(dir.resolve(".snap.warc.gz.idx.crc"))
+    val df = spark.read.format("warc")
+      .option("max_partition_bytes", 16 * 1024)
+      .load(copy.toString)
+    // force planning at the CURRENT sidecar length...
+    val parts = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.map(_.asInstanceOf[WarcInputPartition])
+    assert(parts.length > 1 && parts.forall(_.idx.isDefined))
+    val planLen = idx.toFile.length()
+    assert(parts.forall(_.idx.get.planLen == planLen),
+      "slices must carry the plan-time sidecar length")
+    // ... then append garbage-offset lines (a concurrent indexer) and
+    // execute: results must match the pre-append scan exactly
+    java.nio.file.Files.write(idx,
+      (lines.reverse.mkString("\n") + "\n" +
+        """{"filename": "snap.warc.gz", "offset": 1}""" + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(dir.resolve(".snap.warc.gz.idx.crc"))
+    val rows = df.select("record_id", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(rows.length == 50 && rows.map(_._1).distinct.length == 50,
+      s"append between plan and execution changed the scan: ${rows.length} rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("sidecar deleted between plan and execution degrades to a " +
       "whole-file scan instead of failing the query") {
     val dir = java.nio.file.Files.createTempDirectory("idx-gone")
