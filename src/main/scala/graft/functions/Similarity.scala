@@ -6,19 +6,59 @@ import org.apache.spark.sql.functions._
 /** Vector similarity primitives over `array<float>` embedding columns.
   *
   * All math is done in double (cast once) with sequential index-order
-  * summation so results are bit-reproducible across engines; expressed
-  * with `zip_with`/`aggregate` which stay inside Catalyst (no UDF).
+  * summation so results are bit-reproducible across engines.
+  *
+  * r17: the kernels are compiled UDF loops instead of the original
+  * `zip_with`/`aggregate` higher-order functions — HOFs are not
+  * whole-stage-codegen'd and evaluate an interpreted lambda PER ELEMENT
+  * (the measured ~10x penalty documented at
+  * TextAnalysis.minhashShingleSigCW; these 64-dim kernels sit on every
+  * e-family scoring row). The loops run the IDENTICAL float ops in the
+  * IDENTICAL index order as the HOF forms (zip then left-fold), so every
+  * oracle-compared value is bit-unchanged — pinned by the full e-family
+  * oracle drive plus SimilaritySpec's HOF-equivalence cases. Null/shape
+  * semantics preserved: null input or length mismatch -> null (zip_with
+  * pads the shorter side with null, which nulls the fold).
   */
 object Similarity {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def nullOr(a: Seq[Double], b: Seq[Double])(f: (Array[Double], Array[Double]) => Double): Option[Double] =
+    if (a == null || b == null || a.length != b.length) None
+    else Some(f(a.toArray, b.toArray))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  private val dotK = udf((a: Seq[Double], b: Seq[Double]) => nullOr(a, b) { (x, y) =>
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  })
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine in ONE compiled pass: the three accumulators (dot, |a|², |b|²)
+    * each see the same per-index operation sequence as three separate
+    * aggregates, so the quotient is bit-identical to the HOF form. */
+  private val cosineK = udf((a: Seq[Double], b: Seq[Double]) => nullOr(a, b) { (x, y) =>
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < x.length) {
+      d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  })
+
+  private val normK = udf((a: Seq[Double]) =>
+    if (a == null) None
+    else {
+      val x = a.toArray
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * x(i); i += 1 }
+      Some(math.sqrt(s))
+    })
+
+  def dot(a: Column, b: Column): Column = dotK(a, b)
+
+  def norm(a: Column): Column = normK(a)
+
+  def cosine(a: Column, b: Column): Column = cosineK(a, b)
 
   /** Rounded cosine for deterministic cross-engine ordering/compares. */
   def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =

@@ -303,8 +303,9 @@ object Embeddings {
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       val emb = embL.select(col("vec_id"), col("v"))
       val cents = kmeansCentroids(s, emb, k = 8, iters = 3)
-      val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cid"))
-      val cont = cells.join(embL.select(col("vec_id"), col("label")), "vec_id")
+      // the label rides through the row-local assignment — no corpus
+      // re-join by vec_id to attach it (r17)
+      val cont = kmeansAssign(embL.select(col("vec_id"), col("label"), col("v")), cents)
         .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cid")).orderBy(col("n").desc, col("label").asc)
@@ -404,7 +405,6 @@ object Embeddings {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val cents = kmeansCentroids(s, emb, k = 8, iters = 3)
-      val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cid"))
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
       val probeW = org.apache.spark.sql.expressions.Window
@@ -414,7 +414,9 @@ object Embeddings {
           cosine(col("qv"), col("cv")).as("csim"))
         .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
         .select(col("q_vec_id"), col("qv"), col("cid"))
-      val cands = emb.join(cells, Seq("vec_id"))
+      // the row-local assignment already carries v — no corpus self-join
+      // by vec_id needed to attach vectors to cells (r17)
+      val cands = kmeansAssign(emb, cents)
         .select(col("vec_id").as("n_vec_id"), col("cid"), col("v").as("cv"))
       val sims = cands.join(broadcast(probes), Seq("cid"))
         .filter(col("q_vec_id") =!= col("n_vec_id"))
@@ -597,7 +599,6 @@ object Embeddings {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val cents = kmeansCentroids(s, emb, k = 8, iters = 3)
-      val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cid"))
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_vec_id"), col("v").as("qv"))
       val probeW = org.apache.spark.sql.expressions.Window
@@ -608,7 +609,8 @@ object Embeddings {
         .withColumn("cell_rank", row_number().over(probeW))
         .filter(col("cell_rank") <= 4)
         .select(col("q_vec_id"), col("qv"), col("cid"), col("cell_rank"))
-      val cands = emb.join(cells, Seq("vec_id"))
+      // row-local assignment carries v — no corpus self-join (r17)
+      val cands = kmeansAssign(emb, cents)
         .select(col("vec_id").as("n_vec_id"), col("cid"), col("v").as("cv"))
       val sims = cands.join(broadcast(probes), Seq("cid"))
         .filter(col("q_vec_id") =!= col("n_vec_id"))
@@ -800,7 +802,12 @@ object Embeddings {
       }
       val emb = embl.select(col("vec_id"), col("v"))
       val codebook = pqCodebook(codebookSrc.select(col("vec_id"), col("v")))
-      val enc = pqEncode(emb, codebook)
+      // the IVF cell rides through pqSub/pqEncode (r17): the old shape
+      // re-joined the 8-codes-per-vector table to the corpus by vec_id
+      // just to attach `cell` — a corpus-sized exchange for a column the
+      // encode pass already had in hand
+      val enc = pqEncode(
+        embl.select(col("vec_id"), col("label").as("cell"), col("v")), codebook)
       // coarse codebook: per-cell mean vectors (e06's construction)
       val centroids = codebookSrc
         .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -824,10 +831,9 @@ object Embeddings {
       val dtable = qsub.join(broadcast(codebook), Seq("sub_j"))
         .select(col("q_vec_id"), col("sub_j"), col("code"),
           round(sqDistCol(col("qsv"), col("cv")), 6).as("d"))
-      val cells = embl.select(col("vec_id"), col("label").as("cell"))
       val approxW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_vec_id")).orderBy(col("ad").asc, col("n_vec_id").asc)
-      val approx = enc.join(cells, Seq("vec_id"))
+      val approx = enc
         .select(col("vec_id").as("n_vec_id"), col("cell"), col("sub_j"), col("code"))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("q_vec_id") =!= col("n_vec_id"))
@@ -973,11 +979,21 @@ object Embeddings {
     threshold.fold(pairs)(t => pairs.filter(col("cos") >= t))
   }
 
-  /** 64-dim vectors split into 8 subspaces of 8 dims. */
+  /** 64-dim vectors split into 8 subspaces of 8 dims. Non-`v` input
+    * columns ride through (r17) so callers can carry e.g. the IVF cell
+    * instead of re-joining the code table to the corpus by vec_id.
+    */
   private def pqSub(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode(
+    emb.select(emb.columns.filter(_ != "v").map(col) :+ posexplode(
       transform(sequence(lit(0), lit(7)),
-        j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")))
+        j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")): _*)
+
+  /** The codebook regrouped per subspace for the row-local argmin:
+    * (sub_j, array<struct<c: code, cv>>) — 8 rows, broadcast to the
+    * encode join. */
+  private def pqBook(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("sub_j"))
+      .agg(collect_list(struct(col("code").as("c"), col("cv"))).as("book"))
 
   /** The refined 8x16 PQ codebook (seeds = subvectors of vec_id 0..15,
     * ONE Lloyd iteration, 6-dp centroid rounding so both engines hold
@@ -987,12 +1003,12 @@ object Embeddings {
     val sub = pqSub(emb)
     val seeds = sub.filter(col("vec_id") < 16)
       .select(col("sub_j"), col("vec_id").as("code"), col("sv").as("cv"))
-    val assign1 = sub.join(broadcast(seeds), Seq("sub_j"))
-      .select(col("vec_id"), col("sub_j"), col("sv"),
-        struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
-      .groupBy(col("vec_id"), col("sub_j"), col("sv"))
-      .agg(min(col("dc")).as("best"))
-      .select(col("sub_j"), col("best.c").as("code"), col("sv"))
+    // row-local argmin over the per-subspace seed book (r17): same
+    // min(struct(d, code)) the old crossJoin+groupBy computed, with no
+    // exchange — see [[argminBookK]]
+    val assign1 = sub.join(broadcast(pqBook(seeds)), Seq("sub_j"))
+      .withColumn("best", argminBookK(col("sv"), col("book")))
+      .select(col("sub_j"), col("best._2").as("code"), col("sv"))
     assign1
       .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub_j"), col("code"), col("pos"))
@@ -1009,32 +1025,85 @@ object Embeddings {
     * the book twice (e14: encode + distance tables) shares ONE plan
     * subtree instead of leaning on exchange reuse to dedup two.
     */
-  private[queries] def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame =
-    pqSub(emb).join(broadcast(codebook), Seq("sub_j"))
-      .select(col("vec_id"), col("sub_j"),
-        struct(sqDistCol(col("sv"), col("cv")).as("d"), col("code").as("c")).as("dc"))
-      .groupBy(col("vec_id"), col("sub_j"))
-      .agg(min(col("dc")).as("best"))
-      .select(col("vec_id"), col("sub_j"), col("best.c").as("code"),
-        round(col("best.d"), 4).as("err"))
+  private[queries] def pqEncode(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    // row-local argmin (r17): the old form's groupBy(vec_id, sub_j)
+    // exchange shuffled 8 code rows per corpus vector; the argmin now
+    // evaluates inside the scan stage against the broadcast per-subspace
+    // book — identical min(struct(d, code)), zero exchanges. Non-v input
+    // columns (e21's cell) ride through pqSub.
+    val carry = emb.columns.filter(_ != "v").map(col)
+    pqSub(emb).join(broadcast(pqBook(codebook)), Seq("sub_j"))
+      .withColumn("best", argminBookK(col("sv"), col("book")))
+      .select(carry :+ col("sub_j") :+ col("best._2").as("code")
+        :+ round(col("best._1"), 4).as("err"): _*)
+  }
 
-  private def sqDistCol(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-
-  /** Assign every vector to its nearest centroid: broadcast the tiny
-    * codebook, argmin via min(struct(dist, cid)) — partial-agg
-    * friendly, deterministic id tie-break. Returns (vec_id, v, cid, d).
+  /** Squared L2 distance as a compiled loop (r17) — bit-identical to the
+    * original `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0, +)`
+    * HOF chain (same per-index op order), ~10x cheaper per row because
+    * HOF lambdas evaluate interpreted per element (the
+    * minhashShingleSigCW doctrine). Null / length-mismatch -> null,
+    * matching zip_with's null-padding fold.
     */
-  private def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"),
-        struct(sqDistCol(col("v"), col("cv")).as("d"), col("cid").as("c")).as("dc"))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(min(col("dc")).as("best"))
-      .select(col("vec_id"), col("v"),
-        col("best.c").as("cid"), col("best.d").as("d"))
+  private val sqDistK = udf((a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null || a.length != b.length) None
+    else {
+      val x = a.toArray; val y = b.toArray
+      var s = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - y(i); s += t * t; i += 1 }
+      Some(s)
+    })
+
+  private[queries] def sqDistCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = sqDistK(a, b)
+
+  /** Row-local argmin over a collected codebook (r17): returns the
+    * lexicographic minimum of struct(d = sqdist(v, cv), c) over the book
+    * entries — EXACTLY the `min(struct(d, c))` aggregate the old
+    * crossJoin+groupBy form computed, evaluated inside the scan stage
+    * instead of across an exchange. The old shape re-shuffled the full
+    * vector column once per assignment (the partial agg cut k rows to 1,
+    * but the exchange still moved every (vec_id, v) row); this shape
+    * shuffles NOTHING — the 100 TB assign pass becomes scan-local.
+    * Tie-break (same d) resolves to the smaller c, as struct ordering
+    * did. Distances are non-negative finite sums (no NaN/-0.0 cases for
+    * the ordering to disagree on).
+    */
+  private val argminBookK = udf((v: Seq[Double], book: Seq[org.apache.spark.sql.Row]) =>
+    if (v == null || book == null || book.isEmpty) None
+    else {
+      val x = v.toArray
+      var bestD = Double.NaN; var bestC = 0L; var first = true
+      book.foreach { k =>
+        val c = k.getLong(0)
+        val cv = k.getSeq[Double](1)
+        var s = 0.0
+        if (cv == null || cv.length != x.length) s = Double.NaN
+        else {
+          var i = 0
+          while (i < x.length) { val t = x(i) - cv(i); s += t * t; i += 1 }
+        }
+        if (first || s < bestD || (s == bestD && c < bestC)) {
+          bestD = s; bestC = c; first = false
+        }
+      }
+      Some((bestD, bestC))
+    })
+
+  /** Assign every vector to its nearest centroid — row-local argmin over
+    * the broadcast codebook (see [[argminBookK]]); zero exchanges where
+    * the r16 form shuffled the corpus per assignment. Extra input
+    * columns (label, …) ride through so callers no longer re-join the
+    * assignment to the corpus by vec_id. Returns input columns + (cid, d).
+    */
+  private[queries] def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val book = cents.agg(collect_list(
+      struct(col("cid").cast("long").as("c"), col("cv"))).as("book"))
+    emb.crossJoin(broadcast(book))
+      .withColumn("best", argminBookK(col("v"), col("book")))
+      .select(emb.columns.map(col) :+ col("best._2").cast("int").as("cid")
+        :+ col("best._1").as("d"): _*)
+  }
 
   /** Lloyd's k-means: deterministic seeds (vectors vec_id < k), fixed
     * iteration count, per-iteration 6-dp centroid rounding so both

@@ -227,4 +227,68 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
     // widest probe complete — the curve this gauge exists to show
     assert(rows(0)._3 < 10L && rows(2)._3 == 10L)
   }
+
+  test("r17 compiled vector kernels are bit-identical to the HOF forms " +
+    "(dot/norm/cosine/sqdist), incl. null and length-mismatch semantics") {
+    import spark.implicits._
+    // adversarial values: denormals, huge magnitudes, negative zero —
+    // any reordering or fused-multiply drift would show here
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 50).map { i =>
+      val n = if (i % 7 == 0) 8 else 64
+      (Seq.fill(n)(rnd.nextDouble() * math.pow(10, rnd.nextInt(9) - 4) *
+        (if (rnd.nextBoolean()) 1 else -1)),
+       Seq.fill(n)(rnd.nextDouble() * math.pow(10, rnd.nextInt(9) - 4) *
+        (if (rnd.nextBoolean()) 1 else -1)))
+    } :+ ((Seq(0.0, -0.0, 1e-300), Seq(-0.0, 0.0, 1e300)))
+    val df = vecs.toDF("a", "b")
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    val rows = df.select(
+      dot(col("a"), col("b")).as("k_dot"), hofDot(col("a"), col("b")).as("h_dot"),
+      norm(col("a")).as("k_na"), sqrt(hofDot(col("a"), col("a"))).as("h_na"),
+      cosine(col("a"), col("b")).as("k_cos"),
+      (hofDot(col("a"), col("b")) /
+        (sqrt(hofDot(col("a"), col("a"))) * sqrt(hofDot(col("b"), col("b"))))).as("h_cos"),
+      Embeddings.sqDistCol(col("a"), col("b")).as("k_sq"),
+      hofSq(col("a"), col("b")).as("h_sq")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"dot: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"norm: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(5)), s"cosine: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(6)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(7)), s"sqdist: $r")
+    }
+    // null / length-mismatch: both forms must agree on null-ness
+    val edge = Seq((Seq(1.0, 2.0), null: Seq[Double]),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = edge.select(dot(col("a"), col("b")), hofDot(col("a"), col("b")),
+      cosine(col("a"), col("b"))).collect()
+    e.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)) }
+  }
+
+  test("r17 row-local argmin assignment == crossJoin+groupBy min(struct) " +
+    "(the r16 kmeansAssign/pqEncode shape) on the real corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    def hofSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    // the r16 shape, verbatim
+    val old = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(hofSq(col("v"), col("cv")).as("d"), col("cid").as("c")).as("dc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.c").as("cid"), col("best.d").as("d"))
+    val neu = Embeddings.kmeansAssign(emb, cents)
+      .select(col("vec_id"), col("cid"), col("d"))
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty)
+  }
 }
