@@ -212,6 +212,16 @@ object TextAnalysis {
     * identically or their fingerprints drift from the oracle SQL on
     * text with non-space edge whitespace.
     */
+  /** Per-thread MD5 instance for the compiled hash kernels (r17):
+    * `MessageDigest.getInstance` walks the JCA provider tables per call
+    * and was paid once per ROW by the minhash/simhash UDFs; a digest
+    * instance is reusable after `digest()`/`reset()`, so each executor
+    * thread keeps one. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def sqlTokens(t: String): Array[String] = {
     var start = 0
     var end = t.length
@@ -227,7 +237,7 @@ object TextAnalysis {
         val toks = sqlTokens(t)
         val nSh = math.max(toks.length - wN + 1, 1)
         val mins = Array.fill(kN)(Long.MaxValue)
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = md5Local.get()
         val sb = new java.lang.StringBuilder(64)
         var s = 0
         while (s < nSh) {
@@ -463,7 +473,7 @@ object TextAnalysis {
       else {
         val toks = sqlTokens(t)
         val counts = new Array[Int](16)
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = md5Local.get()
         var ti = 0
         while (ti < toks.length) {
           md.reset()
@@ -534,7 +544,7 @@ object TextAnalysis {
       else {
         val toks = sqlTokens(t)
         val counts = new Array[Int](64)
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = md5Local.get()
         var ti = 0
         while (ti < toks.length) {
           md.reset()

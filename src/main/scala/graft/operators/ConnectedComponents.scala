@@ -43,16 +43,31 @@ object ConnectedComponents {
     // round's plan, and a persisted frame keeps its whole logical tree —
     // Catalyst re-analyzed the upstream LSH/verify pipeline per round
     // (driver-side planning dominated tiny-graph loops; see PageRank).
-    val edges = invariants.next(pairs
+    val edgesCk = invariants.next(pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     // block count (checkpointed), sizes the round shuffles to the data
     // (tiny dup graphs iterate at 1 partition — see RoundPartitions)
-    val edgeRows = edges.count()
+    val edgeRows = edgesCk.count()
     val result = RoundPartitions.scoped(pairs.sparkSession, edgeRows) {
+    // Pre-partition the loop-invariant edge table ONCE by the round-join
+    // key (r17): the checkpointed RDD reports unknown partitioning, so
+    // every round's join re-shuffles the edges as well as the labels — a
+    // persisted hash repartition on v leaves only the O(nodes) label
+    // side shuffling per round. SIZE-GATED like everything else in this
+    // loop (RoundPartitions doctrine): below ~2 round partitions the
+    // rounds run at 1 partition where re-shuffling a tiny edge list is
+    // cheaper than the extra repartition job + cache — measured 6%
+    // SLOWER on the sf0.1 dup graphs — while at scale the per-round edge
+    // re-shuffle is the dominant loop cost this removes.
+    val nPart = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val prePartition = nPart >= 2
+    val edges = if (prePartition) edgesCk.repartition(nPart, col("v")).persist()
+      else edgesCk
     // round 0 folds the first propagation into initialization:
-    // label(v) = min(v, min(neighbors))
-    var cur = ckpt.next(edges.groupBy(col("u"))
+    // label(v) = min(v, min(neighbors)); lazy — the signature below
+    // materializes it (r17)
+    var cur = ckpt.nextLazy(edges.groupBy(col("u"))
       .agg(min(col("v")).as("nmin"))
       .select(col("u").as("id"), least(col("u"), col("nmin")).as("lbl")))
     // Fixpoint test by signature, not by joining next against cur:
@@ -77,7 +92,12 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = ckpt.next(edges
+      // LAZY checkpoint (r17): the signature aggregate below is the
+      // materializing action, fusing the former per-round checkpoint job
+      // into the convergence check — one job per round instead of two.
+      // releaseSuperseded only runs after signature() has materialized
+      // the round (the nextLazy contract).
+      val next = ckpt.nextLazy(edges
         .join(cur.select(col("id").as("v"), col("lbl")), Seq("v"))
         .select(col("u").as("id"), col("lbl"))
         .unionAll(cur)
@@ -89,6 +109,7 @@ object ConnectedComponents {
       cur = next
       round += 1
     }
+    if (prePartition) edges.unpersist(blocking = false)
     cur
     }
     invariants.releaseAll()
@@ -164,9 +185,12 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = ckpt.next(smallStar(largeStar(edges)))
-      ckpt.releaseSuperseded() // `next` is materialized; old edges unused
+      // LAZY checkpoint: signature() is the materializing action (one
+      // job per round instead of two — r17); superseded blocks release
+      // only after it returns, per the nextLazy contract
+      val next = ckpt.nextLazy(smallStar(largeStar(edges)))
       val nextSig = signature(next)
+      ckpt.releaseSuperseded() // `next` is materialized; old edges unused
       converged = nextSig == sig
       edges = next
       sig = nextSig

@@ -57,6 +57,21 @@ object PageRank {
     // paying a session-width stage of empty tasks per round
     val nodes = deg.count()
     val result = RoundPartitions.scoped(pairs.sparkSession, nodes) {
+      // Pre-partition the loop-invariant (u, v, dg) table ONCE by the
+      // round-join key (r17): the checkpointed RDD reports unknown
+      // partitioning, so every round's join re-shuffles the EDGE side as
+      // well as the ranks. A persisted hash repartition on u (at the
+      // scoped round partition count, so ENSURE_REQUIREMENTS recognizes
+      // it) leaves only the O(nodes) ranks side crossing the wire per
+      // round — one edge shuffle total instead of one per round: the
+      // pre-bucketed edge table the scale comment below promised.
+      // SIZE-GATED (RoundPartitions doctrine): at 1-partition round
+      // scale the extra repartition job + cache measured 6% SLOWER than
+      // just re-shuffling the tiny edge list each round.
+      val nPart = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val prePartition = nPart >= 2
+      val we = if (prePartition) weightedEdges.repartition(nPart, col("u")).persist()
+        else weightedEdges
       var ranks = ckpt.next(deg.select(col("u").as("id"), lit(1.0).as("rank")))
       // the loop-invariant tables are checkpointed/counted; their
       // lineage (and the upstream pipeline's cache) can go before the
@@ -65,7 +80,7 @@ object PageRank {
       deg.unpersist(blocking = false)
       var i = 0
       while (i < iterations) {
-        val contribs = weightedEdges
+        val contribs = we
           .join(ranks.select(col("id").as("u"), col("rank")), Seq("u"))
           .select(col("v").as("id"), (col("rank") / col("dg")).as("c"))
         val next = ckpt.next(contribs.groupBy(col("id"))
@@ -74,6 +89,7 @@ object PageRank {
         ranks = next
         i += 1
       }
+      if (prePartition) we.unpersist(blocking = false)
       ranks
     }
     invariants.releaseAll()

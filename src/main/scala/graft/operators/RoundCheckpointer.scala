@@ -101,6 +101,33 @@ private[graft] final class RoundCheckpointer(spark: SparkSession) {
     ck
   }
 
+  /** LAZY round checkpoint (r17): marks the plan for local checkpointing
+    * but runs NO job — the caller's next action (the convergence
+    * signature the CC loops already compute every round) materializes
+    * it. Fuses the eager form's checkpoint job into the signature job:
+    * one driver job per round instead of two. Contract: the caller MUST
+    * run an action on the returned frame BEFORE calling
+    * [[releaseSuperseded]] — an unmaterialized lazy checkpoint whose
+    * predecessor's blocks were dropped would recompute through the
+    * (already-truncated) previous round.
+    *
+    * liveIds: a bare registry diff is safe HERE (unlike [[next]], which
+    * filters on isCheckpointed) because no job runs inside this call —
+    * the foreign-cache hazard documented on [[next]] arises from a
+    * caller's lazy persist materializing DURING the eager checkpoint
+    * job; lazy marking runs planning only, and plain persists register
+    * at their own .persist() call sites, never during another frame's
+    * planning. The only RDD that can appear in the diff is the
+    * checkpoint-marked one itself.
+    */
+  def nextLazy(df: DataFrame): DataFrame = {
+    val pre = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint(eager = false)
+    supersededIds ++= liveIds
+    liveIds = sc.getPersistentRDDs.keySet.toSet.diff(pre.toSet)
+    ck
+  }
+
   /** Drop the blocks of rounds superseded by a later [[next]] call.
     * Callers invoke this only once the superseded round's DataFrame
     * is no longer referenced by any in-flight job — a localCheckpoint

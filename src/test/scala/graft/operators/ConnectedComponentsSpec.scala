@@ -130,4 +130,17 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = labelsOf(ConnectedComponents.largeStarSmallStar(pairsDF(Seq((7L, 4L)))))
     assert(one == Map(7L -> 4L, 4L -> 4L))
   }
+
+  test("r17 pre-partitioned min-label rounds (big-graph path) reach the exact fixpoint") {
+    // 150k edges in 1,000 hub components (diameter 2): big enough that
+    // RoundPartitions keeps >= 2 round partitions, so the size-gated
+    // invariant pre-partition ENGAGES. Labels are integer mins — the
+    // fixpoint is exact regardless of partitioning, so this pins the
+    // gated path's correctness outright (hub id = component min).
+    val pairs = pairsDF((1000L until 150000L).map(i => (i, i % 1000L)))
+    val labels = labelsOf(ConnectedComponents.minLabelPropagate(pairs))
+    assert(labels.size == 150000)
+    assert((1000L until 150000L).forall(i => labels(i) == i % 1000L))
+    assert((0L until 1000L).forall(h => labels(h) == h))
+  }
 }

@@ -63,4 +63,29 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     // only the final round's checkpoint may remain
     assert(s.sparkContext.getPersistentRDDs.size <= before + 1)
   }
+
+  test("r17 pre-partitioned rounds (big-graph path) match the 1-partition path") {
+    // 150k edges with bounded degree: RoundPartitions keeps >= 2 round
+    // partitions, so the size-gated invariant pre-partition ENGAGES; a
+    // second run under a 1-partition session forces the gate OFF. Both
+    // must reach the identical ranks (per-round 9-dp rounding is the
+    // engine's cross-partitioning determinism contract).
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 150000L).map(i => (i, i + 1 + (i % 7))).toDF("doc_a", "doc_b")
+    val gated = PageRank.undirected(edges, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "1")
+    try {
+      val flat = PageRank.undirected(edges, iterations = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(gated.size == flat.size)
+      assert(gated == flat)
+    } finally s.conf.set(key, prev)
+    // and no cached blocks leaked from the pre-partitioned invariant
+    assert(s.sparkContext.getPersistentRDDs.values
+      .forall(r => !r.toString.contains("Repartition")))
+  }
 }
