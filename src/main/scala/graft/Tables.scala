@@ -95,4 +95,13 @@ object Tables {
     spreadIfTiny(s, s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame =
     spreadIfTiny(s, s"$dir/embeddings.parquet")
+  /** lineitem behind the same tiny-input spread as documents/embeddings
+    * — for consumers whose per-row kernel is CPU-bound (q17's md5 sample
+    * key + exact-percentile buffering serialized on the single-row-group
+    * scan: 2.5 s of its 2.7 s wall ran on ONE core). Cheap-aggregate
+    * consumers keep the plain narrow scan. No-op on any real-scale
+    * (multi-split) input, like every spreadIfTiny use.
+    */
+  def lineitemSpread(s: SparkSession, dir: String): DataFrame =
+    spreadIfTiny(s, s"$dir/lineitem.parquet")
 }

@@ -501,7 +501,9 @@ object Relational {
     // q50/q90/q99 sit beside the exact interpolated quantiles.
     "q17_sample_quantiles" -> ((s, dir) => {
       val k = 1024
-      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"),
+      // spread the single-row-group scan (r17): the md5 sample key and
+      // the exact-percentile partials otherwise run on ONE core
+      val li = Tables.lineitemSpread(s, dir).select(col("l_extendedprice").as("v"),
         md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("h"))
       val sample = li.orderBy(col("h"), col("v")).limit(k)
         .select(col("v"))
@@ -519,7 +521,13 @@ object Relational {
       // each build and merge their own full value buffer — measured
       // 6.6s vs 4.0s for this form at sf0.1 (the buffer itself is the
       // irreducible cost of EXACT quantiles; at corpus scale only the
-      // sample estimate survives, this column is the gauge's truth)
+      // sample estimate survives, this column is the gauge's truth).
+      // r17 examined and KEPT: a distributed count-table rendition of
+      // the same interpolation was built and measured SLOWER (l_extendedprice
+      // is 583k distinct of 600k rows at sf0.1, so the count table
+      // compresses nothing and its cumulative window + bracket joins
+      // re-ran the scan subtree per branch); the serial ~1.2 s buffer
+      // merge is the honest price of the exact gauge column.
       val exact = li.agg(
         expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("xs"))
       est.crossJoin(exact)
