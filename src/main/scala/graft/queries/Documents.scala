@@ -958,7 +958,7 @@ object Documents {
     // (skew). Re-scanning columnar storage is cheaper than shuffling
     // skewed text; text moves once, keyed by uniform (doc_id, idx).
     "d09_paragraph_dedup" -> ((s, dir) => {
-      val extra = s.range(50).select((col("id") + 2000000L).as("doc_id"),
+      val extra = s.range(0, 50, 1, 1).select((col("id") + 2000000L).as("doc_id"),
         concat(lit("intro segment "), col("id").cast("string"),
           lit(". shared boilerplate cookie notice. unique tail "),
           col("id").cast("string")).as("text"))
@@ -1008,7 +1008,12 @@ object Documents {
     }),
 
     "d08_neardup_skewed" -> ((s, dir) => {
-      val viral = s.range(ViralDocs)
+      // crafted fixtures are CONSTANT-SIZE (they never grow with SF), so
+      // they get 1-2 explicit partitions (r17): a bare s.range() claims
+      // defaultParallelism splits, and the union with the 32-way corpus
+      // spread ran every downstream stage at 64 tasks — pure per-task
+      // fixed cost (d29's nine unioned fixtures reached ~280 partitions)
+      val viral = s.range(0, ViralDocs, 1, 2)
         .select((col("id") + 1000000L).as("doc_id"),
           concat(lit(ViralTemplate), col("id").cast("string")).as("text"))
       neardupSummary(docs(s, dir).select(col("doc_id"), col("text"))
@@ -1447,7 +1452,7 @@ object Documents {
     // FP mass than r=4 at 26x less FN mass than r=16.
     "d24_lsh_plan" -> ((s, dir) => {
       import s.implicits._
-      val g = s.range(1, 20).select(col("id").as("i"),
+      val g = s.range(1, 20, 1, 1).select(col("id").as("i"),
         (col("id").cast("double") * 0.05).as("s"))
       val rb = Seq((2, 64), (4, 32), (8, 16), (16, 8)).toDF("r", "b")
       val curve = rb.crossJoin(broadcast(g))
@@ -1640,15 +1645,15 @@ object Documents {
     // with the latest over-cap occurrence before d — exactly the
     // operator's prefix + exact-dedup-LRU-ring state rule).
     "d29_megabucket_divergence" -> ((s, dir) => {
-      val mega = s.range(200).select(col("id").as("doc_id"),
+      val mega = s.range(0, 200, 1, 1).select(col("id").as("doc_id"),
         lit(4660L).as("h0"), lit(0L).as("h1"))
-      val paired = s.range(60).select((col("id") + 2000L).as("doc_id"),
+      val paired = s.range(0, 60, 1, 1).select((col("id") + 2000L).as("doc_id"),
         expr("(id div 2 + 1) + (id div 2 + 1) * 65536").as("h0"),
         expr("(id div 2 + 1) + (id div 2 + 1) * 65536").as("h1"))
-      val distant = s.range(66).select((col("id") + 3000L).as("doc_id"),
+      val distant = s.range(0, 66, 1, 1).select((col("id") + 3000L).as("doc_id"),
         expr("16962L + shiftleft(15L, cast(32 + 4 * (id div 15) as int))").as("h0"),
         expr("shiftleft(15L, cast(4 * (id % 15) as int))").as("h1"))
-      val clones = s.range(6).select((col("id") * 3 + 3200L).as("doc_id"),
+      val clones = s.range(0, 6, 1, 1).select((col("id") * 3 + 3200L).as("doc_id"),
         expr("16962L + shiftleft(15L, 52)").as("h0"), lit(0L).as("h1"))
       // ring regime: fillers and the clone pair share ALL FOUR band
       // keys (0x47/0x47/0x53/0x53 doubled-word constants, colliding
@@ -1656,11 +1661,11 @@ object Documents {
       // upper-32 bits of each half (pairwise hamming ≥ 4, hamming 8
       // from the clones). All wave 0; the id gap at 4692 seats clone A
       // at arrival rank 65 with exactly 16 fillers after it.
-      val ringFill = s.range(80).select(
+      val ringFill = s.range(0, 80, 1, 1).select(
         expr("CASE WHEN id < 64 THEN 4500 + 3*id ELSE 4503 + 3*id END").as("doc_id"),
         expr("4653127L + shiftleft(15L, cast(32 + 3 * (id % 8) as int))").as("h0"),
         expr("5439571L + shiftleft(15L, cast(32 + 2 * (id div 8) as int))").as("h1"))
-      val ringClones = s.range(2).select(
+      val ringClones = s.range(0, 2, 1, 1).select(
         expr("CASE WHEN id = 0 THEN 4692 ELSE 4743 END").as("doc_id"),
         lit(4653127L).as("h0"), lit(5439571L).as("h1"))
       // churn regime: own four buckets (0x59/0x59/0x61/0x61 doubled-word
@@ -1669,15 +1674,15 @@ object Documents {
       // then 20 over-cap fillers drawn from 8 distinct codes (variation
       // nibble in h1 bits 32..47; h0 nibble at bit 57 keeps them off
       // every prefix code), then the twin at rank 86.
-      val churnFill = s.range(64).select(
+      val churnFill = s.range(0, 64, 1, 1).select(
         (lit(5001L) + col("id") * 3).as("doc_id"),
         expr("5832793L + shiftleft(15L, cast(32 + 3 * (id % 8) as int))").as("h0"),
         expr("6357089L + shiftleft(15L, cast(32 + 2 * (id div 8) as int))").as("h1"))
-      val churnOverCap = s.range(20).select(
+      val churnOverCap = s.range(0, 20, 1, 1).select(
         (lit(5196L) + col("id") * 3).as("doc_id"),
         expr("5832793L + shiftleft(15L, 57)").as("h0"),
         expr("6357089L + shiftleft(15L, cast(32 + 2 * (id % 8) as int))").as("h1"))
-      val churnClones = s.range(2).select(
+      val churnClones = s.range(0, 2, 1, 1).select(
         expr("CASE WHEN id = 0 THEN 5193 ELSE 5256 END").as("doc_id"),
         lit(5832793L).as("h0"), lit(6357089L).as("h1"))
       val codes = mega.unionAll(paired).unionAll(distant).unionAll(clones)

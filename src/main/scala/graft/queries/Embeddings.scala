@@ -911,7 +911,7 @@ object Embeddings {
   private def megaClusterCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val reps = s.range(0, 700).select(col("id").as("r"))
+    val reps = s.range(0, 700, 1, 1).select(col("id").as("r"))
     val mega = base.filter(col("vec_id") < 2).crossJoin(broadcast(reps))
       .withColumn("v",
         zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, d) =>

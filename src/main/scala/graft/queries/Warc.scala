@@ -470,7 +470,7 @@ object Warc {
       scan(s, "warcfile.warc.gz")
         .select(col("record_id"), col("record_type"), col("record_date"),
           col("headers"), col("content"), col("warc_version"))
-        .crossJoin(s.range(40)).drop("id") // 40 copies -> 2000 members, one file
+        .crossJoin(s.range(0, 40, 1, 1)).drop("id") // 40 copies -> 2000 members, one file
         .coalesce(1)
         .write.format("warc").option("member_index", "true")
         .mode("append").save(out)
@@ -1562,7 +1562,7 @@ object Warc {
           when(bucket.isin("4", "5", "6", "7"),
             concat(col("content"), lit(" <!-- v2 -->".getBytes("ascii"))))
             .otherwise(col("content")).as("content"))
-      val newcomers = s.range(3)
+      val newcomers = s.range(0, 3, 1, 1)
         .select(concat(lit("<urn:new:"), col("id"), lit(">")).as("record_id"),
           lit("resource").as("record_type"),
           to_timestamp(lit("2026-02-01 00:00:00")).as("record_date"),

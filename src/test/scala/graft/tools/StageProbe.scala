@@ -47,7 +47,9 @@ object StageProbe {
         // operator the stage belongs to far better than si.name does
         val graftFrame = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("StageProbe"))
-          .map(_.trim.take(80)).getOrElse("")
+          .map(_.trim.take(80)).getOrElse("") +
+          " rdds=" + si.rddInfos.map(r => r.scope.map(_.name).getOrElse(r.name))
+            .distinct.mkString(",").take(120)
         stages.put(si.stageId, St(si.name.take(40) + " | " + graftFrame, si.numTasks,
           Option(runMs.get(si.stageId)).map(_.get).getOrElse(0L), wall,
           Option(cpuMs.get(si.stageId)).map(_.get).getOrElse(0L)))
