@@ -177,6 +177,112 @@ object TextAnalysis {
       }
     })
 
+  /** Compiled BPE word normalizer (r17) — bit-identical to
+    * `lower(regexp_replace(tok, "[^A-Za-z]", ""))`: keeps ASCII letters
+    * only (a supplementary code point is two non-letter chars, dropped
+    * either way), lowercases the pure-ASCII survivors. The regex pair
+    * ran per TOKEN on the t25/t28 hot path (~2M tokens at sf0.1).
+    */
+  def bpeNormToken: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((tok: String) => {
+      if (tok == null) null
+      else {
+        val sb = new java.lang.StringBuilder(tok.length)
+        var i = 0
+        while (i < tok.length) {
+          val c = tok.charAt(i)
+          if (c >= 'a' && c <= 'z') sb.append(c)
+          else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+          i += 1
+        }
+        sb.toString
+      }
+    })
+
+  /** Compiled '<c>' symbol marking (r17) — bit-identical to
+    * `regexp_replace(w, "(.)", "<$1>")` on [[bpeNormToken]] output
+    * (pure ASCII letters, so '.''s one-match-per-code-point semantics
+    * coincide with per-char).
+    */
+  def bpeMarkWord: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: String) => {
+      if (w == null) null
+      else {
+        val sb = new java.lang.StringBuilder(w.length * 3)
+        var i = 0
+        while (i < w.length) {
+          sb.append('<').append(w.charAt(i)).append('>')
+          i += 1
+        }
+        sb.toString
+      }
+    })
+
+  /** Adjacent token pairs as one compiled kernel (r17) — bit-identical
+    * to the t18/t29 HOF chain
+    * `explode(zip_with(slice(tk,1,n-1), slice(tk,2,n-1), struct))` over
+    * `tokens(text)`: pairs (tok(i), tok(i+1)) for i in 0..n-2, empty
+    * (row dropped by the caller's explode) for <2 tokens, null for null
+    * text. The HOF form evaluated interpreted slice/zip lambdas per
+    * element on every corpus token.
+    */
+  def bigramPairs: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = sqlTokens(t)
+        if (toks.length < 2) Array.empty[(String, String)]
+        else {
+          val out = new Array[(String, String)](toks.length - 1)
+          var i = 0
+          while (i < toks.length - 1) { out(i) = (toks(i), toks(i + 1)); i += 1 }
+          out
+        }
+      }
+    })
+
+  /** Word-start windows as one compiled kernel (r17): (p, window) pairs
+    * where p is the 1-BASED CODE-POINT position of a word start (p == 1
+    * or the previous code point is a space, current is not) and window =
+    * `substring(text, p, win)`. Bit-identical to the d25/d26 shape
+    * `explode(sequence(1, length(text)))` + the word-start filter +
+    * substring — which materialized one interpreted row PER CHARACTER
+    * (12.5M rows at sf0.1). Positions and slices count CODE POINTS,
+    * exactly like Spark's length/substring, so supplementary-plane text
+    * behaves identically. `fullOnly` adds d26's full-window rule
+    * (p + win <= length + 1).
+    */
+  def wordStartWindows(win: Int, fullOnly: Boolean): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => {
+      if (t == null) null
+      else if (t.isEmpty) {
+        // quirk replicated verbatim: sequence(1, length) DESCENDS for
+        // length 0 ([1, 0]), and the p = 1 candidate passes the original
+        // filter (substring("", 1, 1) = "" != " "), so the per-char form
+        // emits one (1, "") row for EMPTY text — d25's n_positions counts
+        // it (oracle-pinned); d26's full-window rule excludes it
+        if (!fullOnly || 1 + win <= 1) Array((1, "")) else Array.empty[(Int, String)]
+      } else {
+        val n = t.codePointCount(0, t.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        var p = 1
+        var off = 0
+        var prevCp = -1
+        while (off < t.length) {
+          val cp = t.codePointAt(off)
+          if ((p == 1 || prevCp == ' '.toInt) && cp != ' '.toInt &&
+              (!fullOnly || p + win <= n + 1)) {
+            val k = math.min(win, n - p + 1)
+            out += ((p, t.substring(off, t.offsetByCodePoints(off, k))))
+          }
+          prevCp = cp
+          off += Character.charCount(cp)
+          p += 1
+        }
+        out.toArray
+      }
+    })
+
   /** One MinHash signature component: min over shingles of
     * md5(seed ":" shingle). Hex-string min == numeric min (fixed length,
     * lowercase).

@@ -25,10 +25,10 @@ object Documents {
     */
   private def bpeWords(d: DataFrame): DataFrame =
     d.select(explode(tokens(col("text"))).as("tok"))
-      .select(lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
+      .select(bpeNormToken(col("tok")).as("w")) // compiled ≡ lower(regexp_replace(tok,"[^A-Za-z]","")) (r17)
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
+      .select(bpeMarkWord(col("w")).as("syms"), col("freq"))
 
   /** One BPE merge round: count adjacent symbol pairs, pick the most
     * frequent (ties broken lexically so both engines agree), fuse it
@@ -825,10 +825,9 @@ object Documents {
           .drop("_ml", "_mr")
       val docWords = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("w"))
+        .select(col("doc_id"), bpeNormToken(col("tok")).as("w")) // compiled (r17)
         .filter(length(col("w")) >= 1)
-        .withColumn("syms", regexp_replace(col("w"), "(.)", "<$1>"))
+        .withColumn("syms", bpeMarkWord(col("w")))
       val nSyms = length(col("syms")) - length(expr("replace(syms, '<', '')"))
       applyMerge(applyMerge(applyMerge(docWords, m1), m2), m3)
         .groupBy(col("doc_id"))
@@ -1942,13 +1941,12 @@ object Documents {
   private[graft] def spanRemovalCleaned(d: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = d.filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    // compiled word-start-window kernel (r17) ≡ the per-character
+    // explode(sequence(1, length)) + filter + substring chain
     val starts = base
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("p"))
-      .filter((col("p") === 1 || expr("substring(text, p - 1, 1)") === " ") &&
-        expr("substring(text, p, 1)") =!= " " &&
-        col("p") + win <= length(col("text")) + 1)
-      .select(col("doc_id"), col("p"), expr(s"substring(text, p, $win)").as("w"))
+      .select(col("doc_id"),
+        explode(wordStartWindows(win, fullOnly = true)(col("text"))).as("x"))
+      .select(col("doc_id"), col("x._1").as("p"), col("x._2").as("w"))
     val dupW = starts.groupBy(col("w"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("w"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
@@ -2020,12 +2018,12 @@ object Documents {
     * exactness that d14's fingerprints avoid.
     */
   private[graft] def suffixDups(d: DataFrame, prefixLen: Int): DataFrame = {
+    // compiled word-start-window kernel (r17) ≡ the per-character
+    // explode(sequence(1, length)) + filter + substring chain
     val starts = d.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("p"))
-      .filter((col("p") === 1 || expr("substring(text, p - 1, 1)") === " ") &&
-        expr("substring(text, p, 1)") =!= " ")
-      .select(col("doc_id"), col("p"), expr("substring(text, p, 64)").as("suf"))
+      .select(col("doc_id"),
+        explode(wordStartWindows(64, fullOnly = false)(col("text"))).as("x"))
+      .select(col("doc_id"), col("x._1").as("p"), col("x._2").as("suf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(substring(col("suf"), 1, prefixLen))
       .orderBy(col("suf"), col("doc_id"), col("p"))
@@ -2262,12 +2260,10 @@ object Documents {
     */
   private[queries] def bigramPerplexity(d: DataFrame): DataFrame = {
     val tk = d.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val pairs = tk.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // compiled bigram kernel (r17) ≡ explode(zip_with(slice, slice, struct))
+    val pairs = d.select(col("doc_id"),
+        explode(bigramPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p._1").as("w1"), col("p._2").as("w2"))
     // pairs is consumed by counts AND scoring — deliberately NOT
     // persisted: recomputing a tokenize+explode projection is cheaper
     // at scale than pinning exploded text in executor memory, and the
@@ -2305,13 +2301,10 @@ object Documents {
     */
   private[queries] def knPerplexity(d: DataFrame,
       discount: Double = 0.75): DataFrame = {
-    val tk = d.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val pairs = tk.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // compiled bigram kernel (r17) ≡ explode(zip_with(slice, slice, struct))
+    val pairs = d.select(col("doc_id"),
+        explode(bigramPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p._1").as("w1"), col("p._2").as("w2"))
     // same non-persist doctrine as [[bigramPerplexity]]: the scoring
     // join's (w1, w2) exchange is the bigram-count subplan, ReuseExchange
     // dedups it instead of pinning exploded text in executor memory

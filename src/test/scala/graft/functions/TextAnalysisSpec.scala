@@ -402,4 +402,68 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("non-empty"))
   }
+
+  /** Adversarial texts for the r17 compiled kernels: whitespace edges,
+    * punctuation-only tokens, multi-byte BMP chars, and a supplementary-
+    * plane emoji (two UTF-16 units, ONE Spark code point) — the case
+    * that breaks any char-indexed reimplementation of substring.
+    */
+  private val r17Texts = Seq(
+    "", " ", "  ", "one", "two words", " lead", "trail ", "a  b   c",
+    "Hello, World! 123 foo-bar", "ALL CAPS and lower",
+    "café déjà vu", "emoji 😀 mid word",
+    "😀starts with emoji", "tab\tand\nnewline mix",
+    "punct..." * 3, "x " * 40 + "repeated span " * 5 + "tail")
+
+  test("r17 bpeNormToken/bpeMarkWord kernels == regex forms") {
+    val df = onTexts(r17Texts)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val rows = df.select(
+        TextAnalysis.bpeNormToken(col("tok")).as("k_w"),
+        lower(regexp_replace(col("tok"), "[^A-Za-z]", "")).as("h_w"))
+      .withColumn("k_syms", TextAnalysis.bpeMarkWord(col("k_w")))
+      .withColumn("h_syms", regexp_replace(col("h_w"), "(.)", "<$1>"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"norm: $r")
+      assert(r.getString(2) == r.getString(3), s"mark: $r")
+    }
+  }
+
+  test("r17 bigramPairs kernel == zip_with(slice, slice) HOF form") {
+    val df = onTexts(r17Texts)
+    val k = df.select(col("doc_id"),
+        explode(TextAnalysis.bigramPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p._1").as("w1"), col("p._2").as("w2"))
+    val tk = df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val h = tk.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    assert(k.exceptAll(h).isEmpty && h.exceptAll(k).isEmpty)
+    assert(k.count() == h.count())
+  }
+
+  test("r17 wordStartWindows kernel == per-character explode/filter/substring form") {
+    for ((win, fullOnly) <- Seq((40, true), (64, false), (5, true), (5, false))) {
+      val df = onTexts(r17Texts)
+      val k = df.select(col("doc_id"),
+          explode(TextAnalysis.wordStartWindows(win, fullOnly)(col("text"))).as("x"))
+        .select(col("doc_id"), col("x._1").as("p"), col("x._2").as("w"))
+      val base = df.select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")))).as("p"))
+        .filter((col("p") === 1 || expr("substring(text, p - 1, 1)") === " ") &&
+          expr("substring(text, p, 1)") =!= " ")
+      val h0 = if (fullOnly) base.filter(col("p") + win <= length(col("text")) + 1)
+        else base
+      val h = h0.select(col("doc_id"), col("p"),
+        expr(s"substring(text, p, $win)").as("w"))
+      assert(k.exceptAll(h).isEmpty && h.exceptAll(k).isEmpty,
+        s"win=$win fullOnly=$fullOnly")
+      assert(k.count() == h.count(), s"count win=$win fullOnly=$fullOnly")
+    }
+  }
 }
