@@ -325,10 +325,13 @@ object Embeddings {
     // honest IVF training step with no labels: deterministic seeds
     // (vectors vec_id 0..7), per-iteration centroid rounding so both
     // engines iterate bit-identically, min(struct(dist, cid)) argmin
-    // with id tie-break. Per iteration: one broadcast of the 8-row
-    // codebook to the assign join, one explode/regroup to re-center —
-    // at 100 TB the corpus is scanned k-means-style 3 times but only
-    // (cid, pos, x) triples ever shuffle. Output: cluster sizes,
+    // with id tie-break — evaluated ROW-LOCALLY against the collected
+    // broadcast book since r17 (the r16 crossJoin+groupBy shape
+    // re-shuffled the full vector column per assignment). Per
+    // iteration: one broadcast of the 8-row book to the assign scan,
+    // one explode/regroup to re-center — at 100 TB the corpus is
+    // scanned k-means-style 3 times but only the map-side-combined
+    // (cid, pos, x) partials ever shuffle. Output: cluster sizes,
     // centroid fingerprints and total inertia — the convergence
     // numbers an IVF tuner actually reads.
     "e10_kmeans" -> ((s, dir) => {
@@ -748,12 +751,13 @@ object Embeddings {
     // float corpus is never touched by the search). Codes are raw-
     // vector PQ, not residual PQ (FAISS `by_residual=false`): one
     // shared codebook keeps the e09/e14/e21 family on the same pin.
-    // Topology: the only corpus-sized shuffle is tagging codes with
-    // their cell (a vec_id equi-join; in production the code table is
-    // STORED cell-partitioned so even that disappears); probes and
-    // distance tables are broadcast, ranking is a per-query window
-    // over ≤2 cells of candidates. Recall@3 vs the brute-force L2
-    // truth says what the double approximation costs.
+    // Topology (r17): the cell RIDES THROUGH the encode pass — pqSub
+    // carries non-v columns — so the r16 code-to-cell tagging join (a
+    // corpus-sized vec_id equi-join) is gone; probes and distance
+    // tables are broadcast, ranking is a per-query window over ≤2
+    // cells of candidates, and the only corpus-sized exchange left is
+    // the final per-(query, candidate) ADC sum. Recall@3 vs the
+    // brute-force L2 truth says what the double approximation costs.
     "e21_ivfpq_recall" -> ((s, dir) => {
       val embl = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))

@@ -33,7 +33,7 @@ object PlanAudit {
     "d13_similar_topk" -> "per-doc window (never a global sort) over the shared persisted LSH scored stage",
     "q13_table_profile" -> "every stage a HASH aggregate (no expand, no SortAggregate): per-column groupBy-count then a tiny reduce; each arm scans only its pruned column",
     "q14_kmv_ndv" -> "the k-min sketch compiles to TakeOrderedAndProject — per-partition top-k, k-row merge",
-    "e10_kmeans" -> "final assign: the 8-row codebook BROADCASTs to the corpus scan; argmin is a partial-agg min(struct), never a window",
+    "e10_kmeans" -> "final assign: the 8-row codebook BROADCASTs to the corpus scan as a collected book; argmin is ROW-LOCAL (r17 — the r16 partial-agg min(struct) shape re-shuffled the full vector column per assignment), never a window",
     "q15_time_cooccur" -> "the interval predicate joins as an EQUI join on (user_id, bin) + residual filter — never a BroadcastNestedLoop over the raw non-equi condition",
     "q16_hll_ndv" -> "bucket ranks partial-agg (max) before one 512-row shuffle; the sketch reduce is a 1-row agg",
     "q17_sample_quantiles" -> "the k-min sample compiles to TakeOrderedAndProject; the rank window orders k rows, never the input",
@@ -51,7 +51,7 @@ object PlanAudit {
     "e20_binary_rerank_recall" -> "ONE hamming pass over 8-byte codes (query codes BROADCAST); the re-rank joins candidates back to vectors by id with the query-vector side broadcast; both depths filter the same pass",
     "d21_url_canonical_dedup" -> "canonicalization is codegen'd string expressions in the scan; dedup is groupBy(canonical) with map-side partial agg — keys are pages, not captures",
     "w40_segment_reassembly" -> "reassembly groups continuations by origin id (segment-sized rows only); the first-segment join and the md5-pin join broadcast their small sides",
-    "e21_ivfpq_recall" -> "IVFPQ: coarse probes and per-query ADC tables BROADCAST; the scored side carries (vec_id, sub_j, code) rows restricted to probed cells; ranking windows order bounded candidates, never the corpus",
+    "e21_ivfpq_recall" -> "IVFPQ: coarse probes and per-query ADC tables BROADCAST; the scored side carries (vec_id, cell, sub_j, code) rows restricted to probed cells — the cell RIDES THROUGH the encode pass (r17; the r16 shape re-joined codes to the corpus by vec_id just to attach it); ranking windows order bounded candidates, never the corpus",
     "m09_image_neardup" -> "image dedup over 8-byte dHash codes: bands shuffle (img_id, band, key) only; candidates from a bucket equi-join behind the 64-cap guard; the hamming verify joins codes, never pixels",
     "w43_crawl_delta" -> "snapshot listings meet in ONE full-outer join keyed by URL (CDX-shaped, co-partitionable at scale); classification and the refetch budget are a projection + partial agg over the joined rows",
     "d22_simhash_neardup" -> "SimHash near-dup through the shared banded-hamming pipeline: fingerprints in-scan, bands shuffle (id, band, 16-bit key), the verify joins 8-byte codes — no shingle explosion anywhere",
