@@ -988,7 +988,7 @@ object Embeddings {
     * instead of re-joining the code table to the corpus by vec_id.
     */
   private def pqSub(emb: DataFrame): DataFrame =
-    emb.select(emb.columns.filter(_ != "v").map(col) :+ posexplode(
+    emb.select(emb.columns.filter(_ != "v").map(col).toSeq :+ posexplode(
       transform(sequence(lit(0), lit(7)),
         j => slice(col("v"), j * lit(8) + 1, lit(8)))).as(Seq("sub_j", "sv")): _*)
 
@@ -1035,7 +1035,7 @@ object Embeddings {
     // evaluates inside the scan stage against the broadcast per-subspace
     // book — identical min(struct(d, code)), zero exchanges. Non-v input
     // columns (e21's cell) ride through pqSub.
-    val carry = emb.columns.filter(_ != "v").map(col)
+    val carry = emb.columns.filter(_ != "v").map(col).toSeq
     pqSub(emb).join(broadcast(pqBook(codebook)), Seq("sub_j"))
       .withColumn("best", argminBookK(col("sv"), col("book")))
       .select(carry :+ col("sub_j") :+ col("best._2").as("code")
@@ -1105,7 +1105,7 @@ object Embeddings {
       struct(col("cid").cast("long").as("c"), col("cv"))).as("book"))
     emb.crossJoin(broadcast(book))
       .withColumn("best", argminBookK(col("v"), col("book")))
-      .select(emb.columns.map(col) :+ col("best._2").cast("int").as("cid")
+      .select(emb.columns.map(col).toSeq :+ col("best._2").cast("int").as("cid")
         :+ col("best._1").as("d"): _*)
   }
 
