@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout must reach this process's stdout RAW: sbt's
+// default LoggedOutput strategy prefixes every relayed line with
+// "[info] ", which defeats any line-anchored grep for the bench's
+// `BENCH_JSON:` digest (the driver harness parsed NOTHING in r09-r17 —
+// PERF_rNN.per_query stayed empty every round). With StdoutOutput both
+// the full one-line JSON blob and the BENCH_JSON: digest sit at true
+// line start; the forked stderr (Spark logs, progress lines) goes to
+// this process's stderr instead of being [error]-relayed onto stdout.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

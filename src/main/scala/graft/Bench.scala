@@ -888,21 +888,16 @@ object Bench {
     // a tail-window grep can never land on the truncated blob.
     // Digest budget is FIRM ≤~1.9 KB: a digest longer than the tail
     // window loses its BENCH_JSON: prefix to truncation and the driver
-    // parses NOTHING. r17 additions (canaries/contention/ledger) paid
-    // for themselves by dropping what other fields already carry:
-    // per-query headline walls (rates + isolated_rates are the signal),
-    // the bracket-CRC families_normalized (superseded by norm_local /
-    // norm_matched; still in the blob), bound-row intermediates, and
-    // the sf/jvm_cpus env echoes. Contention is column-array form
+    // parses NOTHING. r18 (verdict item 1) puts PER-QUERY WALLS back in
+    // the digest as `qsec` — a fixed-order compact array (1 decimal,
+    // SORTED query-name order; names are the blob's `queries` keys,
+    // order documented in README) — and adds the contract's `sf` echo.
+    // Paid for by moving rates / isolated_rates / single_thread /
+    // single_thread_normalized to the blob + BENCH_SELF.json only
+    // (~670 B for qsec's ~720 B). Contention is column-array form
     // [wall, run, gc, sched, tasks] (seconds; key order documented in
     // README); canaries are [before, after] pairs (parities live in
     // code + README).
-    val digestRates = rates.map { case (name, _, _, rate) =>
-      jstr(name) + ":" + math.round(rate) }.mkString("{", ",", "}")
-    val digestIso = isolated.flatMap { case (name, sec) =>
-      workUnits.get(name).filter(_ => sec > 0)
-        .map { case (n, _) => jstr(name) + ":" + math.round(n / sec) }
-    }.mkString("{", ",", "}")
     val digestFamilies = results.groupBy(_._1.head).toSeq.sortBy(_._1)
       .map { case (fam, rs) => jstr(fam.toString) + ":" + f"${rs.map(_._2).sum}%.1f" }
       .mkString("{", ",", "}")
@@ -921,7 +916,17 @@ object Bench {
       f"""{"gz":[${math.round(gzipCanaryBefore)},${math.round(gzipCanaryAfter)}],"sh":[$shuffleCanaryBefore%.2f,$shuffleCanaryAfter%.2f]}"""
     val totalF = f"$total%.1f"
     val floorF = f"$streamingFloor%.1f"
-    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"rates":$digestRates,"isolated_rates":$digestIso,"single_thread":$stJson,"single_thread_normalized":$stNormJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"families":$digestFamilies,"families_norm_matched":$familiesNormMatchedJson,"families_norm_local":$familiesNormLocalJson,"total_norm_matched":${f"$totalNormMatched%.1f"},"floor_norm_matched":${f"$floorNormMatched%.1f"},"canaries":$digestCanaries,"contention":$digestContention,"ledger":$ledgerJson,"zstd_bound":${digestBound(zstdBound)},"gzip_bound":${digestBound(gzipBound)},"lz4_bound":${digestBound(lz4Bound)},"heap_max_mb":$heapMb,"spark_cpus":$cpus}"""
+    // per-query walls, 1 decimal, in SORTED query-name order (the names
+    // are the blob's `queries` keys; full precision stays in the blob +
+    // BENCH_SELF.json) — 177 queries ≈ 720 B, the single field a
+    // round-over-round per-query comparison actually needs
+    val qsecJson = results.sortBy(_._1)
+      .map { case (_, sec) => f"$sec%.1f" }.mkString("[", ",", "]")
+    // families_norm_matched stays blob-only (r18): it is recomputable
+    // from `families` and the in-digest `canaries` brackets (wall x
+    // bestBracket/parity — README documents the recipe), and its ~80 B
+    // buys qsec the slack it needs under the firm tail budget.
+    val digest = s"""{"metric":"total","value":$totalF,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"streaming_floor_sec":$floorF,"qsec":$qsecJson,"canary":$canaryJson,"canary_parity":${math.round(ParityCrc32Mbps)},"families":$digestFamilies,"families_norm_local":$familiesNormLocalJson,"total_norm_matched":${f"$totalNormMatched%.1f"},"floor_norm_matched":${f"$floorNormMatched%.1f"},"canaries":$digestCanaries,"contention":$digestContention,"ledger":$ledgerJson,"zstd_bound":${digestBound(zstdBound)},"gzip_bound":${digestBound(gzipBound)},"lz4_bound":${digestBound(lz4Bound)},"heap_max_mb":$heapMb,"spark_cpus":$cpus,"sf":"$sfDir"}"""
     if (digest.length > 1950)
       System.err.println(s"[bench] WARNING: digest ${digest.length} chars " +
         "exceeds the ~2000-char tail budget — trim before the driver run")

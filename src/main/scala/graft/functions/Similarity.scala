@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * oracle drive plus SimilaritySpec's HOF-equivalence cases. Null/shape
   * semantics preserved: null input or length mismatch -> null (zip_with
   * pads the shorter side with null, which nulls the fold).
+  *
+  * KNOWN DIVERGENCE on null ELEMENTS (r17 ADVICE, accepted): an array
+  * whose element is null nulled the old HOF fold, while `Seq[Double]`
+  * unboxes a null element to 0.0 here. Boxed parameters would restore
+  * the HOF semantics at the cost of boxing every element of every
+  * scoring row — the kernels' whole point is the compiled primitive
+  * loop — so the contract is instead: INPUTS MUST CARRY NO NULL
+  * ELEMENTS. True by construction for this engine's embeddings corpus
+  * (SimilaritySpec pins it at the data level), asserted there rather
+  * than per row here. Callers feeding user data must pre-filter
+  * `exists(v, x -> x IS NULL)` rows.
   */
 object Similarity {
 

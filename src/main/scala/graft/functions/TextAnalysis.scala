@@ -241,6 +241,47 @@ object TextAnalysis {
       }
     })
 
+  /** Per-document token COUNT-MAP as one compiled kernel (r18, verdict
+    * item 3): `(token, n_occ)` pairs ≡ the per-doc rows of
+    * `groupBy(doc_id, explode(tokens(text))).count()` — but emitted
+    * row-locally, so the tokenize→explode→partial-agg chain (one row
+    * per TOKEN through a hash aggregate, ~2M rows at sf0.1) collapses
+    * to one pass per document with NO (doc_id, token) exchange at all:
+    * the per-(doc, token) counts are exact before anything shuffles,
+    * and downstream token-keyed aggregations shuffle distinct-token
+    * rows instead of occurrences. Tokenization is [[sqlTokens]] —
+    * bit-identical to `split(trim(text), '\\s+')` incl. the
+    * leading/trailing-empty-token quirks. Pair order is first
+    * occurrence (deterministic); every consumer re-aggregates, so
+    * order never reaches a result. Null text -> null (explode drops
+    * it, like the expression form).
+    */
+  def tokenCounts: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = sqlTokens(t)
+        val m = new java.util.LinkedHashMap[String, java.lang.Long](
+          toks.length * 2)
+        var i = 0
+        while (i < toks.length) {
+          val k = toks(i)
+          val prev = m.get(k)
+          m.put(k, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+        val out = new Array[(String, Long)](m.size)
+        val it = m.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(j) = (e.getKey, e.getValue.longValue)
+          j += 1
+        }
+        out
+      }
+    })
+
   /** Word-start windows as one compiled kernel (r17): (p, window) pairs
     * where p is the 1-BASED CODE-POINT position of a word start (p == 1
     * or the previous code point is a space, current is not) and window =

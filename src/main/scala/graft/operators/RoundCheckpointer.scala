@@ -111,20 +111,29 @@ private[graft] final class RoundCheckpointer(spark: SparkSession) {
     * predecessor's blocks were dropped would recompute through the
     * (already-truncated) previous round.
     *
-    * liveIds: a bare registry diff is safe HERE (unlike [[next]], which
-    * filters on isCheckpointed) because no job runs inside this call —
-    * the foreign-cache hazard documented on [[next]] arises from a
-    * caller's lazy persist materializing DURING the eager checkpoint
-    * job; lazy marking runs planning only, and plain persists register
-    * at their own .persist() call sites, never during another frame's
-    * planning. The only RDD that can appear in the diff is the
-    * checkpoint-marked one itself.
+    * liveIds: the registry diff is filtered to locally-checkpoint-MARKED
+    * rdds, mirroring [[next]]'s isCheckpointed guard (r18, ADVICE r17):
+    * "no job runs inside this call" was WRONG — Dataset.localCheckpoint
+    * (eager = false) still constructs the physical plan (.rdd), which is
+    * where a caller's lazy persist() registers its cache RDD
+    * (cachedColumnBuffers builds at first physical-plan construction),
+    * and with AQE on, shuffle query-stage jobs can actually run there.
+    * A bare diff captured such foreign cache rdds into liveIds, and the
+    * next round's releaseSuperseded() silently unpersisted them — e.g.
+    * minLabelPropagate's pre-partitioned edge cache, re-running the edge
+    * repartition every round at exactly the scale the pre-partitioning
+    * targets. isLocallyCheckpointed is true immediately after lazy
+    * marking (it checks the checkpointData mark, not materialization);
+    * cache rdds are never checkpoint-marked.
     */
   def nextLazy(df: DataFrame): DataFrame = {
     val pre = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint(eager = false)
     supersededIds ++= liveIds
-    liveIds = sc.getPersistentRDDs.keySet.toSet.diff(pre.toSet)
+    liveIds = (sc.getPersistentRDDs.view.filterKeys(!pre.contains(_)))
+      .collect { case (id, rdd)
+        if org.apache.spark.rdd.RddMarks.isLocallyCheckpointed(rdd) ||
+          rdd.isCheckpointed => id }.toSet
     ck
   }
 

@@ -2259,6 +2259,8 @@ object Documents {
     * the model IS a distributed table.
     */
   private[queries] def bigramPerplexity(d: DataFrame): DataFrame = {
+    // NOT dead (r17 ADVICE item 4 misread this): `vocab` below re-reads
+    // the token arrays for the corpus vocabulary size
     val tk = d.select(col("doc_id"), tokens(col("text")).as("tk"))
     // compiled bigram kernel (r17) ≡ explode(zip_with(slice, slice, struct))
     val pairs = d.select(col("doc_id"),

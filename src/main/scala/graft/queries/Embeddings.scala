@@ -1070,8 +1070,15 @@ object Embeddings {
     * but the exchange still moved every (vec_id, v) row); this shape
     * shuffles NOTHING — the 100 TB assign pass becomes scan-local.
     * Tie-break (same d) resolves to the smaller c, as struct ordering
-    * did. Distances are non-negative finite sums (no NaN/-0.0 cases for
-    * the ordering to disagree on).
+    * did. Comparison goes through java.lang.Double.compare (r18, ADVICE
+    * r17): Spark's struct-min ordering (nanSafeCompareDoubles) ranks NaN
+    * GREATER than every value, so a NaN distance (null/mismatched cv,
+    * NaN vector values) must lose to any finite one — the old `<`/`==`
+    * form let a NaN FIRST entry win permanently, and since the book
+    * comes from collect_list (nondeterministic order) the chosen code
+    * became partitioning-dependent on degenerate inputs. Double.compare
+    * ranks NaN last exactly like nanSafeCompareDoubles here (-0.0, the
+    * one case they differ on, cannot arise from a sum of squares).
     */
   private val argminBookK = udf((v: Seq[Double], book: Seq[org.apache.spark.sql.Row]) =>
     if (v == null || book == null || book.isEmpty) None
@@ -1087,7 +1094,8 @@ object Embeddings {
           var i = 0
           while (i < x.length) { val t = x(i) - cv(i); s += t * t; i += 1 }
         }
-        if (first || s < bestD || (s == bestD && c < bestC)) {
+        val cmp = if (first) -1 else java.lang.Double.compare(s, bestD)
+        if (cmp < 0 || (cmp == 0 && c < bestC)) {
           bestD = s; bestC = c; first = false
         }
       }

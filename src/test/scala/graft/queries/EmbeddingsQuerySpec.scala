@@ -291,4 +291,51 @@ class EmbeddingsQuerySpec extends AnyFunSuite {
       .select(col("vec_id"), col("cid"), col("d"))
     assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty)
   }
+
+  test("r18 argmin NaN ordering (ADVICE r17): a NaN-distance book entry " +
+    "loses to any finite one regardless of book order, matching " +
+    "min(struct)'s nanSafeCompareDoubles") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, -1.0)))
+      .toDF("vec_id", "v")
+    // cid 0 carries a NaN component -> NaN distance to everything; it
+    // must NEVER win while a finite centroid exists. collect_list order
+    // is nondeterministic, so drive both orders explicitly.
+    val nanFirst = Seq((0, Seq(Double.NaN, 0.0)), (1, Seq(0.0, 0.0)))
+      .toDF("cid", "cv")
+    val nanLast = Seq((1, Seq(0.0, 0.0)), (0, Seq(Double.NaN, 0.0)))
+      .toDF("cid", "cv")
+    for (cents <- Seq(nanFirst, nanLast)) {
+      val got = Embeddings.kmeansAssign(emb, cents)
+        .select(col("vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == Map(0L -> 1, 1L -> 1), s"NaN entry won: $got")
+    }
+    // the old min(struct(d, c)) agrees on NaN ranking (reference run)
+    def hofSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    val old = emb.crossJoin(broadcast(nanFirst))
+      .select(col("vec_id"),
+        struct(hofSq(col("v"), col("cv")).as("d"), col("cid").as("c")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.c")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(old == Map(0L -> 1, 1L -> 1))
+    // all-NaN book: ties resolve to the smallest cid, like struct order
+    val allNaN = Seq((7, Seq(Double.NaN, 0.0)), (3, Seq(Double.NaN, 1.0)))
+      .toDF("cid", "cv")
+    val gotAll = Embeddings.kmeansAssign(emb, allNaN)
+      .select(col("vec_id"), col("cid")).collect().map(_.getInt(1)).toSet
+    assert(gotAll == Set(3))
+  }
+
+  test("r18 null-element contract (ADVICE r17): the embeddings corpus " +
+    "carries no null vector elements at either verified SF — the " +
+    "compiled kernels' stated precondition") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val bad = graft.Tables.embeddings(spark, s"/root/testdata/$sf")
+        .filter(expr("exists(embedding, x -> x IS NULL)")).count()
+      assert(bad == 0L, s"$sf: $bad rows with null elements")
+    }
+  }
 }
