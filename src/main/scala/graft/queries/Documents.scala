@@ -24,6 +24,12 @@ object Documents {
     * the only training state BPE ever needs.
     */
   private def bpeWords(d: DataFrame): DataFrame =
+    // examined and kept as the expression form (r18): a tokenCounts
+    // count-map variant measured SLOWER in an interleaved A/B (t25
+    // 1.74 vs 1.61 s, t28 2.71 vs 2.38 s min-of-3) — the split+explode+
+    // partial-agg chain is fully codegen'd and its exchange already
+    // carries vocabulary-sized partial counts, so the kernel's per-token
+    // String<->UTF8String conversions buy nothing here
     d.select(explode(tokens(col("text"))).as("tok"))
       .select(bpeNormToken(col("tok")).as("w")) // compiled ≡ lower(regexp_replace(tok,"[^A-Za-z]","")) (r17)
       .filter(length(col("w")) >= 2)
@@ -257,10 +263,12 @@ object Documents {
     // shape: explode -> (doc, token) count -> per-doc aggregate; the
     // shuffle carries (doc_id, token) pairs, never documents.
     "t08_repetition" -> ((s, dir) => {
+      // token COUNT-MAP kernel (r18): the (doc_id, tok) counts are exact
+      // row-locally, so the first groupBy's corpus-sized exchange is gone
+      // — the per-doc aggregate collapses to one row per doc map-side
       docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), explode(tokenCounts(col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc._2").as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_tokens"),
              count(lit(1)).as("n_distinct"),
@@ -421,10 +429,15 @@ object Documents {
     // exchange carries (token, count) pairs — at 100 TB this is the
     // one-pass vocab builder.
     "t14_vocab" -> ((s, dir) => {
+      // token COUNT-MAP kernel (r18): one pre-counted row per (doc,
+      // token), so n_occ = sum(n) and — because rows are distinct per
+      // doc by construction — n_docs = count(1), dropping the
+      // count_distinct Expand pass entirely
       docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(explode(tokenCounts(col("text"))).as("tc"))
+        .select(col("tc._1").as("tok"), col("tc._2").as("n"))
         .groupBy(col("tok"))
-        .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+        .agg(sum(col("n")).as("n_occ"), count(lit(1)).as("n_docs"))
         .orderBy(col("n_occ").desc, col("tok"))
         .limit(25)
     }),
@@ -688,6 +701,8 @@ object Documents {
     // corpus — the window sorts types, not tokens), and Spark's
     // built-in least-squares aggregates (regr_slope/intercept/r2).
     "t21_zipf" -> ((s, dir) => {
+      // examined, kept (r18): tokenCounts variant measured a wash
+      // (0.72 vs 0.71 s) — one partial-agg'd groupBy either way
       val freq = docs(s, dir)
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -717,6 +732,15 @@ object Documents {
     // score within a doc) break on the term string, so the ranking is
     // deterministic across engines.
     "t22_tfidf_keywords" -> ((s, dir) => {
+      // examined and kept as the expression form (r18, verdict item 3
+      // candidate): a tokenCounts count-map tf (with and without a
+      // shared repartition) measured a wash in the interleaved A/B
+      // (2.22 vs 2.27 s min-of-4) — the old groupBy's map-side partial
+      // agg ALREADY collapses occurrences to distinct (doc, tok) rows
+      // before the exchange, so the kernel saves no shuffle bytes, and
+      // column pruning gives each tf consumer a differently-pruned
+      // subtree, defeating exchange reuse (verified in the post-AQE
+      // final plan: three unreused REPARTITION_BY_COL stages)
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -755,6 +779,11 @@ object Documents {
     // score is a keyed re-aggregation — no driver-side model, no
     // global window.
     "t23_dsir_importance" -> ((s, dir) => {
+      // examined and kept as the expression form (r18): the tokenCounts
+      // count-map tf measured a wash-to-slightly-slower in the
+      // interleaved A/B (2.32 vs 2.24 s min-of-4) for the same reason as
+      // t22 — partial aggs already collapse the exchanges, pruning
+      // defeats tf reuse
       val toksAll = docs(s, dir)
         .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
       val tf = toksAll.groupBy(col("doc_id"), col("source"), col("tok"))
@@ -823,6 +852,10 @@ object Documents {
             "coalesce(replace(syms, concat('<', _ml, '><', _mr, '>'), " +
               "concat('<', _ml, _mr, '>')), syms)"))
           .drop("_ml", "_mr")
+      // examined and kept as the expression form (r18): a tokenCounts
+      // distinct-(doc, word) variant with n-weighted aggregates measured
+      // slower in the interleaved A/B (2.71 vs 2.38 s min-of-3) — see
+      // the bpeWords note
       val docWords = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"), bpeNormToken(col("tok")).as("w")) // compiled (r17)
@@ -1874,6 +1907,10 @@ object Documents {
   private[queries] def heapsLaw(d0: DataFrame): DataFrame = {
     val d = d0.filter(col("text").isNotNull)
     val n = d.agg(count(lit(1)).as("n_docs"))
+    // examined and kept as the expression form (r18): the tokenCounts
+    // count-map variant measured slower in the interleaved A/B (1.39 vs
+    // 1.17 s min-of-3) — both aggregations already collapse map-side, so
+    // the kernel only added per-token conversion cost
     val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     def decileOf(c: Column) =
       least(floor(c * 10 / col("n_docs")), lit(9L)).cast("int").as("decile")

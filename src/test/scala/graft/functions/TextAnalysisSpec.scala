@@ -447,6 +447,25 @@ class TextAnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k.count() == h.count())
   }
 
+  test("r18 tokenCounts kernel == groupBy over explode(split(trim)) " +
+    "expression form, incl. empty/whitespace/\\t-edge token quirks") {
+    val df = onTexts(r17Texts :+ "\tleading tab" :+ "trailing tab\t" :+
+      "\t" :+ "\f\r mixed " :+ null)
+    // kernel rows (doc_id, tok, n)
+    val k = df.select(col("doc_id"),
+        explode(TextAnalysis.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc._1").as("tok"), col("tc._2").as("n"))
+    // the ORIGINAL expression chain, verbatim
+    val h = df.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    assert(k.exceptAll(h).isEmpty && h.exceptAll(k).isEmpty)
+    assert(k.count() == h.count())
+    // null text -> zero rows on both sides (explode drops null arrays)
+    val nullRows = df.filter(col("text").isNull).select(col("doc_id"))
+    assert(k.join(nullRows, "doc_id").count() == 0)
+  }
+
   test("r17 wordStartWindows kernel == per-character explode/filter/substring form") {
     for ((win, fullOnly) <- Seq((40, true), (64, false), (5, true), (5, false))) {
       val df = onTexts(r17Texts)
