@@ -1131,10 +1131,10 @@ object Documents {
         .persist()
       try {
         val hit = truth.join(st.cand, Seq("doc_a", "doc_b"))
-        val out = sample.agg(count(lit(1)).as("n_sample"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-          .crossJoin(st.cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        // one union-pivot pass (r18) instead of four crossJoined 1-row
+        // aggregates — see countPivot
+        val out = countPivot("n_sample" -> sample, "n_truth" -> truth,
+            "n_cand" -> st.cand, "n_hit" -> hit)
           .select(col("n_sample"), col("n_truth"), col("n_cand"), col("n_hit"),
             round(when(col("n_cand") > 0,
               col("n_hit").cast("double") / col("n_cand")), 4).as("cand_precision"),
@@ -2466,20 +2466,39 @@ object Documents {
     persisted += dups
     val dropped = dups.select(col("doc_b").as("doc_id")).distinct()
     val admitted = incoming.join(dropped, Seq("doc_id"), "left_anti")
-    val summary = existing.agg(count(lit(1)).as("n_existing"))
-      .crossJoin(incoming.agg(count(lit(1)).as("n_incoming")))
-      .crossJoin(megaA.agg(count(lit(1)).as("n_mega_existing")))
-      .crossJoin(megaB.agg(count(lit(1)).as("n_mega_incoming")))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
-      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-      .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
+    // one union-pivot pass (r18) instead of eight crossJoined 1-row
+    // aggregates — see countPivot
+    val summary = countPivot(
+      "n_existing" -> existing, "n_incoming" -> incoming,
+      "n_mega_existing" -> megaA, "n_mega_incoming" -> megaB,
+      "n_candidates" -> cand, "n_dup_pairs" -> dups,
+      "n_dropped" -> dropped, "n_admitted" -> admitted)
     if (!materialize) summary // plan-audit path: keep the full lineage
     else {
       val out = summary.localCheckpoint()
       persisted.foreach(_.unpersist(blocking = false))
       out
     }
+  }
+
+  /** One-pass COUNT PIVOT (r18, verdict item 4): the counts of N frames
+    * as one 1-row frame via a tagged union + conditional aggregation.
+    * The previous shape — `a.agg(count).crossJoin(b.agg(count))…` — gave
+    * every branch its own aggregate subtree and (under AQE) its own
+    * query-stage jobs plus a broadcast per crossJoin, ~3-5 jobs of
+    * ~0.1 s fixed scheduling cost per summary; the union's branches are
+    * narrow 1-column projections feeding ONE final aggregate, exactly
+    * the trick the streaming summaries already use. Counts coalesce to
+    * 0 so an all-empty input still yields the zeros row the crossJoin
+    * form produced.
+    */
+  private def countPivot(branches: (String, DataFrame)*): DataFrame = {
+    val tagged = branches.map { case (k, df) => df.select(lit(k).as("k")) }
+      .reduce(_ unionAll _)
+    val aggs = branches.map { case (k, _) =>
+      coalesce(sum(when(col("k") === k, 1L).otherwise(0L)), lit(0L)).as(k)
+    }
+    tagged.agg(aggs.head, aggs.tail: _*)
   }
 
   /** End-to-end near-dup pipeline summary: [[neardupStages]], then
@@ -2505,12 +2524,12 @@ object Documents {
     val removed = dups.select(col("doc_b").as("doc_id")).distinct().persist()
     try {
       val survivors = d.join(removed, Seq("doc_id"), "left_anti")
-      val summary = d.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(mega.agg(count(lit(1)).as("n_mega_buckets")))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(dups.agg(count(lit(1)).as("n_dup_pairs")))
-        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
-        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+      // one union-pivot pass (r18) instead of six crossJoined 1-row
+      // aggregates — see countPivot
+      val summary = countPivot(
+        "n_docs" -> d, "n_mega_buckets" -> mega, "n_candidates" -> cand,
+        "n_dup_pairs" -> dups, "n_removed" -> removed,
+        "n_survivors" -> survivors)
       // eager materialization (checkpoint / localCheckpoint both run the
       // plan now): after this the intermediates are no longer needed
       checkpointDir match {

@@ -24,13 +24,20 @@ object QueryBench {
       spark.read.format("warc")
         .load("/root/reference/tests/data/warcfile.warc.gz").count()
     } catch { case _: Throwable => }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     names.foreach { name =>
       (1 to reps).foreach { r =>
+        val j0 = jobs.get
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"TIMING $name rep$r $sec%8.3f s")
+        println(f"TIMING $name rep$r $sec%8.3f s jobs=${jobs.get - j0}")
       }
     }
     spark.stop()
