@@ -26,7 +26,8 @@ object StreamingFloorProbe {
       }
     })
 
-    def drive(label: String, asyncProgress: Boolean = false): Unit =
+    def drive(label: String, asyncProgress: Boolean = false,
+        statelessNoop: Boolean = false): Unit =
       graft.streaming.TransientCheckpoints.scoped(spark) {
         graft.operators.RoundPartitions.scoped(spark, 2048) {
           val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Int)]
@@ -57,8 +58,18 @@ object StreamingFloorProbe {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("h1",
               org.apache.spark.sql.types.LongType)))
-          val verdicts = graft.streaming.StreamingNeardup.bandVerdicts(
-            spark.readStream.schema(schema).parquet(landing.getPath))
+          // statelessNoop (r18): the ENGINE-ONLY reference drive — same
+          // file source, landing waves, memory sink and trigger loop,
+          // but a trivial stateless projection instead of the stateful
+          // dedup. gauge_drive − noop_drive = the state-store + kernel
+          // share; everything in the noop drive is micro-batch machinery
+          // (trigger, WAL/offset logs, file listing, job scheduling) no
+          // query shape can remove while remaining a streaming gauge.
+          val stream = spark.readStream.schema(schema).parquet(landing.getPath)
+          val verdicts =
+            if (statelessNoop)
+              stream.select(col("doc_id"), (col("h0") + col("h1")).as("s"))
+            else graft.streaming.StreamingNeardup.bandVerdicts(stream).toDF()
           mark("plan build")
           val qname = s"floorprobe_${label}_${System.nanoTime()}"
           var w = verdicts.writeStream.format("memory").queryName(qname)
@@ -83,8 +94,9 @@ object StreamingFloorProbe {
             println(s"[floor]   durationMs ${p.durationMs}"))
           q.stop()
           mark("stream stop")
-          val n = spark.table(qname).groupBy(col("doc_id"))
-            .agg(max(col("matched")).as("m")).filter(col("m")).count()
+          val n = if (statelessNoop) spark.table(qname).count()
+            else spark.table(qname).groupBy(col("doc_id"))
+              .agg(max(col("matched")).as("m")).filter(col("m")).count()
           mark(s"summary count ($n suppressed)")
           val total = marks.map(_._2).sum
           println(f"[floor] == $label: total $total%6.2f s  jobs=${marks.map(_._3).sum} ==")
@@ -96,6 +108,10 @@ object StreamingFloorProbe {
     drive("cold")
     drive("warm1")
     drive("warm2")
+    drive("noop1", statelessNoop = true)
+    drive("noop2", statelessNoop = true)
+    drive("noop3", statelessNoop = true)
+    drive("warm3")
     // hypothesis: per-micro-batch wall is dominated by IncrementalExecution
     // re-planning + whole-stage-codegen COMPILATION per batch — for
     // hundreds-of-rows batches the interpreted path should win
