@@ -524,6 +524,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchSizes.filter(_ > 0).toSeq == Seq(50L), batchSizes.toSeq)
   }
 
+  test("replay contract (r18, ADVICE r16 item 5): a micro-batch replayed " +
+      "after a sidecar appears between attempts is value-identical except " +
+      "the offset column's coordinate system") {
+    // WarcMicroBatchStream.planInputPartitions re-plans a replayed batch
+    // against CURRENT sidecar state (documented at the call site): if an
+    // `.idx` landed between attempts, the replay plans member-aligned
+    // partitions where attempt 1 streamed the whole file. Model the two
+    // attempts as two scans of the same admitted file set — attempt 1
+    // without the sidecar, the "replay" with it — and pin the contract:
+    // record set, contents, and totals identical; ONLY `offset` may
+    // move (stream position -> compressed member address).
+    val landing = Files.createTempDirectory("warc-replay-sidecar")
+    val (_, offs) = graft.sources.BenchCorpus.ensureMemberArchive(
+      landing.toString)
+    def scanRows() = {
+      val q = spark.readStream.format("warc")
+        .option("max_partition_bytes", 16 * 1024)
+        .load(landing.toString)
+        .selectExpr("record_id", "record_type",
+          "content_length", "md5(http_body) AS body_md5", "offset")
+        .writeStream.format("memory").queryName("replay_attempt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("replay_attempt").collect()
+      spark.catalog.dropTempView("replay_attempt")
+      rows
+    }
+    val attempt1 = scanRows()
+    // the sidecar "lands between attempts"
+    Files.write(landing.resolve("members.warc.gz.idx"),
+      offs.map(o => s"""{"filename": "members.warc.gz", "offset": $o}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val attempt2 = scanRows()
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length - 1).map(i => String.valueOf(r.get(i))).mkString("|")
+    assert(attempt1.length == attempt2.length)
+    assert(attempt1.map(key).sorted.toSeq == attempt2.map(key).sorted.toSeq,
+      "replayed record set/contents diverged beyond the offset column")
+    // and the offset coordinate system DID change for mid-file records
+    // (whole-file stream positions -> member addresses), so the pin
+    // exercises the real divergence, not a trivially-identical pair
+    val off1 = attempt1.map(r => r.getLong(r.length - 1)).sorted.toSeq
+    val off2 = attempt2.map(r => r.getLong(r.length - 1)).sorted.toSeq
+    assert(off1 != off2,
+      "sidecar had no effect on partition planning — shape no longer " +
+        "exercises the replay divergence; rebuild the fixture")
+    org.apache.commons.io.FileUtils.deleteDirectory(landing.toFile)
+  }
+
   test("exactly-once warc sink: a REPLAYED micro-batch overwrites its own " +
       "output — no duplicates, no loss, for any number of replays") {
     val out = Files.createTempDirectory("eo-warc-replay").toString
